@@ -1,0 +1,92 @@
+"""Catalog: resolve the driver's parquet test tables and register views.
+
+Mirrors the reference's YAML-config catalog (``configs/meta_config.yaml:1-4``,
+``data_schema/macvid.py:78-93`` — data_root + META list resolved to a dataset)
+as a plain loader over a directory of parquet tables.  At 100 TB each table
+would be a partitioned parquet/iceberg location; the API is the same.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _nanos_timestamp_columns(path: str) -> list[str]:
+    """Column names stored as parquet TIMESTAMP(NANOS), which Spark's reader
+    rejects outright (PARQUET_TYPE_ILLEGAL)."""
+    import pyarrow.parquet as pq
+
+    out = []
+    try:
+        schema = pq.read_schema(_first_parquet_file(path))
+    except Exception:  # noqa: BLE001 - fall through to the plain reader
+        return out
+    for field in schema:
+        t = field.type
+        if str(t).startswith("timestamp[ns"):
+            out.append(field.name)
+    return out
+
+
+def _first_parquet_file(path: str) -> str:
+    if os.path.isdir(path):
+        for entry in sorted(os.listdir(path)):
+            if entry.endswith(".parquet"):
+                return os.path.join(path, entry)
+    return path
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one parquet table. Scans stay lazy → Catalyst pushes filters and
+    prunes columns down to the parquet reader.
+
+    Handles TIMESTAMP(NANOS) parquet columns (written by pandas/arrow, e.g.
+    the driver's ``events`` table), which Spark's parquet reader rejects:
+    those are read via ``spark.sql.legacy.parquet.nanosAsLong`` and converted
+    to microsecond timestamps with ``timestamp_micros(ns div 1000)`` — still
+    a native columnar scan, no Python in the path.
+    """
+    path = table_path(sf_dir, name)
+    nanos_cols = _nanos_timestamp_columns(path)
+    if not nanos_cols:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in nanos_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TPCH_TABLES
+) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names if os.path.exists(table_path(sf_dir, n))}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every table as a temp view so ``spark.sql`` queries and the
+    DataFrame API see the same catalog."""
+    tables = load_tables(spark, sf_dir)
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    return tables

@@ -1,0 +1,115 @@
+"""Aggregation operators (SURVEY.md §2.4, A1-A9).
+
+All are stock Catalyst aggregations: partial (map-side) aggregation happens
+automatically, so each is one shuffle keyed on the group-by columns.
+
+Float determinism convention: aggregate sums/averages that feed the DuckDB
+oracle go through an exact DECIMAL accumulation and are cast back to DOUBLE
+(`decimal_sum`), because double summation is order-dependent and Spark's
+partial aggregation order differs run-to-run and engine-to-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Exact decimal accumulator wide enough for sf-scaled sums of ~1e5-magnitude
+# doubles with 6 fractional digits.
+_DEC = "decimal(27,6)"
+
+
+def decimal_sum(col: Column | str) -> Column:
+    """Order-insensitive exact sum of a double column, returned as double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(_DEC)).cast("double")
+
+
+def decimal_avg(col: Column | str) -> Column:
+    """Order-insensitive mean: exact decimal sum / count, divided in double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(_DEC)).cast("double") / F.count(c)
+
+
+def find_breakpoint(
+    clips: DataFrame,
+    video_col: str = "video_id",
+    video_duration_col: str = "video_duration",
+    clip_duration_col: str = "clip_duration",
+    tolerance_s: float = 0.5,
+) -> DataFrame:
+    """A1 — per-video completeness check: a video is "done" when the sum of
+    its clip durations is within ``tolerance_s`` of the video duration.
+
+    Reference: ``evaluations/scene_cut.py:175-187`` (``find_breakpoint`` —
+    a hand-written dict accumulation loop).  Spark: one groupBy + HAVING.
+    """
+    return (
+        clips.groupBy(video_col)
+        .agg(
+            F.first(video_duration_col).alias("video_duration"),
+            decimal_sum(clip_duration_col).alias("clips_duration"),
+        )
+        .filter(F.col("video_duration") - F.col("clips_duration") < tolerance_s)
+    )
+
+
+def corpus_stats(df: DataFrame, col: str) -> DataFrame:
+    """A5 — corpus totals (``analyze/analyze_vids.py:42``:
+    ``sum(durations), mean(durations)``)."""
+    return df.agg(
+        decimal_sum(col).alias("total"),
+        decimal_avg(col).alias("mean"),
+        F.min(col).alias("min"),
+        F.max(col).alias("max"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def histogram(df: DataFrame, col: str, bins: list[float], bucket_col: str = "bucket") -> DataFrame:
+    """A6 — histogram with custom bucket edges.
+
+    Reference: ``np.histogram(durations, bins=[0,5,10,60,300,600,1800,3600,
+    inf])`` (``analyze/analyze_vids.py:43-51``).  Implemented as a CASE
+    ladder (`F.when` chain) + groupBy-count so the whole thing is one
+    map-side-combined aggregation; buckets are labeled by their ordinal so
+    output order/naming is deterministic.  Buckets follow numpy semantics:
+    left-closed, right-open, last bin unbounded.
+    """
+    expr = None
+    for i in range(len(bins)):
+        lo = bins[i]
+        hi = bins[i + 1] if i + 1 < len(bins) else None
+        cond = F.col(col) >= lo if hi is None else (F.col(col) >= lo) & (F.col(col) < hi)
+        expr = F.when(cond, i) if expr is None else expr.when(cond, i)
+    return (
+        df.withColumn(bucket_col, expr)
+        .filter(F.col(bucket_col).isNotNull())
+        .groupBy(bucket_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def value_counts(df: DataFrame, col: str) -> DataFrame:
+    """A7 — category value-counts (``analyze/analyze_vids.py:11-26`` dict
+    counter)."""
+    return df.groupBy(col).agg(F.count(F.lit(1)).alias("n"))
+
+
+def count_consistency(records: DataFrame, files: DataFrame, lo: int = 1, hi: int = 3) -> DataFrame:
+    """A8 — post-stage sanity check: file count minus metadata record count
+    must be within [lo, hi] (``evaluations/check/check_secne.py:12-27``).
+    Returns a single row (record_count, file_count, delta, ok)."""
+    r = records.agg(F.count(F.lit(1)).alias("record_count"))
+    f = files.agg(F.count(F.lit(1)).alias("file_count"))
+    return (
+        r.crossJoin(f)
+        .withColumn("delta", F.col("file_count") - F.col("record_count"))
+        .withColumn("ok", (F.col("delta") >= lo) & (F.col("delta") <= hi))
+    )
+
+
+def with_object_count(clips: DataFrame, objects_col: str = "scene.objects") -> DataFrame:
+    """A9 — derived ``num_of_objects = len(objects)``
+    (``data_schema/macvid.py:29-30``)."""
+    return clips.withColumn("num_of_objects", F.size(objects_col))

@@ -1,0 +1,149 @@
+"""Relational operators (SURVEY.md §2.2 filters, §2.5 joins, §2.6 windows/set
+ops) re-expressed as declarative DataFrame transformations.
+
+Every function takes/returns DataFrames and builds a lazy plan — Catalyst does
+predicate pushdown, column pruning, and join-strategy selection (broadcast for
+small sides, sort-merge otherwise, AQE skew handling at runtime).  The
+reference versions are hand-written Python loops; citations in each docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# -- filters (F1-F8) ---------------------------------------------------------
+
+
+def filter_min_duration(clips: DataFrame, min_s: float = 1.0, col: str = "clip_duration") -> DataFrame:
+    """F1 — duration predicate before expensive model stages.
+
+    Reference: ``evaluations/coca_caption.py:72``, ``llava_caption.py:75``
+    (``if video_duration > 1``).  Declarative filter → Catalyst pushes it to
+    the parquet scan, so at 100 TB the row groups that fail the predicate are
+    never read.
+    """
+    return clips.filter(F.col(col) > min_s)
+
+
+def resume_anti_join(clips: DataFrame, done: DataFrame, key: str = "clip_id") -> DataFrame:
+    """F2/J1 — resume: drop rows whose output already exists.
+
+    Reference: per-row ``os.path.exists`` against the sink dir
+    (``evaluations/aesthetic_score.py:98``, ``imaging_quality.py:111``,
+    ``ocr_score.py:64``).  Spark: LEFT ANTI equi-join against a scan of the
+    sink — the done-list is usually small relative to the corpus, so Catalyst
+    broadcasts it and the anti-join is a map-side hash probe (no shuffle of
+    the big side).
+    """
+    return clips.join(done.select(key).distinct(), on=key, how="left_anti")
+
+
+def resume_anti_join_redo_empty(
+    clips: DataFrame, done: DataFrame, key: str = "clip_id", size_col: str = "size_bytes"
+) -> DataFrame:
+    """F2 (OCR variant) — like :func:`resume_anti_join` but zero-byte done
+    markers are re-done (``evaluations/ocr_score.py:64`` re-processes empty
+    output files)."""
+    really_done = done.filter(F.col(size_col) > 0).select(key).distinct()
+    return clips.join(really_done, on=key, how="left_anti")
+
+
+def drop_failed_rows(df: DataFrame, col: str = "frames") -> DataFrame:
+    """F4/F5 — decode-failure handling: UDFs return null instead of raising
+    (reference: collate_fn drops ``None`` items,
+    ``evaluations/aesthetic_score.py:76-80``; index-shifting retry at
+    ``data_schema/macvid.py:161-174`` is intentionally NOT replicated)."""
+    return df.filter(F.col(col).isNotNull())
+
+
+def training_pair_projection(clips: DataFrame) -> DataFrame:
+    """F6/F7 — projection to (caption, clip_path) training pairs.
+
+    Reference: ``data_schema/macvid.py:183-190`` and the bytecode-only
+    ``MACCaptionDataset`` (``evaluations/sum_caption_llama.py:12,76``).
+    Column pruning means the parquet scan reads only these columns.
+    """
+    return clips.select(
+        F.col("misc")["frame_caption"].alias("caption"),
+        F.col("basic.clip_path").alias("clip_path"),
+    )
+
+
+# -- joins (J2-J4) -----------------------------------------------------------
+
+
+def enrich_with_scores(
+    clips: DataFrame, scores: DataFrame, key: str = "clip_id", broadcast_scores: bool = True
+) -> DataFrame:
+    """J2/J3 — merge a score/sidecar table back into the clips table.
+
+    The reference mutates in-memory records (``aesthetic_score.py:130-132``)
+    or leaves the merge implied (``scripts/run_extract_mvs.sh:17`` carries the
+    clip name precisely so it can be joined later).  Spark: LEFT equi-join;
+    sidecars are small → broadcast, no shuffle of the clips side.
+    """
+    if broadcast_scores:
+        scores = F.broadcast(scores)
+    return clips.join(scores, on=key, how="left")
+
+
+def clip_video_join(clips: DataFrame, videos: DataFrame, key: str = "video_id") -> DataFrame:
+    """J4 — clip→parent-video dimension join (denormalized FK
+    ``macvid.py:13,21``)."""
+    return clips.join(F.broadcast(videos), on=key, how="inner")
+
+
+# -- windows / top-k / set ops (§2.6) ---------------------------------------
+
+
+def number_clips_per_video(
+    df: DataFrame,
+    partition_col: str = "video_id",
+    order_col: str = "start_frame",
+    out_col: str = "clip_index",
+) -> DataFrame:
+    """Per-video clip numbering — the reference's ``f'{vid}_{i:07d}'`` loop
+    counter (``evaluations/scene_cut.py:82``, ``utils/scenecut.py:39``) is a
+    ``row_number`` window.  One shuffle on the partition key; at scale the
+    key count (videos) is large and uniform so no skew.
+    """
+    w = Window.partitionBy(partition_col).orderBy(order_col)
+    return df.withColumn(out_col, F.row_number().over(w))
+
+
+def best_per_group(
+    df: DataFrame, partition_col: str, score_col: str, tiebreak_col: str, descending: bool = True
+) -> DataFrame:
+    """Top-1-per-group — the README's ``best_ocr_only.json`` materialization
+    (select best clip per video by score, ``data_schema/macvid.py:114``; no
+    code ships for it in the reference).  ``row_number`` over a window with a
+    deterministic tiebreak, then ``== 1``.  Spark plans this as a single
+    shuffle + partial top-k (WindowGroupLimit pushes rank<=1 below the sort).
+    """
+    score = F.col(score_col).desc() if descending else F.col(score_col).asc()
+    w = Window.partitionBy(partition_col).orderBy(score, F.col(tiebreak_col).asc())
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def union_shards(*shards: DataFrame) -> DataFrame:
+    """Multi-shard concat (``data_schema/macvid.py:152-157`` META list concat;
+    rank-0 partial merge ``coca_caption.py:116-119``).  ``unionByName`` is a
+    zero-shuffle plan union."""
+    out = shards[0]
+    for s in shards[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+def finished_set_difference(all_items: DataFrame, finished: DataFrame) -> DataFrame:
+    """F3 — ``set(file_list) - set(finished_list)``
+    (``evaluations/scene_cut.py:238``) as a distributed EXCEPT (set
+    semantics, like the reference's Python ``set`` difference)."""
+    return all_items.subtract(finished)
+
+
+def top_k(df: DataFrame, order_cols: list[Column], k: int) -> DataFrame:
+    """Sort + limit — Spark executes this as TakeOrderedAndProject (per-
+    partition top-k then merge on the driver), no full sort at scale."""
+    return df.orderBy(*order_cols).limit(k)

@@ -1,0 +1,125 @@
+"""Unit tests for operator semantics on tiny in-memory DataFrames, mirroring
+the reference behaviors they re-implement (SURVEY.md §5 plan, item 2)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lvm_datapipe_spark.functions import strings as S
+from lvm_datapipe_spark.operators import aggregates as A
+from lvm_datapipe_spark.operators import relational as R
+
+
+def test_resume_anti_join(spark):
+    clips = spark.createDataFrame([("a",), ("b",), ("c",)], ["clip_id"])
+    done = spark.createDataFrame([("b",), ("zz",)], ["clip_id"])
+    out = {r.clip_id for r in R.resume_anti_join(clips, done).collect()}
+    assert out == {"a", "c"}
+
+
+def test_resume_anti_join_redo_empty(spark):
+    # ocr_score.py:64 — zero-byte done markers are re-processed
+    clips = spark.createDataFrame([("a",), ("b",), ("c",)], ["clip_id"])
+    done = spark.createDataFrame([("a", 10), ("b", 0)], ["clip_id", "size_bytes"])
+    out = {r.clip_id for r in R.resume_anti_join_redo_empty(clips, done).collect()}
+    assert out == {"b", "c"}
+
+
+def test_find_breakpoint(spark):
+    # video v1: clips sum to duration (done); v2: 5s gap (not done)
+    rows = [
+        ("v1", 10.0, 4.0),
+        ("v1", 10.0, 6.0),
+        ("v2", 20.0, 15.0),
+    ]
+    df = spark.createDataFrame(rows, ["video_id", "video_duration", "clip_duration"])
+    done = A.find_breakpoint(df)
+    assert [r.video_id for r in done.collect()] == ["v1"]
+
+
+def test_histogram_numpy_semantics(spark):
+    # np.histogram semantics: left-closed right-open, final bin unbounded here
+    df = spark.createDataFrame([(0.0,), (4.9,), (5.0,), (100.0,)], ["d"])
+    out = {r.bucket: r.n for r in A.histogram(df, "d", [0.0, 5.0, 10.0]).collect()}
+    assert out == {0: 2, 1: 1, 2: 1}
+
+
+def test_clip_id_format(spark):
+    df = spark.createDataFrame([("vid_00042", 7)], ["vid", "idx"])
+    row = df.select(S.clip_id("vid", "idx").alias("cid")).first()
+    assert row.cid == "vid_00042_0000007"  # scene_cut.py:82 format
+
+
+def test_path_functions(spark):
+    df = spark.createDataFrame([("group_3/vid_00042.MP4",)], ["p"])
+    row = df.select(
+        S.path_basename("p").alias("base"),
+        S.path_dirname("p").alias("dir"),
+        S.file_extension("p").alias("ext"),
+        S.file_stem("p").alias("stem"),
+    ).first()
+    assert (row.base, row.dir, row.ext, row.stem) == (
+        "vid_00042.MP4",
+        "group_3",
+        "mp4",
+        "vid_00042",
+    )
+
+
+def test_clean_caption(spark):
+    raw = "<start_of_text>a red car driving <end_of_text>junk"
+    df = spark.createDataFrame([(raw,)], ["c"])
+    assert df.select(S.clean_caption("c").alias("c")).first().c == "a red car driving"
+
+
+def test_extract_answer_words(spark):
+    rows = [
+        ('blah Answer: ["car", "tree", "sky"] more',),
+        ("no answer here",),
+    ]
+    df = spark.createDataFrame(rows, ["raw"])
+    out = [r.w for r in df.select(S.extract_answer_words("raw").alias("w")).collect()]
+    assert out[0] == ["car", "tree", "sky"]
+    assert out[1] == []  # sum_caption_llama.py:50 returns [] on no match
+
+
+def test_frame_sampling_indices(spark):
+    df = spark.createDataFrame([(100,)], ["n"])
+    row = df.select(
+        S.frame_indices_at_fractions("n", [0.2, 0.5, 0.8]).alias("fr"),
+        S.stride_frame_indices("n", 10).alias("st"),
+    ).first()
+    assert row.fr == [20, 50, 80]  # coca_caption.py:44 policy
+    assert row.st == list(range(0, 100, 10))  # ocr_score.py:16-21 policy
+
+
+def test_best_per_group_tiebreak(spark):
+    rows = [("v1", "c1", 5.0), ("v1", "c2", 5.0), ("v2", "c3", 1.0)]
+    df = spark.createDataFrame(rows, ["video_id", "clip_id", "score"])
+    out = R.best_per_group(df, "video_id", "score", "clip_id")
+    got = {(r.video_id, r.clip_id) for r in out.collect()}
+    assert got == {("v1", "c1"), ("v2", "c3")}
+
+
+def test_union_and_subtract(spark):
+    a = spark.createDataFrame([(1,), (2,)], ["x"])
+    b = spark.createDataFrame([(2,), (3,)], ["x"])
+    assert sorted(r.x for r in R.union_shards(a, b).collect()) == [1, 2, 2, 3]
+    assert [r.x for r in R.finished_set_difference(a, b).collect()] == [1]
+
+
+def test_count_consistency(spark):
+    records = spark.createDataFrame([(i,) for i in range(10)], ["x"])
+    files = spark.createDataFrame([(i,) for i in range(12)], ["x"])
+    row = A.count_consistency(records, files).first()
+    assert (row.record_count, row.file_count, row.delta, row.ok) == (10, 12, 2, True)
+
+
+def test_drop_failed_rows(spark):
+    df = spark.createDataFrame([("a", "x"), ("b", None)], ["id", "frames"])
+    assert [r.id for r in R.drop_failed_rows(df).collect()] == ["a"]
+
+
+def test_span_seconds(spark):
+    df = spark.createDataFrame([(100, 250, 25.0)], ["s", "e", "fps"])
+    assert df.select(S.span_seconds("s", "e", "fps").alias("d")).first().d == 6.0
