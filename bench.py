@@ -30,6 +30,12 @@ BENCH_QUERIES = [
     "events_tumbling_window",
     "a6_histogram",
     "f2_resume_anti_join",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "dedup_embedding_cosine",
+    "text_quality",
 ]
 
 

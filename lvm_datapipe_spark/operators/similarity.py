@@ -1,0 +1,180 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: exact baseline, native Column math (zip_with +
+  aggregate fold — stays in codegen, left-to-right fold is bit-deterministic
+  and matches the SQL oracle's explicit sum chain);
+- embedding-cosine near-dup pairs;
+- random-hyperplane LSH bucketing: the scale path — candidates meet only
+  inside a bucket, so the join is keyed, not a cross product.
+
+At 100 TB the brute-force variant is only for broadcast-sized query sets
+(crossJoin(broadcast(queries)) = one pass over the corpus, no shuffle);
+the LSH variant buckets the corpus once and probes per-bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_double(vec: Column | str) -> Column:
+    v = F.col(vec) if isinstance(vec, str) else vec
+    return v.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-to-right fold of elementwise products: ((0+x1)+x2)+... — the
+    same association order as an explicit x1+x2+... sum, so bit-identical
+    to the DuckDB oracle."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the query set against the corpus.
+
+    Plan: one scan of ``emb``, per-row loop over broadcast queries (no
+    shuffle), then a per-query top-k window.  Ties broken by neighbor id so
+    the result set is deterministic.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
+        )
+    )
+    c = emb.select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("nv"))
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_sim", cosine(F.col("qv"), F.col("nv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def unit_vectors(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", out_col: str = "vn"
+) -> DataFrame:
+    """Project each vector to unit length ONCE (norm materialized as a row
+    column before the per-element divide), so downstream pairwise cosine is
+    a single dot fold instead of three."""
+    withnorm = emb.select(
+        F.col(id_col), as_double(vec_col).alias("v")
+    ).withColumn("nrm", l2_norm(F.col("v")))
+    return withnorm.select(
+        F.col(id_col),
+        F.transform(F.col("v"), lambda x: x / F.col("nrm")).alias(out_col),
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold.  Exact (quadratic) form — correct
+    baseline for the oracle; the LSH variant below is the scale path.
+    Normalize-first: n² pairs each cost one 64-element fold, not three."""
+    u = unit_vectors(emb, id_col, vec_col)
+    a = u.select(F.col(id_col).alias("id_a"), F.col("vn").alias("va"))
+    b = u.select(F.col(id_col).alias("id_b"), F.col("vn").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", dot(F.col("va"), F.col("vb")))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+def hyperplane_lsh_buckets(
+    emb: DataFrame,
+    n_planes: int = 12,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane (sign) LSH: bucket = the sign-bit string of the
+    vector against ``n_planes`` seeded Gaussian hyperplanes.  Cosine-similar
+    vectors collide with probability (1 - θ/π)^n_planes.
+
+    Planes are deterministic (numpy PCG64 with fixed seed) and embedded as
+    literal arrays — the dot products run as native fold expressions in
+    codegen, no Python at execution time.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    v = as_double(vec_col)
+    bits = []
+    for p in planes:
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bits.append(F.when(dot(v, plane) >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return emb.select(F.col(id_col), F.concat(*bits).alias("bucket"))
+
+
+def lsh_ann_candidates(
+    emb: DataFrame,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-table hyperplane LSH: union candidates over ``n_tables``
+    independent plane sets to trade compute for recall.  Output: distinct
+    (id_a < id_b) candidate pairs — feed to exact cosine for verification.
+    """
+    out = None
+    for t in range(n_tables):
+        buckets = hyperplane_lsh_buckets(
+            emb, n_planes=n_planes, dim=dim, seed=seed + t, id_col=id_col, vec_col=vec_col
+        ).withColumn("table", F.lit(t))
+        a = buckets.select(F.col(id_col).alias("id_a"), "table", "bucket")
+        b = buckets.select(F.col(id_col).alias("id_b"), "table", "bucket")
+        pairs = a.join(b, ["table", "bucket"]).filter(F.col("id_a") < F.col("id_b"))
+        out = pairs if out is None else out.unionByName(pairs)
+    return out.select("id_a", "id_b").distinct()
+
+
+def lsh_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **lsh_kwargs,
+) -> DataFrame:
+    """Scale-path near-dup: LSH candidates → exact cosine verify.  Recall is
+    probabilistic (tunable via n_planes/n_tables); precision is exact."""
+    cand = lsh_ann_candidates(emb, id_col=id_col, vec_col=vec_col, **lsh_kwargs)
+    a = emb.select(F.col(id_col).alias("id_a"), as_double(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), as_double(vec_col).alias("vb"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("cos_sim", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

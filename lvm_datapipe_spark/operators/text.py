@@ -1,0 +1,125 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+tokenization, quality scoring, language ID, fingerprinting.
+
+These extend the reference's text surface (caption cleanup C5, regex word
+extraction C7 — SURVEY.md §2.7) with the operators an LLM-data pipeline needs
+over a ``documents(doc_id, text, ...)`` table.  Everything here is native
+Column expressions — whole-stage codegen, no Python in the hot path — and has
+a deterministic DuckDB-SQL twin for the oracle gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization with empty tokens dropped (robust to leading/
+    trailing/repeated whitespace)."""
+    return F.filter(F.split(_c(text), r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def normalize_whitespace(text: Column | str) -> Column:
+    return F.trim(F.regexp_replace(_c(text), r"\s+", " "))
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Document fingerprint: md5 over the lower-cased, whitespace-normalized
+    text.  md5 is bit-identical across engines (unlike xxhash64/builtin
+    ``hash``), which makes exact-dup groups oracle-checkable."""
+    return F.md5(F.lower(normalize_whitespace(text)).cast("binary"))
+
+
+def word_ngrams(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a token array.  Guarded so arrays
+    shorter than ``n`` yield [] (Spark's ``sequence(1, 0)`` would count DOWN,
+    not produce an empty array)."""
+    count = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), count), lambda i: F.concat_ws(" ", F.slice(toks, i, n))
+    )
+    return F.when(count >= 1, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+PUNCT_CLASS = "[^.!?,;:]"
+
+# tiny deterministic stopword sets per language (n-gram-heuristic lang-ID);
+# ASCII-only so tokenization is identical across engines
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "is"],
+    "fr": ["le", "la", "les", "et", "une"],
+    "es": ["el", "los", "y", "que", "una"],
+    "de": ["der", "die", "das", "und", "ist"],
+}
+LANG_PRIORITY = ["en", "fr", "es", "de"]  # deterministic argmax tie-break
+
+
+def punct_count(text: Column | str) -> Column:
+    return F.length(F.regexp_replace(_c(text), PUNCT_CLASS, ""))
+
+
+def stopword_hits(toks: Column, words: list[str]) -> Column:
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, F.lower(t))))
+
+
+def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality features + a composite score in [0, 1]:
+    ``min(1, n_tokens/100) * (1 - punct_ratio) * (1 - stopword_ratio/2)``.
+    Mirrors the reference's filter-hook idea (F8, ``macvid.py:90`` "add
+    whatever condition for filtering") with concrete, deterministic metrics.
+    """
+    t = tokens(text_col)
+    n_tok = F.size(t)
+    n_char = F.length(F.col(text_col))
+    n_punct = punct_count(text_col)
+    n_stop = stopword_hits(t, LANG_STOPWORDS["en"])
+    punct_ratio = F.when(n_char > 0, n_punct / n_char).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
+    score = (
+        F.least(F.lit(1.0), n_tok / F.lit(100.0))
+        * (F.lit(1.0) - punct_ratio)
+        * (F.lit(1.0) - stop_ratio / F.lit(2.0))
+    )
+    return df.select(
+        F.col(id_col),
+        n_char.alias("n_chars_actual"),
+        n_tok.alias("n_tokens"),
+        n_punct.alias("n_punct"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-vote language ID: count hits per language's marker set, pick
+    the argmax with a fixed priority-order tie-break (LANG_PRIORITY); 'und'
+    when no set scores > 0."""
+    t = tokens(text_col)
+    hit_cols = {lang: stopword_hits(t, ws) for lang, ws in LANG_STOPWORDS.items()}
+    best = F.greatest(*hit_cols.values())
+    pred = F.lit("und")
+    for lang in reversed(LANG_PRIORITY):
+        pred = F.when((best > 0) & (hit_cols[lang] == best), F.lit(lang)).otherwise(pred)
+    out = df.select(
+        F.col(id_col),
+        *[hit_cols[lang].alias(f"hits_{lang}") for lang in LANG_PRIORITY],
+        pred.alias("predicted_lang"),
+    )
+    return out
+
+
+def fingerprint_docs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    return df.select(F.col(id_col), fingerprint(text_col).alias("fingerprint"))

@@ -552,3 +552,286 @@ def w3_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
     )
+
+
+# ===========================================================================
+# Extension layer: text analysis, deduplication, similarity search
+# (BASELINE.json north-star: LLM-data-pipeline operators at 100 TB scale)
+# ===========================================================================
+
+# SQL fragments shared by the oracles (DuckDB dialect), mirroring the Column
+# builders in operators/text.py and operators/dedup.py expression-for-
+# expression so float/int results are bit-identical.
+
+_SQL_TOKS = r"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
+_SQL_SHINGLES = (
+    "list_distinct(list_transform(generate_series(1, greatest(len(t) - 2, 0)), "
+    "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))"
+)
+_EMB_DIM = 64
+
+
+def _dot_sql(a: str, b: str, dim: int = _EMB_DIM) -> str:
+    """Explicit left-associated sum chain — same fold order as the Spark
+    aggregate() in operators/similarity.py, so results are bit-identical."""
+    return " + ".join(f"{a}[{i}]*{b}[{i}]" for i in range(1, dim + 1))
+
+
+def _cos_sql(a: str, b: str, dim: int = _EMB_DIM) -> str:
+    return (
+        f"({_dot_sql(a, b, dim)}) / "
+        f"(sqrt({_dot_sql(a, a, dim)}) * sqrt({_dot_sql(b, b, dim)}))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "text_token_count",
+    f"SELECT doc_id, CAST(len({_SQL_TOKS}) AS INTEGER) AS n_tokens FROM documents",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lvm_datapipe_spark.operators import text as X
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.token_count("text").alias("n_tokens"))
+
+
+@_q(
+    "text_quality",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents),
+    m AS (
+      SELECT doc_id,
+             CAST(length(text) AS INTEGER) AS n_chars_actual,
+             CAST(len(toks) AS INTEGER) AS n_tokens,
+             CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS INTEGER) AS n_punct,
+             CAST(len(list_filter(toks,
+               x -> list_contains(['the','a','and','of','is'], lower(x)))) AS INTEGER) AS n_stop
+      FROM t)
+    SELECT doc_id, n_chars_actual, n_tokens, n_punct,
+           CASE WHEN n_chars_actual > 0 THEN n_punct / n_chars_actual ELSE 0.0 END AS punct_ratio,
+           CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END AS stopword_ratio,
+           least(1.0, n_tokens / 100.0)
+             * (1.0 - CASE WHEN n_chars_actual > 0 THEN n_punct / n_chars_actual ELSE 0.0 END)
+             * (1.0 - CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END / 2.0)
+             AS quality_score
+    FROM m
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lvm_datapipe_spark.operators import text as X
+
+    docs = load_table(spark, sf_dir, "documents")
+    return X.quality_features(docs)
+
+
+@_q(
+    "text_langid",
+    """
+    WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') toks
+               FROM documents),
+    h AS (
+      SELECT doc_id,
+        CAST(len(list_filter(toks, x -> list_contains(['the','a','and','of','is'], lower(x)))) AS INTEGER) AS hits_en,
+        CAST(len(list_filter(toks, x -> list_contains(['le','la','les','et','une'], lower(x)))) AS INTEGER) AS hits_fr,
+        CAST(len(list_filter(toks, x -> list_contains(['el','los','y','que','una'], lower(x)))) AS INTEGER) AS hits_es,
+        CAST(len(list_filter(toks, x -> list_contains(['der','die','das','und','ist'], lower(x)))) AS INTEGER) AS hits_de
+      FROM t)
+    SELECT doc_id, hits_en, hits_fr, hits_es, hits_de,
+           CASE WHEN greatest(hits_en, hits_fr, hits_es, hits_de) = 0 THEN 'und'
+                WHEN hits_en = greatest(hits_en, hits_fr, hits_es, hits_de) THEN 'en'
+                WHEN hits_fr = greatest(hits_en, hits_fr, hits_es, hits_de) THEN 'fr'
+                WHEN hits_es = greatest(hits_en, hits_fr, hits_es, hits_de) THEN 'es'
+                ELSE 'de' END AS predicted_lang
+    FROM h
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lvm_datapipe_spark.operators import text as X
+
+    docs = load_table(spark, sf_dir, "documents")
+    return X.language_id(docs)
+
+
+@_q(
+    "text_fingerprint",
+    r"""
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lvm_datapipe_spark.operators import text as X
+
+    docs = load_table(spark, sf_dir, "documents")
+    return X.fingerprint_docs(docs)
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "dedup_exact",
+    r"""
+    SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint,
+           MIN(doc_id) AS canonical_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lvm_datapipe_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_duplicate_groups(docs)
+
+
+@_q(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+    sh AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM toks WHERE len({_SQL_SHINGLES}) > 0),
+    ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    sz AS (SELECT doc_id, CAST(len(s) AS INTEGER) AS n FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           n_common / (sa.n + sb.n - n_common) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.doc_id = id_a
+    JOIN sz sb ON sb.doc_id = id_b
+    WHERE n_common / (sa.n + sb.n - n_common) >= 0.6
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lvm_datapipe_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, threshold=0.6)
+
+
+@_q(
+    "dedup_minhash_lsh",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+    sh AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM toks WHERE len({_SQL_SHINGLES}) > 0),
+    sig AS (
+      SELECT doc_id,
+             list_transform(generate_series(0, 15),
+               i -> list_min(list_transform(s, x -> md5(CAST(i AS VARCHAR) || ':' || x)))) AS sig
+      FROM sh),
+    bands AS (
+      SELECT doc_id, b.b AS band,
+             md5(sig[b.b*4+1] || ',' || sig[b.b*4+2] || ',' || sig[b.b*4+3] || ',' || sig[b.b*4+4]) AS bucket
+      FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) b)
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lvm_datapipe_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(docs)
+
+
+def _simhash_sql() -> str:
+    """Brute-force SQL mirror of the banded SimHash pipeline (banding is an
+    exact optimization for hamming <= bands-1, so results are identical)."""
+    return """
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS tok
+      FROM documents),
+    bits AS (
+      SELECT doc_id, b.b AS bit,
+             SUM(2 * ((CAST(instr('0123456789abcdef',
+                   substr(md5(tok), b.b // 4 + 1, 1)) AS INTEGER) - 1 >> (b.b % 4)) & 1) - 1) AS vote
+      FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) b
+      GROUP BY doc_id, b.b),
+    fp AS (
+      SELECT doc_id,
+             string_agg(CASE WHEN vote > 0 THEN '1' ELSE '0' END, '' ORDER BY bit) AS simhash
+      FROM bits GROUP BY doc_id)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_filter(generate_series(1, 32),
+                i -> substr(a.simhash, i, 1) <> substr(b.simhash, i, 1))) AS INTEGER) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE len(list_filter(generate_series(1, 32),
+          i -> substr(a.simhash, i, 1) <> substr(b.simhash, i, 1))) <= 3
+    """
+
+
+@_q("dedup_simhash", _simhash_sql())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lvm_datapipe_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_pairs(docs, max_hamming=3, bands=4)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "ann_cosine_topk",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             {_cos_sql('qv', 'v')} AS cos_sim
+      FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+    SELECT query_id, neighbor_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+    FROM scored
+    QUALIFY rank <= 10
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lvm_datapipe_spark.operators import similarity as V
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return V.brute_force_topk(emb, queries, k=10)
+
+
+@_q(
+    "dedup_embedding_cosine",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt({_dot_sql('v', 'v')}) AS nrm FROM e),
+    u AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS vn FROM n)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_dot_sql('a.vn', 'b.vn')} AS cos_sim
+    FROM u a CROSS JOIN u b
+    WHERE a.vec_id < b.vec_id AND {_dot_sql('a.vn', 'b.vn')} >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lvm_datapipe_spark.operators import similarity as V
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return V.embedding_near_dup_pairs(emb, threshold=0.4)
+
+
+# Scale-path ANN (hyperplane LSH → exact verify). Probabilistic recall → no
+# SQL oracle; the driver records a rows-only check and tests/test_similarity
+# asserts recall against the brute-force baseline.
+@_q("ann_lsh_near_dup")
+def ann_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lvm_datapipe_spark.operators import similarity as V
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return V.lsh_near_dup_pairs(emb, threshold=0.4)

@@ -1,0 +1,136 @@
+"""Unit tests for dedup + similarity operators: planted duplicates must be
+found, scale-path variants must agree with exact baselines."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lvm_datapipe_spark.operators import dedup as D
+from lvm_datapipe_spark.operators import similarity as V
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bend"),  # near-dup of 1
+    (3, "completely different content about spark query optimization plans"),
+    (4, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 1
+    (5, "short text"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact_duplicate_groups(spark):
+    out = D.exact_duplicate_groups(_docs(spark)).collect()
+    groups = {r.canonical_id: r.n_copies for r in out}
+    assert groups[1] == 2  # docs 1 and 4 share a fingerprint
+    assert len(out) == 4  # 5 docs, one merged pair
+
+
+def test_exact_dedup_normalizes_whitespace_and_case(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "other")], ["doc_id", "text"]
+    )
+    out = D.exact_duplicate_groups(df).collect()
+    assert len(out) == 2
+
+
+def test_ngram_jaccard_finds_near_dup(spark):
+    pairs = D.ngram_jaccard_pairs(_docs(spark), threshold=0.5).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in got and (1, 4) in got and (2, 4) in got
+    assert all(0.0 <= r.jaccard <= 1.0 for r in pairs)
+    exact = [r for r in pairs if (r.id_a, r.id_b) == (1, 4)]
+    assert exact[0].jaccard == 1.0
+
+
+def test_ngram_jaccard_stop_shingle_cap(spark):
+    # with a frequency cap of 1, every shared shingle is dropped → no pairs
+    pairs = D.ngram_jaccard_pairs(_docs(spark), threshold=0.1, max_shingle_freq=1)
+    assert pairs.count() == 0
+
+
+def test_minhash_lsh_candidates(spark):
+    pairs = {(r.id_a, r.id_b) for r in D.minhash_lsh_pairs(_docs(spark)).collect()}
+    assert (1, 4) in pairs  # exact dup always collides (identical signature)
+    assert (1, 2) in pairs  # jaccard ~0.86 -> P(candidate) ~ 1-(1-0.86^4)^4 ~ 0.93
+    assert (1, 3) not in pairs and (3, 5) not in pairs
+
+
+def test_minhash_signature_shape(spark):
+    sig = D.minhash_signatures(_docs(spark)).collect()
+    assert all(len(r.sig) == 16 for r in sig)
+    assert all(all(len(h) == 32 for h in r.sig) for r in sig)  # md5 hex strings
+
+
+def test_simhash_exact_dup_distance_zero(spark):
+    rows = {r.doc_id: r.simhash for r in D.simhash_docs(_docs(spark)).collect()}
+    assert rows[1] == rows[4]
+    assert len(rows[1]) == 32 and set(rows[1]) <= {"0", "1"}
+    pairs = {(r.id_a, r.id_b): r.hamming for r in D.simhash_pairs(_docs(spark), max_hamming=3).collect()}
+    assert pairs[(1, 4)] == 0
+
+
+def test_simhash_banding_matches_bruteforce(spark):
+    """The banded equi-join must be exactly the brute-force pair set for
+    hamming <= bands-1 (pigeonhole)."""
+    sh = D.simhash_docs(_docs(spark))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", D.hamming_distance(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("hamming") <= 3)
+    )
+    brute_pairs = {(r.id_a, r.id_b) for r in brute.collect()}
+    banded_pairs = {(r.id_a, r.id_b) for r in D.simhash_pairs(_docs(spark), max_hamming=3).collect()}
+    assert banded_pairs == brute_pairs
+
+
+EMB = [
+    (1, [1.0, 0.0, 0.0, 0.0]),
+    (2, [0.99, 0.1, 0.0, 0.0]),  # near-dup of 1
+    (3, [0.0, 1.0, 0.0, 0.0]),
+    (4, [0.0, 0.0, 1.0, 0.0]),
+    (5, [-1.0, 0.0, 0.0, 0.0]),  # antipode of 1
+]
+
+
+def _emb(spark):
+    return spark.createDataFrame(EMB, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+
+
+def test_cosine_math(spark):
+    df = spark.createDataFrame([([1.0, 0.0], [0.0, 1.0]), ([1.0, 1.0], [1.0, 1.0])], ["a", "b"])
+    out = [r.c for r in df.select(V.cosine(F.col("a"), F.col("b")).alias("c")).collect()]
+    assert abs(out[0]) < 1e-12 and abs(out[1] - 1.0) < 1e-12
+
+
+def test_brute_force_topk(spark):
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") == 1)
+    out = V.brute_force_topk(emb, queries, k=2).collect()
+    ranked = sorted(out, key=lambda r: r.rank)
+    assert [r.neighbor_id for r in ranked] == [2, 3]  # 2 closest, then orthogonal-tie by id
+
+
+def test_embedding_near_dup_pairs(spark):
+    pairs = {(r.id_a, r.id_b) for r in V.embedding_near_dup_pairs(_emb(spark), threshold=0.9).collect()}
+    assert pairs == {(1, 2)}
+
+
+def test_lsh_recall_on_driver_data(spark):
+    """The LSH scale path must recover a healthy fraction of the exact
+    near-dup pairs on the real embeddings table."""
+    from lvm_datapipe_spark.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    exact = {(r.id_a, r.id_b) for r in V.embedding_near_dup_pairs(emb, threshold=0.4).collect()}
+    approx = {(r.id_a, r.id_b) for r in V.lsh_near_dup_pairs(emb, threshold=0.4).collect()}
+    assert approx <= exact  # verify step makes precision exact
+    assert len(exact) > 0
+    assert len(approx) / len(exact) >= 0.5  # recall floor with 4 planes x 8 tables

@@ -1,0 +1,62 @@
+"""Unit tests for the text-analysis operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lvm_datapipe_spark.operators import text as X
+
+
+def test_tokens_handle_whitespace(spark):
+    df = spark.createDataFrame([("  a  b\tc  ",), ("",)], ["text"])
+    out = [r.t for r in df.select(X.tokens("text").alias("t")).collect()]
+    assert out[0] == ["a", "b", "c"]
+    assert out[1] == []
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame([("one two three",)], ["text"])
+    assert df.select(X.token_count("text").alias("n")).first().n == 3
+
+
+def test_word_ngrams_short_doc_is_empty(spark):
+    df = spark.createDataFrame([("a b",), ("a b c d",)], ["text"])
+    out = [r.g for r in df.select(X.word_ngrams(X.tokens("text"), 3).alias("g")).collect()]
+    assert out[0] == []  # shorter than n -> no downward-counting sequence bug
+    assert out[1] == ["a b c", "b c d"]
+
+
+def test_fingerprint_invariants(spark):
+    df = spark.createDataFrame(
+        [("Hello   World",), ("hello world",), ("HELLO\tWORLD",)], ["text"]
+    )
+    fps = [r.f for r in df.select(X.fingerprint("text").alias("f")).collect()]
+    assert fps[0] == fps[1] == fps[2]
+    assert len(fps[0]) == 32
+
+
+def test_quality_features(spark):
+    df = spark.createDataFrame([(1, "the cat sat. the dog ran!")], ["doc_id", "text"])
+    row = X.quality_features(df).first()
+    assert row.n_tokens == 6
+    assert row.n_punct == 2  # '.' and '!'
+    assert row.stopword_ratio == 2 / 6  # two 'the'
+    assert 0.0 <= row.quality_score <= 1.0
+
+
+def test_language_id_votes(spark):
+    rows = [
+        (1, "the cat and the dog of the house is here"),
+        (2, "le chat et la maison les une"),
+        (3, "der hund und die katze das ist"),
+        (4, "xyz qrs tuv"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r.predicted_lang for r in X.language_id(df).collect()}
+    assert out == {1: "en", 2: "fr", 3: "de", 4: "und"}
+
+
+def test_language_id_tiebreak_priority(spark):
+    # 'a' is an en stopword; 'le' fr: one hit each -> en wins by priority
+    df = spark.createDataFrame([(1, "a le")], ["doc_id", "text"])
+    assert X.language_id(df).first().predicted_lang == "en"
