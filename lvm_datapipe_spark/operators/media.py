@@ -1,0 +1,340 @@
+"""Media kernel layer: decode/probe/frame-sampling + scorer UDFs.
+
+Every reference model stage (SURVEY.md §2.8, M1-M9) is: sample frames →
+preprocess → batched model forward → write a score/caption column.  Here each
+becomes an Arrow-batched pandas UDF over a binary video column, with:
+
+- a pluggable decoder: real codecs (cv2) behind an import-guard, and the
+  in-repo FVID format as deterministic fallback — the *plumbing* (schema,
+  batching, null-on-failure) is real even where the model is a stub;
+- pure-numpy numeric kernels that reproduce the reference's published math
+  exactly (OCR area incl. shoelace ``ocr_score.py:29-49``; pixel
+  normalization ``macvid.py:188``; motion magnitude ``extract_mvs.c:46-90``);
+- model adapters replaced by deterministic stubs (the container has no
+  torch/CLIP/MUSIQ/easyocr) — marked STUB in their docstrings;
+- a scorer registry, the Spark analog of ``instantiate_from_config``
+  (``utils/utils.py:57-72``).
+
+Failure semantics: decode errors yield null rows, filtered by
+relational.drop_failed_rows (F4) — never index-shifting retries (macvid.py:
+161-174) or exit-on-error (ocr_score.py:75-78).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from lvm_datapipe_spark import fakevideo
+
+# -- decode adapapter --------------------------------------------------------
+
+FRACTION_POINTS = [0.2, 0.5, 0.8]  # macvidataset.py:21
+
+
+def _decode_frames(data: bytes, indices: list[int]) -> list[bytes] | None:
+    """Return raw grayscale frame payloads at the given indices, or None on
+    decode failure (F4/F5 null-row semantics)."""
+    if data is None:
+        return None
+    try:
+        if fakevideo.is_fvid(data):
+            return fakevideo.decode_frames(data, indices)
+        return _decode_frames_cv2(data, indices)
+    except Exception:  # noqa: BLE001 — any decode failure → null row
+        return None
+
+
+def _decode_frames_cv2(data: bytes, indices: list[int]) -> list[bytes] | None:
+    """Real-codec path (mp4/avi/...): cv2 seek-and-grab, the reference's
+    CAP_PROP_POS_FRAMES pattern (macvidataset.py:29-42).  STUB-GUARDED: the
+    container ships no cv2; raises ImportError so callers null the row."""
+    import tempfile
+
+    import cv2  # noqa: F401 — optional dependency
+
+    with tempfile.NamedTemporaryFile(suffix=".mp4") as tmp:
+        tmp.write(data)
+        tmp.flush()
+        cap = cv2.VideoCapture(tmp.name)
+        out = []
+        for i in indices:
+            cap.set(cv2.CAP_PROP_POS_FRAMES, int(i))
+            ok, frame = cap.read()
+            if not ok:
+                return None
+            gray = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY)
+            out.append(gray.astype(np.uint8).tobytes())
+        cap.release()
+        return out
+
+
+def _probe(data: bytes) -> dict | None:
+    if data is None:
+        return None
+    try:
+        if fakevideo.is_fvid(data):
+            return fakevideo.probe(data)
+        return None  # real ffprobe adapter would go here
+    except Exception:  # noqa: BLE001
+        return None
+
+
+# -- probe (S17) -------------------------------------------------------------
+
+PROBE_SCHEMA = T.StructType(
+    [
+        T.StructField("height", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("fps", T.DoubleType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("duration_s", T.DoubleType()),
+    ]
+)
+
+
+@pandas_udf(PROBE_SCHEMA)
+def probe_udf(content: pd.Series) -> pd.DataFrame:
+    """S17 — resolution/fps/duration probe (``scene_cut.py:28-34``,
+    ``utils/utils.py:8-15``) as a header-only parse, no full decode."""
+    rows = [_probe(v) for v in content]
+    return pd.DataFrame(
+        [r if r else {k.name: None for k in PROBE_SCHEMA} for r in rows]
+    )
+
+
+def probe_videos(videos: DataFrame, content_col: str = "content") -> DataFrame:
+    return videos.withColumn("probe", probe_udf(F.col(content_col)))
+
+
+# -- frame sampling (S14-S16) ------------------------------------------------
+
+
+def _indices_for_policy(n_frames: int, policy: str, stride: int) -> list[int]:
+    if n_frames <= 0:
+        return []
+    if policy == "fractions":  # coca_caption.py:44 — [0.2, 0.5, 0.8]
+        return [min(int(n_frames * p), n_frames - 1) for p in FRACTION_POINTS]
+    if policy == "first_mid_last":  # macvidataset.py:29-42
+        return [0, n_frames // 2, n_frames - 1]
+    if policy == "stride":  # ocr_score.py:12-27 — every stride-th frame
+        return list(range(0, n_frames, stride))
+    raise ValueError(f"unknown sampling policy {policy!r}")
+
+
+def sample_frames_udf(policy: str = "fractions", stride: int = 10):
+    """Factory for the frame-sampling pandas UDF family (S14-S16): binary
+    video content → array<binary> of sampled grayscale frames.  Iterator
+    form so per-batch state (none here, a codec handle for real formats)
+    initializes once per partition, not per row."""
+
+    @pandas_udf(T.ArrayType(T.BinaryType()))
+    def _sample(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for content in batches:
+            out = []
+            for data in content:
+                info = _probe(data)
+                if info is None:
+                    out.append(None)
+                    continue
+                idx = _indices_for_policy(info["n_frames"], policy, stride)
+                out.append(_decode_frames(data, idx))
+            yield pd.Series(out, dtype=object)
+
+    return _sample
+
+
+def with_sampled_frames(
+    videos: DataFrame,
+    content_col: str = "content",
+    policy: str = "fractions",
+    stride: int = 10,
+    out_col: str = "frames",
+) -> DataFrame:
+    return videos.withColumn(out_col, sample_frames_udf(policy, stride)(F.col(content_col)))
+
+
+# -- pure numeric kernels (the reference's published math) -------------------
+
+
+def pixel_normalize(frame: np.ndarray) -> np.ndarray:
+    """C11 — ``(x/255 − 0.5)·2`` (macvid.py:188)."""
+    return (frame.astype(np.float64) / 255.0 - 0.5) * 2.0
+
+
+def shoelace_area(points: np.ndarray) -> float:
+    """C12 — polygon area via the shoelace formula (ocr_score.py:44-46)."""
+    x, y = points[:, 0], points[:, 1]
+    return 0.5 * abs(np.dot(x, np.roll(y, 1)) - np.dot(np.roll(x, 1), y))
+
+
+def ocr_area_score(
+    horizontal_boxes: list[list[float]],
+    free_boxes: list[list[list[float]]],
+    frame_w: int,
+    frame_h: int,
+    n_frames: int,
+) -> float:
+    """A3/M5 — normalized text-area score (ocr_score.py:29-49): sum of
+    axis-aligned box areas ``(x1−x0)·(y1−y0)`` plus shoelace areas of free
+    quads, normalized by ``w·h·num_frames``."""
+    total = 0.0
+    for box in horizontal_boxes or []:
+        x0, x1, y0, y1 = box
+        total += (x1 - x0) * (y1 - y0)
+    for quad in free_boxes or []:
+        total += shoelace_area(np.asarray(quad, dtype=np.float64))
+    denom = float(frame_w) * float(frame_h) * float(n_frames)
+    return total / denom if denom else 0.0
+
+
+def motion_magnitude(frames: list[np.ndarray]) -> float:
+    """A2/M6 — mean motion magnitude over consecutive frames: the
+    mean-|MV| aggregate of extract_mvs.c:46-90,202 computed on pixel deltas
+    (the side-data MV extraction is codec-internal; the aggregate is what
+    the reference publishes)."""
+    if len(frames) < 2:
+        return 0.0
+    acc, cnt = 0.0, 0
+    for a, b in zip(frames[:-1], frames[1:]):
+        acc += float(np.abs(b.astype(np.float64) - a.astype(np.float64)).mean())
+        cnt += 1
+    return acc / cnt
+
+
+# -- scorer stubs (M3-M9) ----------------------------------------------------
+
+
+def _frames_to_arrays(frames: list[bytes], h: int, w: int) -> list[np.ndarray]:
+    return [np.frombuffer(f, dtype=np.uint8).reshape(h, w) for f in frames]
+
+
+def aesthetic_scores(frames: list[np.ndarray]) -> list[float]:
+    """M3 STUB — CLIP-ViT embedding + MLP regressor replaced by a
+    deterministic kernel on normalized pixels; real adapter would lazy-load
+    the checkpoint once per executor (aesthetic_score.py:25-67,116-132).
+    Returns one score in [0,10] per sampled frame, like the reference's
+    ``optimal_score`` array."""
+    return [5.0 + 5.0 * float(pixel_normalize(f).mean()) for f in frames]
+
+
+def imaging_quality_score(frames: list[np.ndarray]) -> float:
+    """M4 STUB — MUSIQ per-frame score, mean over frames
+    (imaging_quality.py:85-90): stub maps pixel std to [0,100]."""
+    if not frames:
+        return 0.0
+    scores = [min(100.0, float(f.astype(np.float64).std()) * 4.0) for f in frames]
+    return float(sum(scores) / len(scores))
+
+
+def stub_ocr_boxes(frame: np.ndarray) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """M5 STUB detector — easyocr replaced by a deterministic box generator
+    (seeded by frame content); the AREA MATH downstream is the real
+    reference kernel."""
+    h, w = frame.shape
+    seed = int(frame[0, 0]) + int(frame[-1, -1]) * 256
+    k = seed % 3
+    horiz, free = [], []
+    for i in range(k):
+        x0 = (seed * (i + 1)) % max(1, w - 8)
+        y0 = (seed * (i + 2)) % max(1, h - 6)
+        horiz.append([float(x0), float(x0 + 8), float(y0), float(y0 + 6)])
+    if seed % 5 == 0:
+        free.append([[1.0, 1.0], [9.0, 2.0], [8.0, 7.0], [2.0, 6.0]])
+    return horiz, free
+
+
+def caption_text(frames: list[np.ndarray]) -> list[str]:
+    """M7/M8 STUB — CoCa/LLaVA caption per frame: deterministic text derived
+    from content stats, shaped like raw model output so the C5 cleanup
+    expressions have something real to strip."""
+    out = []
+    for f in frames:
+        level = int(f.mean() // 32)
+        tag = hashlib.md5(f.tobytes()).hexdigest()[:8]
+        out.append(f"<start_of_text>a scene at level {level} [{tag}] <end_of_text>junk")
+    return out
+
+
+# -- scorer UDF registry (instantiate_from_config analog) --------------------
+
+
+def _scorer_udf(kernel: Callable[[list[np.ndarray], int, int], object], ret_type):
+    @pandas_udf(ret_type)
+    def _udf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Series]:
+        # Iterator-of-batches form: a real model adapter would lazy-init the
+        # checkpoint HERE, once per partition (SURVEY.md §4 "model state in
+        # UDFs"), then reuse it across Arrow batches.
+        for pdf in batches:
+            out = []
+            for frames, h, w in zip(pdf["frames"], pdf["height"], pdf["width"]):
+                if frames is None or h is None:
+                    out.append(None)
+                    continue
+                arrays = _frames_to_arrays(frames, int(h), int(w))
+                out.append(kernel(arrays, int(h), int(w)))
+            yield pd.Series(out, dtype=object)
+
+    return _udf
+
+
+def _aesthetic_kernel(frames, h, w):
+    return aesthetic_scores(frames)
+
+
+def _imaging_kernel(frames, h, w):
+    return imaging_quality_score(frames)
+
+
+def _ocr_kernel(frames, h, w):
+    boxes = [stub_ocr_boxes(f) for f in frames]
+    per_frame_h = [b[0] for b in boxes]
+    per_frame_f = [b[1] for b in boxes]
+    flat_h = [bx for fb in per_frame_h for bx in fb]
+    flat_f = [q for fq in per_frame_f for q in fq]
+    return ocr_area_score(flat_h, flat_f, w, h, len(frames))
+
+
+def _motion_kernel(frames, h, w):
+    return motion_magnitude(frames)
+
+
+def _caption_kernel(frames, h, w):
+    return caption_text(frames)
+
+
+SCORERS: dict[str, tuple[str, object]] = {
+    # name -> (output column, (kernel, spark return type))
+    "aesthetic": ("optimal_score", (_aesthetic_kernel, T.ArrayType(T.DoubleType()))),
+    "imaging_quality": ("imaging_quality", (_imaging_kernel, T.DoubleType())),
+    "ocr": ("ocr_score", (_ocr_kernel, T.DoubleType())),
+    "motion": ("of_score", (_motion_kernel, T.DoubleType())),
+    "caption": ("frame_caption_raw", (_caption_kernel, T.ArrayType(T.StringType()))),
+}
+
+
+def apply_scorer(
+    df: DataFrame,
+    scorer: str,
+    frames_col: str = "frames",
+    height_col: str = "height",
+    width_col: str = "width",
+) -> DataFrame:
+    """Run a registered scorer over a frames column; appends the scorer's
+    output column (null where decode failed).  The UDF consumes a struct of
+    (frames, height, width) so one Arrow transfer carries everything."""
+    out_col, (kernel, ret_type) = SCORERS[scorer]
+    udf = _scorer_udf(kernel, ret_type)
+    packed = F.struct(
+        F.col(frames_col).alias("frames"),
+        F.col(height_col).alias("height"),
+        F.col(width_col).alias("width"),
+    )
+    return df.withColumn(out_col, udf(packed))

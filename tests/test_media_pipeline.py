@@ -1,0 +1,272 @@
+"""End-to-end media pipeline tests (SURVEY.md §5 plan items 3+4): synthetic
+videos → scene cut → frame sampling → scorer stubs → snapshot/resume,
+asserting the reference's invariants (count consistency, duration
+completeness, clip-id format)."""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lvm_datapipe_spark import fakevideo
+from lvm_datapipe_spark.functions.strings import clean_caption
+from lvm_datapipe_spark.operators import media, scenecut
+from lvm_datapipe_spark.operators.relational import drop_failed_rows, resume_anti_join
+from lvm_datapipe_spark.plans import pipeline
+from lvm_datapipe_spark.sources import metadata as meta_src
+from lvm_datapipe_spark.sources import sidecars
+from lvm_datapipe_spark.sources.video import scan_video_dir
+
+N_VIDEOS = 10
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("videos")
+    fakevideo.write_corpus(str(d), [f"vid_{i:05d}" for i in range(N_VIDEOS)])
+    (d / "notes.txt").write_text("not a video")  # S2 must exclude
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def videos(spark, corpus_dir):
+    return scan_video_dir(spark, corpus_dir).cache()
+
+
+@pytest.fixture(scope="module")
+def clips(spark, videos):
+    return scenecut.scene_cut(videos).cache()
+
+
+# -- codec ------------------------------------------------------------------
+
+
+def test_fakevideo_roundtrip():
+    v = fakevideo.generate("vid_test", n_scenes=2)
+    data = fakevideo.encode(v)
+    info = fakevideo.probe(data)
+    assert info["n_frames"] == v.n_frames and info["fps"] == v.fps
+    back = fakevideo.decode(data)
+    assert np.array_equal(back.frames, v.frames)
+    frames = fakevideo.decode_frames(data, [0, v.n_frames - 1, 10**9])
+    assert frames[1] == frames[2]  # out-of-range clamps to last (cv2 behavior)
+
+
+def test_detect_scene_bounds_exact():
+    segs = [np.full((5, 4, 4), 40, np.uint8), np.full((7, 4, 4), 200, np.uint8)]
+    v = fakevideo.FakeVideo(4, 4, 25.0, np.concatenate(segs))
+    bounds = scenecut.detect_scene_bounds(v.frames, v.fps, threshold=30.0)
+    assert bounds == [(0, 5, 0.0, 0.2), (5, 12, 0.2, 12 / 25.0)]
+
+
+# -- scan + scene cut -------------------------------------------------------
+
+
+def test_scan_excludes_non_videos(videos):
+    paths = [r.path for r in videos.select("path").collect()]
+    assert len(paths) == N_VIDEOS
+    assert all(p.endswith(".fvid") for p in paths)
+
+
+def test_scene_cut_invariants(spark, videos, clips):
+    rows = clips.collect()
+    # count consistency (A8): clips == sum of per-video scenes
+    total_scenes = sum(
+        len(fakevideo.probe(r.content) and scenecut.detect_scene_bounds(
+            fakevideo.decode(r.content).frames, 25.0, 30.0))
+        for r in videos.collect()
+    )
+    assert len(rows) == total_scenes
+    # clip_id format (C1): video_id + 7-digit zero-padded index
+    for r in rows:
+        assert r.clip_id == f"{r.video_id}_{r.clip_index:07d}"
+    # duration completeness (A1): every video's clips sum to its duration
+    per_video = (
+        clips.groupBy("video_id").agg(F.sum("clip_duration").alias("total")).collect()
+    )
+    durations = {
+        r.path.split("/")[-1][:-5]: fakevideo.probe(r.content)["duration_s"]
+        for r in videos.collect()
+    }
+    for r in per_video:
+        assert abs(durations[r.video_id] - r.total) < 1e-6
+    # clip payloads decode to exactly the scene's frame span
+    for r in rows[:5]:
+        v = fakevideo.decode(r.clip_content)
+        assert v.n_frames == r.end_frame - r.start_frame
+
+
+def test_scene_cut_null_on_corrupt(spark):
+    bad = spark.createDataFrame([("x.fvid", bytearray(b"JUNKJUNKJUNK"))], ["path", "content"])
+    out = scenecut.detect_scenes(bad)
+    assert out.filter(F.col("scenes").isNotNull()).count() == 0
+
+
+# -- frame sampling + scorers ----------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def scored_input(clips):
+    withp = media.probe_videos(clips, content_col="clip_content")
+    return withp.select(
+        "clip_id",
+        F.col("clip_content").alias("content"),
+        F.col("probe.height").alias("height"),
+        F.col("probe.width").alias("width"),
+        F.col("probe.n_frames").alias("n_frames"),
+    ).cache()
+
+
+def test_sampling_policies(scored_input):
+    fr = media.with_sampled_frames(scored_input, policy="fractions")
+    row = fr.select("n_frames", "frames").first()
+    assert len(row.frames) == 3  # [0.2, 0.5, 0.8]
+    fml = media.with_sampled_frames(scored_input, policy="first_mid_last").first()
+    assert len(fml.frames) == 3
+    st = media.with_sampled_frames(scored_input, policy="stride", stride=10)
+    r = st.select("n_frames", "frames").first()
+    assert len(r.frames) == (r.n_frames + 9) // 10
+
+
+def test_scorers(scored_input):
+    df = media.with_sampled_frames(scored_input, policy="fractions")
+    for name in ("aesthetic", "imaging_quality", "ocr", "motion", "caption"):
+        df = media.apply_scorer(df, name)
+    row = df.first()
+    assert len(row.optimal_score) == 3 and all(0 <= s <= 10 for s in row.optimal_score)
+    assert 0.0 <= row.imaging_quality <= 100.0
+    assert row.ocr_score >= 0.0
+    assert row.of_score >= 0.0  # within-scene motion is small but nonnegative
+    assert len(row.frame_caption_raw) == 3
+    # C5 cleanup strips the generation markers
+    cleaned = (
+        df.select(clean_caption(F.col("frame_caption_raw")[0]).alias("c")).first().c
+    )
+    assert "<start_of_text>" not in cleaned and "<end_of_text>" not in cleaned
+
+
+def test_decode_failure_yields_null_row(spark):
+    df = spark.createDataFrame(
+        [("good.fvid", fakevideo.encode(fakevideo.generate("ok"))), ("bad.fvid", bytearray(b"XXXX"))],
+        ["path", "content"],
+    )
+    sampled = media.with_sampled_frames(df)
+    assert sampled.filter(F.col("frames").isNotNull()).count() == 1
+    assert drop_failed_rows(sampled, "frames").count() == 1
+
+
+def test_kernel_math():
+    # shoelace on a unit square
+    sq = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], float)
+    assert media.shoelace_area(sq) == 1.0
+    # ocr area normalization: one 8x6 box on a 32x24 frame, 2 frames
+    s = media.ocr_area_score([[0.0, 8.0, 0.0, 6.0]], [], 32, 24, 2)
+    assert s == (8 * 6) / (32 * 24 * 2)
+    # motion magnitude of constant frames is 0
+    f = [np.zeros((4, 4)), np.zeros((4, 4))]
+    assert media.motion_magnitude(f) == 0.0
+    assert media.pixel_normalize(np.array([[255]])).item() == 1.0
+    assert media.pixel_normalize(np.array([[0]])).item() == -1.0
+
+
+# -- pipeline orchestration --------------------------------------------------
+
+
+def test_run_stage_resume(spark, scored_input):
+    def scorer(df):
+        return media.apply_scorer(
+            media.with_sampled_frames(df), "imaging_quality"
+        ).drop("frames")
+
+    snap = pipeline.run_stage(scored_input, scorer, "imaging_quality")
+    assert snap.filter(F.col("imaging_quality").isNull()).count() == 0
+    first = {r.clip_id: r.imaging_quality for r in snap.collect()}
+    # second run: everything done -> scorer untouched rows pass through
+    snap2 = pipeline.run_stage(snap, scorer, "imaging_quality")
+    second = {r.clip_id: r.imaging_quality for r in snap2.collect()}
+    assert first == second
+
+
+def test_pipeline_checkpoints(spark, scored_input, tmp_path):
+    def mk(name):
+        def scorer(df):
+            return media.apply_scorer(media.with_sampled_frames(df), name).drop("frames")
+
+        return scorer
+
+    out = pipeline.run_pipeline(
+        scored_input,
+        [("imaging_quality", mk("imaging_quality")), ("of_score", mk("motion"))],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        spark=spark,
+    )
+    assert out.filter(F.col("imaging_quality").isNull() | F.col("of_score").isNull()).count() == 0
+    pipeline.assert_counts_consistent(out, scored_input.count())
+
+
+# -- metadata + sidecar sources ---------------------------------------------
+
+
+def test_jsonl_roundtrip(spark, clips, tmp_path):
+    path = str(tmp_path / "meta_jsonl")
+    slim = clips.select("clip_id", "video_id", "clip_duration")
+    meta_src.write_jsonl(slim, path)
+    back = meta_src.load_jsonl(spark, path, slim.schema)
+    assert back.count() == slim.count()
+    assert {r.clip_id for r in back.collect()} == {r.clip_id for r in slim.collect()}
+
+
+def test_per_clip_dir_and_done_markers(spark, clips, tmp_path):
+    d = tmp_path / "per_clip"
+    d.mkdir()
+    rows = clips.select("clip_id", "video_id", "clip_duration").collect()
+    for r in rows[:6]:
+        (d / f"{r.clip_id}.json").write_text(
+            json.dumps({"clip_id": r.clip_id, "video_id": r.video_id, "clip_duration": r.clip_duration})
+        )
+    (d / f"{rows[6].clip_id}.json").write_text("")  # empty marker -> re-do
+    schema = clips.select("clip_id", "video_id", "clip_duration").schema
+    merged = meta_src.load_per_clip_dir(spark, str(d), schema)
+    assert merged.filter(F.col("clip_id").isNotNull()).count() == 6
+    done = meta_src.snapshot_done_markers(spark, str(d))
+    # binaryFile skips zero-byte files, which IS the ocr_score.py:64
+    # semantics: an empty marker never counts as done
+    assert done.count() == 6
+    from lvm_datapipe_spark.operators.relational import resume_anti_join_redo_empty
+
+    todo = resume_anti_join_redo_empty(clips, done)
+    assert todo.count() == clips.count() - 6  # empty marker stays todo
+
+
+def test_mvs_sidecar_join(spark, clips, tmp_path):
+    p = tmp_path / "mvs_scores.txt"
+    rows = clips.select("clip_id").collect()
+    lines = [f"{0.5 + i} {0.01} {r.clip_id}.mp4" for i, r in enumerate(rows[:4])]
+    lines.append("9.9 0.01 not_a_clip.mp4")  # orphan id -> left-join null side
+    p.write_text("\n".join(lines) + "\n")
+    mvs = sidecars.read_mvs_scores(spark, str(p))
+    assert mvs.count() == 5
+    joined = sidecars.join_sidecar(clips, mvs.select("clip_id", "score"))
+    assert joined.filter(F.col("score").isNotNull()).count() == 4
+    assert joined.count() == clips.count()
+
+
+def test_sum_captions_extraction(spark, tmp_path):
+    p = tmp_path / "sum_caption.csv"
+    p.write_text(
+        'clips/c1.mp4,"some text Answer: [""car"", ""tree""] tail"\n'
+        "clips/c2.mp4,no answer marker here\n"
+    )
+    df = sidecars.read_sum_captions(spark, str(p))
+    out = {r.clip_id: r.objects for r in df.collect()}
+    assert out["c1"] == ["car", "tree"]
+    assert out["c2"] == []
+
+
+def test_resume_anti_join_integration(spark, clips):
+    done = clips.select("clip_id").limit(4)
+    todo = resume_anti_join(clips, done)
+    assert todo.count() == clips.count() - 4
