@@ -1,0 +1,191 @@
+"""Structured Streaming ingestion (SURVEY.md §2.9 extension layer).
+
+The reference is batch-only; its resume-marker pattern (F2/F3) is a manual
+substitute for incremental processing.  Here the same clip/event tables get
+real incremental semantics:
+
+- file-source stream over a landing directory (new files = new data, the
+  streaming analog of the reference's per-shard arrival),
+- watermark + ``dropDuplicates`` for late/duplicate records (the streaming
+  form of the dedup the reference approximates with marker files),
+- tumbling-window aggregation whose PLAN IS THE BATCH PLAN — the
+  ``events_tumbling_window`` oracle query and :func:`windowed_counts` are the
+  same transformation applied to a batch or streaming DataFrame,
+- a stateful sessionizer via ``applyInPandasWithState`` (the reference has no
+  stateful operator; this is the Spark-native way to express one).
+
+All transformations take a DataFrame and work identically on batch and
+streaming inputs; the ``read_*``/``start_*`` helpers differ only in source.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from lvm_datapipe_spark.operators.aggregates import decimal_sum
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    fmt: str = "json",
+    max_files_per_trigger: int = 10,
+) -> DataFrame:
+    """File-source stream over a landing directory.  maxFilesPerTrigger
+    bounds per-micro-batch work (backpressure); at scale the landing dir is
+    partitioned by arrival date so the file index stays small."""
+    return (
+        spark.readStream.format(fmt)
+        .schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(landing_dir)
+    )
+
+
+def deduplicate_events(
+    events: DataFrame, watermark: str = "1 hour", key: str = "event_id"
+) -> DataFrame:
+    """Watermarked exactly-once-per-key: duplicates within the watermark
+    horizon are dropped; state for keys older than the watermark is evicted
+    (bounded state — mandatory at scale)."""
+    return events.withWatermark("ts", watermark).dropDuplicates([key])
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str | None = "2 hours",
+) -> DataFrame:
+    """Tumbling-window per-type counts + value sums.  Identical plan in
+    batch mode (watermark=None) and streaming mode — the batch form is the
+    oracle-checked ``events_tumbling_window`` query."""
+    src = events.withWatermark("ts", watermark) if watermark else events
+    return (
+        src.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), decimal_sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "total_value"
+        )
+    )
+
+
+SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_ts", T.TimestampType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+SESSION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+
+def sessionize_stream(
+    events: DataFrame, gap_minutes: int = 30, watermark: str = "2 hours"
+) -> DataFrame:
+    """Custom stateful operator: per-user session windows with an inactivity
+    gap, via ``applyInPandasWithState`` (GroupState timeout closes sessions).
+
+    Emits one row per CLOSED session.  The batch twin is the w3_sessionize
+    oracle query (gaps-and-islands over a window function).
+    """
+    import datetime as dt
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap = dt.timedelta(minutes=gap_minutes)
+
+    def fn(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        closed: list[tuple] = []
+        if state.hasTimedOut:
+            if state.exists:
+                last_ts, session_start, n = state.get
+                closed.append((user_id, session_start, last_ts, n))
+                state.remove()
+        else:
+            rows = []
+            for pdf in pdf_iter:
+                rows.extend(
+                    (ts.to_pydatetime(), 1) for ts in pd.to_datetime(pdf["ts"])
+                )
+            rows.sort(key=lambda r: r[0])
+            if state.exists:
+                last_ts, session_start, n = state.get
+            else:
+                last_ts = session_start = None
+                n = 0
+            for ts, _ in rows:
+                if last_ts is not None and ts - last_ts > gap:
+                    closed.append((user_id, session_start, last_ts, n))
+                    session_start, n = ts, 0
+                if session_start is None:
+                    session_start = ts
+                last_ts = ts
+                n += 1
+            if last_ts is not None:
+                state.update((last_ts, session_start, n))
+                # timeout must be >= the current watermark — clamp so a
+                # session whose gap already elapsed times out next trigger
+                candidate = int(last_ts.timestamp() * 1000) + gap_minutes * 60 * 1000
+                state.setTimeoutTimestamp(
+                    max(candidate, state.getCurrentWatermarkMs() + 1)
+                )
+        if closed:
+            yield pd.DataFrame(
+                closed, columns=["user_id", "session_start", "session_end", "n_events"]
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def start_to_memory(df: DataFrame, query_name: str, output_mode: str = "update"):
+    """Test/debug sink: complete results into an in-memory table."""
+    return (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .start()
+    )
+
+
+def start_to_parquet(df: DataFrame, path: str, checkpoint: str):
+    """Production sink: append parquet with checkpointed exactly-once."""
+    return (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )

@@ -1,0 +1,135 @@
+"""Structured Streaming tests: stream results must converge to the batch
+twins on the same data (the streaming layer's correctness oracle)."""
+
+from __future__ import annotations
+
+import json
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from lvm_datapipe_spark.catalog import load_table
+from lvm_datapipe_spark.streaming import events as ev
+
+N_FILES = 4
+
+
+def _await(query, timeout_s=60):
+    """Process all available data then stop."""
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        if not query.status["isDataAvailable"] and not query.status["isTriggerActive"]:
+            break
+        time.sleep(0.5)
+    query.processAllAvailable()
+    query.stop()
+
+
+@pytest.fixture(scope="module")
+def landing_dir(spark, tmp_path_factory):
+    """Split the driver's events table into N json files (batch arrivals)."""
+    d = tmp_path_factory.mktemp("landing")
+    rows = load_table(spark, "/root/testdata/sf0.001", "events").collect()
+    chunk = (len(rows) + N_FILES - 1) // N_FILES
+    for i in range(N_FILES):
+        with open(d / f"batch_{i}.json", "w") as f:
+            for r in rows[i * chunk : (i + 1) * chunk]:
+                rec = r.asDict()
+                rec["ts"] = rec["ts"].isoformat()
+                f.write(json.dumps(rec) + "\n")
+    return str(d)
+
+
+def test_stream_windowed_counts_match_batch(spark, landing_dir):
+    stream = ev.read_event_stream(spark, landing_dir)
+    assert stream.isStreaming
+    q = ev.start_to_memory(
+        ev.windowed_counts(stream), "win_counts", output_mode="complete"
+    )
+    _await(q)
+    got = {
+        (r.window_start, r.event_type): (r.n, round(r.total_value, 6))
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    batch = ev.windowed_counts(
+        load_table(spark, "/root/testdata/sf0.001", "events"), watermark=None
+    )
+    want = {
+        (r.window_start, r.event_type): (r.n, round(r.total_value, 6))
+        for r in batch.collect()
+    }
+    assert got == want
+
+
+def test_stream_dedup(spark, landing_dir, tmp_path):
+    # duplicate one landing file wholesale -> dropDuplicates must remove all
+    import shutil
+
+    d = tmp_path / "dup_landing"
+    shutil.copytree(landing_dir, d)
+    shutil.copy(d / "batch_0.json", d / "batch_0_dup.json")
+    stream = ev.read_event_stream(spark, str(d))
+    q = ev.start_to_memory(ev.deduplicate_events(stream), "dedup_ev", "append")
+    _await(q)
+    n = spark.sql("SELECT count(*) AS n FROM dedup_ev").first().n
+    expected = load_table(spark, "/root/testdata/sf0.001", "events").count()
+    assert n == expected
+
+
+def test_stream_sessionize_closes_sessions(spark, tmp_path):
+    # two users; user 1 has two sessions separated by > gap; late watermark
+    # advance (a final event far in the future) forces session closure
+    d = tmp_path / "sess_landing"
+    d.mkdir()
+    rows = [
+        (1, 100, "2024-01-01T10:00:00", "view", 1.0),
+        (2, 100, "2024-01-01T10:10:00", "view", 1.0),
+        (3, 100, "2024-01-01T11:30:00", "view", 1.0),  # new session (gap 80min)
+        (4, 200, "2024-01-01T10:05:00", "click", 1.0),
+    ]
+    with open(d / "b0.json", "w") as f:
+        for eid, uid, ts, et, v in rows:
+            f.write(
+                json.dumps(
+                    {"event_id": eid, "ts": ts, "user_id": uid, "event_type": et, "value": v, "props": "{}"}
+                )
+                + "\n"
+            )
+    # watermark-advancing tail event
+    with open(d / "b1.json", "w") as f:
+        f.write(
+            json.dumps(
+                {"event_id": 99, "ts": "2024-01-02T10:00:00", "user_id": 999,
+                 "event_type": "view", "value": 0.0, "props": "{}"}
+            )
+            + "\n"
+        )
+    stream = ev.read_event_stream(spark, str(d), max_files_per_trigger=1)
+    q = ev.start_to_memory(
+        ev.sessionize_stream(stream, gap_minutes=30, watermark="0 seconds"),
+        "sessions",
+        "append",
+    )
+    _await(q)
+    got = {
+        (r.user_id, r.n_events)
+        for r in spark.sql("SELECT * FROM sessions").collect()
+    }
+    # user 100's first session (2 events) must be closed by the second
+    # session's arrival or timeout; remaining sessions may still be open
+    assert (100, 2) in got
+
+
+def test_windowed_counts_same_plan_batch_and_stream(spark):
+    """The batch twin of windowed_counts IS the oracle-checked tumbling
+    window query: same column names, same values."""
+    from lvm_datapipe_spark.queries import QUERIES
+
+    batch = ev.windowed_counts(
+        load_table(spark, "/root/testdata/sf0.001", "events"), watermark=None
+    )
+    oracle = QUERIES["events_tumbling_window"](spark, "/root/testdata/sf0.001")
+    a = {(r.window_start, r.event_type, r.n) for r in batch.collect()}
+    b = {(r.window_start, r.event_type, r.n) for r in oracle.collect()}
+    assert a == b
