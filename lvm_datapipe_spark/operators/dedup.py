@@ -13,7 +13,7 @@ so signatures are comparable strings, not platform-specific ints.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from lvm_datapipe_spark.operators.text import fingerprint, tokens, word_ngrams
@@ -38,10 +38,36 @@ def exact_duplicate_groups(
 
 
 def shingled(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    """(id, shingles) with distinct word n-grams; docs with no shingle drop."""
+    """(id, shingles) with distinct word n-grams; docs with no shingle drop.
+    Array-valued form for column-level use; the scan-shaped pipelines below
+    use :func:`shingle_rows` instead (flat codegen, no array lambdas)."""
     return df.select(
         F.col(id_col), word_ngrams(tokens(text_col), n).alias("shingles")
     ).filter(F.size("shingles") > 0)
+
+
+def shingle_rows(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """DISTINCT (id, shingle) rows in fully-relational form: posexplode the
+    tokens, window-lead the next n-1 tokens, concat.  Equivalent output to
+    exploding :func:`shingled`, but every expression is flat whole-stage
+    codegen — the higher-order array route measured 2-10× slower (and its
+    cost shifts unpredictably as the optimizer inlines the lambda into
+    filters/generators)."""
+    toks = df.select(F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", j).over(w).alias(f"t{j}") for j in range(1, n)]
+    with_next = toks.select(F.col(id_col), *parts)
+    last = f"t{n - 1}"
+    return (
+        with_next.filter(F.col(last).isNotNull())
+        .select(
+            F.col(id_col),
+            F.concat_ws(" ", "tok", *[f"t{j}" for j in range(1, n)]).alias("shingle"),
+        )
+        .dropDuplicates([id_col, "shingle"])
+    )
 
 
 def ngram_jaccard_pairs(
@@ -60,11 +86,10 @@ def ngram_jaccard_pairs(
     that appear in more than N docs — at corpus scale a handful of
     ultra-common shingles would otherwise create quadratic hot keys (skew).
     """
-    # persist: sh feeds both the sizes branch and BOTH sides of the
+    # persist: the shingle rows feed the sizes branch and BOTH sides of the
     # self-join below — without it the shingle computation runs 3×
-    sh = shingled(df, text_col, id_col, n).persist()
-    sizes = sh.select(F.col(id_col), F.size("shingles").alias("n_shingles"))
-    ex = sh.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    ex = shingle_rows(df, text_col, id_col, n).persist()
+    sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     if max_shingle_freq is not None:
         freq_ok = (
             ex.groupBy("shingle")
@@ -117,14 +142,13 @@ def minhash_signature(shingles: Column, k: int = 16) -> Column:
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3, k: int = 16
 ) -> DataFrame:
-    """Scan-shaped MinHash: explode shingles → k md5 columns per row (flat
+    """Scan-shaped MinHash: shingle rows → k md5 columns per row (flat
     expressions stay in whole-stage codegen, unlike higher-order array
     lambdas which are interpreted per element) → groupBy(doc) with k MIN
     aggregates (map-side partial min, so the shuffle carries one row per doc
     per partition).  Bit-identical to :func:`minhash_signature` but ~10×
     faster on wide corpora."""
-    sh = shingled(df, text_col, id_col, n)
-    ex = sh.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    ex = shingle_rows(df, text_col, id_col, n)
     hashed = ex.select(
         F.col(id_col),
         *[
