@@ -1,0 +1,94 @@
+"""As-of and range joins — temporal operators Spark lacks natively
+(SURVEY.md §2.5 J4 notes the frame-span containment semantics; the extension
+layer exposes them as first-class operators).
+
+``asof_join`` uses the union + window trick, NOT a join-then-rank:
+
+    tag both sides → unionByName → per-key sort by (ts, side, tie)
+    → last_value(right attrs, ignorenulls) over the ordered window
+    → keep left rows
+
+One shuffle keyed on the join key, linear in |L|+|R| — a join-then-rank
+explodes to |L|×|R/key| intermediate rows, which at 100 TB is the difference
+between a sort and an OOM.  Semantics: for each left row, the right row with
+the greatest (ts, tie) such that right.ts <= left.ts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_values: list[str],
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Backward as-of join: left rows keep all columns, gaining the most
+    recent ``right_values`` with ``right.right_ts <= left.left_ts`` per
+    ``key``.  Ties on the timestamp break by ``tie_col`` (greatest wins) so
+    results are deterministic."""
+    lcols = left.columns
+    tie = tie_col if tie_col is not None else right_values[0]
+
+    l_tagged = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_side"),  # left sorts AFTER right at equal ts (<=)
+        F.lit(None).cast(right.schema[tie].dataType).alias("_tie"),
+        *[F.col(c).alias(f"_l_{c}") for c in lcols],
+        *[F.lit(None).cast(right.schema[v].dataType).alias(f"_r_{v}") for v in right_values],
+    )
+    r_tagged = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.col(tie).alias("_tie"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}") for c in lcols],
+        *[F.col(v).alias(f"_r_{v}") for v in right_values],
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_t").asc(), F.col("_side").asc(), F.col("_tie").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        "*",
+        *[
+            F.last(f"_r_{v}", ignorenulls=True).over(w).alias(f"_rf_{v}")
+            for v in right_values
+        ],
+    )
+    return filled.filter(F.col("_side") == 1).select(
+        *[F.col(f"_l_{c}").alias(c) for c in lcols],
+        *[F.col(f"_rf_{v}").alias(v) for v in right_values],
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Interval containment join: right rows whose [start, end] span contains
+    left's point, equi-keyed on ``key`` (the clip→frame-span shape,
+    macvid.py:21).  The equi-key keeps it a hash join with a range residual —
+    without one, bucketize the range into bins and join on (key, bin)."""
+    l, r = left.alias("l"), right.alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"l.{point_col}") >= F.col(f"r.{start_col}"))
+        & (F.col(f"l.{point_col}") <= F.col(f"r.{end_col}"))
+    )
+    return l.join(r, cond).select(
+        "l.*", *[F.col(f"r.{c}").alias(c) for c in right.columns if c != key]
+    )

@@ -835,3 +835,208 @@ def ann_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return V.lsh_near_dup_pairs(emb, threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# Temporal joins: as-of and range (extension operators, operators/asof.py)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "asof_last_view_before_purchase",
+    """
+    WITH v AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'view'),
+         p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT event_id, user_id, ts, last_view_id, last_view_value FROM (
+      SELECT p.event_id, p.user_id, p.ts,
+             v.event_id AS last_view_id, v.value AS last_view_value,
+             ROW_NUMBER() OVER (PARTITION BY p.event_id
+                  ORDER BY v.ts DESC, v.event_id DESC) AS rn
+      FROM p JOIN v ON v.user_id = p.user_id AND v.ts <= p.ts)
+    WHERE rn = 1
+    """,
+)
+def asof_last_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join via the union+window plan (linear, one shuffle) —
+    the oracle states the same semantics as a join-then-rank, which is only
+    viable at oracle scale."""
+    from lvm_datapipe_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("last_view_id"),
+        F.col("value").alias("last_view_value"),
+    )
+    out = asof_join(
+        purchases,
+        views,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_values=["last_view_id", "last_view_value"],
+        tie_col="last_view_id",
+    )
+    return out.filter(F.col("last_view_id").isNotNull())
+
+
+@_q(
+    "range_join_first_day_events",
+    """
+    WITH iv AS (SELECT user_id, MIN(ts) AS start_ts,
+                       MIN(ts) + INTERVAL 1 DAY AS end_ts
+                FROM events GROUP BY user_id)
+    SELECT e.user_id, COUNT(*) AS n_first_day
+    FROM events e JOIN iv ON e.user_id = iv.user_id
+     AND e.ts >= iv.start_ts AND e.ts <= iv.end_ts
+    GROUP BY e.user_id
+    """,
+)
+def range_join_first_day_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment join (equi-keyed on user → hash join with range
+    residual, the clip→frame-span shape of macvid.py:21)."""
+    from lvm_datapipe_spark.operators.asof import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    intervals = ev.groupBy("user_id").agg(
+        F.min("ts").alias("start_ts"),
+        (F.min("ts") + F.expr("INTERVAL 1 DAY")).alias("end_ts"),
+    )
+    joined = range_join(
+        ev.select("user_id", "ts"), intervals, "user_id", "ts", "start_ts", "end_ts"
+    )
+    return joined.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_first_day"))
+
+
+# ---------------------------------------------------------------------------
+# Grouping-set aggregates + distinct aggregation (free in Catalyst; exposed
+# per SURVEY.md §2.4's note — the reference has none of these)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "agg_rollup",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n, {_dsum('l_quantity')} AS sum_qty
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), A.decimal_sum("l_quantity").alias("sum_qty")
+    )
+
+
+@_q(
+    "agg_cube",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n, {_dsum('l_quantity')} AS sum_qty
+    FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), A.decimal_sum("l_quantity").alias("sum_qty")
+    )
+
+
+@_q(
+    "agg_distinct_count",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(*) AS n_items
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C2/C3/C5 string-function coverage on synthesized path/caption columns
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "c2_path_functions",
+    r"""
+    WITH p AS (SELECT doc_id,
+                      'data/' || source || '/doc_' || CAST(doc_id AS VARCHAR) || '.Mp4' AS path
+               FROM documents)
+    SELECT doc_id,
+           string_split(path, '/')[-1] AS base,
+           regexp_replace(path, '/[^/]*$', '') AS dir,
+           lower(string_split(path, '.')[-1]) AS ext,
+           regexp_replace(string_split(path, '/')[-1], '\.[^.]*$', '') AS stem
+    FROM p
+    """,
+)
+def c2_path_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    path = F.concat(
+        F.lit("data/"), F.col("source"), F.lit("/doc_"), F.col("doc_id"), F.lit(".Mp4")
+    )
+    return docs.select(
+        "doc_id",
+        S.path_basename(path).alias("base"),
+        S.path_dirname(path).alias("dir"),
+        S.file_extension(path).alias("ext"),
+        S.file_stem(path).alias("stem"),
+    )
+
+
+@_q(
+    "c5_clean_caption",
+    """
+    SELECT p_partkey,
+           trim(replace(split_part('<start_of_text>a ' || p_name || ' scene <end_of_text>junk',
+                '<end_of_text>', 1), '<start_of_text>', '')) AS caption
+    FROM part
+    """,
+)
+def c5_clean_caption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    raw = F.concat(
+        F.lit("<start_of_text>a "), F.col("p_name"), F.lit(" scene <end_of_text>junk")
+    )
+    return part.select("p_partkey", S.clean_caption(raw).alias("caption"))
+
+
+@_q(
+    "c9_frame_indices",
+    """
+    WITH n AS (SELECT l_orderkey, l_linenumber,
+                      CAST(l_quantity * 10 AS INTEGER) AS frame_count
+               FROM lineitem)
+    SELECT l_orderkey, l_linenumber,
+           [CAST(floor(frame_count * 0.2) AS INTEGER),
+            CAST(floor(frame_count * 0.5) AS INTEGER),
+            CAST(floor(frame_count * 0.8) AS INTEGER)] AS key_frames
+    FROM n
+    """,
+)
+def c9_frame_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    n = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_quantity") * 10).cast("int").alias("frame_count"),
+    )
+    return n.select(
+        "l_orderkey",
+        "l_linenumber",
+        S.frame_indices_at_fractions("frame_count", [0.2, 0.5, 0.8]).alias("key_frames"),
+    )
