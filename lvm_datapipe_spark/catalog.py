@@ -60,6 +60,10 @@ def _first_parquet_file(path: str) -> str:
 # overhead would exceed any parallelism win.
 _MIN_SPLIT_BYTES = 128 * 1024
 
+# (appId, path) -> whether the scan needs rebalancing; the probe costs a
+# plan materialization + py4j round-trip, so pay it once per table/session
+_REBALANCE_CACHE: dict[tuple[str, str], bool] = {}
+
 
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, rebalance: bool = True
@@ -93,12 +97,20 @@ def load_table(
         for c in nanos_cols:
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     if rebalance:
-        try:
-            size = os.path.getsize(_first_parquet_file(path))
-        except OSError:
-            size = 0
         target = spark.sparkContext.defaultParallelism
-        if size >= _MIN_SPLIT_BYTES and df.rdd.getNumPartitions() < max(2, target // 4):
+        cache_key = (spark.sparkContext.applicationId, path)
+        needed = _REBALANCE_CACHE.get(cache_key)
+        if needed is None:
+            try:
+                size = os.path.getsize(_first_parquet_file(path))
+            except OSError:
+                size = 0
+            needed = (
+                size >= _MIN_SPLIT_BYTES
+                and df.rdd.getNumPartitions() < max(2, target // 4)
+            )
+            _REBALANCE_CACHE[cache_key] = needed
+        if needed:
             df = df.repartition(target)
     return df
 

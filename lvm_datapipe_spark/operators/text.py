@@ -79,17 +79,38 @@ def stopword_hits(toks: Column, words: list[str]) -> Column:
     return F.size(F.filter(toks, lambda t: F.array_contains(arr, F.lower(t))))
 
 
+def _token_lang_counts(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Row-shaped shared pipeline for quality/lang-ID: posexplode tokens →
+    one pass of conditional counts per doc (flat codegen — the array-lambda
+    route is interpreted per element, see ARCHITECTURE §3).  Docs with zero
+    tokens are preserved via left join with zero-filled counts."""
+    toks = df.select(
+        F.col(id_col), F.explode_outer(tokens(text_col)).alias("tok")
+    ).withColumn("ltok", F.lower("tok"))
+    aggs = [F.count("tok").alias("n_tokens")] + [
+        F.count(F.when(F.col("ltok").isin(ws), 1)).alias(f"hits_{lang}")
+        for lang, ws in LANG_STOPWORDS.items()
+    ]
+    return toks.groupBy(id_col).agg(*aggs)
+
+
 def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document quality features + a composite score in [0, 1]:
     ``min(1, n_tokens/100) * (1 - punct_ratio) * (1 - stopword_ratio/2)``.
     Mirrors the reference's filter-hook idea (F8, ``macvid.py:90`` "add
     whatever condition for filtering") with concrete, deterministic metrics.
     """
-    t = tokens(text_col)
-    n_tok = F.size(t)
-    n_char = F.length(F.col(text_col))
-    n_punct = punct_count(text_col)
-    n_stop = stopword_hits(t, LANG_STOPWORDS["en"])
+    counts = _token_lang_counts(df, text_col, id_col)
+    base = df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).alias("n_chars_actual"),
+        punct_count(text_col).alias("n_punct"),
+    )
+    j = base.join(counts, id_col)
+    n_tok = F.col("n_tokens").cast("int")
+    n_char = F.col("n_chars_actual")
+    n_punct = F.col("n_punct")
+    n_stop = F.col("hits_en").cast("int")
     punct_ratio = F.when(n_char > 0, n_punct / n_char).otherwise(F.lit(0.0))
     stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
     score = (
@@ -97,7 +118,7 @@ def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
         * (F.lit(1.0) - punct_ratio)
         * (F.lit(1.0) - stop_ratio / F.lit(2.0))
     )
-    return df.select(
+    return j.select(
         F.col(id_col),
         n_char.alias("n_chars_actual"),
         n_tok.alias("n_tokens"),
@@ -112,18 +133,17 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     """Stopword-vote language ID: count hits per language's marker set, pick
     the argmax with a fixed priority-order tie-break (LANG_PRIORITY); 'und'
     when no set scores > 0."""
-    t = tokens(text_col)
-    hit_cols = {lang: stopword_hits(t, ws) for lang, ws in LANG_STOPWORDS.items()}
+    counts = _token_lang_counts(df, text_col, id_col)
+    hit_cols = {lang: F.col(f"hits_{lang}").cast("int") for lang in LANG_STOPWORDS}
     best = F.greatest(*hit_cols.values())
     pred = F.lit("und")
     for lang in reversed(LANG_PRIORITY):
         pred = F.when((best > 0) & (hit_cols[lang] == best), F.lit(lang)).otherwise(pred)
-    out = df.select(
+    return counts.select(
         F.col(id_col),
         *[hit_cols[lang].alias(f"hits_{lang}") for lang in LANG_PRIORITY],
         pred.alias("predicted_lang"),
     )
-    return out
 
 
 def fingerprint_docs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
