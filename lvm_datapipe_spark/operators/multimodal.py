@@ -1,0 +1,236 @@
+"""Multimodal columns: image/audio as opaque binary columns with typed
+metadata and Arrow-batched processing UDFs (task north-star: the operators a
+training-data pipeline needs beyond the reference's video-only surface).
+
+Same design as the video layer (operators/media.py): real Spark plumbing —
+schemas, mapInPandas batch shapes, null-on-failure — with deterministic
+in-repo formats standing in for real codecs (PIL/librosa are absent from the
+container; their adapters are import-guarded STUBs at the marked points).
+
+Formats (little-endian):
+    FIMG: magic 4s | u16 height | u16 width | u8 channels | pixels (uint8)
+    FAUD: magic 4s | u32 sample_rate | u32 n_samples | i16 samples
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+IMG_MAGIC = b"FIMG"
+# plain format strings, not struct.Struct instances: compiled Structs are not
+# picklable and mapInPandas closures are cloudpickled by value
+_IMG_FMT = "<4sHHB"
+_IMG_SIZE = struct.calcsize(_IMG_FMT)
+AUD_MAGIC = b"FAUD"
+_AUD_FMT = "<4sII"
+_AUD_SIZE = struct.calcsize(_AUD_FMT)
+
+# -- codecs ------------------------------------------------------------------
+
+
+def encode_image(pixels: np.ndarray) -> bytes:
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
+    h, w, c = pixels.shape
+    return struct.pack(_IMG_FMT, IMG_MAGIC, h, w, c) + pixels.astype(np.uint8).tobytes()
+
+
+def decode_image(data: bytes) -> np.ndarray:
+    magic, h, w, c = struct.unpack_from(_IMG_FMT, data, 0)
+    if magic != IMG_MAGIC:
+        # STUB adapter point: PIL.Image.open(io.BytesIO(data)) for real
+        # formats (jpg/png); absent here -> decode failure -> null row
+        raise ValueError("not a FIMG payload")
+    arr = np.frombuffer(data, np.uint8, count=h * w * c, offset=_IMG_SIZE)
+    return arr.reshape(h, w, c)
+
+
+def encode_audio(samples: np.ndarray, sample_rate: int) -> bytes:
+    return struct.pack(_AUD_FMT, AUD_MAGIC, sample_rate, len(samples)) + samples.astype(
+        "<i2"
+    ).tobytes()
+
+
+def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
+    magic, sr, n = struct.unpack_from(_AUD_FMT, data, 0)
+    if magic != AUD_MAGIC:
+        # STUB adapter point: soundfile/librosa for wav/flac/mp3
+        raise ValueError("not a FAUD payload")
+    return np.frombuffer(data, "<i2", count=n, offset=_AUD_SIZE), int(sr)
+
+
+def generate_image(seed_id: str, height: int = 16, width: int = 20, channels: int = 3) -> bytes:
+    from lvm_datapipe_spark.fakevideo import hash_str
+
+    rng = np.random.default_rng(hash_str(seed_id) % (2**31))
+    return encode_image(rng.integers(0, 256, (height, width, channels), dtype=np.uint8))
+
+
+def generate_audio(seed_id: str, sample_rate: int = 8000, seconds: float = 0.5) -> bytes:
+    from lvm_datapipe_spark.fakevideo import hash_str
+
+    rng = np.random.default_rng(hash_str(seed_id) % (2**31))
+    n = int(sample_rate * seconds)
+    t = np.arange(n) / sample_rate
+    freq = 200 + (hash_str(seed_id) % 800)
+    wave = 8000 * np.sin(2 * np.pi * freq * t) + rng.normal(0, 100, n)
+    return encode_audio(np.clip(wave, -32768, 32767), sample_rate)
+
+
+# -- typed metadata (probe) --------------------------------------------------
+
+IMAGE_META = T.StructType(
+    [
+        T.StructField("height", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("format", T.StringType()),
+    ]
+)
+
+AUDIO_META = T.StructType(
+    [
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("format", T.StringType()),
+    ]
+)
+
+
+def probe_images(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Attach typed image metadata from a header-only parse (mapInPandas so
+    the batch shape carries through: Iterator[pd.DataFrame] in/out, schema
+    declared up front, decode failures → null struct)."""
+    out_schema = T.StructType(df.schema.fields + [T.StructField("image_meta", IMAGE_META)])
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = []
+            for data in pdf[content_col]:
+                try:
+                    magic, h, w, c = struct.unpack_from(_IMG_FMT, data, 0)
+                    assert magic == IMG_MAGIC
+                    metas.append({"height": h, "width": w, "channels": c, "format": "fimg"})
+                except Exception:  # noqa: BLE001
+                    metas.append(None)
+            pdf = pdf.copy()
+            pdf["image_meta"] = metas
+            yield pdf
+
+    return df.mapInPandas(fn, out_schema)
+
+
+def probe_audio(df: DataFrame, content_col: str = "content") -> DataFrame:
+    out_schema = T.StructType(df.schema.fields + [T.StructField("audio_meta", AUDIO_META)])
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = []
+            for data in pdf[content_col]:
+                try:
+                    magic, sr, n = struct.unpack_from(_AUD_FMT, data, 0)
+                    assert magic == AUD_MAGIC
+                    metas.append(
+                        {"sample_rate": sr, "n_samples": n, "duration_s": n / sr, "format": "faud"}
+                    )
+                except Exception:  # noqa: BLE001
+                    metas.append(None)
+            pdf = pdf.copy()
+            pdf["audio_meta"] = metas
+            yield pdf
+
+    return df.mapInPandas(fn, out_schema)
+
+
+# -- transforms --------------------------------------------------------------
+
+
+def resize_images(
+    df: DataFrame, height: int, width: int, content_col: str = "content", out_col: str = "resized"
+) -> DataFrame:
+    """Nearest-neighbor resize (numpy index grid — a real pipeline swaps in
+    PIL/cv2 interpolation behind the same column contract)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for data in pdf[content_col]:
+                try:
+                    img = decode_image(data)
+                    ys = (np.arange(height) * img.shape[0] // height).clip(0, img.shape[0] - 1)
+                    xs = (np.arange(width) * img.shape[1] // width).clip(0, img.shape[1] - 1)
+                    out.append(encode_image(img[np.ix_(ys, xs)]))
+                except Exception:  # noqa: BLE001
+                    out.append(None)
+            pdf = pdf.copy()
+            pdf[out_col] = out
+            yield pdf
+
+    out_schema = T.StructType(df.schema.fields + [T.StructField(out_col, T.BinaryType())])
+    return df.mapInPandas(fn, out_schema)
+
+
+def image_features(
+    df: DataFrame, content_col: str = "content", out_col: str = "features", n_bins: int = 8
+) -> DataFrame:
+    """Deterministic feature vector (per-channel mean/std + luminance
+    histogram) — the embedding-extraction stand-in; a CLIP adapter plugs in
+    behind the same array<double> column."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for data in pdf[content_col]:
+                try:
+                    img = decode_image(data).astype(np.float64)
+                    means = img.mean(axis=(0, 1))
+                    stds = img.std(axis=(0, 1))
+                    lum = img.mean(axis=2)
+                    hist, _ = np.histogram(lum, bins=n_bins, range=(0, 255))
+                    feat = np.concatenate([means, stds, hist / lum.size])
+                    out.append([float(x) for x in feat])
+                except Exception:  # noqa: BLE001
+                    out.append(None)
+            pdf = pdf.copy()
+            pdf[out_col] = out
+            yield pdf
+
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField(out_col, T.ArrayType(T.DoubleType()))]
+    )
+    return df.mapInPandas(fn, out_schema)
+
+
+def audio_features(df: DataFrame, content_col: str = "content", out_col: str = "features") -> DataFrame:
+    """RMS energy + zero-crossing rate + peak — deterministic waveform
+    features (librosa MFCC adapter point)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for data in pdf[content_col]:
+                try:
+                    samples, sr = decode_audio(data)
+                    x = samples.astype(np.float64) / 32768.0
+                    rms = float(np.sqrt((x**2).mean()))
+                    zcr = float((np.diff(np.signbit(x)) != 0).mean())
+                    peak = float(np.abs(x).max())
+                    out.append([rms, zcr, peak])
+                except Exception:  # noqa: BLE001
+                    out.append(None)
+            pdf = pdf.copy()
+            pdf[out_col] = out
+            yield pdf
+
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField(out_col, T.ArrayType(T.DoubleType()))]
+    )
+    return df.mapInPandas(fn, out_schema)

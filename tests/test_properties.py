@@ -1,0 +1,156 @@
+"""Property-based tests (hypothesis): operators vs independent pure-Python
+models on randomized inputs, plus order/partitioning invariance of the
+determinism-critical aggregates."""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from lvm_datapipe_spark.operators import dedup as D
+from lvm_datapipe_spark.operators.aggregates import decimal_sum
+
+SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+WORDS = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+texts = st.lists(st.sampled_from(WORDS), min_size=0, max_size=12).map(" ".join)
+
+
+@given(st.lists(st.floats(min_value=-1e6, max_value=1e6, allow_nan=False), min_size=1, max_size=40))
+@settings(**SETTINGS)
+def test_decimal_sum_partition_invariant(spark, xs):
+    """The oracle-determinism cornerstone: the decimal-accumulated sum must
+    be bit-identical regardless of partitioning/order."""
+    df = spark.createDataFrame([(x,) for x in xs], ["x"])
+    a = df.repartition(1).agg(decimal_sum("x").alias("s")).first().s
+    b = df.repartition(7).agg(decimal_sum("x").alias("s")).first().s
+    c = df.orderBy(F.desc("x")).repartition(3).agg(decimal_sum("x").alias("s")).first().s
+    assert a == b == c  # exact equality, not approx
+
+
+def _py_shingles(text: str, n: int = 3) -> set[str]:
+    toks = [t for t in text.split() if t]
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+@given(st.lists(texts, min_size=2, max_size=8))
+@settings(**SETTINGS)
+def test_jaccard_matches_python_model(spark, docs):
+    df = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(df, threshold=0.0).collect()
+    }
+    sh = {i: _py_shingles(t) for i, t in enumerate(docs)}
+    want = {}
+    for i in sh:
+        for j in sh:
+            if i < j and sh[i] and sh[j]:
+                inter = len(sh[i] & sh[j])
+                if inter:
+                    want[(i, j)] = inter / len(sh[i] | sh[j])
+    assert set(got) == set(want)
+    for k in want:
+        assert math.isclose(got[k], want[k], rel_tol=1e-12)
+
+
+@given(st.lists(texts.filter(lambda t: len(t.split()) >= 3), min_size=2, max_size=6))
+@settings(**SETTINGS)
+def test_identical_docs_are_lsh_candidates(spark, docs):
+    """Identical shingle sets → identical MinHash signatures → always a
+    candidate pair, for any doc content."""
+    rows = [(0, docs[0]), (1, docs[0])] + [(i + 2, t) for i, t in enumerate(docs[1:])]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {(r.id_a, r.id_b) for r in D.minhash_lsh_pairs(df).collect()}
+    assert (0, 1) in pairs
+
+
+@given(st.lists(texts.filter(lambda t: len(t.split()) >= 1), min_size=2, max_size=6))
+@settings(**SETTINGS)
+def test_simhash_banding_equals_bruteforce_random(spark, docs):
+    df = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+    sh = D.simhash_docs(df)
+    fp = {r.doc_id: r.simhash for r in sh.collect()}
+    want = set()
+    ids = sorted(fp)
+    for i in ids:
+        for j in ids:
+            if i < j:
+                ham = sum(a != b for a, b in zip(fp[i], fp[j]))
+                if ham <= 3:
+                    want.add((i, j, ham))
+    got = {(r.id_a, r.id_b, r.hamming) for r in D.simhash_pairs(df).collect()}
+    assert got == want
+
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),  # user
+        st.integers(min_value=0, max_value=1000),  # t offset seconds
+        st.sampled_from(["view", "purchase"]),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(events_strategy)
+@settings(**SETTINGS)
+def test_asof_matches_python_model(spark, rows):
+    import datetime as dt
+
+    from lvm_datapipe_spark.operators.asof import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (i, u, base + dt.timedelta(seconds=t), typ)
+        for i, (u, t, typ) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, ["event_id", "user_id", "ts", "event_type"])
+    purchases = df.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = df.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    got = {
+        r.event_id: r.view_id
+        for r in asof_join(
+            purchases, views, "user_id", "ts", "ts", ["view_id"], tie_col="view_id"
+        ).collect()
+    }
+    # python model: for each purchase, view with max (ts, id) where ts <= p.ts
+    by_user = defaultdict(list)
+    for i, u, ts, typ in data:
+        if typ == "view":
+            by_user[u].append((ts, i))
+    want = {}
+    for i, u, ts, typ in data:
+        if typ == "purchase":
+            cands = [(t, vid) for (t, vid) in by_user[u] if t <= ts]
+            want[i] = max(cands)[1] if cands else None
+    assert got == want
+
+
+@given(
+    st.lists(st.floats(min_value=0, max_value=100, allow_nan=False), min_size=1, max_size=30)
+)
+@settings(**SETTINGS)
+def test_histogram_partition_of_rows(spark, xs):
+    from lvm_datapipe_spark.operators.aggregates import histogram
+
+    df = spark.createDataFrame([(x,) for x in xs], ["d"])
+    bins = [0.0, 10.0, 50.0]
+    out = histogram(df, "d", bins).collect()
+    assert sum(r.n for r in out) == len(xs)  # every row lands in exactly one bucket
+    for r in out:
+        assert 0 <= r.bucket < len(bins)
