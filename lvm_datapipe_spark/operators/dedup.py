@@ -296,14 +296,14 @@ def simhash_pairs(
     ).select(id_col, "simhash", "bb.band", "bb.piece")
     a = ex.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band", "piece")
     b_ = ex.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "band", "piece")
-    cand = (
+    # hamming BEFORE distinct: the filter is flat codegen per joined row and
+    # kills >99% of candidates, so the dedup shuffle carries a few thousand
+    # rows instead of millions
+    return (
         a.join(b_, ["band", "piece"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .distinct()
-    )
-    return (
-        cand.withColumn("hamming", hamming_distance(F.col("sh_a"), F.col("sh_b")))
+        .withColumn("hamming", hamming_distance(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .distinct()
     )

@@ -1040,3 +1040,72 @@ def c9_frame_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         S.frame_indices_at_fractions("frame_count", [0.2, 0.5, 0.8]).alias("key_frames"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish regex token counting + rolling-hash (winnowing) fingerprints
+# ---------------------------------------------------------------------------
+
+# ASCII-only classes so Java regex (Spark) and RE2 (DuckDB) agree exactly
+_BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+@_q(
+    "text_bpe_token_count",
+    rf"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS INTEGER) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-ish regex (letter runs | digit runs |
+    single punctuation) — the pre-tokenizer shape of GPT-2-style BPE,
+    restricted to ASCII classes so both engines' regex dialects agree."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_PATTERN), F.lit(0))).alias(
+            "n_bpe_tokens"
+        ),
+    )
+
+
+@_q(
+    "text_winnow_fingerprint",
+    r"""
+    WITH norm AS (
+      SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+      FROM documents),
+    wins AS (
+      SELECT doc_id, md5(substr(t, w.i, 16)) AS wh
+      FROM norm CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(1, greatest(length(t) - 15, 1))) AS i) w)
+    SELECT doc_id, MIN(wh) AS winnow_fp, COUNT(*) AS n_windows
+    FROM wins GROUP BY doc_id
+    """,
+)
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting via rolling k-char window hashes (winnowing
+    signature = min window hash): normalize → hash every 16-char window →
+    min per doc.  Row-shaped (posexplode of window starts → flat md5 →
+    groupBy MIN with map-side partial aggregation)."""
+    docs = load_table(spark, sf_dir, "documents")
+    k = 16
+    norm = docs.select(
+        "doc_id",
+        F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))).alias("t"),
+    )
+    starts = norm.select(
+        "doc_id",
+        F.col("t"),
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length("t") - (k - 1), F.lit(1)))
+        ).alias("i"),
+    )
+    hashed = starts.select(
+        "doc_id", F.md5(F.substring(F.col("t"), F.col("i").cast("int"), k).cast("binary")).alias("wh")
+    )
+    return hashed.groupBy("doc_id").agg(
+        F.min("wh").alias("winnow_fp"), F.count(F.lit(1)).alias("n_windows")
+    )
