@@ -1,0 +1,141 @@
+"""Pipeline CLI — the reference's script-per-stage entry points
+(``scripts/scenecut.sh``, ``scripts/aestheticscore.sh``, …) as one
+command-line tool over Parquet snapshots:
+
+    python -m lvm_datapipe_spark.cli scenecut --video-dir DIR --out SNAP
+    python -m lvm_datapipe_spark.cli score --snapshot SNAP --out SNAP2 \
+        --scorer aesthetic [--policy fractions] [--stride 10]
+    python -m lvm_datapipe_spark.cli analyze --snapshot SNAP2
+    python -m lvm_datapipe_spark.cli export-flat --snapshot SNAP2 --out DIR
+
+Each stage is idempotent and resumable: `score` re-runs only rows whose
+score column is null (plans.pipeline.run_stage), exactly the reference's
+done-marker semantics without marker files.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import functions as F
+
+from lvm_datapipe_spark.operators import media, scenecut
+from lvm_datapipe_spark.plans import pipeline
+from lvm_datapipe_spark.session import get_spark
+from lvm_datapipe_spark.sources.video import scan_video_dir
+
+
+def _cmd_scenecut(spark, args) -> None:
+    videos = scan_video_dir(spark, args.video_dir)
+    clips = scenecut.scene_cut(videos, threshold=args.threshold)
+    base = media.probe_videos(clips, content_col="clip_content").select(
+        "video_id",
+        "clip_id",
+        "clip_index",
+        "start_frame",
+        "end_frame",
+        "start_s",
+        "end_s",
+        "clip_duration",
+        F.col("clip_content").alias("content"),
+        F.col("probe.height").alias("height"),
+        F.col("probe.width").alias("width"),
+        F.col("probe.n_frames").alias("n_frames"),
+    )
+    pipeline.write_snapshot(base, args.out)
+    n = spark.read.parquet(args.out).count()
+    print(json.dumps({"stage": "scenecut", "clips": n, "out": args.out}))
+
+
+def _cmd_score(spark, args) -> None:
+    snap = pipeline.read_snapshot(spark, args.snapshot)
+    score_col = media.SCORERS[args.scorer][0]
+
+    def scorer(df):
+        sampled = media.with_sampled_frames(
+            df, policy=args.policy, stride=args.stride
+        )
+        return media.apply_scorer(sampled, args.scorer).drop("frames")
+
+    out = pipeline.run_stage(snap, scorer, score_col)
+    pipeline.write_snapshot(out, args.out)
+    done = spark.read.parquet(args.out)
+    n_done = done.filter(F.col(score_col).isNotNull()).count()
+    print(
+        json.dumps(
+            {"stage": "score", "scorer": args.scorer, "column": score_col,
+             "scored": n_done, "total": done.count(), "out": args.out}
+        )
+    )
+
+
+def _cmd_analyze(spark, args) -> None:
+    from lvm_datapipe_spark.operators import analyze
+
+    snap = pipeline.read_snapshot(spark, args.snapshot)
+    stats = analyze.duration_stats(snap).first().asDict()
+    hist = {
+        r.label: r.n for r in analyze.duration_histogram(snap).collect()
+    }
+    print(json.dumps({"stage": "analyze", "stats": stats, "histogram": hist}))
+
+
+def _cmd_export_flat(spark, args) -> None:
+    from lvm_datapipe_spark.operators.export import flatten_clips, nest_clips
+
+    # snapshots store the flat working columns; publish the MMTrail flat form
+    snap = pipeline.read_snapshot(spark, args.snapshot)
+    flat = flatten_clips(nest_clips(snap))
+    flat.write.mode("overwrite").json(args.out)
+    print(json.dumps({"stage": "export-flat", "rows": spark.read.json(args.out).count(), "out": args.out}))
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="lvm_datapipe_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sc = sub.add_parser("scenecut", help="video dir -> clips snapshot (EP1)")
+    sc.add_argument("--video-dir", required=True)
+    sc.add_argument("--out", required=True)
+    sc.add_argument("--threshold", type=float, default=scenecut.DEFAULT_THRESHOLD)
+
+    s = sub.add_parser("score", help="run one scorer stage with resume (EP2/EP3)")
+    s.add_argument("--snapshot", required=True)
+    s.add_argument("--out", required=True)
+    s.add_argument("--scorer", required=True, choices=sorted(media.SCORERS))
+    s.add_argument("--policy", default="fractions",
+                   choices=["fractions", "first_mid_last", "stride"])
+    s.add_argument("--stride", type=int, default=10)
+
+    a = sub.add_parser("analyze", help="corpus stats + duration histogram")
+    a.add_argument("--snapshot", required=True)
+
+    e = sub.add_parser("export-flat", help="publish the flat MMTrail schema as JSON")
+    e.add_argument("--snapshot", required=True)
+    e.add_argument("--out", required=True)
+    return p
+
+
+def main(argv: list[str] | None = None, spark=None) -> int:
+    args = build_parser().parse_args(argv)
+    owns_session = spark is None
+    if spark is None:
+        spark = get_spark("lvm-datapipe-cli")
+        spark.sparkContext.setLogLevel("ERROR")
+    try:
+        {
+            "scenecut": _cmd_scenecut,
+            "score": _cmd_score,
+            "analyze": _cmd_analyze,
+            "export-flat": _cmd_export_flat,
+        }[args.cmd](spark, args)
+    finally:
+        if owns_session:
+            spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

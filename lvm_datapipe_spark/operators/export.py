@@ -32,22 +32,41 @@ MOVEMENT_ENUM = [
 ]
 
 
+def _nested_field(df: DataFrame, section: str, field: str, typ: str):
+    """F.col(section.field) when present, typed null otherwise — the
+    load_from_dict defaulting direction (scene_cut.py:120-137): partial
+    records flatten without error."""
+    try:
+        struct = df.schema[section].dataType
+        names = [f.name for f in struct.fields]
+    except (KeyError, AttributeError):
+        names = []
+    if field in names:
+        return F.col(f"{section}.{field}")
+    return F.lit(None).cast(typ)
+
+
 def flatten_clips(nested: DataFrame) -> DataFrame:
-    """Nested working schema → flat published rows (README.md:37-63)."""
+    """Nested working schema → flat published rows (README.md:37-63).
+    Missing optional sections/fields become nulls, never errors."""
+    objects = _nested_field(
+        nested, "scene", "objects",
+        "array<struct<category:string,action:string,action_speed:string>>",
+    )
     return nested.select(
-        F.col("basic.video_id").alias("video_id"),
-        F.col("basic.clip_id").alias("clip_id"),
-        F.col("basic.clip_path").alias("clip_path"),
-        F.col("basic.clip_duration").alias("clip_duration"),
-        F.col("scene.imaging_quality").alias("image_quality"),
-        F.col("basic.optimal_score").alias("aesthetic_score"),
-        F.col("scene.ocr_score").alias("ocr_score"),
+        _nested_field(nested, "basic", "video_id", "string").alias("video_id"),
+        _nested_field(nested, "basic", "clip_id", "string").alias("clip_id"),
+        _nested_field(nested, "basic", "clip_path", "string").alias("clip_path"),
+        _nested_field(nested, "basic", "clip_duration", "double").alias("clip_duration"),
+        _nested_field(nested, "scene", "imaging_quality", "double").alias("image_quality"),
+        _nested_field(nested, "basic", "optimal_score", "array<double>").alias("aesthetic_score"),
+        _nested_field(nested, "scene", "ocr_score", "double").alias("ocr_score"),
         F.from_json(
             F.col("misc")["frame_caption"], T.ArrayType(T.StringType())
         ).alias("frame_caption"),
-        F.col("scene.captions").alias("caption"),
-        F.transform(F.col("scene.objects"), lambda o: o["category"]).alias("objects"),
-        F.col("scene.background").alias("background"),
+        _nested_field(nested, "scene", "captions", "string").alias("caption"),
+        F.transform(objects, lambda o: o["category"]).alias("objects"),
+        _nested_field(nested, "scene", "background", "string").alias("background"),
     )
 
 
@@ -56,23 +75,28 @@ def nest_clips(flat: DataFrame) -> DataFrame:
     scene_cut.py:120-137 — missing fields become nulls, not errors)."""
     cols = set(flat.columns)
 
-    def opt(name: str, typ: str = "string"):
-        return F.col(name) if name in cols else F.lit(None).cast(typ)
+    def opt(*names: str, typ: str = "string"):
+        # first present column wins: accepts both the published flat names
+        # (image_quality) and the working/scorer names (imaging_quality)
+        for name in names:
+            if name in cols:
+                return F.col(name)
+        return F.lit(None).cast(typ)
 
     basic = F.struct(
         opt("video_id").alias("video_id"),
         opt("video_path").alias("video_path"),
-        opt("video_duration", "double").alias("video_duration"),
+        opt("video_duration", typ="double").alias("video_duration"),
         opt("clip_id").alias("clip_id"),
         opt("clip_path").alias("clip_path"),
-        opt("clip_duration", "double").alias("clip_duration"),
-        opt("aesthetic_score", "array<double>").alias("optimal_score"),
+        opt("clip_duration", typ="double").alias("clip_duration"),
+        opt("aesthetic_score", "optimal_score", typ="array<double>").alias("optimal_score"),
     )
     scene = F.struct(
-        opt("caption").alias("captions"),
+        opt("caption", "captions").alias("captions"),
         opt("background").alias("background"),
-        opt("image_quality", "double").alias("imaging_quality"),
-        opt("ocr_score", "double").alias("ocr_score"),
+        opt("image_quality", "imaging_quality", typ="double").alias("imaging_quality"),
+        opt("ocr_score", typ="double").alias("ocr_score"),
     )
     misc = (
         F.when(

@@ -1,0 +1,67 @@
+"""Pipeline CLI tests: the reference's script-per-stage workflow end to end
+through the command-line surface (scenecut -> score -> score -> analyze ->
+export), including resume on re-run."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from lvm_datapipe_spark import fakevideo
+from lvm_datapipe_spark.cli import main
+
+
+@pytest.fixture(scope="module")
+def work(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    fakevideo.write_corpus(str(d / "videos"), [f"clipv_{i}" for i in range(5)])
+    return d
+
+
+def test_cli_full_pipeline(spark, work, capsys):
+    videos = str(work / "videos")
+    snap0, snap1, snap2 = str(work / "s0"), str(work / "s1"), str(work / "s2")
+
+    assert main(["scenecut", "--video-dir", videos, "--out", snap0], spark=spark) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["stage"] == "scenecut" and out["clips"] > 0
+
+    assert main(
+        ["score", "--snapshot", snap0, "--out", snap1, "--scorer", "imaging_quality"],
+        spark=spark,
+    ) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["scored"] == out["total"]
+
+    assert main(
+        ["score", "--snapshot", snap1, "--out", snap2, "--scorer", "aesthetic"],
+        spark=spark,
+    ) == 0
+    capsys.readouterr()
+
+    # resume semantics: scoring an already-scored snapshot changes nothing
+    before = {
+        r.clip_id: r.imaging_quality for r in spark.read.parquet(snap2).collect()
+    }
+    snap3 = str(work / "s3")
+    assert main(
+        ["score", "--snapshot", snap2, "--out", snap3, "--scorer", "imaging_quality"],
+        spark=spark,
+    ) == 0
+    capsys.readouterr()
+    after = {r.clip_id: r.imaging_quality for r in spark.read.parquet(snap3).collect()}
+    assert before == after
+
+    assert main(["analyze", "--snapshot", snap3], spark=spark) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["stats"]["n"] == sum(out["histogram"].values())
+
+    flat_dir = str(work / "flat")
+    assert main(["export-flat", "--snapshot", snap3, "--out", flat_dir], spark=spark) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == len(after)
+    flat = spark.read.json(flat_dir)
+    assert "image_quality" in flat.columns  # published MMTrail name
+    assert flat.filter(F.col("image_quality").isNotNull()).count() == len(after)
