@@ -1109,3 +1109,124 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed.groupBy("doc_id").agg(
         F.min("wh").alias("winnow_fp"), F.count(F.lit(1)).alias("n_windows")
     )
+
+
+# ---------------------------------------------------------------------------
+# Additional relational coverage: Q3 shape, semi join, cumulative window,
+# JSON extraction (C14 on real data)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q3_shipping_priority",
+    f"""
+    SELECT l.l_orderkey,
+           {_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → joins → aggregate → top-k.
+    The segment filter broadcasts a pruned customer set, so only matching
+    orders/lineitems survive the probe side."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            A.decimal_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+    )
+    return R.top_k(
+        joined.select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority"),
+        [F.desc("revenue"), F.asc("l_orderkey")],
+        10,
+    )
+
+
+@_q(
+    "semi_join_high_value_orders",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_extendedprice > 90000.0)
+    """,
+)
+def semi_join_high_value_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join — the EXISTS dual of the F2 anti-join."""
+    orders = load_table(spark, sf_dir, "orders")
+    big = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_extendedprice") > 90000.0)
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+    )
+    return orders.join(big, "o_orderkey", "left_semi").select("o_orderkey", "o_totalprice")
+
+
+@_q(
+    "w4_running_total",
+    f"""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_total
+    FROM orders
+    """,
+)
+def w4_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative window aggregate (running per-customer spend).  Decimal
+    accumulation inside the frame keeps every prefix sum bit-identical to
+    the oracle regardless of physical ordering."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(27,6)")).over(w).cast("double").alias("running_total"),
+    )
+
+
+@_q(
+    "c14_json_extract",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k
+    FROM events
+    """,
+)
+def c14_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C14 — embedded-JSON parsing on the events ``props`` column (the
+    reference round-trips records through json.load/dump everywhere; here a
+    native JSON path expression, no Python)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+    )
