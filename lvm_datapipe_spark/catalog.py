@@ -87,6 +87,9 @@ def load_table(
       math).  On a real multi-file 100 TB table the scan already has
       thousands of splits and this branch never triggers.
     """
+    # timestamps must collect as UTC wall-clock to match the (naive) values
+    # the DuckDB oracle sees — the driver's own session may not set this
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = table_path(sf_dir, name)
     nanos_cols = _nanos_timestamp_columns(path)
     if not nanos_cols:
