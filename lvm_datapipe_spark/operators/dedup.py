@@ -281,8 +281,14 @@ def simhash_pairs(
     """
     assert max_hamming <= bands - 1, "banding is only exact for max_hamming <= bands-1"
     # persist: the fingerprint table is tiny (id + 32-char string) and feeds
-    # both sides of the band self-join
-    sh = simhash_docs(df, text_col, id_col).persist()
+    # both sides of the band self-join; carry the bit-packed long so the
+    # pair-level hamming is ONE bit_count(xor) instead of 32 substring
+    # comparisons over millions of candidates
+    sh = (
+        simhash_docs(df, text_col, id_col)
+        .withColumn("sh_bits", F.conv("simhash", 2, 10).cast("long"))
+        .persist()
+    )
     width = SIMHASH_BITS // bands
     band_entries = [
         F.struct(
@@ -292,17 +298,20 @@ def simhash_pairs(
         for b in range(bands)
     ]
     ex = sh.select(
-        F.col(id_col), F.col("simhash"), F.explode(F.array(*band_entries)).alias("bb")
-    ).select(id_col, "simhash", "bb.band", "bb.piece")
-    a = ex.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band", "piece")
-    b_ = ex.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "band", "piece")
+        F.col(id_col), F.col("sh_bits"), F.explode(F.array(*band_entries)).alias("bb")
+    ).select(id_col, "sh_bits", "bb.band", "bb.piece")
+    a = ex.select(F.col(id_col).alias("id_a"), F.col("sh_bits").alias("bits_a"), "band", "piece")
+    b_ = ex.select(F.col(id_col).alias("id_b"), F.col("sh_bits").alias("bits_b"), "band", "piece")
     # hamming BEFORE distinct: the filter is flat codegen per joined row and
     # kills >99% of candidates, so the dedup shuffle carries a few thousand
     # rows instead of millions
     return (
         a.join(b_, ["band", "piece"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("hamming", hamming_distance(F.col("sh_a"), F.col("sh_b")))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("bits_a").bitwiseXOR(F.col("bits_b"))).cast("int"),
+        )
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
         .distinct()

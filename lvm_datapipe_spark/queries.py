@@ -1230,3 +1230,63 @@ def c14_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hypertable-style continuous aggregate: one pass, multiple time
+# granularities via GROUPING SETS (the TimescaleDB rollup shape)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "hypertable_rollup",
+    f"""
+    WITH b AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '1 day', ts) AS day_bucket,
+             time_bucket(INTERVAL '1 hour', ts) AS hour_bucket,
+             value
+      FROM events)
+    SELECT event_type, day_bucket, hour_bucket,
+           COUNT(*) AS n, {_dsum('value')} AS total_value
+    FROM b
+    GROUP BY GROUPING SETS ((event_type, day_bucket),
+                            (event_type, day_bucket, hour_bucket))
+    """,
+)
+def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity time rollup in ONE aggregation pass: hour- and
+    day-level rows produced together via GROUPING SETS (hour rows carry the
+    day bucket; day rows have hour_bucket NULL).  At scale this replaces N
+    separate scans with one — the continuous-aggregate/hypertable pattern.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("_events_rollup_src")
+    return spark.sql(
+        """
+        WITH b AS (
+          SELECT event_type,
+                 date_trunc('DAY', ts) AS day_bucket,
+                 date_trunc('HOUR', ts) AS hour_bucket,
+                 value
+          FROM _events_rollup_src)
+        SELECT event_type, day_bucket, hour_bucket,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total_value
+        FROM b
+        GROUP BY GROUPING SETS ((event_type, day_bucket),
+                                (event_type, day_bucket, hour_bucket))
+        """
+    )
+
+
+# Approximate distinct (HLL) — engine-specific sketches can't hash-match an
+# oracle; rows-only check + the exact dual (agg_distinct_count) is oracle-
+# checked above.
+@_q("approx_distinct_users")
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count(F.lit(1)).alias("n"),
+    )
