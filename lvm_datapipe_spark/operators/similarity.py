@@ -178,3 +178,78 @@ def lsh_near_dup_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+# -- IVF (inverted-file) ANN -------------------------------------------------
+
+
+def ivf_index(
+    emb: DataFrame,
+    n_cells: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[float]]]:
+    """Coarse quantizer: k-means (MLlib, fixed seed) over the corpus; every
+    vector is assigned to its nearest centroid's cell.  Returns the
+    cell-assigned corpus and the centroid list.
+
+    At 100 TB: train on a sample, assign in one scan, and PARTITION the
+    stored table by cell — each query then reads only n_probe cells
+    (partition pruning does the candidate selection).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: F401
+
+    vecs = emb.select(
+        F.col(id_col), as_double(vec_col).alias("v")
+    ).withColumn("features", array_to_vector(F.col("v")))
+    km = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell")
+    model = km.fit(vecs)
+    assigned = model.transform(vecs).select(id_col, "v", "cell")
+    centroids = [[float(x) for x in c] for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: probe only the ``n_probe`` cells whose
+    centroids are most cosine-similar to the query, then exact-rank inside
+    them.  Work per query drops from |corpus| to ~|corpus|·n_probe/n_cells;
+    recall is tunable via n_probe (n_probe = n_cells → exact).
+    """
+    assigned, centroids = ivf_index(emb, n_cells, seed, id_col, vec_col)
+
+    q = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
+    cent_rows = [(i, c) for i, c in enumerate(centroids)]
+    cents = q.sparkSession.createDataFrame(cent_rows, ["cell", "centroid"]).withColumn(
+        "centroid", F.col("centroid").cast("array<double>")
+    )
+    # rank cells per query by centroid cosine; keep the n_probe best
+    qc = q.crossJoin(F.broadcast(cents)).withColumn(
+        "cell_sim", cosine(F.col("qv"), F.col("centroid"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cell_sim"), F.asc("cell"))
+    probe = (
+        qc.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= n_probe)
+        .select("query_id", "qv", "cell")
+    )
+    # candidates = corpus rows in probed cells only (at scale: partition
+    # pruning on the cell column), then exact cosine rank
+    cand = assigned.join(probe, "cell").filter(F.col(id_col) != F.col("query_id"))
+    scored = cand.withColumn("cos_sim", cosine(F.col("qv"), F.col("v")))
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "rank")
+    )

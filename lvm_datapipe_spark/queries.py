@@ -1290,3 +1290,15 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# IVF ANN scale path (k-means coarse quantizer + cell probing). Clustering-
+# dependent → rows-only check; tests/test_dedup_similarity asserts recall vs
+# the exact baseline and probe-all == exact.
+@_q("ann_ivf_topk")
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lvm_datapipe_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(emb, queries, k=10, n_cells=16, n_probe=4)

@@ -134,3 +134,24 @@ def test_lsh_recall_on_driver_data(spark):
     assert approx <= exact  # verify step makes precision exact
     assert len(exact) > 0
     assert len(approx) / len(exact) >= 0.5  # recall floor with 4 planes x 8 tables
+
+
+def test_ivf_topk_recall(spark):
+    """IVF with n_probe cells must recover most of the exact top-k, and
+    full-probe IVF must equal the exact ranking."""
+    from lvm_datapipe_spark.catalog import load_table
+    from lvm_datapipe_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {(r.query_id, r.neighbor_id) for r in brute_force_topk(emb, queries, k=10).collect()}
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, queries, k=10, n_cells=8, n_probe=3).collect()
+    }
+    assert len(approx & exact) / len(exact) >= 0.6  # probing 3/8 cells
+    full = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, queries, k=10, n_cells=8, n_probe=8).collect()
+    }
+    assert full == exact  # probe-all == exact
