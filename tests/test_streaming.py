@@ -133,3 +133,60 @@ def test_windowed_counts_same_plan_batch_and_stream(spark):
     a = {(r.window_start, r.event_type, r.n) for r in batch.collect()}
     b = {(r.window_start, r.event_type, r.n) for r in oracle.collect()}
     assert a == b
+
+
+def test_stream_clips_landing_pipeline(spark, tmp_path):
+    """Clips-domain streaming: JSONL metadata landing -> watermarked dedup
+    on clip_id -> parquet sink; re-delivered shards don't duplicate rows
+    (the streaming form of the reference's resume markers)."""
+    import shutil
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("clip_id", T.StringType()),
+            T.StructField("video_id", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("clip_duration", T.DoubleType()),
+        ]
+    )
+    landing = tmp_path / "clips_landing"
+    landing.mkdir()
+    for shard in range(2):
+        with open(landing / f"shard_{shard}.json", "w") as f:
+            for i in range(10):
+                f.write(
+                    json.dumps(
+                        {
+                            "clip_id": f"v{shard}_{i:07d}",
+                            "video_id": f"v{shard}",
+                            "ts": f"2024-01-01T0{shard}:00:{i:02d}",
+                            "clip_duration": 1.5,
+                        }
+                    )
+                    + "\n"
+                )
+    # re-deliver shard 0 wholesale (at-least-once delivery)
+    shutil.copy(landing / "shard_0.json", landing / "shard_0_redelivered.json")
+
+    stream = (
+        spark.readStream.format("json")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(str(landing))
+    )
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicates(["clip_id"])
+    out, ckpt = str(tmp_path / "clips_out"), str(tmp_path / "clips_ckpt")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    result = spark.read.parquet(out)
+    assert result.count() == 20  # 30 delivered rows -> 20 unique clips
+    assert result.select("clip_id").distinct().count() == 20
