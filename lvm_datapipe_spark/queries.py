@@ -1302,3 +1302,23 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return ivf_topk(emb, queries, k=10, n_cells=16, n_probe=4)
+
+
+@_q(
+    "f6_training_pairs",
+    """
+    SELECT text AS caption, 'docs/' || CAST(doc_id AS VARCHAR) || '.txt' AS clip_path
+    FROM documents WHERE lang = 'en'
+    """,
+)
+def f6_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6/F7 — the (caption, path) training-pair projection
+    (macvid.py:183-190): a pure column-pruned select; the scan reads only
+    the two referenced columns."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(F.col("lang") == "en").select(
+        F.col("text").alias("caption"),
+        F.concat(F.lit("docs/"), F.col("doc_id").cast("string"), F.lit(".txt")).alias(
+            "clip_path"
+        ),
+    )
