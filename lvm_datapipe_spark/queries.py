@@ -1322,3 +1322,30 @@ def f6_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "clip_path"
         ),
     )
+
+
+@_q(
+    "agg_pivot",
+    """
+    SELECT date_trunc('DAY', ts) AS day,
+           COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+           COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+           COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+           COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+           COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+    FROM events GROUP BY 1
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-day event counts spread into one column per type.  With
+    the value list given explicitly, Spark skips the distinct-values
+    pre-scan — one aggregation pass (matters when the pivot source is
+    billions of rows)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("day", F.date_trunc("DAY", F.col("ts")))
+        .groupBy("day")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .na.fill(0, ["click", "error", "purchase", "signup", "view"])
+    )
