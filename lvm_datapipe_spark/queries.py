@@ -1349,3 +1349,42 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .count()
         .na.fill(0, ["click", "error", "purchase", "signup", "view"])
     )
+
+
+@_q(
+    "agg_collect_set",
+    """
+    SELECT l_returnflag,
+           list_sort(list(DISTINCT l_linestatus)) AS statuses,
+           string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses_csv
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collecting aggregation: distinct values gathered into a sorted array
+    (+ CSV form).  Sorting makes the array deterministic — collect_set's
+    native order is partition-dependent."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.sort_array(F.collect_set("l_linestatus")).alias("statuses"),
+        F.concat_ws(",", F.sort_array(F.collect_set("l_linestatus"))).alias("statuses_csv"),
+    )
+
+
+@_q(
+    "time_functions",
+    """
+    SELECT CAST(hour(ts) AS INTEGER) AS hour_of_day,
+           CAST(isodow(ts) - 1 AS INTEGER) AS weekday,
+           COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def time_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time extraction: hour-of-day and weekday (Monday=0, the one
+    numbering Spark's weekday() and DuckDB's isodow-1 agree on — dayofweek
+    uses different conventions per engine)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.hour("ts").alias("hour_of_day"), F.weekday("ts").alias("weekday")
+    ).agg(F.count(F.lit(1)).alias("n"))
