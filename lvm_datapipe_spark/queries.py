@@ -1388,3 +1388,41 @@ def time_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy(
         F.hour("ts").alias("hour_of_day"), F.weekday("ts").alias("weekday")
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@_q(
+    "agg_percentiles",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.25) AS p25,
+           quantile_cont(l_extendedprice, 0.5) AS median,
+           quantile_cont(l_extendedprice, 0.9) AS p90
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (verified bit-identical to DuckDB's
+    quantile_cont — both linear-interpolate on the sorted values)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.25)").alias("p25"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("median"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("p90"),
+    )
+
+
+@_q(
+    "set_intersect",
+    """
+    SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+    INTERSECT
+    SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'N'
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct set semantics): orders containing both returned
+    and non-returned items."""
+    li = load_table(spark, sf_dir, "lineitem")
+    r = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    n = li.filter(F.col("l_returnflag") == "N").select("l_orderkey")
+    return r.intersect(n)
