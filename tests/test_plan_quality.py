@@ -1,0 +1,67 @@
+"""Physical-plan regression tests (ARCHITECTURE §1): the plan properties we
+rely on at scale must survive refactors — pushdown reaching the scan,
+broadcasts on dim joins, window-group-limit on top-1, TakeOrdered on top-k."""
+
+from __future__ import annotations
+
+import pytest
+
+from lvm_datapipe_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF)
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _plan(spark, "f1_duration_filter")
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)" in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    plan = _plan(spark, "j2_enrichment_join")
+    # lineitem scan must read only the 3 referenced columns, not all 11
+    assert "ReadSchema: struct<l_partkey:bigint,l_extendedprice:double,l_discount:double>" in plan
+
+
+def test_dim_joins_broadcast(spark):
+    plan = _plan(spark, "j4_region_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # all dims fit under the threshold here
+
+
+def test_top1_per_group_uses_window_group_limit(spark):
+    assert "WindowGroupLimit" in _plan(spark, "w2_best_per_group")
+
+
+def test_sort_limit_uses_take_ordered(spark):
+    assert "TakeOrderedAndProject" in _plan(spark, "sort_limit_topk")
+
+
+def test_anti_join_is_broadcast(spark):
+    plan = _plan(spark, "f2_resume_anti_join")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_aggregation_is_partial(spark):
+    # map-side partial aggregation: two HashAggregate levels around the
+    # exchange (partial_ functions in the lower one)
+    plan = _plan(spark, "q1_pricing_summary")
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_" in plan
+
+
+def test_no_cartesian_in_shingle_dedup(spark):
+    # near-dup joins must be equi-joins on content-derived keys
+    for q in ("dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash"):
+        plan = _plan(spark, q)
+        assert "CartesianProduct" not in plan, q
+        assert "BroadcastNestedLoopJoin" not in plan, q
