@@ -461,17 +461,22 @@ def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "c7_extract_answer",
     """
     SELECT p_partkey,
-           COALESCE(list_filter(
+           array_to_string(COALESCE(list_filter(
              list_transform(
                string_split_regex(regexp_extract(
                  'noise text Answer: ["' || p_name || '", "' || p_type || '"] trailing',
                  'Answer:\\s*\\[(.*?)\\]', 1), '\\s*,\\s*'),
                w -> regexp_replace(trim(w), '["'']', '', 'g')),
-             w -> w <> ''), []) AS words
+             w -> w <> ''), []), '|') AS words_csv
     FROM part
     """,
 )
 def c7_extract_answer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Answer-word extraction (C7).  The driver's canonicalizer hashes the
+    result in pandas, which cannot hash list cells — so the *declared* query
+    projects the array to a deterministic '|'-joined string.  The
+    array-returning builder (`S.extract_answer_words`) stays the API for
+    programmatic use."""
     part = load_table(spark, sf_dir, "part")
     raw = F.concat(
         F.lit('noise text Answer: ["'),
@@ -480,7 +485,10 @@ def c7_extract_answer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_type"),
         F.lit('"] trailing'),
     )
-    return part.select("p_partkey", S.extract_answer_words(raw).alias("words"))
+    return part.select(
+        "p_partkey",
+        F.array_join(S.extract_answer_words(raw), "|").alias("words_csv"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1022,13 +1030,16 @@ def c5_clean_caption(spark: SparkSession, sf_dir: str) -> DataFrame:
                       CAST(l_quantity * 10 AS INTEGER) AS frame_count
                FROM lineitem)
     SELECT l_orderkey, l_linenumber,
-           [CAST(floor(frame_count * 0.2) AS INTEGER),
+           array_to_string([CAST(floor(frame_count * 0.2) AS INTEGER),
             CAST(floor(frame_count * 0.5) AS INTEGER),
-            CAST(floor(frame_count * 0.8) AS INTEGER)] AS key_frames
+            CAST(floor(frame_count * 0.8) AS INTEGER)], ',') AS key_frames_csv
     FROM n
     """,
 )
 def c9_frame_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-frame index math (C9).  Declared form projects the index array to
+    a ','-joined string so the driver's pandas canonicalizer can hash it;
+    `S.frame_indices_at_fractions` remains the array-valued API."""
     li = load_table(spark, sf_dir, "lineitem")
     n = li.select(
         "l_orderkey",
@@ -1038,7 +1049,9 @@ def c9_frame_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n.select(
         "l_orderkey",
         "l_linenumber",
-        S.frame_indices_at_fractions("frame_count", [0.2, 0.5, 0.8]).alias("key_frames"),
+        F.array_join(
+            S.frame_indices_at_fractions("frame_count", [0.2, 0.5, 0.8]), ","
+        ).alias("key_frames_csv"),
     )
 
 
@@ -1355,18 +1368,18 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_set",
     """
     SELECT l_returnflag,
-           list_sort(list(DISTINCT l_linestatus)) AS statuses,
            string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses_csv
     FROM lineitem GROUP BY l_returnflag
     """,
 )
 def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Collecting aggregation: distinct values gathered into a sorted array
-    (+ CSV form).  Sorting makes the array deterministic — collect_set's
-    native order is partition-dependent."""
+    """Collecting aggregation: distinct values gathered, sorted, and joined
+    into a CSV string.  Sorting makes the result deterministic —
+    collect_set's native order is partition-dependent.  The declared query
+    is string-only because the driver's pandas canonicalizer cannot hash
+    list cells (array form: F.sort_array(F.collect_set(...)))."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.sort_array(F.collect_set("l_linestatus")).alias("statuses"),
         F.concat_ws(",", F.sort_array(F.collect_set("l_linestatus"))).alias("statuses_csv"),
     )
 
