@@ -33,8 +33,18 @@ def asof_join(
     recent ``right_values`` with ``right.right_ts <= left.left_ts`` per
     ``key``.  Ties on the timestamp break by ``tie_col`` (greatest wins) so
     results are deterministic."""
+    from pyspark.sql import types as T
+
     lcols = left.columns
     tie = tie_col if tie_col is not None else right_values[0]
+
+    # All right value columns travel in ONE struct so the window fill picks a
+    # single right ROW atomically.  Filling each column independently with
+    # last(ignorenulls) would backfill a column that is NULL in the newest
+    # right row from an OLDER row — a torn row that diverges from
+    # join-then-rank semantics.  The struct is non-null for every right row
+    # even when its fields are null, so ignorenulls only skips LEFT rows.
+    rv_type = T.StructType([T.StructField(v, right.schema[v].dataType) for v in right_values])
 
     l_tagged = left.select(
         F.col(key).alias("_k"),
@@ -42,7 +52,7 @@ def asof_join(
         F.lit(1).alias("_side"),  # left sorts AFTER right at equal ts (<=)
         F.lit(None).cast(right.schema[tie].dataType).alias("_tie"),
         *[F.col(c).alias(f"_l_{c}") for c in lcols],
-        *[F.lit(None).cast(right.schema[v].dataType).alias(f"_r_{v}") for v in right_values],
+        F.lit(None).cast(rv_type).alias("_rv"),
     )
     r_tagged = right.select(
         F.col(key).alias("_k"),
@@ -50,7 +60,7 @@ def asof_join(
         F.lit(0).alias("_side"),
         F.col(tie).alias("_tie"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}") for c in lcols],
-        *[F.col(v).alias(f"_r_{v}") for v in right_values],
+        F.struct(*[F.col(v).alias(v) for v in right_values]).alias("_rv"),
     )
     unioned = l_tagged.unionByName(r_tagged)
     w = (
@@ -59,15 +69,11 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(
-        "*",
-        *[
-            F.last(f"_r_{v}", ignorenulls=True).over(w).alias(f"_rf_{v}")
-            for v in right_values
-        ],
+        "*", F.last("_rv", ignorenulls=True).over(w).alias("_rvf")
     )
     return filled.filter(F.col("_side") == 1).select(
         *[F.col(f"_l_{c}").alias(c) for c in lcols],
-        *[F.col(f"_rf_{v}").alias(v) for v in right_values],
+        *[F.col(f"_rvf.{v}").alias(v) for v in right_values],
     )
 
 

@@ -18,6 +18,25 @@ from pyspark.sql import functions as F
 
 from lvm_datapipe_spark.operators.text import fingerprint, tokens, word_ngrams
 
+_CACHED_DEPS_ATTR = "_lvm_cached_deps"
+
+
+def _with_cached_deps(out: DataFrame, deps: list[DataFrame]) -> DataFrame:
+    """Record the .persist()ed intermediates an output depends on, so callers
+    can free executor storage once the result is materialized (long-lived
+    sessions would otherwise accumulate cached shingle/signature tables)."""
+    setattr(out, _CACHED_DEPS_ATTR, deps)
+    return out
+
+
+def release(df: DataFrame) -> None:
+    """Unpersist the cached intermediates behind a pair-generator result.
+    Call after the result has been written/collected; safe to call twice or
+    on DataFrames with no cached deps."""
+    for dep in getattr(df, _CACHED_DEPS_ATTR, []):
+        dep.unpersist()
+
+
 # -- exact -------------------------------------------------------------------
 
 
@@ -76,7 +95,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.6,
-    max_shingle_freq: int | None = None,
+    max_shingle_freq: int | None = 1000,
 ) -> DataFrame:
     """Near-dup pairs by word-n-gram Jaccard similarity ≥ threshold.
 
@@ -84,11 +103,18 @@ def ngram_jaccard_pairs(
     intersections per pair → Jaccard from |A|,|B|,|A∩B|.  The join is keyed
     on the shingle (no cross join); ``max_shingle_freq`` drops stop-shingles
     that appear in more than N docs — at corpus scale a handful of
-    ultra-common shingles would otherwise create quadratic hot keys (skew).
+    ultra-common shingles would otherwise create quadratic hot keys (a
+    shingle shared by 10k docs alone contributes 10k²/2 joined rows).  The
+    cap is ON by default (1000): a shingle in >1000 docs is boilerplate that
+    contributes ~nothing to a ≥0.6 Jaccard decision but dominates the join;
+    pass None to disable (exact Jaccard on every shingle).  Doc sizes |A|,|B|
+    are always uncapped, so for corpora where no shingle exceeds the cap the
+    output is bit-identical to the exact form.
     """
     # persist: the shingle rows feed the sizes branch and BOTH sides of the
     # self-join below — without it the shingle computation runs 3×
-    ex = shingle_rows(df, text_col, id_col, n).persist()
+    cached = shingle_rows(df, text_col, id_col, n).persist()
+    ex = cached
     sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     if max_shingle_freq is not None:
         freq_ok = (
@@ -108,7 +134,7 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
-    return (
+    out = (
         inter.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn(
@@ -118,6 +144,7 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    return _with_cached_deps(out, [cached])
 
 
 # -- MinHash + LSH -----------------------------------------------------------
@@ -188,12 +215,13 @@ def lsh_candidate_pairs(
     )
     a = exploded.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b_ = exploded.select(F.col(id_col).alias("id_b"), "band", "bucket")
-    return (
+    out = (
         a.join(b_, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
+    return _with_cached_deps(out, [exploded])
 
 
 def minhash_lsh_pairs(
@@ -305,7 +333,7 @@ def simhash_pairs(
     # hamming BEFORE distinct: the filter is flat codegen per joined row and
     # kills >99% of candidates, so the dedup shuffle carries a few thousand
     # rows instead of millions
-    return (
+    out = (
         a.join(b_, ["band", "piece"])
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
@@ -316,3 +344,4 @@ def simhash_pairs(
         .select("id_a", "id_b", "hamming")
         .distinct()
     )
+    return _with_cached_deps(out, [sh])

@@ -25,7 +25,17 @@ def salted_join(
     [0, salt_buckets); the small-ish (right) side is replicated once per salt
     value.  The hot key's rows spread over ``salt_buckets`` reducers instead
     of one straggler.  Right-side replication costs |R|·buckets — use for
-    moderate right sides or pre-filter to the hot keys only."""
+    moderate right sides or pre-filter to the hot keys only.
+
+    Only inner/left joins are supported: with how='right'/'full', unmatched
+    right rows would be emitted once per salt replica instead of once."""
+    allowed = {"inner", "cross", "left", "leftsemi", "semi", "leftanti", "anti"}
+    if how.lower().replace("_", "").replace("outer", "") not in allowed:
+        raise ValueError(
+            f"salted_join supports inner/left_* joins only, got how={how!r}: "
+            "right/full outer joins would emit unmatched right rows once per "
+            "salt replica instead of once"
+        )
     salted_left = left.withColumn(
         "_salt", (F.rand(seed=42) * salt_buckets).cast("int")
     )

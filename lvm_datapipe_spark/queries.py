@@ -707,10 +707,12 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
     sh AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM toks WHERE len({_SQL_SHINGLES}) > 0),
     ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    keep AS (SELECT shingle FROM ex GROUP BY shingle HAVING COUNT(*) <= 1000),
+    exk AS (SELECT ex.doc_id, ex.shingle FROM ex JOIN keep USING (shingle)),
     sz AS (SELECT doc_id, CAST(len(s) AS INTEGER) AS n FROM sh),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM exk a JOIN exk b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2)
     SELECT id_a, id_b,
            n_common / (sa.n + sb.n - n_common) AS jaccard
@@ -721,10 +723,13 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram Jaccard near-dup with the stop-shingle skew cap ACTIVE (the
+    oracle mirrors the cap with a HAVING df <= 1000 filter, so the check
+    exercises the capped plan — the one that survives a skewed corpus)."""
     from lvm_datapipe_spark.operators import dedup as D
 
     docs = load_table(spark, sf_dir, "documents")
-    return D.ngram_jaccard_pairs(docs, threshold=0.6)
+    return D.ngram_jaccard_pairs(docs, threshold=0.6, max_shingle_freq=1000)
 
 
 @_q(

@@ -59,9 +59,17 @@ def deduplicate_events(
     events: DataFrame, watermark: str = "1 hour", key: str = "event_id"
 ) -> DataFrame:
     """Watermarked exactly-once-per-key: duplicates within the watermark
-    horizon are dropped; state for keys older than the watermark is evicted
-    (bounded state — mandatory at scale)."""
-    return events.withWatermark("ts", watermark).dropDuplicates([key])
+    horizon are dropped and state is evicted once the watermark passes.
+
+    ``dropDuplicatesWithinWatermark`` (Spark >= 3.5) is required here: plain
+    ``dropDuplicates([key])`` only evicts state when the event-time column is
+    part of the dedup subset, so keying on event_id alone would grow state
+    unboundedly — a guaranteed OOM on a long-running stream.  Batch
+    DataFrames fall back to ``dropDuplicates`` (same result set; batch has
+    no state to bound)."""
+    if not events.isStreaming:
+        return events.dropDuplicates([key])
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark([key])
 
 
 def windowed_counts(

@@ -81,3 +81,22 @@ def test_salted_aggregate_matches_plain(spark):
     for k in want:
         assert got[k][0] == want[k][0] and got[k][2] == want[k][2]
         assert abs(got[k][1] - want[k][1]) < 1e-9
+
+
+def test_salted_join_rejects_right_and_full(spark):
+    import pytest
+
+    left = spark.range(4).withColumnRenamed("id", "k")
+    right = spark.range(4).withColumnRenamed("id", "k")
+    for how in ("right", "rightouter", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(left, right, "k", how=how)
+
+
+def test_salted_join_left_keeps_unmatched_left_once(spark):
+    left = spark.createDataFrame([(1, "a"), (2, "b"), (9, "z")], ["k", "lv"])
+    right = spark.createDataFrame([(1, "x"), (2, "y")], ["k", "rv"])
+    out = salted_join(left, right, "k", salt_buckets=8, how="left")
+    rows = {(r.k, r.lv, r.rv) for r in out.collect()}
+    assert rows == {(1, "a", "x"), (2, "b", "y"), (9, "z", None)}
+    assert out.count() == 3

@@ -155,3 +155,35 @@ def test_ivf_topk_recall(spark):
         for r in ivf_topk(emb, queries, k=10, n_cells=8, n_probe=8).collect()
     }
     assert full == exact  # probe-all == exact
+
+
+def test_ngram_jaccard_cap_default_equivalent_on_test_corpus(spark, sf_dir):
+    """The default stop-shingle cap (1000) must not change results on the
+    driver corpus — no shingle there reaches the cap, so capped and exact
+    forms are bit-identical (the cap only bites on pathological skew)."""
+    from lvm_datapipe_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    capped = D.ngram_jaccard_pairs(docs, threshold=0.6)  # default cap
+    exact = D.ngram_jaccard_pairs(docs, threshold=0.6, max_shingle_freq=None)
+    got = {(r.id_a, r.id_b, round(r.jaccard, 9)) for r in capped.collect()}
+    want = {(r.id_a, r.id_b, round(r.jaccard, 9)) for r in exact.collect()}
+    assert got == want and got  # non-empty: corpus has planted near-dups
+    D.release(capped)
+    D.release(exact)
+
+
+def test_release_unpersists_cached_intermediates(spark):
+    df = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog %d" % i) for i in range(6)],
+        ["doc_id", "text"],
+    )
+    out = D.ngram_jaccard_pairs(df, threshold=0.1)
+    out.count()
+    deps = getattr(out, "_lvm_cached_deps")
+    assert deps and all(d.storageLevel.useMemory or d.storageLevel.useDisk for d in deps)
+    D.release(out)
+    assert all(
+        not (d.storageLevel.useMemory or d.storageLevel.useDisk) for d in deps
+    )
+    D.release(out)  # idempotent

@@ -123,3 +123,36 @@ def test_drop_failed_rows(spark):
 def test_span_seconds(spark):
     df = spark.createDataFrame([(100, 250, 25.0)], ["s", "e", "fps"])
     assert df.select(S.span_seconds("s", "e", "fps").alias("d")).first().d == 6.0
+
+
+def test_asof_join_fills_right_row_atomically(spark):
+    """A right row with a NULL in one value column must NOT have that column
+    backfilled from an older right row (torn row) — the as-of match picks one
+    right row and takes all its values, like the join-then-rank oracle."""
+    from lvm_datapipe_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("u", 100)], ["k", "t"])
+    right = spark.createDataFrame(
+        [("u", 10, "old_a", "old_b"), ("u", 50, None, "new_b")],
+        ["k", "t", "va", "vb"],
+    )
+    out = asof_join(
+        left, right, key="k", left_ts="t", right_ts="t",
+        right_values=["va", "vb"], tie_col="vb",
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    # newest right row (t=50) atomically: va stays NULL, vb is new_b
+    assert r.va is None and r.vb == "new_b"
+
+
+def test_asof_join_no_right_match_is_all_null(spark):
+    from lvm_datapipe_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("u", 5)], ["k", "t"])
+    right = spark.createDataFrame([("u", 50, "a", "b")], ["k", "t", "va", "vb"])
+    out = asof_join(
+        left, right, key="k", left_ts="t", right_ts="t",
+        right_values=["va", "vb"], tie_col="vb",
+    ).collect()
+    assert len(out) == 1 and out[0].va is None and out[0].vb is None

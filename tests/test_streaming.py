@@ -176,7 +176,12 @@ def test_stream_clips_landing_pipeline(spark, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .load(str(landing))
     )
-    deduped = stream.withWatermark("ts", "1 hour").dropDuplicates(["clip_id"])
+    # dropDuplicatesWithinWatermark: state for clip_ids older than the
+    # watermark is evicted (plain dropDuplicates([key]) without the event-time
+    # column in the subset would grow state forever)
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["clip_id"]
+    )
     out, ckpt = str(tmp_path / "clips_out"), str(tmp_path / "clips_ckpt")
     q = (
         deduped.writeStream.format("parquet")
