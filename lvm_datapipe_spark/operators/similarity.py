@@ -134,6 +134,18 @@ def hyperplane_lsh_buckets(
     return emb.select(F.col(id_col), F.concat(*bits).alias("bucket"))
 
 
+def lsh_table_planes(n_planes: int, n_tables: int, dim: int, seed: int) -> list:
+    """The deterministic hyperplane sets for multi-table LSH: table t uses
+    ``n_planes`` Gaussian planes drawn from numpy PCG64 with seed ``seed+t``.
+    Exposed so the SQL oracle can replay the exact same literals."""
+    import numpy as np
+
+    return [
+        np.random.default_rng(seed + t).standard_normal((n_planes, dim))
+        for t in range(n_tables)
+    ]
+
+
 def lsh_ann_candidates(
     emb: DataFrame,
     n_planes: int = 4,
@@ -143,20 +155,43 @@ def lsh_ann_candidates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Multi-table hyperplane LSH: union candidates over ``n_tables``
-    independent plane sets to trade compute for recall.  Output: distinct
-    (id_a < id_b) candidate pairs — feed to exact cosine for verification.
+    """Multi-table hyperplane LSH: candidates over ``n_tables`` independent
+    plane sets to trade compute for recall.  Output: distinct (id_a < id_b)
+    candidate pairs — feed to exact cosine for verification.
+
+    Plan shape: ONE corpus scan computes every table's bucket string
+    (n_tables × n_planes literal-plane dot folds, all codegen), explodes to
+    (id, table, bucket) rows, and self-equi-joins on (table, bucket) — one
+    scan and one keyed shuffle instead of a scan+join per table.  The bucket
+    table is persisted (both join sides read it); callers free it with
+    :func:`lvm_datapipe_spark.operators.dedup.release`.
     """
-    out = None
-    for t in range(n_tables):
-        buckets = hyperplane_lsh_buckets(
-            emb, n_planes=n_planes, dim=dim, seed=seed + t, id_col=id_col, vec_col=vec_col
-        ).withColumn("table", F.lit(t))
-        a = buckets.select(F.col(id_col).alias("id_a"), "table", "bucket")
-        b = buckets.select(F.col(id_col).alias("id_b"), "table", "bucket")
-        pairs = a.join(b, ["table", "bucket"]).filter(F.col("id_a") < F.col("id_b"))
-        out = pairs if out is None else out.unionByName(pairs)
-    return out.select("id_a", "id_b").distinct()
+    from lvm_datapipe_spark.operators.dedup import _with_cached_deps
+
+    v = as_double(vec_col)
+    entries = []
+    for t, planes in enumerate(lsh_table_planes(n_planes, n_tables, dim, seed)):
+        bits = []
+        for p in planes:
+            plane = F.array(*[F.lit(float(x)) for x in p])
+            bits.append(F.when(dot(v, plane) >= 0, F.lit("1")).otherwise(F.lit("0")))
+        entries.append(
+            F.struct(F.lit(t).alias("tbl"), F.concat(*bits).alias("bucket"))
+        )
+    buckets = (
+        emb.select(F.col(id_col), F.explode(F.array(*entries)).alias("tb"))
+        .select(id_col, "tb.tbl", "tb.bucket")
+        .persist()
+    )
+    a = buckets.select(F.col(id_col).alias("id_a"), "tbl", "bucket")
+    b = buckets.select(F.col(id_col).alias("id_b"), "tbl", "bucket")
+    out = (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return _with_cached_deps(out, [buckets])
 
 
 def lsh_near_dup_pairs(
@@ -167,17 +202,23 @@ def lsh_near_dup_pairs(
     **lsh_kwargs,
 ) -> DataFrame:
     """Scale-path near-dup: LSH candidates → exact cosine verify.  Recall is
-    probabilistic (tunable via n_planes/n_tables); precision is exact."""
+    probabilistic (tunable via n_planes/n_tables) but DETERMINISTIC given the
+    fixed seed — the candidate set is reproducible, so the whole pipeline is
+    oracle-checkable; precision is exact (every emitted cos_sim is the true
+    cosine)."""
+    from lvm_datapipe_spark.operators.dedup import _CACHED_DEPS_ATTR, _with_cached_deps
+
     cand = lsh_ann_candidates(emb, id_col=id_col, vec_col=vec_col, **lsh_kwargs)
     a = emb.select(F.col(id_col).alias("id_a"), as_double(vec_col).alias("va"))
     b = emb.select(F.col(id_col).alias("id_b"), as_double(vec_col).alias("vb"))
-    return (
+    out = (
         cand.join(a, "id_a")
         .join(b, "id_b")
         .withColumn("cos_sim", cosine(F.col("va"), F.col("vb")))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+    return _with_cached_deps(out, getattr(cand, _CACHED_DEPS_ATTR, []))
 
 
 # -- IVF (inverted-file) ANN -------------------------------------------------

@@ -833,16 +833,59 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT all-pairs baseline (quadratic) — kept as the recall oracle for
+    the LSH variant and for broadcast-sized corpora only.  The production
+    path at scale is ``ann_lsh_near_dup`` (LSH candidates → exact verify,
+    also fully oracle-checked; no corpus×corpus join)."""
     from lvm_datapipe_spark.operators import similarity as V
 
     emb = load_table(spark, sf_dir, "embeddings")
     return V.embedding_near_dup_pairs(emb, threshold=0.4)
 
 
-# Scale-path ANN (hyperplane LSH → exact verify). Probabilistic recall → no
-# SQL oracle; the driver records a rows-only check and tests/test_similarity
-# asserts recall against the brute-force baseline.
-@_q("ann_lsh_near_dup")
+def _lsh_near_dup_sql(
+    n_planes: int = 4,
+    n_tables: int = 8,
+    seed: int = 42,
+    threshold: float = 0.4,
+    dim: int = _EMB_DIM,
+) -> str:
+    """DuckDB replay of the LSH scale path: the hyperplanes are fixed-seed
+    numpy draws embedded as literals on BOTH engines, so the candidate set
+    (sign-bit bucket collisions) is deterministic and the verify stage's
+    exact cosine is bit-identical (same left-to-right fold order)."""
+    from lvm_datapipe_spark.operators.similarity import lsh_table_planes
+
+    selects = []
+    for t, planes in enumerate(lsh_table_planes(n_planes, n_tables, dim, seed)):
+        bits = " || ".join(
+            "(CASE WHEN ("
+            + " + ".join(f"v[{i + 1}]*({float(planes[b][i])!r})" for i in range(dim))
+            + ") >= 0 THEN '1' ELSE '0' END)"
+            for b in range(n_planes)
+        )
+        selects.append(f"SELECT vec_id, {t} AS tbl, {bits} AS bucket FROM e")
+    buckets_sql = "\nUNION ALL\n".join(selects)
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    buckets AS ({buckets_sql}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM buckets a JOIN buckets b
+        ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    SELECT c.id_a, c.id_b, {_cos_sql('ea.v', 'eb.v')} AS cos_sim
+    FROM cand c
+    JOIN e ea ON ea.vec_id = c.id_a
+    JOIN e eb ON eb.vec_id = c.id_b
+    WHERE {_cos_sql('ea.v', 'eb.v')} >= {threshold}
+    """
+
+
+# Scale-path embedding near-dup (hyperplane LSH candidates → exact cosine
+# verify).  Fully oracle-checked: fixed seeds make the candidate set
+# deterministic, so DuckDB replays the same plane literals (no corpus×corpus
+# crossJoin anywhere in this plan — see tests/test_plan_quality.py).
+@_q("ann_lsh_near_dup", _lsh_near_dup_sql())
 def ann_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lvm_datapipe_spark.operators import similarity as V
 

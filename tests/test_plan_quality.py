@@ -65,3 +65,11 @@ def test_no_cartesian_in_shingle_dedup(spark):
         plan = _plan(spark, q)
         assert "CartesianProduct" not in plan, q
         assert "BroadcastNestedLoopJoin" not in plan, q
+
+
+def test_no_cartesian_in_lsh_embedding_dedup(spark):
+    # the oracle-checked embedding near-dup SCALE path: candidates come from
+    # (table, bucket) equi-joins, never a corpus x corpus product
+    plan = _plan(spark, "ann_lsh_near_dup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
