@@ -33,6 +33,7 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 from lvm_datapipe_spark import fakevideo
+from lvm_datapipe_spark.operators import mp4
 
 # -- decode adapapter --------------------------------------------------------
 
@@ -77,12 +78,20 @@ def _decode_frames_cv2(data: bytes, indices: list[int]) -> list[bytes] | None:
 
 
 def _probe(data: bytes) -> dict | None:
+    """Format-dispatching probe: FVID header → fakevideo; ISO-BMFF → the
+    pure-Python box walker (operators/mp4.py, no deps); anything else → the
+    ffprobe subprocess adapter when the binary exists (scene_cut.py:28-34),
+    else None (null row)."""
     if data is None:
         return None
     try:
         if fakevideo.is_fvid(data):
             return fakevideo.probe(data)
-        return None  # real ffprobe adapter would go here
+        if mp4.is_mp4(data):
+            got = mp4.probe_mp4(data)
+            if got is not None:
+                return got
+        return mp4.ffprobe_probe(data)
     except Exception:  # noqa: BLE001
         return None
 

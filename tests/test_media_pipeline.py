@@ -270,3 +270,95 @@ def test_resume_anti_join_integration(spark, clips):
     done = clips.select("clip_id").limit(4)
     todo = resume_anti_join(clips, done)
     assert todo.count() == clips.count() - 4
+
+
+# -- real-container (ISO-BMFF) probe + cv2 adapter ---------------------------
+
+
+def _mp4_fixture(**kw):
+    from lvm_datapipe_spark.operators import mp4
+
+    return mp4.build_minimal_mp4(**kw)
+
+
+def test_mp4_probe_roundtrip():
+    from lvm_datapipe_spark.operators import mp4
+
+    data = _mp4_fixture(width=128, height=72, n_frames=250, fps=25.0)
+    got = mp4.probe_mp4(data)
+    assert got == {
+        "height": 72, "width": 128, "fps": 25.0, "n_frames": 250, "duration_s": 10.0,
+    }
+
+
+def test_mp4_probe_rejects_garbage_and_truncation():
+    from lvm_datapipe_spark.operators import mp4
+
+    assert mp4.probe_mp4(b"not a container at all") is None
+    data = _mp4_fixture()
+    assert mp4.is_mp4(data[:40])  # sniff passes on the ftyp header...
+    assert mp4.probe_mp4(data[:40]) is None  # ...but no moov -> None
+
+
+def test_probe_udf_reads_real_mp4_container(spark):
+    from lvm_datapipe_spark.operators.media import probe_videos
+
+    rows = [("a.mp4", _mp4_fixture(width=64, height=48, n_frames=30, fps=10.0)),
+            ("b.bin", b"garbage")]
+    df = spark.createDataFrame(rows, ["path", "content"])
+    got = {r.path: r.probe.asDict() for r in probe_videos(df).collect()}
+    assert got["a.mp4"] == {
+        "height": 48, "width": 64, "fps": 10.0, "n_frames": 30, "duration_s": 3.0,
+    }
+    assert all(v is None for v in got["b.bin"].values())
+
+
+def test_mp4_decode_without_cv2_yields_null_row(spark):
+    # probe succeeds on the container, but with no codec lib installed the
+    # decode falls to the cv2 ImportError guard -> frames column is NULL (F4)
+    from lvm_datapipe_spark.operators.media import with_sampled_frames
+
+    df = spark.createDataFrame([("a.mp4", _mp4_fixture())], ["path", "content"])
+    row = with_sampled_frames(df).collect()[0]
+    assert row.frames is None
+
+
+def test_cv2_adapter_with_injected_module(monkeypatch):
+    """Drive the real cv2 adapter code path (seek via CAP_PROP_POS_FRAMES,
+    grayscale convert, byte packing) through an injected fake module — the
+    container ships no cv2, but the adapter must be exercised, not dead."""
+    import sys
+    import types
+
+    import numpy as np
+
+    from lvm_datapipe_spark.operators import media
+
+    calls = {"seeks": [], "released": False}
+
+    class _FakeCap:
+        def __init__(self, path):
+            self.pos = 0
+
+        def set(self, prop, val):
+            assert prop == 99  # CAP_PROP_POS_FRAMES routed through
+            calls["seeks"].append(int(val))
+            self.pos = int(val)
+
+        def read(self):
+            return True, np.full((48, 64, 3), self.pos % 256, dtype=np.uint8)
+
+        def release(self):
+            calls["released"] = True
+
+    fake = types.ModuleType("cv2")
+    fake.VideoCapture = _FakeCap
+    fake.CAP_PROP_POS_FRAMES = 99
+    fake.COLOR_BGR2GRAY = 6
+    fake.cvtColor = lambda f, code: f[:, :, 0]
+    monkeypatch.setitem(sys.modules, "cv2", fake)
+
+    out = media._decode_frames(_mp4_fixture(), [0, 5, 7])
+    assert calls["seeks"] == [0, 5, 7] and calls["released"]
+    assert len(out) == 3 and all(len(f) == 48 * 64 for f in out)
+    assert out[1] == bytes([5]) * (48 * 64)
