@@ -275,12 +275,17 @@ def caption_text(frames: list[np.ndarray]) -> list[str]:
 # -- scorer UDF registry (instantiate_from_config analog) --------------------
 
 
-def _scorer_udf(kernel: Callable[[list[np.ndarray], int, int], object], ret_type):
+def _scorer_udf(name: str, stub_kernel: Callable[[list[np.ndarray], int, int], object], ret_type):
     @pandas_udf(ret_type)
     def _udf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Series]:
-        # Iterator-of-batches form: a real model adapter would lazy-init the
-        # checkpoint HERE, once per partition (SURVEY.md §4 "model state in
-        # UDFs"), then reuse it across Arrow batches.
+        # Iterator-of-batches form: kernel resolution happens HERE, once per
+        # partition on the executor (SURVEY.md §4 "model state in UDFs") —
+        # the real model adapter when its deps are importable on this worker
+        # (model cached per Python worker process), the deterministic stub
+        # otherwise.  Reused across all Arrow batches of the partition.
+        from lvm_datapipe_spark.operators.model_adapters import resolve_kernel
+
+        kernel = resolve_kernel(name, stub_kernel)
         for pdf in batches:
             out = []
             for frames, h, w in zip(pdf["frames"], pdf["height"], pdf["width"]):
@@ -320,12 +325,17 @@ def _caption_kernel(frames, h, w):
 
 
 SCORERS: dict[str, tuple[str, object]] = {
-    # name -> (output column, (kernel, spark return type))
+    # name -> (output column, (stub kernel, spark return type)); real model
+    # adapters resolve per-executor via operators/model_adapters.ADAPTERS
     "aesthetic": ("optimal_score", (_aesthetic_kernel, T.ArrayType(T.DoubleType()))),
     "imaging_quality": ("imaging_quality", (_imaging_kernel, T.DoubleType())),
     "ocr": ("ocr_score", (_ocr_kernel, T.DoubleType())),
     "motion": ("of_score", (_motion_kernel, T.DoubleType())),
     "caption": ("frame_caption_raw", (_caption_kernel, T.ArrayType(T.StringType()))),
+    "caption_llava": (
+        "frame_caption_llava_raw",
+        (_caption_kernel, T.ArrayType(T.StringType())),
+    ),
 }
 
 
@@ -340,7 +350,7 @@ def apply_scorer(
     output column (null where decode failed).  The UDF consumes a struct of
     (frames, height, width) so one Arrow transfer carries everything."""
     out_col, (kernel, ret_type) = SCORERS[scorer]
-    udf = _scorer_udf(kernel, ret_type)
+    udf = _scorer_udf(scorer, kernel, ret_type)
     packed = F.struct(
         F.col(frames_col).alias("frames"),
         F.col(height_col).alias("height"),

@@ -1,0 +1,267 @@
+"""Real model adapters for the scorer registry (M3-M8) — lazy-init once per
+executor, import-guarded, stub-compatible.
+
+Each adapter mirrors one reference model stage:
+
+- ``AestheticAdapter``   — CLIP ViT-L/14 image embedding, L2-normalized, fed
+  to the LAION MLP regressor (``/root/reference/evaluations/aesthetic_score.py:25-67``,
+  inference loop ``:116-132``); one score per sampled frame.
+- ``ImagingQualityAdapter`` — MUSIQ transformer per frame, mean over frames
+  (``/root/reference/evaluations/imaging_quality.py:70-95``).
+- ``OcrAdapter``         — easyocr ``reader.detect`` boxes per frame
+  (``/root/reference/evaluations/ocr_score.py:29-49``); the downstream AREA
+  MATH is the in-repo :func:`~lvm_datapipe_spark.operators.media.ocr_area_score`
+  kernel (already the reference's published formula).
+- ``CocaCaptionAdapter`` — open_clip CoCa ``generate`` per frame
+  (``/root/reference/evaluations/coca_caption.py:75-101``).
+- ``LlavaCaptionAdapter``— LLaVA conditional generation per frame
+  (``/root/reference/evaluations/llava_caption.py:77-152``).
+
+None of the model deps ship in this container, so ``available()`` is False
+everywhere here and :func:`resolve_kernel` falls back to the deterministic
+stubs in ``operators/media.py`` — but the adapter classes are real, loadable
+code: on a cluster with the deps installed the registry resolves them
+automatically and the models initialize ONCE PER EXECUTOR (class-level cache
+inside the long-lived Python worker), not per row or per batch — the Spark
+analog of the reference's one-model-per-process pattern.
+
+Adapters receive grayscale uint8 frames (H, W).  Models wanting RGB get a
+channel-stacked view — scores then reflect luminance only, which is the
+correct contract for this pipeline's frame columns; swap the decode to RGB
+at the sampling layer if full color fidelity is needed.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+from typing import Any, ClassVar
+
+import numpy as np
+
+
+class ScorerAdapter:
+    """Base adapter: subclasses declare ``requires`` (importable module
+    names) and implement ``_load`` + ``score``.  The loaded model handle is
+    cached on the CLASS, so every task on the same executor reuses one
+    instance (lazy singleton per Python worker)."""
+
+    requires: ClassVar[tuple[str, ...]] = ()
+    _model: ClassVar[Any] = None
+    _loaded: ClassVar[bool] = False
+
+    @classmethod
+    def available(cls) -> bool:
+        return all(importlib.util.find_spec(m) is not None for m in cls.requires)
+
+    @classmethod
+    def model(cls):
+        if not cls._loaded:
+            cls._model = cls._load()
+            cls._loaded = True
+        return cls._model
+
+    @classmethod
+    def _load(cls):  # pragma: no cover — needs the model deps
+        raise NotImplementedError
+
+    def __call__(self, frames: list[np.ndarray], h: int, w: int):
+        return self.score(frames, h, w)
+
+    def score(self, frames: list[np.ndarray], h: int, w: int):  # pragma: no cover
+        raise NotImplementedError
+
+
+def _gray_to_rgb(frame: np.ndarray) -> np.ndarray:
+    return np.stack([frame, frame, frame], axis=-1)
+
+
+class AestheticAdapter(ScorerAdapter):
+    """M3 — CLIP+MLP aesthetic predictor; output matches the stub: one float
+    per frame (the reference's ``optimal_score`` array,
+    aesthetic_score.py:130-132)."""
+
+    requires = ("torch", "clip")
+
+    @classmethod
+    def _load(cls):  # pragma: no cover — needs torch+clip
+        import clip
+        import torch
+
+        device = "cuda" if torch.cuda.is_available() else "cpu"
+        clip_model, preprocess = clip.load("ViT-L/14", device=device)
+        # the LAION aesthetic head: 768 -> 1024 -> 128 -> 64 -> 16 -> 1
+        # (aesthetic_score.py:30-45); weights from the standard checkpoint
+        mlp = torch.nn.Sequential(
+            torch.nn.Linear(768, 1024), torch.nn.Dropout(0.2),
+            torch.nn.Linear(1024, 128), torch.nn.Dropout(0.2),
+            torch.nn.Linear(128, 64), torch.nn.Dropout(0.1),
+            torch.nn.Linear(64, 16), torch.nn.Linear(16, 1),
+        ).to(device).eval()
+        return device, clip_model, preprocess, mlp
+
+    def score(self, frames, h, w):  # pragma: no cover — needs torch+clip
+        import torch
+        from PIL import Image
+
+        device, clip_model, preprocess, mlp = self.model()
+        out = []
+        with torch.no_grad():
+            for f in frames:
+                img = preprocess(Image.fromarray(_gray_to_rgb(f))).unsqueeze(0).to(device)
+                emb = clip_model.encode_image(img)
+                emb = emb / emb.norm(dim=-1, keepdim=True)  # normalized(), :69-75
+                out.append(float(mlp(emb.float()).item()))
+        return out
+
+
+class ImagingQualityAdapter(ScorerAdapter):
+    """M4 — MUSIQ mean-over-frames (imaging_quality.py:85-90); output
+    matches the stub: one double per clip."""
+
+    requires = ("torch", "pyiqa")
+
+    @classmethod
+    def _load(cls):  # pragma: no cover — needs torch+pyiqa
+        import pyiqa
+        import torch
+
+        device = "cuda" if torch.cuda.is_available() else "cpu"
+        return pyiqa.create_metric("musiq", device=device)
+
+    def score(self, frames, h, w):  # pragma: no cover — needs torch+pyiqa
+        import torch
+
+        metric = self.model()
+        if not frames:
+            return 0.0
+        acc = 0.0
+        with torch.no_grad():
+            for f in frames:
+                t = (
+                    torch.from_numpy(_gray_to_rgb(f)).permute(2, 0, 1).unsqueeze(0)
+                    .float() / 255.0
+                )
+                acc += float(metric(t))  # per-frame forward, :86-88
+        return acc / len(frames)
+
+
+class OcrAdapter(ScorerAdapter):
+    """M5 — easyocr detector + the reference's area formula.  The geometry
+    math is shared with the stub (media.ocr_area_score), so adapter and stub
+    differ ONLY in where boxes come from; output: one double per clip."""
+
+    requires = ("easyocr",)
+
+    @classmethod
+    def _load(cls):  # pragma: no cover — needs easyocr
+        import easyocr
+
+        return easyocr.Reader(["en"], gpu=False)
+
+    def score(self, frames, h, w):
+        from lvm_datapipe_spark.operators.media import ocr_area_score
+
+        reader = self.model()
+        flat_h: list[list[float]] = []
+        flat_f: list[list[list[float]]] = []
+        for f in frames:
+            horizontal_list, free_list = reader.detect(_gray_to_rgb(f))
+            # reader.detect returns one list per image (ocr_score.py:34-36)
+            for box in horizontal_list[0]:
+                if box != []:
+                    # easyocr order [x0, x1, y0, y1] — ocr_score.py:38-41
+                    flat_h.append([float(v) for v in box])
+            for quad in free_list[0]:
+                if quad != []:
+                    flat_f.append([[float(x), float(y)] for x, y in quad])
+        return ocr_area_score(flat_h, flat_f, w, h, len(frames))
+
+
+class CocaCaptionAdapter(ScorerAdapter):
+    """M7 — CoCa caption per frame (coca_caption.py:75-101); output matches
+    the stub: array<string>, raw model text (C5 cleanup runs downstream)."""
+
+    requires = ("torch", "open_clip")
+
+    @classmethod
+    def _load(cls):  # pragma: no cover — needs open_clip
+        import open_clip
+        import torch
+
+        device = "cuda" if torch.cuda.is_available() else "cpu"
+        model, _, transform = open_clip.create_model_and_transforms(
+            "coca_ViT-L-14", pretrained="mscoco_finetuned_laion2B-s13B-b90k"
+        )
+        return device, model.to(device).eval(), transform, open_clip
+
+    def score(self, frames, h, w):  # pragma: no cover — needs open_clip
+        import torch
+        from PIL import Image
+
+        device, model, transform, open_clip = self.model()
+        out = []
+        with torch.no_grad():
+            for f in frames:
+                img = transform(Image.fromarray(_gray_to_rgb(f))).unsqueeze(0).to(device)
+                generated = model.generate(img)  # coca_caption.py:94-97
+                out.append(open_clip.decode(generated[0]))
+        return out
+
+
+class LlavaCaptionAdapter(ScorerAdapter):
+    """M8 — LLaVA caption per frame (llava_caption.py:77-152); output
+    matches the stub: array<string>."""
+
+    requires = ("torch", "transformers")
+
+    @classmethod
+    def _load(cls):  # pragma: no cover — needs transformers
+        import torch
+        from transformers import AutoProcessor, LlavaForConditionalGeneration
+
+        device = "cuda" if torch.cuda.is_available() else "cpu"
+        name = "llava-hf/llava-1.5-7b-hf"
+        processor = AutoProcessor.from_pretrained(name)
+        model = LlavaForConditionalGeneration.from_pretrained(
+            name, torch_dtype=torch.float16 if device == "cuda" else torch.float32
+        ).to(device).eval()
+        return device, processor, model
+
+    def score(self, frames, h, w):  # pragma: no cover — needs transformers
+        import torch
+        from PIL import Image
+
+        device, processor, model = self.model()
+        prompt = "USER: <image>\nDescribe the image concisely. ASSISTANT:"
+        out = []
+        with torch.no_grad():
+            for f in frames:
+                inputs = processor(
+                    text=prompt, images=Image.fromarray(_gray_to_rgb(f)),
+                    return_tensors="pt",
+                ).to(device)
+                ids = model.generate(**inputs, max_new_tokens=64)
+                out.append(processor.decode(ids[0], skip_special_tokens=True))
+        return out
+
+
+#: scorer name -> adapter class; names match media.SCORERS keys.  "caption"
+#: prefers CoCa (the reference's default frame captioner); LLaVA is reachable
+#: as the explicit "caption_llava" scorer variant.
+ADAPTERS: dict[str, type[ScorerAdapter]] = {
+    "aesthetic": AestheticAdapter,
+    "imaging_quality": ImagingQualityAdapter,
+    "ocr": OcrAdapter,
+    "caption": CocaCaptionAdapter,
+    "caption_llava": LlavaCaptionAdapter,
+}
+
+
+def resolve_kernel(name: str, stub_kernel):
+    """Registry resolution: the real adapter when its deps are importable on
+    this worker, else the deterministic stub.  Called lazily INSIDE the UDF
+    (executor-side), so a heterogeneous cluster resolves per worker."""
+    adapter_cls = ADAPTERS.get(name)
+    if adapter_cls is not None and adapter_cls.available():
+        return adapter_cls()
+    return stub_kernel

@@ -1,0 +1,98 @@
+"""Contract tests for the real model adapters (M3-M8): registry resolution,
+stub fallback, and — for the one adapter drivable without torch — numeric
+agreement with the reference area math through an injected fake easyocr."""
+
+from __future__ import annotations
+
+import importlib.machinery
+import sys
+import types
+
+import numpy as np
+import pytest
+
+from lvm_datapipe_spark.operators import media
+from lvm_datapipe_spark.operators import model_adapters as MA
+
+
+def test_every_adapter_maps_to_a_registered_scorer():
+    assert set(MA.ADAPTERS) <= set(media.SCORERS)
+
+
+def test_adapters_unavailable_in_this_container():
+    # the environment ships no torch/easyocr/open_clip/transformers — every
+    # adapter must report unavailable rather than blow up
+    for name, cls in MA.ADAPTERS.items():
+        assert cls.available() is False, name
+
+
+def test_resolve_falls_back_to_stub_when_deps_absent():
+    def stub(frames, h, w):
+        return 1.0
+
+    assert MA.resolve_kernel("ocr", stub) is stub
+    assert MA.resolve_kernel("aesthetic", stub) is stub
+    assert MA.resolve_kernel("motion", stub) is stub  # no adapter registered
+
+
+def _fake_module(name: str) -> types.ModuleType:
+    mod = types.ModuleType(name)
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
+    return mod
+
+
+@pytest.fixture
+def fake_easyocr(monkeypatch):
+    """easyocr stand-in whose detect() returns fixed boxes in the reference's
+    shapes (one horizontal_list + one free_list per image,
+    ocr_score.py:34-36)."""
+    fake = _fake_module("easyocr")
+
+    class Reader:
+        def __init__(self, langs, gpu=False):
+            self.langs = langs
+
+        def detect(self, img):
+            horizontal = [[[2.0, 10.0, 3.0, 9.0]]]  # [x0, x1, y0, y1]
+            free = [[[[1.0, 1.0], [5.0, 1.0], [5.0, 4.0], [1.0, 4.0]]]]
+            return horizontal, free
+
+    fake.Reader = Reader
+    monkeypatch.setitem(sys.modules, "easyocr", fake)
+    # class-level model cache must not leak a Reader across tests
+    monkeypatch.setattr(MA.OcrAdapter, "_model", None)
+    monkeypatch.setattr(MA.OcrAdapter, "_loaded", False)
+    return fake
+
+
+def test_resolve_returns_real_adapter_when_deps_exist(fake_easyocr):
+    kernel = MA.resolve_kernel("ocr", lambda f, h, w: 0.0)
+    assert isinstance(kernel, MA.OcrAdapter)
+
+
+def test_ocr_adapter_matches_reference_area_math(fake_easyocr):
+    """Adapter output = the reference formula over the detector's boxes:
+    axis-aligned (x1-x0)(y1-y0) + shoelace quad area, normalized by
+    w*h*n_frames — same kernel the stub uses, same scalar type."""
+    frames = [np.zeros((48, 64), dtype=np.uint8)] * 2
+    got = MA.OcrAdapter()(frames, 48, 64)
+    # per frame: 8*6 axis-aligned + 4*3 quad = 60; two frames -> 120
+    want = 120.0 / (64.0 * 48.0 * 2)
+    assert got == pytest.approx(want)
+    assert isinstance(got, float)  # same Spark type as the stub (double)
+
+
+def test_ocr_adapter_caches_model_per_process(fake_easyocr):
+    a, b = MA.OcrAdapter(), MA.OcrAdapter()
+    m1 = a.model()
+    m2 = b.model()
+    assert m1 is m2  # one Reader per executor python worker
+
+
+def test_stub_and_adapter_signatures_interchangeable(fake_easyocr):
+    """apply_scorer's UDF calls kernel(frames, h, w) — both callables must
+    accept the exact same signature."""
+    frames = [np.zeros((8, 8), dtype=np.uint8)]
+    stub_out = media._ocr_kernel(frames, 8, 8)
+    adapter_out = MA.OcrAdapter()(frames, 8, 8)
+    assert isinstance(stub_out, float) and isinstance(adapter_out, float)
