@@ -60,6 +60,67 @@ def detect_scene_bounds(frames: np.ndarray, fps: float, threshold: float) -> lis
     return out
 
 
+def have_pyscenedetect() -> bool:
+    import importlib.util
+
+    return importlib.util.find_spec("scenedetect") is not None
+
+
+def pyscenedetect_bounds(
+    data: bytes, threshold: float = DEFAULT_THRESHOLD, scenedetect_mod=None
+) -> list[tuple] | None:
+    """M1 real adapter — PySceneDetect ContentDetector, the exact reference
+    call sequence (scene_cut.py:162-172: open_video → SceneManager →
+    add_detector(ContentDetector(threshold)) → detect_scenes →
+    get_scene_list).  Scene list timecodes convert to the same
+    (start_f, end_f, start_s, end_s) tuples as the content-delta analog.
+
+    ``scenedetect_mod`` is injectable for tests; default imports the real
+    package (import-guarded by callers via :func:`have_pyscenedetect`).
+    """
+    import tempfile
+
+    sd = scenedetect_mod
+    if sd is None:
+        import scenedetect as sd  # noqa: F811 — optional dependency
+
+    with tempfile.NamedTemporaryFile(suffix=".mp4") as tmp:
+        tmp.write(data)
+        tmp.flush()
+        video = sd.open_video(tmp.name)
+        manager = sd.SceneManager()
+        manager.add_detector(sd.ContentDetector(threshold=threshold))
+        manager.detect_scenes(video)
+        scenes = manager.get_scene_list()
+    out = []
+    for start, end in scenes:
+        out.append(
+            (
+                int(start.get_frames()),
+                int(end.get_frames()),
+                float(start.get_seconds()),
+                float(end.get_seconds()),
+            )
+        )
+    return out
+
+
+def _detect_one(data: bytes, threshold: float) -> list[tuple] | None:
+    """Per-video dispatch: FVID → content-delta analog; real containers →
+    PySceneDetect when importable on this worker; else None (F4 null row)."""
+    if data is None:
+        return None
+    try:
+        if fakevideo.is_fvid(data):
+            v = fakevideo.decode(data)
+            return detect_scene_bounds(v.frames, v.fps, threshold)
+        if have_pyscenedetect():
+            return pyscenedetect_bounds(data, threshold)
+        return None
+    except Exception:  # noqa: BLE001 — F4 null-row semantics
+        return None
+
+
 def detect_scenes(
     videos: DataFrame,
     content_col: str = "content",
@@ -67,19 +128,15 @@ def detect_scenes(
     out_col: str = "scenes",
 ) -> DataFrame:
     """M1 — one row per video gains a ``scenes`` array (the flatMap/UDTF
-    shape noted in SURVEY.md §2.9: array-returning pandas UDF + explode)."""
+    shape noted in SURVEY.md §2.9: array-returning pandas UDF + explode).
+    Backend resolves per worker inside the UDF (:func:`_detect_one`)."""
 
     @pandas_udf(SCENES_TYPE)
     def _detect(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for content in batches:
-            out = []
-            for data in content:
-                try:
-                    v = fakevideo.decode(data)
-                    out.append(detect_scene_bounds(v.frames, v.fps, threshold))
-                except Exception:  # noqa: BLE001 — F4 null-row semantics
-                    out.append(None)
-            yield pd.Series(out, dtype=object)
+            yield pd.Series(
+                [_detect_one(data, threshold) for data in content], dtype=object
+            )
 
     return videos.withColumn(out_col, _detect(F.col(content_col)))
 
@@ -150,6 +207,67 @@ def split_clip_bytes(
         F.col("end_frame").alias("end_frame"),
     )
     return clips.withColumn(out_col, _split(packed))
+
+
+def have_ffmpeg() -> bool:
+    import shutil
+
+    return shutil.which("ffmpeg") is not None
+
+
+def ffmpeg_split_argv(
+    video_path: str, start_s: float, end_s: float, out_path: str
+) -> list[str]:
+    """The per-scene ffmpeg invocation of split_video_ffmpeg
+    (utils/scenecut.py:120-121): accurate seek (``-ss`` after ``-i``),
+    duration-bounded, stream re-encode so the cut lands on the exact frame."""
+    return [
+        "ffmpeg", "-nostdin", "-y",
+        "-i", video_path,
+        "-ss", f"{start_s:.6f}",
+        "-t", f"{end_s - start_s:.6f}",
+        "-map", "0",
+        "-c:v", "libx264", "-preset", "fast", "-crf", "21",
+        "-c:a", "aac",
+        out_path,
+    ]
+
+
+def _ffmpeg_split_partition(rows, out_dir: str, runner) -> int:
+    """Executor-side body of the M2 ffmpeg adapter: one subprocess per clip
+    row, null-safe, counts successful splits.  ``runner`` is the subprocess
+    entry point — the real one below, a recorder in tests."""
+    n = 0
+    for row in rows:
+        if row.video_path is None or row.start_s is None or row.end_s is None:
+            continue
+        out_path = f"{out_dir}/{row.clip_id}.mp4"
+        try:
+            runner(ffmpeg_split_argv(row.video_path, row.start_s, row.end_s, out_path))
+            n += 1
+        except Exception:  # noqa: BLE001 — one bad clip must not kill the task
+            continue
+    return n
+
+
+def ffmpeg_split_clips(clips: DataFrame, out_dir: str) -> None:
+    """M2 real adapter — physically split source videos into per-clip mp4
+    files with ffmpeg, one subprocess per clip row, fanned out with
+    ``foreachPartition`` (the executors shell out in parallel; no data moves
+    through the driver).  Requires the ffmpeg binary on the workers
+    (:func:`have_ffmpeg`); ``split_clip_bytes`` remains the in-engine
+    byte-range splitter for FVID payloads."""
+    import subprocess
+
+    def _run(argv):  # pragma: no cover — needs the real binary
+        subprocess.run(argv, capture_output=True, check=True)
+
+    def _partition(rows):  # pragma: no cover — executor-side
+        _ffmpeg_split_partition(rows, out_dir, _run)
+
+    clips.select("clip_id", "video_path", "start_s", "end_s").foreachPartition(
+        _partition
+    )
 
 
 def scene_cut(

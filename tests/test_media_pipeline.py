@@ -362,3 +362,92 @@ def test_cv2_adapter_with_injected_module(monkeypatch):
     assert calls["seeks"] == [0, 5, 7] and calls["released"]
     assert len(out) == 3 and all(len(f) == 48 * 64 for f in out)
     assert out[1] == bytes([5]) * (48 * 64)
+
+
+# -- M1/M2 real adapters (PySceneDetect / ffmpeg), driven via injection ------
+
+
+def test_pyscenedetect_adapter_call_sequence_and_conversion():
+    """Adapter must follow the reference call sequence (open_video ->
+    SceneManager -> add_detector(ContentDetector(threshold)) -> detect ->
+    get_scene_list) and convert FrameTimecode pairs to the analog's tuple
+    shape."""
+    import types
+
+    from lvm_datapipe_spark.operators import scenecut as SC
+
+    calls = []
+
+    class _TC:
+        def __init__(self, frames, fps):
+            self.f, self.fps = frames, fps
+
+        def get_frames(self):
+            return self.f
+
+        def get_seconds(self):
+            return self.f / self.fps
+
+    class _Manager:
+        def __init__(self):
+            calls.append("SceneManager")
+
+        def add_detector(self, det):
+            calls.append(("add_detector", det))
+
+        def detect_scenes(self, video):
+            calls.append(("detect_scenes", video))
+
+        def get_scene_list(self):
+            return [(_TC(0, 10.0), _TC(25, 10.0)), (_TC(25, 10.0), _TC(40, 10.0))]
+
+    fake = types.ModuleType("scenedetect")
+    fake.open_video = lambda path: f"video:{path}"
+    fake.SceneManager = _Manager
+    fake.ContentDetector = lambda threshold: ("ContentDetector", threshold)
+    out = SC.pyscenedetect_bounds(b"fakebytes", threshold=27.0, scenedetect_mod=fake)
+    assert out == [(0, 25, 0.0, 2.5), (25, 40, 2.5, 4.0)]
+    assert ("add_detector", ("ContentDetector", 27.0)) in calls
+
+
+def test_detect_one_null_for_real_container_without_pyscenedetect():
+    from lvm_datapipe_spark.operators import mp4
+    from lvm_datapipe_spark.operators import scenecut as SC
+
+    assert SC.have_pyscenedetect() is False  # not shipped in this container
+    assert SC._detect_one(mp4.build_minimal_mp4(), 30.0) is None
+    assert SC._detect_one(None, 30.0) is None
+
+
+def test_ffmpeg_split_partition_with_recorder(tmp_path):
+    """M2 adapter body: one ffmpeg invocation per clip row with the
+    reference's accurate-seek argv; bad rows skipped, successes counted."""
+    from types import SimpleNamespace
+
+    from lvm_datapipe_spark.operators import scenecut as SC
+
+    rows = [
+        SimpleNamespace(clip_id="v1_0000000", video_path="/data/v1.mp4", start_s=0.0, end_s=2.5),
+        SimpleNamespace(clip_id="v1_0000001", video_path="/data/v1.mp4", start_s=2.5, end_s=4.0),
+        SimpleNamespace(clip_id="bad", video_path=None, start_s=None, end_s=None),
+    ]
+    recorded = []
+    n = SC._ffmpeg_split_partition(iter(rows), str(tmp_path), recorded.append)
+    assert n == 2 and len(recorded) == 2
+    argv = recorded[0]
+    assert argv[0] == "ffmpeg" and argv[-1] == f"{tmp_path}/v1_0000000.mp4"
+    i = argv.index("-ss")
+    assert argv[i + 1] == "0.000000"
+    assert "-i" in argv and argv[argv.index("-i") + 1] == "/data/v1.mp4"
+
+
+def test_ffmpeg_split_partition_survives_runner_failure(tmp_path):
+    from types import SimpleNamespace
+
+    from lvm_datapipe_spark.operators import scenecut as SC
+
+    def boom(argv):
+        raise RuntimeError("ffmpeg exploded")
+
+    rows = [SimpleNamespace(clip_id="c", video_path="/v.mp4", start_s=0.0, end_s=1.0)]
+    assert SC._ffmpeg_split_partition(iter(rows), str(tmp_path), boom) == 0
