@@ -60,9 +60,30 @@ def _first_parquet_file(path: str) -> str:
 # overhead would exceed any parallelism win.
 _MIN_SPLIT_BYTES = 128 * 1024
 
-# (appId, path) -> whether the scan needs rebalancing; the probe costs a
-# plan materialization + py4j round-trip, so pay it once per table/session
-_REBALANCE_CACHE: dict[tuple[str, str], bool] = {}
+# path -> whether the scan needs rebalancing.  The probe reads parquet FOOTER
+# metadata with pyarrow (row-group count = Spark's max scan parallelism for a
+# file; row groups are the split unit) — no Spark plan materialization, no
+# py4j round-trip, cacheable across sessions since it's a property of the file.
+_REBALANCE_CACHE: dict[str, bool] = {}
+
+
+def _scan_parallelism_limit(path: str) -> int:
+    """Upper bound on scan partitions: total row groups across the table's
+    files (Spark can split parquet only at row-group boundaries)."""
+    import pyarrow.parquet as pq
+
+    files = (
+        [os.path.join(path, e) for e in sorted(os.listdir(path)) if e.endswith(".parquet")]
+        if os.path.isdir(path)
+        else [path]
+    )
+    total = 0
+    for f in files:
+        try:
+            total += pq.ParquetFile(f).metadata.num_row_groups
+        except Exception:  # noqa: BLE001 — unreadable footer: assume 1 unit
+            total += 1
+    return max(total, 1)
 
 
 def load_table(
@@ -101,8 +122,7 @@ def load_table(
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     if rebalance:
         target = spark.sparkContext.defaultParallelism
-        cache_key = (spark.sparkContext.applicationId, path)
-        needed = _REBALANCE_CACHE.get(cache_key)
+        needed = _REBALANCE_CACHE.get(path)
         if needed is None:
             try:
                 size = os.path.getsize(_first_parquet_file(path))
@@ -110,9 +130,9 @@ def load_table(
                 size = 0
             needed = (
                 size >= _MIN_SPLIT_BYTES
-                and df.rdd.getNumPartitions() < max(2, target // 4)
+                and _scan_parallelism_limit(path) < max(2, target // 4)
             )
-            _REBALANCE_CACHE[cache_key] = needed
+            _REBALANCE_CACHE[path] = needed
         if needed:
             df = df.repartition(target)
     return df

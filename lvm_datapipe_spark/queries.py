@@ -517,6 +517,66 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Streaming SINK verification: the same tumbling-window aggregation executed
+# as a real Structured Streaming query (file source → watermark → window agg
+# → checkpointed parquet sink), then the sink read back and hash-compared to
+# the batch oracle.  Batch/stream equivalence, oracle-visible.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "stream_sink_tumbling_window",
+    f"""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           {_dsum('value')} AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_sink_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs windowed_counts as an actual streaming job into a checkpointed
+    parquet sink (streaming/events.py:start_to_parquet), then returns the
+    sink contents.  A far-future sentinel row lands as a second micro-batch
+    so the watermark passes every real window's end and append mode flushes
+    them; the sentinel's own (never-emitted) window is filtered out.  Temp
+    dirs are per-invocation (mkdtemp) so checkpoint state can never leak
+    between runs."""
+    import datetime as _dt
+    import tempfile
+
+    from pyspark.sql import Row
+
+    from lvm_datapipe_spark.streaming import events as EV
+
+    ev = load_table(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="stream_sink_q_")
+    landing, sink, ckpt = f"{base}/landing", f"{base}/sink", f"{base}/ckpt"
+    ev.write.mode("overwrite").parquet(landing)
+
+    stream = spark.readStream.schema(ev.schema).parquet(landing)
+    agg = EV.windowed_counts(stream, window="1 hour", watermark="2 hours")
+    q = EV.start_to_parquet(agg, sink, ckpt)
+    q.processAllAvailable()
+
+    sentinel = {f.name: None for f in ev.schema.fields}
+    sentinel.update(
+        event_id=-1,
+        ts=_dt.datetime(2100, 1, 1),
+        user_id=-1,
+        event_type="flush_sentinel",
+        value=0.0,
+    )
+    spark.createDataFrame(
+        [Row(**{f.name: sentinel[f.name] for f in ev.schema.fields})], ev.schema
+    ).write.mode("append").parquet(landing)
+    q.processAllAvailable()
+    q.stop()
+
+    return spark.read.parquet(sink).filter(F.col("event_type") != "flush_sentinel")
+
+
+# ---------------------------------------------------------------------------
 # Sessionization — gaps-and-islands with a 30-minute inactivity gap (the
 # streaming session-window semantics, computed identically in batch SQL).
 # ---------------------------------------------------------------------------
