@@ -3,9 +3,11 @@ metadata and Arrow-batched processing UDFs (task north-star: the operators a
 training-data pipeline needs beyond the reference's video-only surface).
 
 Same design as the video layer (operators/media.py): real Spark plumbing —
-schemas, mapInPandas batch shapes, null-on-failure — with deterministic
-in-repo formats standing in for real codecs (PIL/librosa are absent from the
-container; their adapters are import-guarded STUBs at the marked points).
+schemas, mapInPandas batch shapes, null-on-failure.  Decode/probe dispatch
+by format: the in-repo FIMG/FAUD codecs, REAL interchange formats via the
+dependency-free decoders in ``operators/rawcodecs.py`` (PNG full decode,
+JPEG header probe, WAV PCM16 via stdlib), and import-guarded PIL/soundfile
+adapters for everything else (absent from this container).
 
 Formats (little-endian):
     FIMG: magic 4s | u16 height | u16 width | u8 channels | pixels (uint8)
@@ -43,13 +45,23 @@ def encode_image(pixels: np.ndarray) -> bytes:
 
 
 def decode_image(data: bytes) -> np.ndarray:
-    magic, h, w, c = struct.unpack_from(_IMG_FMT, data, 0)
-    if magic != IMG_MAGIC:
-        # STUB adapter point: PIL.Image.open(io.BytesIO(data)) for real
-        # formats (jpg/png); absent here -> decode failure -> null row
-        raise ValueError("not a FIMG payload")
-    arr = np.frombuffer(data, np.uint8, count=h * w * c, offset=_IMG_SIZE)
-    return arr.reshape(h, w, c)
+    """Format-dispatching image decode → uint8 (H, W, C): FIMG header →
+    in-repo codec; PNG → pure-Python decoder (operators/rawcodecs.py, stdlib
+    zlib); anything else → PIL adapter when importable, else decode failure
+    (null row)."""
+    from lvm_datapipe_spark.operators import rawcodecs as RC
+
+    magic = data[:4] if data is not None and len(data) >= 4 else b""
+    if magic == IMG_MAGIC:
+        _, h, w, c = struct.unpack_from(_IMG_FMT, data, 0)
+        arr = np.frombuffer(data, np.uint8, count=h * w * c, offset=_IMG_SIZE)
+        return arr.reshape(h, w, c)
+    if RC.is_png(data):
+        return RC.decode_png(data)
+    if RC.have_pil():
+        arr = RC.pil_decode(data)
+        return arr[:, :, None] if arr.ndim == 2 else arr
+    raise ValueError("undecodable image payload")
 
 
 def encode_audio(samples: np.ndarray, sample_rate: int) -> bytes:
@@ -59,11 +71,20 @@ def encode_audio(samples: np.ndarray, sample_rate: int) -> bytes:
 
 
 def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
-    magic, sr, n = struct.unpack_from(_AUD_FMT, data, 0)
-    if magic != AUD_MAGIC:
-        # STUB adapter point: soundfile/librosa for wav/flac/mp3
-        raise ValueError("not a FAUD payload")
-    return np.frombuffer(data, "<i2", count=n, offset=_AUD_SIZE), int(sr)
+    """Format-dispatching audio decode → (mono int16, sample_rate): FAUD →
+    in-repo codec; RIFF/WAVE → stdlib wave decoder (PCM16); anything else →
+    soundfile adapter when importable, else decode failure (null row)."""
+    from lvm_datapipe_spark.operators import rawcodecs as RC
+
+    magic = data[:4] if data is not None and len(data) >= 4 else b""
+    if magic == AUD_MAGIC:
+        _, sr, n = struct.unpack_from(_AUD_FMT, data, 0)
+        return np.frombuffer(data, "<i2", count=n, offset=_AUD_SIZE), int(sr)
+    if RC.is_wav(data):
+        return RC.decode_wav(data)
+    if RC.have_soundfile():
+        return RC.soundfile_decode(data)
+    raise ValueError("undecodable audio payload")
 
 
 def generate_image(seed_id: str, height: int = 16, width: int = 20, channels: int = 3) -> bytes:
@@ -112,13 +133,23 @@ def probe_images(df: DataFrame, content_col: str = "content") -> DataFrame:
     out_schema = T.StructType(df.schema.fields + [T.StructField("image_meta", IMAGE_META)])
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from lvm_datapipe_spark.operators import rawcodecs as RC
+
         for pdf in batches:
             metas = []
             for data in pdf[content_col]:
                 try:
-                    magic, h, w, c = struct.unpack_from(_IMG_FMT, data, 0)
-                    assert magic == IMG_MAGIC
-                    metas.append({"height": h, "width": w, "channels": c, "format": "fimg"})
+                    if data is not None and data[:4] == IMG_MAGIC:
+                        _, h, w, c = struct.unpack_from(_IMG_FMT, data, 0)
+                        metas.append(
+                            {"height": h, "width": w, "channels": c, "format": "fimg"}
+                        )
+                    elif RC.is_png(data):
+                        metas.append(RC.probe_png(data))
+                    elif RC.is_jpeg(data):
+                        metas.append(RC.probe_jpeg(data))
+                    else:
+                        metas.append(None)
                 except Exception:  # noqa: BLE001
                     metas.append(None)
             pdf = pdf.copy()
@@ -132,15 +163,26 @@ def probe_audio(df: DataFrame, content_col: str = "content") -> DataFrame:
     out_schema = T.StructType(df.schema.fields + [T.StructField("audio_meta", AUDIO_META)])
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from lvm_datapipe_spark.operators import rawcodecs as RC
+
         for pdf in batches:
             metas = []
             for data in pdf[content_col]:
                 try:
-                    magic, sr, n = struct.unpack_from(_AUD_FMT, data, 0)
-                    assert magic == AUD_MAGIC
-                    metas.append(
-                        {"sample_rate": sr, "n_samples": n, "duration_s": n / sr, "format": "faud"}
-                    )
+                    if data is not None and data[:4] == AUD_MAGIC:
+                        _, sr, n = struct.unpack_from(_AUD_FMT, data, 0)
+                        metas.append(
+                            {
+                                "sample_rate": sr,
+                                "n_samples": n,
+                                "duration_s": n / sr,
+                                "format": "faud",
+                            }
+                        )
+                    elif RC.is_wav(data):
+                        metas.append(RC.probe_wav(data))
+                    else:
+                        metas.append(None)
                 except Exception:  # noqa: BLE001
                     metas.append(None)
             pdf = pdf.copy()
