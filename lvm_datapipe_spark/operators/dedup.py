@@ -117,21 +117,35 @@ def ngram_jaccard_pairs(
     ex = cached
     sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     if max_shingle_freq is not None:
-        freq_ok = (
+        # Capped path, ONE shuffle: group by shingle, collect the (bounded)
+        # posting list, drop over-cap shingles by list size, then emit pairs
+        # with a double explode.  Joined-row volume is identical to the
+        # self-equi-join, but there is no shingle-frequency side computation
+        # and no second shuffle of the exploded table — and the cap bounds
+        # every posting list, so no collect_list can OOM a hot key.
+        grouped = (
             ex.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= max_shingle_freq)
-            .select("shingle")
+            .agg(F.collect_list(id_col).alias("ids"))
+            .filter((F.size("ids") >= 2) & (F.size("ids") <= max_shingle_freq))
         )
-        ex = ex.join(freq_ok, "shingle")
-    a = ex.select(F.col(id_col).alias("id_a"), "shingle")
-    b = ex.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+        inter = (
+            grouped.select(F.explode("ids").alias("id_a"), "ids")
+            .select("id_a", F.explode("ids").alias("id_b"))
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+    else:
+        # Exact-on-every-shingle form: shingle self-equi-join (unbounded hot
+        # keys possible — callers accept the skew risk by passing None).
+        a = ex.select(F.col(id_col).alias("id_a"), "shingle")
+        b = ex.select(F.col(id_col).alias("id_b"), "shingle")
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
     out = (
