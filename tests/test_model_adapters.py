@@ -96,3 +96,78 @@ def test_stub_and_adapter_signatures_interchangeable(fake_easyocr):
     stub_out = media._ocr_kernel(frames, 8, 8)
     adapter_out = MA.OcrAdapter()(frames, 8, 8)
     assert isinstance(stub_out, float) and isinstance(adapter_out, float)
+
+
+class _FakeSideData:
+    def __init__(self, vecs):
+        self._vecs = vecs
+
+    def to_ndarray(self):
+        return np.array(
+            [(mx, my) for mx, my in self._vecs],
+            dtype=[("motion_x", "i2"), ("motion_y", "i2")],
+        )
+
+
+class _FakeAv:
+    """PyAV stand-in: container with one video stream whose frames carry
+    motion-vector side data."""
+
+    def __init__(self, frames_vecs):
+        self.frames_vecs = frames_vecs
+        self.options_set = None
+
+    def open(self, fileobj):
+        av = self
+
+        class _Stream:
+            class codec_context:
+                options = None
+
+        class _Container:
+            class streams:
+                video = [_Stream()]
+
+            def decode(self, stream):
+                av.options_set = stream.codec_context.options
+                for vecs in av.frames_vecs:
+                    class _Frame:
+                        side_data = {"MOTION_VECTORS": _FakeSideData(vecs)} if vecs is not None else {}
+                    yield _Frame()
+
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *a):
+                return False
+
+        return _Container()
+
+
+def test_motion_vector_adapter_matches_reference_aggregate():
+    """score = mean over ALL MVs of sqrt(mx^2+my^2) across frames, raw
+    motion_x/motion_y with no motion_scale division (extract_mvs.c:73-75,
+    final print :202)."""
+    fake = _FakeAv([[(3, 4)], [(6, 8), (0, 0)]])  # |mv| = 5, 10, 0
+    got = MA.MotionVectorAdapter().score_bytes(b"container", av_mod=fake)
+    assert got == pytest.approx((5 + 10 + 0) / 3)
+    assert fake.options_set == {"flags2": "+export_mvs"}  # export flag set
+
+
+def test_motion_vector_adapter_no_vectors_is_zero():
+    fake = _FakeAv([None, None])
+    assert MA.MotionVectorAdapter().score_bytes(b"c", av_mod=fake) == 0.0
+
+
+def test_motion_score_videos_fvid_fallback(spark):
+    from lvm_datapipe_spark import fakevideo
+    from lvm_datapipe_spark.operators.media import motion_score_videos
+
+    data = fakevideo.encode(fakevideo.generate("vid_a", n_scenes=2))
+    df = spark.createDataFrame(
+        [("a.fvid", bytearray(data)), ("b.bin", bytearray(b"junk"))],
+        ["path", "content"],
+    )
+    got = {r.path: r.of_score for r in motion_score_videos(df).collect()}
+    assert got["a.fvid"] is not None and got["a.fvid"] >= 0.0
+    assert got["b.bin"] is None  # no PyAV in this container -> null row
