@@ -36,6 +36,11 @@ BENCH_QUERIES = [
     "ann_cosine_topk",
     "dedup_embedding_cosine",
     "text_quality",
+    # added in round 2 once green (VERDICT r1 item 8): keep ABOVE list stable
+    # so totals stay comparable; per-query times carry the comparison
+    "c7_extract_answer",
+    "c9_frame_indices",
+    "ann_lsh_near_dup",
 ]
 
 

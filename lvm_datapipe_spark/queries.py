@@ -851,6 +851,39 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_pairs(docs, max_hamming=3, bands=4)
 
 
+@_q(
+    "dedup_levenshtein",
+    f"""
+    SELECT p.id_a, p.id_b,
+           CAST(levenshtein(a.text, b.text) AS INTEGER) AS edit_distance
+    FROM ({_simhash_sql()}) p
+    JOIN documents a ON a.doc_id = p.id_a
+    JOIN documents b ON b.doc_id = p.id_b
+    WHERE levenshtein(a.text, b.text) <= 50
+    """,
+)
+def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup verification: SimHash banding generates the
+    candidate pairs (exact for hamming ≤ bands−1, keyed equi-joins only),
+    then the exact Levenshtein distance filters them — the classic
+    candidate→verify shape, since all-pairs edit distance is O(n²·len²) and
+    unrunnable at corpus scale.  Both engines implement the same classic
+    edit distance, so the result hash-matches."""
+    from lvm_datapipe_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.simhash_pairs(docs, max_hamming=3, bands=4).select("id_a", "id_b")
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("_ta"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("_tb"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("edit_distance", F.levenshtein("_ta", "_tb"))
+        .filter(F.col("edit_distance") <= 50)
+        .select("id_a", "id_b", "edit_distance")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings
 # ---------------------------------------------------------------------------
@@ -1423,6 +1456,62 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return ivf_topk(emb, queries, k=10, n_cells=16, n_probe=4)
+
+
+def _ivf_fixed_sql(
+    n_cells: int = 16, n_probe: int = 4, k: int = 10, seed: int = 42, dim: int = _EMB_DIM
+) -> str:
+    """DuckDB replay of the fixed-quantizer IVF: centroid literals from the
+    same seeded draw, first-index argmax cell assignment (list_indexof of
+    list_max = array_position of array_max), probe ranking and final cosine
+    ranking with identical tie-breaks."""
+    from lvm_datapipe_spark.operators.similarity import ivf_fixed_centroids
+
+    cents = ivf_fixed_centroids(n_cells, dim, seed)
+
+    def cos_lit(v: str, c) -> str:
+        dot_vc = " + ".join(f"{v}[{i + 1}]*({float(c[i])!r})" for i in range(dim))
+        dot_cc = sum(float(x) * float(x) for x in c)
+        return f"(({dot_vc}) / (sqrt({_dot_sql(v, v)}) * sqrt({dot_cc!r})))"
+
+    sims = lambda v: "[" + ", ".join(cos_lit(v, c) for c in cents) + "]"  # noqa: E731
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS (SELECT vec_id AS neighbor_id, v AS nv, {sims('v')} AS sims FROM e),
+    c AS (SELECT neighbor_id, nv,
+                 CAST(list_indexof(sims, list_max(sims)) - 1 AS INTEGER) AS cell
+          FROM c0),
+    q0 AS (SELECT vec_id AS query_id, v AS qv, {sims('v')} AS sims
+           FROM e WHERE vec_id < 10),
+    qs AS (SELECT query_id, qv, u.i AS cell, sims[u.i + 1] AS cell_sim
+           FROM q0 CROSS JOIN (SELECT unnest(generate_series(0, {n_cells - 1})) AS i) u),
+    probe AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT query_id, qv, cell,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cell_sim DESC, cell) AS rn
+        FROM qs) WHERE rn <= {n_probe}),
+    cand AS (
+      SELECT p.query_id, c.neighbor_id, {_cos_sql('p.qv', 'c.nv')} AS cos_sim
+      FROM probe p JOIN c ON c.cell = p.cell AND c.neighbor_id <> p.query_id)
+    SELECT query_id, neighbor_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+    FROM cand
+    QUALIFY rank <= {k}
+    """
+
+
+# Fixed-quantizer IVF: deterministic centroid literals make the whole
+# pipeline (cell argmax, probe ranking, final cosine rank) SQL-replayable —
+# the oracle-checked counterpart of the k-means ivf_topk above.
+@_q("ann_ivf_fixed_topk", _ivf_fixed_sql())
+def ann_ivf_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lvm_datapipe_spark.operators.similarity import ivf_fixed_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_fixed_topk(emb, queries, k=10, n_cells=16, n_probe=4)
 
 
 @_q(
