@@ -14,8 +14,14 @@ the LSH variant buckets the corpus once and probes per-bucket.
 
 from __future__ import annotations
 
+import operator
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+#: embedding dimensionality of the driver's tables; flat expressions need it
+DEFAULT_DIM = 64
 
 
 def as_double(vec: Column | str) -> Column:
@@ -26,8 +32,30 @@ def as_double(vec: Column | str) -> Column:
 def dot(a: Column, b: Column) -> Column:
     """Left-to-right fold of elementwise products: ((0+x1)+x2)+... — the
     same association order as an explicit x1+x2+... sum, so bit-identical
-    to the DuckDB oracle."""
+    to the DuckDB oracle.
+
+    This is the PREFERRED dot for every pairwise hot path.  Measured on the
+    bench corpus: inside join stages (where Catalyst pushes the similarity
+    filter into the join condition and whole-stage codegen fuses join+project
+    into one method) a flattened 64-term expression tree blows janino's
+    64 KB method limit, the stage falls back to row-interpreted eval with
+    per-node Double boxing, and the query runs 4-6× SLOWER than this fold
+    (7.7 s vs 1.35 s on the sf0.1 crossJoin).  The fold stays a single
+    compact expression node at any dimensionality — no codegen cliff."""
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def dot_flat(a: Column, b: Column, dim: int = DEFAULT_DIM) -> Column:
+    """``a[1]*b[1] + a[2]*b[2] + ...`` as a flat left-associated expression
+    tree — bit-identical to :func:`dot` (same association order; the fold's
+    leading ``0.0 +`` is exact).  Only for narrow Project stages with a
+    SINGLE tree (e.g. the norm in :func:`unit_vectors`); see :func:`dot` for
+    why join-adjacent paths must use the fold.  ``dim`` MUST equal the array
+    length: larger raises INVALID_ARRAY_INDEX, smaller silently truncates."""
+    return reduce(
+        operator.add,
+        [F.element_at(a, i + 1) * F.element_at(b, i + 1) for i in range(dim)],
+    )
 
 
 def l2_norm(a: Column) -> Column:
@@ -38,12 +66,19 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def cosine_flat(a: Column, b: Column, dim: int = DEFAULT_DIM) -> Column:
+    return dot_flat(a, b, dim) / (
+        F.sqrt(dot_flat(a, a, dim)) * F.sqrt(dot_flat(b, b, dim))
+    )
+
+
 def brute_force_topk(
     emb: DataFrame,
     queries: DataFrame,
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = DEFAULT_DIM,
 ) -> DataFrame:
     """Exact cosine top-k: broadcast the query set against the corpus.
 
@@ -71,14 +106,18 @@ def brute_force_topk(
 
 
 def unit_vectors(
-    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", out_col: str = "vn"
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "vn",
+    dim: int = DEFAULT_DIM,
 ) -> DataFrame:
     """Project each vector to unit length ONCE (norm materialized as a row
     column before the per-element divide), so downstream pairwise cosine is
-    a single dot fold instead of three."""
+    a single dot instead of three."""
     withnorm = emb.select(
         F.col(id_col), as_double(vec_col).alias("v")
-    ).withColumn("nrm", l2_norm(F.col("v")))
+    ).withColumn("nrm", F.sqrt(dot_flat(F.col("v"), F.col("v"), dim)))
     return withnorm.select(
         F.col(id_col),
         F.transform(F.col("v"), lambda x: x / F.col("nrm")).alias(out_col),
@@ -90,20 +129,30 @@ def embedding_near_dup_pairs(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = DEFAULT_DIM,
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold.  Exact (quadratic) form — correct
     baseline for the oracle; the LSH variant below is the scale path.
-    Normalize-first: n² pairs each cost one 64-element fold, not three."""
-    u = unit_vectors(emb, id_col, vec_col)
+    Normalize-first: n² pairs each cost one 64-element dot, not three.
+
+    The unit-vector table is PERSISTED: without the barrier, projection
+    collapse inlines ``transform(v, x/nrm)`` into every ``element_at`` of
+    the pairwise dot, recomputing the whole normalization per term (measured
+    ~10× slowdown).  Callers free it via
+    :func:`lvm_datapipe_spark.operators.dedup.release`."""
+    from lvm_datapipe_spark.operators.dedup import _with_cached_deps
+
+    u = unit_vectors(emb, id_col, vec_col, dim=dim).persist()
     a = u.select(F.col(id_col).alias("id_a"), F.col("vn").alias("va"))
     b = u.select(F.col(id_col).alias("id_b"), F.col("vn").alias("vb"))
-    return (
+    out = (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cos_sim", dot(F.col("va"), F.col("vb")))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+    return _with_cached_deps(out, [u])
 
 
 def hyperplane_lsh_buckets(
@@ -127,10 +176,14 @@ def hyperplane_lsh_buckets(
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes, dim))
     v = as_double(vec_col)
-    bits = []
-    for p in planes:
-        plane = F.array(*[F.lit(float(x)) for x in p])
-        bits.append(F.when(dot(v, plane) >= 0, F.lit("1")).otherwise(F.lit("0")))
+    # fold-based dot per plane: n_planes flat trees in one projection exceed
+    # janino's 64 KB method limit (codegen failure → interpreted fallback for
+    # the whole stage); the fold stays compact at any plane count, and bucket
+    # assignment runs once per corpus row, not per candidate pair.
+    bits = [
+        F.when(dot(v, F.array(*[F.lit(float(x)) for x in p])) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for p in planes
+    ]
     return emb.select(F.col(id_col), F.concat(*bits).alias("bucket"))
 
 
@@ -170,11 +223,14 @@ def lsh_ann_candidates(
 
     v = as_double(vec_col)
     entries = []
+    # fold dots for the plane literals — see hyperplane_lsh_buckets for the
+    # janino 64 KB rationale (n_tables × n_planes flat trees in one
+    # expression is a guaranteed codegen failure).
     for t, planes in enumerate(lsh_table_planes(n_planes, n_tables, dim, seed)):
-        bits = []
-        for p in planes:
-            plane = F.array(*[F.lit(float(x)) for x in p])
-            bits.append(F.when(dot(v, plane) >= 0, F.lit("1")).otherwise(F.lit("0")))
+        bits = [
+            F.when(dot(v, F.array(*[F.lit(float(x)) for x in p])) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for p in planes
+        ]
         entries.append(
             F.struct(F.lit(t).alias("tbl"), F.concat(*bits).alias("bucket"))
         )
@@ -199,26 +255,30 @@ def lsh_near_dup_pairs(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = DEFAULT_DIM,
     **lsh_kwargs,
 ) -> DataFrame:
     """Scale-path near-dup: LSH candidates → exact cosine verify.  Recall is
     probabilistic (tunable via n_planes/n_tables) but DETERMINISTIC given the
     fixed seed — the candidate set is reproducible, so the whole pipeline is
     oracle-checkable; precision is exact (every emitted cos_sim is the true
-    cosine)."""
+    cosine).  Verify normalizes each vector ONCE (|corpus| rows, persisted —
+    see :func:`embedding_near_dup_pairs` for why the barrier matters) so the
+    per-candidate work is a single flat dot, not three."""
     from lvm_datapipe_spark.operators.dedup import _CACHED_DEPS_ATTR, _with_cached_deps
 
-    cand = lsh_ann_candidates(emb, id_col=id_col, vec_col=vec_col, **lsh_kwargs)
-    a = emb.select(F.col(id_col).alias("id_a"), as_double(vec_col).alias("va"))
-    b = emb.select(F.col(id_col).alias("id_b"), as_double(vec_col).alias("vb"))
+    cand = lsh_ann_candidates(emb, id_col=id_col, vec_col=vec_col, dim=dim, **lsh_kwargs)
+    u = unit_vectors(emb, id_col, vec_col, dim=dim).persist()
+    a = u.select(F.col(id_col).alias("id_a"), F.col("vn").alias("va"))
+    b = u.select(F.col(id_col).alias("id_b"), F.col("vn").alias("vb"))
     out = (
         cand.join(a, "id_a")
         .join(b, "id_b")
-        .withColumn("cos_sim", cosine(F.col("va"), F.col("vb")))
+        .withColumn("cos_sim", dot(F.col("va"), F.col("vb")))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
-    return _with_cached_deps(out, getattr(cand, _CACHED_DEPS_ATTR, []))
+    return _with_cached_deps(out, getattr(cand, _CACHED_DEPS_ATTR, []) + [u])
 
 
 def ivf_fixed_centroids(n_cells: int, dim: int, seed: int):
@@ -253,12 +313,20 @@ def ivf_fixed_topk(
     the probe join is keyed on the cell (at 100 TB, PARTITION the stored
     corpus by cell so probing is partition pruning, not a shuffle)."""
     cents = ivf_fixed_centroids(n_cells, dim, seed)
+    # centroid norms as Python-side left-assoc sums — same doubles as the
+    # engine folding the literal array, constant for the whole query
+    cent_norm2 = [sum(float(x) * float(x) for x in c) for c in cents]
 
     def cell_sims(col: Column) -> Column:
+        # fold-based dot per centroid: n_cells flat dot trees in ONE projection
+        # blow janino's 64 KB method limit, the fold stays compact; vnorm is a
+        # single flat dot (codegen) shared across all cells.
+        vnorm = F.sqrt(dot_flat(col, col, dim))
         return F.array(
             *[
-                cosine(col, F.array(*[F.lit(float(x)) for x in c]))
-                for c in cents
+                dot(col, F.array(*[F.lit(float(x)) for x in c]))
+                / (vnorm * F.sqrt(F.lit(n2)))
+                for c, n2 in zip(cents, cent_norm2)
             ]
         )
 
@@ -332,6 +400,7 @@ def ivf_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = DEFAULT_DIM,
 ) -> DataFrame:
     """IVF approximate top-k: probe only the ``n_probe`` cells whose
     centroids are most cosine-similar to the query, then exact-rank inside

@@ -959,18 +959,21 @@ def _lsh_near_dup_sql(
         )
         selects.append(f"SELECT vec_id, {t} AS tbl, {bits} AS bucket FROM e")
     buckets_sql = "\nUNION ALL\n".join(selects)
+    # verify stage mirrors the Spark plan: normalize once, then one dot
     return f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    nr AS (SELECT vec_id, v, sqrt({_dot_sql('v', 'v')}) AS nrm FROM e),
+    u AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS vn FROM nr),
     buckets AS ({buckets_sql}),
     cand AS (
       SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
       FROM buckets a JOIN buckets b
         ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
-    SELECT c.id_a, c.id_b, {_cos_sql('ea.v', 'eb.v')} AS cos_sim
+    SELECT c.id_a, c.id_b, {_dot_sql('ua.vn', 'ub.vn')} AS cos_sim
     FROM cand c
-    JOIN e ea ON ea.vec_id = c.id_a
-    JOIN e eb ON eb.vec_id = c.id_b
-    WHERE {_cos_sql('ea.v', 'eb.v')} >= {threshold}
+    JOIN u ua ON ua.vec_id = c.id_a
+    JOIN u ub ON ub.vec_id = c.id_b
+    WHERE {_dot_sql('ua.vn', 'ub.vn')} >= {threshold}
     """
 
 

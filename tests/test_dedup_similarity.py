@@ -113,13 +113,13 @@ def test_cosine_math(spark):
 def test_brute_force_topk(spark):
     emb = _emb(spark)
     queries = emb.filter(F.col("vec_id") == 1)
-    out = V.brute_force_topk(emb, queries, k=2).collect()
+    out = V.brute_force_topk(emb, queries, k=2, dim=4).collect()
     ranked = sorted(out, key=lambda r: r.rank)
     assert [r.neighbor_id for r in ranked] == [2, 3]  # 2 closest, then orthogonal-tie by id
 
 
 def test_embedding_near_dup_pairs(spark):
-    pairs = {(r.id_a, r.id_b) for r in V.embedding_near_dup_pairs(_emb(spark), threshold=0.9).collect()}
+    pairs = {(r.id_a, r.id_b) for r in V.embedding_near_dup_pairs(_emb(spark), threshold=0.9, dim=4).collect()}
     assert pairs == {(1, 2)}
 
 

@@ -80,6 +80,6 @@ def test_multimodal_joins_with_relational(spark):
     dup = feats.unionByName(
         feats.limit(1).withColumn("vec_id", F.lit("img_0_copy"))
     )
-    pairs = embedding_near_dup_pairs(dup, threshold=0.999999)
+    pairs = embedding_near_dup_pairs(dup, threshold=0.999999, dim=14)
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
     assert ("img_0", "img_0_copy") in got
