@@ -936,6 +936,39 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.embedding_near_dup_pairs(emb, threshold=0.4)
 
 
+@_q(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    nr AS (SELECT vec_id, v, sqrt({_dot_sql('v', 'v')}) AS nrm FROM ev),
+    uv AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS vn FROM nr),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM uv a CROSS JOIN uv b
+      WHERE a.vec_id < b.vec_id AND {_dot_sql('a.vn', 'b.vn')} >= 0.4),
+    edges AS (SELECT id_a AS u, id_b AS w FROM pairs
+              UNION SELECT id_b AS u, id_a AS w FROM pairs),
+    reach AS (SELECT u, w FROM edges
+              UNION SELECT r.u AS u, e2.w AS w
+              FROM reach r JOIN edges e2 ON r.w = e2.u)
+    SELECT u AS id, least(u, min(w)) AS cluster_id FROM reach GROUP BY u
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: every vector that has at least one
+    cosine-0.4 near-dup is labeled with the minimum vec_id reachable through
+    the near-dup graph (the dedup decision "keep one per cluster").  Spark
+    side is iterative min-label propagation (operators/graph.py — one keyed
+    shuffle per round, diameter-bounded); the oracle is the recursive-CTE
+    transitive closure over the identical pair list."""
+    from lvm_datapipe_spark.operators import similarity as V
+    from lvm_datapipe_spark.operators.graph import connected_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = V.embedding_near_dup_pairs(emb, threshold=0.4)
+    return connected_components(pairs)
+
+
 def _lsh_near_dup_sql(
     n_planes: int = 4,
     n_tables: int = 8,

@@ -1,0 +1,118 @@
+"""Connected-components cluster assignment (operators/graph.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lvm_datapipe_spark.operators.graph import (
+    connected_components,
+    dedup_keep_representatives,
+)
+
+
+def _pairs(spark, rows):
+    return spark.createDataFrame(rows, ["id_a", "id_b"])
+
+
+def _uf_components(rows):
+    """Reference union-find, pure python."""
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_chain_and_triangle_and_disjoint(spark):
+    rows = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)]
+    got = {
+        (r.id, r.cluster_id)
+        for r in connected_components(_pairs(spark, rows)).collect()
+    }
+    assert got == set(_uf_components(rows).items())
+
+
+def test_long_chain_needs_multiple_rounds(spark):
+    # a 12-node path has diameter 11 — exercises the iteration loop well past
+    # round one and the convergence detection
+    rows = [(i, i + 1) for i in range(100, 112)]
+    got = dict(
+        (r.id, r.cluster_id)
+        for r in connected_components(_pairs(spark, rows)).collect()
+    )
+    assert got == _uf_components(rows)
+    assert set(got.values()) == {100}
+
+
+def test_label_direction_independent(spark):
+    # min id on the "wrong" side of every pair: propagation must flow both ways
+    rows = [(5, 1), (9, 5), (9, 7)]
+    got = dict(
+        (r.id, r.cluster_id)
+        for r in connected_components(_pairs(spark, rows)).collect()
+    )
+    assert got == {1: 1, 5: 1, 9: 1, 7: 1}
+
+
+def test_empty_pairs(spark):
+    df = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(df).count() == 0
+
+
+def test_string_ids(spark):
+    rows = [("doc_b", "doc_a"), ("doc_b", "doc_c"), ("doc_x", "doc_y")]
+    got = dict(
+        (r.id, r.cluster_id)
+        for r in connected_components(_pairs(spark, rows)).collect()
+    )
+    assert got == _uf_components(rows)
+
+
+@pytest.mark.parametrize("seed", [7, 19])
+def test_random_graph_matches_union_find(spark, seed):
+    import random
+
+    rng = random.Random(seed)
+    nodes = list(range(60))
+    rows = [
+        (min(a, b), max(a, b))
+        for a, b in (
+            (rng.choice(nodes), rng.choice(nodes)) for _ in range(80)
+        )
+        if a != b
+    ]
+    got = dict(
+        (r.id, r.cluster_id)
+        for r in connected_components(_pairs(spark, rows)).collect()
+    )
+    assert got == _uf_components(rows)
+
+
+def test_keep_representatives(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(6)], ["doc_id", "text"]
+    )
+    pairs = _pairs(spark, [(0, 3), (3, 5)])  # cluster {0,3,5}; 1,2,4 singletons
+    kept = {
+        r.doc_id
+        for r in dedup_keep_representatives(docs, pairs, "doc_id").collect()
+    }
+    assert kept == {0, 1, 2, 4}
+
+
+def test_plan_no_cartesian(spark):
+    rows = [(1, 2), (2, 3)]
+    out = connected_components(_pairs(spark, rows))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
