@@ -57,6 +57,84 @@ def word_ngrams(toks: Column, n: int = 3) -> Column:
     )
 
 
+def word_ngrams_all(toks: Column, n: int = 2) -> Column:
+    """All word n-grams WITH duplicates (unlike :func:`word_ngrams`, which
+    is distinct-shingle-oriented) — the counting form repetition metrics
+    need.  Same element_at construction and short-array guard."""
+    count = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+    )
+    return F.when(count >= 1, grams).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 2
+) -> DataFrame:
+    """Repetition-based quality signals per document — the filters a
+    web-scale corpus clean applies before training (boilerplate, SEO spam,
+    and template pages are dominated by repeated words/n-grams):
+
+    - ``word_rep_ratio``: 1 − distinct/total words (how much of the doc is
+      re-used vocabulary);
+    - ``top_ngram_frac``: occurrences of the single most frequent word
+      n-gram over all n-gram occurrences;
+    - ``dup_ngram_frac``: fraction of n-gram occurrences whose n-gram
+      appears more than once.
+
+    Plan shape: word-level stats are row-local (whole-stage codegen); the
+    n-gram frequencies need one shuffle keyed on (doc, gram) with map-side
+    partial counts, then a per-doc rollup — both partition cleanly by doc at
+    any corpus size (no global hot key: a doc's grams land together).
+    Docs shorter than 2 tokens are dropped (no n-grams to measure).
+    """
+    base = df.select(F.col(id_col), tokens(text_col).alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    sizes = base.select(
+        id_col,
+        F.size("toks").alias("words_total"),
+        F.size(F.array_distinct("toks")).alias("words_distinct"),
+    )
+    grams = base.select(
+        F.col(id_col), F.explode(word_ngrams_all(F.col("toks"), n)).alias("gram")
+    )
+    gc = grams.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
+    agg = gc.groupBy(id_col).agg(
+        F.max("c").alias("top_c"),
+        F.sum("c").alias("total_g"),
+        F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(F.lit(0))).alias("dup_g"),
+    )
+    return sizes.join(agg, id_col).select(
+        id_col,
+        "words_total",
+        (F.lit(1.0) - F.col("words_distinct") / F.col("words_total")).alias(
+            "word_rep_ratio"
+        ),
+        (F.col("top_c") / F.col("total_g")).alias("top_ngram_frac"),
+        (F.col("dup_g") / F.col("total_g")).alias("dup_ngram_frac"),
+    )
+
+
+def filter_repetitive(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_word_rep_ratio: float = 0.9,
+    max_top_ngram_frac: float = 0.2,
+    n: int = 2,
+) -> DataFrame:
+    """Keep documents under the repetition thresholds (Gopher-style corpus
+    hygiene): one semi-join of the corpus against the offending doc set."""
+    feats = repetition_features(df, text_col, id_col, n)
+    bad = feats.filter(
+        (F.col("word_rep_ratio") > max_word_rep_ratio)
+        | (F.col("top_ngram_frac") > max_top_ngram_frac)
+    ).select(id_col)
+    return df.join(bad, id_col, "left_anti")
+
+
 PUNCT_CLASS = "[^.!?,;:]"
 
 # tiny deterministic stopword sets per language (n-gram-heuristic lang-ID);

@@ -1672,3 +1672,92 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
     n = li.filter(F.col("l_returnflag") == "N").select("l_orderkey")
     return r.intersect(n)
+
+
+@_q(
+    "split_train_val_test",
+    """
+    WITH b AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % 10000 AS bucket
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN bucket < 8000 THEN 'train'
+                WHEN bucket < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 split keyed on a content hash of doc_id —
+    reproducible across engines, repartitions, and re-runs (operators/
+    sampling.py); the oracle replays the identical md5-bucket arithmetic."""
+    from lvm_datapipe_spark.operators.sampling import split_assign
+
+    docs = load_table(spark, sf_dir, "documents")
+    return split_assign(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "split")
+
+
+@_q(
+    "sample_stratified",
+    """
+    WITH b AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5('strata' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % 10000 AS bucket
+      FROM documents)
+    SELECT doc_id, lang FROM b
+    WHERE bucket < (CASE WHEN lang = 'en' THEN 2000 ELSE 10000 END)
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language rebalancing: deterministically keep 20% of English docs and
+    100% of everything else — the stable per-stratum downsampling a
+    multilingual training-corpus build uses.  Membership is a pure function of
+    doc_id, so the sample never changes under repartitioning."""
+    from lvm_datapipe_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, "lang", "doc_id", {"en": 0.2}, default_fraction=1.0
+    ).select("doc_id", "lang")
+
+
+@_q(
+    "text_repetition",
+    """
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+      FROM documents),
+    s AS (
+      SELECT doc_id, len(toks) AS words_total,
+             len(list_distinct(toks)) AS words_distinct, toks
+      FROM t WHERE len(toks) >= 2),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i + 1])) AS gram
+      FROM s),
+    gc AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram),
+    a AS (
+      SELECT doc_id, max(c) AS top_c, sum(c) AS total_g,
+             sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_g
+      FROM gc GROUP BY doc_id)
+    SELECT s.doc_id, words_total,
+           1.0 - words_distinct::DOUBLE / words_total AS word_rep_ratio,
+           top_c::DOUBLE / total_g AS top_ngram_frac,
+           dup_g::DOUBLE / total_g AS dup_ngram_frac
+    FROM s JOIN a ON s.doc_id = a.doc_id
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality metrics (boilerplate/template detection):
+    word repetition ratio, top-bigram fraction, duplicate-bigram fraction
+    per document (operators/text.py::repetition_features)."""
+    from lvm_datapipe_spark.operators import text as X
+
+    docs = load_table(spark, sf_dir, "documents")
+    return X.repetition_features(docs)

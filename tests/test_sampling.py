@@ -1,0 +1,94 @@
+"""Deterministic sampling / splitting (operators/sampling.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lvm_datapipe_spark.operators.sampling import (
+    deterministic_sample,
+    hash_bucket,
+    split_assign,
+    stratified_sample,
+)
+
+
+def _docs(spark, n=400):
+    return spark.createDataFrame(
+        [(i, "en" if i % 3 else "fr") for i in range(n)], ["doc_id", "lang"]
+    )
+
+
+def test_split_disjoint_exhaustive(spark):
+    out = split_assign(_docs(spark), "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 400
+    # rough proportions (hash-uniform; generous tolerance at n=400)
+    assert counts["train"] > 250 and counts["val"] < 100 and counts["test"] < 100
+
+
+def test_split_stable_under_repartition(spark):
+    docs = _docs(spark)
+    w = {"train": 0.9, "test": 0.1}
+    a = {(r.doc_id, r.split) for r in split_assign(docs, "doc_id", w).collect()}
+    b = {
+        (r.doc_id, r.split)
+        for r in split_assign(docs.repartition(17, "lang"), "doc_id", w).collect()
+    }
+    assert a == b
+
+
+def test_split_subdivision_preserves_earlier_splits(spark):
+    """Adding a new split never moves rows between the existing ones."""
+    docs = _docs(spark)
+    two = {r.doc_id: r.split for r in split_assign(docs, "doc_id", {"train": 0.8, "rest": 0.2}).collect()}
+    three = {
+        r.doc_id: r.split
+        for r in split_assign(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}).collect()
+    }
+    for k, v in two.items():
+        if v == "train":
+            assert three[k] == "train"
+        else:
+            assert three[k] in ("val", "test")
+
+
+def test_sample_subset_and_monotone(spark):
+    docs = _docs(spark)
+    s10 = {r.doc_id for r in deterministic_sample(docs, "doc_id", 0.1).collect()}
+    s30 = {r.doc_id for r in deterministic_sample(docs, "doc_id", 0.3).collect()}
+    assert s10 <= s30  # growing the fraction only adds rows
+    assert 0 < len(s10) < len(s30) < 400
+
+
+def test_salt_decorrelates(spark):
+    docs = _docs(spark)
+    a = {r.doc_id for r in deterministic_sample(docs, "doc_id", 0.5, salt="x").collect()}
+    b = {r.doc_id for r in deterministic_sample(docs, "doc_id", 0.5, salt="y").collect()}
+    assert a != b
+
+
+def test_stratified_fractions(spark):
+    docs = _docs(spark)
+    out = stratified_sample(docs, "lang", "doc_id", {"en": 0.2}, default_fraction=1.0)
+    kept = out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    by = {r.lang: r.n for r in kept}
+    n_en = docs.filter(F.col("lang") == "en").count()
+    n_fr = docs.filter(F.col("lang") == "fr").count()
+    assert by["fr"] == n_fr  # default 1.0 keeps every fr row
+    assert by["en"] < 0.4 * n_en  # ~20% of en
+
+
+def test_bucket_range(spark):
+    out = _docs(spark).select(hash_bucket("doc_id", 100).alias("b"))
+    mm = out.agg(F.min("b"), F.max("b")).collect()[0]
+    assert 0 <= mm[0] and mm[1] < 100
+
+
+def test_no_shuffle_in_plan(spark):
+    docs = _docs(spark)
+    plan = (
+        split_assign(docs, "doc_id", {"train": 0.8, "rest": 0.2})
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # pure narrow projection

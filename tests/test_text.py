@@ -60,3 +60,41 @@ def test_language_id_tiebreak_priority(spark):
     # 'a' is an en stopword; 'le' fr: one hit each -> en wins by priority
     df = spark.createDataFrame([(1, "a le")], ["doc_id", "text"])
     assert X.language_id(df).first().predicted_lang == "en"
+
+
+def test_repetition_features_exact(spark):
+    from lvm_datapipe_spark.operators.text import repetition_features
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),        # bigrams: ab,ba,ab,ba,ab -> top 'a b'=3/5
+            (2, "w x y z"),            # all unique
+            (3, "solo"),               # < 2 tokens: dropped
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in repetition_features(docs).collect()}
+    assert set(rows) == {1, 2}
+    r1 = rows[1]
+    assert r1.words_total == 6
+    assert abs(r1.word_rep_ratio - (1 - 2 / 6)) < 1e-12
+    assert abs(r1.top_ngram_frac - 3 / 5) < 1e-12
+    assert abs(r1.dup_ngram_frac - 1.0) < 1e-12  # every bigram repeats
+    r2 = rows[2]
+    assert r2.word_rep_ratio == 0.0
+    assert r2.dup_ngram_frac == 0.0
+
+
+def test_filter_repetitive(spark):
+    from lvm_datapipe_spark.operators.text import filter_repetitive
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),
+            # long enough that its (unique) top bigram is under the 0.2 frac
+            (2, "a varied interesting document with many different tokens in it"),
+        ],
+        ["doc_id", "text"],
+    )
+    kept = {r.doc_id for r in filter_repetitive(docs).collect()}
+    assert kept == {2}
