@@ -1761,3 +1761,41 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return X.repetition_features(docs)
+
+
+@_q(
+    "pack_sequences_by_lang",
+    """
+    WITH t AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, lang, n_tokens,
+             (sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING))::BIGINT - n_tokens AS start_offset
+      FROM t)
+    SELECT doc_id, lang, n_tokens, start_offset,
+           start_offset // 512 AS pack_id,
+           start_offset % 512 AS pack_offset,
+           CASE WHEN n_tokens = 0 THEN 1
+                ELSE (start_offset + n_tokens - 1) // 512 - start_offset // 512 + 1
+           END AS n_packs
+    FROM c
+    """,
+)
+def pack_sequences_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sequence packing into 512-token windows, sharded by lang
+    (operators/packing.py): each document's window id, offset, and span
+    count — the layout step between a curated corpus and a training run.
+    Window cumsum per shard; the oracle replays it as a SQL window query."""
+    from lvm_datapipe_spark.operators.packing import pack_sequences
+    from lvm_datapipe_spark.operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select("doc_id", "lang", token_count("text").cast("long").alias("n_tokens"))
+    return pack_sequences(
+        sized, "n_tokens", order_col="doc_id", shard_col="lang", ctx_len=512
+    ).select(
+        "doc_id", "lang", "n_tokens", "start_offset", "pack_id", "pack_offset", "n_packs"
+    )
