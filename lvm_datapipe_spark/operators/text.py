@@ -135,6 +135,35 @@ def filter_repetitive(
     return df.join(bad, id_col, "left_anti")
 
 
+# PII / link scrubbing — heuristic patterns restricted to the regex subset
+# with identical semantics in Java regex (Spark) and RE2 (DuckDB), so the
+# scrub is oracle-checkable.  Order matters and is part of the contract:
+# URLs first (an email-looking token inside a URL is part of the URL), then
+# emails, then phone-like digit runs.
+SCRUB_PATTERNS: list[tuple[str, str, str]] = [
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+?[0-9][0-9()\-\s]{6,}[0-9]", "<PHONE>"),
+]
+
+
+def scrub_text(text: Column | str) -> Column:
+    """Redact URLs, emails, and phone-like digit runs with typed
+    placeholders — the pre-training hygiene pass every web corpus gets
+    before the text reaches a model.  A chain of native ``regexp_replace``
+    calls: whole-stage codegen, no Python, deterministic."""
+    c = _c(text)
+    for _, pat, repl in SCRUB_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def scrub_docs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    return df.withColumn(text_col, scrub_text(text_col))
+
+
 PUNCT_CLASS = "[^.!?,;:]"
 
 # tiny deterministic stopword sets per language (n-gram-heuristic lang-ID);

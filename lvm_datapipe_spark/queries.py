@@ -1799,3 +1799,90 @@ def pack_sequences_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", "lang", "n_tokens", "start_offset", "pack_id", "pack_offset", "n_packs"
     )
+
+
+@_q(
+    "text_scrub",
+    """
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(
+             substr(text, 1, 40) || ' contact user' || CAST(doc_id AS VARCHAR)
+               || '@example.com or https://site' || CAST(doc_id AS VARCHAR)
+               || '.example/page?id=' || CAST(doc_id AS VARCHAR)
+               || ' tel +1 (415) 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0'),
+             'https?://[^\\s]+', '<URL>', 'g'),
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\\+?[0-9][0-9()\\-\\s]{6,}[0-9]', '<PHONE>', 'g') AS scrubbed
+    FROM documents
+    """,
+)
+def text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/link scrubbing (operators/text.py::scrub_text): the corpus text
+    is decorated with synthetic deterministic PII (email, URL, phone derived
+    from doc_id) and redacted with typed placeholders; both engines run the
+    identical pattern chain, so the redacted text hash-matches."""
+    from lvm_datapipe_spark.operators.text import scrub_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    decorated = F.concat(
+        F.substring("text", 1, 40),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or https://site"), F.col("doc_id").cast("string"),
+        F.lit(".example/page?id="), F.col("doc_id").cast("string"),
+        F.lit(" tel +1 (415) 555-01"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+    )
+    return docs.select("doc_id", scrub_text(decorated).alias("scrubbed"))
+
+
+@_q(
+    "split_leakage_safe",
+    f"""
+    WITH RECURSIVE ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    nr AS (SELECT vec_id, v, sqrt({_dot_sql('v', 'v')}) AS nrm FROM ev),
+    uv AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS vn FROM nr),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM uv a CROSS JOIN uv b
+      WHERE a.vec_id < b.vec_id AND {_dot_sql('a.vn', 'b.vn')} >= 0.4),
+    edges AS (SELECT id_a AS u, id_b AS w FROM pairs
+              UNION SELECT id_b AS u, id_a AS w FROM pairs),
+    reach AS (SELECT u, w FROM edges
+              UNION SELECT r.u AS u, e2.w AS w
+              FROM reach r JOIN edges e2 ON r.w = e2.u),
+    cc AS (SELECT u AS id, least(u, min(w)) AS cluster_id FROM reach GROUP BY u),
+    keyed AS (
+      SELECT e.vec_id, coalesce(cc.cluster_id, e.vec_id) AS skey
+      FROM embeddings e LEFT JOIN cc ON cc.id = e.vec_id),
+    b AS (
+      SELECT vec_id,
+             ('0x' || substr(md5('split' || CAST(skey AS VARCHAR)), 1, 8))::BIGINT
+               % 10000 AS bucket
+      FROM keyed)
+    SELECT vec_id,
+           CASE WHEN bucket < 9000 THEN 'train' ELSE 'holdout' END AS split
+    FROM b
+    """,
+)
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware train/holdout split: the split key is the near-dup
+    CLUSTER representative, not the row id, so near-duplicates can never
+    straddle the holdout boundary (the classic eval-leakage bug).  Composes
+    connected components (operators/graph.py) with the deterministic hash
+    split (operators/sampling.py); rows with no near-dup key on their own
+    id."""
+    from lvm_datapipe_spark.operators import similarity as V
+    from lvm_datapipe_spark.operators.graph import connected_components
+    from lvm_datapipe_spark.operators.sampling import split_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = V.embedding_near_dup_pairs(emb, threshold=0.4)
+    cc = connected_components(pairs)
+    keyed = emb.join(
+        cc.withColumnRenamed("id", "vec_id"), "vec_id", "left"
+    ).select(
+        "vec_id", F.coalesce("cluster_id", "vec_id").alias("skey")
+    )
+    return split_assign(keyed, "skey", {"train": 0.9, "holdout": 0.1}).select(
+        "vec_id", "split"
+    )

@@ -92,3 +92,22 @@ def test_no_shuffle_in_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan  # pure narrow projection
+
+
+def test_leakage_safe_split_keeps_near_dups_together(spark):
+    """Every near-dup pair must land in the same split when keyed on the
+    cluster representative."""
+    from lvm_datapipe_spark.catalog import load_table
+    from lvm_datapipe_spark.operators import similarity as V
+    from lvm_datapipe_spark.operators.graph import connected_components
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    pairs = V.embedding_near_dup_pairs(emb, threshold=0.4)
+    cc = connected_components(pairs)
+    keyed = emb.join(cc.withColumnRenamed("id", "vec_id"), "vec_id", "left").select(
+        "vec_id", F.coalesce("cluster_id", "vec_id").alias("skey")
+    )
+    out = split_assign(keyed, "skey", {"train": 0.9, "holdout": 0.1})
+    split_of = {r.vec_id: r.split for r in out.collect()}
+    for p in pairs.collect():
+        assert split_of[p.id_a] == split_of[p.id_b]

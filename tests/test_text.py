@@ -98,3 +98,23 @@ def test_filter_repetitive(spark):
     )
     kept = {r.doc_id for r in filter_repetitive(docs).collect()}
     assert kept == {2}
+
+
+def test_scrub_text(spark):
+    from lvm_datapipe_spark.operators.text import scrub_text
+
+    df = spark.createDataFrame(
+        [
+            ("mail bob.smith+x@example.co.uk please",),
+            ("link https://a.example.com/x?u=a@b.cd trailing",),
+            ("call +1 (415) 555-0199 now",),
+            ("no pii here at all",),
+        ],
+        ["t"],
+    )
+    out = [r.o for r in df.select(scrub_text("t").alias("o")).collect()]
+    assert out[0] == "mail <EMAIL> please"
+    # email inside the URL is swallowed by the URL placeholder (order contract)
+    assert out[1] == "link <URL> trailing"
+    assert out[2] == "call <PHONE> now"
+    assert out[3] == "no pii here at all"
