@@ -57,7 +57,8 @@ def main() -> None:
     # not first-query JIT/codegen compilation.
     warm_sf = "/root/testdata/sf0.001"
     for warm_q in ("q1_pricing_summary", "dedup_minhash_lsh", "dedup_simhash",
-                   "ann_cosine_topk", "text_quality", "w3_sessionize"):
+                   "dedup_ngram_jaccard", "ann_cosine_topk", "ann_lsh_near_dup",
+                   "text_quality", "w3_sessionize"):
         QUERIES[warm_q](spark, warm_sf).write.format("noop").mode("overwrite").save()
     QUERIES["q1_pricing_summary"](spark, SF_DIR).write.format("noop").mode(
         "overwrite"
