@@ -1,0 +1,69 @@
+"""Benchmark decontamination: find and drop training documents that overlap
+an evaluation set.
+
+Before training, every serious pipeline checks the corpus against its eval
+benchmarks: a training document sharing long verbatim n-grams with a
+benchmark item inflates eval scores without improving the model.  The
+standard check is exact word-n-gram overlap (n ≈ 8-13): flag any training
+doc sharing ≥ ``min_common`` n-grams with any benchmark doc.
+
+Plan shape: both sides reduce to DISTINCT (id, shingle) rows
+(`dedup.shingle_rows` — flat codegen, no higher-order lambdas), then one
+equi-join keyed on the shingle and a pair-count aggregate.  The benchmark
+side is tiny relative to the corpus (thousands of eval items vs. billions
+of docs), so its shingle table BROADCASTS: the contamination check costs
+one corpus scan + map-side hash probes — no corpus shuffle at all.  The
+``max_shingle_freq``-style stop-shingle risk doesn't apply (the join is
+bounded by benchmark size), so no cap is needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lvm_datapipe_spark.operators.dedup import shingle_rows
+
+
+def contamination_pairs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    n: int = 8,
+    min_common: int = 1,
+) -> DataFrame:
+    """(doc_id, bench_id, n_common) for every corpus×benchmark pair sharing
+    ≥ ``min_common`` distinct word n-grams."""
+    c = shingle_rows(corpus, text_col, id_col, n)
+    b = shingle_rows(benchmark, bench_text_col, bench_id_col, n).withColumnRenamed(
+        bench_id_col, "__bench_id"
+    )
+    return (
+        c.join(F.broadcast(b), "shingle")
+        .groupBy(id_col, "__bench_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+        .withColumnRenamed("__bench_id", bench_id_col)
+        .select(id_col, bench_id_col, "n_common")
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    n: int = 8,
+    min_common: int = 1,
+) -> DataFrame:
+    """Drop every corpus document flagged by :func:`contamination_pairs` —
+    one left-anti join against the (small) flagged-id set."""
+    flagged = contamination_pairs(
+        corpus, benchmark, text_col, id_col, bench_text_col, bench_id_col, n, min_common
+    ).select(id_col).distinct()
+    return corpus.join(flagged, id_col, "left_anti")

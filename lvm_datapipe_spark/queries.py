@@ -1886,3 +1886,37 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_assign(keyed, "skey", {"train": 0.9, "holdout": 0.1}).select(
         "vec_id", "split"
     )
+
+
+@_q(
+    "decontaminate_overlap",
+    """
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(generate_series(1, len(toks) - 4),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+                         || toks[i+3] || ' ' || toks[i+4]))) AS shingle
+      FROM t WHERE len(toks) >= 5)
+    SELECT c.doc_id, b.doc_id AS bench_id, count(*) AS n_common
+    FROM s c JOIN s b ON c.shingle = b.shingle
+    WHERE b.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+    GROUP BY c.doc_id, b.doc_id
+    """,
+)
+def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontaminate.py): flag training
+    docs sharing exact word 5-grams with the held-out eval slice (every 10th
+    doc plays the benchmark).  The benchmark shingle table broadcasts, so
+    the check is one corpus scan with map-side hash probes — no corpus
+    shuffle."""
+    from lvm_datapipe_spark.operators.decontaminate import contamination_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    bench = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return contamination_pairs(corpus, bench, n=5, min_common=1)
