@@ -24,7 +24,7 @@ from the same key (sampling for eval vs. sampling for dedup audit).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: default bucket count — 0.01% split granularity
@@ -104,3 +104,28 @@ def stratified_sample(
             F.col(strata_col) == value, F.lit(int(round(frac * n_buckets)))
         ).otherwise(thresh)
     return df.filter(bucket < thresh)
+
+
+def sample_k_per_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int,
+    salt: str = "topk",
+) -> DataFrame:
+    """Exactly k rows per group (fewer if the group is smaller), chosen by
+    ranking on a content hash of the key — the deterministic replacement
+    for per-group reservoir sampling (balanced eval subsets, per-source
+    caps).  The hash order is uniform and independent of row order, so the
+    selection is stable; the key itself breaks hash ties.
+
+    Plan: one window shuffle keyed on the group; Spark plans the rank
+    filter as WindowGroupLimit (per-partition top-k below the shuffle), so
+    no group's full contents sort globally."""
+    h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")).cast("binary"))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

@@ -1920,3 +1920,22 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("bench_id"), "text"
     )
     return contamination_pairs(corpus, bench, n=5, min_common=1)
+
+
+@_q(
+    "sample_k_per_lang",
+    """
+    SELECT doc_id, lang FROM documents
+    QUALIFY row_number() OVER (
+      PARTITION BY lang
+      ORDER BY md5('topk' || CAST(doc_id AS VARCHAR)), doc_id) <= 20
+    """,
+)
+def sample_k_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced subset curation: exactly 20 deterministically-chosen docs
+    per language (operators/sampling.py::sample_k_per_group — hash-ranked,
+    WindowGroupLimit plan, stable under repartitioning)."""
+    from lvm_datapipe_spark.operators.sampling import sample_k_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_k_per_group(docs, "lang", "doc_id", 20).select("doc_id", "lang")

@@ -111,3 +111,23 @@ def test_leakage_safe_split_keeps_near_dups_together(spark):
     split_of = {r.vec_id: r.split for r in out.collect()}
     for p in pairs.collect():
         assert split_of[p.id_a] == split_of[p.id_b]
+
+
+def test_sample_k_per_group(spark):
+    from lvm_datapipe_spark.operators.sampling import sample_k_per_group
+
+    docs = _docs(spark)  # lang en for doc_id%3!=0, fr otherwise
+    out = sample_k_per_group(docs, "lang", "doc_id", 5)
+    by = {}
+    for r in out.collect():
+        by.setdefault(r.lang, set()).add(r.doc_id)
+    assert len(by["en"]) == 5 and len(by["fr"]) == 5
+    # deterministic: identical selection on a repartitioned input
+    out2 = sample_k_per_group(docs.repartition(11), "lang", "doc_id", 5)
+    by2 = {}
+    for r in out2.collect():
+        by2.setdefault(r.lang, set()).add(r.doc_id)
+    assert by == by2
+    # WindowGroupLimit in the plan (top-k below the shuffle)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
