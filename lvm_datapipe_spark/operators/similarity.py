@@ -434,3 +434,45 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col(id_col).alias("neighbor_id"), "rank")
     )
+
+
+def quantize_embeddings(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_levels: int = 127,
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization — the storage format a
+    100 TB vector corpus actually persists (4× smaller than float32, 8× vs
+    float64; recall loss negligible for near-dup/ANN workloads).
+
+    scale = max|x| / n_levels;  q_i = clamp(floor(x_i/scale + 0.5), ±n_levels)
+
+    floor(x+0.5) is used instead of round() deliberately: round() half-even
+    vs half-up semantics differ between engines, floor does not — every step
+    (abs-max, divide, floor, clamp, int cast) is bit-portable, so the
+    quantized codes are oracle-checkable.  Zero vectors quantize to all-zero
+    codes with scale 0 (guarded, no division).  One narrow projection — no
+    shuffle, runs at scan speed.
+    """
+    v = as_double(vec_col)
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x))) / float(n_levels)
+    lv = float(n_levels)
+    q = F.when(scale == 0, F.transform(v, lambda x: F.lit(0))).otherwise(
+        F.transform(
+            v,
+            lambda x: F.least(
+                F.greatest(F.floor(x / scale + 0.5), F.lit(-lv)), F.lit(lv)
+            ).cast("int"),
+        )
+    )
+    return emb.select(
+        F.col(id_col),
+        scale.alias("scale"),
+        q.alias("q"),
+    )
+
+
+def dequantize(q: Column, scale: Column) -> Column:
+    """Reconstruct approximate doubles from int codes: q_i * scale."""
+    return F.transform(q, lambda x: x.cast("double") * scale)

@@ -1939,3 +1939,37 @@ def sample_k_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return sample_k_per_group(docs, "lang", "doc_id", 20).select("doc_id", "lang")
+
+
+@_q(
+    "embedding_quantize",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+          FROM e)
+    SELECT vec_id, scale,
+           CASE WHEN scale = 0
+                THEN array_to_string(list_transform(v, x -> 0), ',')
+                ELSE array_to_string(list_transform(v, x ->
+                  CAST(least(greatest(floor(x / scale + 0.5), -127.0), 127.0) AS INTEGER)), ',')
+           END AS q_csv
+    FROM s
+    """,
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding column — the 4×
+    storage format a 100 TB vector corpus persists (operators/similarity.py::
+    quantize_embeddings).  floor(x+0.5) instead of round() keeps every step
+    bit-portable across engines; codes projected to CSV for the hash gate."""
+    from lvm_datapipe_spark.operators.similarity import quantize_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(emb)
+    return q.select(
+        "vec_id",
+        "scale",
+        F.concat_ws(",", F.transform(F.col("q"), lambda x: x.cast("string"))).alias(
+            "q_csv"
+        ),
+    )

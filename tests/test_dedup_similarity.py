@@ -187,3 +187,37 @@ def test_release_unpersists_cached_intermediates(spark):
         not (d.storageLevel.useMemory or d.storageLevel.useDisk) for d in deps
     )
     D.release(out)  # idempotent
+
+
+def test_quantize_roundtrip_error_bounded(spark):
+    """Dequantized vectors must be within half a quantization step of the
+    original in every coordinate, and zero vectors must be guarded."""
+    from lvm_datapipe_spark.operators.similarity import dequantize, quantize_embeddings
+
+    rows = [(1, [1.0, -0.5, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0]), (3, [-2.0, 2.0, 1.0, -1.0])]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = quantize_embeddings(emb)
+    out = {r.vec_id: r for r in q.select("vec_id", "scale", dequantize(F.col("q"), F.col("scale")).alias("d")).collect()}
+    orig = dict((i, v) for i, v in rows)
+    for vid, r in out.items():
+        if vid == 2:
+            assert r.scale == 0.0 and all(x == 0.0 for x in r.d)
+            continue
+        step = r.scale
+        for a, b in zip(orig[vid], r.d):
+            assert abs(a - b) <= step / 2 + 1e-12
+
+
+def test_quantize_codes_in_range(spark):
+    from lvm_datapipe_spark.catalog import load_table
+    from lvm_datapipe_spark.operators.similarity import quantize_embeddings
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = quantize_embeddings(emb)
+    mm = q.select(
+        F.array_min("q").alias("lo"), F.array_max("q").alias("hi")
+    ).agg(F.min("lo"), F.max("hi")).collect()[0]
+    assert -127 <= mm[0] and mm[1] <= 127
+    # abs-max element must quantize to exactly ±127
+    has_127 = q.filter(F.array_contains(F.transform("q", lambda x: F.abs(x)), 127)).count()
+    assert has_127 == q.count()
