@@ -1973,3 +1973,25 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_csv"
         ),
     )
+
+
+@_q(
+    "events_enriched",
+    """
+    SELECT e.event_id, e.event_type, e.value, c.c_mktsegment, c.c_acctbal
+    FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
+    """,
+)
+def events_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-static enrichment join (streaming/events.py::
+    enrich_stream — broadcast dim, no state, identical plan in both modes;
+    the stream≡batch property is tested in tests/test_streaming.py)."""
+    from lvm_datapipe_spark.streaming.events import enrich_stream
+
+    events = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    return enrich_stream(events, cust).select(
+        "event_id", "event_type", "value", "c_mktsegment", "c_acctbal"
+    )

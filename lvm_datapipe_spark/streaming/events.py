@@ -90,6 +90,25 @@ def windowed_counts(
     )
 
 
+def enrich_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str = "user_id",
+    dim_key: str = "c_custkey",
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment: join each micro-batch of the event stream
+    against a static dimension table (customer attributes, video metadata).
+
+    Stream-static joins need NO watermark and keep NO state — Spark re-plans
+    the static side per micro-batch, and a broadcast-sized dim costs a
+    map-side hash probe per event (the same plan the batch form gets, which
+    is what makes the batch≡stream property testable).  Works identically on
+    a batch DataFrame, so the batch form serves as the oracle."""
+    d = F.broadcast(dim.withColumnRenamed(dim_key, on))
+    return events.join(d, on, how)
+
+
 SESSION_STATE_SCHEMA = T.StructType(
     [
         T.StructField("last_ts", T.TimestampType()),

@@ -195,3 +195,26 @@ def test_stream_clips_landing_pipeline(spark, tmp_path):
     result = spark.read.parquet(out)
     assert result.count() == 20  # 30 delivered rows -> 20 unique clips
     assert result.select("clip_id").distinct().count() == 20
+
+
+def test_stream_static_enrichment_matches_batch(spark, landing_dir):
+    """Stream-static broadcast join: streamed events enriched with customer
+    attributes must equal the batch join row-for-row."""
+    cust = load_table(spark, "/root/testdata/sf0.001", "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    stream = ev.read_event_stream(spark, landing_dir)
+    q = ev.start_to_memory(
+        ev.enrich_stream(stream, cust), "enriched_events", output_mode="append"
+    )
+    _await(q)
+    got = {
+        (r.event_id, r.c_mktsegment, r.c_acctbal)
+        for r in spark.sql("SELECT * FROM enriched_events").collect()
+    }
+    batch = ev.enrich_stream(
+        load_table(spark, "/root/testdata/sf0.001", "events"), cust
+    )
+    want = {(r.event_id, r.c_mktsegment, r.c_acctbal) for r in batch.collect()}
+    assert got == want
+    assert len(got) > 0
