@@ -221,3 +221,24 @@ def test_quantize_codes_in_range(spark):
     # abs-max element must quantize to exactly ±127
     has_127 = q.filter(F.array_contains(F.transform("q", lambda x: F.abs(x)), 127)).count()
     assert has_127 == q.count()
+
+
+def test_quantized_ann_recall(spark):
+    """Top-k over int8-dequantized vectors must closely match the exact
+    float ranking — the quality bar for persisting quantized embeddings."""
+    from lvm_datapipe_spark.catalog import load_table
+    from lvm_datapipe_spark.operators.similarity import (
+        brute_force_topk,
+        dequantize,
+        quantize_embeddings,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {(r.query_id, r.neighbor_id) for r in brute_force_topk(emb, queries, k=10).collect()}
+    deq = quantize_embeddings(emb).select(
+        "vec_id", dequantize(F.col("q"), F.col("scale")).alias("embedding")
+    )
+    deq_q = deq.filter(F.col("vec_id") < 5)
+    approx = {(r.query_id, r.neighbor_id) for r in brute_force_topk(deq, deq_q, k=10).collect()}
+    assert len(approx & exact) / len(exact) >= 0.9
