@@ -1995,3 +1995,43 @@ def events_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enrich_stream(events, cust).select(
         "event_id", "event_type", "value", "c_mktsegment", "c_acctbal"
     )
+
+
+@_q(
+    "snapshot_diff_docs",
+    """
+    WITH old AS (
+      SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 11 <> 0),
+    new AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [edited]' ELSE text END) AS fp
+      FROM documents WHERE doc_id % 13 <> 0)
+    SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+           CASE WHEN old.fp IS NULL THEN 'added'
+                WHEN new.fp IS NULL THEN 'removed'
+                WHEN old.fp <> new.fp THEN 'modified'
+                ELSE 'unchanged' END AS status
+    FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+    """,
+)
+def snapshot_diff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental snapshot diff (operators/relational.py::snapshot_diff):
+    two deterministic views of the documents table play consecutive corpus
+    snapshots (every 11th doc absent from the old, every 13th from the new,
+    every 7th edited in the new); the diff labels each doc added/removed/
+    modified/unchanged by md5 fingerprint."""
+    from lvm_datapipe_spark.operators.relational import snapshot_diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 11 != 0).select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("fingerprint")
+    )
+    new = docs.filter(F.col("doc_id") % 13 != 0).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" [edited]"))
+            ).otherwise(F.col("text")).cast("binary")
+        ).alias("fingerprint"),
+    )
+    return snapshot_diff(old, new)

@@ -156,3 +156,16 @@ def test_asof_join_no_right_match_is_all_null(spark):
         right_values=["va", "vb"], tie_col="vb",
     ).collect()
     assert len(out) == 1 and out[0].va is None and out[0].vb is None
+
+
+def test_snapshot_diff_statuses(spark):
+    from lvm_datapipe_spark.operators.relational import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["doc_id", "fingerprint"]
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "C2"), (4, "d")], ["doc_id", "fingerprint"]
+    )
+    got = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
+    assert got == {1: "removed", 2: "unchanged", 3: "modified", 4: "added"}
