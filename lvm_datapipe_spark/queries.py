@@ -2035,3 +2035,32 @@ def snapshot_diff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("fingerprint"),
     )
     return snapshot_diff(old, new)
+
+
+@_q(
+    "quality_gate_tokens",
+    """
+    WITH tc AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_tokens
+      FROM documents),
+    thr AS (SELECT quantile_cont(n_tokens, 0.1) AS p10 FROM tc)
+    SELECT doc_id, n_tokens FROM tc, thr WHERE n_tokens >= p10
+    """,
+)
+def quality_gate_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global-threshold quality gating: drop the shortest decile of the
+    corpus.  The pattern at scale: aggregate ONE scalar (exact interpolated
+    percentile), broadcast it, filter in a map-side probe — one corpus
+    aggregate + one scan, no per-row shuffle.  percentile/quantile_cont are
+    bit-identical linear interpolations in both engines."""
+    from lvm_datapipe_spark.operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    tc = docs.select("doc_id", token_count("text").cast("long").alias("n_tokens"))
+    thr = tc.agg(F.expr("percentile(n_tokens, 0.1)").alias("p10"))
+    return (
+        tc.crossJoin(F.broadcast(thr))
+        .filter(F.col("n_tokens") >= F.col("p10"))
+        .select("doc_id", "n_tokens")
+    )
