@@ -73,3 +73,38 @@ def test_no_cartesian_in_lsh_embedding_dedup(spark):
     plan = _plan(spark, "ann_lsh_near_dup")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sampling_split_is_narrow(spark):
+    # hash splits/samples are pure projections/filters — zero Exchange
+    for q in ("split_train_val_test", "sample_stratified"):
+        plan = _plan(spark, q)
+        assert "Exchange" not in plan, q
+
+
+def test_pack_sequences_single_window_shuffle(spark):
+    # per-shard packing: exactly one hash Exchange (the shard window), no
+    # global-order singleton partition
+    plan = _plan(spark, "pack_sequences_by_lang")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SinglePartition" not in plan
+
+
+def test_decontamination_benchmark_broadcasts(spark):
+    # the benchmark shingle side must broadcast: contamination check = one
+    # corpus scan + map-side probes
+    plan = _plan(spark, "decontaminate_overlap")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_k_per_group_uses_window_group_limit(spark):
+    plan = _plan(spark, "sample_k_per_lang")
+    assert "WindowGroupLimit" in plan
+
+
+def test_quality_gate_broadcasts_scalar(spark):
+    # the percentile threshold joins as a broadcast of ONE row — the only
+    # acceptable nested-loop join shape (not corpus x corpus)
+    plan = _plan(spark, "quality_gate_tokens")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
