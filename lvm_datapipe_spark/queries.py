@@ -2064,3 +2064,34 @@ def quality_gate_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_tokens") >= F.col("p10"))
         .select("doc_id", "n_tokens")
     )
+
+
+@_q(
+    "events_sliding_window",
+    f"""
+    WITH g AS (
+      SELECT event_type, value,
+             time_bucket(INTERVAL '30 minutes', ts) AS grid
+      FROM events),
+    x AS (
+      SELECT event_type, value, grid - k.k * INTERVAL '30 minutes' AS window_start
+      FROM g CROSS JOIN (SELECT unnest([0, 1]) AS k) k)
+    SELECT window_start, event_type,
+           COUNT(*) AS n, {_dsum('value')} AS total_value
+    FROM x GROUP BY 1, 2
+    """,
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation (1-hour window, 30-minute slide): every
+    event lands in exactly window/slide = 2 overlapping windows.  Spark's
+    F.window(slideDuration=...) expands the windows natively (same plan in
+    batch and streaming); the oracle replays the expansion as an explicit
+    2-offset cross join on the slide grid."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"), A.decimal_sum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )

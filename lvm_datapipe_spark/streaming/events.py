@@ -76,13 +76,15 @@ def windowed_counts(
     events: DataFrame,
     window: str = "1 hour",
     watermark: str | None = "2 hours",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Tumbling-window per-type counts + value sums.  Identical plan in
-    batch mode (watermark=None) and streaming mode — the batch form is the
-    oracle-checked ``events_tumbling_window`` query."""
+    """Tumbling (default) or sliding (``slide`` < window) per-type counts +
+    value sums.  Identical plan in batch mode (watermark=None) and streaming
+    mode — the batch forms are the oracle-checked ``events_tumbling_window``
+    / ``events_sliding_window`` queries."""
     src = events.withWatermark("ts", watermark) if watermark else events
     return (
-        src.groupBy(F.window("ts", window).alias("w"), "event_type")
+        src.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), decimal_sum("value").alias("total_value"))
         .select(
             F.col("w.start").alias("window_start"), "event_type", "n", "total_value"

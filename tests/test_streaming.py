@@ -218,3 +218,27 @@ def test_stream_static_enrichment_matches_batch(spark, landing_dir):
     want = {(r.event_id, r.c_mktsegment, r.c_acctbal) for r in batch.collect()}
     assert got == want
     assert len(got) > 0
+
+
+def test_stream_sliding_window_matches_batch(spark, landing_dir):
+    stream = ev.read_event_stream(spark, landing_dir)
+    q = ev.start_to_memory(
+        ev.windowed_counts(stream, slide="30 minutes"),
+        "win_sliding",
+        output_mode="complete",
+    )
+    _await(q)
+    got = {
+        (r.window_start, r.event_type): (r.n, round(r.total_value, 6))
+        for r in spark.sql("SELECT * FROM win_sliding").collect()
+    }
+    batch = ev.windowed_counts(
+        load_table(spark, "/root/testdata/sf0.001", "events"),
+        watermark=None,
+        slide="30 minutes",
+    )
+    want = {
+        (r.window_start, r.event_type): (r.n, round(r.total_value, 6))
+        for r in batch.collect()
+    }
+    assert got == want
