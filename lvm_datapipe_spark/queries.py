@@ -573,7 +573,16 @@ def stream_sink_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.processAllAvailable()
     q.stop()
 
-    return spark.read.parquet(sink).filter(F.col("event_type") != "flush_sentinel")
+    out = spark.read.parquet(sink).filter(F.col("event_type") != "flush_sentinel")
+    # The stream casts an NTZ event-time to TIMESTAMP for the watermark
+    # (streaming/events.py:ensure_event_time); cast the window back so the
+    # result schema matches the batch/oracle form regardless of which flavor
+    # the source parquet carried.  Session tz is UTC, so this is value-exact.
+    from pyspark.sql import types as T
+
+    if isinstance(ev.schema["ts"].dataType, T.TimestampNTZType):
+        out = out.withColumn("window_start", F.col("window_start").cast("timestamp_ntz"))
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -55,6 +55,21 @@ def read_event_stream(
     )
 
 
+def ensure_event_time(events: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize the event-time column to TIMESTAMP (with local-tz semantics).
+
+    Spark >= 4 infers parquet timestamps written without UTC adjustment as
+    TIMESTAMP_NTZ, but ``withWatermark`` only accepts TIMESTAMP — a stream
+    built straight off such files fails analysis with
+    EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE.  The cast interprets the NTZ wall
+    clock in the session timezone; pipelines pin
+    ``spark.sql.session.timeZone=UTC`` (session.py) so the instant is exact
+    and the round-trip back to NTZ is the identity."""
+    if isinstance(events.schema[col].dataType, T.TimestampNTZType):
+        return events.withColumn(col, F.col(col).cast("timestamp"))
+    return events
+
+
 def deduplicate_events(
     events: DataFrame, watermark: str = "1 hour", key: str = "event_id"
 ) -> DataFrame:
@@ -69,6 +84,7 @@ def deduplicate_events(
     no state to bound)."""
     if not events.isStreaming:
         return events.dropDuplicates([key])
+    events = ensure_event_time(events)
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark([key])
 
 
@@ -82,7 +98,7 @@ def windowed_counts(
     value sums.  Identical plan in batch mode (watermark=None) and streaming
     mode — the batch forms are the oracle-checked ``events_tumbling_window``
     / ``events_sliding_window`` queries."""
-    src = events.withWatermark("ts", watermark) if watermark else events
+    src = ensure_event_time(events).withWatermark("ts", watermark) if watermark else events
     return (
         src.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), decimal_sum("value").alias("total_value"))
@@ -187,7 +203,8 @@ def sessionize_stream(
             )
 
     return (
-        events.withWatermark("ts", watermark)
+        ensure_event_time(events)
+        .withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
             fn,
