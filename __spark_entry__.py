@@ -25,15 +25,53 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q1_pricing_summary"](spark, SF0001)
 
 
+# The driver's correctness gate checks only the FIRST 50 entries of
+# ``queries()``.  List queries that have never received an official
+# CORRECTNESS row (plus queries fixed or added this round) first so each
+# lands inside that window; the rotation history lives in COVERAGE.md.
+# Everything rotated out of the window stays fully verified locally via
+# ``tools/check_correctness.py`` (all 70 green as of r4).
+_CHECK_FIRST = [
+    "ann_ivf_fixed_topk",
+    "f6_training_pairs",
+    "agg_pivot",
+    "agg_collect_set",
+    "time_functions",
+    "agg_percentiles",
+    "set_intersect",
+    "split_train_val_test",
+    "sample_stratified",
+    "text_repetition",
+    "pack_sequences_by_lang",
+    "text_scrub",
+    "split_leakage_safe",
+    "decontaminate_overlap",
+    "sample_k_per_lang",
+    "embedding_quantize",
+    "events_enriched",
+    "snapshot_diff_docs",
+    "quality_gate_tokens",
+    "events_sliding_window",
+    # fixed this round (TIMESTAMP_NTZ watermark) — needs a fresh green row
+    "stream_sink_tumbling_window",
+]
+
+
+def _ordered(mapping: dict) -> dict:
+    out = {n: mapping[n] for n in _CHECK_FIRST if n in mapping}
+    out.update({n: v for n, v in mapping.items() if n not in out})
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     from lvm_datapipe_spark.queries import QUERIES
 
-    return dict(QUERIES)
+    return _ordered(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for each oracle-checkable query."""
     from lvm_datapipe_spark.queries import ORACLE_SQL
 
-    return dict(ORACLE_SQL)
+    return _ordered(ORACLE_SQL)
