@@ -54,6 +54,8 @@ _CHECK_FIRST = [
     "events_sliding_window",
     # fixed this round (TIMESTAMP_NTZ watermark) — needs a fresh green row
     "stream_sink_tumbling_window",
+    # added in r4
+    "dedup_clusters_lsh",
 ]
 
 

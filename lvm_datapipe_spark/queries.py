@@ -1031,6 +1031,36 @@ def ann_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.lsh_near_dup_pairs(emb, threshold=0.4)
 
 
+def _lsh_clusters_sql() -> str:
+    """Recursive-CTE transitive closure over the SAME deterministic LSH pair
+    list the Spark plan produces (seeded plane literals replayed in DuckDB)."""
+    return f"""
+    WITH RECURSIVE pairs AS ({_lsh_near_dup_sql()}),
+    edges AS (SELECT id_a AS u, id_b AS w FROM pairs
+              UNION SELECT id_b AS u, id_a AS w FROM pairs),
+    reach AS (SELECT u, w FROM edges
+              UNION SELECT r.u AS u, e2.w AS w
+              FROM reach r JOIN edges e2 ON r.w = e2.u)
+    SELECT u AS id, least(u, min(w)) AS cluster_id FROM reach GROUP BY u
+    """
+
+
+@_q("dedup_clusters_lsh", _lsh_clusters_sql())
+def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB cluster-assignment path: LSH candidate pairs (equi-join on
+    (table, bucket) — no corpus×corpus product, plan-asserted in
+    tests/test_plan_quality.py) feed min-label-propagation connected
+    components.  ``dedup_clusters`` keeps the quadratic all-pairs source
+    only as the small-corpus recall oracle; this is the form a production
+    dedup run executes."""
+    from lvm_datapipe_spark.operators import similarity as V
+    from lvm_datapipe_spark.operators.graph import connected_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = V.lsh_near_dup_pairs(emb, threshold=0.4)
+    return connected_components(pairs)
+
+
 # ---------------------------------------------------------------------------
 # Temporal joins: as-of and range (extension operators, operators/asof.py)
 # ---------------------------------------------------------------------------

@@ -75,6 +75,24 @@ def test_no_cartesian_in_lsh_embedding_dedup(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_no_cartesian_in_lsh_cluster_assignment(spark):
+    # cluster assignment at scale = LSH pairs -> label propagation.  The
+    # propagation loop materializes (localCheckpoint per round), so assert
+    # the pair-generation stage that feeds it — the only place a corpus x
+    # corpus product could hide — then run the composed query end-to-end.
+    from lvm_datapipe_spark.catalog import load_table
+    from lvm_datapipe_spark.operators import similarity as V
+
+    emb = load_table(spark, SF, "embeddings")
+    pairs = V.lsh_near_dup_pairs(emb, threshold=0.4)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    out = QUERIES["dedup_clusters_lsh"](spark, SF)
+    assert set(out.columns) == {"id", "cluster_id"}
+    assert out.count() > 0
+
+
 def test_sampling_split_is_narrow(spark):
     # hash splits/samples are pure projections/filters — zero Exchange
     for q in ("split_train_val_test", "sample_stratified"):
