@@ -324,6 +324,13 @@ def _caption_kernel(frames, h, w):
     return caption_text(frames)
 
 
+def _tiny_aesthetic_stub(frames, h, w):
+    # unreachable in practice: TinyAestheticAdapter requires only numpy, so
+    # resolve_kernel always picks the REAL adapter; a None here (→ null
+    # rows) makes any accidental stub fallback visible in tests.
+    return None
+
+
 SCORERS: dict[str, tuple[str, object]] = {
     # name -> (output column, (stub kernel, spark return type)); real model
     # adapters resolve per-executor via operators/model_adapters.ADAPTERS
@@ -335,6 +342,12 @@ SCORERS: dict[str, tuple[str, object]] = {
     "caption_llava": (
         "frame_caption_llava_raw",
         (_caption_kernel, T.ArrayType(T.StringType())),
+    ),
+    # numpy-only executable model head — the one scorer whose REAL adapter
+    # (not a stub) runs in this container; golden-tested end-to-end
+    "tiny_aesthetic": (
+        "tiny_aesthetic_score",
+        (_tiny_aesthetic_stub, T.ArrayType(T.DoubleType())),
     ),
 }
 

