@@ -40,20 +40,53 @@ from lvm_datapipe_spark.operators import mp4
 FRACTION_POINTS = [0.2, 0.5, 0.8]  # macvidataset.py:21
 
 
-def _decode_frames(data: bytes, indices: list[int]) -> list[bytes] | None:
+def _resize_nn(arr: np.ndarray, th: int, tw: int) -> np.ndarray:
+    """Nearest-neighbor resize — deterministic and identical across the FVID
+    and cv2 decode paths (no codec-specific interpolation), so resized
+    pipelines stay oracle/golden-checkable."""
+    h, w = arr.shape
+    rows = (np.arange(th) * h) // th
+    cols = (np.arange(tw) * w) // tw
+    return arr[rows][:, cols]
+
+
+def _decode_frames(
+    data: bytes,
+    indices: list[int],
+    native_hw: tuple[int, int] | None = None,
+    target_hw: tuple[int, int] | None = None,
+) -> list[bytes] | None:
     """Return raw grayscale frame payloads at the given indices, or None on
-    decode failure (F4/F5 null-row semantics)."""
+    decode failure (F4/F5 null-row semantics).  ``target_hw=(h, w)`` resizes
+    AT DECODE — the reference opens videos at target resolution (decord
+    ``VideoReader(width=..., height=...)``, macvid.py:165-173) so full-res
+    frames never cross into the pipeline; here they never cross the Arrow
+    boundary."""
     if data is None:
         return None
     try:
         if fakevideo.is_fvid(data):
-            return fakevideo.decode_frames(data, indices)
-        return _decode_frames_cv2(data, indices)
+            frames = fakevideo.decode_frames(data, indices)
+            if frames is None or target_hw is None:
+                return frames
+            if native_hw is None:
+                p = fakevideo.probe(data)
+                native_hw = (p["height"], p["width"])
+            th, tw = target_hw
+            return [
+                _resize_nn(
+                    np.frombuffer(f, dtype=np.uint8).reshape(native_hw), th, tw
+                ).tobytes()
+                for f in frames
+            ]
+        return _decode_frames_cv2(data, indices, target_hw)
     except Exception:  # noqa: BLE001 — any decode failure → null row
         return None
 
 
-def _decode_frames_cv2(data: bytes, indices: list[int]) -> list[bytes] | None:
+def _decode_frames_cv2(
+    data: bytes, indices: list[int], target_hw: tuple[int, int] | None = None
+) -> list[bytes] | None:
     """Real-codec path (mp4/avi/...): cv2 seek-and-grab, the reference's
     CAP_PROP_POS_FRAMES pattern (macvidataset.py:29-42).  STUB-GUARDED: the
     container ships no cv2; raises ImportError so callers null the row."""
@@ -71,8 +104,10 @@ def _decode_frames_cv2(data: bytes, indices: list[int]) -> list[bytes] | None:
             ok, frame = cap.read()
             if not ok:
                 return None
-            gray = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY)
-            out.append(gray.astype(np.uint8).tobytes())
+            gray = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY).astype(np.uint8)
+            if target_hw is not None:
+                gray = _resize_nn(gray, *target_hw)
+            out.append(gray.tobytes())
         cap.release()
         return out
 
@@ -138,11 +173,18 @@ def _indices_for_policy(n_frames: int, policy: str, stride: int) -> list[int]:
     raise ValueError(f"unknown sampling policy {policy!r}")
 
 
-def sample_frames_udf(policy: str = "fractions", stride: int = 10):
+def sample_frames_udf(
+    policy: str = "fractions",
+    stride: int = 10,
+    target_hw: tuple[int, int] | None = None,
+):
     """Factory for the frame-sampling pandas UDF family (S14-S16): binary
     video content → array<binary> of sampled grayscale frames.  Iterator
     form so per-batch state (none here, a codec handle for real formats)
-    initializes once per partition, not per row."""
+    initializes once per partition, not per row.  ``target_hw=(h, w)``
+    resizes at decode (decord parity, macvid.py:165-173): at 100 TB the
+    difference between shipping 1080p and 224×224 frames through Arrow is
+    the job."""
 
     @pandas_udf(T.ArrayType(T.BinaryType()))
     def _sample(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
@@ -154,7 +196,14 @@ def sample_frames_udf(policy: str = "fractions", stride: int = 10):
                     out.append(None)
                     continue
                 idx = _indices_for_policy(info["n_frames"], policy, stride)
-                out.append(_decode_frames(data, idx))
+                out.append(
+                    _decode_frames(
+                        data,
+                        idx,
+                        native_hw=(info["height"], info["width"]),
+                        target_hw=target_hw,
+                    )
+                )
             yield pd.Series(out, dtype=object)
 
     return _sample
@@ -166,8 +215,22 @@ def with_sampled_frames(
     policy: str = "fractions",
     stride: int = 10,
     out_col: str = "frames",
+    target_hw: tuple[int, int] | None = None,
 ) -> DataFrame:
-    return videos.withColumn(out_col, sample_frames_udf(policy, stride)(F.col(content_col)))
+    """Adds ``out_col`` with sampled frame payloads.  With ``target_hw`` the
+    frames are ``(h, w)``-shaped at decode and the ``height``/``width``
+    columns (when present) are overwritten to match, so downstream scorers
+    reshape correctly."""
+    out = videos.withColumn(
+        out_col, sample_frames_udf(policy, stride, target_hw)(F.col(content_col))
+    )
+    if target_hw is not None:
+        th, tw = target_hw
+        if "height" in out.columns:
+            out = out.withColumn("height", F.lit(th).cast("int"))
+        if "width" in out.columns:
+            out = out.withColumn("width", F.lit(tw).cast("int"))
+    return out
 
 
 # -- pure numeric kernels (the reference's published math) -------------------

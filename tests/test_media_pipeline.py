@@ -131,6 +131,33 @@ def test_sampling_policies(scored_input):
     assert len(r.frames) == (r.n_frames + 9) // 10
 
 
+def test_sampling_resize_at_decode(scored_input):
+    """Decord-parity target_hw: frames come out of the decoder already at
+    (h, w) — exact nearest-neighbor of the native frame — and the
+    height/width columns follow so scorers reshape correctly."""
+    import numpy as np
+
+    native = scored_input.select("content", "height", "width").first()
+    out = media.with_sampled_frames(
+        scored_input, policy="first_mid_last", target_hw=(24, 32)
+    )
+    row = out.select("frames", "height", "width").first()
+    assert (row.height, row.width) == (24, 32)
+    assert all(len(f) == 24 * 32 for f in row.frames)
+
+    full = media.with_sampled_frames(
+        scored_input, policy="first_mid_last"
+    ).select("frames").first()
+    want = media._resize_nn(
+        np.frombuffer(full.frames[0], dtype=np.uint8).reshape(
+            native.height, native.width
+        ),
+        24,
+        32,
+    ).tobytes()
+    assert bytes(row.frames[0]) == want
+
+
 def test_scorers(scored_input):
     df = media.with_sampled_frames(scored_input, policy="fractions")
     for name in ("aesthetic", "imaging_quality", "ocr", "motion", "caption"):
@@ -362,6 +389,11 @@ def test_cv2_adapter_with_injected_module(monkeypatch):
     assert calls["seeks"] == [0, 5, 7] and calls["released"]
     assert len(out) == 3 and all(len(f) == 48 * 64 for f in out)
     assert out[1] == bytes([5]) * (48 * 64)
+
+    # resize-at-decode flows through the cv2 adapter too
+    resized = media._decode_frames(_mp4_fixture(), [3], target_hw=(12, 16))
+    assert len(resized) == 1 and len(resized[0]) == 12 * 16
+    assert resized[0] == bytes([3]) * (12 * 16)  # constant frame survives nn
 
 
 # -- M1/M2 real adapters (PySceneDetect / ffmpeg), driven via injection ------

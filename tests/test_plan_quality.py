@@ -93,6 +93,15 @@ def test_no_cartesian_in_lsh_cluster_assignment(spark):
     assert out.count() > 0
 
 
+def test_sessionize_single_keyed_shuffle(spark):
+    # gaps-and-islands sessionization: ONE hashpartitioning Exchange on
+    # user_id feeds the lag window, the session-id prefix sum, AND the
+    # per-session aggregate — no SinglePartition window anywhere
+    plan = _plan(spark, "w3_sessionize")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SinglePartition" not in plan
+
+
 def test_sampling_split_is_narrow(spark):
     # hash splits/samples are pure projections/filters — zero Exchange
     for q in ("split_train_val_test", "sample_stratified"):
