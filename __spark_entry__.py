@@ -56,6 +56,9 @@ _CHECK_FIRST = [
     "stream_sink_tumbling_window",
     # added in r4
     "dedup_clusters_lsh",
+    "dedup_representatives",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
 ]
 
 

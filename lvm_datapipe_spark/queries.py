@@ -1045,6 +1045,36 @@ def _lsh_clusters_sql() -> str:
     """
 
 
+def _lsh_representatives_sql() -> str:
+    return f"""
+    WITH RECURSIVE pairs AS ({_lsh_near_dup_sql()}),
+    edges AS (SELECT id_a AS u, id_b AS w FROM pairs
+              UNION SELECT id_b AS u, id_a AS w FROM pairs),
+    reach AS (SELECT u, w FROM edges
+              UNION SELECT r.u AS u, e2.w AS w
+              FROM reach r JOIN edges e2 ON r.w = e2.u),
+    cc AS (SELECT u AS id, least(u, min(w)) AS cluster_id FROM reach GROUP BY u)
+    SELECT e.vec_id, CAST(e.label AS BIGINT) AS label
+    FROM embeddings e LEFT JOIN cc ON cc.id = e.vec_id
+    WHERE cc.cluster_id IS NULL OR cc.cluster_id = e.vec_id
+    """
+
+
+@_q("dedup_representatives", _lsh_representatives_sql())
+def dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE dedup decision a 100 TB run ships: LSH near-dup pairs →
+    connected components → keep exactly one row per cluster (minimum id)
+    plus every row with no near-dup.  One left join of the corpus against
+    the (small) cluster table; no corpus×corpus product anywhere."""
+    from lvm_datapipe_spark.operators import similarity as V
+    from lvm_datapipe_spark.operators.graph import dedup_keep_representatives
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = V.lsh_near_dup_pairs(emb, threshold=0.4)
+    corpus = emb.select("vec_id", F.col("label").cast("long").alias("label"))
+    return dedup_keep_representatives(corpus, pairs, "vec_id")
+
+
 @_q("dedup_clusters_lsh", _lsh_clusters_sql())
 def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB cluster-assignment path: LSH candidate pairs (equi-join on
@@ -1410,6 +1440,119 @@ def semi_join_high_value_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_orderkey").alias("o_orderkey"))
     )
     return orders.join(big, "o_orderkey", "left_semi").select("o_orderkey", "o_totalprice")
+
+
+@_q(
+    "q5_local_supplier_volume",
+    f"""
+    SELECT n_name, {_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: the 6-table join with a LOCAL-supplier equi-condition
+    (customer and supplier share a nation).  Fact-fact joins shuffle on
+    their keys; nation/region broadcast; the date filter pushes to the
+    orders scan so only one year of the fact table survives."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01 00:00:00")))
+            & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-01-01 00:00:00")))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    reg = (
+        load_table(spark, sf_dir, "region")
+        .filter(F.col("r_name") == "ASIA")
+        .select("r_regionkey")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            A.decimal_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+    )
+
+
+@_q(
+    "q10_returned_items",
+    f"""
+    SELECT c_custkey, c_name, c_acctbal, n_name,
+           {_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: who returned the most revenue last quarter —
+    selective fact filters, customer-side enrichment, top-k with a unique
+    tie-break so the LIMIT is deterministic on both engines."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01 00:00:00")))
+            & (F.col("o_orderdate") < F.to_timestamp(F.lit("1996-04-01 00:00:00")))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    agg = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            A.decimal_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+    )
+    return R.top_k(agg, [F.desc("revenue"), F.asc("c_custkey")], 20)
 
 
 @_q(
