@@ -59,6 +59,9 @@ _CHECK_FIRST = [
     "dedup_representatives",
     "q5_local_supplier_volume",
     "q10_returned_items",
+    "text_normalize",
+    "vocab_top_tokens",
+    "vocab_stats",
 ]
 
 

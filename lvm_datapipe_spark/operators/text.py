@@ -32,6 +32,50 @@ def normalize_whitespace(text: Column | str) -> Column:
     return F.trim(F.regexp_replace(_c(text), r"\s+", " "))
 
 
+def normalize_text(text: Column | str) -> Column:
+    """Canonical pre-tokenization normalization: lowercase, strip everything
+    outside ``[a-z0-9]``+whitespace (ASCII normalization — the corpora this
+    engine targets are pre-transliterated; widen the class for unicode
+    pipelines), collapse whitespace runs, trim.  Explicit whitespace class
+    (not ``\\s``) because Java and RE2 disagree on ``\\x0b``; this chain is
+    engine-portable and oracle-checked."""
+    t = F.lower(_c(text))
+    t = F.regexp_replace(t, "[^a-z0-9 \t\n\r\f]", "")
+    return F.trim(F.regexp_replace(t, "[ \t\n\r\f]+", " "))
+
+
+def token_frequencies(
+    df: DataFrame, text_col: str = "text", lowercase: bool = True
+) -> DataFrame:
+    """Corpus token frequency table ``(token, n)`` — the exact heavy-hitters
+    base (vocabulary building, stopword discovery, Zipf diagnostics).
+
+    Scale shape: explode is a narrow per-row flatMap; the single shuffle is
+    the token-keyed partial-aggregated count.  Natural-language token
+    frequencies are Zipfian, but a SUM over a hot key is exactly what
+    map-side partial aggregation absorbs — each map task emits one partial
+    row per distinct token, so the reduce side sees at most
+    #partitions rows for "the"."""
+    toks = tokens(F.lower(_c(text_col)) if lowercase else _c(text_col))
+    return (
+        df.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def vocab_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-row corpus vocabulary summary: total tokens, distinct tokens
+    (vocabulary size), and type-token ratio.  Composed from the frequency
+    table so the shuffle is shared with heavy-hitter queries."""
+    freq = token_frequencies(df, text_col)
+    return freq.agg(
+        F.sum("n").cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        (F.count(F.lit(1)) / F.sum("n")).alias("type_token_ratio"),
+    )
+
+
 def fingerprint(text: Column | str) -> Column:
     """Document fingerprint: md5 over the lower-cased, whitespace-normalized
     text.  md5 is bit-identical across engines (unlike xxhash64/builtin

@@ -1370,6 +1370,70 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_LTOKS = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
+
+
+@_q(
+    "text_normalize",
+    r"""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text),
+                '[^a-z0-9 \t\n\r\f]', '', 'g'),
+                '[ \t\n\r\f]+', ' ', 'g')) AS norm_text
+    FROM documents
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical normalization chain (lower → ASCII class strip → whitespace
+    collapse) as one codegen'd projection — the step every downstream dedup
+    or fingerprint consumes."""
+    from lvm_datapipe_spark.operators import text as X
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.normalize_text("text").alias("norm_text"))
+
+
+@_q(
+    "vocab_top_tokens",
+    f"""
+    WITH tok AS (SELECT unnest({_SQL_LTOKS}) AS token FROM documents)
+    SELECT token, CAST(count(*) AS BIGINT) AS n
+    FROM tok GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 50
+    """,
+)
+def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters: corpus token frequencies → top 50.  Zipf-skewed
+    keys are absorbed by map-side partial aggregation (one partial row per
+    distinct token per task), then TakeOrdered — no global sort."""
+    from lvm_datapipe_spark.operators import text as X
+
+    docs = load_table(spark, sf_dir, "documents")
+    freq = X.token_frequencies(docs)
+    return R.top_k(freq, [F.desc("n"), F.asc("token")], 50)
+
+
+@_q(
+    "vocab_stats",
+    f"""
+    WITH tok AS (SELECT unnest({_SQL_LTOKS}) AS token FROM documents),
+    freq AS (SELECT token, count(*) AS n FROM tok GROUP BY token)
+    SELECT CAST(sum(n) AS BIGINT) AS total_tokens,
+           CAST(count(*) AS BIGINT) AS vocab_size,
+           count(*) / CAST(sum(n) AS DOUBLE) AS type_token_ratio
+    FROM freq
+    """,
+)
+def vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row vocabulary summary (total tokens, vocab size, type-token
+    ratio) over the shared token-frequency shuffle."""
+    from lvm_datapipe_spark.operators import text as X
+
+    docs = load_table(spark, sf_dir, "documents")
+    return X.vocab_stats(docs)
+
+
 # ---------------------------------------------------------------------------
 # Additional relational coverage: Q3 shape, semi join, cumulative window,
 # JSON extraction (C14 on real data)
