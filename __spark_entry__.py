@@ -62,6 +62,7 @@ _CHECK_FIRST = [
     "text_normalize",
     "vocab_top_tokens",
     "vocab_stats",
+    "stream_interval_join",
 ]
 
 

@@ -2341,3 +2341,40 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), A.decimal_sum("value").alias("total_value"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
     )
+
+
+@_q(
+    "stream_interval_join",
+    """
+    SELECT p.event_id AS purchase_id, p.user_id AS user_id, p.ts AS purchase_ts,
+           v.event_id AS view_id, v.ts AS view_ts, v.value AS view_value
+    FROM events p JOIN events v
+      ON v.user_id = p.user_id
+     AND v.ts <= p.ts
+     AND v.ts >= p.ts - INTERVAL 1 HOUR
+    WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+    """,
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream interval join (attribution: views in
+    the hour before each purchase, same user).  The identical expression
+    runs unbounded with watermarked state eviction
+    (streaming/events.py::interval_join_views_purchases); here it is the
+    oracle-checked form.  The equi-key (user_id) makes it a keyed
+    sort-merge/hash join with the range as a residual filter — no
+    cartesian."""
+    from lvm_datapipe_spark.streaming.events import interval_join_views_purchases
+
+    ev = load_table(spark, sf_dir, "events")
+    out = interval_join_views_purchases(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+    # match the source timestamp flavor (see stream_sink_tumbling_window)
+    from pyspark.sql import types as T
+
+    if isinstance(ev.schema["ts"].dataType, T.TimestampNTZType):
+        out = out.withColumn(
+            "purchase_ts", F.col("purchase_ts").cast("timestamp_ntz")
+        ).withColumn("view_ts", F.col("view_ts").cast("timestamp_ntz"))
+    return out

@@ -127,6 +127,39 @@ def enrich_stream(
     return events.join(d, on, how)
 
 
+def interval_join_views_purchases(
+    views: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream INNER join with an event-time interval: each purchase
+    matches the same user's views in ``[purchase.ts - horizon, purchase.ts]``
+    (attribution inside a bounded lookback).
+
+    The time-range condition is what makes this run UNBOUNDED: with both
+    sides watermarked and the join range closed, Spark evicts buffered rows
+    once ``watermark + horizon`` passes — without the range the state grows
+    forever.  On batch inputs ``withWatermark`` is a no-op and the identical
+    expression is the oracle-checked ``stream_interval_join`` query, so
+    batch ≡ stream is testable on the same data."""
+    v = ensure_event_time(views).withWatermark("ts", watermark).alias("v")
+    p = ensure_event_time(purchases).withWatermark("ts", watermark).alias("p")
+    cond = (
+        (F.col("v.user_id") == F.col("p.user_id"))
+        & (F.col("v.ts") <= F.col("p.ts"))
+        & (F.col("v.ts") >= F.col("p.ts") - F.expr(f"INTERVAL {horizon}"))
+    )
+    return p.join(v, cond, "inner").select(
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("p.user_id").alias("user_id"),
+        F.col("p.ts").alias("purchase_ts"),
+        F.col("v.event_id").alias("view_id"),
+        F.col("v.ts").alias("view_ts"),
+        F.col("v.value").alias("view_value"),
+    )
+
+
 SESSION_STATE_SCHEMA = T.StructType(
     [
         T.StructField("last_ts", T.TimestampType()),

@@ -242,3 +242,34 @@ def test_stream_sliding_window_matches_batch(spark, landing_dir):
         for r in batch.collect()
     }
     assert got == want
+
+
+def test_stream_stream_interval_join_matches_batch(spark, landing_dir):
+    """Stream-stream inner join with event-time bounds: every (purchase,
+    view-within-lookback) pair the batch twin produces must emit from the
+    streaming form on the same data (inner-join results emit as matches
+    arrive; the watermark only bounds buffered state)."""
+    views = ev.read_event_stream(spark, landing_dir).filter(
+        F.col("event_type") == "view"
+    )
+    purchases = ev.read_event_stream(spark, landing_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    q = ev.start_to_memory(
+        ev.interval_join_views_purchases(views, purchases),
+        "ss_interval_join",
+        output_mode="append",
+    )
+    _await(q)
+    got = {
+        (r.purchase_id, r.view_id)
+        for r in spark.sql("SELECT * FROM ss_interval_join").collect()
+    }
+    evb = load_table(spark, "/root/testdata/sf0.001", "events")
+    batch = ev.interval_join_views_purchases(
+        evb.filter(F.col("event_type") == "view"),
+        evb.filter(F.col("event_type") == "purchase"),
+    )
+    want = {(r.purchase_id, r.view_id) for r in batch.collect()}
+    assert len(want) > 0
+    assert got == want
