@@ -63,6 +63,9 @@ _CHECK_FIRST = [
     "vocab_top_tokens",
     "vocab_stats",
     "stream_interval_join",
+    "asof_next_purchase_after_view",
+    "w5_quality_deciles",
+    "agg_grouping_sets",
 ]
 
 

@@ -28,13 +28,19 @@ def asof_join(
     right_ts: str,
     right_values: list[str],
     tie_col: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: left rows keep all columns, gaining the most
-    recent ``right_values`` with ``right.right_ts <= left.left_ts`` per
-    ``key``.  Ties on the timestamp break by ``tie_col`` (greatest wins) so
-    results are deterministic."""
+    """As-of join: left rows keep all columns, gaining ``right_values`` from
+    the nearest right row per ``key`` — the most recent with
+    ``right_ts <= left_ts`` (``direction="backward"``, ties break by
+    ``tie_col`` greatest-wins) or the earliest with ``right_ts >= left_ts``
+    (``direction="forward"``, ties break least-wins).  Both directions are
+    the same single keyed union+window shuffle — linear, never
+    join-then-rank."""
     from pyspark.sql import types as T
 
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     lcols = left.columns
     tie = tie_col if tie_col is not None else right_values[0]
 
@@ -46,10 +52,14 @@ def asof_join(
     # even when its fields are null, so ignorenulls only skips LEFT rows.
     rv_type = T.StructType([T.StructField(v, right.schema[v].dataType) for v in right_values])
 
+    backward = direction == "backward"
+    # at equal ts the left row must SEE the right row: left sorts after
+    # right for backward (<=), before right for forward (>=)
+    l_side = 1 if backward else 0
     l_tagged = left.select(
         F.col(key).alias("_k"),
         F.col(left_ts).alias("_t"),
-        F.lit(1).alias("_side"),  # left sorts AFTER right at equal ts (<=)
+        F.lit(l_side).alias("_side"),
         F.lit(None).cast(right.schema[tie].dataType).alias("_tie"),
         *[F.col(c).alias(f"_l_{c}") for c in lcols],
         F.lit(None).cast(rv_type).alias("_rv"),
@@ -57,21 +67,29 @@ def asof_join(
     r_tagged = right.select(
         F.col(key).alias("_k"),
         F.col(right_ts).alias("_t"),
-        F.lit(0).alias("_side"),
+        F.lit(1 - l_side).alias("_side"),
         F.col(tie).alias("_tie"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}") for c in lcols],
         F.struct(*[F.col(v).alias(v) for v in right_values]).alias("_rv"),
     )
     unioned = l_tagged.unionByName(r_tagged)
-    w = (
-        Window.partitionBy("_k")
-        .orderBy(F.col("_t").asc(), F.col("_side").asc(), F.col("_tie").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    filled = unioned.select(
-        "*", F.last("_rv", ignorenulls=True).over(w).alias("_rvf")
-    )
-    return filled.filter(F.col("_side") == 1).select(
+    order = [F.col("_t").asc(), F.col("_side").asc(), F.col("_tie").asc()]
+    if backward:
+        w = (
+            Window.partitionBy("_k")
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        fill = F.last("_rv", ignorenulls=True)
+    else:
+        w = (
+            Window.partitionBy("_k")
+            .orderBy(*order)
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        fill = F.first("_rv", ignorenulls=True)
+    filled = unioned.select("*", fill.over(w).alias("_rvf"))
+    return filled.filter(F.col("_side") == l_side).select(
         *[F.col(f"_l_{c}").alias(c) for c in lcols],
         *[F.col(f"_rvf.{v}").alias(v) for v in right_values],
     )

@@ -2378,3 +2378,101 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purchase_ts", F.col("purchase_ts").cast("timestamp_ntz")
         ).withColumn("view_ts", F.col("view_ts").cast("timestamp_ntz"))
     return out
+
+
+@_q(
+    "asof_next_purchase_after_view",
+    """
+    WITH v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+         p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase')
+    SELECT event_id, user_id, ts, next_purchase_id, next_purchase_value FROM (
+      SELECT v.event_id, v.user_id, v.ts,
+             p.event_id AS next_purchase_id, p.value AS next_purchase_value,
+             ROW_NUMBER() OVER (PARTITION BY v.event_id
+                  ORDER BY p.ts ASC, p.event_id ASC) AS rn
+      FROM v JOIN p ON p.user_id = v.user_id AND p.ts >= v.ts)
+    WHERE rn = 1
+    """,
+)
+def asof_next_purchase_after_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (time-to-conversion: the first purchase at or
+    after each view, per user) — same single union+window shuffle as the
+    backward form, frame flipped to currentRow..unboundedFollowing."""
+    from lvm_datapipe_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("next_purchase_id"),
+        F.col("value").alias("next_purchase_value"),
+    )
+    out = asof_join(
+        views,
+        purchases,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_values=["next_purchase_id", "next_purchase_value"],
+        tie_col="next_purchase_id",
+        direction="forward",
+    )
+    return out.filter(F.col("next_purchase_id").isNotNull())
+
+
+@_q(
+    "w5_quality_deciles",
+    """
+    WITH t AS (SELECT doc_id, lang, n_chars,
+                      NTILE(10) OVER (ORDER BY n_chars DESC, doc_id) AS decile
+               FROM documents)
+    SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM t GROUP BY decile
+    """,
+)
+def w5_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus stratification: NTILE deciles over a quality proxy, then
+    per-stratum stats — the 'keep the top-k% of the corpus' primitive.
+    NOTE the global NTILE is a SinglePartition window — correct but
+    serial; at 100 TB use quality_gate_tokens (broadcast percentile
+    threshold) or sampling.split_assign stratified by an approx-quantile
+    bucket instead.  Declared at oracle scale to pin NTILE semantics."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    t = docs.select("doc_id", F.ntile(10).over(w).alias("decile"), "n_chars")
+    return t.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@_q(
+    "agg_grouping_sets",
+    f"""
+    SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(n_chars) AS BIGINT) AS chars
+    FROM documents
+    GROUP BY GROUPING SETS ((lang), (source), (lang, source))
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube): per-lang, per-source,
+    and per-(lang,source) aggregates in ONE pass — Spark's Expand operator
+    replays each input row once per set, so it is a single scan + one
+    shuffle, not three queries."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupingSets(
+            [["lang"], ["source"], ["lang", "source"]], "lang", "source"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").cast("long").alias("chars"),
+        )
+    )

@@ -158,6 +158,30 @@ def test_asof_join_no_right_match_is_all_null(spark):
     assert len(out) == 1 and out[0].va is None and out[0].vb is None
 
 
+def test_asof_join_forward_direction(spark):
+    """Forward as-of: earliest right row with t >= left t; equal-ts rows
+    match; ties at the same ts break least-wins; no future match → null."""
+    from lvm_datapipe_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("u", 50), ("u", 100), ("u", 300)], ["k", "t"]
+    )
+    right = spark.createDataFrame(
+        [("u", 40, "past"), ("u", 100, "b_tie"), ("u", 100, "a_tie"), ("u", 200, "later")],
+        ["k", "t", "va"],
+    )
+    out = {
+        r.t: r.va
+        for r in asof_join(
+            left, right, key="k", left_ts="t", right_ts="t",
+            right_values=["va"], direction="forward",
+        ).collect()
+    }
+    assert out[50] == "a_tie"   # skips the past row, takes earliest future
+    assert out[100] == "a_tie"  # equal ts matches; least tie wins
+    assert out[300] is None     # nothing at-or-after
+
+
 def test_snapshot_diff_statuses(spark):
     from lvm_datapipe_spark.operators.relational import snapshot_diff
 
