@@ -66,6 +66,7 @@ _CHECK_FIRST = [
     "asof_next_purchase_after_view",
     "w5_quality_deciles",
     "agg_grouping_sets",
+    "tfidf_top_terms",
 ]
 
 

@@ -2476,3 +2476,53 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("chars"),
         )
     )
+
+
+@_q(
+    "tfidf_top_terms",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({_SQL_LTOKS}) AS token FROM documents),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+    dft AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    s AS (SELECT tf.doc_id, tf.token,
+                 CAST(tf.tf * n.n_docs AS DOUBLE) / dft.df AS tfidf
+          FROM tf JOIN dft USING (token) CROSS JOIN n)
+    SELECT doc_id, token, tfidf FROM (
+      SELECT s.*, ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY tfidf DESC, token) AS rn FROM s)
+    WHERE rn <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 salient terms by tf·idf with a LINEAR idf
+    (tf·N/df): no log(), so the score is two exact integer ops and one
+    division — bit-identical across engines, which a log-based idf is not
+    guaranteed to be.  Shape: (doc,token) count, token df (map-side partial
+    both), broadcast scalar N, one doc-keyed window."""
+    from lvm_datapipe_spark.operators import text as X
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(X.tokens(F.lower(F.col("text")))).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dft = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    s = (
+        tf.join(dft, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            ((F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")).alias(
+                "tfidf"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        s.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "token", "tfidf")
+    )
