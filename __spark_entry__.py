@@ -67,6 +67,8 @@ _CHECK_FIRST = [
     "w5_quality_deciles",
     "agg_grouping_sets",
     "tfidf_top_terms",
+    "skew_salted_event_stats",
+    "decontaminate_substring",
 ]
 
 

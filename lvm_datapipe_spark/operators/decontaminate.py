@@ -67,3 +67,40 @@ def decontaminate(
         corpus, benchmark, text_col, id_col, bench_text_col, bench_id_col, n, min_common
     ).select(id_col).distinct()
     return corpus.join(flagged, id_col, "left_anti")
+
+
+def contamination_substring(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    snippet_len: int = 30,
+) -> DataFrame:
+    """Exact-substring contamination — the second standard decontamination
+    mode next to n-gram overlap: flag (doc, bench) pairs where a verbatim
+    benchmark snippet (whitespace-normalized, lower-cased prefix of
+    ``snippet_len`` chars) occurs inside the training document.
+
+    Scale shape: the benchmark snippet table BROADCASTS and the probe is a
+    per-row ``instr`` over the corpus — a broadcast nested-loop by
+    construction, costing |corpus|·|bench| substring scans.  That is the
+    honest cost of substring matching (no shuffle key exists); it is bounded
+    by the benchmark side staying small.  For large benchmarks, fall back to
+    :func:`contamination_pairs` (shingle equi-join) as the pre-filter and
+    verify only its candidates here."""
+
+    def norm(col):
+        return F.trim(F.regexp_replace(F.lower(col), "[ \t\n\r\f]+", " "))
+
+    c = corpus.select(F.col(id_col), norm(F.col(text_col)).alias("__t"))
+    b = benchmark.select(
+        F.col(bench_id_col),
+        F.substring(norm(F.col(bench_text_col)), 1, snippet_len).alias("__snip"),
+    ).filter(F.length(norm(F.col(bench_text_col))) >= snippet_len)
+    return (
+        c.crossJoin(F.broadcast(b))
+        .filter(F.instr(F.col("__t"), F.col("__snip")) > 0)
+        .select(id_col, bench_id_col)
+    )

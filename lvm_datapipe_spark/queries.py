@@ -2526,3 +2526,58 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "token", "tfidf")
     )
+
+
+@_q(
+    "skew_salted_event_stats",
+    f"""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           {_dsum('value')} AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def skew_salted_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation on a LOW-CARDINALITY hot key (5 event
+    types over the whole table — every group is a hot key): phase 1
+    aggregates on (key, salt) so each reducer takes 1/16th of a group,
+    phase 2 merges partials per key.  Decimal accumulation keeps the
+    re-aggregated sum bit-identical to the single-phase oracle."""
+    from lvm_datapipe_spark.operators.skew import salted_aggregate
+
+    ev = load_table(spark, sf_dir, "events")
+    aggs = [
+        (F.count(F.lit(1)), lambda c: F.sum(c).cast("bigint"), "n"),
+        (
+            F.sum(F.col("value").cast("decimal(27,6)")),
+            lambda c: F.sum(c).cast("double"),
+            "total_value",
+        ),
+    ]
+    return salted_aggregate(ev, "event_type", aggs)
+
+
+@_q(
+    "decontaminate_substring",
+    r"""
+    WITH norm AS (SELECT doc_id,
+                  trim(regexp_replace(lower(text), '[ \t\n\r\f]+', ' ', 'g')) AS t
+                  FROM documents),
+    bench AS (SELECT doc_id AS bench_id, substr(t, 1, 30) AS snip
+              FROM norm WHERE doc_id % 10 = 0 AND length(t) >= 30),
+    corpus AS (SELECT doc_id, t FROM norm WHERE doc_id % 10 <> 0)
+    SELECT c.doc_id, b.bench_id
+    FROM corpus c JOIN bench b ON position(b.snip IN c.t) > 0
+    """,
+)
+def decontaminate_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring decontamination (the verbatim-leak check next to the
+    n-gram overlap mode): broadcast benchmark snippets probed with instr
+    over one corpus scan."""
+    from lvm_datapipe_spark.operators.decontaminate import contamination_substring
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    bench = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return contamination_substring(corpus, bench, snippet_len=30)
