@@ -483,3 +483,52 @@ def test_ffmpeg_split_partition_survives_runner_failure(tmp_path):
 
     rows = [SimpleNamespace(clip_id="c", video_path="/v.mp4", start_s=0.0, end_s=1.0)]
     assert SC._ffmpeg_split_partition(iter(rows), str(tmp_path), boom) == 0
+
+
+def test_decord_adapter_with_injected_module(monkeypatch):
+    """Decord path (the reference's decoder): batched get_batch access,
+    resize handed to the CODEC via VideoReader(width=, height=), BT.601
+    grayscale identical to the cv2 path's cvtColor."""
+    import sys
+    import types
+
+    import numpy as np
+
+    from lvm_datapipe_spark.operators import media
+
+    seen = {}
+
+    class _Batch:
+        def __init__(self, arr):
+            self.arr = arr
+
+        def asnumpy(self):
+            return self.arr
+
+    class _VideoReader:
+        def __init__(self, fobj, **kwargs):
+            seen["kwargs"] = kwargs
+
+        def get_batch(self, indices):
+            seen["indices"] = list(indices)
+            h, w = seen["kwargs"].get("height", 48), seen["kwargs"].get("width", 64)
+            arr = np.zeros((len(indices), h, w, 3), dtype=np.uint8)
+            arr[..., 0] = 100  # R
+            arr[..., 1] = 50   # G
+            arr[..., 2] = 200  # B
+            return _Batch(arr)
+
+    fake = types.ModuleType("decord")
+    fake.__spec__ = __import__("importlib.machinery", fromlist=["ModuleSpec"]).ModuleSpec(
+        "decord", None
+    )
+    fake.VideoReader = _VideoReader
+    monkeypatch.setitem(sys.modules, "decord", fake)
+
+    out = media._decode_frames(_mp4_fixture(), [0, 5], target_hw=(24, 32))
+    # decode-at-resolution: the codec got the target dims, no numpy resize
+    assert seen["kwargs"] == {"height": 24, "width": 32}
+    assert seen["indices"] == [0, 5]
+    want = int(0.299 * 100 + 0.587 * 50 + 0.114 * 200)  # BT.601, truncated
+    assert len(out) == 2 and all(len(f) == 24 * 32 for f in out)
+    assert out[0] == bytes([want]) * (24 * 32)
