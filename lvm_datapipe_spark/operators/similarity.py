@@ -45,6 +45,34 @@ def dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
 
 
+def sql_lit_array(vals) -> str:
+    """Literal double array as SQL text.  ``repr()`` doubles round-trip
+    bit-exactly through the SQL parser (including scientific notation with
+    the D suffix), so the parsed values are identical to the ``F.lit`` form
+    and to the oracle's ``!r`` literals."""
+    return "array(" + ",".join(f"{float(x)!r}D" for x in vals) + ")"
+
+
+def lit_array(vals) -> Column:
+    """Literal double array as ONE parsed SQL expression.  Building wide
+    literal arrays element-by-element costs a py4j round-trip per element —
+    2048 Column constructions for 8 tables × 4 planes × 64 dims, ~2 s of
+    pure DRIVER time per query build (measured; execution unaffected)."""
+    return F.expr(sql_lit_array(vals))
+
+
+def sql_fold_dot(vec_sql: str, vals) -> str:
+    """``dot(vec, literal_array)`` as SQL text — the same
+    aggregate/zip_with fold as :func:`dot` (same association order, same
+    ``0.0`` seed → bit-identical), but parsed in ONE py4j call instead of
+    ~6 lambda-conversion round-trips per plane.  With 32 planes per LSH
+    query the Column-API construction alone cost ~1.5 s of driver time."""
+    return (
+        f"aggregate(zip_with({vec_sql}, {sql_lit_array(vals)}, "
+        "(x, y) -> x * y), 0.0D, (acc, v2) -> acc + v2)"
+    )
+
+
 def dot_flat(a: Column, b: Column, dim: int = DEFAULT_DIM) -> Column:
     """``a[1]*b[1] + a[2]*b[2] + ...`` as a flat left-associated expression
     tree — bit-identical to :func:`dot` (same association order; the fold's
@@ -117,10 +145,18 @@ def unit_vectors(
     a single dot instead of three."""
     withnorm = emb.select(
         F.col(id_col), as_double(vec_col).alias("v")
-    ).withColumn("nrm", F.sqrt(dot_flat(F.col("v"), F.col("v"), dim)))
+    ).withColumn(
+        # fold == flat sum bit-exactly (leading 0.0+ is exact); one parsed
+        # expression instead of 64 element_at Column constructions
+        "nrm",
+        F.expr(
+            "sqrt(aggregate(zip_with(v, v, (x, y) -> x * y), 0.0D,"
+            " (acc, v2) -> acc + v2))"
+        ),
+    )
     return withnorm.select(
         F.col(id_col),
-        F.transform(F.col("v"), lambda x: x / F.col("nrm")).alias(out_col),
+        F.expr("transform(v, x -> x / nrm)").alias(out_col),
     )
 
 
@@ -175,16 +211,21 @@ def hyperplane_lsh_buckets(
 
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes, dim))
-    v = as_double(vec_col)
     # fold-based dot per plane: n_planes flat trees in one projection exceed
     # janino's 64 KB method limit (codegen failure → interpreted fallback for
     # the whole stage); the fold stays compact at any plane count, and bucket
-    # assignment runs once per corpus row, not per candidate pair.
-    bits = [
-        F.when(dot(v, F.array(*[F.lit(float(x)) for x in p])) >= 0, F.lit("1")).otherwise(F.lit("0"))
-        for p in planes
-    ]
-    return emb.select(F.col(id_col), F.concat(*bits).alias("bucket"))
+    # assignment runs once per corpus row, not per candidate pair.  The whole
+    # bucket string is ONE parsed expression (see sql_fold_dot).
+    bits = ", ".join(_sql_sign_bit(p) for p in planes)
+    return emb.select(F.col(id_col), as_double(vec_col).alias("_v")).select(
+        F.col(id_col), F.expr(f"concat({bits})").alias("bucket")
+    )
+
+
+def _sql_sign_bit(plane) -> str:
+    return (
+        f"(CASE WHEN {sql_fold_dot('_v', plane)} >= 0.0D THEN '1' ELSE '0' END)"
+    )
 
 
 def lsh_table_planes(n_planes: int, n_tables: int, dim: int, seed: int) -> list:
@@ -221,21 +262,21 @@ def lsh_ann_candidates(
     """
     from lvm_datapipe_spark.operators.dedup import _with_cached_deps
 
-    v = as_double(vec_col)
     entries = []
     # fold dots for the plane literals — see hyperplane_lsh_buckets for the
     # janino 64 KB rationale (n_tables × n_planes flat trees in one
-    # expression is a guaranteed codegen failure).
+    # expression is a guaranteed codegen failure).  All tables' buckets are
+    # ONE parsed expression: the Column-API form cost ~1.5 s of driver-side
+    # py4j/lambda construction PER QUERY BUILD at 8×4×64 (see sql_fold_dot).
     for t, planes in enumerate(lsh_table_planes(n_planes, n_tables, dim, seed)):
-        bits = [
-            F.when(dot(v, F.array(*[F.lit(float(x)) for x in p])) >= 0, F.lit("1")).otherwise(F.lit("0"))
-            for p in planes
-        ]
-        entries.append(
-            F.struct(F.lit(t).alias("tbl"), F.concat(*bits).alias("bucket"))
-        )
+        bits = ", ".join(_sql_sign_bit(p) for p in planes)
+        entries.append(f"struct({t} AS tbl, concat({bits}) AS bucket)")
     buckets = (
-        emb.select(F.col(id_col), F.explode(F.array(*entries)).alias("tb"))
+        emb.select(F.col(id_col), as_double(vec_col).alias("_v"))
+        .select(
+            F.col(id_col),
+            F.explode(F.expr("array(" + ",".join(entries) + ")")).alias("tb"),
+        )
         .select(id_col, "tb.tbl", "tb.bucket")
         .persist()
     )
@@ -317,30 +358,33 @@ def ivf_fixed_topk(
     # engine folding the literal array, constant for the whole query
     cent_norm2 = [sum(float(x) * float(x) for x in c) for c in cents]
 
-    def cell_sims(col: Column) -> Column:
+    def cell_sims_sql(vec: str, norm: str) -> str:
         # fold-based dot per centroid: n_cells flat dot trees in ONE projection
-        # blow janino's 64 KB method limit, the fold stays compact; vnorm is a
-        # single flat dot (codegen) shared across all cells.
-        vnorm = F.sqrt(dot_flat(col, col, dim))
-        return F.array(
-            *[
-                dot(col, F.array(*[F.lit(float(x)) for x in c]))
-                / (vnorm * F.sqrt(F.lit(n2)))
-                for c, n2 in zip(cents, cent_norm2)
-            ]
+        # blow janino's 64 KB method limit, the fold stays compact; the norm
+        # is materialized as a row column shared across all cells.  Whole
+        # array built as ONE parsed expression (see sql_fold_dot).
+        cells = ",".join(
+            f"({sql_fold_dot(vec, c)}) / ({norm} * sqrt({float(n2)!r}D))"
+            for c, n2 in zip(cents, cent_norm2)
         )
+        return f"array({cells})"
 
     corpus = (
         emb.select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("nv"))
-        .withColumn("sims", cell_sims(F.col("nv")))
+        .withColumn("vnorm", F.sqrt(dot_flat(F.col("nv"), F.col("nv"), dim)))
+        .withColumn("sims", F.expr(cell_sims_sql("nv", "vnorm")))
         .withColumn(
             "cell", (F.expr("array_position(sims, array_max(sims))") - 1).cast("int")
         )
-        .drop("sims")
+        .drop("sims", "vnorm")
     )
     q = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
-    qs = q.select(
-        "query_id", "qv", F.posexplode(cell_sims(F.col("qv"))).alias("cell", "cell_sim")
+    qs = q.withColumn(
+        "vnorm", F.sqrt(dot_flat(F.col("qv"), F.col("qv"), dim))
+    ).select(
+        "query_id",
+        "qv",
+        F.posexplode(F.expr(cell_sims_sql("qv", "vnorm"))).alias("cell", "cell_sim"),
     )
     wp = Window.partitionBy("query_id").orderBy(F.desc("cell_sim"), F.asc("cell"))
     probe = (
