@@ -69,6 +69,7 @@ _CHECK_FIRST = [
     "tfidf_top_terms",
     "skew_salted_event_stats",
     "decontaminate_substring",
+    "w6_rolling_hour_value",
 ]
 
 

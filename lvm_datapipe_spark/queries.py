@@ -2581,3 +2581,37 @@ def decontaminate_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("bench_id"), "text"
     )
     return contamination_substring(corpus, bench, snippet_len=30)
+
+
+@_q(
+    "w6_rolling_hour_value",
+    """
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) OVER (
+                PARTITION BY user_id
+                ORDER BY CAST(epoch(ts) AS BIGINT)
+                RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS hour_value
+    FROM events
+    """,
+)
+def w6_rolling_hour_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed window (vs w4's ROWS frame): per-user value sum over the
+    trailing hour BY EVENT TIME — frame membership is a time distance, not a
+    row count, so bursts and gaps are handled correctly.  Same-second rows
+    are frame peers on both engines (epoch truncated to seconds).  One keyed
+    window shuffle; decimal accumulation keeps the frame sums bit-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("timestamp").cast("long"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(27,6)"))
+        .over(w)
+        .cast("double")
+        .alias("hour_value"),
+    )
