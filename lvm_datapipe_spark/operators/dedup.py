@@ -189,18 +189,22 @@ def minhash_signatures(
     aggregates (map-side partial min, so the shuffle carries one row per doc
     per partition).  Bit-identical to :func:`minhash_signature` but ~10×
     faster on wide corpora."""
+    # parsed SQL text instead of per-column py4j construction (k×~5 calls)
+    # — same values, a fraction of the driver-side build time (see
+    # similarity.sql_fold_dot for the measurements that motivated this)
     ex = shingle_rows(df, text_col, id_col, n)
-    hashed = ex.select(
-        F.col(id_col),
+    hashed = ex.selectExpr(
+        id_col,
         *[
-            F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")).cast("binary")).alias(f"h{i}")
+            f"md5(CAST(concat('{i}:', shingle) AS BINARY)) AS h{i}"
             for i in range(k)
         ],
     )
-    agg = hashed.groupBy(id_col).agg(*[F.min(f"h{i}").alias(f"m{i}") for i in range(k)])
-    return agg.select(
-        F.col(id_col), F.array(*[F.col(f"m{i}") for i in range(k)]).alias("sig")
+    agg = hashed.groupBy(id_col).agg(
+        *[F.expr(f"min(h{i}) AS m{i}") for i in range(k)]
     )
+    sig = "array(" + ",".join(f"m{i}" for i in range(k)) + ")"
+    return agg.select(F.col(id_col), F.expr(sig).alias("sig"))
 
 
 def lsh_candidate_pairs(
@@ -271,28 +275,27 @@ def simhash_docs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     shuffle keyed on doc id with map-side partial sums.  Docs with zero
     tokens drop out (explode of an empty array).
     """
+    # parsed SQL text instead of ~250 py4j Column constructions — same
+    # values (integer/string ops), ~1 s less driver time per query build
     toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
     hashed = toks.withColumn("h", F.md5(F.col("tok").cast("binary")))
-    digits = hashed.select(
-        F.col(id_col),
+    digits = hashed.selectExpr(
+        id_col,
         *[
-            F.conv(F.substring("h", d + 1, 1), 16, 10).cast("int").alias(f"d{d}")
+            f"CAST(conv(substring(h, {d + 1}, 1), 16, 10) AS INT) AS d{d}"
             for d in range(SIMHASH_BITS // 4)
         ],
     )
     votes = digits.groupBy(id_col).agg(
         *[
-            F.sum(
-                F.shiftright(F.col(f"d{b // 4}"), b % 4).bitwiseAND(F.lit(1)) * 2 - 1
-            ).alias(f"v{b}")
+            F.expr(f"sum((shiftright(d{b // 4}, {b % 4}) & 1) * 2 - 1) AS v{b}")
             for b in range(SIMHASH_BITS)
         ]
     )
-    bits = [
-        F.when(F.col(f"v{b}") > 0, F.lit("1")).otherwise(F.lit("0"))
-        for b in range(SIMHASH_BITS)
-    ]
-    return votes.select(F.col(id_col), F.concat(*bits).alias("simhash"))
+    bits = ", ".join(
+        f"(CASE WHEN v{b} > 0 THEN '1' ELSE '0' END)" for b in range(SIMHASH_BITS)
+    )
+    return votes.select(F.col(id_col), F.expr(f"concat({bits})").alias("simhash"))
 
 
 def hamming_distance(a: Column, b: Column, bits: int = SIMHASH_BITS) -> Column:
