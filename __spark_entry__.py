@@ -70,6 +70,7 @@ _CHECK_FIRST = [
     "skew_salted_event_stats",
     "decontaminate_substring",
     "w6_rolling_hour_value",
+    "pipeline_curate",
 ]
 
 

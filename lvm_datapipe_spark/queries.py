@@ -2615,3 +2615,60 @@ def w6_rolling_hour_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("hour_value"),
     )
+
+
+@_q(
+    "pipeline_curate",
+    f"""
+    WITH fp AS (
+      SELECT doc_id, lang, text,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS f
+      FROM documents),
+    kept AS (
+      SELECT doc_id, lang, text FROM (
+        SELECT fp.*, min(doc_id) OVER (PARTITION BY f) AS keeper FROM fp)
+      WHERE doc_id = keeper),
+    scored AS (
+      SELECT doc_id, lang,
+             CAST(len({_SQL_TOKS}) AS INTEGER) AS n_tokens
+      FROM kept),
+    gated AS (SELECT * FROM scored WHERE n_tokens >= 20),
+    b AS (
+      SELECT gated.*,
+             ('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % 10000 AS bucket
+      FROM gated)
+    SELECT doc_id, lang, n_tokens,
+           CASE WHEN bucket < 8000 THEN 'train'
+                WHEN bucket < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation pipeline a real corpus run composes, as ONE
+    declared query with a full SQL oracle: exact dedup (md5 fingerprint,
+    keep min doc_id) → quality gate (token floor) → deterministic md5-bucket
+    split.  Every stage reuses an oracle-checked operator; the composition
+    is one scan + one fingerprint-keyed window + narrow projections — no
+    extra shuffles beyond the dedup itself."""
+    from lvm_datapipe_spark.operators import text as X
+    from lvm_datapipe_spark.operators.sampling import split_assign
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id", "lang", "text", X.fingerprint("text").alias("f")
+    )
+    w = Window.partitionBy("f")
+    kept = (
+        fp.withColumn("keeper", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("keeper"))
+        .drop("keeper", "f")
+    )
+    scored = kept.select(
+        "doc_id", "lang", X.token_count("text").alias("n_tokens")
+    )
+    gated = scored.filter(F.col("n_tokens") >= 20)
+    return split_assign(
+        gated, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "lang", "n_tokens", "split")
