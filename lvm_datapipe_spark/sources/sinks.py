@@ -1,0 +1,97 @@
+"""Production parquet sinks: partitioned writes with dynamic overwrite and
+small-file compaction.
+
+The reference writes per-rank JSON shards and merges them by hand
+(`utils/utils.py` merge helpers); on Spark the equivalent durability story
+is partitioned parquet with two disciplines that only matter at scale:
+
+- **Dynamic partition overwrite** — re-running a pipeline stage for one
+  date/source must replace exactly the partitions it produced, not truncate
+  the whole table.  Spark's default ``overwrite`` drops every partition;
+  ``partitionOverwriteMode=dynamic`` scopes the delete to partitions present
+  in the incoming DataFrame, which is what makes per-slice reprocessing
+  idempotent.
+- **Small-file hygiene** — a 1000-executor streaming or per-slice batch
+  pipeline emits thousands of sub-HDFS-block files per partition; scans then
+  pay one task + one open per file.  ``compact_dir`` rewrites a directory to
+  ~``target_file_mb`` files (estimated from the current on-disk size, which
+  is already compressed parquet), preserving the partition columns.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    mode: str = "overwrite",
+    dynamic: bool = True,
+    sort_by: list[str] | None = None,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Partitioned parquet write.  ``dynamic=True`` scopes an overwrite to
+    the partitions present in ``df`` (idempotent per-slice reprocessing).
+    ``sort_by`` sorts within files so parquet column statistics become
+    selective — range filters on the sort key then skip whole row groups at
+    scan time (data-skipping without a table format).  ``max_records_per_file``
+    caps file size from the writer side."""
+    writer = df
+    if sort_by:
+        # the file writer requires rows clustered by the partition columns
+        # and injects its own (order-destroying) sort if they are not; lead
+        # with them so OUR sort satisfies the requirement and the sort_by
+        # keys survive into the files
+        writer = writer.sortWithinPartitions(*partition_by, *sort_by)
+    w = writer.write.mode(mode)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    if mode == "overwrite" and dynamic:
+        w = w.option("partitionOverwriteMode", "dynamic")
+    w.partitionBy(*partition_by).parquet(path)
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def compact_dir(
+    spark: SparkSession,
+    path: str,
+    partition_by: list[str] | None = None,
+    target_file_mb: int = 128,
+) -> int:
+    """Rewrite a parquet directory to ~``target_file_mb`` files (returns the
+    file count written).  Reads the current on-disk size (already-compressed
+    bytes — a better size estimate than uncompressed row bytes), coalesces
+    to ``ceil(size / target)``, and atomically replaces via a temp dir +
+    rename.  Partition columns are re-derived from the data, so partitioned
+    layouts survive compaction."""
+    import math
+    import shutil
+
+    n_files = max(
+        1, math.ceil(_dir_bytes(path) / (target_file_mb * 1024 * 1024))
+    )
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "__compact_tmp"
+    out = df.coalesce(n_files)
+    if partition_by:
+        # repartition by the partition columns so each output dir gets
+        # coherent files instead of every task writing to every partition
+        out = df.repartition(n_files, *partition_by)
+        out.write.mode("overwrite").partitionBy(*partition_by).parquet(tmp)
+    else:
+        out.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return n_files
