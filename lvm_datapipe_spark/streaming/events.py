@@ -268,3 +268,32 @@ def start_to_parquet(df: DataFrame, path: str, checkpoint: str):
         .outputMode("append")
         .start()
     )
+
+
+def start_foreach_batch_partitioned(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_by: list[str],
+):
+    """Streaming materialization via ``foreachBatch`` + dynamic partition
+    overwrite: every micro-batch REPLACES exactly the partitions it
+    contains (sources/sinks.py::write_partitioned), so update-mode
+    aggregations land as upserts — re-emitted windows overwrite their own
+    partition instead of appending duplicates, and a replayed batch (after
+    a crash between write and checkpoint commit) converges to the same
+    state instead of doubling it.  This is the idempotent-sink discipline
+    Spark's exactly-once story requires from foreachBatch."""
+    from lvm_datapipe_spark.sources.sinks import write_partitioned
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        write_partitioned(batch_df, path, partition_by)
+
+    return (
+        df.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .start()
+    )

@@ -273,3 +273,32 @@ def test_stream_stream_interval_join_matches_batch(spark, landing_dir):
     want = {(r.purchase_id, r.view_id) for r in batch.collect()}
     assert len(want) > 0
     assert got == want
+
+
+def test_foreach_batch_partitioned_upsert_converges_to_batch(spark, landing_dir, tmp_path):
+    """Windowed counts materialized through foreachBatch + dynamic
+    partition overwrite: late-arriving files re-emit updated windows, each
+    overwriting its own (event_type, window) partition — the final table
+    must equal the batch twin, with no duplicate window rows."""
+    out = str(tmp_path / "agg")
+    ckpt = str(tmp_path / "ckpt")
+    stream = ev.read_event_stream(spark, landing_dir, max_files_per_trigger=1)
+    counts = ev.windowed_counts(stream).withColumn(
+        "wkey", F.date_format("window_start", "yyyyMMddHH")
+    )
+    q = ev.start_foreach_batch_partitioned(
+        counts, out, ckpt, partition_by=["event_type", "wkey"]
+    )
+    _await(q)
+    got = {
+        (r.window_start, r.event_type): (r.n, round(r.total_value, 6))
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = ev.windowed_counts(
+        load_table(spark, "/root/testdata/sf0.001", "events"), watermark=None
+    )
+    want = {
+        (r.window_start, r.event_type): (r.n, round(r.total_value, 6))
+        for r in batch.collect()
+    }
+    assert got == want
