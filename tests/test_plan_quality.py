@@ -135,3 +135,32 @@ def test_quality_gate_broadcasts_scalar(spark):
     # acceptable nested-loop join shape (not corpus x corpus)
     plan = _plan(spark, "quality_gate_tokens")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q5_dims_broadcast_no_cartesian(spark):
+    plan = _plan(spark, "q5_local_supplier_volume")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_interval_join_is_keyed(spark):
+    # stream-stream interval join's batch twin: equi-key on user_id with the
+    # time range as residual — never a cross product
+    plan = _plan(spark, "stream_interval_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pipeline_curate_single_window_shuffle(spark):
+    # composed dedup->gate->split: ONE fingerprint-keyed Exchange; the gate
+    # and split stages are narrow projections on top
+    plan = _plan(spark, "pipeline_curate")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SinglePartition" not in plan
+
+
+def test_salted_aggregate_two_phase(spark):
+    # phase 1 groups on (key, salt), phase 2 on key: two keyed Exchanges,
+    # and the hot key never funnels through a single reducer in phase 1
+    plan = _plan(spark, "skew_salted_event_stats")
+    assert plan.count("Exchange hashpartitioning") == 2
