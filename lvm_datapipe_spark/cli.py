@@ -7,6 +7,7 @@ command-line tool over Parquet snapshots:
         --scorer aesthetic [--policy fractions] [--stride 10]
     python -m lvm_datapipe_spark.cli analyze --snapshot SNAP2
     python -m lvm_datapipe_spark.cli export-flat --snapshot SNAP2 --out DIR
+    python -m lvm_datapipe_spark.cli curate --docs DOCS.parquet --out DIR
 
 Each stage is idempotent and resumable: `score` re-runs only rows whose
 score column is null (plans.pipeline.run_stage), exactly the reference's
@@ -82,6 +83,43 @@ def _cmd_analyze(spark, args) -> None:
     print(json.dumps({"stage": "analyze", "stats": stats, "histogram": hist}))
 
 
+def _cmd_curate(spark, args) -> None:
+    """Text-corpus curation: exact dedup → token-floor quality gate →
+    deterministic split, written as a split-partitioned parquet table (the
+    batch form of the oracle-checked ``pipeline_curate`` query)."""
+    from pyspark.sql import Window
+
+    from lvm_datapipe_spark.operators import text as X
+    from lvm_datapipe_spark.operators.sampling import split_assign
+    from lvm_datapipe_spark.sources.sinks import write_partitioned
+
+    docs = spark.read.parquet(args.docs)
+    n_in = docs.count()
+    fp = docs.withColumn("_f", X.fingerprint(args.text_col))
+    w = Window.partitionBy("_f")
+    kept = (
+        fp.withColumn("_keeper", F.min(args.id_col).over(w))
+        .filter(F.col(args.id_col) == F.col("_keeper"))
+        .drop("_keeper", "_f")
+    )
+    gated = kept.withColumn("n_tokens", X.token_count(args.text_col)).filter(
+        F.col("n_tokens") >= args.min_tokens
+    )
+    out = split_assign(
+        gated, args.id_col, {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    write_partitioned(out, args.out, ["split"])
+    result = spark.read.parquet(args.out)
+    per_split = {r.split: r.n for r in result.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    print(
+        json.dumps(
+            {"stage": "curate", "in": n_in, "kept": result.count(),
+             "splits": per_split, "out": args.out}
+        )
+    )
+
+
 def _cmd_export_flat(spark, args) -> None:
     from lvm_datapipe_spark.operators.export import flatten_clips, nest_clips
 
@@ -115,6 +153,13 @@ def build_parser() -> argparse.ArgumentParser:
     e = sub.add_parser("export-flat", help="publish the flat MMTrail schema as JSON")
     e.add_argument("--snapshot", required=True)
     e.add_argument("--out", required=True)
+
+    c = sub.add_parser("curate", help="text corpus: dedup -> quality gate -> split")
+    c.add_argument("--docs", required=True, help="documents parquet path")
+    c.add_argument("--out", required=True)
+    c.add_argument("--id-col", default="doc_id")
+    c.add_argument("--text-col", default="text")
+    c.add_argument("--min-tokens", type=int, default=20)
     return p
 
 
@@ -128,6 +173,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         {
             "scenecut": _cmd_scenecut,
             "score": _cmd_score,
+            "curate": _cmd_curate,
             "analyze": _cmd_analyze,
             "export-flat": _cmd_export_flat,
         }[args.cmd](spark, args)

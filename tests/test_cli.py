@@ -65,3 +65,32 @@ def test_cli_full_pipeline(spark, work, capsys):
     flat = spark.read.json(flat_dir)
     assert "image_quality" in flat.columns  # published MMTrail name
     assert flat.filter(F.col("image_quality").isNotNull()).count() == len(after)
+
+
+def test_cli_curate_matches_query_semantics(spark, work, capsys):
+    """curate = the oracle-checked pipeline_curate composition over an
+    arbitrary documents parquet; output is split-partitioned and idempotent
+    on re-run."""
+    docs_path = str(work / "docs.parquet")
+    from lvm_datapipe_spark.catalog import load_table
+
+    load_table(spark, "/root/testdata/sf0.001", "documents").write.mode(
+        "overwrite"
+    ).parquet(docs_path)
+    out_dir = str(work / "curated")
+    assert main(["curate", "--docs", docs_path, "--out", out_dir], spark=spark) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["stage"] == "curate" and rep["kept"] > 0
+    assert set(rep["splits"]) <= {"train", "val", "test"}
+    assert rep["kept"] == sum(rep["splits"].values())
+
+    first = {
+        (r.doc_id, r.split) for r in spark.read.parquet(out_dir).collect()
+    }
+    # deterministic: re-running produces the identical assignment
+    assert main(["curate", "--docs", docs_path, "--out", out_dir], spark=spark) == 0
+    capsys.readouterr()
+    second = {
+        (r.doc_id, r.split) for r in spark.read.parquet(out_dir).collect()
+    }
+    assert first == second
