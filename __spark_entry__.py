@@ -71,6 +71,9 @@ _CHECK_FIRST = [
     "decontaminate_substring",
     "w6_rolling_hour_value",
     "pipeline_curate",
+    "sample_weighted",
+    "w7_rank_functions",
+    "unpivot_doc_metrics",
 ]
 
 

@@ -129,3 +129,21 @@ def sample_k_per_group(
         .filter(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    salt: str = "wsample",
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """Deterministic importance sampling: keep a row iff its hash bucket
+    falls below ``weight`` (a per-row keep probability in [0, 1]).  The
+    keep decision is a pure function of (key, weight) — reproducible across
+    engines, repartitions, and re-runs, unlike ``df.sample`` whose outcome
+    depends on partitioning.  This is the curation primitive for
+    quality-weighted corpus resampling (upweight high-quality docs by
+    giving them a larger keep probability)."""
+    b = hash_bucket(key_col, n_buckets, salt)
+    return df.filter(b < (F.col(weight_col) * n_buckets))

@@ -2672,3 +2672,93 @@ def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_assign(
         gated, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
     ).select("doc_id", "lang", "n_tokens", "split")
+
+
+@_q(
+    "sample_weighted",
+    """
+    WITH w AS (
+      SELECT doc_id, lang, n_chars,
+             least(n_chars / 400.0, 1.0) AS keep_p,
+             ('0x' || substr(md5('wsample' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % 10000 AS bucket
+      FROM documents)
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+    FROM w WHERE bucket < keep_p * 10000
+    """,
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic importance sampling: per-row keep probability derived
+    from a quality proxy (longer docs upweighted, capped at 1.0); the keep
+    decision is a pure hash function of the key — shuffle-free, stable
+    under repartition, engine-replayable."""
+    from lvm_datapipe_spark.operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "keep_p", F.least(F.col("n_chars") / 400.0, F.lit(1.0))
+    )
+    return weighted_sample(docs, "doc_id", "keep_p").select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    )
+
+
+@_q(
+    "w7_rank_functions",
+    """
+    SELECT doc_id, lang,
+           rank() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id)
+             AS rnk,
+           dense_rank() OVER (PARTITION BY lang ORDER BY n_chars DESC)
+             AS drnk,
+           CAST(percent_rank() OVER (PARTITION BY lang
+                ORDER BY n_chars DESC, doc_id) AS DOUBLE) AS prank,
+           CAST(cume_dist() OVER (PARTITION BY lang
+                ORDER BY n_chars DESC, doc_id) AS DOUBLE) AS cdist
+    FROM documents
+    """,
+)
+def w7_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rank-function window family (rank / dense_rank / percent_rank /
+    cume_dist) in one keyed window pass — corpus percentile labeling
+    without a global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    wd = Window.partitionBy("lang").orderBy(F.desc("n_chars"))
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(wd).alias("drnk"),
+        F.percent_rank().over(w).alias("prank"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+
+
+@_q(
+    "unpivot_doc_metrics",
+    """
+    SELECT doc_id, metric, value FROM (
+      SELECT doc_id,
+             CAST(n_chars AS DOUBLE) AS chars,
+             CAST(length(text) AS DOUBLE) AS actual_chars,
+             CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                  x -> x <> '')) AS DOUBLE) AS tokens
+      FROM documents)
+    UNPIVOT (value FOR metric IN (chars, actual_chars, tokens))
+    """,
+)
+def unpivot_doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (the inverse of agg_pivot): wide per-doc metrics to
+    long (doc_id, metric, value) — a narrow Expand, no shuffle."""
+    from lvm_datapipe_spark.operators import text as X
+
+    docs = load_table(spark, sf_dir, "documents")
+    wide = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("chars"),
+        F.length("text").cast("double").alias("actual_chars"),
+        X.token_count("text").cast("double").alias("tokens"),
+    )
+    return wide.unpivot(
+        "doc_id", ["chars", "actual_chars", "tokens"], "metric", "value"
+    )
