@@ -74,6 +74,7 @@ _CHECK_FIRST = [
     "sample_weighted",
     "w7_rank_functions",
     "unpivot_doc_metrics",
+    "stream_interval_join_outer",
 ]
 
 

@@ -2762,3 +2762,37 @@ def unpivot_doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.unpivot(
         "doc_id", ["chars", "actual_chars", "tokens"], "metric", "value"
     )
+
+
+@_q(
+    "stream_interval_join_outer",
+    """
+    SELECT p.event_id AS purchase_id, p.user_id AS user_id, p.ts AS purchase_ts,
+           v.event_id AS view_id, v.ts AS view_ts, v.value AS view_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON v.user_id = p.user_id
+     AND v.ts <= p.ts
+     AND v.ts >= p.ts - INTERVAL 1 HOUR
+    """,
+)
+def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER interval join: every purchase, with nulls where no view
+    fell in the lookback — the attribution report that also counts
+    unattributed conversions.  Streaming form emits the null rows once the
+    watermark proves no future view can match."""
+    from pyspark.sql import types as T
+
+    from lvm_datapipe_spark.streaming.events import interval_join_views_purchases
+
+    ev = load_table(spark, sf_dir, "events")
+    out = interval_join_views_purchases(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"),
+        how="left_outer",
+    )
+    if isinstance(ev.schema["ts"].dataType, T.TimestampNTZType):
+        out = out.withColumn(
+            "purchase_ts", F.col("purchase_ts").cast("timestamp_ntz")
+        ).withColumn("view_ts", F.col("view_ts").cast("timestamp_ntz"))
+    return out

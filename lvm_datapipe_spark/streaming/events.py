@@ -132,6 +132,7 @@ def interval_join_views_purchases(
     purchases: DataFrame,
     horizon: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream INNER join with an event-time interval: each purchase
     matches the same user's views in ``[purchase.ts - horizon, purchase.ts]``
@@ -142,7 +143,13 @@ def interval_join_views_purchases(
     once ``watermark + horizon`` passes — without the range the state grows
     forever.  On batch inputs ``withWatermark`` is a no-op and the identical
     expression is the oracle-checked ``stream_interval_join`` query, so
-    batch ≡ stream is testable on the same data."""
+    batch ≡ stream is testable on the same data.
+
+    ``how="left_outer"`` keeps purchases with NO view in the lookback
+    (null view columns).  In streaming mode the null row for a purchase
+    emits only once the watermark passes the point where no future view
+    can match it — so outer results trail the watermark by design; the
+    batch twin (``stream_interval_join_outer``) is the oracle form."""
     v = ensure_event_time(views).withWatermark("ts", watermark).alias("v")
     p = ensure_event_time(purchases).withWatermark("ts", watermark).alias("p")
     cond = (
@@ -150,7 +157,7 @@ def interval_join_views_purchases(
         & (F.col("v.ts") <= F.col("p.ts"))
         & (F.col("v.ts") >= F.col("p.ts") - F.expr(f"INTERVAL {horizon}"))
     )
-    return p.join(v, cond, "inner").select(
+    return p.join(v, cond, how).select(
         F.col("p.event_id").alias("purchase_id"),
         F.col("p.user_id").alias("user_id"),
         F.col("p.ts").alias("purchase_ts"),

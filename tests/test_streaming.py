@@ -302,3 +302,68 @@ def test_foreach_batch_partitioned_upsert_converges_to_batch(spark, landing_dir,
         for r in batch.collect()
     }
     assert got == want
+
+
+def test_stream_stream_outer_join_emits_nulls_after_watermark(
+    spark, landing_dir, tmp_path
+):
+    """LEFT OUTER stream-stream interval join: a purchase with no view in
+    its lookback emits a null-view row once the watermark proves no future
+    view can match.  A far-future sentinel view advances the watermark past
+    all real data so every outer row flushes."""
+    import shutil
+
+    d = tmp_path / "landing_outer"
+    shutil.copytree(landing_dir, d)
+    q = ev.start_to_memory(
+        ev.interval_join_views_purchases(
+            ev.read_event_stream(spark, str(d)).filter(F.col("event_type") == "view"),
+            ev.read_event_stream(spark, str(d)).filter(
+                F.col("event_type") == "purchase"
+            ),
+            how="left_outer",
+        ),
+        "ss_outer_join",
+        output_mode="append",
+    )
+    q.processAllAvailable()
+    # sentinels far past max(ts) + watermark + horizon flush outer state;
+    # TWO batches needed: the watermark updates at the END of the batch that
+    # read sentinel 1, and eviction/emission happen in the NEXT batch —
+    # which only triggers when sentinel 2 arrives
+    # the global watermark is the MIN across both sides' watermark
+    # operators, and each sits AFTER its event_type filter — so both sides
+    # need a sentinel, or the purchase side pins the minimum
+    for i in (1, 2):
+        with open(d / f"zz_sentinel{i}.json", "w") as f:
+            for j, etype in enumerate(("view", "purchase")):
+                f.write(
+                    json.dumps(
+                        {"event_id": 10**9 + 2 * i + j,
+                         "ts": f"203{i}-01-01T00:00:00", "user_id": -1,
+                         "event_type": etype, "value": 0.0, "props": "{}"}
+                    )
+                    + "\n"
+                )
+        q.processAllAvailable()
+    _await(q, timeout_s=90)
+
+    rows = spark.sql(
+        "SELECT * FROM ss_outer_join WHERE purchase_id IS NOT NULL"
+        " AND user_id >= 0"  # exclude the watermark sentinels
+    ).collect()
+    got_pairs = {(r.purchase_id, r.view_id) for r in rows if r.view_id is not None}
+    got_unmatched = {r.purchase_id for r in rows if r.view_id is None}
+
+    evb = load_table(spark, "/root/testdata/sf0.001", "events")
+    batch = ev.interval_join_views_purchases(
+        evb.filter(F.col("event_type") == "view"),
+        evb.filter(F.col("event_type") == "purchase"),
+        how="left_outer",
+    ).collect()
+    want_pairs = {(r.purchase_id, r.view_id) for r in batch if r.view_id is not None}
+    want_unmatched = {r.purchase_id for r in batch if r.view_id is None}
+
+    assert got_pairs == want_pairs
+    assert len(want_unmatched) > 0
+    assert got_unmatched == want_unmatched
