@@ -334,6 +334,67 @@ def ivf_fixed_centroids(n_cells: int, dim: int, seed: int):
     return np.random.default_rng(seed).standard_normal((n_cells, dim))
 
 
+def _ivf_cell_sims_sql(n_cells: int, dim: int, seed: int, vec: str, norm: str) -> str:
+    """Per-cell cosine array as ONE parsed expression.  Fold-based dot per
+    centroid: n_cells flat dot trees in one projection blow janino's 64 KB
+    method limit, the fold stays compact; the norm is materialized as a row
+    column shared across all cells (see sql_fold_dot)."""
+    cents = ivf_fixed_centroids(n_cells, dim, seed)
+    # centroid norms as Python-side left-assoc sums — same doubles as the
+    # engine folding the literal array, constant for the whole query
+    cells = ",".join(
+        f"({sql_fold_dot(vec, c)}) / ({norm} * sqrt({sum(float(x) * float(x) for x in c)!r}D))"
+        for c in cents
+    )
+    return f"array({cells})"
+
+
+def ivf_fixed_assign(
+    emb: DataFrame,
+    n_cells: int = 16,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_id: str = "neighbor_id",
+) -> DataFrame:
+    """Corpus side of IVF: (id, vector, cell) with cell = argmax-cosine
+    centroid (first index on ties) — one scan, no shuffle."""
+    return (
+        emb.select(F.col(id_col).alias(out_id), as_double(vec_col).alias("nv"))
+        .withColumn("vnorm", F.sqrt(dot_flat(F.col("nv"), F.col("nv"), dim)))
+        .withColumn(
+            "sims", F.expr(_ivf_cell_sims_sql(n_cells, dim, seed, "nv", "vnorm"))
+        )
+        .withColumn(
+            "cell", (F.expr("array_position(sims, array_max(sims))") - 1).cast("int")
+        )
+        .drop("sims", "vnorm")
+    )
+
+
+def _ivf_probe_cells(
+    queries: DataFrame,
+    n_cells: int,
+    dim: int,
+    seed: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Query side of IVF: (query_id, qv, cell, cell_sim) — one row per
+    (query, cell), ranked downstream to the n_probe best."""
+    q = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
+    return q.withColumn(
+        "vnorm", F.sqrt(dot_flat(F.col("qv"), F.col("qv"), dim))
+    ).select(
+        "query_id",
+        "qv",
+        F.posexplode(
+            F.expr(_ivf_cell_sims_sql(n_cells, dim, seed, "qv", "vnorm"))
+        ).alias("cell", "cell_sim"),
+    )
+
+
 def ivf_fixed_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -353,45 +414,75 @@ def ivf_fixed_topk(
     Scale shape: assignment is one scan (16 literal-dot folds in codegen);
     the probe join is keyed on the cell (at 100 TB, PARTITION the stored
     corpus by cell so probing is partition pruning, not a shuffle)."""
-    cents = ivf_fixed_centroids(n_cells, dim, seed)
-    # centroid norms as Python-side left-assoc sums — same doubles as the
-    # engine folding the literal array, constant for the whole query
-    cent_norm2 = [sum(float(x) * float(x) for x in c) for c in cents]
-
-    def cell_sims_sql(vec: str, norm: str) -> str:
-        # fold-based dot per centroid: n_cells flat dot trees in ONE projection
-        # blow janino's 64 KB method limit, the fold stays compact; the norm
-        # is materialized as a row column shared across all cells.  Whole
-        # array built as ONE parsed expression (see sql_fold_dot).
-        cells = ",".join(
-            f"({sql_fold_dot(vec, c)}) / ({norm} * sqrt({float(n2)!r}D))"
-            for c, n2 in zip(cents, cent_norm2)
-        )
-        return f"array({cells})"
-
-    corpus = (
-        emb.select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("nv"))
-        .withColumn("vnorm", F.sqrt(dot_flat(F.col("nv"), F.col("nv"), dim)))
-        .withColumn("sims", F.expr(cell_sims_sql("nv", "vnorm")))
-        .withColumn(
-            "cell", (F.expr("array_position(sims, array_max(sims))") - 1).cast("int")
-        )
-        .drop("sims", "vnorm")
+    corpus = ivf_fixed_assign(
+        emb, n_cells, dim, seed, id_col, vec_col, out_id="neighbor_id"
     )
-    q = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
-    qs = q.withColumn(
-        "vnorm", F.sqrt(dot_flat(F.col("qv"), F.col("qv"), dim))
-    ).select(
-        "query_id",
-        "qv",
-        F.posexplode(F.expr(cell_sims_sql("qv", "vnorm"))).alias("cell", "cell_sim"),
-    )
+    qs = _ivf_probe_cells(queries, n_cells, dim, seed, id_col, vec_col)
     wp = Window.partitionBy("query_id").orderBy(F.desc("cell_sim"), F.asc("cell"))
     probe = (
         qs.withColumn("_r", F.row_number().over(wp))
         .filter(F.col("_r") <= n_probe)
         .select("query_id", "qv", "cell")
     )
+    cand = corpus.join(probe, "cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = cand.withColumn("cos_sim", cosine(F.col("qv"), F.col("nv")))
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def ivf_write_store(
+    emb: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index as a CELL-PARTITIONED parquet store — the
+    100 TB form: probing n_probe of n_cells then reads ~n_probe/n_cells of
+    the corpus via directory-level partition pruning (PartitionFilters in
+    the scan), instead of scanning everything and filtering."""
+    from lvm_datapipe_spark.sources.sinks import write_partitioned
+
+    assigned = ivf_fixed_assign(
+        emb, n_cells, dim, seed, id_col, vec_col, out_id="neighbor_id"
+    )
+    write_partitioned(assigned, path, ["cell"])
+
+
+def ivf_topk_from_store(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k against a :func:`ivf_write_store` store.  The probed cell
+    set (≤ |queries|·n_probe distinct ints — metadata-sized) is collected
+    and pushed as a literal IN-filter so Catalyst prunes the cell
+    directories at the scan; identical results to :func:`ivf_fixed_topk`
+    on the same corpus."""
+    qs = _ivf_probe_cells(queries, n_cells, dim, seed, id_col, vec_col)
+    wp = Window.partitionBy("query_id").orderBy(F.desc("cell_sim"), F.asc("cell"))
+    probe = (
+        qs.withColumn("_r", F.row_number().over(wp))
+        .filter(F.col("_r") <= n_probe)
+        .select("query_id", "qv", "cell")
+    )
+    cells = sorted(r.cell for r in probe.select("cell").distinct().collect())
+    corpus = spark.read.parquet(path).filter(F.col("cell").isin(cells))
     cand = corpus.join(probe, "cell").filter(
         F.col("neighbor_id") != F.col("query_id")
     )

@@ -242,3 +242,29 @@ def test_quantized_ann_recall(spark):
     deq_q = deq.filter(F.col("vec_id") < 5)
     approx = {(r.query_id, r.neighbor_id) for r in brute_force_topk(deq, deq_q, k=10).collect()}
     assert len(approx & exact) / len(exact) >= 0.9
+
+
+def test_ivf_store_prunes_partitions_and_matches_in_memory(spark, tmp_path):
+    """Cell-partitioned IVF store: the probe reads only the probed cell
+    directories (PartitionFilters at the scan, not a post-scan filter) and
+    returns exactly the in-memory ivf_fixed_topk result."""
+    from lvm_datapipe_spark.catalog import load_table
+    from lvm_datapipe_spark.operators import similarity as V
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    store = str(tmp_path / "ivf_store")
+    V.ivf_write_store(emb, store)
+
+    out = V.ivf_topk_from_store(spark, store, queries, k=5, n_probe=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the probed cell set reaches the scan as a partition INSET filter
+    # (directory pruning), not a post-scan Filter
+    assert "PartitionFilters: [cell" in plan
+
+    got = {(r.query_id, r.rank): r.neighbor_id for r in out.collect()}
+    want = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in V.ivf_fixed_topk(emb, queries, k=5, n_probe=4).collect()
+    }
+    assert got == want and len(want) == 25
