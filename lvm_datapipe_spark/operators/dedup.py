@@ -207,6 +207,24 @@ def minhash_signatures(
     return agg.select(F.col(id_col), F.expr(sig).alias("sig"))
 
 
+def band_buckets(
+    sig_df: DataFrame, id_col: str = "doc_id", bands: int = 4, rows: int = 4
+) -> DataFrame:
+    """Band a MinHash signature table into (id, band, bucket) rows: bucket =
+    md5 of the band's signature slice.  The joinable form of the LSH index —
+    feed to a self-join directly, or persist bucketed on (band, bucket)
+    via plans.bucketing so REPEATED dedup runs skip the band shuffle."""
+    band_entries = []
+    for b in range(bands):
+        band_key = F.md5(
+            F.concat_ws(",", F.slice(F.col("sig"), b * rows + 1, rows)).cast("binary")
+        )
+        band_entries.append(F.struct(F.lit(b).alias("band"), band_key.alias("bucket")))
+    return sig_df.select(
+        F.col(id_col), F.explode(F.array(*band_entries)).alias("bb")
+    ).select(id_col, "bb.band", "bb.bucket")
+
+
 def lsh_candidate_pairs(
     sig_df: DataFrame, id_col: str = "doc_id", bands: int = 4, rows: int = 4
 ) -> DataFrame:
@@ -218,19 +236,9 @@ def lsh_candidate_pairs(
     not n².  Probability a pair with Jaccard j becomes a candidate:
     1 - (1 - j^rows)^bands.
     """
-    band_entries = []
-    for b in range(bands):
-        band_key = F.md5(
-            F.concat_ws(",", F.slice(F.col("sig"), b * rows + 1, rows)).cast("binary")
-        )
-        band_entries.append(F.struct(F.lit(b).alias("band"), band_key.alias("bucket")))
     # persist: both sides of the self-join read this — without it the whole
     # signature lineage (shingle + k×md5 + groupBy) executes twice
-    exploded = (
-        sig_df.select(F.col(id_col), F.explode(F.array(*band_entries)).alias("bb"))
-        .select(id_col, "bb.band", "bb.bucket")
-        .persist()
-    )
+    exploded = band_buckets(sig_df, id_col, bands, rows).persist()
     a = exploded.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b_ = exploded.select(F.col(id_col).alias("id_b"), "band", "bucket")
     out = (
@@ -362,3 +370,48 @@ def simhash_pairs(
         .distinct()
     )
     return _with_cached_deps(out, [sh])
+
+
+def write_band_store(
+    spark,
+    df: DataFrame,
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    rows: int = 4,
+    n_buckets: int = 32,
+) -> None:
+    """Materialize the MinHash band index as a table BUCKETED on
+    (band, bucket) — the repeated-dedup scale path: the expensive part
+    (shingle → k×md5 → signature → banding) runs once at write time, and
+    every later candidate self-join reads pre-shuffled buckets with NO
+    Exchange under the join (plans/bucketing.py)."""
+    from lvm_datapipe_spark.plans.bucketing import write_bucketed
+
+    sig = minhash_signatures(df, text_col, id_col, n, k)
+    write_bucketed(
+        band_buckets(sig, id_col, bands, rows),
+        table,
+        ["band", "bucket"],
+        n_buckets=n_buckets,
+    )
+
+
+def candidate_pairs_from_band_store(
+    spark, table: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """LSH candidate pairs from a :func:`write_band_store` table: the
+    (band, bucket) self-join is co-located by the table's bucketing, so the
+    only shuffle in the whole query is the final pair ``distinct``."""
+    t = spark.table(table)
+    a = t.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = t.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )

@@ -15,15 +15,17 @@ from pyspark.sql import DataFrame, SparkSession
 def write_bucketed(
     df: DataFrame,
     table: str,
-    bucket_col: str,
+    bucket_col: str | list[str],
     n_buckets: int = 32,
     sort: bool = True,
 ) -> None:
     """Persist as a bucketed (and bucket-sorted) managed table.  n_buckets
-    should match downstream parallelism; both join sides must agree."""
-    writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    should match downstream parallelism; both join sides must agree.
+    Composite keys (e.g. the LSH ``(band, bucket)``) bucket on all columns."""
+    cols = [bucket_col] if isinstance(bucket_col, str) else list(bucket_col)
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, *cols)
     if sort:
-        writer = writer.sortBy(bucket_col)
+        writer = writer.sortBy(*cols)
     writer.saveAsTable(table)
 
 

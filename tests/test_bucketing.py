@@ -47,3 +47,26 @@ def test_unbucketed_join_shuffles(spark, sf_dir):
     # force a non-broadcast join for comparison
     joined = li.hint("merge").join(orders.hint("merge"), "l_orderkey")
     assert count_exchanges(joined) >= 2  # both sides shuffle without buckets
+
+
+def test_band_store_join_is_colocated(spark, sf_dir):
+    """MinHash band index persisted bucketed on (band, bucket): the
+    candidate self-join plans WITHOUT an Exchange under the join — the only
+    shuffle left is the final pair distinct — and the pairs are identical
+    to the in-memory LSH path."""
+    from lvm_datapipe_spark.catalog import load_table
+    from lvm_datapipe_spark.operators import dedup as D
+    from lvm_datapipe_spark.plans.bucketing import count_exchanges
+
+    docs = load_table(spark, sf_dir, "documents")
+    D.write_band_store(spark, docs, "band_store_test")
+    try:
+        out = D.candidate_pairs_from_band_store(spark, "band_store_test")
+        assert count_exchanges(out) == 1  # only the distinct; none for the join
+        got = {(r.id_a, r.id_b) for r in out.collect()}
+        mem = D.lsh_candidate_pairs(D.minhash_signatures(docs))
+        want = {(r.id_a, r.id_b) for r in mem.collect()}
+        D.release(mem)
+        assert got == want and len(want) > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS band_store_test")
