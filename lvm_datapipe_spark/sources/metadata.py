@@ -70,3 +70,14 @@ def snapshot_done_markers(spark: SparkSession, directory: str) -> DataFrame:
         F.element_at(F.split("path", "/"), -1), r"\.json$", ""
     )
     return files.select(clip_id.alias("clip_id"), F.col("length").alias("size_bytes"))
+
+
+def load_evolving_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet directory whose batches were written under EVOLVING
+    schemas (new columns appearing over time — the normal life of a
+    long-lived snapshot store).  ``mergeSchema`` unions all file footers:
+    columns absent in older files surface as nulls, so downstream code sees
+    one stable superset schema.  Schema merge reads every footer — at 100 TB
+    pin the merged schema in a catalog after the first read rather than
+    re-merging per query."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
