@@ -75,6 +75,8 @@ _CHECK_FIRST = [
     "w7_rank_functions",
     "unpivot_doc_metrics",
     "stream_interval_join_outer",
+    "agg_median_langs",
+    "c16_extract_all_numbers",
 ]
 
 

@@ -2796,3 +2796,43 @@ def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purchase_ts", F.col("purchase_ts").cast("timestamp_ntz")
         ).withColumn("view_ts", F.col("view_ts").cast("timestamp_ntz"))
     return out
+
+
+@_q(
+    "agg_median_langs",
+    """
+    SELECT lang,
+           CAST(median(n_chars) AS DOUBLE) AS median_chars,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY lang
+    """,
+)
+def agg_median_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group median (Spark's native F.median — exact interpolated,
+    not approx_percentile): even-count groups interpolate (a+b)/2, the same
+    single double op on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.median("n_chars").cast("double").alias("median_chars"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+@_q(
+    "c16_extract_all_numbers",
+    """
+    SELECT doc_id,
+           regexp_extract_all(text, '[0-9]+') AS nums,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_nums
+    FROM documents
+    """,
+)
+def c16_extract_all_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract_all — the multi-match sibling of C7's single extract:
+    all digit runs per document plus the match count, one codegen'd
+    projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    nums = F.expr(r"regexp_extract_all(text, '[0-9]+', 0)")
+    return docs.select(
+        "doc_id", nums.alias("nums"), F.size(nums).alias("n_nums")
+    )

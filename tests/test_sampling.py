@@ -131,3 +131,26 @@ def test_sample_k_per_group(spark):
     # WindowGroupLimit in the plan (top-k below the shuffle)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_weighted_sample_stable_under_repartition(spark, sf_dir):
+    from lvm_datapipe_spark.catalog import load_table
+    from lvm_datapipe_spark.operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "keep_p", F.least(F.col("n_chars") / 400.0, F.lit(1.0))
+    )
+    a = {r.doc_id for r in weighted_sample(docs, "doc_id", "keep_p").collect()}
+    b = {
+        r.doc_id
+        for r in weighted_sample(docs.repartition(7), "doc_id", "keep_p").collect()
+    }
+    assert a == b and 0 < len(a) < docs.count()
+
+
+def test_weighted_sample_extremes(spark):
+    from lvm_datapipe_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame([(i, 0.0, 1.0) for i in range(50)], ["k", "p0", "p1"])
+    assert weighted_sample(df, "k", "p0").count() == 0   # p=0 keeps nothing
+    assert weighted_sample(df, "k", "p1").count() == 50  # p=1 keeps all
