@@ -2822,7 +2822,8 @@ def agg_median_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "c16_extract_all_numbers",
     """
     SELECT doc_id,
-           regexp_extract_all(text, '[0-9]+') AS nums,
+           coalesce(list_aggregate(regexp_extract_all(text, '[0-9]+'),
+                    'string_agg', ','), '') AS nums,
            CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_nums
     FROM documents
     """,
@@ -2833,6 +2834,10 @@ def c16_extract_all_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection."""
     docs = load_table(spark, sf_dir, "documents")
     nums = F.expr(r"regexp_extract_all(text, '[0-9]+', 0)")
+    # array projected to a joined string: the driver's result hasher cannot
+    # hash list cells (see tests/test_oracle_queries.py)
     return docs.select(
-        "doc_id", nums.alias("nums"), F.size(nums).alias("n_nums")
+        "doc_id",
+        F.array_join(nums, ",").alias("nums"),
+        F.size(nums).alias("n_nums"),
     )
