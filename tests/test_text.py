@@ -118,3 +118,25 @@ def test_scrub_text(spark):
     assert out[1] == "link <URL> trailing"
     assert out[2] == "call <PHONE> now"
     assert out[3] == "no pii here at all"
+
+
+def test_normalize_text_idempotent_and_engine_shape(spark):
+    """normalize(normalize(x)) == normalize(x), and the output alphabet is
+    exactly [a-z0-9 ] single-spaced."""
+    import re
+
+    from lvm_datapipe_spark.operators.text import normalize_text
+
+    rows = [
+        ("A  B\t\nC!!",),
+        ("  MiXeD 42 ca$es  ",),
+        ("",),
+        ("....",),
+        ("é ü ñ",),  # non-ascii strips entirely
+    ]
+    df = spark.createDataFrame(rows, ["t"])
+    once = df.select(normalize_text("t").alias("n1"))
+    twice = once.select(once.n1.alias("t")).select(normalize_text("t").alias("n2"))
+    for a, b in zip(once.collect(), twice.collect()):
+        assert a.n1 == b.n2
+        assert re.fullmatch(r"([a-z0-9]+( [a-z0-9]+)*)?", a.n1), repr(a.n1)
