@@ -90,6 +90,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     from lvm_datapipe_spark.queries import QUERIES
 
+    # fail loudly on a typo'd name: silently skipping would waste that
+    # query's one shot at an official CORRECTNESS row
+    missing = [n for n in _CHECK_FIRST if n not in QUERIES]
+    assert not missing, f"unknown names in _CHECK_FIRST: {missing}"
     return _ordered(QUERIES)
 
 
