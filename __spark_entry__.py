@@ -77,6 +77,8 @@ _CHECK_FIRST = [
     "stream_interval_join_outer",
     "agg_median_langs",
     "c16_extract_all_numbers",
+    "w8_first_last_event",
+    "agg_conditional",
 ]
 
 

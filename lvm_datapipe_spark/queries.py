@@ -2841,3 +2841,68 @@ def c16_extract_all_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(nums, ",").alias("nums"),
         F.size(nums).alias("n_nums"),
     )
+
+
+@_q(
+    "w8_first_last_event",
+    """
+    SELECT DISTINCT user_id,
+           first_value(value) OVER w AS first_value_seen,
+           last_value(value) OVER w AS last_value_seen,
+           CAST(count(*) OVER w AS BIGINT) AS n_events
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def w8_first_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value over the full-partition frame (one row per
+    user: entry and exit values) — the unbounded-following frame the default
+    last_value footgun gets wrong; tie-broken by event_id for
+    determinism."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "user_id",
+        F.first("value").over(w).alias("first_value_seen"),
+        F.last("value").over(w).alias("last_value_seen"),
+        F.count(F.lit(1)).over(w).alias("n_events"),
+    ).distinct()
+
+
+@_q(
+    "agg_conditional",
+    f"""
+    SELECT lang,
+           CAST(count(*) FILTER (WHERE n_chars > 300) AS BIGINT) AS n_long,
+           CAST(count(*) FILTER (WHERE n_chars <= 300) AS BIGINT) AS n_short,
+           {_dsum('n_chars')} AS total_chars,
+           CAST(coalesce(SUM(CAST(n_chars AS DECIMAL(27,6)))
+                FILTER (WHERE source = 'web'), 0) AS DOUBLE) AS web_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (FILTER-clause semantics) in one pass:
+    count_if plus a filtered decimal sum — no per-condition scans."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count_if(F.col("n_chars") > 300).alias("n_long"),
+        F.count_if(F.col("n_chars") <= 300).alias("n_short"),
+        A.decimal_sum("n_chars").alias("total_chars"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("source") == "web",
+                    F.col("n_chars").cast("decimal(27,6)"),
+                )
+            ),
+            F.lit(0).cast("decimal(27,6)"),
+        )
+        .cast("double")
+        .alias("web_chars"),
+    )
