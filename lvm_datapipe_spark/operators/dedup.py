@@ -415,3 +415,38 @@ def candidate_pairs_from_band_store(
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+def minhash_lsh_pairs_cross(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    rows: int = 4,
+) -> DataFrame:
+    """INCREMENTAL dedup: near-dup candidates between a NEW batch and the
+    EXISTING corpus — the nightly-ingest form of MinHash-LSH.  Unlike the
+    self-join (all pairs within one table), this only pays
+    |new| × collisions: band the new batch, band the corpus (or read a
+    persisted :func:`write_band_store` table for the corpus side), and
+    equi-join across.  Output: (new_id, corpus_id) distinct candidates —
+    feed to exact verification, then drop/keep the new docs."""
+    bb_new = band_buckets(
+        minhash_signatures(new_df, text_col, id_col, n, k), id_col, bands, rows
+    ).persist()
+    bb_corpus = band_buckets(
+        minhash_signatures(corpus_df, text_col, id_col, n, k), id_col, bands, rows
+    ).persist()
+    out = (
+        bb_new.select(F.col(id_col).alias("new_id"), "band", "bucket")
+        .join(
+            bb_corpus.select(F.col(id_col).alias("corpus_id"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    return _with_cached_deps(out, [bb_new, bb_corpus])

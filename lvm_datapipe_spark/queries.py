@@ -2906,3 +2906,78 @@ def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("web_chars"),
     )
+
+
+@_q(
+    "langid_confusion",
+    """
+    WITH t AS (SELECT doc_id, lang,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '') toks
+               FROM documents),
+    h AS (
+      SELECT doc_id, lang,
+        CAST(len(list_filter(toks, x -> list_contains(['the','a','and','of','is'], lower(x)))) AS INTEGER) AS hits_en,
+        CAST(len(list_filter(toks, x -> list_contains(['le','la','les','et','une'], lower(x)))) AS INTEGER) AS hits_fr,
+        CAST(len(list_filter(toks, x -> list_contains(['el','los','y','que','una'], lower(x)))) AS INTEGER) AS hits_es,
+        CAST(len(list_filter(toks, x -> list_contains(['der','die','das','und','ist'], lower(x)))) AS INTEGER) AS hits_de
+      FROM t),
+    p AS (
+      SELECT lang,
+           CASE WHEN greatest(hits_en, hits_fr, hits_es, hits_de) = 0 THEN 'und'
+                WHEN hits_en = greatest(hits_en, hits_fr, hits_es, hits_de) THEN 'en'
+                WHEN hits_fr = greatest(hits_en, hits_fr, hits_es, hits_de) THEN 'fr'
+                WHEN hits_es = greatest(hits_en, hits_fr, hits_es, hits_de) THEN 'es'
+                ELSE 'de' END AS predicted_lang
+      FROM h)
+    SELECT lang, predicted_lang, CAST(count(*) AS BIGINT) AS n
+    FROM p GROUP BY lang, predicted_lang
+    """,
+)
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-eval pattern: confusion matrix of the heuristic language
+    ID against the labeled lang column — one scan through the predictor,
+    one keyed aggregate.  The shape every quality-model evaluation on a
+    curated corpus runs."""
+    from lvm_datapipe_spark.operators import text as X
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred = X.language_id(docs).select("doc_id", "predicted_lang")
+    return (
+        docs.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@_q(
+    "dedup_incremental_cross",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+    sh AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM toks WHERE len({_SQL_SHINGLES}) > 0),
+    sig AS (
+      SELECT doc_id,
+             list_transform(generate_series(0, 15),
+               i -> list_min(list_transform(s, x -> md5(CAST(i AS VARCHAR) || ':' || x)))) AS sig
+      FROM sh),
+    bands AS (
+      SELECT doc_id, b.b AS band,
+             md5(sig[b.b*4+1] || ',' || sig[b.b*4+2] || ',' || sig[b.b*4+3] || ',' || sig[b.b*4+4]) AS bucket
+      FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) b)
+    SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+    FROM bands n JOIN bands c ON n.band = c.band AND n.bucket = c.bucket
+    WHERE n.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+    """,
+)
+def dedup_incremental_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (new-batch vs corpus) MinHash-LSH candidates: every 10th
+    doc plays the nightly arrival, the rest the standing corpus — the
+    ingest-time dedup a 100 TB pipeline runs instead of re-deduping the
+    world."""
+    from lvm_datapipe_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs_cross(
+        docs.filter(F.col("doc_id") % 10 == 0),
+        docs.filter(F.col("doc_id") % 10 != 0),
+    )
