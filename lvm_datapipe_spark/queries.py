@@ -2981,3 +2981,84 @@ def dedup_incremental_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 10 == 0),
         docs.filter(F.col("doc_id") % 10 != 0),
     )
+
+
+@_q(
+    "text_sentences",
+    r"""
+    WITH s AS (
+      SELECT doc_id,
+             list_filter(list_transform(string_split_regex(text, '[.!?]+'),
+                         x -> trim(x)), x -> x <> '') AS sents
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(sents) AS INTEGER) AS n_sentences,
+           CAST(coalesce(list_aggregate(list_transform(sents,
+                x -> length(x)), 'max'), 0) AS INTEGER) AS max_sentence_chars
+    FROM s
+    """,
+)
+def text_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation stats (regex terminator split, trimmed,
+    empties dropped): per-doc sentence count and longest sentence — the
+    pre-chunking pass before packing or windowed embedding."""
+    docs = load_table(spark, sf_dir, "documents")
+    sents = F.filter(
+        F.transform(
+            F.split(F.col("text"), r"[.!?]+"), lambda x: F.trim(x)
+        ),
+        lambda x: x != "",
+    )
+    return docs.select(
+        "doc_id",
+        F.size(sents).alias("n_sentences"),
+        F.coalesce(
+            F.array_max(F.transform(sents, lambda x: F.length(x))), F.lit(0)
+        ).alias("max_sentence_chars"),
+    )
+
+
+@_q(
+    "events_zscore_outliers",
+    """
+    WITH stats AS (
+      SELECT event_type,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE) AS s1,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(27,6)) * CAST(value AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE) AS s2,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type, e.value,
+           (e.value - s.s1 / s.n)
+             / sqrt((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1)) AS zscore
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    WHERE s.n > 1
+      AND abs((e.value - s.s1 / s.n)
+          / sqrt((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1))) > 3.0
+    """,
+)
+def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier detection with ENGINE-EXACT variance:
+    stddev_samp's streaming (Welford) accumulation is not bit-stable across
+    engines or partitionings, so the moments are exact DECIMAL sums (S1,
+    S2) and the variance is computed from them in double — the same op
+    sequence on both engines.  Plan: one aggregate, broadcast of the tiny
+    stats table, map-side filter."""
+    ev = load_table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(27,6)")
+    # decimal -> double via STRING: both engines correctly round
+    # string->double, while their native decimal->double conversions differ
+    # in the last ulp once the scaled integer exceeds 53 bits (s2 does)
+    stats = ev.groupBy("event_type").agg(
+        F.sum(dec).cast("string").cast("double").alias("s1"),
+        F.sum(dec * dec).cast("string").cast("double").alias("s2"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    j = ev.join(F.broadcast(stats), "event_type").filter(F.col("n") > 1)
+    mean = F.col("s1") / F.col("n")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
+    z = (F.col("value") - mean) / F.sqrt(var)
+    return (
+        j.withColumn("zscore", z)
+        .filter(F.abs(F.col("zscore")) > 3.0)
+        .select("event_id", "event_type", "value", "zscore")
+    )
