@@ -2589,7 +2589,7 @@ def decontaminate_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, user_id,
            CAST(SUM(CAST(value AS DECIMAL(27,6))) OVER (
                 PARTITION BY user_id
-                ORDER BY CAST(epoch(ts) AS BIGINT)
+                ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE)
              AS hour_value
     FROM events
@@ -2599,8 +2599,11 @@ def w6_rolling_hour_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE-framed window (vs w4's ROWS frame): per-user value sum over the
     trailing hour BY EVENT TIME — frame membership is a time distance, not a
     row count, so bursts and gaps are handled correctly.  Same-second rows
-    are frame peers on both engines (epoch truncated to seconds).  One keyed
-    window shuffle; decimal accumulation keeps the frame sums bit-exact."""
+    are frame peers on both engines (epoch FLOORED to seconds — Spark's
+    timestamp→long cast floors, while DuckDB's double→bigint cast rounds,
+    so the oracle floors explicitly; caught at sf0.1 where fractional
+    seconds land near frame boundaries).  One keyed window shuffle; decimal
+    accumulation keeps the frame sums bit-exact."""
     ev = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
