@@ -3065,3 +3065,90 @@ def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(F.col("zscore")) > 3.0)
         .select("event_id", "event_type", "value", "zscore")
     )
+
+
+@_q(
+    "retention_cohorts",
+    """
+    WITH firstday AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             datediff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+      FROM events e JOIN firstday f ON e.user_id = f.user_id)
+    SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+           CAST(day_offset AS INTEGER) AS day_offset,
+           CAST(count(*) AS BIGINT) AS active_users
+    FROM activity GROUP BY cohort_day, day_offset
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, counted per
+    activity-day offset — the self-aggregation-join analytics shape (one
+    user-keyed aggregate broadcast back over the fact table)."""
+    ev = load_table(spark, sf_dir, "events")
+    firstday = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("cohort_day")
+    )
+    activity = (
+        ev.join(F.broadcast(firstday), "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.col("ts").cast("date"), F.col("cohort_day")).alias(
+                "day_offset"
+            ),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+        # date projected to ISO string: pandas reads DuckDB DATEs back as
+        # Timestamps, which would value-mismatch Spark's datetime.date
+        .withColumn("cohort_day", F.date_format("cohort_day", "yyyy-MM-dd"))
+    )
+
+
+@_q(
+    "funnel_view_click_purchase",
+    """
+    WITH m AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+      FROM events GROUP BY user_id)
+    SELECT
+      CAST(count(*) FILTER (WHERE first_view IS NOT NULL) AS BIGINT) AS n_view,
+      CAST(count(*) FILTER (WHERE first_view IS NOT NULL
+           AND first_click > first_view) AS BIGINT) AS n_view_click,
+      CAST(count(*) FILTER (WHERE first_view IS NOT NULL
+           AND first_click > first_view
+           AND first_purchase > first_click) AS BIGINT) AS n_view_click_purchase
+    FROM m
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase, strictly
+    increasing first-occurrence times) in ONE pass: conditional min per
+    stage, then filtered counts — no joins, no sessionization needed for
+    the first-touch funnel."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_of(t):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    m = ev.groupBy("user_id").agg(
+        first_of("view").alias("first_view"),
+        first_of("click").alias("first_click"),
+        first_of("purchase").alias("first_purchase"),
+    )
+    step1 = F.col("first_view").isNotNull()
+    step2 = step1 & (F.col("first_click") > F.col("first_view"))
+    step3 = step2 & (F.col("first_purchase") > F.col("first_click"))
+    return m.agg(
+        F.count_if(step1).alias("n_view"),
+        F.count_if(step2).alias("n_view_click"),
+        F.count_if(step3).alias("n_view_click_purchase"),
+    )
