@@ -304,3 +304,112 @@ def start_foreach_batch_partitioned(
         .outputMode("update")
         .start()
     )
+
+
+def tws_available() -> bool:
+    """transformWithState needs a working google.protobuf (the state-server
+    protocol); this container ships a broken one, so the tws sessionizer is
+    guarded the same way the torch model adapters are."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def make_session_processor(gap_minutes: int = 30):
+    """Build the transformWithState session processor (module-level factory
+    so the processor logic is unit-drivable with injected fakes — the
+    container's protobuf cannot run the real state server; see
+    :func:`tws_available`)."""
+    import datetime as dt
+
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    gap = dt.timedelta(minutes=gap_minutes)
+    gap_ms = gap_minutes * 60 * 1000
+    cols = ["user_id", "session_start", "session_end", "n_events"]
+
+    class SessionProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._state = handle.getValueState("session", SESSION_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            (user_id,) = key
+            ts_list: list = []
+            for pdf in rows:
+                ts_list.extend(t.to_pydatetime() for t in pd.to_datetime(pdf["ts"]))
+            ts_list.sort()
+            if self._state.exists():
+                last_ts, session_start, n = self._state.get()
+            else:
+                last_ts = session_start = None
+                n = 0
+            closed = []
+            for ts in ts_list:
+                if last_ts is not None and ts - last_ts > gap:
+                    closed.append((user_id, session_start, last_ts, n))
+                    session_start, n = ts, 0
+                if session_start is None:
+                    session_start = ts
+                last_ts = ts
+                n += 1
+            if last_ts is not None:
+                self._state.update((last_ts, session_start, n))
+                # one live timer per key: re-arm at the new inactivity
+                # deadline, clamped past the watermark so an already-elapsed
+                # gap fires on the next trigger
+                for t in self._handle.listTimers():
+                    self._handle.deleteTimer(t)
+                deadline = int(last_ts.timestamp() * 1000) + gap_ms
+                self._handle.registerTimer(
+                    max(deadline, timerValues.getCurrentWatermarkInMs() + 1)
+                )
+            if closed:
+                yield pd.DataFrame(closed, columns=cols)
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            (user_id,) = key
+            if self._state.exists():
+                last_ts, session_start, n = self._state.get()
+                self._state.clear()
+                yield pd.DataFrame(
+                    [(user_id, session_start, last_ts, n)], columns=cols
+                )
+
+        def close(self) -> None:
+            pass
+
+    return SessionProcessor
+
+
+def sessionize_stream_tws(
+    events: DataFrame, gap_minutes: int = 30, watermark: str = "2 hours"
+) -> DataFrame:
+    """The :func:`sessionize_stream` semantics on the transformWithState
+    API (Spark 4 stateful engine): typed ValueState + real event-time
+    TIMERS instead of GroupState timeouts.  Same output rows — one per
+    CLOSED session — so either implementation drops into the pipeline.
+
+    Why the new API matters at scale: state lives in per-key typed slots
+    on the RocksDB state store backend, timers are first-class (a key can
+    hold several), and the processor can evolve state schema between runs
+    — the operational gaps of applyInPandasWithState."""
+    SessionProcessor = make_session_processor(gap_minutes)
+    return (
+        ensure_event_time(events)
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            SessionProcessor(),
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            outputMode="append",
+            timeMode="EventTime",
+        )
+    )
