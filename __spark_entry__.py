@@ -26,59 +26,77 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks only the FIRST 50 entries of
-# ``queries()``.  List queries that have never received an official
-# CORRECTNESS row (plus queries fixed or added this round) first so each
-# lands inside that window; the rotation history lives in COVERAGE.md.
-# Everything rotated out of the window stays fully verified locally via
-# ``tools/check_correctness.py`` (all 70 green as of r4).
+# ``queries()``.  Rotation policy (documented per round in COVERAGE.md):
+#   1. queries CHANGED or ADDED this round lead (their prior rows, if any,
+#      no longer describe the shipped code);
+#   2. queries that have never held an official row;
+#   3. deterministic twins of the rows-only approximate entries;
+#   4. the remaining slots re-check the queries whose last official green
+#      row is OLDEST, so every query periodically re-enters the window and
+#      a silent regression cannot hide outside it indefinitely.
+# Everything rotated out stays verified locally every round via
+# ``tools/check_correctness.py`` (101/101 green at the r5 cut).
 _CHECK_FIRST = [
-    "ann_ivf_fixed_topk",
-    "f6_training_pairs",
-    "agg_pivot",
-    "agg_collect_set",
-    "time_functions",
-    "agg_percentiles",
-    "set_intersect",
-    "split_train_val_test",
-    "sample_stratified",
-    "text_repetition",
-    "pack_sequences_by_lang",
-    "text_scrub",
+    # -- 1. changed in r5 (re-pointed to the LSH scale path / un-hinted
+    #       customer join) + added in r5
+    "dedup_embedding_cosine",
+    "dedup_clusters",
     "split_leakage_safe",
-    "decontaminate_overlap",
-    "sample_k_per_lang",
-    "embedding_quantize",
-    "events_enriched",
-    "snapshot_diff_docs",
-    "quality_gate_tokens",
-    "events_sliding_window",
-    # fixed this round (TIMESTAMP_NTZ watermark) — needs a fresh green row
-    "stream_sink_tumbling_window",
-    # added in r4
-    "dedup_clusters_lsh",
-    "dedup_representatives",
-    "q5_local_supplier_volume",
-    "q10_returned_items",
-    "text_normalize",
-    "vocab_top_tokens",
-    "vocab_stats",
-    "stream_interval_join",
-    "asof_next_purchase_after_view",
-    "w5_quality_deciles",
-    "agg_grouping_sets",
-    "tfidf_top_terms",
-    "skew_salted_event_stats",
-    "decontaminate_substring",
-    "w6_rolling_hour_value",
-    "pipeline_curate",
-    "sample_weighted",
-    "w7_rank_functions",
-    "unpivot_doc_metrics",
-    "stream_interval_join_outer",
-    "agg_median_langs",
-    "c16_extract_all_numbers",
-    "w8_first_last_event",
-    "agg_conditional",
+    "j4_region_revenue",
+    "w5_deciles_bucketed",
+    # -- 2. r4 additions that fell outside r4's 50-entry window
+    "langid_confusion",
+    "dedup_incremental_cross",
+    "text_sentences",
+    "events_zscore_outliers",
+    "retention_cohorts",
+    "funnel_view_click_purchase",
+    # -- 3. deterministic twins of the two rows-only entries
+    "ann_ivf_fixed_topk",
+    "agg_distinct_count",
+    # -- 4. oldest official row (r1-r3; rotated out during r4), in
+    #       registration order.  Left out (37 slots for 40 candidates):
+    #       approx_distinct_users + ann_ivf_topk (rows-only by design;
+    #       their exact twins sit in group 3) and ann_cosine_topk
+    #       (unchanged; pinned by brute_force_topk unit tests and shares
+    #       its ranking oracle shape with in-window ann_ivf_fixed_topk).
+    "a5_corpus_stats",
+    "a6_histogram",
+    "a7_value_counts",
+    "a8_count_consistency",
+    "a9_derived_size",
+    "w1_clip_numbering",
+    "w2_best_per_group",
+    "set_union_shards",
+    "set_except_finished",
+    "sort_limit_topk",
+    "c7_extract_answer",
+    "events_tumbling_window",
+    "w3_sessionize",
+    "text_token_count",
+    "text_quality",
+    "text_langid",
+    "text_fingerprint",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_levenshtein",
+    "ann_lsh_near_dup",
+    "asof_last_view_before_purchase",
+    "range_join_first_day_events",
+    "agg_rollup",
+    "agg_cube",
+    "c2_path_functions",
+    "c5_clean_caption",
+    "c9_frame_indices",
+    "text_bpe_token_count",
+    "text_winnow_fingerprint",
+    "q3_shipping_priority",
+    "semi_join_high_value_orders",
+    "w4_running_total",
+    "c14_json_extract",
+    "hypertable_rollup",
 ]
 
 

@@ -94,26 +94,36 @@ def _decode_frames_decord(
     target_hw: tuple[int, int] | None = None,
     decord_mod=None,
 ) -> list[bytes] | None:
-    """Decord path — the reference's decoder (``data_schema/macvid.py:165-188``
-    opens ``VideoReader(width=..., height=...)``): batched random access via
-    ``get_batch`` with resize done INSIDE the codec, so full-res frames never
-    materialize.  Preferred over cv2 when importable (no temp file, no
-    per-index seek).  Grayscale via BT.601 luminance to match the cv2 path."""
+    """Decord path — the reference's decoder family
+    (``data_schema/macvid.py:165-188``): batched random access via
+    ``get_batch``.  Preferred over cv2 when importable (no temp file, no
+    per-index seek).
+
+    BIT-IDENTITY over codec-side convenience: decoding happens at NATIVE
+    resolution and the resize is the same deterministic ``_resize_nn`` the
+    cv2/FVID paths use (decord's in-codec bilinear resize would silently
+    change frame bytes the moment decord is installed, breaking
+    golden/oracle checks), and the BT.601 luminance is ROUNDED (``np.rint``)
+    before the uint8 cast to match cv2's fixed-point-rounded ``BGR2GRAY``
+    (a truncating cast is off by one on ~half of all pixels).  The reference
+    opens ``VideoReader(width=, height=)``; that in-codec resize stays the
+    right call on a throughput-only pipeline, but this engine's decode paths
+    must agree byte-for-byte with each other."""
     import io
 
     decord = decord_mod
     if decord is None:  # pragma: no cover — exercised via injected module
         import decord  # noqa: F401 — optional dependency
 
-    kwargs = {}
-    if target_hw is not None:
-        kwargs = {"height": target_hw[0], "width": target_hw[1]}
-    vr = decord.VideoReader(io.BytesIO(data), **kwargs)
+    vr = decord.VideoReader(io.BytesIO(data))
     batch = vr.get_batch(list(indices)).asnumpy()  # (n, H, W, 3) RGB
     r = batch[..., 0].astype(np.float64)
     g = batch[..., 1].astype(np.float64)
     b = batch[..., 2].astype(np.float64)
-    gray = (0.299 * r + 0.587 * g + 0.114 * b).astype(np.uint8)
+    gray = np.rint(0.299 * r + 0.587 * g + 0.114 * b).astype(np.uint8)
+    if target_hw is not None:
+        th, tw = target_hw
+        return [_resize_nn(gray[i], th, tw).tobytes() for i in range(gray.shape[0])]
     return [gray[i].tobytes() for i in range(gray.shape[0])]
 
 
@@ -252,17 +262,25 @@ def with_sampled_frames(
 ) -> DataFrame:
     """Adds ``out_col`` with sampled frame payloads.  With ``target_hw`` the
     frames are ``(h, w)``-shaped at decode and the ``height``/``width``
-    columns (when present) are overwritten to match, so downstream scorers
-    reshape correctly."""
+    columns (when present) are overwritten to match — but ONLY on rows whose
+    decode succeeded: failed rows keep their original metadata so the
+    columns never claim a shape for a payload that does not exist."""
     out = videos.withColumn(
         out_col, sample_frames_udf(policy, stride, target_hw)(F.col(content_col))
     )
     if target_hw is not None:
         th, tw = target_hw
+        decoded = F.col(out_col).isNotNull()
         if "height" in out.columns:
-            out = out.withColumn("height", F.lit(th).cast("int"))
+            out = out.withColumn(
+                "height",
+                F.when(decoded, F.lit(th)).otherwise(F.col("height")).cast("int"),
+            )
         if "width" in out.columns:
-            out = out.withColumn("width", F.lit(tw).cast("int"))
+            out = out.withColumn(
+                "width",
+                F.when(decoded, F.lit(tw)).otherwise(F.col("width")).cast("int"),
+            )
     return out
 
 
@@ -427,6 +445,11 @@ def _tiny_aesthetic_stub(frames, h, w):
     return None
 
 
+def _tiny_imaging_stub(frames, h, w):
+    # unreachable for the same reason as _tiny_aesthetic_stub
+    return None
+
+
 SCORERS: dict[str, tuple[str, object]] = {
     # name -> (output column, (stub kernel, spark return type)); real model
     # adapters resolve per-executor via operators/model_adapters.ADAPTERS
@@ -439,11 +462,17 @@ SCORERS: dict[str, tuple[str, object]] = {
         "frame_caption_llava_raw",
         (_caption_kernel, T.ArrayType(T.StringType())),
     ),
-    # numpy-only executable model head — the one scorer whose REAL adapter
-    # (not a stub) runs in this container; golden-tested end-to-end
+    # numpy-only executable model heads — the scorers whose REAL adapters
+    # (not stubs) run in this container; golden-tested end-to-end.  One per
+    # reference scorer family shape: per-frame score array (M3) and
+    # mean-over-frames scalar (M4).
     "tiny_aesthetic": (
         "tiny_aesthetic_score",
         (_tiny_aesthetic_stub, T.ArrayType(T.DoubleType())),
+    ),
+    "tiny_imaging_quality": (
+        "tiny_imaging_quality_score",
+        (_tiny_imaging_stub, T.DoubleType()),
     ),
 }
 

@@ -340,6 +340,58 @@ class TinyAestheticAdapter(ScorerAdapter):
         return out
 
 
+class TinyImagingQualityAdapter(ScorerAdapter):
+    """The SECOND executable model head, extending the ``TinyAestheticAdapter``
+    pattern to the imaging-quality (M4) scorer family: the MUSIQ transformer
+    is replaced by a 4×4 patch-mean feature grid (the multi-scale patch
+    embedding shape MUSIQ rests on, collapsed to its deterministic core) fed
+    to a REAL seeded 2-layer numpy MLP, and the clip score is the mean of
+    per-frame forwards — exactly the reference's accumulate-then-divide
+    contract (``/root/reference/evaluations/imaging_quality.py:70-95``:
+    per-frame ``iqa_metric(...)`` forward, ``acc/len(images)``).  Output
+    shape matches ``ImagingQualityAdapter`` and the M4 stub: ONE double per
+    clip.  Needs only numpy, so the registry → resolve → score path runs
+    end-to-end in this container (no ``pragma: no cover`` anywhere)."""
+
+    requires = ("numpy",)
+
+    @classmethod
+    def _load(cls):
+        rng = np.random.default_rng(20260814)
+        return (
+            rng.standard_normal((8, 16)),
+            rng.standard_normal(8),
+            rng.standard_normal((1, 8)),
+            rng.standard_normal(1),
+        )
+
+    @staticmethod
+    def embed(frame: np.ndarray) -> np.ndarray:
+        """4×4 grid of patch means in [0,1] — a 16-dim deterministic stand-in
+        for MUSIQ's multi-scale patch embedding."""
+        f = frame.astype(np.float64) / 255.0
+        h, w = f.shape
+        rows = np.linspace(0, h, 5).astype(int)
+        cols = np.linspace(0, w, 5).astype(int)
+        feats = [
+            float(f[rows[i]:max(rows[i + 1], rows[i] + 1),
+                    cols[j]:max(cols[j + 1], cols[j] + 1)].mean())
+            for i in range(4)
+            for j in range(4)
+        ]
+        return np.asarray(feats)
+
+    def score(self, frames: list[np.ndarray], h: int, w: int) -> float:
+        if not frames:
+            return 0.0
+        w1, b1, w2, b2 = self.model()
+        acc = 0.0
+        for f in frames:  # per-frame forward, then acc/len — :85-90
+            hid = np.maximum(w1 @ self.embed(f) + b1, 0.0)  # ReLU
+            acc += float(w2 @ hid + b2)
+        return acc / len(frames)
+
+
 #: scorer name -> adapter class; names match media.SCORERS keys.  "caption"
 #: prefers CoCa (the reference's default frame captioner); LLaVA is reachable
 #: as the explicit "caption_llava" scorer variant.
@@ -350,6 +402,7 @@ ADAPTERS: dict[str, type[ScorerAdapter]] = {
     "caption": CocaCaptionAdapter,
     "caption_llava": LlavaCaptionAdapter,
     "tiny_aesthetic": TinyAestheticAdapter,
+    "tiny_imaging_quality": TinyImagingQualityAdapter,
 }
 
 

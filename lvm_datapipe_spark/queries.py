@@ -226,9 +226,14 @@ def j4_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
     region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    # nation/region are constant-size dims — hint them.  customer GROWS
+    # linearly with scale factor (~15 M rows at sf100): a forced broadcast
+    # hint would override Spark's size check and OOM at 100× scale, so its
+    # join is size-gated (planner stats + AQE pick broadcast vs shuffled
+    # join) — asserted hint-free in tests/test_plan_quality.py.
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name")
@@ -922,62 +927,6 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.brute_force_topk(emb, queries, k=10)
 
 
-@_q(
-    "dedup_embedding_cosine",
-    f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    n AS (SELECT vec_id, v, sqrt({_dot_sql('v', 'v')}) AS nrm FROM e),
-    u AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS vn FROM n)
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           {_dot_sql('a.vn', 'b.vn')} AS cos_sim
-    FROM u a CROSS JOIN u b
-    WHERE a.vec_id < b.vec_id AND {_dot_sql('a.vn', 'b.vn')} >= 0.4
-    """,
-)
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT all-pairs baseline (quadratic) — kept as the recall oracle for
-    the LSH variant and for broadcast-sized corpora only.  The production
-    path at scale is ``ann_lsh_near_dup`` (LSH candidates → exact verify,
-    also fully oracle-checked; no corpus×corpus join)."""
-    from lvm_datapipe_spark.operators import similarity as V
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    return V.embedding_near_dup_pairs(emb, threshold=0.4)
-
-
-@_q(
-    "dedup_clusters",
-    f"""
-    WITH RECURSIVE ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    nr AS (SELECT vec_id, v, sqrt({_dot_sql('v', 'v')}) AS nrm FROM ev),
-    uv AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS vn FROM nr),
-    pairs AS (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b
-      FROM uv a CROSS JOIN uv b
-      WHERE a.vec_id < b.vec_id AND {_dot_sql('a.vn', 'b.vn')} >= 0.4),
-    edges AS (SELECT id_a AS u, id_b AS w FROM pairs
-              UNION SELECT id_b AS u, id_a AS w FROM pairs),
-    reach AS (SELECT u, w FROM edges
-              UNION SELECT r.u AS u, e2.w AS w
-              FROM reach r JOIN edges e2 ON r.w = e2.u)
-    SELECT u AS id, least(u, min(w)) AS cluster_id FROM reach GROUP BY u
-    """,
-)
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Transitive near-dup clusters: every vector that has at least one
-    cosine-0.4 near-dup is labeled with the minimum vec_id reachable through
-    the near-dup graph (the dedup decision "keep one per cluster").  Spark
-    side is iterative min-label propagation (operators/graph.py — one keyed
-    shuffle per round, diameter-bounded); the oracle is the recursive-CTE
-    transitive closure over the identical pair list."""
-    from lvm_datapipe_spark.operators import similarity as V
-    from lvm_datapipe_spark.operators.graph import connected_components
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    pairs = V.embedding_near_dup_pairs(emb, threshold=0.4)
-    return connected_components(pairs)
-
-
 def _lsh_near_dup_sql(
     n_planes: int = 4,
     n_tables: int = 8,
@@ -1031,11 +980,32 @@ def ann_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.lsh_near_dup_pairs(emb, threshold=0.4)
 
 
-def _lsh_clusters_sql() -> str:
+# The DECLARED embedding near-dup operator: since r5 this is the LSH scale
+# path (12 tables for recall — its candidate set strictly contains the
+# 8-table ``ann_lsh_near_dup`` primitive's, tables 0-7 share the same seeded
+# draws).  The exact-but-quadratic all-pairs form
+# (similarity.embedding_near_dup_pairs) is DEMOTED to a pytest-only recall
+# oracle (tests/test_dedup_similarity.py) — no query a user can copy from
+# ``queries()`` contains a corpus×corpus CartesianProduct (plan-asserted for
+# every declared query in tests/test_plan_quality.py).
+@_q("dedup_embedding_cosine", _lsh_near_dup_sql(n_tables=12))
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs at cosine ≥ 0.4 — LSH candidates (12
+    hyperplane tables) → exact-cosine verify; deterministic given the fixed
+    seed, so fully oracle-checked.  One corpus scan computes every table's
+    bucket, candidates meet on a (table, bucket) equi-join — no quadratic
+    pair source anywhere."""
+    from lvm_datapipe_spark.operators import similarity as V
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return V.lsh_near_dup_pairs(emb, threshold=0.4, n_tables=12)
+
+
+def _lsh_clusters_sql(n_tables: int = 8) -> str:
     """Recursive-CTE transitive closure over the SAME deterministic LSH pair
     list the Spark plan produces (seeded plane literals replayed in DuckDB)."""
     return f"""
-    WITH RECURSIVE pairs AS ({_lsh_near_dup_sql()}),
+    WITH RECURSIVE pairs AS ({_lsh_near_dup_sql(n_tables=n_tables)}),
     edges AS (SELECT id_a AS u, id_b AS w FROM pairs
               UNION SELECT id_b AS u, id_a AS w FROM pairs),
     reach AS (SELECT u, w FROM edges
@@ -1043,6 +1013,24 @@ def _lsh_clusters_sql() -> str:
               FROM reach r JOIN edges e2 ON r.w = e2.u)
     SELECT u AS id, least(u, min(w)) AS cluster_id FROM reach GROUP BY u
     """
+
+
+@_q("dedup_clusters", _lsh_clusters_sql(n_tables=12))
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: every vector with at least one
+    cosine-0.4 near-dup is labeled with the minimum vec_id reachable through
+    the near-dup graph (the dedup decision "keep one per cluster").  Since
+    r5 the pair source is the 12-table LSH scale path (the quadratic
+    all-pairs source is a pytest-only recall oracle); clustering is
+    iterative min-label propagation (operators/graph.py — one keyed shuffle
+    per round, diameter-bounded).  The oracle replays the identical seeded
+    pair list through a recursive-CTE transitive closure."""
+    from lvm_datapipe_spark.operators import similarity as V
+    from lvm_datapipe_spark.operators.graph import connected_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = V.lsh_near_dup_pairs(emb, threshold=0.4, n_tables=12)
+    return connected_components(pairs)
 
 
 def _lsh_representatives_sql() -> str:
@@ -1077,12 +1065,12 @@ def dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q("dedup_clusters_lsh", _lsh_clusters_sql())
 def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB cluster-assignment path: LSH candidate pairs (equi-join on
-    (table, bucket) — no corpus×corpus product, plan-asserted in
-    tests/test_plan_quality.py) feed min-label-propagation connected
-    components.  ``dedup_clusters`` keeps the quadratic all-pairs source
-    only as the small-corpus recall oracle; this is the form a production
-    dedup run executes."""
+    """Cluster assignment over the 8-table LSH primitive's pair list
+    (equi-join on (table, bucket) — no corpus×corpus product, plan-asserted
+    in tests/test_plan_quality.py) feeding min-label-propagation connected
+    components.  ``dedup_clusters`` is the declared operator twin at 12
+    tables (higher recall); this entry pins the 8-table primitive so both
+    recall settings hold green oracle rows."""
     from lvm_datapipe_spark.operators import similarity as V
     from lvm_datapipe_spark.operators.graph import connected_components
 
@@ -2084,13 +2072,7 @@ def text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "split_leakage_safe",
     f"""
-    WITH RECURSIVE ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    nr AS (SELECT vec_id, v, sqrt({_dot_sql('v', 'v')}) AS nrm FROM ev),
-    uv AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS vn FROM nr),
-    pairs AS (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b
-      FROM uv a CROSS JOIN uv b
-      WHERE a.vec_id < b.vec_id AND {_dot_sql('a.vn', 'b.vn')} >= 0.4),
+    WITH RECURSIVE pairs AS ({_lsh_near_dup_sql()}),
     edges AS (SELECT id_a AS u, id_b AS w FROM pairs
               UNION SELECT id_b AS u, id_a AS w FROM pairs),
     reach AS (SELECT u, w FROM edges
@@ -2116,13 +2098,14 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     straddle the holdout boundary (the classic eval-leakage bug).  Composes
     connected components (operators/graph.py) with the deterministic hash
     split (operators/sampling.py); rows with no near-dup key on their own
-    id."""
+    id.  Pair source is the LSH scale path since r5 (one keyed shuffle —
+    the quadratic all-pairs source is a pytest-only recall oracle)."""
     from lvm_datapipe_spark.operators import similarity as V
     from lvm_datapipe_spark.operators.graph import connected_components
     from lvm_datapipe_spark.operators.sampling import split_assign
 
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = V.embedding_near_dup_pairs(emb, threshold=0.4)
+    pairs = V.lsh_near_dup_pairs(emb, threshold=0.4)
     cc = connected_components(pairs)
     keyed = emb.join(
         cc.withColumnRenamed("id", "vec_id"), "vec_id", "left"
@@ -2446,6 +2429,48 @@ def w5_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))
     t = docs.select("doc_id", F.ntile(10).over(w).alias("decile"), "n_chars")
     return t.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+_DECILE_PS = [0.9, 0.8, 0.7, 0.6, 0.5, 0.4, 0.3, 0.2, 0.1]
+
+
+@_q(
+    "w5_deciles_bucketed",
+    f"""
+    WITH q AS (SELECT quantile_cont(n_chars, {_DECILE_PS}) AS t FROM documents),
+    b AS (SELECT d.doc_id, d.n_chars,
+                 1 + {' + '.join(f'(CASE WHEN d.n_chars < t[{i + 1}] THEN 1 ELSE 0 END)' for i in range(9))} AS decile
+          FROM documents d CROSS JOIN q)
+    SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM b GROUP BY decile
+    """,
+)
+def w5_deciles_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-SAFE decile twin of ``w5_quality_deciles``: decile
+    boundaries come from ONE exact-percentile aggregate (map-side partials →
+    a single 9-double row), broadcast back over the corpus, and assignment
+    is a literal comparison ladder — no global NTILE, no SinglePartition
+    window anywhere (plan-asserted).  Deciles differ from NTILE only at tie
+    boundaries (equal n_chars land in the same bucket here; NTILE splits
+    them to equalize counts), which is the semantics a 100 TB stratification
+    actually wants.  Spark's exact ``percentile`` and DuckDB's
+    ``quantile_cont`` share the linear-interpolation definition, so the
+    boundary doubles are bit-identical (verified at sf0.01)."""
+    docs = load_table(spark, sf_dir, "documents")
+    th = docs.agg(F.percentile("n_chars", F.lit(_DECILE_PS)).alias("t"))
+    decile = F.lit(1)
+    for i in range(9):
+        decile = decile + (F.col("n_chars") < F.element_at("t", i + 1)).cast("int")
+    b = docs.crossJoin(F.broadcast(th)).select(
+        "doc_id", "n_chars", decile.alias("decile")
+    )
+    return b.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),

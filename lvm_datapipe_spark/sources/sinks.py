@@ -64,6 +64,13 @@ def _dir_bytes(path: str) -> int:
     return total
 
 
+def _count_data_files(path: str) -> int:
+    n = 0
+    for _root, _dirs, files in os.walk(path):
+        n += sum(1 for f in files if not f.startswith(("_", ".")))
+    return n
+
+
 def compact_dir(
     spark: SparkSession,
     path: str,
@@ -71,11 +78,17 @@ def compact_dir(
     target_file_mb: int = 128,
 ) -> int:
     """Rewrite a parquet directory to ~``target_file_mb`` files (returns the
-    file count written).  Reads the current on-disk size (already-compressed
-    bytes — a better size estimate than uncompressed row bytes), coalesces
-    to ``ceil(size / target)``, and atomically replaces via a temp dir +
-    rename.  Partition columns are re-derived from the data, so partitioned
-    layouts survive compaction."""
+    data-file count actually written).  Reads the current on-disk size
+    (already-compressed bytes — a better size estimate than uncompressed row
+    bytes) and coalesces to ``ceil(size / target)``.  Partition columns are
+    re-derived from the data, so partitioned layouts survive compaction.
+
+    Swap discipline: the new data is written to a temp dir, the ORIGINAL is
+    renamed aside (``path__old``), the temp renamed into place, and only
+    then is the old dir deleted — a crash mid-swap can leave a stale or
+    duplicate directory to clean up, but never loses the dataset (each
+    rename is atomic on POSIX; the two-rename window is the only non-atomic
+    gap, and both dirs still exist throughout it)."""
     import math
     import shutil
 
@@ -83,7 +96,8 @@ def compact_dir(
         1, math.ceil(_dir_bytes(path) / (target_file_mb * 1024 * 1024))
     )
     df = spark.read.parquet(path)
-    tmp = path.rstrip("/") + "__compact_tmp"
+    base = path.rstrip("/")
+    tmp, old = base + "__compact_tmp", base + "__old"
     out = df.coalesce(n_files)
     if partition_by:
         # repartition by the partition columns so each output dir gets
@@ -92,6 +106,10 @@ def compact_dir(
         out.write.mode("overwrite").partitionBy(*partition_by).parquet(tmp)
     else:
         out.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
+    written = _count_data_files(tmp)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
     os.rename(tmp, path)
-    return n_files
+    shutil.rmtree(old)
+    return written

@@ -136,6 +136,21 @@ def test_lsh_recall_on_driver_data(spark):
     assert len(approx) / len(exact) >= 0.5  # recall floor with 4 planes x 8 tables
 
 
+def test_declared_dedup_form_recall_vs_quadratic_oracle(spark):
+    """The DECLARED dedup_embedding_cosine operator (12-table LSH since r5)
+    judged against the demoted quadratic all-pairs recall oracle: precision
+    stays exact, the candidate set strictly contains the 8-table
+    primitive's (tables 0-7 share seeds), and recall clears a higher bar."""
+    from lvm_datapipe_spark.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    exact = {(r.id_a, r.id_b) for r in V.embedding_near_dup_pairs(emb, threshold=0.4).collect()}
+    t8 = {(r.id_a, r.id_b) for r in V.lsh_near_dup_pairs(emb, threshold=0.4).collect()}
+    t12 = {(r.id_a, r.id_b) for r in V.lsh_near_dup_pairs(emb, threshold=0.4, n_tables=12).collect()}
+    assert t8 <= t12 <= exact
+    assert len(t12) / len(exact) >= 0.7  # recall floor with 4 planes x 12 tables
+
+
 def test_ivf_topk_recall(spark):
     """IVF with n_probe cells must recover most of the exact top-k, and
     full-probe IVF must equal the exact ranking."""

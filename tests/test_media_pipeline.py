@@ -158,6 +158,22 @@ def test_sampling_resize_at_decode(scored_input):
     assert bytes(row.frames[0]) == want
 
 
+def test_sampling_resize_preserves_metadata_on_failed_rows(spark):
+    """target_hw must not stamp (h, w) onto rows whose decode FAILED — the
+    frames column is null there and the original metadata must survive."""
+    df = spark.createDataFrame(
+        [("bad", bytearray(b"\x00not-a-video"), 480, 640)],
+        "clip_id string, content binary, height int, width int",
+    )
+    row = (
+        media.with_sampled_frames(df, policy="first_mid_last", target_hw=(24, 32))
+        .select("frames", "height", "width")
+        .first()
+    )
+    assert row.frames is None
+    assert (row.height, row.width) == (480, 640)
+
+
 def test_scorers(scored_input):
     df = media.with_sampled_frames(scored_input, policy="fractions")
     for name in ("aesthetic", "imaging_quality", "ocr", "motion", "caption"):
@@ -486,9 +502,10 @@ def test_ffmpeg_split_partition_survives_runner_failure(tmp_path):
 
 
 def test_decord_adapter_with_injected_module(monkeypatch):
-    """Decord path (the reference's decoder): batched get_batch access,
-    resize handed to the CODEC via VideoReader(width=, height=), BT.601
-    grayscale identical to the cv2 path's cvtColor."""
+    """Decord path (the reference's decoder): batched get_batch access at
+    NATIVE resolution, the shared deterministic _resize_nn post-decode, and
+    ROUNDED BT.601 grayscale — installing decord must not change a single
+    frame byte relative to the cv2/FVID paths."""
     import sys
     import types
 
@@ -511,11 +528,10 @@ def test_decord_adapter_with_injected_module(monkeypatch):
 
         def get_batch(self, indices):
             seen["indices"] = list(indices)
-            h, w = seen["kwargs"].get("height", 48), seen["kwargs"].get("width", 64)
-            arr = np.zeros((len(indices), h, w, 3), dtype=np.uint8)
+            arr = np.zeros((len(indices), 48, 64, 3), dtype=np.uint8)
             arr[..., 0] = 100  # R
             arr[..., 1] = 50   # G
-            arr[..., 2] = 200  # B
+            arr[..., 2] = 205  # B -> luminance 82.62: rint=83, trunc=82
             return _Batch(arr)
 
     fake = types.ModuleType("decord")
@@ -526,9 +542,10 @@ def test_decord_adapter_with_injected_module(monkeypatch):
     monkeypatch.setitem(sys.modules, "decord", fake)
 
     out = media._decode_frames(_mp4_fixture(), [0, 5], target_hw=(24, 32))
-    # decode-at-resolution: the codec got the target dims, no numpy resize
-    assert seen["kwargs"] == {"height": 24, "width": 32}
+    # bit-identity: the codec decodes NATIVE (no resize kwargs); resize is
+    # the shared _resize_nn, luminance is rounded not truncated
+    assert seen["kwargs"] == {}
     assert seen["indices"] == [0, 5]
-    want = int(0.299 * 100 + 0.587 * 50 + 0.114 * 200)  # BT.601, truncated
+    want = round(0.299 * 100 + 0.587 * 50 + 0.114 * 205)  # BT.601, rounded
     assert len(out) == 2 and all(len(f) == 24 * 32 for f in out)
     assert out[0] == bytes([want]) * (24 * 32)

@@ -22,9 +22,9 @@ def test_every_adapter_maps_to_a_registered_scorer():
 def test_adapters_unavailable_in_this_container():
     # the environment ships no torch/easyocr/open_clip/transformers — every
     # model-dep adapter must report unavailable rather than blow up; the
-    # numpy-only tiny_aesthetic head is the deliberate exception
+    # numpy-only tiny_* heads are the deliberate exceptions
     for name, cls in MA.ADAPTERS.items():
-        if cls is MA.TinyAestheticAdapter:
+        if cls in (MA.TinyAestheticAdapter, MA.TinyImagingQualityAdapter):
             assert cls.available() is True
         else:
             assert cls.available() is False, name
@@ -220,5 +220,54 @@ def test_tiny_aesthetic_end_to_end_on_decoded_png(spark):
         for r in media.apply_scorer(df, "tiny_aesthetic").collect()
     }
     expected = MA.TinyAestheticAdapter().score(decoded, 12, 16)
+    assert rows["clip0"] == expected  # exact, not approx
+    assert rows["failed"] is None
+
+
+# -- TinyImagingQualityAdapter: the M4-family executable head ----------------
+
+
+def test_tiny_imaging_adapter_available_and_resolves_real():
+    assert MA.TinyImagingQualityAdapter.available() is True
+    kernel = MA.resolve_kernel("tiny_imaging_quality", media._tiny_imaging_stub)
+    assert isinstance(kernel, MA.TinyImagingQualityAdapter)
+
+
+def test_tiny_imaging_mean_over_frames_contract():
+    # the M4 contract (imaging_quality.py:85-90): clip score == mean of the
+    # per-frame forwards; empty frame list scores 0.0
+    rng = np.random.default_rng(11)
+    frames = [rng.integers(0, 256, size=(8, 8), dtype=np.uint8) for _ in range(4)]
+    a = MA.TinyImagingQualityAdapter()
+    per_frame = [a.score([f], 8, 8) for f in frames]
+    assert a.score(frames, 8, 8) == pytest.approx(sum(per_frame) / 4, abs=1e-12)
+    assert a.score([], 8, 8) == 0.0
+
+
+def test_tiny_imaging_end_to_end_on_decoded_png(spark):
+    """Full path: real PNG encode -> real PNG decode -> Spark apply_scorer
+    -> TinyImagingQualityAdapter.score on the executor -> exact golden
+    match against the same adapter run driver-side (fixed seeded weights,
+    pure float64 math — bit-identical across the Arrow boundary)."""
+    from lvm_datapipe_spark.operators import rawcodecs
+
+    rng = np.random.default_rng(13)
+    frames_np = [rng.integers(0, 256, size=(12, 16), dtype=np.uint8) for _ in range(3)]
+    decoded = [
+        rawcodecs.decode_png(rawcodecs.encode_png(f)).reshape(12, 16)
+        for f in frames_np
+    ]
+    df = spark.createDataFrame(
+        [
+            ("clip0", [bytearray(f.tobytes()) for f in decoded], 12, 16),
+            ("failed", None, None, None),  # F4 null-row semantics
+        ],
+        "clip_id string, frames array<binary>, height int, width int",
+    )
+    rows = {
+        r.clip_id: r.tiny_imaging_quality_score
+        for r in media.apply_scorer(df, "tiny_imaging_quality").collect()
+    }
+    expected = MA.TinyImagingQualityAdapter().score(decoded, 12, 16)
     assert rows["clip0"] == expected  # exact, not approx
     assert rows["failed"] is None

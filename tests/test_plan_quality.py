@@ -38,6 +38,15 @@ def test_dim_joins_broadcast(spark):
     assert "SortMergeJoin" not in plan  # all dims fit under the threshold here
 
 
+def test_j4_customer_join_is_size_gated_not_hint_forced(spark):
+    # nation/region are constant-size dims and stay hint-forced; customer
+    # grows ~linearly with scale factor, so its join must be SIZE-GATED
+    # (planner stats/AQE decide) — a forced broadcast hint would OOM at
+    # 100x.  Exactly the two tiny-dim hints may appear in the logical plan.
+    opt = _optimized(spark, "j4_region_revenue")
+    assert opt.count("strategy=broadcast") == 2
+
+
 def test_top1_per_group_uses_window_group_limit(spark):
     assert "WindowGroupLimit" in _plan(spark, "w2_best_per_group")
 
@@ -91,6 +100,34 @@ def test_no_cartesian_in_lsh_cluster_assignment(spark):
     out = QUERIES["dedup_clusters_lsh"](spark, SF)
     assert set(out.columns) == {"id", "cluster_id"}
     assert out.count() > 0
+
+
+def test_no_cartesian_in_any_declared_query(spark):
+    # Every query a user can copy from queries() must be free of
+    # non-broadcast cartesian products (VERDICT r4 item 1: the quadratic
+    # all-pairs embedding forms are demoted to pytest-only recall oracles).
+    # BroadcastNestedLoopJoin is acceptable ONLY as a broadcast of a scalar/
+    # query-set side (quality gates, brute-force top-k over 10 queries);
+    # CartesianProduct (both sides partitioned) never is.
+    offenders = []
+    for name in QUERIES:
+        try:
+            plan = _plan(spark, name)
+        except Exception as exc:  # noqa: BLE001 — surface as failure, named
+            offenders.append(f"{name}: plan build failed: {exc}")
+            continue
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, offenders
+
+
+def test_w5_bucketed_twin_has_no_window(spark):
+    # the scale-safe decile twin: percentile aggregate + broadcast compare
+    # ladder — no Window operator (the NTILE form's SinglePartition window
+    # is exactly what this twin exists to avoid)
+    plan = _plan(spark, "w5_deciles_bucketed")
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
 def test_sessionize_single_keyed_shuffle(spark):

@@ -72,3 +72,21 @@ def test_compact_dir_shrinks_file_count_preserves_data(spark, tmp_path):
     assert after == before
     # partition layout survived (directory-partitioned, prunable)
     assert glob.glob(f"{p}/part=p0/*.parquet")
+
+
+def test_compact_dir_returns_actual_count_and_cleans_swap_dirs(spark, tmp_path):
+    import os
+
+    p = str(tmp_path / "tbl2")
+    df = spark.createDataFrame(
+        [(i, f"p{i % 3}", float(i)) for i in range(90)], ["id", "part", "v"]
+    ).repartition(8)
+    write_partitioned(df, p, ["part"])
+    n = compact_dir(spark, p, partition_by=["part"], target_file_mb=128)
+    # returned count == data files actually on disk (the partitioned branch
+    # writes one file per non-empty (task, partition) pair, which need not
+    # equal the coalesce estimate)
+    assert n == len(_files(p))
+    # the rename-aside swap leaves no temp/old directories behind
+    assert not os.path.exists(p + "__old")
+    assert not os.path.exists(p + "__compact_tmp")
