@@ -44,6 +44,10 @@ _CHECK_FIRST = [
     "split_leakage_safe",
     "j4_region_revenue",
     "w5_deciles_bucketed",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "embedding_centroid_by_label",
+    "w9_lead_lag",
     # -- 2. r4 additions that fell outside r4's 50-entry window
     "langid_confusion",
     "dedup_incremental_cross",
@@ -57,9 +61,13 @@ _CHECK_FIRST = [
     # -- 4. oldest official row (r1-r3; rotated out during r4), in
     #       registration order.  Left out (37 slots for 40 candidates):
     #       approx_distinct_users + ann_ivf_topk (rows-only by design;
-    #       their exact twins sit in group 3) and ann_cosine_topk
+    #       their exact twins sit in group 3), ann_cosine_topk
     #       (unchanged; pinned by brute_force_topk unit tests and shares
-    #       its ranking oracle shape with in-window ann_ivf_fixed_topk).
+    #       its ranking oracle shape with in-window ann_ivf_fixed_topk),
+    #       and w4_running_total / c14_json_extract / hypertable_rollup /
+    #       semi_join_high_value_orders (displaced by the four r5-added
+    #       queries — q18_large_orders re-pins the left-semi shape with its
+    #       own oracle; all four are next-oldest for r6).
     "a5_corpus_stats",
     "a6_histogram",
     "a7_value_counts",
@@ -93,10 +101,6 @@ _CHECK_FIRST = [
     "text_bpe_token_count",
     "text_winnow_fingerprint",
     "q3_shipping_priority",
-    "semi_join_high_value_orders",
-    "w4_running_total",
-    "c14_json_extract",
-    "hypertable_rollup",
 ]
 
 

@@ -167,9 +167,12 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     dim: int = DEFAULT_DIM,
 ) -> DataFrame:
-    """All pairs with cosine ≥ threshold.  Exact (quadratic) form — correct
-    baseline for the oracle; the LSH variant below is the scale path.
-    Normalize-first: n² pairs each cost one 64-element dot, not three.
+    """All pairs with cosine ≥ threshold.  Exact (quadratic) form — since
+    r5 this is a PYTEST-ONLY recall oracle (tests/test_dedup_similarity):
+    no declared query uses it, because the corpus×corpus crossJoin cannot
+    survive a large corpus; every declared dedup path runs
+    :func:`lsh_near_dup_pairs`.  Normalize-first: n² pairs each cost one
+    64-element dot, not three.
 
     The unit-vector table is PERSISTED: without the barrier, projection
     collapse inlines ``transform(v, x/nrm)`` into every ``element_at`` of

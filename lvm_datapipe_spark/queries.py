@@ -3177,3 +3177,173 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(step2).alias("n_view_click"),
         F.count_if(step3).alias("n_view_click_purchase"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r5 additions: two more TPC-H join-agg shapes, distributed embedding
+# centroids, and a lead/lag event-delta window.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q14_promo_revenue",
+    f"""
+    SELECT {_dsum("CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END")} AS promo_revenue,
+           {_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS total_revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1996-02-01 00:00:00'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: share of one month's revenue from PROMO parts —
+    selective fact filter pushed to the scan, a single fact⋈dim equi-join
+    (part grows with scale factor, so the join is SIZE-GATED like j4's
+    customer side — no forced hint), and conditional decimal aggregation.
+    The promo/total ratio is left to the consumer: emitting both exact
+    decimal sums keeps the result bit-portable without dividing two
+    decimals (engines disagree on decimal-division scale rules)."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01 00:00:00")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1996-02-01 00:00:00")))
+        )
+        .select("l_partkey", "l_extendedprice", "l_discount")
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(
+            A.decimal_sum(promo).alias("promo_revenue"),
+            A.decimal_sum(rev).alias("total_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@_q(
+    "q18_large_orders",
+    f"""
+    WITH big AS (
+      SELECT l_orderkey
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(27,6))) > 300)
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           {_dsum('l.l_quantity')} AS sum_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 20
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume orders): group-by-HAVING over the fact
+    produces a SMALL key set that semi-joins back — the pre-aggregation
+    runs map-side partials on the lineitem shuffle, and the qualifying key
+    list stays broadcast-sized at any scale factor (HAVING selectivity
+    ~0.1%), so the composed plan is two keyed shuffles + broadcast
+    semi-probe, never a re-scan of an unfiltered join."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(A.decimal_sum("l_quantity").alias("_q"))
+        .filter(F.col("_q") > 300)
+        .select("l_orderkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    agg = (
+        li.join(big.withColumnRenamed("l_orderkey", "_bk"), li.l_orderkey == F.col("_bk"), "left_semi")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(A.decimal_sum("l_quantity").alias("sum_qty"))
+    )
+    return R.top_k(agg, [F.desc("o_totalprice"), F.asc("o_orderkey")], 20)
+
+
+@_q(
+    "embedding_centroid_by_label",
+    """
+    WITH ex AS (
+      SELECT label, u.pos AS pos, embedding[u.pos]::DOUBLE AS x,
+             vec_id
+      FROM embeddings
+      CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) u),
+    per AS (
+      SELECT label, pos,
+             CAST(SUM(CAST(x AS DECIMAL(27,6))) AS DOUBLE) AS s,
+             COUNT(x) AS n
+      FROM ex GROUP BY label, pos)
+    SELECT label,
+           list(s / n ORDER BY pos) AS centroid,
+           CAST(max(n) AS BIGINT) AS n_vectors
+    FROM per GROUP BY label
+    """,
+)
+def embedding_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class centroid of the embedding corpus — the building block for
+    class-balanced sampling, label-noise detection, and IVF-style seeded
+    quantizers.  Distributed shape: posexplode to (label, pos, x) rows,
+    DECIMAL-sum per (label, pos) so partial-aggregation order can't change
+    bits (the centroid stays oracle-checkable), then reassemble the vector
+    with a sorted collect per label.  Two keyed shuffles total, both on
+    small keys (|labels| × 64 rows after the first agg); no vector ever
+    crosses a shuffle whole."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "x"),
+    ).select("label", (F.col("pos0") + 1).alias("pos"), "x")
+    per = ex.groupBy("label", "pos").agg(
+        A.decimal_sum("x").alias("s"), F.count("x").alias("n")
+    )
+    return (
+        per.groupBy("label")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "s", "n"))).alias("_a"),
+            F.max("n").cast("long").alias("n_vectors"),
+        )
+        .select(
+            "label",
+            F.expr("transform(_a, e -> e.s / e.n)").alias("centroid"),
+            "n_vectors",
+        )
+    )
+
+
+@_q(
+    "w9_lead_lag",
+    """
+    SELECT event_id, user_id, value,
+           value - lag(value) OVER w AS delta_value,
+           lead(event_type) OVER w AS next_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def w9_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG/LEAD over per-user event streams (value delta + next action) —
+    the per-entity sequential-context primitive behind session features.
+    ONE hash-partitioned window shuffle on user_id serves both functions;
+    the frame is the default entire-partition running frame, and ties are
+    broken by event_id so both engines walk the identical order."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        (F.col("value") - F.lag("value").over(w)).alias("delta_value"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )

@@ -196,6 +196,31 @@ def test_pipeline_curate_single_window_shuffle(spark):
     assert "SinglePartition" not in plan
 
 
+def test_q18_semi_join_and_topk_shape(spark):
+    # group-HAVING key set semi-probes back (never a re-scan re-join of an
+    # unfiltered fact) and the final LIMIT is TakeOrdered, not a global sort
+    plan = _plan(spark, "q18_large_orders")
+    assert "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_centroid_partial_aggregation_no_whole_vector_shuffle(spark):
+    # per-dimension decimal partials: exactly two keyed exchanges — the
+    # (label, pos) agg and the per-label reassembly — with map-side partials
+    # on both; no SinglePartition stage anywhere
+    plan = _plan(spark, "embedding_centroid_by_label")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "SinglePartition" not in plan
+    assert plan.count("partial_") >= 2
+
+
+def test_lead_lag_single_window_shuffle(spark):
+    plan = _plan(spark, "w9_lead_lag")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SinglePartition" not in plan
+
+
 def test_salted_aggregate_two_phase(spark):
     # phase 1 groups on (key, salt), phase 2 on key: two keyed Exchanges,
     # and the hot key never funnels through a single reducer in phase 1
