@@ -48,6 +48,8 @@ _CHECK_FIRST = [
     "q18_large_orders",
     "embedding_centroid_by_label",
     "w9_lead_lag",
+    "text_chunk_overlap",
+    "text_char_diversity",
     # -- 2. r4 additions that fell outside r4's 50-entry window
     "langid_confusion",
     "dedup_incremental_cross",
@@ -65,9 +67,10 @@ _CHECK_FIRST = [
     #       (unchanged; pinned by brute_force_topk unit tests and shares
     #       its ranking oracle shape with in-window ann_ivf_fixed_topk),
     #       and w4_running_total / c14_json_extract / hypertable_rollup /
-    #       semi_join_high_value_orders (displaced by the four r5-added
-    #       queries — q18_large_orders re-pins the left-semi shape with its
-    #       own oracle; all four are next-oldest for r6).
+    #       semi_join_high_value_orders / text_winnow_fingerprint /
+    #       q3_shipping_priority (displaced by the six r5-added queries —
+    #       q18_large_orders re-pins the left-semi and join-agg-topk
+    #       shapes with its own oracle; all six are next-oldest for r6).
     "a5_corpus_stats",
     "a6_histogram",
     "a7_value_counts",
@@ -99,8 +102,6 @@ _CHECK_FIRST = [
     "c5_clean_caption",
     "c9_frame_indices",
     "text_bpe_token_count",
-    "text_winnow_fingerprint",
-    "q3_shipping_priority",
 ]
 
 

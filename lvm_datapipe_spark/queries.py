@@ -3347,3 +3347,73 @@ def w9_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("value") - F.lag("value").over(w)).alias("delta_value"),
         F.lead("event_type").over(w).alias("next_type"),
     )
+
+
+@_q(
+    "text_chunk_overlap",
+    """
+    SELECT d.doc_id, CAST(s.start AS INT) AS chunk_start,
+           substr(d.text, s.start + 1, 200) AS chunk
+    FROM documents d
+    CROSS JOIN LATERAL (
+      SELECT unnest(generate_series(0, d.n_chars - 1, 150)) AS start) s
+    """,
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping document chunking (size 200, stride 150 → 50-char
+    overlap) — the retrieval/pretraining chunker: every downstream unit
+    (embedding, dedup, packing) operates on chunks, and the overlap keeps
+    boundary-straddling content findable.  Pure narrow shape: sequence →
+    explode → substring, zero shuffles, runs at scan speed; chunk_start is
+    carried so chunks re-anchor into the source doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    starts = F.sequence(
+        F.lit(0), F.col("n_chars").cast("int") - 1, F.lit(150)
+    )
+    return docs.select(
+        "doc_id", F.explode(starts).alias("chunk_start"), "text"
+    ).select(
+        "doc_id",
+        "chunk_start",
+        F.expr("substring(text, chunk_start + 1, 200)").alias("chunk"),
+    )
+
+
+@_q(
+    "text_char_diversity",
+    """
+    WITH ch AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+    cnt AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY doc_id, c),
+    s AS (SELECT doc_id,
+                 CAST(sum(k * k) AS BIGINT) AS sum_k2,
+                 CAST(sum(k) AS BIGINT) AS n,
+                 CAST(count(*) AS BIGINT) AS n_distinct_chars
+          FROM cnt GROUP BY doc_id)
+    SELECT doc_id,
+           1.0 - CAST(sum_k2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+             AS char_gini,
+           n_distinct_chars
+    FROM s
+    """,
+)
+def text_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution diversity as GINI IMPURITY (1 − Σp²) — the
+    low-entropy-gibberish / repeated-char filter signal.  Gini is chosen
+    over Shannon entropy deliberately: no log, so the whole score is exact
+    integer sums (k², n — order-independent by construction) followed by
+    ONE double division, bit-portable across engines (same trick as the
+    linear-idf TF-IDF).  Shape: (doc, char)-keyed count — fan-out bounded
+    by |alphabet| per doc — then a per-doc fold; two keyed shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    ch = docs.select("doc_id", F.explode(F.split("text", "")).alias("c"))
+    cnt = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("k"))
+    s = cnt.groupBy("doc_id").agg(
+        F.sum(F.col("k") * F.col("k")).alias("sum_k2"),
+        F.sum("k").alias("n"),
+        F.count(F.lit(1)).alias("n_distinct_chars"),
+    )
+    gini = F.lit(1.0) - F.col("sum_k2").cast("double") / (
+        F.col("n").cast("double") * F.col("n").cast("double")
+    )
+    return s.select("doc_id", gini.alias("char_gini"), "n_distinct_chars")

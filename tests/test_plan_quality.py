@@ -221,6 +221,21 @@ def test_lead_lag_single_window_shuffle(spark):
     assert "SinglePartition" not in plan
 
 
+def test_chunking_is_narrow(spark):
+    # sequence -> explode -> substring: zero shuffles, runs at scan speed
+    plan = _plan(spark, "text_chunk_overlap")
+    assert "Exchange" not in plan
+
+
+def test_char_diversity_two_keyed_shuffles(spark):
+    # (doc, char) count then per-doc fold — two hash exchanges, partials on
+    # both, no SinglePartition stage
+    plan = _plan(spark, "text_char_diversity")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "SinglePartition" not in plan
+    assert "partial_" in plan
+
+
 def test_salted_aggregate_two_phase(spark):
     # phase 1 groups on (key, salt), phase 2 on key: two keyed Exchanges,
     # and the hot key never funnels through a single reducer in phase 1
