@@ -3276,19 +3276,14 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_centroid_by_label",
     """
     WITH ex AS (
-      SELECT label, u.pos AS pos, embedding[u.pos]::DOUBLE AS x,
-             vec_id
+      SELECT label, u.pos AS pos, embedding[u.pos]::DOUBLE AS x
       FROM embeddings
-      CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) u),
-    per AS (
-      SELECT label, pos,
-             CAST(SUM(CAST(x AS DECIMAL(27,6))) AS DOUBLE) AS s,
-             COUNT(x) AS n
-      FROM ex GROUP BY label, pos)
-    SELECT label,
-           list(s / n ORDER BY pos) AS centroid,
-           CAST(max(n) AS BIGINT) AS n_vectors
-    FROM per GROUP BY label
+      CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) u)
+    SELECT label, pos,
+           CAST(SUM(CAST(x AS DECIMAL(27,6))) AS DOUBLE) / COUNT(x)
+             AS centroid_value,
+           COUNT(x) AS n_vectors
+    FROM ex GROUP BY label, pos
     """,
 )
 def embedding_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3296,29 +3291,21 @@ def embedding_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     class-balanced sampling, label-noise detection, and IVF-style seeded
     quantizers.  Distributed shape: posexplode to (label, pos, x) rows,
     DECIMAL-sum per (label, pos) so partial-aggregation order can't change
-    bits (the centroid stays oracle-checkable), then reassemble the vector
-    with a sorted collect per label.  Two keyed shuffles total, both on
-    small keys (|labels| × 64 rows after the first agg); no vector ever
-    crosses a shuffle whole."""
+    bits (the centroid stays oracle-checkable).  Declared form emits one
+    scalar row per (label, dimension) — ONE keyed shuffle on a small key
+    space (|labels| × 64 after partial aggregation), and no whole vector
+    ever crosses a shuffle; callers that want `array<double>` centroids
+    reassemble with a sorted collect per label (a |labels|-row second agg),
+    kept out of the declared query because driver hashing is defined on
+    scalar columns only."""
     emb = load_table(spark, sf_dir, "embeddings")
     ex = emb.select(
         "label",
         F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "x"),
     ).select("label", (F.col("pos0") + 1).alias("pos"), "x")
-    per = ex.groupBy("label", "pos").agg(
-        A.decimal_sum("x").alias("s"), F.count("x").alias("n")
-    )
-    return (
-        per.groupBy("label")
-        .agg(
-            F.array_sort(F.collect_list(F.struct("pos", "s", "n"))).alias("_a"),
-            F.max("n").cast("long").alias("n_vectors"),
-        )
-        .select(
-            "label",
-            F.expr("transform(_a, e -> e.s / e.n)").alias("centroid"),
-            "n_vectors",
-        )
+    return ex.groupBy("label", "pos").agg(
+        (A.decimal_sum("x") / F.count("x")).alias("centroid_value"),
+        F.count("x").alias("n_vectors"),
     )
 
 

@@ -206,13 +206,14 @@ def test_q18_semi_join_and_topk_shape(spark):
 
 
 def test_centroid_partial_aggregation_no_whole_vector_shuffle(spark):
-    # per-dimension decimal partials: exactly two keyed exchanges — the
-    # (label, pos) agg and the per-label reassembly — with map-side partials
-    # on both; no SinglePartition stage anywhere
+    # per-dimension decimal partials: exactly ONE keyed exchange — the
+    # (label, pos) agg — with map-side partials; no SinglePartition stage
+    # and no whole-vector collect anywhere in the declared form
     plan = _plan(spark, "embedding_centroid_by_label")
-    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count("Exchange hashpartitioning") == 1
     assert "SinglePartition" not in plan
-    assert plan.count("partial_") >= 2
+    assert "partial_" in plan
+    assert "collect_list" not in plan
 
 
 def test_lead_lag_single_window_shuffle(spark):
