@@ -3404,3 +3404,536 @@ def text_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("double") * F.col("n").cast("double")
     )
     return s.select("doc_id", gini.alias("char_gini"), "n_distinct_chars")
+
+
+# ---------------------------------------------------------------------------
+# r5 batch 2 — the remaining classic join-shape family (TPC-H Q4/Q6/Q7/Q8/
+# Q13/Q17/Q19/Q21/Q22 analogs on the driver tables).  Columns the synthetic
+# schema lacks (l_commitdate/l_receiptdate/l_shipmode, c_phone, p_container)
+# are substituted with semantically-equivalent predicates on existing
+# columns; the JOIN SHAPES — EXISTS/NOT-EXISTS correlation, scalar
+# subqueries, outer-join distributions, disjunctive pushdown — are the
+# point, not the constants.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): correlated EXISTS expressed
+    as a LEFT SEMI join — the probe side is lineitem pre-filtered to the
+    qualifying rows so the semi join shuffles only the matching subset, and
+    the selective quarter filter on orders is pushed to the scan.  One
+    keyed semi-join shuffle + one small group-by; no correlated re-scan
+    per row (the classic subquery trap Spark/Catalyst de-correlates to
+    exactly this plan)."""
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01 00:00:00")))
+            & (F.col("o_orderdate") < F.to_timestamp(F.lit("1996-04-01 00:00:00")))
+        )
+        .select("o_orderkey", "o_orderpriority")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@_q(
+    "q6_forecast_revenue",
+    f"""
+    SELECT {_dsum('l_extendedprice * l_discount')} AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount >= CAST(0.05 AS DOUBLE)
+      AND l_discount <= CAST(0.07 AS DOUBLE)
+      AND l_quantity < CAST(24.0 AS DOUBLE)
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (revenue-change forecast): the purest
+    pushdown-or-die query — three range predicates and a two-column
+    projection over the fact table, then one global decimal sum.  Every
+    predicate reaches the parquet scan (PushedFilters) and the projection
+    prunes to 4 columns (ReadSchema), so at 100 TB the scan does the work
+    and the aggregate moves one row per partition.  Plan-asserted: filters
+    pushed, single exchange (the one-row final agg)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01 00:00:00")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01 00:00:00")))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24.0)
+        )
+        .agg(
+            A.decimal_sum(F.col("l_extendedprice") * F.col("l_discount")).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@_q(
+    "q7_nation_volume",
+    f"""
+    SELECT supp_nation, cust_nation, l_year,
+           {_dsum('volume')} AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (bi-directional volume shipping): the fact joins two
+    INDEPENDENT dimension chains (supplier→nation, order→customer→nation)
+    and the nation-pair disjunction filters both ends.  Nation is a fixed
+    25-row table at every scale factor — explicitly broadcast, and
+    pre-filtered to the two named nations so supplier/customer shrink
+    BEFORE their fact joins; supplier and customer grow with SF and stay
+    size-gated (AQE decides).  The date filter is pushed to the lineitem
+    scan."""
+    n_pair = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+        .select("n_nationkey", "n_name")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n_pair), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(n_pair), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01 00:00:00")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01 00:00:00")))
+        )
+        .select("l_suppkey", "l_orderkey", "l_shipdate", "l_extendedprice", "l_discount")
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            A.decimal_sum(volume).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@_q(
+    "q8_market_share",
+    f"""
+    SELECT o_year,
+           {_dsum("CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0.0 END")}
+             AS nation_volume,
+           {_dsum('volume')} AS total_volume,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM (
+      SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+      JOIN region r ON n1.n_regionkey = r.r_regionkey
+      JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    ) all_nations
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): the longest dimension chain
+    in the suite — fact → part, supplier→nation, order→customer→nation→
+    region — with the share computed as conditional/total decimal sums in
+    ONE pass (no second scan, no division: engines disagree on decimal
+    division scale).  Fixed-size dims (nation, region) broadcast; part,
+    supplier, customer, orders grow with SF and stay size-gated.  The
+    region and p_type filters shrink their chains before the fact joins."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    region = (
+        load_table(spark, sf_dir, "region")
+        .filter(F.col("r_name") == "ASIA")
+        .select("r_regionkey")
+    )
+    cust_asia = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                ).select("n_nationkey")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01 00:00:00")))
+            & (F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01 00:00:00")))
+        )
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nation_vol = F.when(F.col("supp_nation") == "NATION_3", volume).otherwise(F.lit(0.0))
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust_asia, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            A.decimal_sum(nation_vol).alias("nation_volume"),
+            A.decimal_sum(volume).alias("total_volume"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@_q(
+    "q13_order_distribution",
+    """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT OUTER JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+)
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): LEFT OUTER join
+    with an extra join-time predicate (NOT a post-filter — customers whose
+    only orders are urgent must still appear with count 0), then a
+    two-level aggregation.  The outer join shuffles both sides on the
+    customer key; the second group-by runs on the tiny (custkey, count)
+    intermediate.  count(o_orderkey) counts non-null matches only — the
+    outer-join NULL row contributes 0, identically in both engines."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    per_cust = (
+        cust.join(
+            orders,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@_q(
+    "q17_small_quantity_revenue",
+    f"""
+    WITH brand_parts AS (
+      SELECT p_partkey FROM part WHERE p_brand = 'Brand#23'),
+    li_b AS (
+      SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+      FROM lineitem l
+      WHERE l.l_partkey IN (SELECT p_partkey FROM brand_parts)),
+    per_part AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE)
+               / COUNT(l_quantity) AS avg_qty
+      FROM li_b GROUP BY l_partkey)
+    SELECT {_dsum('li_b.l_extendedprice')} / CAST(7.0 AS DOUBLE) AS avg_yearly,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM li_b JOIN per_part ON li_b.l_partkey = per_part.l_partkey
+    WHERE li_b.l_quantity < CAST(0.2 AS DOUBLE) * per_part.avg_qty
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): a correlated scalar
+    subquery (per-part average quantity) de-correlated into a group-by +
+    self-join — the standard Catalyst rewrite, made explicit.  The brand
+    filter shrinks the part keys first (semi join), so BOTH the average
+    and the probe run over the brand's lineitems only; the per-part
+    average uses decimal accumulation so the correlated threshold is
+    bit-identical across engines.  Two keyed shuffles on l_partkey (agg +
+    self-join) — AQE coalesces them onto the same partitioning."""
+    parts_b = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#23")
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    li_b = li.join(parts_b, li.l_partkey == parts_b.p_partkey, "left_semi")
+    per_part = li_b.groupBy("l_partkey").agg(
+        A.decimal_avg("l_quantity").alias("avg_qty")
+    )
+    joined = li_b.join(
+        per_part.withColumnRenamed("l_partkey", "_pk"),
+        F.col("l_partkey") == F.col("_pk"),
+    ).filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
+    return joined.agg(
+        (A.decimal_sum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@_q(
+    "q19_disjunctive_revenue",
+    f"""
+    SELECT {_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= CAST(1.0 AS DOUBLE) AND l.l_quantity <= CAST(11.0 AS DOUBLE))
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity >= CAST(10.0 AS DOUBLE) AND l.l_quantity <= CAST(20.0 AS DOUBLE))
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity >= CAST(20.0 AS DOUBLE) AND l.l_quantity <= CAST(30.0 AS DOUBLE))
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicates): an OR
+    of three conjunctive brand/size/quantity windows across BOTH join
+    sides.  The part-only portion of each disjunct is extracted and
+    applied BEFORE the join (the CNF-pushdown Catalyst derives; written
+    explicitly so the part scan shrinks regardless of optimizer version),
+    the quantity envelope [1, 30] pre-filters the fact scan, and the full
+    row-level disjunction re-applies after the join for exactness."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(
+            ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15))
+            | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25))
+            | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35))
+        )
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter((F.col("l_quantity") >= 1.0) & (F.col("l_quantity") <= 30.0))
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    )
+    qty = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
+         & (qty >= 1.0) & (qty <= 11.0))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25)
+           & (qty >= 10.0) & (qty <= 20.0))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35)
+           & (qty >= 20.0) & (qty <= 30.0))
+    )
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            A.decimal_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@_q(
+    "q21_blocking_supplier",
+    """
+    WITH l1 AS (
+      SELECT l.l_orderkey, l.l_suppkey
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE l.l_returnflag = 'R' AND o.o_orderstatus = 'F')
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    """,
+)
+def q21_blocking_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept waiting orders): the hardest
+    correlation pattern in the suite — an EXISTS and a NOT EXISTS against
+    the SAME fact table with an inequality correlate (another supplier in
+    the same order).  Expressed as LEFT SEMI + LEFT ANTI joins keyed on
+    l_orderkey with the supplier-inequality as a secondary join predicate;
+    all three legs shuffle on the same order key, so AQE lines them up on
+    one partitioning.  (l_receiptdate > l_commitdate from the original is
+    substituted with the returnflag/'F'-status pair — the shape is the
+    multi-correlated semi/anti chain, not the date columns.)"""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    orders_f = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    l1 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .select("l_orderkey", "l_suppkey")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3"))
+    )
+    cand = l1.join(
+        l2,
+        (F.col("l_orderkey") == F.col("k2")) & (F.col("l_suppkey") != F.col("s2")),
+        "left_semi",
+    ).join(
+        l3,
+        (F.col("l_orderkey") == F.col("k3")) & (F.col("l_suppkey") != F.col("s3")),
+        "left_anti",
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        cand.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@_q(
+    "q22_inactive_balance",
+    f"""
+    WITH avg_bal AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(27,6))) AS DOUBLE)
+               / COUNT(c_acctbal) AS a
+      FROM customer WHERE c_acctbal > CAST(0.0 AS DOUBLE))
+    SELECT n.n_name, CAST(count(*) AS BIGINT) AS numcust,
+           {_dsum('c.c_acctbal')} AS totacctbal
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    CROSS JOIN avg_bal
+    WHERE c.c_acctbal > avg_bal.a
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY n.n_name
+    """,
+)
+def q22_inactive_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global-sales-opportunity): a GLOBAL scalar subquery
+    (average positive balance) broadcast as a one-row literal over the
+    corpus — the quality_gate_tokens pattern — combined with a NOT EXISTS
+    anti-join against a filtered orders subset and a fixed-size nation dim
+    (broadcast).  The scalar aggregate is one extra job over a pruned
+    single column; the anti join shuffles on the customer key.  (The
+    original's "customers with no orders at all" is empty on the driver's
+    dense synthetic data, so the anti-join correlate is "no URGENT order"
+    — same shape, non-degenerate result; c_phone country-code grouping
+    becomes the nation dim.)"""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(A.decimal_avg("c_acctbal").alias("a"))
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            A.decimal_sum("c_acctbal").alias("totacctbal"),
+        )
+    )

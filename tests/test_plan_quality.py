@@ -242,3 +242,73 @@ def test_salted_aggregate_two_phase(spark):
     # and the hot key never funnels through a single reducer in phase 1
     plan = _plan(spark, "skew_salted_event_stats")
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+# --- r5 batch 2: the classic join-shape family ------------------------------
+
+
+def test_q4_exists_becomes_semi_join(spark):
+    plan = _plan(spark, "q4_order_priority")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q6_predicates_reach_the_scan(spark):
+    # pushdown-or-die: every range predicate lands in PushedFilters and the
+    # scan reads only the referenced columns; the only exchange is the
+    # one-row final aggregate.  (toString truncates the filter list, so the
+    # pushdown asserts read the formatted explain.)
+    df = QUERIES["q6_forecast_revenue"](spark, SF)
+    fmt = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "GreaterThanOrEqual(l_discount,0.05)" in fmt
+    assert "LessThan(l_quantity,24.0)" in fmt
+    assert "GreaterThanOrEqual(l_shipdate," in fmt
+    plan = _plan(spark, "q6_forecast_revenue")
+    assert plan.count("Exchange") == 1  # SinglePartition for the 1-row agg
+
+
+def test_q7_fixed_dims_broadcast_no_cartesian(spark):
+    plan = _plan(spark, "q7_nation_volume")
+    assert plan.count("BroadcastHashJoin") >= 2  # both nation legs
+    assert "CartesianProduct" not in plan
+
+
+def test_q8_longest_chain_no_cartesian(spark):
+    plan = _plan(spark, "q8_market_share")
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "LeftSemi" in plan  # customer-region leg probes as a semi join
+    assert "CartesianProduct" not in plan
+
+
+def test_q13_outer_join_keeps_join_time_predicate(spark):
+    # the priority predicate must be INSIDE the outer join, not a filter
+    # above it (which would drop count-0 customers)
+    plan = _optimized(spark, "q13_order_distribution")
+    assert "LeftOuter" in plan
+    import re
+
+    above = plan.split("Join LeftOuter", 1)[0]
+    assert not re.search(r"Filter .*1-URGENT", above)
+
+
+def test_q17_correlation_decorrelated_to_one_partitioning(spark):
+    plan = _plan(spark, "q17_small_quantity_revenue")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q21_semi_and_anti_on_same_key(spark):
+    plan = _plan(spark, "q21_blocking_supplier")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q22_scalar_gate_and_anti_join(spark):
+    plan = _plan(spark, "q22_inactive_balance")
+    assert "LeftAnti" in plan
+    # the global-average scalar is a 1-row broadcast, never a shuffle of
+    # the corpus onto one partition
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
