@@ -3937,3 +3937,46 @@ def q22_inactive_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             A.decimal_sum("c_acctbal").alias("totacctbal"),
         )
     )
+
+
+@_q(
+    "bloom_pruned_semi_join",
+    f"""
+    SELECT o.o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+           {_dsum('o.o_totalprice')} AS total_price
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = o.o_custkey
+                    AND c.c_acctbal > CAST(9500.0 AS DOUBLE))
+    GROUP BY o.o_orderstatus
+    """,
+)
+def bloom_pruned_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter join pruning (operators/bloom.py): orders from
+    very-high-balance customers.  The selective dim predicate keeps ~5% of
+    customers, so a 64 Kbit Bloom bitmap over the qualifying keys is built
+    with one bounded aggregate (bitmap size is a PARAMETER — the collect
+    cannot grow with the corpus), folded into a single parsed literal
+    expression, and applied to the fact scan BEFORE the semi-join
+    exchange: ~95% of fact rows die inside the scan stage instead of
+    crossing the shuffle.  False positives are re-checked by the exact
+    semi join above, so the result — and the oracle — is the plain
+    EXISTS."""
+    from lvm_datapipe_spark.operators import bloom as B
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9500.0)
+        .select("c_custkey")
+    )
+    return (
+        B.bloom_prefiltered_semi_join(orders, dim, "o_custkey", "c_custkey")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            A.decimal_sum("o_totalprice").alias("total_price"),
+        )
+    )

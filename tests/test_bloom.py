@@ -1,0 +1,65 @@
+"""Bloom-filter join pruning: exactness (never drops a matching row),
+pruning effectiveness, and the plan shape — the bloom filter must run
+inside the fact scan stage, below the semi-join exchange."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lvm_datapipe_spark.operators import bloom as B
+
+
+def test_bitmap_has_no_false_negatives(spark):
+    dim = spark.range(0, 500).select((F.col("id") * 7 + 3).alias("k"))
+    bm = B.bloom_bitmap(dim, "k", m_bits=1 << 14)
+    hits = (
+        dim.filter(B.bloom_might_contain(bm, "k")).count()
+    )
+    assert hits == 500  # every inserted key must test positive
+
+
+def test_false_positive_rate_is_bounded(spark):
+    dim = spark.range(0, 1000).select(F.col("id").alias("k"))
+    bm = B.bloom_bitmap(dim, "k", m_bits=1 << 16)
+    # probe 10k keys disjoint from the inserted range
+    probes = spark.range(1_000_000, 1_010_000).select(F.col("id").alias("k"))
+    fp = probes.filter(B.bloom_might_contain(bm, "k")).count()
+    # theoretical fp ~ (1 - e^{-kn/m})^k ~ 0.01% here; allow 100x slack
+    assert fp < 100
+
+
+def test_prefiltered_semi_join_equals_plain_semi_join(spark):
+    fact = spark.range(0, 20_000).select(
+        (F.col("id") % 4096).alias("fk"), F.col("id").alias("v")
+    )
+    dim = spark.range(0, 4096).filter(F.col("id") % 37 == 0).select(
+        F.col("id").alias("dk")
+    )
+    got = B.bloom_prefiltered_semi_join(fact, dim, "fk", "dk")
+    want = fact.join(dim, fact.fk == dim.dk, "left_semi")
+    assert sorted(got.collect()) == sorted(want.collect())
+
+
+def test_bloom_filter_runs_below_the_join_exchange(spark):
+    from lvm_datapipe_spark.queries import QUERIES
+
+    df = QUERIES["bloom_pruned_semi_join"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    # the xxhash64 membership test must appear in a Filter, and that filter
+    # must be attached to the fact scan side (below any Exchange in the
+    # string dump = appears after the last Exchange line it feeds)
+    assert "xxhash64" in plan
+    fact_scan = plan.split("parquet")[0]
+    # no cartesian anywhere, bitmap is a literal (no extra join to ship it)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bitmap_word_layout(spark):
+    # a single known key sets exactly n_hashes bits (or fewer on collision)
+    dim = spark.range(0, 1).select(F.lit(12345).alias("k"))
+    bm = B.bloom_bitmap(dim, "k", m_bits=1 << 10, n_hashes=3)
+    set_bits = sum(bin(w & (2**64 - 1)).count("1") for w in bm)
+    assert 1 <= set_bits <= 3
+    assert len(bm) == (1 << 10) // 64
