@@ -3980,3 +3980,78 @@ def bloom_pruned_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             A.decimal_sum("o_totalprice").alias("total_price"),
         )
     )
+
+
+@_q(
+    "scd2_docs_merge",
+    """
+    WITH cur_open AS (
+      SELECT doc_id, md5(text) AS fp, '2024-01-01' AS valid_from
+      FROM documents WHERE doc_id % 13 <> 0),
+    hist AS (
+      SELECT doc_id, md5('v0' || text) AS fp,
+             '2023-01-01' AS valid_from, '2024-01-01' AS valid_to
+      FROM documents WHERE doc_id % 13 <> 0 AND doc_id % 17 = 0),
+    upd AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [edited]'
+                      ELSE text END) AS fp
+      FROM documents WHERE doc_id % 11 <> 0),
+    j AS (
+      SELECT o.doc_id AS k, o.fp AS ofp, o.valid_from AS ofrom,
+             u.doc_id AS uk, u.fp AS ufp
+      FROM cur_open o FULL OUTER JOIN upd u ON o.doc_id = u.doc_id)
+    SELECT doc_id, fingerprint, valid_from, valid_to FROM (
+      SELECT k AS doc_id, ofp AS fingerprint, ofrom AS valid_from,
+             CAST(NULL AS VARCHAR) AS valid_to
+      FROM j WHERE k IS NOT NULL AND (uk IS NULL OR ofp = ufp)
+      UNION ALL
+      SELECT k, ofp, ofrom, '2024-06-01'
+      FROM j WHERE k IS NOT NULL AND uk IS NOT NULL AND ofp <> ufp
+      UNION ALL
+      SELECT uk, ufp, '2024-06-01', CAST(NULL AS VARCHAR)
+      FROM j WHERE uk IS NOT NULL AND (k IS NULL OR ofp <> ufp)
+      UNION ALL
+      SELECT doc_id, fp, valid_from, valid_to FROM hist
+    ) merged
+    """,
+)
+def scd2_docs_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 merge (operators/scd.py::scd2_merge): deterministic views
+    of the documents table play an existing versioned corpus (every 13th
+    doc absent; every 17th carrying a closed prior version) and an update
+    snapshot (every 11th absent, every 7th edited).  Changed keys close
+    their open row at the batch date and insert a fresh version; new keys
+    insert; untouched and absent keys pass through; history rows survive
+    verbatim.  ONE full-outer keyed shuffle + an inline array-explode —
+    the incremental-pipeline-safe versioned-upsert primitive."""
+    from lvm_datapipe_spark.operators.scd import scd2_merge
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 13 != 0)
+    cur_open = base.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("fingerprint"),
+        F.lit("2024-01-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+    )
+    hist = base.filter(F.col("doc_id") % 17 == 0).select(
+        "doc_id",
+        F.md5(F.concat(F.lit("v0"), F.col("text")).cast("binary")).alias(
+            "fingerprint"
+        ),
+        F.lit("2023-01-01").alias("valid_from"),
+        F.lit("2024-01-01").alias("valid_to"),
+    )
+    current = cur_open.unionByName(hist)
+    updates = docs.filter(F.col("doc_id") % 11 != 0).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" [edited]"))
+            )
+            .otherwise(F.col("text"))
+            .cast("binary")
+        ).alias("fingerprint"),
+    )
+    return scd2_merge(current, updates, key="doc_id", batch_date="2024-06-01")
