@@ -4055,3 +4055,144 @@ def scd2_docs_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("fingerprint"),
     )
     return scd2_merge(current, updates, key="doc_id", batch_date="2024-06-01")
+
+
+@_q(
+    "text_zscore_by_lang",
+    """
+    WITH stats AS (
+      SELECT lang,
+             CAST(CAST(SUM(CAST(n_chars AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE) AS s1,
+             CAST(CAST(SUM(CAST(n_chars AS DECIMAL(27,6)) * CAST(n_chars AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE) AS s2,
+             CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY lang)
+    SELECT d.doc_id, d.lang, d.n_chars,
+           (CAST(d.n_chars AS DOUBLE) - s.s1 / s.n)
+             / sqrt((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1)) AS z_chars
+    FROM documents d JOIN stats s ON d.lang = s.lang
+    WHERE s.n > 1
+    """,
+)
+def text_zscore_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language feature normalization (z-score of document length) —
+    the group-wise standardization step before cross-lingual quality
+    thresholds can share one cutoff.  Same engine-exact moment trick as
+    events_zscore_outliers: exact DECIMAL S1/S2 partials (order-free),
+    decimal→double through a string so both engines round identically,
+    then the variance arithmetic in double.  Plan: one small aggregate
+    broadcast back over the corpus — a map-side transform, no second
+    corpus shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    dec = F.col("n_chars").cast("decimal(27,6)")
+    stats = docs.groupBy("lang").agg(
+        F.sum(dec).cast("string").cast("double").alias("s1"),
+        F.sum(dec * dec).cast("string").cast("double").alias("s2"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    j = docs.join(F.broadcast(stats), "lang").filter(F.col("n") > 1)
+    mean = F.col("s1") / F.col("n")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
+    z = (F.col("n_chars").cast("double") - mean) / F.sqrt(var)
+    return j.select("doc_id", "lang", "n_chars", z.alias("z_chars"))
+
+
+@_q(
+    "sample_match_target",
+    """
+    WITH cnt AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+    tgt AS (
+      SELECT * FROM (VALUES
+        ('en', CAST(0.30 AS DOUBLE)), ('de', CAST(0.20 AS DOUBLE)),
+        ('fr', CAST(0.20 AS DOUBLE)), ('es', CAST(0.15 AS DOUBLE)),
+        ('zh', CAST(0.15 AS DOUBLE))) t(lang, frac)),
+    rates AS (
+      SELECT c.lang,
+             (SELECT min(c2.n / t2.frac) FROM cnt c2 JOIN tgt t2 ON c2.lang = t2.lang)
+               * t.frac / c.n AS rate
+      FROM cnt c JOIN tgt t ON c.lang = t.lang)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN rates r ON d.lang = r.lang
+    WHERE CAST(('0x' || substr(md5('resample' || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000
+          < r.rate * 10000
+    """,
+)
+def sample_match_target(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic resampling to a TARGET language distribution — the
+    mixture-rebalancing step of corpus curation (downsample the dominant
+    language until the kept corpus matches the recipe).  The feasible
+    scale is min over languages of n_l/target_l (no language can be
+    upsampled), the per-language keep rate follows from it, and the keep
+    DECISION is the md5 hash-bucket of the doc id (sampling.py
+    convention): a pure function of the key — stable under repartitioning
+    and engine changes, and exactly replayable in the oracle.  Plan: one
+    tiny counts aggregate + a one-row scalar, both broadcast; the kept
+    set is a map-side filter on the corpus scan."""
+    from lvm_datapipe_spark.operators.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    frac = (
+        F.when(F.col("lang") == "en", 0.30)
+        .when(F.col("lang") == "de", 0.20)
+        .when(F.col("lang") == "fr", 0.20)
+        .when(F.col("lang") == "es", 0.15)
+        .when(F.col("lang") == "zh", 0.15)
+    )
+    cnt = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("frac", frac)
+    )
+    scale = cnt.agg(F.min(F.col("n") / F.col("frac")).alias("scale"))
+    rates = cnt.join(F.broadcast(scale)).select(
+        "lang", (F.col("scale") * F.col("frac") / F.col("n")).alias("rate")
+    )
+    bucket = hash_bucket("doc_id", salt="resample")
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(bucket < F.col("rate") * 10000)
+        .select("doc_id", "lang")
+    )
+
+
+@_q(
+    "events_markov_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS to_type
+      FROM events),
+    cnt AS (
+      SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+    tot AS (
+      SELECT from_type, CAST(SUM(n) AS BIGINT) AS total FROM cnt
+      GROUP BY from_type)
+    SELECT c.from_type, c.to_type, c.n,
+           CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE) AS p
+    FROM cnt c JOIN tot t ON c.from_type = t.from_type
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences —
+    the behavioral-model fingerprint (what follows what, how often) used
+    for bot detection and funnel design.  ONE window shuffle on user_id
+    produces the bigrams (w9's lead machinery), then the count and
+    row-normalization aggregates run on the |event_types|² matrix — a
+    25-row table here, never corpus-sized.  The probability is an exact
+    bigint/bigint division performed identically on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    cnt = seq.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.groupBy("from_type").agg(F.sum("n").alias("total"))
+    return cnt.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / F.col("total").cast("double")).alias("p"),
+    )

@@ -312,3 +312,35 @@ def test_q22_scalar_gate_and_anti_join(spark):
     # the global-average scalar is a 1-row broadcast, never a shuffle of
     # the corpus onto one partition
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_zscore_by_lang_single_corpus_shuffle(spark):
+    # the stats agg is the only keyed exchange; the stats table broadcasts
+    # back so the corpus itself is never reshuffled
+    plan = _plan(spark, "text_zscore_by_lang")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SinglePartition" not in plan
+
+
+def test_match_target_resample_is_map_side(spark):
+    # counts + scalar broadcast; the keep decision is a filter on the scan
+    plan = _plan(spark, "sample_match_target")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_markov_transitions_one_window_shuffle(spark):
+    # bigrams from one user_id window; the matrix aggregates run on
+    # |event_types|^2 rows, and the row-normalization join broadcasts
+    plan = _plan(spark, "events_markov_transitions")
+    assert "BroadcastHashJoin" in plan
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_scd2_merge_single_keyed_join(spark):
+    plan = _plan(spark, "scd2_docs_merge")
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
