@@ -276,3 +276,116 @@ def audio_features(df: DataFrame, content_col: str = "content", out_col: str = "
         df.schema.fields + [T.StructField(out_col, T.ArrayType(T.DoubleType()))]
     )
     return df.mapInPandas(fn, out_schema)
+
+
+# -- perceptual near-dup hashing (aHash) -------------------------------------
+
+
+def ahash64(pixels: np.ndarray, grid: int = 8) -> int:
+    """Average-hash of one image: gray (rounded BT.601, the repo-wide
+    media.py convention) → grid×grid block means (trailing rows/cols that
+    don't fill a block are truncated) → bit b set iff block b's mean is
+    strictly above the mean of the block means.  Row-major, bit 0 = LSB;
+    returned as a SIGNED 64-bit int so it stores in a Spark LongType
+    column unchanged.  Deterministic: float64 block means from uint8
+    pixels, no resampling kernels involved."""
+    if pixels.ndim == 3:
+        if pixels.shape[2] >= 3:
+            p = pixels[:, :, :3].astype(np.float64)
+            gray = np.rint(
+                0.299 * p[:, :, 0] + 0.587 * p[:, :, 1] + 0.114 * p[:, :, 2]
+            ).astype(np.uint8)
+        else:
+            gray = pixels[:, :, 0]
+    else:
+        gray = pixels
+    h, w = gray.shape
+    bh, bw = h // grid, w // grid
+    if bh == 0 or bw == 0:
+        raise ValueError(f"image {h}x{w} smaller than the {grid}x{grid} grid")
+    g = gray[: bh * grid, : bw * grid].astype(np.float64)
+    blocks = g.reshape(grid, bh, grid, bw).mean(axis=(1, 3))
+    mean = blocks.mean()
+    bits = (blocks > mean).astype(np.uint64).ravel()
+    val = np.uint64(0)
+    for i, b in enumerate(bits):
+        val |= np.uint64(b) << np.uint64(i)
+    return int(np.int64(val))
+
+
+def image_ahash(
+    df: DataFrame,
+    content_col: str = "content",
+    out_col: str = "ahash",
+    grid: int = 8,
+) -> DataFrame:
+    """Attach a 64-bit perceptual average-hash to every image row — the
+    image-modality analog of SimHash for text: near-duplicate frames/
+    thumbnails land within a few Hamming bits of each other while
+    unrelated images are ~32 bits apart.  Arrow-batched mapInPandas over
+    the opaque binary column; decode failures yield a null hash (the F4/F5
+    null-row convention), so one corrupt file never kills a 100 TB scan."""
+    out_schema = T.StructType(df.schema.fields + [T.StructField(out_col, T.LongType())])
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vals = []
+            for data in pdf[content_col]:
+                try:
+                    vals.append(ahash64(decode_image(data), grid))
+                except Exception:  # noqa: BLE001 — null-row on decode failure
+                    vals.append(None)
+            pdf = pdf.copy()
+            pdf[out_col] = pd.array(vals, dtype="Int64")
+            yield pdf
+
+    return df.mapInPandas(fn, out_schema)
+
+
+def ahash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "image_id",
+    hash_col: str = "ahash",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-duplicate image pairs with Hamming(aHash) ≤ max_hamming.
+
+    Same pigeonhole-banding scale path as dedup.simhash_pairs, operating
+    directly on the packed 64-bit hash: the hash splits into ``bands``
+    contiguous slices (shiftrightunsigned — sign-safe), any pair within
+    ``max_hamming ≤ bands − 1`` differing bits shares at least one exact
+    band, so candidates come from a (band, slice) equi-join — never a
+    corpus × corpus product — and the final check is one
+    bit_count(xor).  EXACT for max_hamming ≤ bands − 1.
+    """
+    assert max_hamming <= bands - 1, "banding is only exact for max_hamming <= bands-1"
+    assert 64 % bands == 0
+    width = 64 // bands
+    mask = (1 << width) - 1
+    h = df.filter(F.col(hash_col).isNotNull()).select(
+        F.col(id_col), F.col(hash_col).alias("_h")
+    )
+    band_entries = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.expr(f"shiftrightunsigned(_h, {b * width}) & {mask}").alias("piece"),
+        )
+        for b in range(bands)
+    ]
+    ex = h.select(
+        F.col(id_col), F.col("_h"), F.explode(F.array(*band_entries)).alias("bb")
+    ).select(id_col, "_h", "bb.band", "bb.piece")
+    a = ex.select(F.col(id_col).alias("id_a"), F.col("_h").alias("h_a"), "band", "piece")
+    b_ = ex.select(F.col(id_col).alias("id_b"), F.col("_h").alias("h_b"), "band", "piece")
+    return (
+        a.join(b_, ["band", "piece"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .distinct()
+    )
