@@ -50,6 +50,21 @@ _CHECK_FIRST = [
     "w9_lead_lag",
     "text_chunk_overlap",
     "text_char_diversity",
+    # r5 batch 2: the classic join-shape family + pipeline operators
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q13_order_distribution",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q21_blocking_supplier",
+    "q22_inactive_balance",
+    "bloom_pruned_semi_join",
+    "scd2_docs_merge",
+    "text_zscore_by_lang",
+    "sample_match_target",
+    "events_markov_transitions",
     # -- 2. r4 additions that fell outside r4's 50-entry window
     "langid_confusion",
     "dedup_incremental_cross",
@@ -61,16 +76,15 @@ _CHECK_FIRST = [
     "ann_ivf_fixed_topk",
     "agg_distinct_count",
     # -- 4. oldest official row (r1-r3; rotated out during r4), in
-    #       registration order.  Left out (37 slots for 40 candidates):
-    #       approx_distinct_users + ann_ivf_topk (rows-only by design;
-    #       their exact twins sit in group 3), ann_cosine_topk
-    #       (unchanged; pinned by brute_force_topk unit tests and shares
-    #       its ranking oracle shape with in-window ann_ivf_fixed_topk),
-    #       and w4_running_total / c14_json_extract / hypertable_rollup /
-    #       semi_join_high_value_orders / text_winnow_fingerprint /
-    #       q3_shipping_priority (displaced by the six r5-added queries —
-    #       q18_large_orders re-pins the left-semi and join-agg-topk
-    #       shapes with its own oracle; all six are next-oldest for r6).
+    #       registration order.  The 14 r5-batch-2 additions displace the
+    #       next 14 oldest veterans (dedup_exact … text_bpe_token_count,
+    #       plus the six already listed below) — every displaced query
+    #       held a green official row in r1-r3, is green in the r5 local
+    #       full run, and is next-oldest for the r6 window.  Also left
+    #       out: approx_distinct_users + ann_ivf_topk (rows-only by
+    #       design; exact twins in group 3) and ann_cosine_topk
+    #       (unit-test-pinned; shares its ranking oracle shape with
+    #       in-window ann_ivf_fixed_topk).
     "a5_corpus_stats",
     "a6_histogram",
     "a7_value_counts",
@@ -88,20 +102,6 @@ _CHECK_FIRST = [
     "text_quality",
     "text_langid",
     "text_fingerprint",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_levenshtein",
-    "ann_lsh_near_dup",
-    "asof_last_view_before_purchase",
-    "range_join_first_day_events",
-    "agg_rollup",
-    "agg_cube",
-    "c2_path_functions",
-    "c5_clean_caption",
-    "c9_frame_indices",
-    "text_bpe_token_count",
 ]
 
 
