@@ -65,6 +65,8 @@ _CHECK_FIRST = [
     "text_zscore_by_lang",
     "sample_match_target",
     "events_markov_transitions",
+    "agg_correlation",
+    "sample_top_p_by_lang",
     # -- 2. r4 additions that fell outside r4's 50-entry window
     "langid_confusion",
     "dedup_incremental_cross",
@@ -100,8 +102,6 @@ _CHECK_FIRST = [
     "w3_sessionize",
     "text_token_count",
     "text_quality",
-    "text_langid",
-    "text_fingerprint",
 ]
 
 

@@ -4196,3 +4196,98 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n").cast("double") / F.col("total").cast("double")).alias("p"),
     )
+
+
+@_q(
+    "agg_correlation",
+    """
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(27,6)) * CAST(l_extendedprice AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE) AS sxy,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(27,6)) * CAST(l_quantity AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6)) * CAST(l_extendedprice AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE) AS syy,
+             CAST(count(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           (n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr_qty_price
+    FROM m
+    """,
+)
+def agg_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Pearson correlation with ENGINE-EXACT moments: corr() in
+    any engine streams Welford-style partials whose float order differs
+    per partitioning, so the five raw moments are exact DECIMAL sums
+    (DECIMAL(27,6) factors — the proven events_zscore configuration, int128
+    exact on both engines), converted decimal→double through a
+    string (the events_zscore trick), then one fixed double-arithmetic
+    formula.  One map-side-partial keyed aggregate over the fact scan —
+    the same cost as any group-by — and bit-identical across engines and
+    partitionings."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(27,6)")
+    y = F.col("l_extendedprice").cast("decimal(27,6)")
+
+    def d(c):
+        return F.sum(c).cast("string").cast("double")
+
+    m = li.groupBy("l_returnflag").agg(
+        d(x * y).alias("sxy"),
+        d(x).alias("sx"),
+        d(y).alias("sy"),
+        d(x * x).alias("sxx"),
+        d(y * y).alias("syy"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    corr = (n * F.col("sxy") - sx * sy) / F.sqrt(
+        (n * F.col("sxx") - sx * sx) * (n * F.col("syy") - sy * sy)
+    )
+    return m.select("l_returnflag", "n", corr.alias("corr_qty_price"))
+
+
+@_q(
+    "sample_top_p_by_lang",
+    """
+    WITH ranked AS (
+      SELECT doc_id, lang, n_chars,
+             SUM(n_chars) OVER (PARTITION BY lang
+                                ORDER BY n_chars DESC, doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS cum_before,
+             SUM(n_chars) OVER (PARTITION BY lang) AS total
+      FROM documents)
+    SELECT doc_id, lang, n_chars
+    FROM ranked
+    WHERE coalesce(cum_before, 0) < CAST(0.8 AS DOUBLE) * total
+    """,
+)
+def sample_top_p_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-p (nucleus) corpus selection per language: keep the longest
+    documents until they cover 80% of each language's character mass —
+    the budgeted-curation primitive ("best docs up to N tokens per
+    language").  A row is kept iff the mass BEFORE it is still under the
+    budget, so the set is a deterministic prefix of the (n_chars DESC,
+    doc_id) order and exactly one doc straddles the boundary.  ONE
+    lang-keyed window shuffle serves the running sum AND the per-group
+    total (same partitioning, integer sums — no float-order hazard);
+    everything after is a map-side filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    cum_before = F.sum("n_chars").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    total = F.sum("n_chars").over(Window.partitionBy("lang"))
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.coalesce(cum_before, F.lit(0)).alias("_cb"),
+            total.alias("_tot"),
+        )
+        .filter(F.col("_cb") < F.lit(0.8) * F.col("_tot"))
+        .select("doc_id", "lang", "n_chars")
+    )

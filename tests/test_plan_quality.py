@@ -344,3 +344,17 @@ def test_scd2_merge_single_keyed_join(spark):
     assert "FullOuter" in plan
     assert "CartesianProduct" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_correlation_is_one_keyed_aggregate(spark):
+    plan = _plan(spark, "agg_correlation")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_top_p_selection_single_window_shuffle(spark):
+    # running sum + per-group total share ONE lang-keyed exchange
+    plan = _plan(spark, "sample_top_p_by_lang")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SinglePartition" not in plan
