@@ -233,3 +233,56 @@ def test_streaming_sessions_match_batch_model(spark, tmp_path_factory, rows):
             n += 1
         want.add((u, start, prev, n))
     assert got == want
+
+
+# --- r5: SCD2 merge vs a pure-Python model ----------------------------------
+
+_keys = st.integers(min_value=0, max_value=15)
+_fps = st.sampled_from(["f1", "f2", "f3"])
+
+
+@given(
+    st.dictionaries(_keys, _fps, max_size=10),  # open rows: key -> fp
+    st.dictionaries(_keys, _fps, max_size=10),  # update snapshot
+)
+@settings(**SETTINGS)
+def test_scd2_merge_matches_python_model(spark, cur, upd):
+    from lvm_datapipe_spark.operators.scd import scd2_merge
+
+    cur_rows = [(k, fp, "2024-01-01", None) for k, fp in cur.items()]
+    upd_rows = list(upd.items())
+    cdf = spark.createDataFrame(
+        cur_rows, "doc_id long, fingerprint string, valid_from string, valid_to string"
+    )
+    udf_ = spark.createDataFrame(
+        upd_rows or [(None, None)], "doc_id long, fingerprint string"
+    )
+    if not upd_rows:
+        udf_ = udf_.filter("doc_id IS NOT NULL")
+    got = {tuple(r) for r in scd2_merge(cdf, udf_, batch_date="2024-06-01").collect()}
+
+    want = set()
+    for k, fp in cur.items():
+        if k in upd and upd[k] != fp:
+            want.add((k, fp, "2024-01-01", "2024-06-01"))
+            want.add((k, upd[k], "2024-06-01", None))
+        else:
+            want.add((k, fp, "2024-01-01", None))
+    for k, fp in upd.items():
+        if k not in cur:
+            want.add((k, fp, "2024-06-01", None))
+    assert got == want
+
+
+@given(st.sets(st.integers(min_value=-(2**40), max_value=2**40), max_size=30))
+@settings(**SETTINGS)
+def test_bloom_prefilter_never_changes_the_join(spark, keys):
+    from lvm_datapipe_spark.operators import bloom as B
+
+    fact = spark.range(0, 200).selectExpr("id % 64 AS fk", "id AS v")
+    dim = spark.createDataFrame(
+        [(k,) for k in keys] or [(None,)], "dk long"
+    ).filter("dk IS NOT NULL")
+    got = B.bloom_prefiltered_semi_join(fact, dim, "fk", "dk", m_bits=1 << 10)
+    want = fact.join(dim, fact.fk == dim.dk, "left_semi")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
