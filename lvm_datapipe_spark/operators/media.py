@@ -450,6 +450,11 @@ def _tiny_imaging_stub(frames, h, w):
     return None
 
 
+def _tiny_caption_stub(frames, h, w):
+    # unreachable for the same reason as _tiny_aesthetic_stub
+    return None
+
+
 SCORERS: dict[str, tuple[str, object]] = {
     # name -> (output column, (stub kernel, spark return type)); real model
     # adapters resolve per-executor via operators/model_adapters.ADAPTERS
@@ -473,6 +478,12 @@ SCORERS: dict[str, tuple[str, object]] = {
     "tiny_imaging_quality": (
         "tiny_imaging_quality_score",
         (_tiny_imaging_stub, T.DoubleType()),
+    ),
+    # ... and the generation-family shape (M7/M8): per-frame caption strings
+    # from a real greedy autoregressive decode loop
+    "tiny_caption": (
+        "tiny_caption_raw",
+        (_tiny_caption_stub, T.ArrayType(T.StringType())),
     ),
 }
 

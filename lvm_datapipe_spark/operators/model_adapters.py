@@ -392,6 +392,61 @@ class TinyImagingQualityAdapter(ScorerAdapter):
         return acc / len(frames)
 
 
+class TinyCaptionAdapter(ScorerAdapter):
+    """The THIRD executable model head, extending the Tiny* pattern to the
+    GENERATION family (M7/M8): a real greedy autoregressive decode loop —
+    the control flow ``model.generate`` runs inside CoCa/LLaVA
+    (``/root/reference/evaluations/coca_caption.py:94-97``,
+    ``llava_caption.py:143-150``) — over a seeded numpy language head.
+    Per frame: image features condition the initial hidden state, then
+    each step computes logits, takes the argmax (greedy; ties break to
+    the lowest token id, so decoding is fully deterministic), feeds the
+    chosen token's embedding back through a tanh recurrence, and stops at
+    <eos> or the length cap.  Output shape matches ``CocaCaptionAdapter``
+    and the M7 stub: one caption STRING per frame (C5 cleanup runs
+    downstream).  Needs only numpy — the registry → resolve → score path,
+    including the token-by-token loop, executes end-to-end in this
+    container (no ``pragma: no cover`` anywhere)."""
+
+    requires = ("numpy",)
+
+    #: token 0 is <eos>; captions are words 1..N joined by spaces
+    VOCAB = (
+        "<eos>", "a", "bright", "dark", "flat", "textured", "noisy",
+        "smooth", "image", "frame", "with", "edges", "contrast", "detail",
+    )
+    MAX_LEN = 6
+    DIM = 8
+
+    @classmethod
+    def _load(cls):
+        rng = np.random.default_rng(20260815)
+        v, d = len(cls.VOCAB), cls.DIM
+        return (
+            rng.standard_normal((d, 8)),    # W_img: image feats -> h0
+            rng.standard_normal((v, d)),    # W_out: hidden -> logits
+            rng.standard_normal(v),         # b_out
+            rng.standard_normal((d, d)),    # W_h: recurrence
+            rng.standard_normal((v, d)),    # E: token embeddings
+        )
+
+    def _generate(self, feats: np.ndarray) -> str:
+        w_img, w_out, b_out, w_h, emb = self.model()
+        h = np.tanh(w_img @ feats)
+        words: list[str] = []
+        for _ in range(self.MAX_LEN):
+            logits = w_out @ h + b_out
+            nxt = int(np.argmax(logits))  # greedy; np.argmax -> lowest index tie-break
+            if nxt == 0:  # <eos>
+                break
+            words.append(self.VOCAB[nxt])
+            h = np.tanh(w_h @ h + emb[nxt])
+        return " ".join(words)
+
+    def score(self, frames: list[np.ndarray], h: int, w: int) -> list[str]:
+        return [self._generate(TinyAestheticAdapter.embed(f)) for f in frames]
+
+
 #: scorer name -> adapter class; names match media.SCORERS keys.  "caption"
 #: prefers CoCa (the reference's default frame captioner); LLaVA is reachable
 #: as the explicit "caption_llava" scorer variant.
@@ -403,6 +458,7 @@ ADAPTERS: dict[str, type[ScorerAdapter]] = {
     "caption_llava": LlavaCaptionAdapter,
     "tiny_aesthetic": TinyAestheticAdapter,
     "tiny_imaging_quality": TinyImagingQualityAdapter,
+    "tiny_caption": TinyCaptionAdapter,
 }
 
 

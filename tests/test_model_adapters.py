@@ -24,7 +24,11 @@ def test_adapters_unavailable_in_this_container():
     # model-dep adapter must report unavailable rather than blow up; the
     # numpy-only tiny_* heads are the deliberate exceptions
     for name, cls in MA.ADAPTERS.items():
-        if cls in (MA.TinyAestheticAdapter, MA.TinyImagingQualityAdapter):
+        if cls in (
+            MA.TinyAestheticAdapter,
+            MA.TinyImagingQualityAdapter,
+            MA.TinyCaptionAdapter,
+        ):
             assert cls.available() is True
         else:
             assert cls.available() is False, name
@@ -270,4 +274,53 @@ def test_tiny_imaging_end_to_end_on_decoded_png(spark):
     }
     expected = MA.TinyImagingQualityAdapter().score(decoded, 12, 16)
     assert rows["clip0"] == expected  # exact, not approx
+    assert rows["failed"] is None
+
+
+def test_tiny_caption_adapter_available_and_resolves_real():
+    assert MA.TinyCaptionAdapter.available() is True
+    kernel = MA.resolve_kernel("tiny_caption", media._tiny_caption_stub)
+    assert isinstance(kernel, MA.TinyCaptionAdapter)
+
+
+def test_tiny_caption_greedy_decode_is_deterministic_and_terminates():
+    a = MA.TinyCaptionAdapter()
+    rng = np.random.default_rng(3)
+    frames = [rng.integers(0, 256, size=(10, 14), dtype=np.uint8) for _ in range(4)]
+    caps1 = a.score(frames, 10, 14)
+    caps2 = a.score(frames, 10, 14)
+    assert caps1 == caps2  # greedy decode: bit-deterministic
+    for c in caps1:
+        words = c.split()
+        assert len(words) <= MA.TinyCaptionAdapter.MAX_LEN
+        assert all(w in MA.TinyCaptionAdapter.VOCAB for w in words)
+    # different content -> (at least some) different captions
+    assert len(set(caps1)) > 1
+
+
+def test_tiny_caption_end_to_end_on_decoded_png(spark):
+    """Generation-family twin of the tiny_aesthetic golden test: real PNG
+    decode -> apply_scorer -> the REAL autoregressive generate loop on the
+    executor -> exact string match vs the driver-side run."""
+    from lvm_datapipe_spark.operators import rawcodecs
+
+    rng = np.random.default_rng(9)
+    frames_np = [rng.integers(0, 256, size=(12, 16), dtype=np.uint8) for _ in range(3)]
+    decoded = [
+        rawcodecs.decode_png(rawcodecs.encode_png(f)).reshape(12, 16)
+        for f in frames_np
+    ]
+    df = spark.createDataFrame(
+        [
+            ("clip0", [bytearray(f.tobytes()) for f in decoded], 12, 16),
+            ("failed", None, None, None),
+        ],
+        "clip_id string, frames array<binary>, height int, width int",
+    )
+    rows = {
+        r.clip_id: r.tiny_caption_raw
+        for r in media.apply_scorer(df, "tiny_caption").collect()
+    }
+    expected = MA.TinyCaptionAdapter().score(decoded, 12, 16)
+    assert rows["clip0"] == expected  # exact strings
     assert rows["failed"] is None
