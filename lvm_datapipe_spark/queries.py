@@ -4291,3 +4291,81 @@ def sample_top_p_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_cb") < F.lit(0.8) * F.col("_tot"))
         .select("doc_id", "lang", "n_chars")
     )
+
+
+def _pq_adc_sql(
+    m: int = 32, ksub: int = 8, dim: int = _EMB_DIM, seed: int = 7, k: int = 10
+) -> str:
+    """DuckDB replay of the PQ/ADC path: the seeded codebooks embed as
+    literals on BOTH engines (CAST('…' AS DOUBLE) — correctly-rounded
+    string→double on both parsers), every squared-distance sum is written
+    in the Spark fold's exact left-to-right order, so the argmin codes,
+    the LUT lookups, and the final ranking are bit-identical."""
+    from lvm_datapipe_spark.operators.similarity import pq_codebooks
+
+    dsub = dim // m
+    cbs = pq_codebooks(m, ksub, dsub, seed)
+
+    def dist(vec: str, j: int, cent) -> str:
+        s = j * dsub
+        terms = " + ".join(
+            f"(({vec}[{s + i + 1}] - CAST('{float(cent[i])!r}' AS DOUBLE))"
+            f" * ({vec}[{s + i + 1}] - CAST('{float(cent[i])!r}' AS DOUBLE)))"
+            for i in range(dsub)
+        )
+        return f"(0.0 + {terms})"
+
+    def dlist(vec: str, j: int) -> str:
+        return "[" + ", ".join(dist(vec, j, cbs[j][c]) for c in range(ksub)) + "]"
+
+    code_cols = ",\n             ".join(
+        f"(list_position({dlist('v', j)}, list_min({dlist('v', j)})) - 1) AS code_{j}"
+        for j in range(m)
+    )
+    lut_cols = ",\n             ".join(
+        f"{dlist('v', j)} AS lut_{j}" for j in range(m)
+    )
+    adc = " + ".join(f"l.lut_{j}[c.code_{j} + 1]" for j in range(m))
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    codes AS (
+      SELECT vec_id AS neighbor_id,
+             {code_cols}
+      FROM e),
+    lut AS (
+      SELECT vec_id AS query_id,
+             {lut_cols}
+      FROM e WHERE vec_id < 10),
+    pairs AS (
+      SELECT l.query_id, c.neighbor_id, ({adc}) AS adc_dist
+      FROM codes c CROSS JOIN lut l
+      WHERE c.neighbor_id <> l.query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, adc_dist,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc_dist ASC, neighbor_id ASC)
+                  AS INTEGER) AS rank
+      FROM pairs)
+    SELECT query_id, neighbor_id, rank, adc_dist FROM ranked WHERE rank <= {k}
+    """
+
+
+# Product-quantization ANN (ADC): the canonical 100 TB embedding-compression
+# search — the corpus is ranked through 8 int codes (8 B/vector instead of
+# 256 B), queries keep full precision via per-subvector lookup tables.
+# Fixed seeded codebooks make encode + search SQL-replayable end to end.
+@_q("ann_pq_adc_topk", _pq_adc_sql())
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC top-k (similarity.py::pq_encode/pq_adc_topk): corpus vectors
+    compress to m=32 argmin-centroid codes in one scan (no shuffle); each
+    of the 10 queries broadcasts its 32×8 distance LUT; the per-pair
+    distance is 32 element_at lookups in whole-stage codegen and one
+    query-keyed window takes the top-10.  The broadcast nested-loop is a
+    10-row query-set side — the allowed shape (see
+    test_no_cartesian_in_any_declared_query) — while the corpus side
+    reads ONLY the code columns, which is the entire point of PQ."""
+    from lvm_datapipe_spark.operators.similarity import pq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return pq_adc_topk(emb, queries, k=10)

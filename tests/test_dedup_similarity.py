@@ -283,3 +283,80 @@ def test_ivf_store_prunes_partitions_and_matches_in_memory(spark, tmp_path):
         for r in V.ivf_fixed_topk(emb, queries, k=5, n_probe=4).collect()
     }
     assert got == want and len(want) == 25
+
+
+# --- r5: product quantization ------------------------------------------------
+
+
+def test_pq_encode_matches_numpy_model(spark):
+    import numpy as np
+
+    from lvm_datapipe_spark.catalog import load_table
+    from lvm_datapipe_spark.operators import similarity as V
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings").limit(50)
+    rows = emb.select("vec_id", "embedding").collect()
+    m, ksub, dim, seed = 32, 8, 64, 7
+    dsub = dim // m
+    cbs = V.pq_codebooks(m, ksub, dsub, seed)
+    got = {
+        r["neighbor_id"]: [r[f"code_{j}"] for j in range(m)]
+        for r in V.pq_encode(emb, m, ksub, dim, seed).collect()
+    }
+    for r in rows:
+        v = np.array(r["embedding"], dtype=np.float64)
+        want = []
+        for j in range(m):
+            sub = v[j * dsub : (j + 1) * dsub]
+            d = ((sub[None, :] - cbs[j]) ** 2).sum(axis=1)
+            want.append(int(np.argmin(d)))  # first index on ties
+        assert got[r["vec_id"]] == want, r["vec_id"]
+
+
+def test_pq_adc_recall_floor(spark):
+    """ADC ranking through 8-byte codes must still recover a meaningful
+    share of the exact L2 top-10 (random Gaussian codebooks on the
+    synthetic corpus — a floor, not a benchmark)."""
+    import numpy as np
+
+    from lvm_datapipe_spark.catalog import load_table
+    from lvm_datapipe_spark.operators import similarity as V
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter("vec_id < 10")
+    approx = V.pq_adc_topk(emb, queries, k=10)
+    got = {}
+    for r in approx.collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    data = {r["vec_id"]: np.array(r["embedding"], np.float64) for r in emb.collect()}
+    hits = total = 0
+    for qid in got:
+        qv = data[qid]
+        d = sorted(
+            (float(((qv - v) ** 2).sum()), nid)
+            for nid, v in data.items()
+            if nid != qid
+        )[:10]
+        exact = {nid for _, nid in d}
+        hits += len(exact & got[qid])
+        total += 10
+    assert hits / total >= 0.3, hits / total  # measured 0.41 at m=32/ksub=8
+
+
+def test_pq_encode_plan_is_scan_shaped(spark):
+    import numpy as np
+
+    from lvm_datapipe_spark.operators import similarity as V
+
+    rng = np.random.default_rng(3)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(64) / 8.0]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    plan = V.pq_encode(emb)._jdf.queryExecution().executedPlan().toString()
+    # narrow: codes computed at scan speed (load_table's small-file
+    # rebalance is a loader concern, so build the frame directly here)
+    assert "Exchange" not in plan
