@@ -68,6 +68,7 @@ _CHECK_FIRST = [
     "agg_correlation",
     "sample_top_p_by_lang",
     "ann_pq_adc_topk",
+    "pipeline_incremental",
     # -- 2. r4 additions that fell outside r4's 50-entry window
     "langid_confusion",
     "dedup_incremental_cross",
@@ -101,7 +102,6 @@ _CHECK_FIRST = [
     "c7_extract_answer",
     "events_tumbling_window",
     "w3_sessionize",
-    "text_token_count",
 ]
 
 

@@ -4369,3 +4369,66 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return pq_adc_topk(emb, queries, k=10)
+
+
+@_q(
+    "pipeline_incremental",
+    f"""
+    WITH old AS (
+      SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 11 <> 0),
+    new AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' [edited]' ELSE text END AS text,
+             md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [edited]' ELSE text END) AS fp
+      FROM documents WHERE doc_id % 13 <> 0),
+    diff AS (
+      SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+             CASE WHEN old.fp IS NULL THEN 'added'
+                  WHEN new.fp IS NULL THEN 'removed'
+                  WHEN old.fp <> new.fp THEN 'modified'
+                  ELSE 'unchanged' END AS status
+      FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id),
+    reproc AS (
+      SELECT d.doc_id,
+             CAST(len({_SQL_TOKS.replace("text", "n.text")}) AS INTEGER) AS n_tokens
+      FROM diff d JOIN new n ON n.doc_id = d.doc_id
+      WHERE d.status IN ('added', 'modified'))
+    SELECT d.doc_id, d.status, r.n_tokens
+    FROM diff d LEFT OUTER JOIN reproc r ON r.doc_id = d.doc_id
+    """,
+)
+def pipeline_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INCREMENTAL re-processing composition — the reason
+    snapshot_diff exists: diff two corpus snapshots by fingerprint, run
+    the expensive stage (tokenization here, standing in for model
+    scoring) ONLY on added/modified docs, and carry every other row
+    through untouched (n_tokens NULL = served from the previous run's
+    store).  At 100 TB this is the difference between re-scoring the
+    corpus and re-scoring the ~1% that changed: the expensive projection
+    sits ABOVE a status filter, so its input is the changed subset, never
+    the full scan.  Shapes: one full-outer diff join + one keyed join of
+    the small changed set back to its text + one left join of results."""
+    from lvm_datapipe_spark.operators import text as X
+    from lvm_datapipe_spark.operators.relational import snapshot_diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 11 != 0).select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("fingerprint")
+    )
+    new_text = F.when(
+        F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" [edited]"))
+    ).otherwise(F.col("text"))
+    new = docs.filter(F.col("doc_id") % 13 != 0).select(
+        "doc_id",
+        new_text.alias("text"),
+        F.md5(new_text.cast("binary")).alias("fingerprint"),
+    )
+    diff = snapshot_diff(old, new)
+    changed = (
+        diff.filter(F.col("status").isin("added", "modified"))
+        .join(new.select("doc_id", "text"), "doc_id")
+        .select("doc_id", X.token_count("text").alias("n_tokens"))
+    )
+    return diff.join(changed, "doc_id", "left_outer").select(
+        "doc_id", "status", "n_tokens"
+    )

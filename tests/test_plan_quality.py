@@ -358,3 +358,14 @@ def test_top_p_selection_single_window_shuffle(spark):
     plan = _plan(spark, "sample_top_p_by_lang")
     assert plan.count("Exchange hashpartitioning") == 1
     assert "SinglePartition" not in plan
+
+
+def test_incremental_pipeline_reprocesses_only_changed(spark):
+    # the tokenization join's left input must be the status-filtered diff,
+    # so the expensive expression never sees the full corpus
+    opt = _optimized(spark, "pipeline_incremental")
+    assert "CartesianProduct" not in opt
+    assert "added" in opt and "modified" in opt
+    # the split/tokenize expression must appear exactly once (changed
+    # subset), not once per diff branch
+    assert opt.count("split(text") == 1
