@@ -113,3 +113,40 @@ def compact_dir(
     os.rename(tmp, path)
     shutil.rmtree(old)
     return written
+
+
+def retention_sweep(
+    path: str,
+    partition_col: str,
+    keep_from: str,
+    dry_run: bool = False,
+) -> list[str]:
+    """Drop partitions whose value sorts BELOW ``keep_from`` — the TTL /
+    retention-policy primitive for date-partitioned stores (events tables
+    age out; training snapshots keep a window).  Pure partition-directory
+    arithmetic: the hive layout (``col=value``) makes expiry a directory
+    delete — no scan, no rewrite of surviving data, no Spark job at all.
+    Values compare as STRINGS, so this is correct for ISO dates and
+    zero-padded keys (the layouts write_partitioned produces).
+
+    Returns the dropped partition values (sorted); ``dry_run`` reports
+    without deleting.  Deleting a partition is atomic per-directory from
+    the reader's side (parquet readers list directories at plan time).
+    """
+    import os
+    import shutil
+
+    prefix = f"{partition_col}="
+    dropped = []
+    if not os.path.isdir(path):
+        return dropped
+    for name in sorted(os.listdir(path)):
+        full = os.path.join(path, name)
+        if not (os.path.isdir(full) and name.startswith(prefix)):
+            continue
+        value = name[len(prefix):]
+        if value < keep_from:
+            dropped.append(value)
+            if not dry_run:
+                shutil.rmtree(full)
+    return dropped

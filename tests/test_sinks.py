@@ -90,3 +90,46 @@ def test_compact_dir_returns_actual_count_and_cleans_swap_dirs(spark, tmp_path):
     # the rename-aside swap leaves no temp/old directories behind
     assert not os.path.exists(p + "__old")
     assert not os.path.exists(p + "__compact_tmp")
+
+
+def test_retention_sweep_drops_only_expired_partitions(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from lvm_datapipe_spark.sources.sinks import retention_sweep, write_partitioned
+
+    df = spark.createDataFrame(
+        [(d, i) for i, d in enumerate(["2024-01-01", "2024-02-01", "2024-03-01", "2024-04-01"])],
+        "day string, v long",
+    )
+    out = str(tmp_path / "store")
+    write_partitioned(df, out, ["day"])
+
+    # dry run: reports, deletes nothing
+    assert retention_sweep(out, "day", "2024-03-01", dry_run=True) == [
+        "2024-01-01",
+        "2024-02-01",
+    ]
+    assert spark.read.parquet(out).count() == 4
+
+    dropped = retention_sweep(out, "day", "2024-03-01")
+    assert dropped == ["2024-01-01", "2024-02-01"]
+    back = spark.read.parquet(out)
+    assert sorted(str(r["day"]) for r in back.select("day").collect()) == [
+        "2024-03-01",
+        "2024-04-01",
+    ]
+    # idempotent
+    assert retention_sweep(out, "day", "2024-03-01") == []
+
+
+def test_orc_roundtrip_preserves_data(spark, tmp_path):
+    # second columnar format through the same sink conventions
+    from lvm_datapipe_spark.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    out = str(tmp_path / "docs_orc")
+    docs.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, docs.collect()))
