@@ -413,3 +413,29 @@ def sessionize_stream_tws(
             timeMode="EventTime",
         )
     )
+
+
+def flag_seen_before(
+    events: DataFrame,
+    bitmap: list[int],
+    key_sql: str = "user_id",
+    out_col: str = "seen_before",
+    n_hashes: int = 3,
+) -> DataFrame:
+    """Stream-side membership flag against a HISTORICAL corpus compressed
+    to a Bloom bitmap (operators/bloom.py): each micro-batch row gets a
+    boolean "this key existed before the stream started".
+
+    This is the streaming half of cross-corpus dedup at 100 TB: the
+    historical side (billions of keys) ships to every executor as a
+    fixed-size literal bitmap inside ONE parsed expression — zero state,
+    zero watermark, zero stream-side shuffle, identical plan in batch and
+    stream (so the batch twin is the oracle).  One-sided error matches
+    the dedup use: a true "never seen" can read as seen (FP rate set by
+    the bitmap size), but history can never be missed — rows flagged
+    False are SAFE to treat as new."""
+    from lvm_datapipe_spark.operators.bloom import bloom_might_contain
+
+    return events.withColumn(
+        out_col, bloom_might_contain(bitmap, key_sql, n_hashes)
+    )

@@ -484,3 +484,34 @@ def test_tws_session_processor_logic_with_fakes():
     assert list(final["n_events"]) == [1]
     assert final["session_start"].iloc[0] == dt.datetime(2024, 1, 1, 11, 30)
     assert handle.state.v is None
+
+
+def test_stream_flag_seen_before_matches_batch_twin(spark, landing_dir):
+    # historical corpus = even user ids; the stream flags each event row.
+    # batch twin == stream result (stateless, same plan) and no false
+    # negatives: every historical key must flag True.
+    from lvm_datapipe_spark.operators.bloom import bloom_bitmap
+
+    hist = spark.range(0, 2000).selectExpr("id * 2 AS user_id")
+    bm = bloom_bitmap(hist, "user_id", m_bits=1 << 16)
+
+    stream = ev.read_event_stream(spark, str(landing_dir))
+    q = ev.start_to_memory(
+        ev.flag_seen_before(stream, bm), "seen_ev", "append"
+    )
+    _await(q)
+    got = {
+        (r.event_id, r.seen_before)
+        for r in spark.sql("SELECT event_id, seen_before FROM seen_ev").collect()
+    }
+
+    batch = load_table(spark, "/root/testdata/sf0.001", "events")
+    want = {
+        (r.event_id, r.seen_before)
+        for r in ev.flag_seen_before(batch, bm).collect()
+    }
+    assert got == want
+    # no false negatives on the historical side
+    for r in ev.flag_seen_before(batch, bm).collect():
+        if r.user_id % 2 == 0 and r.user_id < 4000:
+            assert r.seen_before, r.user_id
