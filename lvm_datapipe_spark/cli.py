@@ -120,6 +120,44 @@ def _cmd_curate(spark, args) -> None:
     )
 
 
+def _cmd_zorder(spark, args) -> None:
+    """Rewrite a parquet table clustered along the (a, b) Morton curve so
+    min-max pruning works on both filter dimensions (plans/zorder.py)."""
+    from lvm_datapipe_spark.plans.zorder import write_zordered, zorder_bucket
+
+    df = spark.read.parquet(args.table)
+    n = df.count()
+    a_sql, b_sql = args.by
+    stats = df.selectExpr(
+        f"min({a_sql}) AS alo", f"max({a_sql}) AS ahi",
+        f"min({b_sql}) AS blo", f"max({b_sql}) AS bhi",
+    ).first()
+    write_zordered(
+        df,
+        args.out,
+        zorder_bucket(a_sql, float(stats.alo), float(stats.ahi), args.bits),
+        zorder_bucket(b_sql, float(stats.blo), float(stats.bhi), args.bits),
+        bits=args.bits,
+        n_files=args.files,
+    )
+    print(json.dumps({"stage": "zorder", "rows": n, "by": args.by, "out": args.out}))
+
+
+def _cmd_retention(spark, args) -> None:
+    """Drop partitions older than the cutoff (sources/sinks.retention_sweep)."""
+    from lvm_datapipe_spark.sources.sinks import retention_sweep
+
+    dropped = retention_sweep(
+        args.table, args.partition_col, args.keep_from, dry_run=args.dry_run
+    )
+    print(
+        json.dumps(
+            {"stage": "retention", "dropped": dropped, "dry_run": args.dry_run,
+             "table": args.table}
+        )
+    )
+
+
 def _cmd_export_flat(spark, args) -> None:
     from lvm_datapipe_spark.operators.export import flatten_clips, nest_clips
 
@@ -160,6 +198,17 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--id-col", default="doc_id")
     c.add_argument("--text-col", default="text")
     c.add_argument("--min-tokens", type=int, default=20)
+    z = sub.add_parser("zorder", help="rewrite a table Morton-clustered on two columns")
+    z.add_argument("--table", required=True, help="input parquet path")
+    z.add_argument("--out", required=True)
+    z.add_argument("--by", nargs=2, required=True, metavar=("COL_A", "COL_B"))
+    z.add_argument("--bits", type=int, default=8)
+    z.add_argument("--files", type=int, default=8)
+    r = sub.add_parser("retention", help="drop partitions below a cutoff value")
+    r.add_argument("--table", required=True, help="partitioned table root")
+    r.add_argument("--partition-col", required=True)
+    r.add_argument("--keep-from", required=True, help="smallest value to KEEP")
+    r.add_argument("--dry-run", action="store_true")
     return p
 
 
@@ -174,6 +223,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             "scenecut": _cmd_scenecut,
             "score": _cmd_score,
             "curate": _cmd_curate,
+            "zorder": _cmd_zorder,
+            "retention": _cmd_retention,
             "analyze": _cmd_analyze,
             "export-flat": _cmd_export_flat,
         }[args.cmd](spark, args)

@@ -94,3 +94,37 @@ def test_cli_curate_matches_query_semantics(spark, work, capsys):
         (r.doc_id, r.split) for r in spark.read.parquet(out_dir).collect()
     }
     assert first == second
+
+
+def test_cli_zorder_and_retention(spark, tmp_path):
+    import glob
+    import json as _json
+
+    from lvm_datapipe_spark import cli
+    from lvm_datapipe_spark.sources.sinks import write_partitioned
+
+    src = str(tmp_path / "ev")
+    df = spark.createDataFrame(
+        [(a, b, f"2024-0{1 + a % 3}-01") for a in range(32) for b in range(32)],
+        "a int, b int, day string",
+    )
+    df.write.mode("overwrite").parquet(src)
+
+    out = str(tmp_path / "evz")
+    assert cli.main(
+        ["zorder", "--table", src, "--out", out, "--by", "a", "b",
+         "--bits", "5", "--files", "8"],
+        spark=spark,
+    ) == 0
+    assert spark.read.parquet(out).count() == 1024
+    assert len(glob.glob(out + "/part-*.parquet")) >= 4
+
+    store = str(tmp_path / "store")
+    write_partitioned(df, store, ["day"])
+    assert cli.main(
+        ["retention", "--table", store, "--partition-col", "day",
+         "--keep-from", "2024-02-01"],
+        spark=spark,
+    ) == 0
+    days = {str(r.day) for r in spark.read.parquet(store).select("day").distinct().collect()}
+    assert days == {"2024-02-01", "2024-03-01"}
