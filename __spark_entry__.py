@@ -69,6 +69,9 @@ _CHECK_FIRST = [
     "sample_top_p_by_lang",
     "ann_pq_adc_topk",
     "pipeline_incremental",
+    "text_dup_sentence_fraction",
+    "quality_logit",
+    "events_mad_outliers",
     # -- 2. r4 additions that fell outside r4's 50-entry window
     "langid_confusion",
     "dedup_incremental_cross",
@@ -99,9 +102,6 @@ _CHECK_FIRST = [
     "set_union_shards",
     "set_except_finished",
     "sort_limit_topk",
-    "c7_extract_answer",
-    "events_tumbling_window",
-    "w3_sessionize",
 ]
 
 

@@ -4432,3 +4432,150 @@ def pipeline_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return diff.join(changed, "doc_id", "left_outer").select(
         "doc_id", "status", "n_tokens"
     )
+
+
+@_q(
+    "text_dup_sentence_fraction",
+    r"""
+    WITH s AS (
+      SELECT doc_id,
+             unnest(list_filter(list_transform(string_split_regex(text, '[.!?]+'),
+                    x -> trim(x)), x -> x <> '')) AS sent
+      FROM documents),
+    h AS (SELECT doc_id, md5(sent) AS hs FROM s),
+    g AS (SELECT hs, count(DISTINCT doc_id) AS nd FROM h GROUP BY hs),
+    per AS (
+      SELECT h.doc_id,
+             CAST(count(*) AS BIGINT) AS n_sentences,
+             CAST(sum(CASE WHEN g.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+      FROM h JOIN g ON h.hs = g.hs GROUP BY h.doc_id)
+    SELECT doc_id, n_sentences, n_dup,
+           CAST(n_dup AS DOUBLE) / CAST(n_sentences AS DOUBLE) AS dup_fraction
+    FROM per
+    """,
+)
+def text_dup_sentence_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document sentence-duplication fraction — the RefinedWeb-style
+    boilerplate signal (docs whose sentences mostly appear in OTHER docs
+    are templates/mirrors, a different failure mode than whole-doc dups).
+    Shape: explode sentences → md5 once per sentence row → one hs-keyed
+    aggregate for the global document-frequency table → equi-join back on
+    the hash → per-doc fold.  All shuffles are keyed on content hashes
+    (uniform — no hot keys); nothing is quadratic in the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    sents = F.filter(
+        F.transform(F.split(F.col("text"), r"[.!?]+"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    h = docs.select(
+        "doc_id", F.explode(sents).alias("sent")
+    ).select("doc_id", F.md5(F.col("sent").cast("binary")).alias("hs"))
+    g = h.groupBy("hs").agg(F.countDistinct("doc_id").alias("nd"))
+    per = (
+        h.join(g, "hs")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sentences"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).alias("n_dup"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_sentences",
+        "n_dup",
+        (F.col("n_dup").cast("double") / F.col("n_sentences").cast("double")).alias(
+            "dup_fraction"
+        ),
+    )
+
+
+@_q(
+    "quality_logit",
+    r"""
+    WITH f AS (
+      SELECT doc_id, lang, n_chars,
+             CAST(len(list_filter(string_split_regex(text, '\s+'),
+                  x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM documents)
+    SELECT doc_id, lang, n_tokens,
+           (-2.0 + 0.004 * CAST(n_tokens AS DOUBLE))
+             + 0.35 * (CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+             AS logit,
+           ((-2.0 + 0.004 * CAST(n_tokens AS DOUBLE))
+             + 0.35 * (CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE)))
+             > 0.0 AS keep
+    FROM f WHERE n_tokens > 0
+    """,
+)
+def quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality gating shape (the fastText-classifier stage of
+    CCNet/RefinedWeb pipelines) with a LITERAL-weight linear model: the
+    logit is plain double multiply/add over engineered features, so the
+    score — unlike a sigmoid (exp differs in the last ulp across libm
+    implementations) — is bit-portable, and thresholding the logit at 0
+    is exactly thresholding the probability at 0.5.  Pure scan-shaped
+    projection: the whole classifier costs nothing at 100 TB.  Real
+    learned weights drop in as new literals (retraining changes
+    constants, never the plan)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from lvm_datapipe_spark.operators import text as X
+
+    f = docs.select(
+        "doc_id", "lang", "n_chars", X.token_count("text").cast("long").alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    logit = (
+        F.lit(-2.0) + F.lit(0.004) * F.col("n_tokens").cast("double")
+    ) + F.lit(0.35) * (
+        F.col("n_chars").cast("double") / F.col("n_tokens").cast("double")
+    )
+    return f.select(
+        "doc_id", "lang", "n_tokens", logit.alias("logit"), (logit > 0.0).alias("keep")
+    )
+
+
+@_q(
+    "events_mad_outliers",
+    """
+    WITH med AS (
+      SELECT event_type, CAST(median(value) AS DOUBLE) AS med
+      FROM events GROUP BY event_type),
+    mad AS (
+      SELECT e.event_type,
+             CAST(median(abs(e.value - m.med)) AS DOUBLE) AS mad
+      FROM events e JOIN med m ON e.event_type = m.event_type
+      GROUP BY e.event_type),
+    j AS (
+      SELECT e.event_id, e.event_type, e.value, m.med, d.mad
+      FROM events e
+      JOIN med m ON e.event_type = m.event_type
+      JOIN mad d ON e.event_type = d.event_type)
+    SELECT event_id, event_type, value,
+           0.6745 * (value - med) / mad AS robust_z
+    FROM j
+    WHERE mad > 0.0 AND abs(0.6745 * (value - med) / mad) > 3.5
+    """,
+)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation — the
+    mean/stddev z-score (events_zscore_outliers) breaks down when the
+    outliers themselves inflate the variance; MAD is 50%-breakdown
+    robust.  Exact interpolated medians (the agg_median_langs
+    determinism argument) in TWO grouped aggregates, each broadcast back
+    over the corpus — the corpus itself is never reshuffled; the 0.6745
+    consistency constant scales MAD to sigma-equivalents, 3.5 is the
+    standard Iglewicz-Hoaglin cutoff."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.median("value").cast("double").alias("med")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(F.median(F.abs(F.col("value") - F.col("med"))).cast("double").alias("mad"))
+    )
+    j = ev.join(F.broadcast(med), "event_type").join(F.broadcast(mad), "event_type")
+    rz = F.lit(0.6745) * (F.col("value") - F.col("med")) / F.col("mad")
+    return (
+        j.filter((F.col("mad") > 0.0) & (F.abs(rz) > 3.5))
+        .select("event_id", "event_type", "value", rz.alias("robust_z"))
+    )

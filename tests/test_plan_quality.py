@@ -369,3 +369,22 @@ def test_incremental_pipeline_reprocesses_only_changed(spark):
     # the split/tokenize expression must appear exactly once (changed
     # subset), not once per diff branch
     assert opt.count("split(text") == 1
+
+
+def test_dup_sentence_fraction_hash_keyed_shuffles(spark):
+    plan = _plan(spark, "text_dup_sentence_fraction")
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_quality_logit_is_scan_shaped(spark):
+    # the classifier is a pure projection: no Exchange anywhere
+    plan = _plan(spark, "quality_logit")
+    assert "Exchange" not in plan
+
+
+def test_mad_outliers_broadcasts_stats(spark):
+    # two grouped medians broadcast back; the corpus is never reshuffled
+    plan = _plan(spark, "events_mad_outliers")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SinglePartition" not in plan
