@@ -72,6 +72,7 @@ _CHECK_FIRST = [
     "text_dup_sentence_fraction",
     "quality_logit",
     "events_mad_outliers",
+    "dq_report",
     # -- 2. r4 additions that fell outside r4's 50-entry window
     "langid_confusion",
     "dedup_incremental_cross",
@@ -101,7 +102,6 @@ _CHECK_FIRST = [
     "w2_best_per_group",
     "set_union_shards",
     "set_except_finished",
-    "sort_limit_topk",
 ]
 
 

@@ -4579,3 +4579,63 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.filter((F.col("mad") > 0.0) & (F.abs(rz) > 3.5))
         .select("event_id", "event_type", "value", rz.alias("robust_z"))
     )
+
+
+@_q(
+    "dq_report",
+    """
+    WITH rowchecks AS (
+      SELECT * FROM (
+        SELECT 'orders_totalprice_nonneg' AS check,
+               CAST(sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS violations,
+               CAST(count(*) AS BIGINT) AS n_checked
+        FROM orders
+        UNION ALL
+        SELECT 'orders_status_domain',
+               CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(count(*) AS BIGINT)
+        FROM orders)),
+    uniq AS (
+      SELECT 'lineitem_pk_unique' AS check,
+             CAST(sum(c - 1) AS BIGINT) AS violations,
+             CAST(sum(c) AS BIGINT) AS n_checked
+      FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber)),
+    ref AS (
+      SELECT 'orders_custkey_refs_customer' AS check,
+             CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS violations,
+             CAST(count(*) AS BIGINT) AS n_checked
+      FROM orders o
+      LEFT OUTER JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        ON o.o_custkey = c.c_custkey)
+    SELECT * FROM rowchecks
+    UNION ALL SELECT * FROM uniq
+    UNION ALL SELECT * FROM ref
+    """,
+)
+def dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (operators/validate.py): the
+    dbt-test/Deequ shape — every check yields (check, violations,
+    n_checked), the pipeline gates on violations = 0.  Scale discipline:
+    BOTH row-level predicates on orders aggregate in ONE scan
+    (conditional sums + stack unpivot — k checks never cost k jobs), key
+    uniqueness is one keyed aggregate, and referential integrity is one
+    outer join with a match marker.  The report is 4 rows at any corpus
+    size."""
+    from lvm_datapipe_spark.operators import validate as V
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+    rows = V.row_checks(
+        orders,
+        {
+            "orders_totalprice_nonneg": F.col("o_totalprice") < 0,
+            "orders_status_domain": ~F.col("o_orderstatus").isin("O", "F", "P"),
+        },
+    )
+    uniq = V.unique_check(li, ["l_orderkey", "l_linenumber"], "lineitem_pk_unique")
+    ref = V.ref_check(orders, "o_custkey", cust, "c_custkey",
+                      "orders_custkey_refs_customer")
+    return V.dq_union(rows, uniq, ref)
