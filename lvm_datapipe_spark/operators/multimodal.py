@@ -389,3 +389,56 @@ def ahash_near_dup_pairs(
         .select("id_a", "id_b", "hamming")
         .distinct()
     )
+
+
+# -- audio perceptual hashing (energy-delta fingerprint) ---------------------
+
+
+def audio_hash64(samples: np.ndarray, n_frames: int = 65) -> int:
+    """Energy-delta fingerprint of one clip: split the waveform into
+    ``n_frames`` equal frames (trailing remainder truncated), compute
+    per-frame RMS energy, and set bit i iff energy rises from frame i to
+    frame i+1 — the Haitsma-Kalker bit convention that is invariant to
+    GAIN (scaling every sample scales every energy, deltas keep sign) and
+    robust to mild noise.  65 frames → 64 delta bits, bit 0 = LSB,
+    returned as a signed 64-bit int (LongType-storable).  Deterministic:
+    float64 energies, strict > comparison."""
+    x = samples.astype(np.float64)
+    if x.ndim > 1:
+        x = x.mean(axis=1)
+    flen = len(x) // n_frames
+    if flen == 0:
+        raise ValueError(f"clip of {len(x)} samples too short for {n_frames} frames")
+    frames = x[: flen * n_frames].reshape(n_frames, flen)
+    energy = (frames * frames).mean(axis=1)
+    bits = (energy[1:] > energy[:-1]).astype(np.uint64)
+    val = np.uint64(0)
+    for i, b in enumerate(bits):
+        val |= np.uint64(b) << np.uint64(i)
+    return int(np.int64(val))
+
+
+def audio_ahash(
+    df: DataFrame, content_col: str = "content", out_col: str = "ahash"
+) -> DataFrame:
+    """Attach the 64-bit energy-delta fingerprint to every audio row —
+    the audio-modality member of the near-dup family (text SimHash /
+    image aHash / audio energy-hash all share the banded-Hamming
+    candidate plan, ``ahash_near_dup_pairs``).  Arrow-batched
+    mapInPandas; decode failures yield a null hash."""
+    out_schema = T.StructType(df.schema.fields + [T.StructField(out_col, T.LongType())])
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vals = []
+            for data in pdf[content_col]:
+                try:
+                    samples, _ = decode_audio(data)
+                    vals.append(audio_hash64(samples))
+                except Exception:  # noqa: BLE001
+                    vals.append(None)
+            pdf = pdf.copy()
+            pdf[out_col] = pd.array(vals, dtype="Int64")
+            yield pdf
+
+    return df.mapInPandas(fn, out_schema)

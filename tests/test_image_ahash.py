@@ -108,3 +108,48 @@ def test_banding_matches_brute_force(spark):
         if d <= 3:
             want.add((x, y, d))
     assert got == want
+
+
+# --- audio energy-delta fingerprint (same banded candidate plan) ------------
+
+
+def _tone(freq, seconds=0.5, sr=8000, gain=8000.0, seed=None):
+    t = np.arange(int(sr * seconds)) / sr
+    x = gain * np.sin(2 * np.pi * freq * t)
+    # amplitude envelope so frame energies vary
+    x *= 0.5 + 0.5 * np.sin(2 * np.pi * 3 * t)
+    if seed is not None:
+        x = x + np.random.default_rng(seed).normal(0, 20, len(x))
+    return np.clip(x, -32768, 32767)
+
+
+def test_audio_hash_gain_invariant_and_noise_robust():
+    base = _tone(440)
+    assert MM.audio_hash64(base * 0.25) == MM.audio_hash64(base)  # gain
+    noisy = MM.audio_hash64(_tone(440, seed=5))
+    d = bin(
+        int(np.uint64(np.int64(MM.audio_hash64(base))) ^ np.uint64(np.int64(noisy)))
+    ).count("1")
+    assert d <= 6, d  # mild noise flips only near-tie delta bits
+
+
+def test_spark_audio_ahash_groups_near_dups(spark):
+    rows = [
+        ("t440", MM.encode_audio(_tone(440), 8000)),
+        ("t440n", MM.encode_audio(_tone(440, seed=3), 8000)),
+        ("t441q", MM.encode_audio(_tone(440) * 0.5, 8000)),
+        ("sweep", MM.encode_audio(_tone(97, seconds=0.31), 8000)),
+        ("bad", b"\x00nope"),
+    ]
+    df = spark.createDataFrame(rows, "audio_id string, content binary")
+    hashed = MM.audio_ahash(df)
+    got = {r["audio_id"]: r["ahash"] for r in hashed.collect()}
+    assert got["bad"] is None
+    assert got["t440"] == got["t441q"]  # gain-invariant: identical hash
+    pairs = MM.ahash_near_dup_pairs(
+        hashed, id_col="audio_id", max_hamming=6, bands=8
+    )
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert ("t440", "t440n") in found or ("t440n", "t440") in found
+    assert ("t440", "t441q") in found
+    assert not any("sweep" in p for p in found)
