@@ -439,3 +439,60 @@ def flag_seen_before(
     return events.withColumn(
         out_col, bloom_might_contain(bitmap, key_sql, n_hashes)
     )
+
+
+def start_running_totals(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    key: str = "user_id",
+    val: str = "value",
+):
+    """Streaming running totals merged into an EXTERNAL parquet store —
+    the pattern for unbounded-key stateful aggregation (per-user lifetime
+    value over millions of users) where the state-store would grow
+    without bound and complete-mode would rewrite everything per batch.
+
+    Each micro-batch pre-aggregates map-side (exact DECIMAL partials),
+    unions with the current store, re-aggregates, and swaps the store via
+    the rename-aside protocol (sinks.compact_dir discipline): write to a
+    temp dir, move the old store aside, move the new one in, drop the
+    old — a crash at any step leaves a readable store.  The decimal
+    accumulator makes the merge ASSOCIATIVE-EXACT: any batch arrival
+    order produces bit-identical totals, so the batch twin is the
+    oracle.  NOTE: per-key totals written before a crash and replayed
+    re-merge idempotently only because each batch REPLACES the whole
+    aggregate (union + re-aggregate), never increments in place."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        dec = F.col(val).cast("decimal(27,6)")
+        inc = batch_df.groupBy(key).agg(F.sum(dec).alias("_t"))
+        if os.path.isdir(path):
+            cur = spark.read.parquet(path).select(
+                key, F.col("total").cast("decimal(27,6)").alias("_t")
+            )
+            inc = inc.unionByName(cur).groupBy(key).agg(F.sum("_t").alias("_t"))
+        out = inc.select(key, F.col("_t").cast("decimal(27,6)").alias("total"))
+        tmp, old = path + "__next", path + "__old"
+        out.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        if os.path.isdir(path):
+            os.rename(path, old)
+        os.rename(tmp, path)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+
+    return (
+        df.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )

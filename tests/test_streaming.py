@@ -515,3 +515,32 @@ def test_stream_flag_seen_before_matches_batch_twin(spark, landing_dir):
     for r in ev.flag_seen_before(batch, bm).collect():
         if r.user_id % 2 == 0 and r.user_id < 4000:
             assert r.seen_before, r.user_id
+
+
+def test_running_totals_store_matches_batch_twin(spark, landing_dir, tmp_path):
+    # stream the landing files through the external-store merge; the final
+    # store must equal the batch group-by with exact decimal totals
+    from decimal import Decimal
+
+    store = str(tmp_path / "totals")
+    q = ev.start_running_totals(
+        ev.read_event_stream(spark, str(landing_dir)),
+        store,
+        str(tmp_path / "ckpt_totals"),
+    )
+    _await(q)
+    got = {
+        r.user_id: r.total for r in spark.read.parquet(store).collect()
+    }
+    batch = load_table(spark, "/root/testdata/sf0.001", "events")
+    want = {
+        r.user_id: r.total
+        for r in batch.groupBy("user_id")
+        .agg(
+            F.sum(F.col("value").cast("decimal(27,6)")).alias("total")
+        )
+        .collect()
+    }
+    assert got == want  # exact decimal equality, any batch split
+    assert not (tmp_path / "totals__next").exists()
+    assert not (tmp_path / "totals__old").exists()
