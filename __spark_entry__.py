@@ -73,6 +73,8 @@ _CHECK_FIRST = [
     "quality_logit",
     "events_mad_outliers",
     "dq_report",
+    "graph_supplier_triangles",
+    "basket_part_lift",
     # -- 2. r4 additions that fell outside r4's 50-entry window
     "langid_confusion",
     "dedup_incremental_cross",
@@ -100,8 +102,6 @@ _CHECK_FIRST = [
     "a9_derived_size",
     "w1_clip_numbering",
     "w2_best_per_group",
-    "set_union_shards",
-    "set_except_finished",
 ]
 
 

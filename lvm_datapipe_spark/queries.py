@@ -4639,3 +4639,117 @@ def dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = V.ref_check(orders, "o_custkey", cust, "c_custkey",
                       "orders_custkey_refs_customer")
     return V.dq_union(rows, uniq, ref)
+
+
+@_q(
+    "graph_supplier_triangles",
+    """
+    WITH e AS (
+      SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+    tri AS (
+      SELECT e1.s1 AS a, e1.s2 AS b, e2.s2 AS c
+      FROM e e1
+      JOIN e e2 ON e2.s1 = e1.s2
+      JOIN e e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2),
+    nodes AS (
+      SELECT a AS s FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+    SELECT s AS s_suppkey, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM nodes GROUP BY s
+    """,
+)
+def graph_supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oriented triangle counting on the supplier co-occurrence graph
+    (suppliers sharing an order) — the clustering-density diagnostic for
+    any pairwise-similarity graph (dup clusters, co-citation).  The
+    a<b orientation IS the classic optimization: each triangle is
+    enumerated exactly once from its lowest vertex, so the 3-way
+    self-join explores ordered wedges only — the same degree-ordered
+    orientation trick production triangle counters use, here for free
+    from the canonical-pair convention.  Edge building is bounded: ~4
+    lines per order caps the per-order pair fan-out at 6.  All joins are
+    keyed equi-joins on endpoints."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a = li.select("l_orderkey", F.col("l_suppkey").alias("s1"))
+    b = li.select("l_orderkey", F.col("l_suppkey").alias("s2"))
+    e = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("s1") < F.col("s2"))
+        .select("s1", "s2")
+        .distinct()
+    )
+    e1 = e
+    e2 = e.select(F.col("s1").alias("_2a"), F.col("s2").alias("_2b"))
+    e3 = e.select(F.col("s1").alias("_3a"), F.col("s2").alias("_3b"))
+    tri = (
+        e1.join(e2, F.col("s2") == F.col("_2a"))
+        .join(e3, (F.col("s1") == F.col("_3a")) & (F.col("_2b") == F.col("_3b")))
+        .select(F.col("s1").alias("a"), F.col("s2").alias("b"), F.col("_2b").alias("c"))
+    )
+    nodes = (
+        tri.select(F.col("a").alias("s"))
+        .unionAll(tri.select(F.col("b").alias("s")))
+        .unionAll(tri.select(F.col("c").alias("s")))
+    )
+    return nodes.groupBy(F.col("s").alias("s_suppkey")).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+
+
+@_q(
+    "basket_part_lift",
+    """
+    WITH b AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM b),
+    item AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY l_partkey),
+    pair AS (
+      SELECT x.l_partkey AS p1, y.l_partkey AS p2, CAST(count(*) AS BIGINT) AS co
+      FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+      GROUP BY x.l_partkey, y.l_partkey
+      HAVING count(*) >= 3)
+    SELECT p.p1, p.p2, p.co,
+           (CAST(p.co AS DOUBLE) * CAST(n.n_orders AS DOUBLE))
+             / (CAST(i1.cnt AS DOUBLE) * CAST(i2.cnt AS DOUBLE)) AS lift
+    FROM pair p
+    JOIN item i1 ON i1.l_partkey = p.p1
+    JOIN item i2 ON i2.l_partkey = p.p2
+    CROSS JOIN n
+    """,
+)
+def basket_part_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining (support + lift over co-purchased
+    parts) — the co-occurrence-statistics shape behind token PMI,
+    co-click analysis, and recommendation candidates.  The basket
+    distinct caps fan-out at (lines-per-order choose 2); the pair
+    aggregate shuffles on canonical (p1 < p2) part pairs with a support
+    floor applied IN the aggregate (HAVING — pairs below support never
+    leave the shuffle); item counts broadcast back and lift = co·N /
+    (c1·c2) is one fixed double expression.  PMI is log(lift) — left to
+    the consumer, keeping the result log-free and bit-portable."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    b = li.distinct()
+    n = b.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    item = b.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    x = b.select("l_orderkey", F.col("l_partkey").alias("p1"))
+    y = b.select("l_orderkey", F.col("l_partkey").alias("p2"))
+    pair = (
+        x.join(y, "l_orderkey")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= 3)
+    )
+    i1 = item.select(F.col("l_partkey").alias("p1"), F.col("cnt").alias("c1"))
+    i2 = item.select(F.col("l_partkey").alias("p2"), F.col("cnt").alias("c2"))
+    lift = (F.col("co").cast("double") * F.col("n_orders").cast("double")) / (
+        F.col("c1").cast("double") * F.col("c2").cast("double")
+    )
+    return (
+        pair.join(F.broadcast(i1), "p1")
+        .join(F.broadcast(i2), "p2")
+        .join(F.broadcast(n))
+        .select("p1", "p2", "co", lift.alias("lift"))
+    )

@@ -388,3 +388,18 @@ def test_mad_outliers_broadcasts_stats(spark):
     plan = _plan(spark, "events_mad_outliers")
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SinglePartition" not in plan
+
+
+def test_triangles_all_keyed_equi_joins(spark):
+    plan = _plan(spark, "graph_supplier_triangles")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_basket_lift_support_floor_inside_aggregate(spark):
+    # the HAVING floor must land in the pair aggregate (a Filter over the
+    # agg), and item counts broadcast back
+    plan = _plan(spark, "basket_part_lift")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
