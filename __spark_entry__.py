@@ -75,6 +75,8 @@ _CHECK_FIRST = [
     "dq_report",
     "graph_supplier_triangles",
     "basket_part_lift",
+    "sample_temperature_mix",
+    "events_top_trigrams",
     # -- 2. r4 additions that fell outside r4's 50-entry window
     "langid_confusion",
     "dedup_incremental_cross",
@@ -100,8 +102,6 @@ _CHECK_FIRST = [
     "a7_value_counts",
     "a8_count_consistency",
     "a9_derived_size",
-    "w1_clip_numbering",
-    "w2_best_per_group",
 ]
 
 

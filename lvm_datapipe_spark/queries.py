@@ -4753,3 +4753,85 @@ def basket_part_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n))
         .select("p1", "p2", "co", lift.alias("lift"))
     )
+
+
+@_q(
+    "sample_temperature_mix",
+    """
+    WITH cnt AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY source),
+    wt AS (SELECT source, n, sqrt(CAST(n AS DOUBLE)) AS w FROM cnt),
+    tot AS (SELECT sum(w) AS sw, sum(n) AS sn FROM wt),
+    rates AS (
+      SELECT wt.source,
+             (wt.w / tot.sw) * (CAST(tot.sn AS DOUBLE) * CAST(0.5 AS DOUBLE))
+               / CAST(wt.n AS DOUBLE) AS rate
+      FROM wt CROSS JOIN tot)
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN rates r ON d.source = r.source
+    WHERE CAST(('0x' || substr(md5('mix' || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000
+          < r.rate * 10000
+    """,
+)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (the T5/mT5 recipe): sample sources
+    proportional to n^α so small sources are up-weighted relative to
+    their share without drowning large ones.  α = 0.5 keeps the weight
+    function at sqrt — correctly-rounded IEEE on every engine — where a
+    general pow() differs across libm builds; the overall budget is half
+    the corpus.  Same scale shape as sample_match_target: one tiny
+    counts aggregate + a one-row total, both broadcast, and the keep
+    decision is the md5 bucket of the doc id — a map-side filter, stable
+    under repartitioning.  (Rates may exceed 1 for tiny sources — the
+    hash test then keeps every row, the deterministic analog of
+    sampling-with-clamp.)"""
+    from lvm_datapipe_spark.operators.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    wt = cnt.withColumn("w", F.sqrt(F.col("n").cast("double")))
+    tot = wt.agg(F.sum("w").alias("sw"), F.sum("n").alias("sn"))
+    rates = wt.join(F.broadcast(tot)).select(
+        "source",
+        (
+            (F.col("w") / F.col("sw"))
+            * (F.col("sn").cast("double") * F.lit(0.5))
+            / F.col("n").cast("double")
+        ).alias("rate"),
+    )
+    bucket = hash_bucket("doc_id", salt="mix")
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .filter(bucket < F.col("rate") * 10000)
+        .select("doc_id", "source")
+    )
+
+
+@_q(
+    "events_top_trigrams",
+    """
+    WITH seq AS (
+      SELECT event_type AS t1,
+             lead(event_type, 1) OVER w AS t2,
+             lead(event_type, 2) OVER w AS t3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE t3 IS NOT NULL
+    GROUP BY t1, t2, t3
+    """,
+)
+def events_top_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern mining lite: per-user event TRIGRAM counts (the
+    navigation-path / behavior-motif table extending the Markov bigram
+    matrix one step deeper).  ONE user-keyed window shuffle produces both
+    lookaheads; the count aggregate runs on at most |event_types|³ rows —
+    125 here, constant in the corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t3").isNotNull())
+    return seq.groupBy("t1", "t2", "t3").agg(F.count(F.lit(1)).alias("n"))

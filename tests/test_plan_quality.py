@@ -403,3 +403,18 @@ def test_basket_lift_support_floor_inside_aggregate(spark):
     plan = _plan(spark, "basket_part_lift")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_temperature_mix_is_map_side(spark):
+    plan = _plan(spark, "sample_temperature_mix")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_trigrams_one_window_shuffle(spark):
+    # the user_id window + the final count agg (map-side partials over at
+    # most |types|^3 rows) — exactly two keyed exchanges, no global stage
+    plan = _plan(spark, "events_top_trigrams")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "partial_" in plan
+    assert "SinglePartition" not in plan
