@@ -158,6 +158,30 @@ def _cmd_retention(spark, args) -> None:
     )
 
 
+def _cmd_dq(spark, args) -> None:
+    """Data-quality gate over a parquet table (operators/validate.py):
+    not-null + uniqueness checks from the command line, nonzero exit on
+    violations so pipelines can gate on it."""
+    from lvm_datapipe_spark.operators import validate as V
+
+    df = spark.read.parquet(args.table)
+    reports = []
+    nn = {f"not_null_{c}": F.col(c).isNull() for c in (args.not_null or [])}
+    if nn:
+        reports.append(V.row_checks(df, nn))
+    if args.unique:
+        reports.append(V.unique_check(df, args.unique, "unique_" + "_".join(args.unique)))
+    if not reports:
+        raise SystemExit("dq: pass --not-null and/or --unique")
+    rep = V.dq_union(*reports)
+    rows = rep.collect()
+    result = {r["check"]: r["violations"] for r in rows}
+    bad = sum(result.values())
+    print(json.dumps({"stage": "dq", "checks": result, "violations": int(bad)}))
+    if bad:
+        raise SystemExit(2)
+
+
 def _cmd_export_flat(spark, args) -> None:
     from lvm_datapipe_spark.operators.export import flatten_clips, nest_clips
 
@@ -209,6 +233,10 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--partition-col", required=True)
     r.add_argument("--keep-from", required=True, help="smallest value to KEEP")
     r.add_argument("--dry-run", action="store_true")
+    d = sub.add_parser("dq", help="data-quality gate: not-null/unique checks")
+    d.add_argument("--table", required=True)
+    d.add_argument("--not-null", nargs="*", default=None)
+    d.add_argument("--unique", nargs="*", default=None)
     return p
 
 
@@ -225,6 +253,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             "curate": _cmd_curate,
             "zorder": _cmd_zorder,
             "retention": _cmd_retention,
+            "dq": _cmd_dq,
             "analyze": _cmd_analyze,
             "export-flat": _cmd_export_flat,
         }[args.cmd](spark, args)

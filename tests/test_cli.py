@@ -128,3 +128,26 @@ def test_cli_zorder_and_retention(spark, tmp_path):
     ) == 0
     days = {str(r.day) for r in spark.read.parquet(store).select("day").distinct().collect()}
     assert days == {"2024-02-01", "2024-03-01"}
+
+
+def test_cli_dq_gate(spark, tmp_path):
+    import pytest as _pytest
+
+    from lvm_datapipe_spark import cli
+
+    good = str(tmp_path / "good")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    ).write.mode("overwrite").parquet(good)
+    assert cli.main(
+        ["dq", "--table", good, "--not-null", "id", "v", "--unique", "id"],
+        spark=spark,
+    ) == 0
+
+    bad = str(tmp_path / "bad")
+    spark.createDataFrame(
+        [(1, "a"), (1, "b"), (None, "c")], "id long, v string"
+    ).write.mode("overwrite").parquet(bad)
+    with _pytest.raises(SystemExit) as e:
+        cli.main(["dq", "--table", bad, "--not-null", "id", "--unique", "id"], spark=spark)
+    assert e.value.code == 2
