@@ -77,6 +77,7 @@ _CHECK_FIRST = [
     "basket_part_lift",
     "sample_temperature_mix",
     "events_top_trigrams",
+    "dataset_card_by_source",
     # -- 2. r4 additions that fell outside r4's 50-entry window
     "langid_confusion",
     "dedup_incremental_cross",
@@ -101,7 +102,6 @@ _CHECK_FIRST = [
     "a6_histogram",
     "a7_value_counts",
     "a8_count_consistency",
-    "a9_derived_size",
 ]
 
 

@@ -4835,3 +4835,44 @@ def events_top_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("event_type", 2).over(w).alias("t3"),
     ).filter(F.col("t3").isNotNull())
     return seq.groupBy("t1", "t2", "t3").agg(F.count(F.lit(1)).alias("n"))
+
+
+@_q(
+    "dataset_card_by_source",
+    f"""
+    WITH t AS (
+      SELECT source, lang, n_chars,
+             CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens
+      FROM documents)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(SUM(CAST(n_chars AS DECIMAL(27,6))) AS DOUBLE) / COUNT(n_chars)
+             AS avg_chars,
+           CAST(median(n_tokens) AS DOUBLE) AS median_tokens,
+           CAST(quantile_cont(n_tokens, 0.9) AS DOUBLE) AS p90_tokens,
+           CAST(SUM(CAST(n_tokens AS DECIMAL(27,6))) AS DOUBLE) AS total_tokens
+    FROM t GROUP BY source
+    """,
+)
+def dataset_card_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card — the summary block a corpus release ships
+    (docs, language spread, length distribution, token budget) — in ONE
+    grouped aggregate over one scan: decimal-exact mean and totals, exact
+    interpolated median and p90 (Spark percentile ≡ DuckDB quantile_cont
+    bit-identically, the w5_deciles_bucketed argument).  Report size =
+    |sources| rows at any corpus scale."""
+    from lvm_datapipe_spark.operators import text as X
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "source", "lang", "n_chars", X.token_count("text").cast("long").alias("n_tokens")
+    )
+    return t.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        A.decimal_avg("n_chars").alias("avg_chars"),
+        F.expr("percentile(n_tokens, 0.5)").cast("double").alias("median_tokens"),
+        F.expr("percentile(n_tokens, 0.9)").cast("double").alias("p90_tokens"),
+        A.decimal_sum("n_tokens").alias("total_tokens"),
+    )

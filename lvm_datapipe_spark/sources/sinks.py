@@ -150,3 +150,22 @@ def retention_sweep(
             if not dry_run:
                 shutil.rmtree(full)
     return dropped
+
+
+def missing_partitions(
+    path: str, partition_col: str, expected: list[str]
+) -> list[str]:
+    """Backfill planner: which expected partition values are absent from a
+    hive-layout store — the complement of retention_sweep.  A scheduler
+    walks the expected window (say, the last 30 days), gets back the
+    holes, and launches jobs ONLY for those — directory listing, no
+    scan."""
+    import os
+
+    prefix = f"{partition_col}="
+    present = set()
+    if os.path.isdir(path):
+        for name in os.listdir(path):
+            if name.startswith(prefix) and os.path.isdir(os.path.join(path, name)):
+                present.add(name[len(prefix):])
+    return sorted(v for v in expected if v not in present)

@@ -133,3 +133,16 @@ def test_orc_roundtrip_preserves_data(spark, tmp_path):
     docs.write.mode("overwrite").orc(out)
     back = spark.read.orc(out)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, docs.collect()))
+
+
+def test_missing_partitions_reports_holes(spark, tmp_path):
+    from lvm_datapipe_spark.sources.sinks import missing_partitions, write_partitioned
+
+    out = str(tmp_path / "bf")
+    df = spark.createDataFrame(
+        [("2024-01-01", 1), ("2024-01-03", 2)], "day string, v long"
+    )
+    write_partitioned(df, out, ["day"])
+    want = ["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"]
+    assert missing_partitions(out, "day", want) == ["2024-01-02", "2024-01-04"]
+    assert missing_partitions(str(tmp_path / "absent"), "day", want) == want
