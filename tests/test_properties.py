@@ -286,3 +286,34 @@ def test_bloom_prefilter_never_changes_the_join(spark, keys):
     got = B.bloom_prefiltered_semi_join(fact, dim, "fk", "dk", m_bits=1 << 10)
     want = fact.join(dim, fact.fk == dim.dk, "left_semi")
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+@given(st.integers(min_value=2, max_value=12))
+@settings(**SETTINGS)
+def test_rate_gated_keep_stable_under_input_repartition(spark, nparts):
+    # the md5-bucket keep decision (sample_match_target /
+    # sample_temperature_mix shape: per-group rate joined back, bucket <
+    # rate*10000) must select the SAME rows regardless of the INPUT's
+    # physical layout — the core reproducibility claim
+    from pyspark.sql import functions as F
+
+    from lvm_datapipe_spark.operators.sampling import hash_bucket
+
+    docs = spark.range(0, 400).selectExpr(
+        "id AS doc_id", "CAST(id % 3 AS STRING) AS grp"
+    )
+
+    def kept(df):
+        cnt = df.groupBy("grp").agg(F.count(F.lit(1)).alias("n"))
+        rates = cnt.select("grp", (F.sqrt(F.col("n").cast("double")) / 25.0).alias("rate"))
+        b = hash_bucket("doc_id", salt="mix")
+        return sorted(
+            r.doc_id
+            for r in df.join(F.broadcast(rates), "grp")
+            .filter(b < F.col("rate") * 10000)
+            .collect()
+        )
+
+    assert kept(docs) == kept(docs.repartition(nparts, "doc_id")) == kept(
+        docs.orderBy(F.desc("doc_id")).repartition(nparts)
+    )
