@@ -289,3 +289,71 @@ def scene_cut(
         payload = videos.select(F.col(path_col).alias("video_path"), F.col(content_col))
         clips = split_clip_bytes(clips.join(payload, "video_path"))
     return clips
+
+
+def boundary_f1(
+    pred: DataFrame,
+    gold: DataFrame,
+    tol_s: float = 0.5,
+    video_col: str = "path",
+    t_col: str = "start_s",
+) -> DataFrame:
+    """Scene-boundary detection quality: per-video precision/recall/F1 of
+    predicted boundaries against gold at a time tolerance — the eval loop
+    for tuning detector thresholds (PySceneDetect's threshold=27, the
+    FVID analog's delta) against human-labelled cuts.
+
+    Matching is GREEDY-BY-PROXIMITY made deterministic as one-to-one
+    nearest-neighbor within ±tol_s: a range join keyed on the video
+    (never a cross product across videos) pairs each prediction with
+    candidate gold cuts, then two window passes keep each (pred, gold)
+    pair only if each side is the other's best match (distance, then
+    earlier time as tie-break).  All shuffles are video-keyed; per-video
+    boundary counts are tiny, so the quadratic-within-tolerance candidate
+    set is bounded by boundary density, not corpus size.
+
+    F1 uses the 0/0→0 convention (a video with no gold and no predicted
+    boundaries scores precision=recall=f1=1).
+    """
+    p = pred.select(
+        F.col(video_col).alias("_v"), F.col(t_col).cast("double").alias("tp")
+    ).filter(F.col("tp") > 0)
+    g = gold.select(
+        F.col(video_col).alias("_v"), F.col(t_col).cast("double").alias("tg")
+    ).filter(F.col("tg") > 0)
+    cand = p.join(g, "_v").filter(F.abs(F.col("tp") - F.col("tg")) <= tol_s)
+    d = F.abs(F.col("tp") - F.col("tg"))
+    w_pred = Window.partitionBy("_v", "tp").orderBy(d.asc(), F.col("tg").asc())
+    w_gold = Window.partitionBy("_v", "tg").orderBy(d.asc(), F.col("tp").asc())
+    matched = (
+        cand.withColumn("_rp", F.row_number().over(w_pred))
+        .withColumn("_rg", F.row_number().over(w_gold))
+        .filter((F.col("_rp") == 1) & (F.col("_rg") == 1))
+        .groupBy("_v")
+        .agg(F.count(F.lit(1)).alias("n_match"))
+    )
+    np_ = p.groupBy("_v").agg(F.count(F.lit(1)).alias("n_pred"))
+    ng = g.groupBy("_v").agg(F.count(F.lit(1)).alias("n_gold"))
+    j = (
+        np_.join(ng, "_v", "full_outer")
+        .join(matched, "_v", "left_outer")
+        .select(
+            F.col("_v").alias(video_col),
+            F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
+            F.coalesce("n_gold", F.lit(0)).alias("n_gold"),
+            F.coalesce("n_match", F.lit(0)).alias("n_match"),
+        )
+    )
+    prec = F.when(F.col("n_pred") == 0,
+                  F.when(F.col("n_gold") == 0, 1.0).otherwise(0.0)).otherwise(
+        F.col("n_match") / F.col("n_pred")
+    )
+    rec = F.when(F.col("n_gold") == 0,
+                 F.when(F.col("n_pred") == 0, 1.0).otherwise(0.0)).otherwise(
+        F.col("n_match") / F.col("n_gold")
+    )
+    f1 = F.when((prec + rec) == 0.0, 0.0).otherwise(2 * prec * rec / (prec + rec))
+    return j.select(
+        video_col, "n_pred", "n_gold", "n_match",
+        prec.alias("precision"), rec.alias("recall"), f1.alias("f1"),
+    )

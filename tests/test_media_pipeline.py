@@ -549,3 +549,48 @@ def test_decord_adapter_with_injected_module(monkeypatch):
     want = round(0.299 * 100 + 0.587 * 50 + 0.114 * 205)  # BT.601, rounded
     assert len(out) == 2 and all(len(f) == 24 * 32 for f in out)
     assert out[0] == bytes([want]) * (24 * 32)
+
+
+def test_boundary_f1_matches_hand_computed(spark):
+    from lvm_datapipe_spark.operators.scenecut import boundary_f1
+
+    pred = spark.createDataFrame(
+        [
+            # v1: 10.2 matches 10.0; 20.9 misses 20.0 (tol 0.5); 30.0 exact
+            ("v1", 10.2), ("v1", 20.9), ("v1", 30.0),
+            # v2: two preds near one gold — only ONE may match (one-to-one)
+            ("v2", 5.1), ("v2", 5.3),
+            # v3: pred but no gold
+            ("v3", 1.0),
+        ],
+        "path string, start_s double",
+    )
+    gold = spark.createDataFrame(
+        [
+            ("v1", 10.0), ("v1", 20.0), ("v1", 30.0),
+            ("v2", 5.0),
+            # v4: gold but no pred
+            ("v4", 2.0),
+        ],
+        "path string, start_s double",
+    )
+    rows = {r.path: r for r in boundary_f1(pred, gold, tol_s=0.5).collect()}
+    v1 = rows["v1"]
+    assert (v1.n_pred, v1.n_gold, v1.n_match) == (3, 3, 2)
+    assert abs(v1.f1 - 2 / 3) < 1e-12
+    v2 = rows["v2"]
+    assert (v2.n_pred, v2.n_gold, v2.n_match) == (2, 1, 1)  # one-to-one
+    assert rows["v3"].precision == 0.0 and rows["v3"].recall == 0.0
+    assert rows["v4"].recall == 0.0 and rows["v4"].n_pred == 0
+
+
+def test_boundary_f1_video_keyed_no_cross_product(spark):
+    from lvm_datapipe_spark.operators.scenecut import boundary_f1
+
+    pred = spark.createDataFrame([("a", 1.0)], "path string, start_s double")
+    gold = spark.createDataFrame([("a", 1.1)], "path string, start_s double")
+    plan = (
+        boundary_f1(pred, gold)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
