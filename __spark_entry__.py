@@ -78,6 +78,8 @@ _CHECK_FIRST = [
     "sample_temperature_mix",
     "events_top_trigrams",
     "dataset_card_by_source",
+    "match_view_purchase_mutual",
+    "ann_ivfpq_topk",
     # -- 2. r4 additions that fell outside r4's 50-entry window
     "langid_confusion",
     "dedup_incremental_cross",
@@ -100,8 +102,6 @@ _CHECK_FIRST = [
     #       in-window ann_ivf_fixed_topk).
     "a5_corpus_stats",
     "a6_histogram",
-    "a7_value_counts",
-    "a8_count_consistency",
 ]
 
 

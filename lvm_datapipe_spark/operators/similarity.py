@@ -731,3 +731,63 @@ def pq_adc_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "adc_dist")
     )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 32,
+    ksub: int = 8,
+    dim: int = 64,
+    ivf_seed: int = 42,
+    pq_seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ — the FAISS-standard production ANN layout, composed from
+    the two fixed quantizers already in this module: the IVF coarse cells
+    prune WHICH corpus slices each query touches (partition pruning at
+    the store level, a keyed equi-join here), and PQ codes compress WHAT
+    is read per candidate (m bytes instead of the full vector).  Corpus
+    side: one scan computes cell + codes (no shuffle); query side probes
+    its n_probe best cells and broadcasts per-subvector LUTs; candidates
+    rank by ADC distance inside probed cells only.  Both quantizers are
+    seeded literals, so the full pipeline stays SQL-replayable."""
+    dsub = dim // m
+    cbs = pq_codebooks(m, ksub, dsub, pq_seed)
+    corpus = ivf_fixed_assign(emb, n_cells, dim, ivf_seed, id_col, vec_col)
+    for j in range(m):
+        d = _pq_dists_sql("nv", j, cbs[j], dsub)
+        corpus = corpus.withColumn(
+            f"code_{j}",
+            (F.expr(f"array_position({d}, array_min({d}))") - 1).cast("int"),
+        )
+    corpus = corpus.drop("nv")
+    qs = _ivf_probe_cells(queries, n_cells, dim, ivf_seed, id_col, vec_col)
+    wp = Window.partitionBy("query_id").orderBy(F.desc("cell_sim"), F.asc("cell"))
+    probe = (
+        qs.withColumn("_r", F.row_number().over(wp))
+        .filter(F.col("_r") <= n_probe)
+        .select("query_id", "qv", "cell")
+    )
+    for j in range(m):
+        probe = probe.withColumn(
+            f"lut_{j}", F.expr(_pq_dists_sql("qv", j, cbs[j], dsub))
+        )
+    probe = probe.drop("qv")
+    dist = None
+    for j in range(m):
+        t = F.expr(f"element_at(lut_{j}, code_{j} + 1)")
+        dist = t if dist is None else dist + t
+    wr = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        corpus.join(F.broadcast(probe), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("adc_dist", dist)
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc_dist")
+    )

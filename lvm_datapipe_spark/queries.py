@@ -4876,3 +4876,169 @@ def dataset_card_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(n_tokens, 0.9)").cast("double").alias("p90_tokens"),
         A.decimal_sum("n_tokens").alias("total_tokens"),
     )
+
+
+@_q(
+    "match_view_purchase_mutual",
+    """
+    WITH v AS (
+      SELECT user_id, event_id AS view_id, ts AS view_ts FROM events
+      WHERE event_type = 'view'),
+    p AS (
+      SELECT user_id, event_id AS purchase_id, ts AS purchase_ts FROM events
+      WHERE event_type = 'purchase'),
+    cand AS (
+      SELECT v.user_id, v.view_id, v.view_ts, p.purchase_id, p.purchase_ts,
+             abs(CAST(floor(epoch(p.purchase_ts)) AS BIGINT)
+                 - CAST(floor(epoch(v.view_ts)) AS BIGINT)) AS d
+      FROM v JOIN p ON v.user_id = p.user_id
+      WHERE abs(CAST(floor(epoch(p.purchase_ts)) AS BIGINT)
+                - CAST(floor(epoch(v.view_ts)) AS BIGINT)) <= 3600),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY user_id, view_id
+                                ORDER BY d, purchase_ts, purchase_id) AS rv,
+             row_number() OVER (PARTITION BY user_id, purchase_id
+                                ORDER BY d, view_ts, view_id) AS rp
+      FROM cand)
+    SELECT user_id, view_id, purchase_id, CAST(d AS BIGINT) AS gap_s
+    FROM r WHERE rv = 1 AND rp = 1
+    """,
+)
+def match_view_purchase_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-TO-ONE event matching: pair each view with its nearest purchase
+    within an hour, each purchase used at most once — the attribution
+    shape where as-of joins over-count (two views before one purchase
+    both claim it) and plain nearest-neighbor double-spends the target.
+    Deterministic mutual-nearest: candidates from a user-keyed range
+    join (bounded by per-user event density, never corpus-quadratic),
+    then two window passes keep a pair only when each side ranks the
+    other first (distance, then time, then id tie-breaks — a total
+    order, so both engines pick identical pairs).  Same machinery as the
+    scene-boundary eval (operators/scenecut.py::boundary_f1), here on
+    the analytics tables with a full oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("view_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    d = F.abs(
+        F.unix_timestamp("purchase_ts") - F.unix_timestamp("view_ts")
+    )
+    cand = v.join(p, "user_id").withColumn("d", d).filter(F.col("d") <= 3600)
+    wv = Window.partitionBy("user_id", "view_id").orderBy(
+        "d", "purchase_ts", "purchase_id"
+    )
+    wp = Window.partitionBy("user_id", "purchase_id").orderBy(
+        "d", "view_ts", "view_id"
+    )
+    return (
+        cand.withColumn("rv", F.row_number().over(wv))
+        .withColumn("rp", F.row_number().over(wp))
+        .filter((F.col("rv") == 1) & (F.col("rp") == 1))
+        .select("user_id", "view_id", "purchase_id", F.col("d").cast("long").alias("gap_s"))
+    )
+
+
+def _ivfpq_sql(
+    n_cells: int = 16,
+    n_probe: int = 4,
+    k: int = 10,
+    m: int = 32,
+    ksub: int = 8,
+    dim: int = _EMB_DIM,
+    ivf_seed: int = 42,
+    pq_seed: int = 7,
+) -> str:
+    """DuckDB replay of IVF-PQ: the IVF cell-assignment/probe CTEs from
+    _ivf_fixed_sql composed with the PQ encode/LUT/ADC CTEs from
+    _pq_adc_sql — both quantizers are the same seeded literals, every sum
+    in the Spark fold's left-to-right order."""
+    from lvm_datapipe_spark.operators.similarity import (
+        ivf_fixed_centroids,
+        pq_codebooks,
+    )
+
+    cents = ivf_fixed_centroids(n_cells, dim, ivf_seed)
+    dsub = dim // m
+    cbs = pq_codebooks(m, ksub, dsub, pq_seed)
+
+    def cos_lit(v: str, c) -> str:
+        dot_vc = " + ".join(f"{v}[{i + 1}]*({float(c[i])!r})" for i in range(dim))
+        dot_cc = sum(float(x) * float(x) for x in c)
+        return f"(({dot_vc}) / (sqrt({_dot_sql(v, v)}) * sqrt({dot_cc!r})))"
+
+    sims = lambda v: "[" + ", ".join(cos_lit(v, c) for c in cents) + "]"  # noqa: E731
+
+    def dist(vec: str, j: int, cent) -> str:
+        s = j * dsub
+        terms = " + ".join(
+            f"(({vec}[{s + i + 1}] - CAST('{float(cent[i])!r}' AS DOUBLE))"
+            f" * ({vec}[{s + i + 1}] - CAST('{float(cent[i])!r}' AS DOUBLE)))"
+            for i in range(dsub)
+        )
+        return f"(0.0 + {terms})"
+
+    def dlist(vec: str, j: int) -> str:
+        return "[" + ", ".join(dist(vec, j, cbs[j][c]) for c in range(ksub)) + "]"
+
+    code_cols = ",\n             ".join(
+        f"(list_position({dlist('v', j)}, list_min({dlist('v', j)})) - 1) AS code_{j}"
+        for j in range(m)
+    )
+    lut_cols = ",\n             ".join(f"{dlist('qv', j)} AS lut_{j}" for j in range(m))
+    adc = " + ".join(f"p.lut_{j}[c.code_{j} + 1]" for j in range(m))
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS (SELECT vec_id AS neighbor_id, v, {sims('v')} AS sims FROM e),
+    c AS (SELECT neighbor_id,
+                 CAST(list_indexof(sims, list_max(sims)) - 1 AS INTEGER) AS cell,
+             {code_cols}
+          FROM c0),
+    q0 AS (SELECT vec_id AS query_id, v AS qv, {sims('v')} AS sims
+           FROM e WHERE vec_id < 10),
+    qs AS (SELECT query_id, qv, u.i AS cell, sims[u.i + 1] AS cell_sim
+           FROM q0 CROSS JOIN (SELECT unnest(generate_series(0, {n_cells - 1})) AS i) u),
+    probe0 AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT query_id, qv, cell,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cell_sim DESC, cell) AS rn
+        FROM qs) WHERE rn <= {n_probe}),
+    probe AS (
+      SELECT query_id, cell,
+             {lut_cols}
+      FROM probe0),
+    cand AS (
+      SELECT p.query_id, c.neighbor_id, ({adc}) AS adc_dist
+      FROM c JOIN probe p ON c.cell = p.cell
+      WHERE c.neighbor_id <> p.query_id)
+    SELECT query_id, neighbor_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY adc_dist ASC, neighbor_id ASC) AS INTEGER) AS rank,
+           adc_dist
+    FROM cand
+    QUALIFY rank <= {k}
+    """
+
+
+# IVF-PQ: the FAISS-standard layout — coarse cells prune WHICH corpus
+# slices a query touches, PQ codes compress WHAT is read per candidate.
+@_q("ann_ivfpq_topk", _ivfpq_sql())
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-k (similarity.py::ivfpq_topk): composes the two seeded
+    fixed quantizers — IVF cell pruning (keyed equi-join on the probed
+    cells; at 100 TB, cell-partitioned storage turns this into partition
+    pruning) and PQ/ADC ranking (the corpus side reads m int codes, not
+    vectors).  Fully oracle-checked end to end: assignment argmax, probe
+    ranking, argmin codes, LUT lookups, and the final ADC rank replay
+    bit-identically in DuckDB."""
+    from lvm_datapipe_spark.operators.similarity import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivfpq_topk(emb, queries, k=10)

@@ -360,3 +360,50 @@ def test_pq_encode_plan_is_scan_shaped(spark):
     # narrow: codes computed at scan speed (load_table's small-file
     # rebalance is a loader concern, so build the frame directly here)
     assert "Exchange" not in plan
+
+
+def test_ivfpq_subset_of_pq_candidates_and_recall(spark):
+    """IVF-PQ returns ADC ranking restricted to probed cells: every result
+    pair must also appear in the probe-all variant's candidate set, and
+    recall vs exact L2 stays above a floor despite the cell pruning."""
+    import numpy as np
+
+    from lvm_datapipe_spark.catalog import load_table
+    from lvm_datapipe_spark.operators import similarity as V
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter("vec_id < 10")
+    got = {}
+    for r in V.ivfpq_topk(emb, queries, k=10).collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    # probe-all == plain PQ/ADC over the full corpus (cells prune nothing)
+    all_cells = {}
+    for r in V.ivfpq_topk(emb, queries, k=10, n_probe=16).collect():
+        all_cells.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    pq_only = {}
+    for r in V.pq_adc_topk(emb, queries, k=10).collect():
+        pq_only.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert all_cells == pq_only  # composition sanity: probe-all == PQ
+
+    data = {r["vec_id"]: np.array(r["embedding"], np.float64) for r in emb.collect()}
+    hits = total = 0
+    for qid, approx in got.items():
+        qv = data[qid]
+        d = sorted(
+            (float(((qv - v) ** 2).sum()), nid)
+            for nid, v in data.items()
+            if nid != qid
+        )[:10]
+        hits += len({nid for _, nid in d} & approx)
+        total += 10
+    assert hits / total >= 0.2, hits / total  # pruned recall floor
+
+
+def test_ivfpq_plan_cell_keyed_no_cartesian(spark):
+    from lvm_datapipe_spark.queries import QUERIES
+
+    df = QUERIES["ann_ivfpq_topk"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # probe side broadcasts on cell
