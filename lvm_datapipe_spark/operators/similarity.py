@@ -791,3 +791,86 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "adc_dist")
     )
+
+
+def ivfpq_write_store(
+    emb: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    m: int = 32,
+    ksub: int = 8,
+    dim: int = 64,
+    ivf_seed: int = 42,
+    pq_seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF-PQ index as a cell-partitioned CODE store —
+    the full 100 TB layout: directory-level cell pruning (IVF) over rows
+    holding only the id + m int codes (PQ), so a probe reads
+    ~n_probe/n_cells of an already-32×-compressed table.  The raw
+    vectors stay in the source table; re-ranking the final candidates
+    against them is a keyed join by id."""
+    from lvm_datapipe_spark.sources.sinks import write_partitioned
+
+    dsub = dim // m
+    cbs = pq_codebooks(m, ksub, dsub, pq_seed)
+    corpus = ivf_fixed_assign(emb, n_cells, dim, ivf_seed, id_col, vec_col)
+    for j in range(m):
+        d = _pq_dists_sql("nv", j, cbs[j], dsub)
+        corpus = corpus.withColumn(
+            f"code_{j}",
+            (F.expr(f"array_position({d}, array_min({d}))") - 1).cast("int"),
+        )
+    write_partitioned(corpus.drop("nv"), path, ["cell"])
+
+
+def ivfpq_topk_from_store(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 32,
+    ksub: int = 8,
+    dim: int = 64,
+    ivf_seed: int = 42,
+    pq_seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ top-k against an :func:`ivfpq_write_store` store: the probed
+    cell set (metadata-sized) pushes as a literal IN-filter so the scan
+    prunes cell directories (PartitionFilters), and ranking is pure ADC
+    over the stored codes.  Identical results to :func:`ivfpq_topk` on
+    the same corpus."""
+    dsub = dim // m
+    cbs = pq_codebooks(m, ksub, dsub, pq_seed)
+    qs = _ivf_probe_cells(queries, n_cells, dim, ivf_seed, id_col, vec_col)
+    wp = Window.partitionBy("query_id").orderBy(F.desc("cell_sim"), F.asc("cell"))
+    probe = (
+        qs.withColumn("_r", F.row_number().over(wp))
+        .filter(F.col("_r") <= n_probe)
+        .select("query_id", "qv", "cell")
+    )
+    for j in range(m):
+        probe = probe.withColumn(
+            f"lut_{j}", F.expr(_pq_dists_sql("qv", j, cbs[j], dsub))
+        )
+    probe = probe.drop("qv")
+    cells = sorted(r.cell for r in probe.select("cell").distinct().collect())
+    corpus = spark.read.parquet(path).filter(F.col("cell").isin(cells))
+    dist = None
+    for j in range(m):
+        t = F.expr(f"element_at(lut_{j}, code_{j} + 1)")
+        dist = t if dist is None else dist + t
+    wr = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        corpus.join(F.broadcast(probe), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("adc_dist", dist)
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc_dist")
+    )

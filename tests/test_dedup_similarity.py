@@ -407,3 +407,20 @@ def test_ivfpq_plan_cell_keyed_no_cartesian(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan  # probe side broadcasts on cell
+
+
+def test_ivfpq_store_prunes_partitions_and_matches_in_memory(spark, tmp_path):
+    from lvm_datapipe_spark.catalog import load_table
+    from lvm_datapipe_spark.operators import similarity as V
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter("vec_id < 10")
+    store = str(tmp_path / "ivfpq_store")
+    V.ivfpq_write_store(emb, store)
+
+    got = V.ivfpq_topk_from_store(spark, store, queries, k=10)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    want = V.ivfpq_topk(emb, queries, k=10)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
