@@ -35,7 +35,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #      row is OLDEST, so every query periodically re-enters the window and
 #      a silent regression cannot hide outside it indefinitely.
 # Everything rotated out stays verified locally every round via
-# ``tools/check_correctness.py`` (101/101 green at the r5 cut).
+# ``tools/check_correctness.py`` (134/134 oracle-paired queries green at
+# the r5 cut).
 _CHECK_FIRST = [
     # -- 1. changed in r5 (re-pointed to the LSH scale path / un-hinted
     #       customer join) + added in r5
