@@ -544,3 +544,49 @@ def test_running_totals_store_matches_batch_twin(spark, landing_dir, tmp_path):
     assert got == want  # exact decimal equality, any batch split
     assert not (tmp_path / "totals__next").exists()
     assert not (tmp_path / "totals__old").exists()
+
+
+def test_incremental_dedup_stream_flags_across_batches(spark, tmp_path):
+    import json as _json
+
+    from lvm_datapipe_spark.streaming.ingest import start_incremental_dedup
+
+    d = tmp_path / "doc_landing"
+    d.mkdir()
+    t_base = "the quick brown fox jumps over the lazy dog today"
+    t_other = "completely different content about spark physical plans here"
+    with open(d / "b0.json", "w") as f:
+        f.write(_json.dumps({"doc_id": 1, "text": t_base}) + "\n")
+        f.write(_json.dumps({"doc_id": 2, "text": t_base}) + "\n")  # intra-batch dup
+    with open(d / "b1.json", "w") as f:
+        f.write(_json.dumps({"doc_id": 3, "text": t_base}) + "\n")  # cross-batch dup
+        f.write(_json.dumps({"doc_id": 4, "text": t_other}) + "\n")
+    # first-seen-wins depends on arrival order: pin it via mtime (the file
+    # source orders by modification time)
+    import os as _os
+
+    _os.utime(d / "b0.json", (1_700_000_000, 1_700_000_000))
+    _os.utime(d / "b1.json", (1_700_000_100, 1_700_000_100))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    q = start_incremental_dedup(
+        stream,
+        str(tmp_path / "bands"),
+        str(tmp_path / "flags"),
+        str(tmp_path / "ckpt_dedup"),
+    )
+    _await(q)
+    flags = {
+        r.doc_id: r.is_dup for r in spark.read.parquet(str(tmp_path / "flags")).collect()
+    }
+    assert flags == {1: False, 2: True, 3: True, 4: False}
+    # two batches actually ran (one file per trigger)
+    batches = {
+        r.batch_id
+        for r in spark.read.parquet(str(tmp_path / "flags")).select("batch_id").collect()
+    }
+    assert len(batches) == 2
