@@ -146,3 +146,24 @@ def test_missing_partitions_reports_holes(spark, tmp_path):
     want = ["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"]
     assert missing_partitions(out, "day", want) == ["2024-01-02", "2024-01-04"]
     assert missing_partitions(str(tmp_path / "absent"), "day", want) == want
+
+
+def test_read_parquet_tolerant_skips_corrupt_file(spark, tmp_path):
+    from lvm_datapipe_spark.sources.sinks import read_parquet_tolerant
+
+    out = str(tmp_path / "tol")
+    spark.range(0, 100).repartition(4).write.mode("overwrite").parquet(out)
+    import glob
+
+    victim = sorted(glob.glob(out + "/part-*.parquet"))[0]
+    with open(victim, "r+b") as f:
+        f.truncate(32)  # destroy footer
+
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    with _pytest.raises(Exception):
+        spark.read.parquet(out).count()  # strict read fails
+
+    n = read_parquet_tolerant(spark, out, schema="id long").count()
+    assert 0 < n < 100  # survivors only; the corrupt file's rows are lost
