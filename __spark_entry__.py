@@ -81,6 +81,8 @@ _CHECK_FIRST = [
     "dataset_card_by_source",
     "match_view_purchase_mutual",
     "ann_ivfpq_topk",
+    "w10_share_of_group",
+    "histogram2d_qty_price",
     # -- 2. r4 additions that fell outside r4's 50-entry window
     "langid_confusion",
     "dedup_incremental_cross",
@@ -91,18 +93,16 @@ _CHECK_FIRST = [
     # -- 3. deterministic twins of the two rows-only entries
     "ann_ivf_fixed_topk",
     "agg_distinct_count",
-    # -- 4. oldest official row (r1-r3; rotated out during r4), in
-    #       registration order.  The 14 r5-batch-2 additions displace the
-    #       next 14 oldest veterans (dedup_exact … text_bpe_token_count,
-    #       plus the six already listed below) — every displaced query
-    #       held a green official row in r1-r3, is green in the r5 local
-    #       full run, and is next-oldest for the r6 window.  Also left
-    #       out: approx_distinct_users + ann_ivf_topk (rows-only by
-    #       design; exact twins in group 3) and ann_cosine_topk
-    #       (unit-test-pinned; shares its ranking oracle shape with
-    #       in-window ann_ivf_fixed_topk).
-    "a5_corpus_stats",
-    "a6_histogram",
+    # -- 4. oldest-row veterans: NONE this round — the 42 r5 additions/
+    #       changes plus the 6 never-checked r4 queries and the 2 twins
+    #       fill all 50 slots.  Every rotated-out veteran held a green
+    #       official row in r1-r4 AND is green in the r5 local full run
+    #       (tools/check_correctness.py, 136/136); the oldest (a5, a6,
+    #       a7, a8, w1, w2, set ops, the dedup family, ...) lead the r6
+    #       veteran re-check queue.  Also permanently out-of-window:
+    #       approx_distinct_users + ann_ivf_topk (rows-only by design;
+    #       exact twins in group 3) and ann_cosine_topk (unit-test-pinned;
+    #       shares its ranking oracle shape with ann_ivf_fixed_topk).
 ]
 
 

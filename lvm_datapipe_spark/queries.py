@@ -5042,3 +5042,75 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return ivfpq_topk(emb, queries, k=10)
+
+
+@_q(
+    "w10_share_of_group",
+    """
+    WITH s AS (
+      SELECT event_type,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE)
+               AS type_total
+      FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type, e.value,
+           e.value / s.type_total AS share_of_type
+    FROM events e JOIN s ON e.event_type = s.event_type
+    WHERE s.type_total <> 0.0
+    """,
+)
+def w10_share_of_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report (share-of-group): each row's fraction of its
+    group's total — the normalization behind mixture weights and
+    traffic-share dashboards.  Written as a tiny decimal-exact aggregate
+    BROADCAST back rather than a SUM-over-window: the window form
+    re-shuffles the corpus on the group key, the broadcast form is a
+    map-side division after a |groups|-row join — same result, one
+    corpus shuffle fewer (the zscore/MAD discipline)."""
+    ev = load_table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(27,6)")
+    s = ev.groupBy("event_type").agg(
+        F.sum(dec).cast("string").cast("double").alias("type_total")
+    )
+    return (
+        ev.join(F.broadcast(s), "event_type")
+        .filter(F.col("type_total") != 0.0)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            (F.col("value") / F.col("type_total")).alias("share_of_type"),
+        )
+    )
+
+
+@_q(
+    "histogram2d_qty_price",
+    """
+    SELECT CAST(least(9, greatest(0, CAST(floor(l_quantity / 5.0) AS INTEGER))) AS INTEGER) AS qty_bin,
+           CAST(least(9, greatest(0, CAST(floor(l_extendedprice / 10000.0) AS INTEGER))) AS INTEGER) AS price_bin,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+)
+def histogram2d_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-dimensional equi-width histogram (the heat-map/joint-density
+    primitive): clamp-floor binning on both axes in the projection, ONE
+    keyed aggregate with map-side partials on a key space bounded by
+    bins² — never by rows.  The A6 1-D histogram's numpy-bin semantics
+    extended to joint distributions."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def bin_(col, width):
+        return F.least(
+            F.lit(9), F.greatest(F.lit(0), F.floor(F.col(col) / width).cast("int"))
+        )
+
+    return (
+        li.select(
+            bin_("l_quantity", 5.0).alias("qty_bin"),
+            bin_("l_extendedprice", 10000.0).alias("price_bin"),
+        )
+        .groupBy("qty_bin", "price_bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

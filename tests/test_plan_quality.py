@@ -418,3 +418,19 @@ def test_trigrams_one_window_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 2
     assert "partial_" in plan
     assert "SinglePartition" not in plan
+
+
+def test_share_of_group_broadcasts_totals(spark):
+    # ratio-to-report via broadcast totals: exactly one keyed exchange (the
+    # tiny per-group aggregate), never a corpus window shuffle
+    plan = _plan(spark, "w10_share_of_group")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" not in plan
+
+
+def test_histogram2d_one_bounded_aggregate(spark):
+    plan = _plan(spark, "histogram2d_qty_price")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_" in plan
+    assert "SinglePartition" not in plan
