@@ -182,6 +182,52 @@ def _cmd_dq(spark, args) -> None:
         raise SystemExit(2)
 
 
+def _cmd_profile(spark, args) -> None:
+    """One-scan numeric profile of a parquet table (operators/analyze.py)."""
+    from lvm_datapipe_spark.operators.analyze import profile_columns
+
+    df = spark.read.parquet(args.table)
+    cols = args.columns or [
+        f.name for f in df.schema.fields
+        if f.dataType.simpleString() in ("int", "bigint", "double", "float")
+    ]
+    rows = profile_columns(df, cols).collect()
+    print(
+        json.dumps(
+            {
+                "stage": "profile",
+                "table": args.table,
+                "columns": {
+                    r["column"]: {
+                        "n_rows": r["n_rows"],
+                        "n_nulls": r["n_nulls"],
+                        "min": r["min_value"],
+                        "max": r["max_value"],
+                        "mean": r["mean_value"],
+                    }
+                    for r in rows
+                },
+            }
+        )
+    )
+
+
+def _cmd_manifest(spark, args) -> None:
+    """Write or verify the delivery manifest of a dataset directory."""
+    from lvm_datapipe_spark.sources import manifest as M
+
+    if args.verify:
+        problems = M.verify_manifest(args.table)
+        print(json.dumps({"stage": "manifest", "verified": not problems,
+                          "problems": problems}))
+        if problems:
+            raise SystemExit(2)
+    else:
+        m = M.write_manifest(args.table)
+        print(json.dumps({"stage": "manifest", "n_files": m["n_files"],
+                          "total_rows": m["total_rows"], "digest": m["digest"]}))
+
+
 def _cmd_export_flat(spark, args) -> None:
     from lvm_datapipe_spark.operators.export import flatten_clips, nest_clips
 
@@ -237,6 +283,12 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--table", required=True)
     d.add_argument("--not-null", nargs="*", default=None)
     d.add_argument("--unique", nargs="*", default=None)
+    pr = sub.add_parser("profile", help="one-scan numeric column profile")
+    pr.add_argument("--table", required=True)
+    pr.add_argument("--columns", nargs="*", default=None)
+    mf = sub.add_parser("manifest", help="write or verify a delivery manifest")
+    mf.add_argument("--table", required=True)
+    mf.add_argument("--verify", action="store_true")
     return p
 
 
@@ -254,6 +306,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             "zorder": _cmd_zorder,
             "retention": _cmd_retention,
             "dq": _cmd_dq,
+            "profile": _cmd_profile,
+            "manifest": _cmd_manifest,
             "analyze": _cmd_analyze,
             "export-flat": _cmd_export_flat,
         }[args.cmd](spark, args)

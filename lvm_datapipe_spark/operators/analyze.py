@@ -47,3 +47,33 @@ def duration_histogram(clips: DataFrame, col: str = "clip_duration") -> DataFram
 def category_counts(videos: DataFrame, col: str = "category") -> DataFrame:
     """analyze_vids.py:11-26 — per-category video counts."""
     return value_counts(videos, col)
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """One-scan numeric column profiling: (column, n_rows, n_nulls, min,
+    max, decimal-exact mean) per requested column — the table-health
+    report a pipeline prints before processing a new drop.  ALL columns
+    profile in a SINGLE aggregate (4 conditional aggregations per column,
+    map-side partials) and a stack() unpivot turns the one wide row into
+    |cols| rows — k columns never cost k scans (the validate.row_checks
+    discipline)."""
+    from pyspark.sql import functions as F
+
+    from lvm_datapipe_spark.operators.aggregates import decimal_avg
+
+    aggs = []
+    for i, c in enumerate(cols):
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(f"nn_{i}"),
+            F.min(F.col(c).cast("double")).alias(f"mn_{i}"),
+            F.max(F.col(c).cast("double")).alias(f"mx_{i}"),
+            decimal_avg(F.col(c).cast("double")).alias(f"av_{i}"),
+        ]
+    wide = df.agg(*aggs, F.count(F.lit(1)).cast("long").alias("n"))
+    pairs = ", ".join(
+        f"'{c}', nn_{i}, mn_{i}, mx_{i}, av_{i}" for i, c in enumerate(cols)
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {pairs}) AS (column, n_nulls, min_value, max_value, mean_value)",
+        "n AS n_rows",
+    ).select("column", "n_rows", "n_nulls", "min_value", "max_value", "mean_value")

@@ -5114,3 +5114,41 @@ def histogram2d_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("qty_bin", "price_bin")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@_q(
+    "profile_lineitem_numeric",
+    """
+    WITH w AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_0,
+             CAST(min(CAST(l_quantity AS DOUBLE)) AS DOUBLE) AS mn_0,
+             CAST(max(CAST(l_quantity AS DOUBLE)) AS DOUBLE) AS mx_0,
+             CAST(SUM(CAST(CAST(l_quantity AS DOUBLE) AS DECIMAL(27,6))) AS DOUBLE) / COUNT(l_quantity) AS av_0,
+             CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_1,
+             CAST(min(CAST(l_extendedprice AS DOUBLE)) AS DOUBLE) AS mn_1,
+             CAST(max(CAST(l_extendedprice AS DOUBLE)) AS DOUBLE) AS mx_1,
+             CAST(SUM(CAST(CAST(l_extendedprice AS DOUBLE) AS DECIMAL(27,6))) AS DOUBLE) / COUNT(l_extendedprice) AS av_1,
+             CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_2,
+             CAST(min(CAST(l_discount AS DOUBLE)) AS DOUBLE) AS mn_2,
+             CAST(max(CAST(l_discount AS DOUBLE)) AS DOUBLE) AS mx_2,
+             CAST(SUM(CAST(CAST(l_discount AS DOUBLE) AS DECIMAL(27,6))) AS DOUBLE) / COUNT(l_discount) AS av_2
+      FROM lineitem)
+    SELECT 'l_quantity' AS column, n AS n_rows, nn_0 AS n_nulls,
+           mn_0 AS min_value, mx_0 AS max_value, av_0 AS mean_value FROM w
+    UNION ALL
+    SELECT 'l_extendedprice', n, nn_1, mn_1, mx_1, av_1 FROM w
+    UNION ALL
+    SELECT 'l_discount', n, nn_2, mn_2, mx_2, av_2 FROM w
+    """,
+)
+def profile_lineitem_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-health profiling (operators/analyze.py::profile_columns):
+    nulls/min/max/decimal-exact mean for three numeric fact columns in
+    ONE aggregate over one scan — the drop-intake report.  k columns
+    never cost k jobs (stack unpivot of conditional aggregations, the
+    validate.row_checks discipline)."""
+    from lvm_datapipe_spark.operators.analyze import profile_columns
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return profile_columns(li, ["l_quantity", "l_extendedprice", "l_discount"])

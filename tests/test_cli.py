@@ -151,3 +151,34 @@ def test_cli_dq_gate(spark, tmp_path):
     with _pytest.raises(SystemExit) as e:
         cli.main(["dq", "--table", bad, "--not-null", "id", "--unique", "id"], spark=spark)
     assert e.value.code == 2
+
+
+def test_cli_profile_and_manifest(spark, tmp_path, capsys):
+    import json as _json
+
+    import pytest as _pytest
+
+    from lvm_datapipe_spark import cli
+
+    t = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(1, 2.0), (2, 4.0), (3, None)], "id long, x double"
+    ).write.mode("overwrite").parquet(t)
+
+    assert cli.main(["profile", "--table", t], spark=spark) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["columns"]["x"]["n_nulls"] == 1
+    assert out["columns"]["id"]["max"] == 3.0
+
+    assert cli.main(["manifest", "--table", t], spark=spark) == 0
+    assert cli.main(["manifest", "--table", t, "--verify"], spark=spark) == 0
+    # tamper -> verify exits nonzero
+    import glob
+
+    victim = sorted(glob.glob(t + "/part-*.parquet"))[0]
+    with open(victim, "r+b") as f:
+        f.seek(8)
+        f.write(b"\xff")
+    with _pytest.raises(SystemExit) as e:
+        cli.main(["manifest", "--table", t, "--verify"], spark=spark)
+    assert e.value.code == 2
