@@ -5152,3 +5152,108 @@ def profile_lineitem_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     return profile_columns(li, ["l_quantity", "l_extendedprice", "l_discount"])
+
+
+@_q(
+    "text_novelty_score",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             t[u.i] || ' ' || t[u.i + 1] || ' ' || t[u.i + 2] AS s
+      FROM toks
+      CROSS JOIN (SELECT unnest(generate_series(1, 400)) AS i) u
+      WHERE u.i + 2 <= len(t)),
+    firstseen AS (
+      SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s)
+    SELECT sh.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS novelty
+    FROM sh JOIN firstseen f ON f.s = sh.s
+    GROUP BY sh.doc_id
+    """,
+)
+def text_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle novelty — the fraction of a document's 3-gram shingles it
+    introduces to the corpus (first occurrence under the doc_id total
+    order): near-1 docs contribute new content, near-0 docs are
+    recombinations of existing text — the contribution-scoring signal
+    that catches template spam whole-doc dedup misses.  Shape: distinct
+    (doc, shingle) rows → ONE shingle-keyed min aggregate (the global
+    first-seen table) → equi-join back on the shingle hash → per-doc
+    fold.  Same skeleton as text_dup_sentence_fraction; shingle keys are
+    content-uniform, no hot keys."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split("text", r"\s+"), lambda x: x != "").alias("t"),
+    )
+    sh = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(size(t) - 2, 0)), "
+                    "i -> concat(t[i-1], ' ', t[i], ' ', t[i+1]))"
+                )
+            ).alias("s"),
+        )
+        .distinct()
+    )
+    firstseen = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(firstseen, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            (F.col("n_novel").cast("double") / F.col("n_shingles").cast("double")).alias(
+                "novelty"
+            ),
+        )
+    )
+
+
+@_q(
+    "dedup_soft_weights",
+    """
+    WITH fp AS (
+      SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS f
+      FROM documents),
+    sz AS (SELECT f, CAST(count(*) AS BIGINT) AS cluster_size FROM fp GROUP BY f)
+    SELECT fp.doc_id, sz.cluster_size,
+           1.0 / CAST(sz.cluster_size AS DOUBLE) AS weight
+    FROM fp JOIN sz ON fp.f = sz.f
+    """,
+)
+def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOFT deduplication: instead of dropping duplicates, weight each doc
+    by 1/cluster_size so a dup group contributes one document's worth of
+    gradient in expectation — the down-weighting alternative (SemDeDup-
+    style) when hard dedup would lose paraphrase diversity.  One
+    fingerprint-keyed aggregate + an equi-join back; the exact-dup
+    fingerprint (pipeline_curate's normalization) keys the clusters here,
+    and the LSH cluster machinery (dedup_clusters_lsh) swaps in for
+    near-dup clusters with the same weight formula."""
+    from lvm_datapipe_spark.operators import text as X
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", X.fingerprint("text").alias("f"))
+    sz = fp.groupBy("f").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return fp.join(sz, "f").select(
+        "doc_id",
+        "cluster_size",
+        (F.lit(1.0) / F.col("cluster_size").cast("double")).alias("weight"),
+    )

@@ -434,3 +434,9 @@ def test_histogram2d_one_bounded_aggregate(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "partial_" in plan
     assert "SinglePartition" not in plan
+
+
+def test_novelty_hash_keyed_no_hot_paths(spark):
+    plan = _plan(spark, "text_novelty_score")
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
