@@ -5257,3 +5257,50 @@ def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_size",
         (F.lit(1.0) / F.col("cluster_size").cast("double")).alias("weight"),
     )
+
+
+@_q(
+    "events_native_session_window",
+    f"""
+    WITH flagged AS (
+      SELECT user_id, ts, value, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts >= LAG(ts) OVER w + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS BIGINT) AS sid
+      FROM flagged)
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           {_dsum('value')} AS session_value
+    FROM sessions GROUP BY user_id, sid
+    """,
+)
+def events_native_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window aggregation — the fourth and last
+    sessionization surface (alongside the gaps-and-islands window, the
+    applyInPandasWithState sessionizer, and the transformWithState
+    processor), and a CROSS-VALIDATION of the built-in against the
+    islands oracle: session_window merges an event iff it lands STRICTLY
+    before the previous event's time + gap (an exact-boundary event
+    starts a NEW session — hence >= in the oracle's new-session flag) and
+    reports window.end as last_event + gap.  One keyed aggregate; in
+    streaming mode the same expression runs with watermarked state."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy("user_id", F.session_window("ts", "30 minutes")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        A.decimal_sum("value").alias("session_value"),
+    )
+    return g.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n_events",
+        "session_value",
+    )
