@@ -450,3 +450,86 @@ def minhash_lsh_pairs_cross(
         .distinct()
     )
     return _with_cached_deps(out, [bb_new, bb_corpus])
+
+
+def ppjoin_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    t_num: int = 9,
+    t_den: int = 10,
+) -> DataFrame:
+    """EXACT token-set Jaccard join via PREFIX FILTERING (the AllPairs/
+    PPJoin family) — the third candidate-generation strategy next to
+    posting-list (ngram_jaccard_pairs) and MinHash banding, and the only
+    EXACT one that still avoids indexing every token: under a global
+    rarest-first token order, a doc of n distinct tokens indexes only its
+    first n − ⌈t·n⌉ + 1 tokens, and any pair with Jaccard ≥ t provably
+    shares an indexed token.  Rare-token prefixes make candidate buckets
+    tiny exactly where posting lists are huge.
+
+    Determinism discipline: the threshold is the RATIONAL t_num/t_den and
+    every bound uses integer arithmetic — prefix length
+    n − ⌈t·n⌉ + 1 = n − (t_num·n + t_den − 1) div t_den + 1, length filter
+    t_den·n_b ≥ t_num·n_a (symmetric), final test
+    t_den·inter ≥ t_num·(n_a + n_b − inter) — no float ever decides
+    membership, so the result is bit-portable by construction.  The
+    global order is the (frequency, token) tuple itself: per-doc ranks
+    need only a doc-keyed window, never a vocabulary-wide sort.
+
+    Shuffles: token-keyed (freq join), doc-keyed (rank window), prefix-
+    token-keyed (candidate join), pair-keyed (verify) — all uniform keys.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_tf"))
+    sized = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
+    w = Window.partitionBy(id_col).orderBy("_tf", "tok")
+    ranked = (
+        toks.join(freq, "tok")
+        .join(sized, id_col)
+        .withColumn("_r", F.row_number().over(w))
+    )
+    # prefix length: n - ceil(t*n) + 1, all-integer (DIV, no float path)
+    prefix = ranked.filter(
+        F.col("_r")
+        <= F.col("_n")
+        - F.expr(f"({t_num} * _n + {t_den - 1}) DIV {t_den}")
+        + 1
+    ).select(id_col, "tok", "_n")
+    a = prefix.select(
+        F.col(id_col).alias("id_a"), F.col("tok"), F.col("_n").alias("n_a")
+    )
+    b = prefix.select(
+        F.col(id_col).alias("id_b"), F.col("tok"), F.col("_n").alias("n_b")
+    )
+    cand = (
+        a.join(b, "tok")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.lit(t_den) * F.col("n_b") >= F.lit(t_num) * F.col("n_a"))
+            & (F.lit(t_den) * F.col("n_a") >= F.lit(t_num) * F.col("n_b"))
+        )
+        .select("id_a", "id_b", "n_a", "n_b")
+        .distinct()
+    )
+    ta = toks.select(F.col(id_col).alias("id_a"), F.col("tok"))
+    tb = toks.select(F.col(id_col).alias("id_b"), F.col("tok"))
+    inter = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "tok"])
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    keep = F.lit(t_den) * F.col("inter") >= F.lit(t_num) * (
+        F.col("n_a") + F.col("n_b") - F.col("inter")
+    )
+    return inter.filter(keep).select(
+        "id_a",
+        "id_b",
+        (
+            F.col("inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double")
+        ).alias("jaccard"),
+    )

@@ -5304,3 +5304,50 @@ def events_native_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "session_value",
     )
+
+
+@_q(
+    "dedup_ppjoin_pairs",
+    r"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS tok
+      FROM documents),
+    freq AS (SELECT tok, count(*) AS tf FROM toks GROUP BY tok),
+    sized AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY doc_id),
+    ranked AS (
+      SELECT t.doc_id, t.tok, s.n,
+             row_number() OVER (PARTITION BY t.doc_id ORDER BY f.tf, t.tok) AS r
+      FROM toks t JOIN freq f ON f.tok = t.tok JOIN sized s ON s.doc_id = t.doc_id),
+    prefix AS (
+      SELECT doc_id, tok, n FROM ranked WHERE r <= n - ((9 * n + 9) // 10) + 1),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS n_a, b.n AS n_b
+      FROM prefix a JOIN prefix b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      WHERE 10 * b.n >= 9 * a.n AND 10 * a.n >= 9 * b.n),
+    inter AS (
+      SELECT c.id_a, c.id_b, c.n_a, c.n_b, CAST(count(*) AS BIGINT) AS i
+      FROM cand c
+      JOIN toks ta ON ta.doc_id = c.id_a
+      JOIN toks tb ON tb.doc_id = c.id_b AND tb.tok = ta.tok
+      GROUP BY c.id_a, c.id_b, c.n_a, c.n_b)
+    SELECT id_a, id_b,
+           CAST(i AS DOUBLE) / CAST(n_a + n_b - i AS DOUBLE) AS jaccard
+    FROM inter WHERE 10 * i >= 9 * (n_a + n_b - i)
+    """,
+)
+def dedup_ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered EXACT set-similarity join (operators/dedup.py::
+    ppjoin_pairs, Jaccard ≥ 9/10 on distinct token sets — the tiny
+    synthetic vocabulary makes token SETS broadly similar, so the
+    realistic threshold sits high): the AllPairs/
+    PPJoin candidate strategy — only each doc's rarest n − ⌈t·n⌉ + 1
+    tokens are indexed, every qualifying pair provably collides there,
+    and all thresholds are integer arithmetic (rational t) so membership
+    never touches a float.  Exact like the posting-list join, but the
+    index shrinks exactly where posting lists blow up (hot tokens sit at
+    the END of the frequency order and rarely enter a prefix)."""
+    from lvm_datapipe_spark.operators.dedup import ppjoin_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ppjoin_pairs(docs)

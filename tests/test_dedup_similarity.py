@@ -424,3 +424,39 @@ def test_ivfpq_store_prunes_partitions_and_matches_in_memory(spark, tmp_path):
     assert "PartitionFilters" in plan and "cell" in plan
     want = V.ivfpq_topk(emb, queries, k=10)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_ppjoin_equals_brute_force(spark):
+    """The prefix-filter theorem in practice: the PPJoin candidate path
+    must return EXACTLY the pairs a brute-force all-pairs Jaccard finds
+    at the same rational threshold."""
+    import itertools
+
+    from lvm_datapipe_spark.catalog import load_table
+    from lvm_datapipe_spark.operators.dedup import ppjoin_pairs
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents").limit(120)
+    got = {
+        (r.id_a, r.id_b): r.jaccard for r in ppjoin_pairs(docs).collect()
+    }
+    sets = {
+        r.doc_id: set(x for x in r.text.split() if x)
+        for r in docs.select("doc_id", "text").collect()
+    }
+    want = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        if union and 10 * inter >= 9 * union:
+            want[(a, b)] = inter / union
+    assert got == want
+
+
+def test_ppjoin_plan_keyed_joins_only(spark):
+    from lvm_datapipe_spark.queries import QUERIES
+
+    df = QUERIES["dedup_ppjoin_pairs"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
