@@ -95,9 +95,11 @@ _CHECK_FIRST = [
     "agg_distinct_count",
     # -- 4. oldest-row veterans: NONE this round — the 42 r5 additions/
     #       changes plus the 6 never-checked r4 queries and the 2 twins
-    #       fill all 50 slots.  Three late-r5 additions follow the window
+    #       fill all 50 slots.  Five late-r5 additions follow the window
     #       (profile_lineitem_numeric, text_novelty_score,
-    #       dedup_soft_weights — locally green) and lead r6's group 2.  Every rotated-out veteran held a green
+    #       dedup_soft_weights, events_native_session_window,
+    #       dedup_ppjoin_pairs — all locally green) and lead r6's
+    #       never-officially-checked group.  Every rotated-out veteran held a green
     #       official row in r1-r4 AND is green in the r5 local full run
     #       (tools/check_correctness.py, 136/136); the oldest (a5, a6,
     #       a7, a8, w1, w2, set ops, the dedup family, ...) lead the r6
