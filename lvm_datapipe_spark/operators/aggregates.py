@@ -113,3 +113,51 @@ def with_object_count(clips: DataFrame, objects_col: str = "scene.objects") -> D
     """A9 — derived ``num_of_objects = len(objects)``
     (``data_schema/macvid.py:29-30``)."""
     return clips.withColumn("num_of_objects", F.size(objects_col))
+
+
+def hll_partials(
+    df: DataFrame, key_cols: list[str], value_col: str, lg_k: int = 12
+) -> DataFrame:
+    """Build MERGEABLE HyperLogLog sketches per key group — the
+    pre-aggregation pattern for distinct counts at 100 TB.
+
+    A plain COUNT(DISTINCT user) over a month of data re-reads the month
+    every time the window moves.  The sketch pattern instead materializes
+    one small binary sketch per (day, ...) partition ONCE; any coarser
+    rollup (week, month, all-time) is then a cheap
+    :func:`hll_merge` over the stored sketches — no re-scan, and the
+    union is lossless for HLL (estimate(merge(a,b)) ==
+    estimate(sketch(a ∪ b))).  Spark's built-in ``hll_sketch_agg`` is a
+    Datasketches HllSketch: partial aggregation works map-side, the
+    sketch column is a few KB per group.
+
+    Approximate by nature, so this family is TEST-verified (merge
+    associativity + error bound vs exact) rather than oracle-paired —
+    the engine's deterministic twin for the same question is
+    ``count_distinct``.
+    """
+    return df.groupBy(*key_cols).agg(
+        F.hll_sketch_agg(value_col, F.lit(lg_k)).alias("hll"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def hll_merge(
+    partials: DataFrame, key_cols: list[str], sketch_col: str = "hll"
+) -> DataFrame:
+    """Roll stored HLL partials up to coarser keys: union-merge the binary
+    sketches and estimate.  ``allowDifferentLgConfigK`` stays False — all
+    partials come from :func:`hll_partials` with one lg_k, and a silent
+    precision downgrade on mixed configs is exactly the kind of surprise
+    a pipeline should fail loudly on."""
+    grouped = (
+        partials.groupBy(*key_cols)
+        if key_cols
+        else partials.groupBy()
+    )
+    return grouped.agg(
+        F.hll_sketch_estimate(
+            F.hll_union_agg(sketch_col, F.lit(False))
+        ).alias("approx_distinct"),
+        F.sum("n_rows").alias("n_rows"),
+    )

@@ -116,3 +116,80 @@ def range_join(
     return l.join(r, cond).select(
         "l.*", *[F.col(f"r.{c}").alias(c) for c in right.columns if c != key]
     )
+
+
+def binned_range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bin_width,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval join WITHOUT an equi key, as a hash join.
+
+    Spark turns a pure inequality join condition into
+    BroadcastNestedLoopJoin (small side) or CartesianProduct (both large)
+    — both die at scale.  The classic fix (bin-and-residual) is applied
+    here: every interval explodes to one row per ``bin_width``-sized bin
+    it overlaps, every point maps to the single bin that contains it, the
+    join becomes an EQUI join on the bin id, and the exact
+    ``start <= point <= end`` residual re-filters the candidates.  Exact —
+    an interval overlapping k bins appears in all k, and a point meets
+    each qualifying interval exactly once (in the point's own bin).
+
+    Scale shape: the explode multiplies intervals by
+    ceil(span / bin_width) — pick ``bin_width`` near the MEDIAN interval
+    span so typical intervals land in 1-2 bins; the join is one shuffle
+    keyed on a well-distributed integer.  Long-tail intervals fatten one
+    side linearly (rows, not pairs); hot bins are ordinary join skew (AQE
+    handles them), never a cross product.  ``how="left"`` keeps unmatched
+    points with null interval columns (dropDuplicates on the point's
+    pre-join identity is NOT applied — callers joining overlapping
+    intervals get one row per (point, interval) match, exactly like the
+    naive join).
+
+    Timestamps work through the numeric path: pass epoch-second columns
+    (``F.unix_timestamp``) and a width in seconds.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    p, iv = points.alias("p"), intervals.alias("iv")
+    pbin = F.floor(F.col(f"p.{point_col}") / F.lit(bin_width))
+    ivstart = F.floor(F.col(f"iv.{start_col}") / F.lit(bin_width))
+    ivend = F.floor(F.col(f"iv.{end_col}") / F.lit(bin_width))
+    iv_exp = iv.select(
+        F.explode(F.sequence(ivstart, ivend)).alias("_bin"),
+        *[F.col(f"iv.{c}").alias(f"_iv_{c}") for c in intervals.columns],
+    )
+    residual = (
+        (F.col(f"p.{point_col}") >= F.col(f"_iv_{start_col}"))
+        & (F.col(f"p.{point_col}") <= F.col(f"_iv_{end_col}"))
+    )
+    if how == "inner":
+        joined = p.join(
+            iv_exp, (pbin == F.col("_bin")) & residual, "inner"
+        )
+        return joined.select(
+            "p.*", *[F.col(f"_iv_{c}").alias(c) for c in intervals.columns]
+        )
+    # left: unmatched points must survive exactly once — join inner first,
+    # then union the anti side with null interval columns (cheaper and
+    # plan-stable vs a left join whose bin condition would keep bin-miss
+    # rows even when a residual-miss occurred in another bin).
+    matched = p.join(iv_exp, (pbin == F.col("_bin")) & residual, "inner")
+    anti = p.join(
+        iv_exp, (pbin == F.col("_bin")) & residual, "left_anti"
+    )
+    out_m = matched.select(
+        "p.*", *[F.col(f"_iv_{c}").alias(c) for c in intervals.columns]
+    )
+    out_a = anti.select(
+        "p.*",
+        *[
+            F.lit(None).cast(intervals.schema[c].dataType).alias(c)
+            for c in intervals.columns
+        ],
+    )
+    return out_m.unionByName(out_a)

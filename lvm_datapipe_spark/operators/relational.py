@@ -176,3 +176,90 @@ def snapshot_diff(
         o.join(n, id_col, "full_outer")
         .select(F.col(id_col), status.alias("status"))
     )
+
+
+def contiguous_ids(
+    df: DataFrame,
+    order_cols: list[str],
+    id_col: str = "row_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Assign CONTIGUOUS global ids 0..n-1 in ``order_cols`` order without a
+    SinglePartition window.
+
+    ``row_number() OVER (ORDER BY ...)`` funnels the corpus through one
+    partition — the canonical scale-killer.  ``monotonically_increasing_id``
+    scales but is neither contiguous nor order-stable.  The classic
+    distributed recipe used here:
+
+    1. ``repartitionByRange`` on the order columns (one RANGE shuffle —
+       Spark samples split points, so partitions are balanced);
+    2. sort within each partition (no extra exchange);
+    3. count rows per partition — a metadata-sized action
+       (``num_partitions`` longs, same class as the IVF probe-cell
+       collect);
+    4. broadcast-join each partition's cumulative offset and add the
+       within-partition position (an Arrow-batched per-partition counter —
+       order-preserving ``mapInPandas``, no window, no shuffle).
+
+    Total: ONE range exchange regardless of corpus size.  ``order_cols``
+    must be a total order (unique key) for the assignment to be
+    deterministic; ties would make ids depend on partition sampling.
+    """
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    n_part = num_partitions or max(
+        df.sparkSession.sparkContext.defaultParallelism, 2
+    )
+    ranged = df.repartitionByRange(n_part, *order_cols).sortWithinPartitions(
+        *order_cols
+    )
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+    with_pid.persist()
+    try:
+        counts = sorted(
+            (r["_pid"], r["cnt"])
+            for r in with_pid.groupBy("_pid").agg(
+                F.count(F.lit(1)).alias("cnt")
+            ).collect()
+        )
+        offsets, acc = [], 0
+        for pid, cnt in counts:
+            offsets.append((pid, acc))
+            acc += cnt
+        off_df = spark.createDataFrame(
+            offsets, T.StructType([
+                T.StructField("_pid", T.IntegerType()),
+                T.StructField("_off", T.LongType()),
+            ]),
+        )
+
+        fields = with_pid.schema.fields
+        out_schema = T.StructType(
+            list(fields) + [T.StructField("_local", T.LongType())]
+        )
+
+        def add_local(batches):
+            pos = 0
+            for pdf in batches:
+                pdf = pdf.copy()
+                pdf["_local"] = range(pos, pos + len(pdf))
+                pos += len(pdf)
+                yield pdf
+
+        local = with_pid.mapInPandas(add_local, schema=out_schema)
+        return (
+            local.join(F.broadcast(off_df), "_pid")
+            .withColumn(id_col, (F.col("_off") + F.col("_local")).cast("long"))
+            .drop("_pid", "_off", "_local")
+        )
+    finally:
+        # The caller's action may recompute the ranged stage after this
+        # unpersist.  That is SAFE exactly because order_cols is a unique
+        # total order: repartitionByRange resamples deterministically from
+        # the same input and the in-partition sort has no ties, so the
+        # recomputed layout is identical to the one the offsets were
+        # counted from.  (With ties, ids could silently shift — hence the
+        # uniqueness requirement above.)
+        with_pid.unpersist(blocking=False)

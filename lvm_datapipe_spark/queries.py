@@ -5832,3 +5832,169 @@ def q20_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey", "s_name", "s_acctbal")
     )
+
+
+@_q(
+    "range_join_active_spans",
+    """
+    WITH pts AS (
+      SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS t
+      FROM events WHERE event_type = 'purchase'),
+    spans AS (
+      SELECT user_id,
+             CAST(floor(epoch(MIN(ts))) AS BIGINT) AS t0,
+             CAST(floor(epoch(MAX(ts))) AS BIGINT) AS t1
+      FROM events GROUP BY user_id)
+    SELECT p.event_id, CAST(count(*) AS BIGINT) AS n_covering_spans
+    FROM pts p JOIN spans s ON p.t >= s.t0 AND p.t <= s.t1
+    GROUP BY p.event_id
+    """,
+)
+def range_join_active_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYLESS point-in-interval join via operators/asof.py::
+    binned_range_join — for each purchase event, how many users' activity
+    spans cover its timestamp.  Spark compiles the naive inequality-only
+    condition (the oracle's form) to BroadcastNestedLoopJoin or a
+    cartesian; the operator explodes each span into the day-sized bins it
+    overlaps, hash-joins points on their single containing bin, and
+    re-applies the exact [t0, t1] residual — one equi shuffle, |pairs|
+    bounded by bins-overlap instead of |points|×|intervals|.  Span tables
+    here are per-user (data-sized, grows with the corpus — the case where
+    "just broadcast it" stops working and binning is the only exact
+    scale path)."""
+    from lvm_datapipe_spark.operators.asof import binned_range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    pts = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("event_id", F.unix_timestamp("ts").alias("t"))
+    )
+    spans = ev.groupBy("user_id").agg(
+        F.unix_timestamp(F.min("ts")).alias("t0"),
+        F.unix_timestamp(F.max("ts")).alias("t1"),
+    )
+    joined = binned_range_join(
+        pts, spans, point_col="t", start_col="t0", end_col="t1",
+        bin_width=86400,
+    )
+    return joined.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_covering_spans")
+    )
+
+
+@_q(
+    "doc_contiguous_ids",
+    """
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY lang, doc_id) - 1 AS BIGINT)
+             AS row_id
+    FROM documents
+    """,
+)
+def doc_contiguous_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous global ids 0..n-1 in (lang, doc_id) order via
+    operators/relational.py::contiguous_ids — the oracle's
+    row_number() OVER (ORDER BY ...) is a SinglePartition window (the
+    whole corpus through one task); the operator replaces it with ONE
+    range exchange + per-partition offsets (a num_partitions-sized
+    metadata collect) + an order-preserving Arrow-batched local counter.
+    Same assignment, no global funnel — the shuffle-free analog of
+    zipWithIndex for DataFrames."""
+    from lvm_datapipe_spark.operators.relational import contiguous_ids
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return contiguous_ids(docs, ["lang", "doc_id"]).select("doc_id", "row_id")
+
+
+def _pagerank_oracle_sql(n_iter: int = 5) -> str:
+    """Unrolled power-iteration oracle for graph_nation_pagerank, in the
+    operator's FIXED-POINT integer arithmetic: ranks are BIGINT multiples
+    of 1e-12, per-edge contributions are (rank * w) // out, and the
+    damped update is base + (17 * sum) // 20 — every step integer, so
+    the replay is bit-identical by construction (floating-point PageRank
+    is not portable: double->decimal rounding differs between engines in
+    the last ulp).  Fixed iteration count is what makes PageRank
+    SQL-replayable at all — a convergence loop needs recursion that
+    DuckDB's recursive CTEs (no aggregates in the recursive term) cannot
+    run."""
+    head = """
+    WITH e AS (
+      SELECT cn.n_name AS src, sn.n_name AS dst, CAST(count(*) AS BIGINT) AS w
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+      GROUP BY cn.n_name, sn.n_name),
+    outw AS (
+      SELECT src, CAST(SUM(w) AS BIGINT) AS o FROM e GROUP BY src),
+    nodes AS (
+      SELECT src AS node FROM e UNION SELECT dst FROM e),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+    r0 AS (
+      SELECT node, CAST(1000000000000 // nn.n AS BIGINT) AS r
+      FROM nodes CROSS JOIN nn)"""
+    step = """,
+    r{k} AS (
+      SELECT n.node,
+             CAST((3 * 1000000000000) // (20 * nn.n)
+                  + (17 * COALESCE(c.s, 0)) // 20 AS BIGINT) AS r
+      FROM nodes n CROSS JOIN nn
+      LEFT JOIN (
+        SELECT e.dst, CAST(SUM((p.r * e.w) // o.o) AS BIGINT) AS s
+        FROM e
+        JOIN outw o ON o.src = e.src
+        JOIN r{j} p ON p.node = e.src
+        GROUP BY e.dst) c
+      ON c.dst = n.node)"""
+    body = "".join(step.format(k=k, j=k - 1) for k in range(1, n_iter + 1))
+    return (
+        head + body
+        + f"""
+    SELECT node, r AS rank_fp,
+           CAST(r AS DOUBLE) / CAST(1000000000000 AS DOUBLE) AS rank
+    FROM r{n_iter}"""
+    )
+
+
+@_q("graph_nation_pagerank", _pagerank_oracle_sql(5))
+def graph_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the nation trade graph (customer nation →
+    supplier nation, edge weight = lineitem count) via
+    operators/graph.py::pagerank — the power-iteration sibling of
+    connected_components.  Edges aggregate from the fact table (the heavy
+    shuffles); the 5 fixed iterations then run entirely on |V|-sized rank
+    state against the once-persisted edge list — two keyed shuffles per
+    round, no driver round-trips (no convergence action), localCheckpoint
+    truncating lineage.  All rank arithmetic is FIXED-POINT BIGINT
+    (multiples of 1e-12), so all five iterates are bit-identical to the
+    unrolled SQL replay by construction — see the operator docstring for
+    why floating-point PageRank cannot be engine-portable."""
+    from lvm_datapipe_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cn = F.broadcast(
+        nation.select(
+            F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("src")
+        )
+    )
+    sn = F.broadcast(
+        nation.select(
+            F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("dst")
+        )
+    )
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(cn, F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(sn, F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    return pagerank(edges, "src", "dst", weight="w", n_iter=5)

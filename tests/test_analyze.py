@@ -31,3 +31,39 @@ def test_category_counts(spark):
     df = spark.createDataFrame([("a",), ("b",), ("a",)], ["category"])
     out = {r.category: r.n for r in analyze.category_counts(df).collect()}
     assert out == {"a": 2, "b": 1}
+
+
+# ---------------------------------------------------------------------------
+# HLL sketch partial/merge (mergeable distinct-count pattern)
+# ---------------------------------------------------------------------------
+
+
+def test_hll_partials_merge_equals_whole_corpus_sketch(spark):
+    from lvm_datapipe_spark.operators.aggregates import hll_merge, hll_partials
+
+    rows = [(d, f"u{i % 57}") for d in ("mon", "tue", "wed") for i in range(d.__len__() * 40)]
+    df = spark.createDataFrame(rows, ["day", "user"])
+    partials = hll_partials(df, ["day"], "user")
+    assert partials.count() == 3
+    merged = hll_merge(partials, []).collect()[0]
+    # lossless union: merging per-day sketches == sketching the union
+    from pyspark.sql import functions as F
+
+    whole = df.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user", F.lit(12))).alias("e")
+    ).collect()[0]["e"]
+    assert merged["approx_distinct"] == whole
+    assert merged["n_rows"] == len(rows)
+
+
+def test_hll_estimate_close_to_exact(spark):
+    from lvm_datapipe_spark.operators.aggregates import hll_merge, hll_partials
+
+    n = 2000
+    df = spark.createDataFrame(
+        [(i % 7, f"user_{i}") for i in range(n)], ["g", "user"]
+    )
+    est = hll_merge(hll_partials(df, ["g"], "user"), []).collect()[0][
+        "approx_distinct"
+    ]
+    assert abs(est - n) / n < 0.05  # lg_k=12 → ~1.6% rse; 5% is generous

@@ -140,3 +140,82 @@ def test_plan_no_cartesian(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# pagerank (fixed-point power iteration)
+# ---------------------------------------------------------------------------
+
+
+def _pagerank_model(edges, n_iter=5, scale=10**12, num=17, den=20):
+    """Pure-python fixed-point replay: same integer arithmetic as the op."""
+    out = {}
+    for s, _, w in edges:
+        out[s] = out.get(s, 0) + w
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    n = len(nodes)
+    base = ((den - num) * scale) // (den * n)
+    r = {v: scale // n for v in nodes}
+    for _ in range(n_iter):
+        s = {v: 0 for v in nodes}
+        for u, v, w in edges:
+            s[v] += (r[u] * w) // out[u]
+        r = {v: base + (num * s[v]) // den for v in nodes}
+    return r
+
+
+def test_pagerank_matches_python_model(spark):
+    from lvm_datapipe_spark.operators.graph import pagerank
+
+    edges = [("a", "b", 3), ("b", "a", 1), ("a", "c", 1), ("c", "a", 2),
+             ("b", "c", 5), ("c", "b", 1)]
+    df = spark.createDataFrame(edges, ["src", "dst", "w"])
+    got = {
+        r["node"]: r["rank_fp"]
+        for r in pagerank(df, weight="w", n_iter=5).collect()
+    }
+    assert got == _pagerank_model(edges)
+
+
+def test_pagerank_mass_nearly_conserved(spark):
+    from lvm_datapipe_spark.operators.graph import pagerank
+
+    # a ring has no dangling mass; total rank stays ~1 (floor losses only)
+    edges = [(i, (i + 1) % 7, 1) for i in range(7)]
+    df = spark.createDataFrame(edges, ["src", "dst", "w"])
+    out = pagerank(df, n_iter=8)
+    total = sum(r["rank"] for r in out.collect())
+    assert 0.999 < total <= 1.0
+
+
+def test_pagerank_favors_high_indegree(spark):
+    from lvm_datapipe_spark.operators.graph import pagerank
+
+    # every node points at 'hub'; hub points at one spoke
+    edges = [(f"s{i}", "hub", 1) for i in range(5)] + [("hub", "s0", 1)]
+    df = spark.createDataFrame(edges, ["src", "dst", "w"])
+    ranks = {r["node"]: r["rank"] for r in pagerank(df, n_iter=6).collect()}
+    # mass ping-pongs between hub and its one successor (near-bipartite
+    # graph, no convergence damping at 6 rounds) — but BOTH dominate the
+    # plain spokes, and s0 (fed by the hub) beats its siblings
+    assert min(ranks["hub"], ranks["s0"]) > 10 * ranks["s1"]
+    assert ranks["s0"] > ranks["s1"]
+
+
+def test_pagerank_overflow_guard(spark):
+    import pytest
+
+    from lvm_datapipe_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame([("a", "b", 2**53)], ["src", "dst", "w"])
+    with pytest.raises(ValueError, match="overflows"):
+        pagerank(df, weight="w")
+
+
+def test_pagerank_single_job_no_cartesian(spark):
+    from lvm_datapipe_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame([(1, 2, 1), (2, 1, 1)], ["src", "dst", "w"])
+    out = pagerank(df, weight="w", n_iter=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan

@@ -193,3 +193,117 @@ def test_snapshot_diff_statuses(spark):
     )
     got = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
     assert got == {1: "removed", 2: "unchanged", 3: "modified", 4: "added"}
+
+
+# ---------------------------------------------------------------------------
+# binned_range_join (keyless point-in-interval as a hash join)
+# ---------------------------------------------------------------------------
+
+
+def _brj_fixtures(spark):
+    pts = spark.createDataFrame(
+        [(1, 5), (2, 17), (3, 42), (4, 99), (5, -3)], ["pid", "t"]
+    )
+    ivs = spark.createDataFrame(
+        [(10, 0, 10), (11, 4, 45), (12, 40, 44), (13, 200, 300)],
+        ["iv_id", "t0", "t1"],
+    )
+    return pts, ivs
+
+
+def test_binned_range_join_matches_naive(spark):
+    from lvm_datapipe_spark.operators.asof import binned_range_join
+
+    pts, ivs = _brj_fixtures(spark)
+    naive = {
+        (r["pid"], r["iv_id"])
+        for r in pts.crossJoin(ivs)
+        .filter("t >= t0 and t <= t1")
+        .collect()
+    }
+    for width in (1, 7, 10, 1000):  # exactness must not depend on the width
+        got = {
+            (r["pid"], r["iv_id"])
+            for r in binned_range_join(pts, ivs, "t", "t0", "t1", width).collect()
+        }
+        assert got == naive, f"width={width}"
+
+
+def test_binned_range_join_left_keeps_unmatched(spark):
+    from lvm_datapipe_spark.operators.asof import binned_range_join
+
+    pts, ivs = _brj_fixtures(spark)
+    out = binned_range_join(pts, ivs, "t", "t0", "t1", 10, how="left").collect()
+    by_pid = {}
+    for r in out:
+        by_pid.setdefault(r["pid"], []).append(r["iv_id"])
+    assert sorted(by_pid[5]) == [None]        # t=-3 matches nothing
+    assert sorted(by_pid[4]) == [None]        # t=99 matches nothing
+    assert sorted(by_pid[2]) == [11]
+    assert sorted(by_pid[3]) == [11, 12]
+    # matched points do NOT also emit a null row
+    assert None not in by_pid[3]
+
+
+def test_binned_range_join_is_hash_join(spark):
+    from lvm_datapipe_spark.operators.asof import binned_range_join
+
+    pts, ivs = _brj_fixtures(spark)
+    plan = (
+        binned_range_join(pts, ivs, "t", "t0", "t1", 10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_binned_range_join_rejects_bad_how(spark):
+    import pytest
+
+    from lvm_datapipe_spark.operators.asof import binned_range_join
+
+    pts, ivs = _brj_fixtures(spark)
+    with pytest.raises(ValueError, match="inner|left"):
+        binned_range_join(pts, ivs, "t", "t0", "t1", 10, how="outer")
+
+
+# ---------------------------------------------------------------------------
+# contiguous_ids (distributed zipWithIndex without a global window)
+# ---------------------------------------------------------------------------
+
+
+def test_contiguous_ids_match_global_row_number(spark):
+    from lvm_datapipe_spark.operators.relational import contiguous_ids
+
+    rows = [(k, f"g{k % 3}") for k in (7, 1, 9, 4, 2, 8, 0, 5, 3, 6)]
+    df = spark.createDataFrame(rows, ["k", "g"])
+    got = {
+        r["k"]: r["row_id"]
+        for r in contiguous_ids(df, ["g", "k"]).collect()
+    }
+    expected_order = sorted(rows, key=lambda r: (r[1], r[0]))
+    assert got == {k: i for i, (k, _) in enumerate(expected_order)}
+
+
+def test_contiguous_ids_stable_under_input_layout(spark):
+    from lvm_datapipe_spark.operators.relational import contiguous_ids
+
+    df = spark.createDataFrame([(i,) for i in range(97)], ["k"])
+    a = {r["k"]: r["row_id"] for r in contiguous_ids(df, ["k"]).collect()}
+    b = {
+        r["k"]: r["row_id"]
+        for r in contiguous_ids(df.repartition(13), ["k"]).collect()
+    }
+    assert a == b == {i: i for i in range(97)}
+
+
+def test_contiguous_ids_no_single_partition_exchange(spark):
+    from lvm_datapipe_spark.operators.relational import contiguous_ids
+
+    df = spark.createDataFrame([(i,) for i in range(50)], ["k"])
+    plan = (
+        contiguous_ids(df, ["k"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange SinglePartition" not in plan
+    assert "Window" not in plan
