@@ -161,3 +161,58 @@ def hll_merge(
         ).alias("approx_distinct"),
         F.sum("n_rows").alias("n_rows"),
     )
+
+
+def agg_state(
+    df: DataFrame, keys: list[str], value_col: str
+) -> DataFrame:
+    """Build incremental aggregate STATE: (keys..., n_rows, sum_value) with
+    the sum kept as DECIMAL(27,6) — not double — so that states merge
+    EXACTLY (see :func:`merge_agg_state`)."""
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col(value_col).cast("decimal(27,6)")).alias("sum_value"),
+    )
+
+
+def merge_agg_state(state: DataFrame, delta_state: DataFrame, keys: list[str]) -> DataFrame:
+    """Merge a persisted aggregate state with a new batch's state — the
+    incremental-view-maintenance pattern: a daily pipeline keeps
+    (key, n, Σ) materialized and folds each new partition in with ONE
+    |keys|-sized full-outer join instead of re-scanning the history.
+
+    Exactness is why the state holds DECIMAL sums: each input value is
+    quantized to 6 dp once, on entry; decimal addition is associative, so
+    state ⊕ delta is bit-identical to a from-scratch aggregate over the
+    union — a DOUBLE state would drift (float addition is
+    order-sensitive), and the invariant "incremental == full recompute"
+    is the whole point of the pattern.  Count-distinct fits the same
+    shape via :func:`hll_partials` (mergeable sketches).
+    """
+    a = state.select(
+        *keys,
+        F.col("n_rows").alias("_n_a"),
+        F.col("sum_value").alias("_s_a"),
+    )
+    b = delta_state.select(
+        *keys,
+        F.col("n_rows").alias("_n_b"),
+        F.col("sum_value").alias("_s_b"),
+    )
+    zero = F.lit(0).cast("decimal(27,6)")
+    return (
+        a.join(b, keys, "full_outer")
+        .select(
+            *keys,
+            (
+                F.coalesce(F.col("_n_a"), F.lit(0))
+                + F.coalesce(F.col("_n_b"), F.lit(0))
+            ).alias("n_rows"),
+            (
+                F.coalesce(F.col("_s_a"), zero)
+                + F.coalesce(F.col("_s_b"), zero)
+            )
+            .cast("decimal(27,6)")
+            .alias("sum_value"),
+        )
+    )

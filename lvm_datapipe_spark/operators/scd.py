@@ -101,3 +101,49 @@ def scd2_merge(
         )
     )
     return hist.unionByName(merged)
+
+
+def temporal_join(
+    facts: DataFrame,
+    versions: DataFrame,
+    key: str,
+    fact_ts: str,
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+    how: str = "inner",
+) -> DataFrame:
+    """Join facts to the dimension VERSION valid at each fact's timestamp —
+    the read side of SCD2 (the write side is :func:`scd2_merge`).
+
+    Condition: key equality + ``valid_from <= ts < valid_to`` with a NULL
+    ``valid_to`` meaning "still open".  Because the key equality is part
+    of the condition, Spark keeps this a plain hash/sort-merge EQUI join
+    with the validity window as a cheap post-join residual — one keyed
+    shuffle at any scale, never a nested loop (the keyless variant is
+    ``asof.binned_range_join``).  SCD2 well-formedness (non-overlapping
+    versions per key) guarantees at most one match per fact, so the join
+    cannot fan out.
+
+    ``how="left"`` keeps facts whose timestamp precedes the first version
+    (null dimension columns) — the common backfill case.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    f, v = facts.alias("f"), versions.alias("v")
+    cond = (
+        (F.col(f"f.{key}") == F.col(f"v.{key}"))
+        & (F.col(f"f.{fact_ts}") >= F.col(f"v.{from_col}"))
+        & (
+            F.col(f"v.{to_col}").isNull()
+            | (F.col(f"f.{fact_ts}") < F.col(f"v.{to_col}"))
+        )
+    )
+    joined = f.join(v, cond, "inner" if how == "inner" else "left_outer")
+    return joined.select(
+        "f.*",
+        *[
+            F.col(f"v.{c}").alias(c)
+            for c in versions.columns
+            if c != key
+        ],
+    )

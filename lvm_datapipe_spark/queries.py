@@ -5998,3 +5998,98 @@ def graph_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("w"))
     )
     return pagerank(edges, "src", "dst", weight="w", n_iter=5)
+
+
+@_q(
+    "scd2_temporal_join",
+    """
+    WITH v0 AS (
+      SELECT doc_id, md5('v0' || text) AS fp,
+             TIMESTAMP '2023-01-01 00:00:00' AS valid_from,
+             TIMESTAMP '2024-01-15 00:00:00' AS valid_to
+      FROM documents WHERE doc_id % 5 <> 0),
+    v1 AS (
+      SELECT doc_id, md5(text) AS fp,
+             TIMESTAMP '2024-01-15 00:00:00' AS valid_from,
+             CAST(NULL AS TIMESTAMP) AS valid_to
+      FROM documents),
+    versions AS (SELECT * FROM v0 UNION ALL SELECT * FROM v1),
+    facts AS (
+      SELECT event_id, ts, CAST(event_id % 97 AS BIGINT) AS doc_id
+      FROM events WHERE event_type = 'purchase')
+    SELECT f.event_id, f.doc_id, v.fp
+    FROM facts f
+    LEFT JOIN versions v
+      ON v.doc_id = f.doc_id
+     AND f.ts >= v.valid_from
+     AND (v.valid_to IS NULL OR f.ts < v.valid_to)
+    """,
+)
+def scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The READ side of SCD2 (operators/scd.py::temporal_join): each fact
+    joins the dimension VERSION valid at its event time — key equality
+    plus a validity-window residual, which Spark keeps as ONE keyed
+    hash/SMJ shuffle (never a nested loop; SCD2 non-overlap guarantees no
+    fan-out).  The versions table is a deterministic two-version view of
+    documents (docs ≡0 mod 5 were "created" at the Jan-15 boundary, so
+    pre-boundary facts on them exercise the left-miss path with null
+    dimension attributes — the backfill case)."""
+    from lvm_datapipe_spark.operators.scd import temporal_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    v0 = docs.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id",
+        F.md5(F.concat(F.lit("v0"), F.col("text")).cast("binary")).alias("fp"),
+        F.to_timestamp(F.lit("2023-01-01 00:00:00")).alias("valid_from"),
+        F.to_timestamp(F.lit("2024-01-15 00:00:00")).alias("valid_to"),
+    )
+    v1 = docs.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("fp"),
+        F.to_timestamp(F.lit("2024-01-15 00:00:00")).alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    versions = v0.unionByName(v1)
+    facts = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "ts", (F.col("event_id") % 97).alias("doc_id"))
+    )
+    joined = temporal_join(
+        facts, versions, key="doc_id", fact_ts="ts", how="left"
+    )
+    return joined.select("event_id", "doc_id", "fp")
+
+
+@_q(
+    "agg_incremental_merge",
+    f"""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           {_dsum('value')} AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate-view maintenance (operators/aggregates.py::
+    agg_state/merge_agg_state): the materialized per-type state over
+    history (events before Jan 20) absorbs the new partition (Jan 20
+    onward) with ONE state-sized full-outer join — no history re-scan.
+    The ORACLE is the from-scratch aggregate over the whole corpus: the
+    query passes exactly because the state keeps DECIMAL sums, making
+    "incremental ⊕ delta" bit-identical to full recompute (a double
+    state would drift with addition order) — the invariant this pattern
+    lives or dies on at 100 TB."""
+    from lvm_datapipe_spark.operators.aggregates import agg_state, merge_agg_state
+
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.to_timestamp(F.lit("2024-01-20 00:00:00"))
+    state = agg_state(ev.filter(F.col("ts") < cut), ["event_type"], "value")
+    delta = agg_state(ev.filter(F.col("ts") >= cut), ["event_type"], "value")
+    merged = merge_agg_state(state, delta, ["event_type"])
+    return merged.select(
+        "event_type",
+        "n_rows",
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )

@@ -67,3 +67,48 @@ def test_hll_estimate_close_to_exact(spark):
         "approx_distinct"
     ]
     assert abs(est - n) / n < 0.05  # lg_k=12 → ~1.6% rse; 5% is generous
+
+
+# ---------------------------------------------------------------------------
+# agg_state / merge_agg_state (incremental view maintenance)
+# ---------------------------------------------------------------------------
+
+
+def test_merge_agg_state_equals_full_recompute(spark):
+    from lvm_datapipe_spark.operators.aggregates import agg_state, merge_agg_state
+
+    import random
+
+    rng = random.Random(7)
+    rows = [(f"k{i % 5}", rng.uniform(-100, 100)) for i in range(400)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    a, b = df.filter("v < 0"), df.filter("v >= 0")
+    merged = merge_agg_state(
+        agg_state(a, ["k"], "v"), agg_state(b, ["k"], "v"), ["k"]
+    )
+    full = agg_state(df, ["k"], "v")
+    got = {(r["k"], r["n_rows"], r["sum_value"]) for r in merged.collect()}
+    want = {(r["k"], r["n_rows"], r["sum_value"]) for r in full.collect()}
+    assert got == want  # EXACT decimal equality, not approx
+
+
+def test_merge_agg_state_disjoint_and_empty_sides(spark):
+    from lvm_datapipe_spark.operators.aggregates import agg_state, merge_agg_state
+
+    a = spark.createDataFrame([("x", 1.5), ("x", 2.0)], ["k", "v"])
+    b = spark.createDataFrame([("y", 3.0)], ["k", "v"])
+    merged = {
+        r["k"]: (r["n_rows"], float(r["sum_value"]))
+        for r in merge_agg_state(
+            agg_state(a, ["k"], "v"), agg_state(b, ["k"], "v"), ["k"]
+        ).collect()
+    }
+    assert merged == {"x": (2, 3.5), "y": (1, 3.0)}
+    empty = agg_state(a.filter("v > 99"), ["k"], "v")
+    same = {
+        r["k"]: (r["n_rows"], float(r["sum_value"]))
+        for r in merge_agg_state(
+            agg_state(a, ["k"], "v"), empty, ["k"]
+        ).collect()
+    }
+    assert same == {"x": (2, 3.5)}

@@ -93,3 +93,69 @@ def test_single_keyed_shuffle(spark):
     )
     assert "CartesianProduct" not in plan
     assert "SinglePartition" not in plan
+
+
+# ---------------------------------------------------------------------------
+# temporal_join (SCD2 read side)
+# ---------------------------------------------------------------------------
+
+
+def _versions(spark):
+    return spark.createDataFrame(
+        [
+            (1, "a-v0", 10, 20),
+            (1, "a-v1", 20, None),
+            (2, "b-v0", 15, None),
+        ],
+        ["k", "attr", "valid_from", "valid_to"],
+    )
+
+
+def test_temporal_join_picks_version_at_fact_time(spark):
+    from lvm_datapipe_spark.operators.scd import temporal_join
+
+    facts = spark.createDataFrame(
+        [(100, 1, 12), (101, 1, 20), (102, 1, 99), (103, 2, 16)],
+        ["fid", "k", "t"],
+    )
+    out = {
+        r["fid"]: r["attr"]
+        for r in temporal_join(facts, _versions(spark), "k", "t").collect()
+    }
+    # t=12 → v0; t=20 → boundary belongs to the NEW version (from <= t < to);
+    # t=99 → open row
+    assert out == {100: "a-v0", 101: "a-v1", 102: "a-v1", 103: "b-v0"}
+
+
+def test_temporal_join_left_keeps_prehistoric_facts(spark):
+    from lvm_datapipe_spark.operators.scd import temporal_join
+
+    facts = spark.createDataFrame([(1, 1, 5), (2, 2, 14)], ["fid", "k", "t"])
+    rows = temporal_join(facts, _versions(spark), "k", "t", how="left").collect()
+    assert {r["fid"]: r["attr"] for r in rows} == {1: None, 2: None}
+    inner = temporal_join(facts, _versions(spark), "k", "t").collect()
+    assert inner == []
+
+
+def test_temporal_join_no_fanout_and_hash_join(spark):
+    from lvm_datapipe_spark.operators.scd import temporal_join
+
+    facts = spark.createDataFrame(
+        [(i, 1, 10 + i % 30) for i in range(50)], ["fid", "k", "t"]
+    )
+    out = temporal_join(facts, _versions(spark), "k", "t", how="left")
+    assert out.count() == 50  # well-formed SCD2 → exactly one row per fact
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_temporal_join_rejects_bad_how(spark):
+    import pytest
+
+    from lvm_datapipe_spark.operators.scd import temporal_join
+
+    with pytest.raises(ValueError, match="inner|left"):
+        temporal_join(
+            spark.range(1), spark.range(1), "id", "id", how="full"
+        )
