@@ -1,0 +1,170 @@
+"""Distributed BPE (byte-pair-encoding) merge learning and application.
+
+The tokenizer-fitting step of an LLM data pipeline, done Spark-first.  The
+standard algorithm (Sennrich et al. 2016, "Neural Machine Translation of
+Rare Words with Subword Units" — public): start from characters, repeatedly
+merge the most frequent adjacent symbol pair.
+
+The scale design hinges on one observation: after ONE corpus-wide word
+count, learning runs entirely on the DISTINCT-WORD table (word types
+weighted by frequency), which is vocabulary-sized (millions of rows at
+100 TB), not corpus-sized.  Per merge round:
+
+- pair counts: slice/zip the symbol arrays (native codegen) → explode →
+  one keyed aggregation over (left, right);
+- winner: deterministic top-1 (count DESC, then lexicographic left, right
+  — ties cannot flap between runs/engines) via TakeOrdered, collected as
+  ONE metadata-sized row (the IVF-probe pattern: scalar driver decisions
+  are fine, data never is);
+- rewrite: an Arrow-batched pandas UDF merges the winning pair inside
+  each symbol array; ``localCheckpoint`` every round stops the plan
+  doubling (the connected-components lesson).
+
+Learning is inherently sequential in the number of merges (each winner
+depends on the last rewrite) — the parallelism is WITHIN each round, which
+is exactly how distributed BPE trainers (e.g. Spark-based tokenizer fits)
+structure it.
+
+Not SQL-replayable (iterative argmax + rewrite), so this family is
+test-verified against a pure-python reference model, like the media
+operators (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+END = "</w>"
+
+
+def _merge_udf():
+    @F.pandas_udf("array<string>")
+    def merge(sym: pd.Series, left: pd.Series, right: pd.Series) -> pd.Series:
+        out = []
+        for s, lft, rgt in zip(sym, left, right):
+            res, i, n = [], 0, len(s)
+            while i < n:
+                if i < n - 1 and s[i] == lft and s[i + 1] == rgt:
+                    res.append(lft + rgt)
+                    i += 2
+                else:
+                    res.append(s[i])
+                    i += 1
+            out.append(res)
+        return pd.Series(out)
+
+    return merge
+
+
+def word_symbol_table(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One corpus scan → (word, weight, sym) with sym = chars + ``</w>``.
+    The only corpus-sized job in a BPE fit; everything after runs on word
+    TYPES."""
+    words = (
+        df.select(
+            F.explode(F.split(F.col(text_col), r"\s+")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+    chars = F.filter(F.split(F.col("word"), ""), lambda x: x != "")
+    return words.select(
+        "word",
+        "weight",
+        F.concat(chars, F.array(F.lit(END))).alias("sym"),
+    )
+
+
+def _pair_counts(words: DataFrame) -> DataFrame:
+    n = F.size("sym")
+    pairs = F.arrays_zip(
+        F.slice("sym", 1, n - 1).alias("l"),
+        F.slice("sym", 2, n - 1).alias("r"),
+    )
+    return (
+        words.filter(n >= 2)
+        .select(F.explode(pairs).alias("p"), "weight")
+        .groupBy(F.col("p.l").alias("left"), F.col("p.r").alias("right"))
+        .agg(F.sum("weight").alias("n"))
+    )
+
+
+def learn_bpe_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 50,
+) -> tuple[list[tuple[str, str]], DataFrame]:
+    """Learn ``n_merges`` BPE merges; returns (ordered merge list, final
+    word table with merged symbol arrays).  Stops early when no pair
+    occurs twice (merging hapax pairs memorizes words)."""
+    words = word_symbol_table(df, text_col).localCheckpoint()
+    merges: list[tuple[str, str]] = []
+    merge = _merge_udf()
+    for _ in range(n_merges):
+        top = (
+            _pair_counts(words)
+            .orderBy(F.col("n").desc(), F.col("left"), F.col("right"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["n"] < 2:
+            break
+        lft, rgt = top[0]["left"], top[0]["right"]
+        merges.append((lft, rgt))
+        words = words.select(
+            "word",
+            "weight",
+            merge(F.col("sym"), F.lit(lft), F.lit(rgt)).alias("sym"),
+        ).localCheckpoint()
+    return merges, words
+
+
+def apply_bpe(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Encode text with a learned merge list: per row, split to words,
+    chars + ``</w>``, then replay the merges in rank order.  The merge
+    list rides into the UDF closure (broadcast-by-serialization — it is
+    tokenizer-sized, KBs); a per-batch word cache collapses the Zipf
+    head so the inner loop runs once per word TYPE per batch."""
+    ranked = list(merges)
+
+    @F.pandas_udf("array<string>")
+    def encode(texts: pd.Series) -> pd.Series:
+        cache: dict[str, list[str]] = {}
+
+        def enc_word(w: str) -> list[str]:
+            hit = cache.get(w)
+            if hit is not None:
+                return hit
+            sym = list(w) + [END]
+            for lft, rgt in ranked:
+                i, res, n = 0, [], len(sym)
+                while i < n:
+                    if i < n - 1 and sym[i] == lft and sym[i + 1] == rgt:
+                        res.append(lft + rgt)
+                        i += 2
+                    else:
+                        res.append(sym[i])
+                        i += 1
+                sym = res
+                if len(sym) == 1:
+                    break
+            cache[w] = sym
+            return sym
+
+        out = []
+        for t in texts:
+            toks: list[str] = []
+            for w in (t or "").split():
+                toks.extend(enc_word(w))
+            out.append(toks)
+        return pd.Series(out)
+
+    return df.withColumn(out_col, encode(F.col(text_col)))

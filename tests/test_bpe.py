@@ -1,0 +1,93 @@
+"""BPE learning vs a pure-python reference model (Sennrich-style)."""
+
+from collections import Counter
+
+from lvm_datapipe_spark.operators.bpe import (
+    END,
+    apply_bpe,
+    learn_bpe_merges,
+    word_symbol_table,
+)
+
+CORPUS = [
+    "low low low low low",
+    "lower lower newest newest",
+    "newest newest newest newest",
+    "wide wide wider widest",
+]
+
+
+def _model_learn(texts, n_merges):
+    vocab = Counter()
+    for t in texts:
+        for w in t.split():
+            vocab[w] += 1
+    words = {w: list(w) + [END] for w in vocab}
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for w, sym in words.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] += vocab[w]
+        if not pairs:
+            break
+        # count desc, then lexicographic — the operator's tie-break
+        (lft, rgt), n = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if n < 2:
+            break
+        merges.append((lft, rgt))
+        for w, sym in words.items():
+            res, i = [], 0
+            while i < len(sym):
+                if i < len(sym) - 1 and sym[i] == lft and sym[i + 1] == rgt:
+                    res.append(lft + rgt)
+                    i += 2
+                else:
+                    res.append(sym[i])
+                    i += 1
+            words[w] = res
+    return merges, words
+
+
+def test_learn_matches_python_model(spark):
+    df = spark.createDataFrame([(t,) for t in CORPUS], ["text"])
+    got_merges, got_words = learn_bpe_merges(df, n_merges=12)
+    want_merges, want_words = _model_learn(CORPUS, 12)
+    assert got_merges == want_merges
+    got_tbl = {r["word"]: list(r["sym"]) for r in got_words.collect()}
+    assert got_tbl == want_words
+
+
+def test_learn_stops_on_hapax_pairs(spark):
+    df = spark.createDataFrame([("a b c d",)], ["text"])
+    merges, _ = learn_bpe_merges(df, n_merges=10)
+    assert merges == []  # every pair occurs once — nothing to learn
+
+
+def test_apply_reproduces_training_segmentation(spark):
+    df = spark.createDataFrame([(t,) for t in CORPUS], ["text"])
+    merges, words = learn_bpe_merges(df, n_merges=12)
+    seg = {r["word"]: list(r["sym"]) for r in words.collect()}
+    enc = apply_bpe(df, merges).collect()
+    for row in enc:
+        toks = list(row["bpe_tokens"])
+        # re-derive per-word segmentation from the flat stream via </w>
+        out, cur = [], []
+        for t in toks:
+            cur.append(t)
+            if t.endswith(END):
+                out.append(cur)
+                cur = []
+        words_in_row = row["text"].split()
+        assert len(out) == len(words_in_row)
+        for w, s in zip(words_in_row, out):
+            assert seg[w] == s
+
+
+def test_word_symbol_table_weights(spark):
+    df = spark.createDataFrame([("ab ab ba",)], ["text"])
+    rows = {r["word"]: (r["weight"], list(r["sym"]))
+            for r in word_symbol_table(df).collect()}
+    assert rows == {"ab": (2, ["a", "b", END]), "ba": (1, ["b", "a", END])}
