@@ -238,6 +238,28 @@ def _cmd_export_flat(spark, args) -> None:
     print(json.dumps({"stage": "export-flat", "rows": spark.read.json(args.out).count(), "out": args.out}))
 
 
+def _cmd_bpe(spark, args) -> None:
+    from lvm_datapipe_spark.operators.bpe import learn_bpe_merges
+
+    df = spark.read.parquet(args.table)
+    merges, words = learn_bpe_merges(
+        df, text_col=args.text_col, n_merges=args.n_merges
+    )
+    n_types = words.count()
+    with open(args.out, "w") as f:
+        json.dump({"merges": [list(m) for m in merges]}, f)
+    print(
+        json.dumps(
+            {
+                "stage": "bpe",
+                "n_merges": len(merges),
+                "word_types": n_types,
+                "out": args.out,
+            }
+        )
+    )
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="lvm_datapipe_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -286,6 +308,12 @@ def build_parser() -> argparse.ArgumentParser:
     pr = sub.add_parser("profile", help="one-scan numeric column profile")
     pr.add_argument("--table", required=True)
     pr.add_argument("--columns", nargs="*", default=None)
+    bp = sub.add_parser("bpe", help="fit BPE merges on a text corpus")
+    bp.add_argument("--table", required=True)
+    bp.add_argument("--out", required=True)
+    bp.add_argument("--text-col", default="text")
+    bp.add_argument("--n-merges", type=int, default=50)
+
     mf = sub.add_parser("manifest", help="write or verify a delivery manifest")
     mf.add_argument("--table", required=True)
     mf.add_argument("--verify", action="store_true")
@@ -308,6 +336,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             "dq": _cmd_dq,
             "profile": _cmd_profile,
             "manifest": _cmd_manifest,
+            "bpe": _cmd_bpe,
             "analyze": _cmd_analyze,
             "export-flat": _cmd_export_flat,
         }[args.cmd](spark, args)

@@ -182,3 +182,23 @@ def test_cli_profile_and_manifest(spark, tmp_path, capsys):
     with _pytest.raises(SystemExit) as e:
         cli.main(["manifest", "--table", t, "--verify"], spark=spark)
     assert e.value.code == 2
+
+
+def test_cli_bpe_fit(spark, tmp_path, capsys):
+    from lvm_datapipe_spark.operators.bpe import learn_bpe_merges
+
+    corpus = ["low low low lower", "newest newest newest lowest"] * 3
+    df = spark.createDataFrame([(t,) for t in corpus], ["text"])
+    table = str(tmp_path / "docs.parquet")
+    df.write.parquet(table)
+    out = str(tmp_path / "merges.json")
+    rc = main(
+        ["bpe", "--table", table, "--out", out, "--n-merges", "8"],
+        spark=spark,
+    )
+    assert rc == 0
+    status = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert status["stage"] == "bpe" and status["n_merges"] > 0
+    saved = json.load(open(out))["merges"]
+    want, _ = learn_bpe_merges(df, n_merges=8)
+    assert [tuple(m) for m in saved] == want

@@ -317,3 +317,78 @@ def test_rate_gated_keep_stable_under_input_repartition(spark, nparts):
     assert kept(docs) == kept(docs.repartition(nparts, "doc_id")) == kept(
         docs.orderBy(F.desc("doc_id")).repartition(nparts)
     )
+
+
+intervals_st = st.lists(
+    st.tuples(
+        st.integers(min_value=-50, max_value=50),
+        st.integers(min_value=0, max_value=40),
+    ),
+    min_size=0,
+    max_size=8,
+)
+points_st = st.lists(
+    st.integers(min_value=-60, max_value=60), min_size=0, max_size=10
+)
+
+
+@given(points_st, intervals_st, st.sampled_from([1, 3, 7, 64]))
+@settings(**SETTINGS)
+def test_binned_range_join_equals_naive_model(spark, pts, ivs, width):
+    """Bin-and-residual must be EXACT for any bin width: same pairs as the
+    quadratic python model, no dupes, no misses."""
+    from lvm_datapipe_spark.operators.asof import binned_range_join
+
+    pdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(pts)], "pid: int, t: int"
+    )
+    idf = spark.createDataFrame(
+        [(j, a, a + span) for j, (a, span) in enumerate(ivs)],
+        "iv: int, t0: int, t1: int",
+    )
+    got = sorted(
+        (r["pid"], r["iv"])
+        for r in binned_range_join(pdf, idf, "t", "t0", "t1", width).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, t in enumerate(pts)
+        for j, (a, span) in enumerate(ivs)
+        if a <= t <= a + span
+    )
+    assert got == want
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=30), min_size=0, max_size=8),
+    st.lists(
+        st.integers(min_value=0, max_value=30), min_size=1, max_size=5
+    ),
+)
+@settings(**SETTINGS)
+def test_temporal_join_matches_version_model(spark, fact_ts, boundaries):
+    """temporal_join == python as-of-version model on any well-formed SCD2
+    history (sorted distinct boundaries, last version open)."""
+    from lvm_datapipe_spark.operators.scd import temporal_join
+
+    bounds = sorted(set(boundaries))
+    versions = [
+        (1, f"v{i}", b, bounds[i + 1] if i + 1 < len(bounds) else None)
+        for i, b in enumerate(bounds)
+    ]
+    vdf = spark.createDataFrame(
+        versions, "k: int, attr: string, valid_from: int, valid_to: int"
+    )
+    fdf = spark.createDataFrame(
+        [(i, 1, t) for i, t in enumerate(fact_ts)], "fid: int, k: int, t: int"
+    )
+    got = {
+        r["fid"]: r["attr"]
+        for r in temporal_join(fdf, vdf, "k", "t", how="left").collect()
+    }
+
+    def model(t):
+        live = [v for v in versions if v[2] <= t and (v[3] is None or t < v[3])]
+        return live[0][1] if live else None
+
+    assert got == {i: model(t) for i, t in enumerate(fact_ts)}
