@@ -6093,3 +6093,108 @@ def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         F.col("sum_value").cast("double").alias("sum_value"),
     )
+
+
+@_q(
+    "events_sliding_distinct_users",
+    """
+    WITH g AS (
+      SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS grid
+      FROM events),
+    x AS (
+      SELECT user_id, grid - k.k * INTERVAL '1 hour' AS window_start
+      FROM g CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4, 5]) AS k) k)
+    SELECT window_start, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM x GROUP BY window_start
+    """,
+)
+def events_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct users per 6-hour window sliding hourly.  The sliding
+    window fans every event into 6 windows BEFORE the distinct — the
+    count-distinct shuffle moves 6× the corpus, which is the honest cost
+    of exactness and precisely the query the mergeable-sketch path
+    (aggregates.hll_partials per hour + hll_merge over 6 stored sketches
+    per window — no fan-out, no re-scan) replaces at 100 TB with ~2%
+    error.  Declared in its exact form so the invariant has a FULL
+    oracle; the sketch twin is test-verified (approx family)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours", "1 hour").alias("w"), )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .select(F.col("w.start").alias("window_start"), "n_users")
+    )
+
+
+@_q(
+    "negatives_ring_by_lang",
+    """
+    WITH h AS (
+      SELECT doc_id, lang, md5('ring1' || CAST(doc_id AS VARCHAR)) AS hk
+      FROM documents),
+    r AS (
+      SELECT doc_id, lang, hk,
+             lead(doc_id, 1) OVER w AS neg_1,
+             lead(doc_id, 2) OVER w AS neg_2,
+             first_value(doc_id) OVER w AS ring_first,
+             nth_value(doc_id, 2) OVER w AS ring_second,
+             CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS ring_n,
+             CAST(row_number() OVER w AS BIGINT) AS pos
+      FROM h
+      WINDOW w AS (PARTITION BY lang ORDER BY hk, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+    SELECT doc_id, lang,
+           CASE WHEN ring_n < 2 THEN NULL
+                WHEN neg_1 IS NULL THEN ring_first ELSE neg_1 END AS neg_1,
+           CASE WHEN ring_n < 3 THEN NULL
+                WHEN neg_2 IS NULL THEN
+                  CASE WHEN pos = ring_n THEN ring_second ELSE ring_first END
+                ELSE neg_2 END AS neg_2
+    FROM r
+    """,
+)
+def negatives_ring_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic NEGATIVE sampling for contrastive training: each doc
+    gets 2 pseudo-random same-language negatives by walking a salted-hash
+    RING — sort each language's docs by md5('ring1'||id), take the next
+    two, wrapping at the end.  Ring order is uniform-ish and reproducible
+    (resampling = change the salt), negatives are collision-free by
+    construction (successors of distinct positions differ), and the whole
+    assignment is ONE per-language window shuffle — no random() (engines
+    would diverge), no self-join, no candidate generation.  Degenerate
+    rings (|lang| < 3) yield nulls rather than self-negatives.  At 100 TB
+    the partition key is the grouping column (language/domain/source) —
+    the same stratification the samplers use; a corpus-global ring would
+    be the SinglePartition anti-pattern."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.md5(F.concat(F.lit("ring1"), F.col("doc_id").cast("string")).cast("binary")).alias("hk"),
+    )
+    w = Window.partitionBy("lang").orderBy("hk", "doc_id")
+    wf = Window.partitionBy("lang").orderBy("hk", "doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wn = Window.partitionBy("lang")
+    r = docs.select(
+        "doc_id",
+        "lang",
+        F.lead("doc_id", 1).over(w).alias("neg_1_raw"),
+        F.lead("doc_id", 2).over(w).alias("neg_2_raw"),
+        F.first("doc_id").over(wf).alias("ring_first"),
+        F.nth_value("doc_id", 2).over(wf).alias("ring_second"),
+        F.count(F.lit(1)).over(wn).alias("ring_n"),
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
+    neg1 = F.when(F.col("ring_n") < 2, F.lit(None)).otherwise(
+        F.coalesce(F.col("neg_1_raw"), F.col("ring_first"))
+    )
+    neg2 = F.when(F.col("ring_n") < 3, F.lit(None)).otherwise(
+        F.coalesce(
+            F.col("neg_2_raw"),
+            F.when(F.col("pos") == F.col("ring_n"), F.col("ring_second"))
+            .otherwise(F.col("ring_first")),
+        )
+    )
+    return r.select(
+        "doc_id", "lang", neg1.alias("neg_1"), neg2.alias("neg_2")
+    )
