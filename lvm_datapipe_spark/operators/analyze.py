@@ -77,3 +77,27 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
         f"stack({len(cols)}, {pairs}) AS (column, n_nulls, min_value, max_value, mean_value)",
         "n AS n_rows",
     ).select("column", "n_rows", "n_nulls", "min_value", "max_value", "mean_value")
+
+
+def partition_stats(df: DataFrame) -> DataFrame:
+    """Physical-layout skew probe: rows per Spark partition → one summary
+    row (n_partitions, min/max/avg rows, skew = max/avg).
+
+    The first thing to look at when a stage straggles: a skew ratio ≫ 1
+    after a keyed exchange means a hot key (reach for
+    ``operators/skew.salted_*`` or AQE skew-join), while skew ≈ 1 with
+    stragglers points at data-dependent WORK per row instead.  One narrow
+    job — a per-partition count (``spark_partition_id`` groupBy) and a
+    single-row rollup; nothing is collected beyond the summary."""
+    from pyspark.sql import functions as F
+
+    per = df.groupBy(F.spark_partition_id().alias("pid")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_partitions"),
+        F.min("n").alias("min_rows"),
+        F.max("n").alias("max_rows"),
+        (F.sum("n") / F.count(F.lit(1))).alias("avg_rows"),
+        (F.max("n") * F.count(F.lit(1)) / F.sum("n")).alias("skew"),
+    )

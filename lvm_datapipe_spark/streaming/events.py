@@ -496,3 +496,39 @@ def start_running_totals(
         .outputMode("append")
         .start()
     )
+
+
+def windowed_distinct_users(
+    events: DataFrame,
+    window: str = "6 hours",
+    slide: str = "1 hour",
+    watermark: str | None = "2 hours",
+    lg_k: int = 12,
+) -> DataFrame:
+    """Approximate distinct users per sliding window, streaming-safe.
+
+    Exact COUNT(DISTINCT) is not supported in streaming aggregations
+    (unbounded per-window state); the mergeable-sketch path is: each
+    window's HLL absorbs users register-wise, state per window is one
+    KB-sized sketch, and late rows fold in commutatively.  Because HLL
+    register updates are order-independent MAXes, the ESTIMATE is a
+    deterministic function of the window's user SET — so the batch form
+    (watermark=None) produces bit-equal results and serves as the twin
+    for the stream≡batch property test, the same contract as
+    ``windowed_counts``.  The batch-side exact oracle for the same
+    question is ``events_sliding_distinct_users``; the batch sketch
+    rollup is ``aggregates.hll_partials``/``hll_merge``."""
+    src = (
+        ensure_event_time(events).withWatermark("ts", watermark)
+        if watermark
+        else events
+    )
+    return (
+        src.groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("user_id", F.lit(lg_k))
+            ).alias("approx_users")
+        )
+        .select(F.col("w.start").alias("window_start"), "approx_users")
+    )

@@ -590,3 +590,34 @@ def test_incremental_dedup_stream_flags_across_batches(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "flags")).select("batch_id").collect()
     }
     assert len(batches) == 2
+
+
+def test_stream_windowed_distinct_users_match_batch(spark, landing_dir):
+    stream = ev.read_event_stream(spark, landing_dir)
+    q = ev.start_to_memory(
+        ev.windowed_distinct_users(stream), "win_users", output_mode="complete"
+    )
+    _await(q)
+    got = {
+        (r.window_start, r.approx_users)
+        for r in spark.sql("SELECT * FROM win_users").collect()
+    }
+    batch = ev.windowed_distinct_users(
+        load_table(spark, "/root/testdata/sf0.001", "events"), watermark=None
+    )
+    want = {(r.window_start, r.approx_users) for r in batch.collect()}
+    # HLL register updates are order-independent maxes → the estimate is a
+    # deterministic function of each window's user SET → EXACT equality
+    assert got == want
+    # and the estimate tracks the exact distinct count
+    exact = {
+        (r.window_start, r.n): None
+        for r in load_table(spark, "/root/testdata/sf0.001", "events")
+        .groupBy(F.window("ts", "6 hours", "1 hour").alias("w"))
+        .agg(F.count_distinct("user_id").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+        .collect()
+    }
+    ex = {ws: n for ws, n in exact}
+    for ws, est in got:
+        assert abs(est - ex[ws]) <= max(2, 0.05 * ex[ws])
