@@ -88,16 +88,24 @@ def partition_stats(df: DataFrame) -> DataFrame:
     ``operators/skew.salted_*`` or AQE skew-join), while skew ≈ 1 with
     stragglers points at data-dependent WORK per row instead.  One narrow
     job — a per-partition count (``spark_partition_id`` groupBy) and a
-    single-row rollup; nothing is collected beyond the summary."""
+    single-row rollup; nothing is collected beyond the summary.
+
+    The denominator is the PHYSICAL partition count from the plan
+    (``rdd.getNumPartitions()`` — a plan property, no job): a groupBy on
+    the partition id alone never sees EMPTY partitions, and an all-rows-
+    on-one-key layout would report skew 1.0 instead of n_partitions —
+    the exact situation the probe exists to flag."""
     from pyspark.sql import functions as F
 
+    n_part = df.rdd.getNumPartitions()
     per = df.groupBy(F.spark_partition_id().alias("pid")).agg(
         F.count(F.lit(1)).alias("n")
     )
     return per.agg(
-        F.count(F.lit(1)).alias("n_partitions"),
+        F.lit(n_part).alias("n_partitions"),
+        F.count(F.lit(1)).alias("n_nonempty"),
         F.min("n").alias("min_rows"),
         F.max("n").alias("max_rows"),
-        (F.sum("n") / F.count(F.lit(1))).alias("avg_rows"),
-        (F.max("n") * F.count(F.lit(1)) / F.sum("n")).alias("skew"),
+        (F.sum("n") / F.lit(n_part)).alias("avg_rows"),
+        (F.max("n") * F.lit(n_part) / F.sum("n")).alias("skew"),
     )

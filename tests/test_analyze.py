@@ -123,8 +123,10 @@ def test_partition_stats_flags_hot_partition(spark):
     b = partition_stats(balanced).collect()[0]
     assert b["n_partitions"] == 8 and b["skew"] < 2.0
 
-    # all rows hash to one key → one hot partition after a keyed exchange
+    # all rows hash to one key → one hot partition after a keyed exchange;
+    # the 7 EMPTY partitions must still count in the denominator
     skewed = spark.range(1000).withColumn("k", F.lit(1)).repartition(8, "k")
     s = partition_stats(skewed).collect()[0]
     assert s["max_rows"] == 1000
-    assert s["skew"] >= 4.0
+    assert s["n_partitions"] == 8 and s["n_nonempty"] == 1
+    assert s["skew"] == 8.0
