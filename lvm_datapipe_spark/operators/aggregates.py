@@ -143,24 +143,31 @@ def hll_partials(
 
 
 def hll_merge(
-    partials: DataFrame, key_cols: list[str], sketch_col: str = "hll"
+    partials: DataFrame,
+    key_cols: list[str],
+    sketch_col: str = "hll",
+    count_col: str | None = "n_rows",
 ) -> DataFrame:
     """Roll stored HLL partials up to coarser keys: union-merge the binary
     sketches and estimate.  ``allowDifferentLgConfigK`` stays False — all
     partials come from :func:`hll_partials` with one lg_k, and a silent
     precision downgrade on mixed configs is exactly the kind of surprise
-    a pipeline should fail loudly on."""
+    a pipeline should fail loudly on.  ``count_col=None`` (or a column
+    absent from ``partials``) skips the row-count rollup — sketch tables
+    that renamed or dropped the companion count still merge."""
     grouped = (
         partials.groupBy(*key_cols)
         if key_cols
         else partials.groupBy()
     )
-    return grouped.agg(
+    aggs = [
         F.hll_sketch_estimate(
             F.hll_union_agg(sketch_col, F.lit(False))
-        ).alias("approx_distinct"),
-        F.sum("n_rows").alias("n_rows"),
-    )
+        ).alias("approx_distinct")
+    ]
+    if count_col and count_col in partials.columns:
+        aggs.append(F.sum(count_col).alias(count_col))
+    return grouped.agg(*aggs)
 
 
 def agg_state(
@@ -190,20 +197,31 @@ def merge_agg_state(state: DataFrame, delta_state: DataFrame, keys: list[str]) -
     shape via :func:`hll_partials` (mergeable sketches).
     """
     a = state.select(
-        *keys,
+        *[F.col(k).alias(f"_ka_{k}") for k in keys],
         F.col("n_rows").alias("_n_a"),
         F.col("sum_value").alias("_s_a"),
     )
     b = delta_state.select(
-        *keys,
+        *[F.col(k).alias(f"_kb_{k}") for k in keys],
         F.col("n_rows").alias("_n_b"),
         F.col("sum_value").alias("_s_b"),
     )
+    # NULL-SAFE key equality: groupBy treats NULL as a real group, so the
+    # merge must too — a plain equi-join would leave a null-key state row
+    # and a null-key delta row unmerged, breaking the "incremental == full
+    # recompute" invariant exactly where dirty data lives.
+    cond = None
+    for k in keys:
+        c = F.col(f"_ka_{k}").eqNullSafe(F.col(f"_kb_{k}"))
+        cond = c if cond is None else (cond & c)
     zero = F.lit(0).cast("decimal(27,6)")
     return (
-        a.join(b, keys, "full_outer")
+        a.join(b, cond, "full_outer")
         .select(
-            *keys,
+            *[
+                F.coalesce(F.col(f"_ka_{k}"), F.col(f"_kb_{k}")).alias(k)
+                for k in keys
+            ],
             (
                 F.coalesce(F.col("_n_a"), F.lit(0))
                 + F.coalesce(F.col("_n_b"), F.lit(0))

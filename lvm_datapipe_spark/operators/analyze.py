@@ -90,22 +90,32 @@ def partition_stats(df: DataFrame) -> DataFrame:
     job — a per-partition count (``spark_partition_id`` groupBy) and a
     single-row rollup; nothing is collected beyond the summary.
 
-    The denominator is the PHYSICAL partition count from the plan
-    (``rdd.getNumPartitions()`` — a plan property, no job): a groupBy on
-    the partition id alone never sees EMPTY partitions, and an all-rows-
-    on-one-key layout would report skew 1.0 instead of n_partitions —
-    the exact situation the probe exists to flag."""
+    Per-partition counts come from ONE ``mapInPandas`` pass that emits a
+    row for EVERY partition — including empty ones, via the TaskContext
+    partition id.  A groupBy on ``spark_partition_id()`` alone never sees
+    empty partitions (an all-rows-on-one-key layout would report skew 1.0
+    instead of n_partitions — the exact situation the probe exists to
+    flag), and deriving the denominator separately (``df.rdd``) both
+    re-executes the plan under AQE and risks describing a different
+    execution than the one counted."""
+    import pandas as pd
     from pyspark.sql import functions as F
 
-    n_part = df.rdd.getNumPartitions()
-    per = df.groupBy(F.spark_partition_id().alias("pid")).agg(
-        F.count(F.lit(1)).alias("n")
-    )
+    def count_rows(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        n = 0
+        for pdf in batches:
+            n += len(pdf)
+        yield pd.DataFrame({"pid": [pid], "n": [n]})
+
+    per = df.mapInPandas(count_rows, schema="pid int, n long")
     return per.agg(
-        F.lit(n_part).alias("n_partitions"),
-        F.count(F.lit(1)).alias("n_nonempty"),
+        F.count(F.lit(1)).alias("n_partitions"),
+        F.sum((F.col("n") > 0).cast("int")).alias("n_nonempty"),
         F.min("n").alias("min_rows"),
         F.max("n").alias("max_rows"),
-        (F.sum("n") / F.lit(n_part)).alias("avg_rows"),
-        (F.max("n") * F.lit(n_part) / F.sum("n")).alias("skew"),
+        (F.sum("n") / F.count(F.lit(1))).alias("avg_rows"),
+        (F.max("n") * F.count(F.lit(1)) / F.sum("n")).alias("skew"),
     )

@@ -153,12 +153,32 @@ def binned_range_join(
     Timestamps work through the numeric path: pass epoch-second columns
     (``F.unix_timestamp``) and a width in seconds.
     """
+    from pyspark.sql import types as T
+
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner|left, got {how!r}")
     p, iv = points.alias("p"), intervals.alias("iv")
-    pbin = F.floor(F.col(f"p.{point_col}") / F.lit(bin_width))
-    ivstart = F.floor(F.col(f"iv.{start_col}") / F.lit(bin_width))
-    ivend = F.floor(F.col(f"iv.{end_col}") / F.lit(bin_width))
+
+    int_types = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+    def _bin_of(col: F.Column, dtype) -> F.Column:
+        # Integral inputs get exact integer FLOOR division (a//w via pmod
+        # — `a DIV w` truncates toward zero, wrong for negatives): the
+        # float path loses integer precision above 2^53 (epoch-nanos!)
+        # and a point/endpoint pair could silently land in different
+        # bins, dropping true matches from an "exact" join.
+        if isinstance(dtype, int_types) and isinstance(bin_width, int):
+            w = F.lit(bin_width).cast("long")
+            c = col.cast("long")
+            return ((c - F.pmod(c, w)) / w).cast("long")
+        return F.floor(col / F.lit(bin_width)).cast("long")
+
+    p_t = points.schema[point_col].dataType
+    s_t = intervals.schema[start_col].dataType
+    e_t = intervals.schema[end_col].dataType
+    pbin = _bin_of(F.col(f"p.{point_col}"), p_t)
+    ivstart = _bin_of(F.col(f"iv.{start_col}"), s_t)
+    ivend = _bin_of(F.col(f"iv.{end_col}"), e_t)
     iv_exp = iv.select(
         F.explode(F.sequence(ivstart, ivend)).alias("_bin"),
         *[F.col(f"iv.{c}").alias(f"_iv_{c}") for c in intervals.columns],
@@ -167,29 +187,16 @@ def binned_range_join(
         (F.col(f"p.{point_col}") >= F.col(f"_iv_{start_col}"))
         & (F.col(f"p.{point_col}") <= F.col(f"_iv_{end_col}"))
     )
-    if how == "inner":
-        joined = p.join(
-            iv_exp, (pbin == F.col("_bin")) & residual, "inner"
-        )
-        return joined.select(
-            "p.*", *[F.col(f"_iv_{c}").alias(c) for c in intervals.columns]
-        )
-    # left: unmatched points must survive exactly once — join inner first,
-    # then union the anti side with null interval columns (cheaper and
-    # plan-stable vs a left join whose bin condition would keep bin-miss
-    # rows even when a residual-miss occurred in another bin).
-    matched = p.join(iv_exp, (pbin == F.col("_bin")) & residual, "inner")
-    anti = p.join(
-        iv_exp, (pbin == F.col("_bin")) & residual, "left_anti"
+    # ONE join either way: with the residual inside the join condition, a
+    # left-outer emits the null-extended row exactly when NO exploded
+    # interval row satisfies bin-equality AND the residual — bin-hit/
+    # residual-miss rows do not survive, so no anti-join second pass is
+    # needed over the (expensive, exploded) interval side.
+    joined = p.join(
+        iv_exp,
+        (pbin == F.col("_bin")) & residual,
+        "inner" if how == "inner" else "left_outer",
     )
-    out_m = matched.select(
+    return joined.select(
         "p.*", *[F.col(f"_iv_{c}").alias(c) for c in intervals.columns]
     )
-    out_a = anti.select(
-        "p.*",
-        *[
-            F.lit(None).cast(intervals.schema[c].dataType).alias(c)
-            for c in intervals.columns
-        ],
-    )
-    return out_m.unionByName(out_a)

@@ -32,11 +32,17 @@ operators (SURVEY.md §5).
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 END = "</w>"
+# Java regex \s (what word_symbol_table's F.split compiles to) matches ONLY
+# [ \t\n\x0B\f\r]; application must tokenize identically or encoded streams
+# diverge from the training segmentation on non-ASCII whitespace.
+_ASCII_WS = re.compile(r"[ \t\n\x0b\f\r]+")
 
 
 def _merge_udf():
@@ -162,8 +168,12 @@ def apply_bpe(
         out = []
         for t in texts:
             toks: list[str] = []
-            for w in (t or "").split():
-                toks.extend(enc_word(w))
+            # split with the SAME whitespace class the learner's Java \s+
+            # uses (ASCII only) — python str.split() is Unicode-aware and
+            # would segment NBSP/ideographic spaces the training never saw
+            for w in _ASCII_WS.split(t or ""):
+                if w:
+                    toks.extend(enc_word(w))
             out.append(toks)
         return pd.Series(out)
 

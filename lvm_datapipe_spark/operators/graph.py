@@ -212,6 +212,17 @@ def pagerank(
         .persist()
     )
     n_nodes = nodes.count()  # one scalar action up front, not per round
+    if n_nodes == 0:
+        # empty edge set: return an empty rank table with the right schema
+        # instead of dividing by zero (a filtered edge build legitimately
+        # produces no edges)
+        ew.unpersist(blocking=False)
+        nodes.unpersist(blocking=False)
+        return nodes.select(
+            F.col("_node").alias("node"),
+            F.lit(0).cast("long").alias("rank_fp"),
+            F.lit(0.0).alias("rank"),
+        )
     base = ((den - num) * scale) // (den * n_nodes)
     ranks = nodes.select(
         "_node", F.lit(scale // n_nodes).cast("long").alias("_r")

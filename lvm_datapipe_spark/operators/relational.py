@@ -193,18 +193,26 @@ def contiguous_ids(
     distributed recipe used here:
 
     1. ``repartitionByRange`` on the order columns (one RANGE shuffle —
-       Spark samples split points, so partitions are balanced);
-    2. sort within each partition (no extra exchange);
-    3. count rows per partition — a metadata-sized action
+       Spark samples split points, so partitions are balanced), then sort
+       within each partition (no extra exchange), then FREEZE that layout
+       with an eager ``localCheckpoint``.  The freeze is load-bearing for
+       correctness, not a cache hint: the range sampler's seed varies per
+       execution, so a recomputation could lay rows out differently than
+       the layout the offsets were counted from — ids would silently
+       duplicate/skip.  Checkpointing materializes the layout ONCE; the
+       count job and the caller's output action both read the same frozen
+       partitions (blocks are dropped when the DataFrame is GC'd);
+    2. count rows per partition — a metadata-sized action
        (``num_partitions`` longs, same class as the IVF probe-cell
        collect);
-    4. broadcast-join each partition's cumulative offset and add the
+    3. broadcast-join each partition's cumulative offset and add the
        within-partition position (an Arrow-batched per-partition counter —
        order-preserving ``mapInPandas``, no window, no shuffle).
 
     Total: ONE range exchange regardless of corpus size.  ``order_cols``
-    must be a total order (unique key) for the assignment to be
-    deterministic; ties would make ids depend on partition sampling.
+    must be a total order (unique key) for the ASSIGNMENT to be
+    deterministic across reruns; within one call, the checkpoint pins the
+    ids either way.
     """
     from pyspark.sql import types as T
 
@@ -212,54 +220,45 @@ def contiguous_ids(
     n_part = num_partitions or max(
         df.sparkSession.sparkContext.defaultParallelism, 2
     )
-    ranged = df.repartitionByRange(n_part, *order_cols).sortWithinPartitions(
-        *order_cols
+    with_pid = (
+        df.repartitionByRange(n_part, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
     )
-    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
-    with_pid.persist()
-    try:
-        counts = sorted(
-            (r["_pid"], r["cnt"])
-            for r in with_pid.groupBy("_pid").agg(
-                F.count(F.lit(1)).alias("cnt")
-            ).collect()
-        )
-        offsets, acc = [], 0
-        for pid, cnt in counts:
-            offsets.append((pid, acc))
-            acc += cnt
-        off_df = spark.createDataFrame(
-            offsets, T.StructType([
-                T.StructField("_pid", T.IntegerType()),
-                T.StructField("_off", T.LongType()),
-            ]),
-        )
+    counts = sorted(
+        (r["_pid"], r["cnt"])
+        for r in with_pid.groupBy("_pid").agg(
+            F.count(F.lit(1)).alias("cnt")
+        ).collect()
+    )
+    offsets, acc = [], 0
+    for pid, cnt in counts:
+        offsets.append((pid, acc))
+        acc += cnt
+    off_df = spark.createDataFrame(
+        offsets, T.StructType([
+            T.StructField("_pid", T.IntegerType()),
+            T.StructField("_off", T.LongType()),
+        ]),
+    )
 
-        fields = with_pid.schema.fields
-        out_schema = T.StructType(
-            list(fields) + [T.StructField("_local", T.LongType())]
-        )
+    fields = with_pid.schema.fields
+    out_schema = T.StructType(
+        list(fields) + [T.StructField("_local", T.LongType())]
+    )
 
-        def add_local(batches):
-            pos = 0
-            for pdf in batches:
-                pdf = pdf.copy()
-                pdf["_local"] = range(pos, pos + len(pdf))
-                pos += len(pdf)
-                yield pdf
+    def add_local(batches):
+        pos = 0
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["_local"] = range(pos, pos + len(pdf))
+            pos += len(pdf)
+            yield pdf
 
-        local = with_pid.mapInPandas(add_local, schema=out_schema)
-        return (
-            local.join(F.broadcast(off_df), "_pid")
-            .withColumn(id_col, (F.col("_off") + F.col("_local")).cast("long"))
-            .drop("_pid", "_off", "_local")
-        )
-    finally:
-        # The caller's action may recompute the ranged stage after this
-        # unpersist.  That is SAFE exactly because order_cols is a unique
-        # total order: repartitionByRange resamples deterministically from
-        # the same input and the in-partition sort has no ties, so the
-        # recomputed layout is identical to the one the offsets were
-        # counted from.  (With ties, ids could silently shift — hence the
-        # uniqueness requirement above.)
-        with_pid.unpersist(blocking=False)
+    local = with_pid.mapInPandas(add_local, schema=out_schema)
+    return (
+        local.join(F.broadcast(off_df), "_pid")
+        .withColumn(id_col, (F.col("_off") + F.col("_local")).cast("long"))
+        .drop("_pid", "_off", "_local")
+    )

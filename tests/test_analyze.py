@@ -130,3 +130,30 @@ def test_partition_stats_flags_hot_partition(spark):
     assert s["max_rows"] == 1000
     assert s["n_partitions"] == 8 and s["n_nonempty"] == 1
     assert s["skew"] == 8.0
+
+
+def test_merge_agg_state_null_keys_merge(spark):
+    from lvm_datapipe_spark.operators.aggregates import agg_state, merge_agg_state
+
+    a = spark.createDataFrame([(None, 1.0), ("x", 5.0)], "k: string, v: double")
+    b = spark.createDataFrame([(None, 2.0)], "k: string, v: double")
+    merged = merge_agg_state(
+        agg_state(a, ["k"], "v"), agg_state(b, ["k"], "v"), ["k"]
+    ).collect()
+    rows = {r["k"]: (r["n_rows"], float(r["sum_value"])) for r in merged}
+    # NULL is a real group for groupBy, so the merge must combine it too
+    assert rows == {None: (2, 3.0), "x": (1, 5.0)}
+
+
+def test_hll_merge_custom_sketch_col_without_counts(spark):
+    from pyspark.sql import functions as F
+
+    from lvm_datapipe_spark.operators.aggregates import hll_merge, hll_partials
+
+    df = spark.createDataFrame([("a", f"u{i}") for i in range(30)], ["g", "u"])
+    partials = hll_partials(df, ["g"], "u").select(
+        "g", F.col("hll").alias("sketch")
+    )
+    out = hll_merge(partials, [], sketch_col="sketch").collect()[0]
+    assert out["approx_distinct"] == 30
+    assert "n_rows" not in out.asDict()

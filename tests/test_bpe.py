@@ -91,3 +91,21 @@ def test_word_symbol_table_weights(spark):
     rows = {r["word"]: (r["weight"], list(r["sym"]))
             for r in word_symbol_table(df).collect()}
     assert rows == {"ab": (2, ["a", "b", END]), "ba": (1, ["b", "a", END])}
+
+
+def test_apply_matches_training_on_nonascii_whitespace(spark):
+    # U+00A0 is whitespace for python str.split() but NOT for the learner's
+    # Java \s+ — both sides must treat it as part of the word
+    text = "café bar café bar café bar"
+    df = spark.createDataFrame([(text,)], ["text"])
+    merges, words = learn_bpe_merges(df, n_merges=6)
+    seg = {r["word"]: list(r["sym"]) for r in words.collect()}
+    assert list(seg) == ["café bar"]  # one word type
+    enc = apply_bpe(df, merges).collect()[0]["bpe_tokens"]
+    out, cur = [], []
+    for t in enc:
+        cur.append(t)
+        if t.endswith(END):
+            out.append(cur)
+            cur = []
+    assert out == [seg["café bar"]] * 3

@@ -219,3 +219,12 @@ def test_pagerank_single_job_no_cartesian(spark):
     out = pagerank(df, weight="w", n_iter=3)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_pagerank_empty_edges_returns_empty(spark):
+    from lvm_datapipe_spark.operators.graph import pagerank
+
+    empty = spark.createDataFrame([], "src string, dst string, w long")
+    out = pagerank(empty, weight="w")
+    assert out.columns == ["node", "rank_fp", "rank"]
+    assert out.count() == 0

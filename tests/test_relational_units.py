@@ -307,3 +307,34 @@ def test_contiguous_ids_no_single_partition_exchange(spark):
     )
     assert "Exchange SinglePartition" not in plan
     assert "Window" not in plan
+
+
+def test_binned_range_join_exact_beyond_double_precision(spark):
+    from lvm_datapipe_spark.operators.asof import binned_range_join
+
+    # epoch-nanosecond scale: 2^53 + k are NOT representable as doubles —
+    # float binning would misbin and silently drop true matches
+    base = 2**53
+    pts = spark.createDataFrame(
+        [(1, base + 1), (2, base + 3), (3, base + 10)], "pid: long, t: long"
+    )
+    ivs = spark.createDataFrame(
+        [(7, base, base + 4)], "iv: long, t0: long, t1: long"
+    )
+    got = sorted(
+        (r["pid"], r["iv"])
+        for r in binned_range_join(pts, ivs, "t", "t0", "t1", 3).collect()
+    )
+    assert got == [(1, 7), (2, 7)]
+
+
+def test_binned_range_join_negative_values_floor_bins(spark):
+    from lvm_datapipe_spark.operators.asof import binned_range_join
+
+    # integer floor division must round toward -inf (DIV truncates): the
+    # point -1 and interval [-2, 0] share bin -1 at width 2
+    pts = spark.createDataFrame([(1, -1)], "pid: long, t: long")
+    ivs = spark.createDataFrame([(9, -2, 0)], "iv: long, t0: long, t1: long")
+    assert [(r["pid"], r["iv"])
+            for r in binned_range_join(pts, ivs, "t", "t0", "t1", 2).collect()
+            ] == [(1, 9)]
