@@ -6198,3 +6198,53 @@ def negatives_ring_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.select(
         "doc_id", "lang", neg1.alias("neg_1"), neg2.alias("neg_2")
     )
+
+
+@_q(
+    "curriculum_schedule",
+    r"""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(n_chars AS DOUBLE)
+               / CAST(len(list_filter(string_split_regex(text, '\s+'),
+                          x -> x <> '')) AS DOUBLE) AS difficulty
+      FROM documents
+      WHERE len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) > 0)
+    SELECT doc_id, difficulty,
+           CASE WHEN difficulty < CAST(5.4 AS DOUBLE) THEN 0
+                WHEN difficulty < CAST(5.6 AS DOUBLE) THEN 1
+                ELSE 2 END AS stage,
+           md5('cur1' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+    FROM f
+    """,
+)
+def curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum assignment for staged training: difficulty (mean word
+    length — any scalar score plugs in), fixed-threshold pacing stages,
+    and a salted-md5 shuffle key giving a DETERMINISTIC within-stage
+    order.  Emitting the (stage, shuffle_key) SORT KEY instead of a
+    materialized rank is the scale decision: the query stays entirely
+    scan-shaped (zero shuffles, zero windows — a per-stage row_number
+    would funnel each stage through one task), and the training-data
+    writer realizes the order with one repartitionByRange on exactly
+    these columns (the contiguous_ids recipe).  Reshuffling an epoch =
+    change the salt."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(
+        F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    )
+    difficulty = F.col("n_chars").cast("double") / n_tokens.cast("double")
+    return (
+        docs.filter(n_tokens > 0)
+        .select(
+            "doc_id",
+            difficulty.alias("difficulty"),
+            F.when(difficulty < 5.4, 0)
+            .when(difficulty < 5.6, 1)
+            .otherwise(2)
+            .alias("stage"),
+            F.md5(
+                F.concat(F.lit("cur1"), F.col("doc_id").cast("string")).cast("binary")
+            ).alias("shuffle_key"),
+        )
+    )

@@ -1,0 +1,85 @@
+"""Compare two BENCH_r*.json files and flag per-query regressions.
+
+Automates the round-over-round bench discipline (VERDICT r4 item 6: "no
+query >1.5x its prior time"): prints a per-query table of old vs new with
+the ratio, and exits nonzero when any shared query regresses past the
+threshold — so a bench regression fails loudly in CI/driver runs instead
+of hiding in a total that other queries' improvements offset.
+
+Usage: python tools/bench_compare.py OLD.json NEW.json [threshold=1.5]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def load(path: str) -> dict:
+    """Accept either bench.py's raw one-line JSON or the driver's BENCH_r
+    wrapper ({"parsed": {...}, "tail": ...})."""
+    with open(path) as f:
+        text = f.read()
+    try:
+        d = json.loads(text)
+        if "queries" in d:
+            return d
+        if "queries" in d.get("parsed", {}):
+            return d["parsed"]
+    except json.JSONDecodeError:
+        pass
+    for line in text.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                d = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if "queries" in d:
+                return d
+    raise SystemExit(f"no bench JSON with 'queries' in {path}")
+
+
+def compare(old: dict, new: dict, threshold: float) -> tuple[list, list]:
+    rows, regressions = [], []
+    oq, nq = old["queries"], new["queries"]
+    for name in sorted(set(oq) | set(nq)):
+        a, b = oq.get(name), nq.get(name)
+        if a is None or b is None:
+            rows.append((name, a, b, None))
+            continue
+        ratio = b / a if a > 0 else float("inf")
+        rows.append((name, a, b, ratio))
+        if ratio > threshold:
+            regressions.append((name, a, b, ratio))
+    return rows, regressions
+
+
+def main(argv: list[str]) -> int:
+    if len(argv) < 2:
+        print(__doc__)
+        return 2
+    threshold = float(argv[2]) if len(argv) > 2 else 1.5
+    old, new = load(argv[0]), load(argv[1])
+    rows, regressions = compare(old, new, threshold)
+    print(f"{'query':35s} {'old':>8s} {'new':>8s} {'ratio':>7s}")
+    for name, a, b, r in rows:
+        fa = f"{a:.3f}" if a is not None else "-"
+        fb = f"{b:.3f}" if b is not None else "-"
+        fr = f"{r:.2f}x" if r is not None else "new/gone"
+        print(f"{name:35s} {fa:>8s} {fb:>8s} {fr:>7s}")
+    print(
+        f"total: {old.get('value'):.2f} -> {new.get('value'):.2f} "
+        f"({new.get('value') / old.get('value'):.2f}x), threshold {threshold}x"
+    )
+    if regressions:
+        print(f"REGRESSIONS ({len(regressions)}):")
+        for name, a, b, r in regressions:
+            print(f"  {name}: {a:.3f} -> {b:.3f} ({r:.2f}x)")
+        return 1
+    print("no per-query regression")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
