@@ -111,3 +111,130 @@ def read_webdataset(spark, path: str):
     return spark.createDataFrame(
         rdd, "shard string, key string, ext string, content binary"
     )
+
+
+# ---------------------------------------------------------------------------
+# First-class sink: df.write.format("webdataset") via the Spark 4 Python
+# DataSource WRITER API (the read-side sibling is sources/fvid_source.py).
+# ---------------------------------------------------------------------------
+
+try:  # pyspark >= 4 only
+    from dataclasses import dataclass
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    @dataclass
+    class _ShardCommit(WriterCommitMessage):
+        partition_id: int
+        n_rows: int
+        shards: list
+
+    class WebDatasetWriter(DataSourceWriter):
+        """Per-task writer: same shard layout as :func:`write_webdataset`
+        (``shard-{pid:05d}-{seq:05d}.tar``), but committed through the
+        DataSourceWriter protocol — a failed task's partial shards are
+        reported via abort() and never acknowledged, and commit() writes a
+        ``_SUCCESS``-style manifest of acknowledged shards so readers can
+        distinguish a complete export from a died-midway one (the
+        coordination foreachPartition cannot give)."""
+
+        def __init__(self, options, overwrite: bool):
+            self.path = options.get("path")
+            if not self.path:
+                raise ValueError("path option is required")
+            self.key_col = options.get("key_col", "key")
+            # "col:ext,col2:ext2"
+            spec = options.get("columns", "")
+            self.columns = dict(
+                part.split(":", 1) for part in spec.split(",") if part
+            )
+            if not self.columns:
+                raise ValueError(
+                    "columns option is required, e.g. 'txt:txt,payload:bin'"
+                )
+            self.shard_size = int(options.get("shard_size", "1000"))
+
+        def write(self, rows):
+            import io
+            import json as _json
+            import os
+            import tarfile
+
+            from pyspark import TaskContext
+
+            os.makedirs(self.path, exist_ok=True)
+            pid = TaskContext.get().partitionId()
+            seq = n_in_shard = n_rows = 0
+            tar = None
+            shards = []
+            try:
+                for row in rows:
+                    if tar is None:
+                        name = os.path.join(
+                            self.path, f"shard-{pid:05d}-{seq:05d}.tar"
+                        )
+                        shards.append(os.path.basename(name))
+                        tar = tarfile.open(name, "w")
+                    k = str(row[self.key_col])
+                    for col, ext in self.columns.items():
+                        v = row[col]
+                        if v is None:
+                            continue
+                        if ext == "json":
+                            data = _json.dumps(v, sort_keys=True).encode()
+                        elif isinstance(v, (bytes, bytearray)):
+                            data = bytes(v)
+                        else:
+                            data = str(v).encode()
+                        info = tarfile.TarInfo(name=f"{k}.{ext}")
+                        info.size = len(data)
+                        info.mtime = 0
+                        tar.addfile(info, io.BytesIO(data))
+                    n_rows += 1
+                    n_in_shard += 1
+                    if n_in_shard >= self.shard_size:
+                        tar.close()
+                        tar, n_in_shard, seq = None, 0, seq + 1
+            finally:
+                if tar is not None:
+                    tar.close()
+            return _ShardCommit(pid, n_rows, shards)
+
+        def commit(self, messages):
+            import json as _json
+            import os
+
+            manifest = {
+                "n_rows": sum(m.n_rows for m in messages),
+                "shards": sorted(s for m in messages for s in m.shards),
+            }
+            with open(os.path.join(self.path, "_manifest.json"), "w") as f:
+                _json.dump(manifest, f, sort_keys=True)
+
+        def abort(self, messages):
+            # acknowledged shards from completed tasks are left on disk but
+            # NOT manifested — readers keying on _manifest.json skip them
+            pass
+
+    class WebDatasetDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "webdataset"
+
+        def writer(self, schema, overwrite: bool) -> WebDatasetWriter:
+            return WebDatasetWriter(self.options, overwrite)
+
+except ImportError:  # pragma: no cover — pyspark<4 fallback
+    WebDatasetDataSource = None  # type: ignore[assignment]
+
+
+def register_webdataset(spark) -> None:
+    """Register the sink: ``df.write.format("webdataset").option(...)
+    .mode("append").save()``."""
+    if WebDatasetDataSource is None:  # pragma: no cover
+        raise RuntimeError("webdataset DataSource needs pyspark >= 4")
+    spark.dataSource.register(WebDatasetDataSource)

@@ -68,3 +68,45 @@ def test_archives_reproducible(spark, tmp_path):
         write_webdataset(df, out, "key", {"txt": "txt"}, shard_size=8)
     fa, fb = (open(os.path.join(d, "shard-00000-00000.tar"), "rb").read() for d in (a, b))
     assert fa == fb  # mtime pinned → byte-identical re-export
+
+
+def test_datasource_writer_roundtrip_and_manifest(spark, tmp_path):
+    import json as _json
+
+    from lvm_datapipe_spark.sources.webdataset import register_webdataset
+
+    register_webdataset(spark)
+    out = str(tmp_path / "wds_ds")
+    rows = [(f"k{i:03d}", f"body {i}") for i in range(17)]
+    df = spark.createDataFrame(rows, "key string, txt string").repartition(2)
+    (
+        df.write.format("webdataset")
+        .option("path", out)
+        .option("key_col", "key")
+        .option("columns", "txt:txt")
+        .option("shard_size", "5")
+        .mode("append")
+        .save()
+    )
+    manifest = _json.load(open(os.path.join(out, "_manifest.json")))
+    assert manifest["n_rows"] == 17
+    listed = sorted(f for f in os.listdir(out) if f.endswith(".tar"))
+    assert manifest["shards"] == listed
+    back = read_webdataset(spark, out).collect()
+    assert {(r["key"], bytes(r["content"]).decode()) for r in back} == set(rows)
+
+
+def test_datasource_writer_requires_options(spark, tmp_path):
+    import pytest
+
+    from lvm_datapipe_spark.sources.webdataset import register_webdataset
+
+    register_webdataset(spark)
+    df = spark.createDataFrame([("a", "b")], "key string, txt string")
+    with pytest.raises(Exception, match="columns"):
+        (
+            df.write.format("webdataset")
+            .option("path", str(tmp_path / "x"))
+            .mode("append")
+            .save()
+        )
