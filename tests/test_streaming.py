@@ -621,3 +621,53 @@ def test_stream_windowed_distinct_users_match_batch(spark, landing_dir):
     ex = {ws: n for ws, n in exact}
     for ws, est in got:
         assert abs(est - ex[ws]) <= max(2, 0.05 * ex[ws])
+
+
+def test_stream_temporal_enrich_matches_batch(spark, landing_dir):
+    """SCD2 read-side on a STREAM: temporal_join is a stateless
+    stream-static join (key equality + validity residual; the static
+    version table is re-planned per micro-batch), so it runs unchanged on
+    a streaming frame and must converge to the batch twin."""
+    from lvm_datapipe_spark.operators.scd import temporal_join
+
+    versions = spark.createDataFrame(
+        [
+            (uid, f"tier-early-{uid}", "2024-01-01T00:00:00", "2024-01-15T00:00:00")
+            for uid in range(0, 40, 2)
+        ]
+        + [
+            (uid, f"tier-late-{uid}", "2024-01-15T00:00:00", None)
+            for uid in range(0, 40)
+        ],
+        "user_id long, tier string, valid_from string, valid_to string",
+    ).select(
+        "user_id",
+        "tier",
+        F.to_timestamp("valid_from").alias("valid_from"),
+        F.to_timestamp("valid_to").alias("valid_to"),
+    )
+
+    stream = ev.read_event_stream(spark, landing_dir).select("event_id", "ts", "user_id")
+    out = temporal_join(stream, versions, key="user_id", fact_ts="ts", how="left")
+    assert out.isStreaming
+    q = ev.start_to_memory(out, "temporal_enrich", output_mode="append")
+    _await(q)
+    got = {
+        (r.event_id, r.tier)
+        for r in spark.sql("SELECT * FROM temporal_enrich").collect()
+    }
+    batch = temporal_join(
+        load_table(spark, "/root/testdata/sf0.001", "events").select(
+            "event_id", "ts", "user_id"
+        ),
+        versions,
+        key="user_id",
+        fact_ts="ts",
+        how="left",
+    )
+    want = {(r.event_id, r.tier) for r in batch.collect()}
+    assert got == want
+    # the version split is actually exercised: both tiers appear
+    tiers = {t for _, t in got if t}
+    assert any(t.startswith("tier-early") for t in tiers)
+    assert any(t.startswith("tier-late") for t in tiers)
