@@ -6248,3 +6248,68 @@ def curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("shuffle_key"),
         )
     )
+
+
+@_q(
+    "dedup_substring_spans",
+    """
+    WITH w AS (
+      SELECT doc_id, md5(substr(text, p * 32 + 1, 64)) AS h
+      FROM documents
+      CROSS JOIN (SELECT unnest(range(0, 1000)) AS p)
+      WHERE p * 32 + 64 <= len(text)),
+    ok AS (
+      SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM w GROUP BY h)
+      WHERE nd BETWEEN 2 AND 8),
+    wk AS (SELECT DISTINCT doc_id, h FROM w WHERE h IN (SELECT h FROM ok))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS n_shared_windows
+    FROM wk a JOIN wk b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT substring-level near-dup detection (the Lee et al. 2022
+    "Deduplicating Training Data" public recipe, stride-windowed):
+    64-char windows at stride 32 are hashed once per doc (scan-shaped
+    posexplode — no tokenizer), windows seen in >8 distinct docs are
+    dropped as STOP WINDOWS (boilerplate — the same bounded-posting-list
+    cap as the n-gram Jaccard plan, mirrored in the oracle; without it
+    one hot template line makes a quadratic posting list at corpus
+    scale), and the surviving window table self-joins on the hash — one
+    keyed shuffle, pair cardinality bounded by cap²·n_windows.  Stride
+    alignment means a shared literal run ≥ 95 chars always shares at
+    least one aligned window; shorter overlaps may be missed (recall
+    knob: stride), but every reported pair truly shares a 64-char
+    span — exact precision, which is the half that matters for
+    deletion decisions."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_win = F.floor((F.length("text") - F.lit(64)) / F.lit(32)) + 1
+    w = (
+        docs.filter(F.length("text") >= 64)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), n_win - 1)).alias("p"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            F.md5(
+                F.substring(F.col("text"), F.col("p") * 32 + 1, 64).cast("binary")
+            ).alias("h"),
+        )
+    )
+    ok = (
+        w.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter((F.col("nd") >= 2) & (F.col("nd") <= 8))
+        .select("h")
+    )
+    wk = w.join(ok, "h", "left_semi").distinct()
+    a = wk.select(F.col("doc_id").alias("id_a"), "h")
+    b = wk.select(F.col("doc_id").alias("id_b"), F.col("h").alias("h2"))
+    return (
+        a.join(b, (F.col("h") == F.col("h2")) & (F.col("id_a") < F.col("id_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_windows"))
+    )
