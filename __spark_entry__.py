@@ -35,8 +35,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #      row is OLDEST, so every query periodically re-enters the window and
 #      a silent regression cannot hide outside it indefinitely.
 # Everything rotated out stays verified locally every round via
-# ``tools/check_correctness.py`` (156/156 oracle-paired queries green at
-# the r5 cut; 158 declared).
+# ``tools/check_correctness.py`` (157/157 oracle-paired queries green at
+# the r5 cut; 159 declared).
 _CHECK_FIRST = [
     # -- 1. changed in r5 (re-pointed to the LSH scale path / un-hinted
     #       customer join) + added in r5
@@ -108,7 +108,7 @@ _CHECK_FIRST = [
     #       negatives_ring_by_lang, curriculum_schedule, dedup_substring_spans — all
     #       locally green) and lead r6's never-officially-checked group.  Every rotated-out veteran held a green
     #       official row in r1-r4 AND is green in the r5 local full run
-    #       (tools/check_correctness.py, 156/156); the oldest (a5, a6,
+    #       (tools/check_correctness.py, 157/157); the oldest (a5, a6,
     #       a7, a8, w1, w2, set ops, the dedup family, ...) lead the r6
     #       veteran re-check queue.  Also permanently out-of-window:
     #       approx_distinct_users + ann_ivf_topk (rows-only by design;

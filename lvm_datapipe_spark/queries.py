@@ -6282,9 +6282,14 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     least one aligned window; shorter overlaps may be missed (recall
     knob: stride), but every reported pair truly shares a 64-char
     span — exact precision, which is the half that matters for
-    deletion decisions."""
+    deletion decisions.  Windows are SPEC-CAPPED at 1000 per doc
+    (chars past 32 095 are not scanned — a per-doc work bound against
+    pathological megabyte docs; raise both the Spark least() and the
+    oracle range() to extend it)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    n_win = F.floor((F.length("text") - F.lit(64)) / F.lit(32)) + 1
+    n_win = F.least(
+        F.floor((F.length("text") - F.lit(64)) / F.lit(32)) + 1, F.lit(1000)
+    )
     w = (
         docs.filter(F.length("text") >= 64)
         .select(

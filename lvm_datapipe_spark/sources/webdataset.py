@@ -2,26 +2,38 @@
 training loaders stream (public format: tar archives of per-sample files,
 grouped by a common key prefix; see the webdataset project's spec).
 
-Spark has no tar sink, so the writer is ``foreachPartition`` imperative IO
-— the legitimate "sink edge" use of per-partition code (the same class as
-the ffmpeg clip writer in operators/scenecut.py).  Scale shape:
+Spark has no tar sink, so the writer is per-partition imperative IO — the
+legitimate "sink edge" use of per-partition code (the same class as the
+ffmpeg clip writer in operators/scenecut.py).  Two entry points share one
+shard-writing core:
+
+- :func:`write_webdataset` — functional ``foreachPartition`` sink;
+- ``df.write.format("webdataset")`` — the Spark 4 Python DataSourceWriter,
+  which adds task commits, ``mode("overwrite")`` semantics, and a
+  driver-side ``_manifest.json`` listing exactly the ACKNOWLEDGED shards
+  (a died-midway export is distinguishable from a complete one;
+  :func:`read_webdataset` honors the manifest when present).
+
+Scale shape:
 
 - one tar SHARD per ``shard_size`` samples within each partition, named
   ``shard-{partition:05d}-{seq:05d}.tar`` — writers never contend on a
-  file, no global coordination, and a re-run with the same partitioning
-  overwrites the same shard names (idempotent);
+  final file (shards are written to an attempt-suffixed temp name and
+  ``os.replace``d into place, so a speculative or retried task attempt
+  cannot tear a shard: the last completed attempt wins atomically);
 - samples are written in the partition's row order — pre-sort/
   pre-repartition upstream to control shard composition (e.g.
   ``contiguous_ids`` then ``repartitionByRange`` for size-balanced,
   deterministic shards);
 - each sample becomes ``{key}.{ext}`` members; binary columns pass
-  through raw, everything else is utf-8 text or JSON.
+  through raw; extension ``json`` passes str through VERBATIM (it is
+  already JSON — re-encoding would double-quote it) and serializes
+  dict/list/Row values; everything else is utf-8 text.
 
 The loader side (``read_webdataset``) exists for round-trip tests and
-small-scale inspection: it lists shards on the driver and parallelizes
-member extraction — tar is a stream format, so random access within a
-shard is linear; production loaders stream shards whole, which is the
-point of the format.
+small-scale inspection: it reads the manifested shard list (or lists the
+directory when no manifest exists) and parallelizes member extraction —
+production loaders stream shards whole, which is the point of the format.
 """
 
 from __future__ import annotations
@@ -31,6 +43,76 @@ import json
 import os
 import tarfile
 
+MANIFEST = "_manifest.json"
+
+
+def _member_bytes(v, ext: str) -> bytes:
+    if ext == "json":
+        if isinstance(v, str):
+            return v.encode()  # already JSON — never double-encode
+        if hasattr(v, "asDict"):  # pyspark Row
+            v = v.asDict(recursive=True)
+        return json.dumps(v, sort_keys=True).encode()
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v)
+    return str(v).encode()
+
+
+def _write_rows_to_shards(
+    rows,
+    path: str,
+    key_col: str,
+    columns: dict,
+    shard_size: int,
+    pid: int,
+    attempt: int,
+) -> tuple[int, list]:
+    """Shared shard-writing core: returns (n_rows, final shard names).
+    Each shard goes to ``<final>.tmp-<attempt>`` and is atomically
+    ``os.replace``d on close."""
+    os.makedirs(path, exist_ok=True)
+    seq = n_in_shard = n_rows = 0
+    tar, tmp, final = None, None, None
+    shards: list = []
+
+    def close_current():
+        nonlocal tar
+        if tar is not None:
+            tar.close()
+            os.replace(tmp, final)
+            shards.append(os.path.basename(final))
+            tar = None
+
+    try:
+        for row in rows:
+            if tar is None:
+                final = os.path.join(path, f"shard-{pid:05d}-{seq:05d}.tar")
+                tmp = f"{final}.tmp-{attempt}"
+                tar = tarfile.open(tmp, "w")
+            k = str(row[key_col])
+            for col, ext in columns.items():
+                v = row[col]
+                if v is None:
+                    continue
+                data = _member_bytes(v, ext)
+                info = tarfile.TarInfo(name=f"{k}.{ext}")
+                info.size = len(data)
+                info.mtime = 0  # reproducible archives
+                tar.addfile(info, io.BytesIO(data))
+            n_rows += 1
+            n_in_shard += 1
+            if n_in_shard >= shard_size:
+                close_current()
+                n_in_shard, seq = 0, seq + 1
+        close_current()
+    except BaseException:
+        if tar is not None:
+            tar.close()
+        if tmp is not None and os.path.exists(tmp):
+            os.remove(tmp)  # never leave a torn temp behind
+        raise
+    return n_rows, shards
+
 
 def write_webdataset(
     df,
@@ -39,69 +121,50 @@ def write_webdataset(
     columns: dict[str, str],
     shard_size: int = 1000,
 ) -> None:
-    """Write ``df`` as tar shards under ``path``.
+    """Write ``df`` as tar shards under ``path`` (functional sink — no
+    commit protocol; prefer ``df.write.format("webdataset")`` when a
+    completeness manifest matters).
 
-    ``columns`` maps column name → member extension; extension ``json``
-    serializes the value as JSON, anything else writes text/bytes raw
-    (binary columns must already be ``bytes``)."""
+    ``columns`` maps column name → member extension (see module
+    docstring for the per-extension encoding rules)."""
     os.makedirs(path, exist_ok=True)
     cols = dict(columns)
-    key = key_col
 
     def write_partition(rows):
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
-        seq = 0
-        tar = None
-        n_in_shard = 0
-        try:
-            for row in rows:
-                if tar is None:
-                    name = os.path.join(
-                        path, f"shard-{pid:05d}-{seq:05d}.tar"
-                    )
-                    tar = tarfile.open(name, "w")
-                k = str(row[key])
-                for col, ext in cols.items():
-                    v = row[col]
-                    if v is None:
-                        continue
-                    if ext == "json":
-                        data = json.dumps(v, sort_keys=True).encode()
-                    elif isinstance(v, (bytes, bytearray)):
-                        data = bytes(v)
-                    else:
-                        data = str(v).encode()
-                    info = tarfile.TarInfo(name=f"{k}.{ext}")
-                    info.size = len(data)
-                    info.mtime = 0  # reproducible archives
-                    tar.addfile(info, io.BytesIO(data))
-                n_in_shard += 1
-                if n_in_shard >= shard_size:
-                    tar.close()
-                    tar, n_in_shard, seq = None, 0, seq + 1
-        finally:
-            if tar is not None:
-                tar.close()
+        ctx = TaskContext.get()
+        _write_rows_to_shards(
+            rows, path, key_col, cols, shard_size,
+            ctx.partitionId(), ctx.attemptNumber(),
+        )
 
     df.foreachPartition(write_partition)
 
 
 def read_webdataset(spark, path: str):
     """Round-trip reader: (shard, key, ext, content bytes) rows — one task
-    per shard."""
-    shards = sorted(
-        os.path.join(path, f)
-        for f in os.listdir(path)
-        if f.endswith(".tar")
-    )
+    per shard.  When ``_manifest.json`` exists (DataSource writes), ONLY
+    the acknowledged shards in it are read — partial shards from a failed
+    or superseded run are skipped; without a manifest (functional-API
+    writes) the directory listing is the source of truth."""
+    mpath = os.path.join(path, MANIFEST)
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            names = json.load(f)["shards"]
+        shards = sorted(os.path.join(path, n) for n in names)
+    else:
+        shards = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".tar")
+        )
 
     def read_shard(it):
         for shard in it:
             with tarfile.open(shard, "r") as tar:
                 for m in tar.getmembers():
-                    stem, dot, ext = m.name.rpartition(".")
+                    stem, _dot, ext = m.name.rpartition(".")
                     data = tar.extractfile(m).read()
                     yield (os.path.basename(shard), stem, ext, bytearray(data))
 
@@ -134,21 +197,18 @@ try:  # pyspark >= 4 only
         shards: list
 
     class WebDatasetWriter(DataSourceWriter):
-        """Per-task writer: same shard layout as :func:`write_webdataset`
-        (``shard-{pid:05d}-{seq:05d}.tar``), but committed through the
-        DataSourceWriter protocol — a failed task's partial shards are
-        reported via abort() and never acknowledged, and commit() writes a
-        ``_SUCCESS``-style manifest of acknowledged shards so readers can
-        distinguish a complete export from a died-midway one (the
-        coordination foreachPartition cannot give)."""
+        """Per-task writer over the shared shard core, committed through
+        the DataSourceWriter protocol: a failed task's shards are never
+        acknowledged, ``commit()`` writes the ``_manifest.json`` of
+        acknowledged shards, and ``mode("overwrite")`` clears prior
+        shards + manifest DRIVER-SIDE before any task launches."""
 
         def __init__(self, options, overwrite: bool):
             self.path = options.get("path")
             if not self.path:
                 raise ValueError("path option is required")
             self.key_col = options.get("key_col", "key")
-            # "col:ext,col2:ext2"
-            spec = options.get("columns", "")
+            spec = options.get("columns", "")  # "col:ext,col2:ext2"
             self.columns = dict(
                 part.split(":", 1) for part in spec.split(",") if part
             )
@@ -157,67 +217,36 @@ try:  # pyspark >= 4 only
                     "columns option is required, e.g. 'txt:txt,payload:bin'"
                 )
             self.shard_size = int(options.get("shard_size", "1000"))
+            if overwrite and os.path.isdir(self.path):
+                # runs on the DRIVER when the writer is built, before any
+                # task: stale shards must not survive into the new export
+                # (they would outlive the rewritten manifest and leak into
+                # directory-listing readers)
+                for f in os.listdir(self.path):
+                    if f.endswith(".tar") or f == MANIFEST:
+                        os.remove(os.path.join(self.path, f))
 
         def write(self, rows):
-            import io
-            import json as _json
-            import os
-            import tarfile
-
             from pyspark import TaskContext
 
-            os.makedirs(self.path, exist_ok=True)
-            pid = TaskContext.get().partitionId()
-            seq = n_in_shard = n_rows = 0
-            tar = None
-            shards = []
-            try:
-                for row in rows:
-                    if tar is None:
-                        name = os.path.join(
-                            self.path, f"shard-{pid:05d}-{seq:05d}.tar"
-                        )
-                        shards.append(os.path.basename(name))
-                        tar = tarfile.open(name, "w")
-                    k = str(row[self.key_col])
-                    for col, ext in self.columns.items():
-                        v = row[col]
-                        if v is None:
-                            continue
-                        if ext == "json":
-                            data = _json.dumps(v, sort_keys=True).encode()
-                        elif isinstance(v, (bytes, bytearray)):
-                            data = bytes(v)
-                        else:
-                            data = str(v).encode()
-                        info = tarfile.TarInfo(name=f"{k}.{ext}")
-                        info.size = len(data)
-                        info.mtime = 0
-                        tar.addfile(info, io.BytesIO(data))
-                    n_rows += 1
-                    n_in_shard += 1
-                    if n_in_shard >= self.shard_size:
-                        tar.close()
-                        tar, n_in_shard, seq = None, 0, seq + 1
-            finally:
-                if tar is not None:
-                    tar.close()
-            return _ShardCommit(pid, n_rows, shards)
+            ctx = TaskContext.get()
+            n_rows, shards = _write_rows_to_shards(
+                rows, self.path, self.key_col, self.columns,
+                self.shard_size, ctx.partitionId(), ctx.attemptNumber(),
+            )
+            return _ShardCommit(ctx.partitionId(), n_rows, shards)
 
         def commit(self, messages):
-            import json as _json
-            import os
-
             manifest = {
                 "n_rows": sum(m.n_rows for m in messages),
                 "shards": sorted(s for m in messages for s in m.shards),
             }
-            with open(os.path.join(self.path, "_manifest.json"), "w") as f:
-                _json.dump(manifest, f, sort_keys=True)
+            with open(os.path.join(self.path, MANIFEST), "w") as f:
+                json.dump(manifest, f, sort_keys=True)
 
         def abort(self, messages):
             # acknowledged shards from completed tasks are left on disk but
-            # NOT manifested — readers keying on _manifest.json skip them
+            # NOT manifested — the manifest-honoring reader skips them
             pass
 
     class WebDatasetDataSource(DataSource):

@@ -56,7 +56,9 @@ def test_json_members_and_null_skip(spark, tmp_path):
     back = read_webdataset(spark, out).collect()
     members = {(r["key"], r["ext"]): bytes(r["content"]) for r in back}
     assert set(members) == {("a", "json"), ("b", "txt")}  # nulls skipped
-    assert json.loads(members[("a", "json")]) == '{"lang":"en"}'
+    # a string value under ext 'json' is ALREADY JSON — verbatim, never
+    # double-encoded (loaders must get a dict from json.load, not a str)
+    assert json.loads(members[("a", "json")]) == {"lang": "en"}
 
 
 def test_archives_reproducible(spark, tmp_path):
@@ -110,3 +112,70 @@ def test_datasource_writer_requires_options(spark, tmp_path):
             .mode("append")
             .save()
         )
+
+
+def _ds_write(df, out, shard_size="5", mode="append"):
+    (
+        df.write.format("webdataset")
+        .option("path", out)
+        .option("key_col", "key")
+        .option("columns", "txt:txt")
+        .option("shard_size", shard_size)
+        .mode(mode)
+        .save()
+    )
+
+
+def test_datasource_overwrite_clears_stale_shards(spark, tmp_path):
+    import json as _json
+
+    from lvm_datapipe_spark.sources.webdataset import register_webdataset
+
+    register_webdataset(spark)
+    out = str(tmp_path / "wds_ow")
+    big = spark.createDataFrame(
+        [(f"k{i:03d}", "old") for i in range(17)], "key string, txt string"
+    ).repartition(2)
+    _ds_write(big, out)
+    assert len([f for f in os.listdir(out) if f.endswith(".tar")]) >= 4
+
+    small = spark.createDataFrame(
+        [("n1", "new"), ("n2", "new")], "key string, txt string"
+    ).coalesce(1)
+    _ds_write(small, out, mode="overwrite")
+    manifest = _json.load(open(os.path.join(out, "_manifest.json")))
+    assert manifest["n_rows"] == 2
+    # stale shards are gone from disk AND the read sees only the new rows
+    listed = sorted(f for f in os.listdir(out) if f.endswith(".tar"))
+    assert listed == manifest["shards"]
+    back = read_webdataset(spark, out).collect()
+    assert {r["key"] for r in back} == {"n1", "n2"}
+
+
+def test_reader_honors_manifest_over_listing(spark, tmp_path):
+    import json as _json
+    import tarfile as _tarfile
+
+    from lvm_datapipe_spark.sources.webdataset import register_webdataset
+
+    register_webdataset(spark)
+    out = str(tmp_path / "wds_man")
+    df = spark.createDataFrame(
+        [("a", "x"), ("b", "y")], "key string, txt string"
+    ).coalesce(1)
+    _ds_write(df, out)
+    # plant an UNACKNOWLEDGED shard (a failed/superseded attempt's leftover)
+    rogue = os.path.join(out, "shard-99999-00000.tar")
+    with _tarfile.open(rogue, "w") as t:
+        import io as _io
+
+        data = b"zzz"
+        info = _tarfile.TarInfo("rogue.txt")
+        info.size = len(data)
+        t.addfile(info, _io.BytesIO(data))
+    keys = {r["key"] for r in read_webdataset(spark, out).collect()}
+    assert keys == {"a", "b"}  # manifest wins; rogue shard skipped
+    # without a manifest the listing is the source of truth
+    os.remove(os.path.join(out, "_manifest.json"))
+    keys2 = {r["key"] for r in read_webdataset(spark, out).collect()}
+    assert "rogue" in keys2

@@ -45,8 +45,14 @@ def compare(old: dict, new: dict, threshold: float) -> tuple[list, list]:
     oq, nq = old["queries"], new["queries"]
     for name in sorted(set(oq) | set(nq)):
         a, b = oq.get(name), nq.get(name)
-        if a is None or b is None:
-            rows.append((name, a, b, None))
+        if a is not None and b is None:
+            # a query that STOPPED running is the worst regression there
+            # is (ratio → ∞) — it must fail the gate, not dodge it
+            rows.append((name, a, b, float("inf")))
+            regressions.append((name, a, b, float("inf")))
+            continue
+        if a is None:
+            rows.append((name, a, b, None))  # new query: informational
             continue
         ratio = b / a if a > 0 else float("inf")
         rows.append((name, a, b, ratio))
@@ -66,16 +72,24 @@ def main(argv: list[str]) -> int:
     for name, a, b, r in rows:
         fa = f"{a:.3f}" if a is not None else "-"
         fb = f"{b:.3f}" if b is not None else "-"
-        fr = f"{r:.2f}x" if r is not None else "new/gone"
+        fr = "GONE" if r == float("inf") and b is None else (
+            f"{r:.2f}x" if r is not None else "new"
+        )
         print(f"{name:35s} {fa:>8s} {fb:>8s} {fr:>7s}")
-    print(
-        f"total: {old.get('value'):.2f} -> {new.get('value'):.2f} "
-        f"({new.get('value') / old.get('value'):.2f}x), threshold {threshold}x"
-    )
+    ov, nv = old.get("value"), new.get("value")
+    if ov and nv:
+        print(
+            f"total: {ov:.2f} -> {nv:.2f} ({nv / ov:.2f}x), "
+            f"threshold {threshold}x"
+        )
+    else:
+        print(f"total: {ov} -> {nv}, threshold {threshold}x")
     if regressions:
         print(f"REGRESSIONS ({len(regressions)}):")
         for name, a, b, r in regressions:
-            print(f"  {name}: {a:.3f} -> {b:.3f} ({r:.2f}x)")
+            fb = f"{b:.3f}" if b is not None else "GONE"
+            fr = f"{r:.2f}x" if r != float("inf") else "infx"
+            print(f"  {name}: {a:.3f} -> {fb} ({fr})")
         return 1
     print("no per-query regression")
     return 0
