@@ -92,3 +92,33 @@ def run_pipeline(
             assert spark is not None, "spark session required with checkpoint_dir"
             df = read_snapshot(spark, path)
     return df
+
+
+def observed_stage(
+    df: DataFrame, name: str, *metrics
+):
+    """Attach OBSERVED metrics to a pipeline stage — row counts (and any
+    other aggregates) collected as a side effect of the action the caller
+    was going to run anyway.
+
+    ``assert_counts_consistent`` / A8-style checks cost one extra job per
+    counted stage (each ``count()`` re-runs lineage).  Spark's
+    ``Observation`` API instead accumulates the metrics DURING the write/
+    collect — at 100 TB that is the difference between auditing N stages
+    for free and re-scanning the pipeline N times.
+
+    Returns (df_with_observation, observation); read
+    ``observation.get`` AFTER the first action on the returned frame::
+
+        staged, obs = observed_stage(df, "post_filter")
+        write_snapshot(staged, path)
+        n = obs.get["n_rows"]      # no extra job ran
+
+    Extra ``metrics`` columns (aggregate expressions) ride along with the
+    default ``n_rows`` count."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation(name)
+    cols = (F.count(F.lit(1)).alias("n_rows"), *metrics)
+    return df.observe(obs, *cols), obs
