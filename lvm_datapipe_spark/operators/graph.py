@@ -140,6 +140,7 @@ def dedup_keep_representatives(
         .drop("cluster_id")
     )
 
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
@@ -255,3 +256,28 @@ def pagerank(
         F.col("_r").alias("rank_fp"),
         (F.col("_r").cast("double") / F.lit(float(scale))).alias("rank"),
     )
+
+
+def add_self_loops(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+) -> DataFrame:
+    """Give every SINK node (appears as dst, never as src) a unit
+    self-loop — the standard pre-step for :func:`pagerank` on graphs with
+    dangling nodes (the operator deliberately does not redistribute
+    dangling mass; a self-loop keeps it in place instead of leaking).
+    One anti-join on the source key; non-sink nodes are untouched."""
+    sinks = (
+        edges.select(F.col(dst).alias(src))
+        .distinct()
+        .join(edges.select(src).distinct(), src, "left_anti")
+    )
+    loop = sinks.select(
+        F.col(src),
+        F.col(src).alias(dst),
+        *([F.lit(1).cast("long").alias(weight)] if weight else []),
+    )
+    cols = [src, dst] + ([weight] if weight else [])
+    return edges.select(*cols).unionByName(loop)

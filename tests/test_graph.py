@@ -228,3 +228,25 @@ def test_pagerank_empty_edges_returns_empty(spark):
     out = pagerank(empty, weight="w")
     assert out.columns == ["node", "rank_fp", "rank"]
     assert out.count() == 0
+
+
+def test_add_self_loops_only_on_sinks(spark):
+    from lvm_datapipe_spark.operators.graph import add_self_loops, pagerank
+
+    edges = [("a", "b", 2), ("b", "c", 1)]  # c is a sink
+    df = spark.createDataFrame(edges, ["src", "dst", "w"])
+    fixed = add_self_loops(df, weight="w")
+    got = {(r["src"], r["dst"], r["w"]) for r in fixed.collect()}
+    assert got == {("a", "b", 2), ("b", "c", 1), ("c", "c", 1)}
+    # with the loop, total rank mass is conserved (no dangling leak)
+    total = sum(r["rank"] for r in pagerank(fixed, weight="w", n_iter=6).collect())
+    assert 0.999 < total <= 1.0
+
+
+def test_contiguous_ids_empty_input(spark):
+    from lvm_datapipe_spark.operators.relational import contiguous_ids
+
+    empty = spark.createDataFrame([], "k long")
+    out = contiguous_ids(empty, ["k"])
+    assert out.columns == ["k", "row_id"]
+    assert out.count() == 0
