@@ -121,9 +121,14 @@ def _cmd_curate(spark, args) -> None:
 
 
 def _cmd_zorder(spark, args) -> None:
-    """Rewrite a parquet table clustered along the (a, b) Morton curve so
-    min-max pruning works on both filter dimensions (plans/zorder.py)."""
-    from lvm_datapipe_spark.plans.zorder import write_zordered, zorder_bucket
+    """Rewrite a parquet table clustered along the (a, b) space-filling
+    curve (Morton default, Hilbert via --curve) so min-max pruning works
+    on both filter dimensions (plans/zorder.py)."""
+    from lvm_datapipe_spark.plans.zorder import (
+        write_hilbert,
+        write_zordered,
+        zorder_bucket,
+    )
 
     df = spark.read.parquet(args.table)
     n = df.count()
@@ -132,7 +137,8 @@ def _cmd_zorder(spark, args) -> None:
         f"min({a_sql}) AS alo", f"max({a_sql}) AS ahi",
         f"min({b_sql}) AS blo", f"max({b_sql}) AS bhi",
     ).first()
-    write_zordered(
+    writer = write_hilbert if args.curve == "hilbert" else write_zordered
+    writer(
         df,
         args.out,
         zorder_bucket(a_sql, float(stats.alo), float(stats.ahi), args.bits),
@@ -140,7 +146,8 @@ def _cmd_zorder(spark, args) -> None:
         bits=args.bits,
         n_files=args.files,
     )
-    print(json.dumps({"stage": "zorder", "rows": n, "by": args.by, "out": args.out}))
+    print(json.dumps({"stage": "zorder", "curve": args.curve, "rows": n,
+                      "by": args.by, "out": args.out}))
 
 
 def _cmd_retention(spark, args) -> None:
@@ -296,6 +303,7 @@ def build_parser() -> argparse.ArgumentParser:
     z.add_argument("--by", nargs=2, required=True, metavar=("COL_A", "COL_B"))
     z.add_argument("--bits", type=int, default=8)
     z.add_argument("--files", type=int, default=8)
+    z.add_argument("--curve", choices=["morton", "hilbert"], default="morton")
     r = sub.add_parser("retention", help="drop partitions below a cutoff value")
     r.add_argument("--table", required=True, help="partitioned table root")
     r.add_argument("--partition-col", required=True)

@@ -20,10 +20,18 @@ expression at 2·bits terms.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["morton_key", "zorder_bucket", "write_zordered"]
+__all__ = [
+    "morton_key",
+    "zorder_bucket",
+    "write_zordered",
+    "hilbert_key_udf",
+    "write_hilbert",
+]
 
 
 def zorder_bucket(col_sql: str, lo: float, hi: float, bits: int = 8) -> str:
@@ -68,6 +76,70 @@ def write_zordered(
         keyed.repartitionByRange(n_files, "_zkey")
         .sortWithinPartitions("_zkey")
         .drop("_zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def hilbert_key_udf(bits: int = 8):
+    """Arrow-batched Hilbert index (xy2d): bucketized (a, b) → position on
+    the order-``bits`` Hilbert curve.
+
+    Hilbert beats Morton on locality — EVERY pair of consecutive curve
+    positions is an adjacent cell (Manhattan distance 1), where Morton
+    jumps across the space at power-of-two boundaries — so file rectangles
+    are tighter for the same file count.  The cost: the xy2d rotation
+    state cannot unroll into a flat SQL expression (each level rewrites
+    both coordinates — exponential term growth), so the key is a
+    vectorized-numpy pandas UDF.  That is a WRITE-TIME-only cost in a
+    layout rewrite job; readers never compute the key (parquet min-max
+    pruning works off the raw columns), so the query hot path stays
+    whole-stage-codegen exactly like the Morton path.
+    """
+
+    @F.pandas_udf("long")
+    def hilbert(a: pd.Series, b: pd.Series) -> pd.Series:
+        x = a.to_numpy(dtype=np.int64).copy()
+        y = b.to_numpy(dtype=np.int64).copy()
+        d = np.zeros_like(x)
+        s = np.int64(1 << (bits - 1))
+        while s > 0:
+            rx = ((x & s) > 0).astype(np.int64)
+            ry = ((y & s) > 0).astype(np.int64)
+            d += s * s * ((3 * rx) ^ ry)
+            # rotate quadrant: classic xy2d step, vectorized
+            flip = (ry == 0) & (rx == 1)
+            x_f = np.where(flip, s - 1 - x, x)
+            y_f = np.where(flip, s - 1 - y, y)
+            swap = ry == 0
+            x, y = (
+                np.where(swap, y_f, x_f),
+                np.where(swap, x_f, y_f),
+            )
+            s >>= 1
+        return pd.Series(d)
+
+    return hilbert
+
+
+def write_hilbert(
+    df: DataFrame,
+    path: str,
+    a_sql: str,
+    b_sql: str,
+    bits: int = 8,
+    n_files: int = 8,
+) -> None:
+    """:func:`write_zordered` on the Hilbert curve: same range-partition +
+    in-partition sort recipe, tighter per-file rectangles."""
+    key = hilbert_key_udf(bits)
+    keyed = df.withColumn(
+        "_hkey", key(F.expr(a_sql).cast("long"), F.expr(b_sql).cast("long"))
+    )
+    (
+        keyed.repartitionByRange(n_files, "_hkey")
+        .sortWithinPartitions("_hkey")
+        .drop("_hkey")
         .write.mode("overwrite")
         .parquet(path)
     )

@@ -202,3 +202,23 @@ def test_cli_bpe_fit(spark, tmp_path, capsys):
     saved = json.load(open(out))["merges"]
     want, _ = learn_bpe_merges(df, n_merges=8)
     assert [tuple(m) for m in saved] == want
+
+
+def test_cli_zorder_hilbert_curve(spark, tmp_path, capsys):
+    src = str(tmp_path / "src.parquet")
+    (
+        spark.range(512)
+        .withColumn("a", (F.col("id") * 7919) % 64)
+        .withColumn("b", (F.col("id") * 104729) % 64)
+        .write.parquet(src)
+    )
+    out = str(tmp_path / "hil")
+    rc = main(
+        ["zorder", "--table", src, "--out", out, "--by", "a", "b",
+         "--bits", "6", "--files", "4", "--curve", "hilbert"],
+        spark=spark,
+    )
+    assert rc == 0
+    status = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert status["curve"] == "hilbert" and status["rows"] == 512
+    assert spark.read.parquet(out).count() == 512

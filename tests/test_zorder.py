@@ -64,3 +64,74 @@ def test_zordered_files_cover_small_rectangles(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 4096
     assert back.agg(F.sum("v")).first()[0] == sum(range(4096))
+
+
+def _xy2d(n, x, y):
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = s - 1 - x, s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_key_matches_python_model(spark):
+    from lvm_datapipe_spark.plans.zorder import hilbert_key_udf
+
+    bits, n = 4, 16
+    pts = [(x, y) for x in range(n) for y in range(n)]
+    df = spark.createDataFrame(pts, "x: long, y: long")
+    key = hilbert_key_udf(bits)
+    got = {
+        (r["x"], r["y"]): r["d"]
+        for r in df.select("x", "y", key("x", "y").alias("d")).collect()
+    }
+    assert got == {(x, y): _xy2d(n, x, y) for x, y in pts}
+    # the curve visits every cell exactly once, and consecutive positions
+    # are ADJACENT cells (the locality property Morton lacks)
+    inv = {d: xy for xy, d in got.items()}
+    assert sorted(inv) == list(range(n * n))
+    for d in range(n * n - 1):
+        (x1, y1), (x2, y2) = inv[d], inv[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1
+
+
+def test_hilbert_files_cover_small_rectangles(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from lvm_datapipe_spark.plans.zorder import write_hilbert, zorder_bucket
+
+    n = 4096
+    df = (
+        spark.range(n)
+        .withColumn("a", (F.col("id") * 7919) % 256)
+        .withColumn("b", (F.col("id") * 104729) % 256)
+    )
+    out = str(tmp_path / "hil")
+    write_hilbert(
+        df, out,
+        zorder_bucket("a", 0, 256, 8), zorder_bucket("b", 0, 256, 8),
+        bits=8, n_files=8,
+    )
+    # each file must cover a small rectangle of (a, b) space — the whole
+    # point of curve clustering; without it every file spans ~full range
+    spans = []
+    for f in os.listdir(out):
+        if not f.endswith(".parquet"):
+            continue
+        part = spark.read.parquet(os.path.join(out, f))
+        row = part.agg(
+            F.min("a"), F.max("a"), F.min("b"), F.max("b")
+        ).collect()[0]
+        spans.append((row[1] - row[0]) * (row[3] - row[2]))
+    assert len(spans) >= 4
+    # average file rectangle area ≪ full space (256*256)
+    assert sum(spans) / len(spans) < 256 * 256 / 3
