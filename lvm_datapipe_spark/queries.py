@@ -6318,3 +6318,40 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared_windows"))
     )
+
+
+@_q(
+    "agg_mode_brand_per_type",
+    """
+    WITH c AS (
+      SELECT p_type, p_brand, CAST(count(*) AS BIGINT) AS n
+      FROM part GROUP BY p_type, p_brand),
+    m AS (SELECT p_type, MAX(n) AS mx FROM c GROUP BY p_type)
+    SELECT c.p_type, MIN(c.p_brand) AS mode_brand, MIN(c.n) AS n_parts
+    FROM c JOIN m ON m.p_type = c.p_type AND c.n = m.mx
+    GROUP BY c.p_type
+    """,
+)
+def agg_mode_brand_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE (most frequent value) per group — the statistical
+    mode with an EXPLICIT tie-break (max count, then lexicographically
+    smallest value).  Engines' built-in mode()/max_by() leave ties
+    implementation-defined — worthless for a reproducible pipeline — so
+    the plan is the portable two-aggregate form: counts, per-group max,
+    equality join back, min over the tied set.  All three aggs share the
+    p_type grouping key, so AQE lines the shuffles up; count tables are
+    |distinct pairs|-sized, never corpus-sized."""
+    part = load_table(spark, sf_dir, "part").select("p_type", "p_brand")
+    c = part.groupBy("p_type", "p_brand").agg(F.count(F.lit(1)).alias("n"))
+    m = c.groupBy("p_type").agg(F.max("n").alias("mx"))
+    return (
+        c.join(
+            m.withColumnRenamed("p_type", "_t"),
+            (F.col("p_type") == F.col("_t")) & (F.col("n") == F.col("mx")),
+        )
+        .groupBy("p_type")
+        .agg(
+            F.min("p_brand").alias("mode_brand"),
+            F.min("n").alias("n_parts"),
+        )
+    )
