@@ -234,3 +234,64 @@ def merge_agg_state(state: DataFrame, delta_state: DataFrame, keys: list[str]) -
             .alias("sum_value"),
         )
     )
+
+
+def heavy_hitters(
+    df: DataFrame, value_col: str, k: int = 20
+) -> DataFrame:
+    """Misra-Gries heavy hitters: every value occurring more than n/k times
+    is GUARANTEED present in the result (the classic streaming summary,
+    public algorithm) — with count estimates that undercount by at most
+    n/k.
+
+    Scale shape: one ``mapInPandas`` pass builds a k-counter summary PER
+    PARTITION (bounded memory, no shuffle of raw values — the point: a
+    groupBy-count of a high-cardinality column shuffles |distinct| rows,
+    the summary ships k·n_partitions rows), then the per-partition
+    summaries merge by key in one tiny aggregation.  Merged Misra-Gries
+    summaries keep the containment guarantee with error ≤ n/k summed
+    across partitions (bounded by the same n/k bound on the whole
+    corpus).  Exact counts for the surviving candidates can be
+    recovered with one semi-joined recount when needed — candidates are
+    ≤ k·n_partitions keys, so the recount is a broadcast semi-join, not
+    a full shuffle.
+
+    Approx family: test-verified (guarantee + error bound vs exact), like
+    the HLL sketches.  Returns (value, est_count) — est_count ≤ true
+    count, true count ≤ est_count + n/k·(summary merges).
+    """
+    import pandas as pd
+
+    def summarize(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for v in pdf[value_col]:
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < k:
+                    counters[v] = 1
+                else:
+                    # decrement-all step; drop zeros
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        if counters:
+            yield pd.DataFrame(
+                {"value": list(counters), "est": list(counters.values())}
+            )
+
+    summaries = df.select(value_col).mapInPandas(
+        summarize, schema=f"value {df.schema[value_col].dataType.simpleString()}, est long"
+    )
+    # merging MG summaries by summing shared keys preserves containment;
+    # a final k-truncation would re-introduce error, so keep all
+    # candidates (≤ k·n_partitions rows — tiny)
+    return (
+        summaries.groupBy("value")
+        .agg(F.sum("est").alias("est_count"))
+        .orderBy(F.col("est_count").desc(), F.col("value"))
+    )

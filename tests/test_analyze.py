@@ -157,3 +157,34 @@ def test_hll_merge_custom_sketch_col_without_counts(spark):
     out = hll_merge(partials, [], sketch_col="sketch").collect()[0]
     assert out["approx_distinct"] == 30
     assert "n_rows" not in out.asDict()
+
+
+def test_heavy_hitters_containment_guarantee(spark):
+    import random
+
+    from lvm_datapipe_spark.operators.aggregates import heavy_hitters
+
+    rng = random.Random(11)
+    # zipf-ish: a few hot values + a long tail
+    rows = (
+        [("hot_a",)] * 400 + [("hot_b",)] * 250 + [("hot_c",)] * 150
+        + [(f"tail_{rng.randrange(500)}",) for _ in range(400)]
+    )
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, ["v"]).repartition(4)
+    n, k = len(rows), 20
+    hh = {r["value"]: r["est_count"] for r in heavy_hitters(df, "v", k).collect()}
+    exact = {}
+    for (v,) in rows:
+        exact[v] = exact.get(v, 0) + 1
+    # GUARANTEE: every value with true count > n/k is present
+    for v, c in exact.items():
+        if c > n / k:
+            assert v in hh, f"{v} (count {c}) missing"
+    # estimates never overcount, and undercount is bounded
+    for v, est in hh.items():
+        assert est <= exact[v]
+        assert exact[v] - est <= n / k * df.rdd.getNumPartitions()
+    # the three hot values dominate the ranking
+    top3 = sorted(hh, key=lambda v: -hh[v])[:3]
+    assert set(top3) == {"hot_a", "hot_b", "hot_c"}
