@@ -6355,3 +6355,36 @@ def agg_mode_brand_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("n").alias("n_parts"),
         )
     )
+
+
+@_q(
+    "events_props_variant",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           CAST(COUNT(json_extract_string(props, '$.k')) AS BIGINT) AS n_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props through the VARIANT type (Spark 4): parse the
+    JSON string ONCE into the binary variant encoding, then path-extract
+    with ``variant_get`` — the schemaless sibling of the c14
+    ``from_json``-with-schema path.  At 100 TB the variant encoding is
+    the right default for heterogeneous event payloads: parse cost is
+    paid once per row (not once per extracted path), extraction is
+    JVM-side on the binary form, and unknown/missing paths yield nulls
+    (``try_variant_get``) instead of schema-drift failures.  Integer
+    sums need no decimal detour."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.count("k").alias("n_k"),
+        )
+    )
