@@ -110,7 +110,7 @@ _CHECK_FIRST = [
     #       events_props_variant — all
     #       locally green) and lead r6's never-officially-checked group.  Every rotated-out veteran held a green
     #       official row in r1-r4 AND is green in the r5 local full run
-    #       (tools/check_correctness.py, 157/157); the oldest (a5, a6,
+    #       (tools/check_correctness.py, 159/159 oracle-paired); the oldest (a5, a6,
     #       a7, a8, w1, w2, set ops, the dedup family, ...) lead the r6
     #       veteran re-check queue.  Also permanently out-of-window:
     #       approx_distinct_users + ann_ivf_topk (rows-only by design;

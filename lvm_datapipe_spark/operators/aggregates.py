@@ -265,17 +265,31 @@ def heavy_hitters(
     def summarize(batches):
         counters: dict = {}
         for pdf in batches:
-            for v in pdf[value_col]:
+            # vectorized per batch: collapse to a (distinct value, count)
+            # table first, then MG-fold each distinct value's count in
+            # bulk — identical guarantee to per-item processing (MG is
+            # order-independent: any arrival order is a valid run), but
+            # the python loop runs per batch-DISTINCT value, not per row
+            for v, c in pdf[value_col].value_counts(dropna=True).items():
+                c = int(c)
                 if v in counters:
-                    counters[v] += 1
-                elif len(counters) < k:
-                    counters[v] = 1
-                else:
-                    # decrement-all step; drop zeros
+                    counters[v] += c
+                    continue
+                while c > 0:
+                    if len(counters) < k:
+                        counters[v] = c
+                        break
+                    # bulk decrement: d untracked copies consume
+                    # themselves and decrement every counter by d, where
+                    # d empties the smallest counter (making room) or
+                    # exhausts the copies — exactly d repetitions of the
+                    # classic per-item decrement-all step
+                    d = min(c, min(counters.values()))
+                    c -= d
                     dead = []
                     for key in counters:
-                        counters[key] -= 1
-                        if counters[key] == 0:
+                        counters[key] -= d
+                        if counters[key] <= 0:
                             dead.append(key)
                     for key in dead:
                         del counters[key]

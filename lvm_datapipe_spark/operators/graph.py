@@ -268,16 +268,26 @@ def add_self_loops(
     self-loop — the standard pre-step for :func:`pagerank` on graphs with
     dangling nodes (the operator deliberately does not redistribute
     dangling mass; a self-loop keeps it in place instead of leaking).
-    One anti-join on the source key; non-sink nodes are untouched."""
+    One anti-join on the source key; non-sink rows pass through with ALL
+    their columns intact (loop rows carry nulls in any extra columns),
+    and NULL destinations are ignored — they are data dirt, not sinks
+    (anti-join null semantics would otherwise fabricate a (NULL, NULL)
+    self-loop that pagerank counts as a real node)."""
     sinks = (
         edges.select(F.col(dst).alias(src))
+        .filter(F.col(src).isNotNull())
         .distinct()
         .join(edges.select(src).distinct(), src, "left_anti")
     )
     loop = sinks.select(
         F.col(src),
         F.col(src).alias(dst),
-        *([F.lit(1).cast("long").alias(weight)] if weight else []),
+        *[
+            F.lit(1).cast(edges.schema[c].dataType).alias(c)
+            if c == weight
+            else F.lit(None).cast(edges.schema[c].dataType).alias(c)
+            for c in edges.columns
+            if c not in (src, dst)
+        ],
     )
-    cols = [src, dst] + ([weight] if weight else [])
-    return edges.select(*cols).unionByName(loop)
+    return edges.unionByName(loop)

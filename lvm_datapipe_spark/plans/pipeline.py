@@ -117,7 +117,6 @@ def observed_stage(
     Extra ``metrics`` columns (aggregate expressions) ride along with the
     default ``n_rows`` count."""
     from pyspark.sql import Observation
-    from pyspark.sql import functions as F
 
     obs = Observation(name)
     cols = (F.count(F.lit(1)).alias("n_rows"), *metrics)

@@ -71,11 +71,20 @@ def write_zordered(
     so row groups inside a file are tight too.  Readers need nothing
     special — parquet min-max pruning on the raw columns does the
     skipping."""
-    keyed = df.withColumn("_zkey", morton_key(a_sql, b_sql, bits))
+    _write_curve_clustered(
+        df.withColumn("_zkey", morton_key(a_sql, b_sql, bits)),
+        path, "_zkey", n_files,
+    )
+
+
+def _write_curve_clustered(keyed: DataFrame, path: str, key_col: str, n_files: int) -> None:
+    """Shared layout-write recipe for every space-filling curve: range-
+    partition on the key (each file owns a contiguous curve segment),
+    sort within partitions, drop the key, overwrite parquet."""
     (
-        keyed.repartitionByRange(n_files, "_zkey")
-        .sortWithinPartitions("_zkey")
-        .drop("_zkey")
+        keyed.repartitionByRange(n_files, key_col)
+        .sortWithinPartitions(key_col)
+        .drop(key_col)
         .write.mode("overwrite")
         .parquet(path)
     )
@@ -99,8 +108,12 @@ def hilbert_key_udf(bits: int = 8):
 
     @F.pandas_udf("long")
     def hilbert(a: pd.Series, b: pd.Series) -> pd.Series:
-        x = a.to_numpy(dtype=np.int64).copy()
-        y = b.to_numpy(dtype=np.int64).copy()
+        # null buckets → null key (matching the Morton expression, whose
+        # null arithmetic yields null) — a NaN→int64 cast would produce
+        # platform-dependent garbage curve positions
+        mask = a.isna() | b.isna()
+        x = a.fillna(0).to_numpy(dtype=np.int64).copy()
+        y = b.fillna(0).to_numpy(dtype=np.int64).copy()
         d = np.zeros_like(x)
         s = np.int64(1 << (bits - 1))
         while s > 0:
@@ -117,7 +130,9 @@ def hilbert_key_udf(bits: int = 8):
                 np.where(swap, x_f, y_f),
             )
             s >>= 1
-        return pd.Series(d)
+        out = pd.Series(d, dtype="Int64")
+        out[mask.to_numpy()] = pd.NA
+        return out
 
     return hilbert
 
@@ -133,13 +148,9 @@ def write_hilbert(
     """:func:`write_zordered` on the Hilbert curve: same range-partition +
     in-partition sort recipe, tighter per-file rectangles."""
     key = hilbert_key_udf(bits)
-    keyed = df.withColumn(
-        "_hkey", key(F.expr(a_sql).cast("long"), F.expr(b_sql).cast("long"))
-    )
-    (
-        keyed.repartitionByRange(n_files, "_hkey")
-        .sortWithinPartitions("_hkey")
-        .drop("_hkey")
-        .write.mode("overwrite")
-        .parquet(path)
+    _write_curve_clustered(
+        df.withColumn(
+            "_hkey", key(F.expr(a_sql).cast("long"), F.expr(b_sql).cast("long"))
+        ),
+        path, "_hkey", n_files,
     )

@@ -6375,11 +6375,14 @@ def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``from_json``-with-schema path.  At 100 TB the variant encoding is
     the right default for heterogeneous event payloads: parse cost is
     paid once per row (not once per extracted path), extraction is
-    JVM-side on the binary form, and unknown/missing paths yield nulls
-    (``try_variant_get``) instead of schema-drift failures.  Integer
-    sums need no decimal detour."""
+    JVM-side on the binary form, and BOTH failure classes degrade to
+    null instead of killing the job — ``try_parse_json`` for malformed
+    payloads, ``try_variant_get`` for unknown/missing paths (strict
+    ``parse_json`` would fail the whole aggregation on one bad row —
+    the opposite of the schema-drift tolerance this path exists for).
+    Integer sums need no decimal detour."""
     ev = load_table(spark, sf_dir, "events")
-    k = F.try_variant_get(F.parse_json("props"), "$.k", "long")
+    k = F.try_variant_get(F.try_parse_json("props"), "$.k", "long")
     return (
         ev.select("event_type", k.alias("k"))
         .groupBy("event_type")

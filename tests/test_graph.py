@@ -250,3 +250,19 @@ def test_contiguous_ids_empty_input(spark):
     out = contiguous_ids(empty, ["k"])
     assert out.columns == ["k", "row_id"]
     assert out.count() == 0
+
+
+def test_add_self_loops_preserves_columns_and_ignores_null_dst(spark):
+    from lvm_datapipe_spark.operators.graph import add_self_loops
+
+    e = spark.createDataFrame(
+        [("a", "b", 2, "x"), ("b", "c", 1, "y"), ("a", None, 5, "z")],
+        "src string, dst string, w long, tag string",
+    )
+    out = add_self_loops(e, weight="w").collect()
+    got = {(r["src"], r["dst"], r["w"], r["tag"]) for r in out}
+    assert ("c", "c", 1, None) in got      # the one real sink gets a loop
+    assert ("a", "b", 2, "x") in got       # originals keep ALL columns
+    assert ("a", None, 5, "z") in got      # dirty row passes through
+    assert not any(r["src"] is None for r in out)  # no (NULL,NULL) loop
+    assert len(out) == 4

@@ -135,3 +135,17 @@ def test_hilbert_files_cover_small_rectangles(spark, tmp_path):
     assert len(spans) >= 4
     # average file rectangle area ≪ full space (256*256)
     assert sum(spans) / len(spans) < 256 * 256 / 3
+
+
+def test_hilbert_null_buckets_yield_null_key(spark):
+    from lvm_datapipe_spark.plans.zorder import hilbert_key_udf
+
+    df = spark.createDataFrame(
+        [(1, 2), (None, 3), (4, None)], "a: long, b: long"
+    )
+    key = hilbert_key_udf(4)
+    rows = df.select(key("a", "b").alias("d")).collect()
+    # matches the Morton expression's null arithmetic — never a garbage
+    # platform-dependent curve position from a NaN cast
+    assert rows[0]["d"] is not None
+    assert rows[1]["d"] is None and rows[2]["d"] is None
