@@ -6391,3 +6391,35 @@ def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("k").alias("n_k"),
         )
     )
+
+
+@_q(
+    "user_value_profiles",
+    """
+    WITH pos AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, value) - 1
+               AS p,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM events)
+    SELECT user_id, CAST((p * 8) // n AS BIGINT) AS bucket,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / COUNT(value)
+             AS profile_value
+    FROM pos
+    GROUP BY user_id, (p * 8) // n
+    """,
+)
+def user_value_profiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-length trajectory profiles (operators/timeseries.py::
+    user_value_profiles): every user's event-value sequence resampled to
+    8 equi-count buckets (integer position arithmetic, decimal bucket
+    means — fully engine-portable; equal (ts, value) ties cannot move a
+    value across buckets' MEANS).  The cheap exact first stage of
+    trajectory similarity search (REPOSE-style, ICDE 2021): the profile
+    table is |users|×8 — the DTW refinement (dtw_topk, LB_Keogh-pruned,
+    python-model-tested) runs on THIS, never on the fact table.  One
+    window shuffle + one keyed aggregation on the same user key."""
+    from lvm_datapipe_spark.operators.timeseries import user_value_profiles
+
+    ev = load_table(spark, sf_dir, "events")
+    return user_value_profiles(ev, length=8)
