@@ -6423,3 +6423,65 @@ def user_value_profiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return user_value_profiles(ev, length=8)
+
+
+@_q(
+    "events_autocorrelation",
+    """
+    WITH seq AS (
+      SELECT user_id, value,
+             lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev
+      FROM events),
+    pairs AS (
+      SELECT user_id, value, prev FROM seq WHERE prev IS NOT NULL),
+    m AS (
+      SELECT user_id,
+             CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(prev AS DECIMAL(27,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(value AS DECIMAL(27,6)) * CAST(prev AS DECIMAL(27,6))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(value AS DECIMAL(27,6)) * CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(prev AS DECIMAL(27,6)) * CAST(prev AS DECIMAL(27,6))) AS DOUBLE) AS syy,
+             CAST(count(*) AS BIGINT) AS n
+      FROM pairs GROUP BY user_id)
+    SELECT user_id, n,
+           (sxy - sx * sy / n)
+             / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)) AS acf1
+    FROM m
+    WHERE n >= 8 AND (sxx - sx * sx / n) > CAST(0.0 AS DOUBLE)
+      AND (syy - sy * sy / n) > CAST(0.0 AS DOUBLE)
+    """,
+)
+def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of each user's value sequence — the
+    time-series FEATURE sibling of the trajectory profiles (is a user's
+    signal trending/periodic or white?).  Same engine-exact recipe as
+    agg_correlation: the five raw moments accumulate through DECIMAL
+    (order-insensitive), the Pearson combination runs in doubles
+    identically in both engines, degenerate (zero-variance) series are
+    excluded exactly.  One window shuffle (the lag) + one keyed
+    aggregate on the same user key — AQE reuses the partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = lambda c: F.col(c).cast("decimal(27,6)")  # noqa: E731
+    pairs = (
+        ev.select(
+            "user_id", "value", F.lag("value", 1).over(w).alias("prev")
+        )
+        .filter(F.col("prev").isNotNull())
+    )
+    m = pairs.groupBy("user_id").agg(
+        F.sum(d("value")).cast("double").alias("sx"),
+        F.sum(d("prev")).cast("double").alias("sy"),
+        F.sum(d("value") * d("prev")).cast("double").alias("sxy"),
+        F.sum(d("value") * d("value")).cast("double").alias("sxx"),
+        F.sum(d("prev") * d("prev")).cast("double").alias("syy"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    vx = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    vy = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
+    acf = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / F.sqrt(vx * vy)
+    return (
+        m.filter((F.col("n") >= 8) & (vx > 0.0) & (vy > 0.0))
+        .select("user_id", "n", acf.alias("acf1"))
+    )
