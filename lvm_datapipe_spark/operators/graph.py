@@ -291,3 +291,44 @@ def add_self_loops(
         ],
     )
     return edges.unionByName(loop)
+
+
+def incremental_components(
+    prev_labels: DataFrame,
+    new_pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    id_out: str = "id",
+    cluster_out: str = "cluster_id",
+    **cc_kwargs,
+) -> DataFrame:
+    """Incremental re-clustering: fold NEW near-dup pairs into an existing
+    clustering WITHOUT re-reading the old edge list.
+
+    The trick: a finished clustering is a lossless connectivity summary
+    of its edges — replace them with STAR edges (member → its cluster
+    label), which preserve exactly the old components (every old
+    component stays connected through its label node), union the new
+    pairs, and run the ordinary min-propagation.  The star list is
+    |nodes|-sized where the discarded edge list was |edges|-sized, and
+    convergence is fast: unaffected components are 1 hop from their
+    label already, so only components actually MERGED by new pairs
+    propagate further.  This is how a daily 100 TB dedup absorbs a new
+    partition: yesterday's labels + today's candidate pairs, never
+    yesterday's pairs.
+
+    ``prev_labels`` must be a (id, cluster) frame as produced by
+    :func:`connected_components` (labels are member ids — true for
+    min-propagation output).  Exact: the result equals a full recompute
+    over (old edges ∪ new pairs)."""
+    stars = prev_labels.select(
+        F.col(prev_labels.columns[0]).alias(src),
+        F.col(prev_labels.columns[1]).alias(dst),
+    ).filter(F.col(src) != F.col(dst))
+    merged = new_pairs.select(
+        F.col(src), F.col(dst)
+    ).unionByName(stars)
+    return connected_components(
+        merged, src=src, dst=dst, id_out=id_out, cluster_out=cluster_out,
+        **cc_kwargs,
+    )

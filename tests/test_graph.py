@@ -266,3 +266,43 @@ def test_add_self_loops_preserves_columns_and_ignores_null_dst(spark):
     assert ("a", None, 5, "z") in got      # dirty row passes through
     assert not any(r["src"] is None for r in out)  # no (NULL,NULL) loop
     assert len(out) == 4
+
+
+def test_incremental_components_equals_full_recompute(spark):
+    from lvm_datapipe_spark.operators.graph import (
+        connected_components,
+        incremental_components,
+    )
+
+    old_edges = [(1, 2), (2, 3), (10, 11), (20, 21), (30, 31)]
+    new_edges = [(3, 10), (21, 40), (50, 51)]  # merge, extend, brand-new
+    prev = connected_components(_pairs(spark, old_edges))
+    inc = dict(
+        (r.id, r.cluster_id)
+        for r in incremental_components(prev, _pairs(spark, new_edges)).collect()
+    )
+    full = dict(
+        (r.id, r.cluster_id)
+        for r in connected_components(
+            _pairs(spark, old_edges + new_edges)
+        ).collect()
+    )
+    assert inc == full
+    assert inc[11] == 1  # the merged chain collapses to the global min
+    assert inc[40] == 20
+
+
+def test_incremental_components_no_new_edges_is_identity(spark):
+    from lvm_datapipe_spark.operators.graph import (
+        connected_components,
+        incremental_components,
+    )
+
+    old_edges = [(5, 6), (6, 7), (9, 8)]
+    prev = connected_components(_pairs(spark, old_edges))
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    inc = dict(
+        (r.id, r.cluster_id)
+        for r in incremental_components(prev, empty).collect()
+    )
+    assert inc == dict((r.id, r.cluster_id) for r in prev.collect())
