@@ -6485,3 +6485,72 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         m.filter((F.col("n") >= 8) & (vx > 0.0) & (vy > 0.0))
         .select("user_id", "n", acf.alias("acf1"))
     )
+
+
+@_q(
+    "events_changepoint",
+    """
+    WITH seq AS (
+      SELECT user_id, event_id,
+             CAST(SUM(CAST(value AS DECIMAL(27,6))) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING) AS DOUBLE) AS sb,
+             COUNT(value) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING) AS nb,
+             CAST(SUM(CAST(value AS DECIMAL(27,6))) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 1 FOLLOWING AND 8 FOLLOWING) AS DOUBLE) AS sa,
+             COUNT(value) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 1 FOLLOWING AND 8 FOLLOWING) AS na
+      FROM events),
+    jumps AS (
+      SELECT user_id, event_id, abs(sb / 8 - sa / 8) AS jump
+      FROM seq WHERE nb = 8 AND na = 8),
+    mx AS (SELECT user_id, MAX(jump) AS mj FROM jumps GROUP BY user_id)
+    SELECT j.user_id, CAST(MIN(j.event_id) AS BIGINT) AS change_event_id,
+           MIN(j.jump) AS jump
+    FROM jumps j JOIN mx ON mx.user_id = j.user_id AND j.jump = mx.mj
+    GROUP BY j.user_id
+    """,
+)
+def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user CHANGE-POINT detection: the event where the mean of the 8
+    values before differs most from the mean of the 8 after — the
+    numeric analog of the scene-cut threshold (M1) on arbitrary series.
+    Window-frame decimal sums make both side-means engine-exact, so the
+    argmax equality join (the mode-query tie-break pattern: max jump,
+    then earliest event) is deterministic.  One window shuffle computes
+    BOTH frames (same partitioning/ordering), the argmax is two
+    |users|-sized aggregates — the corpus never moves twice."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = F.col("value").cast("decimal(27,6)")
+    before = w.rowsBetween(-8, -1)
+    after = w.rowsBetween(1, 8)
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        F.sum(d).over(before).cast("double").alias("sb"),
+        F.count("value").over(before).alias("nb"),
+        F.sum(d).over(after).cast("double").alias("sa"),
+        F.count("value").over(after).alias("na"),
+    )
+    jumps = seq.filter((F.col("nb") == 8) & (F.col("na") == 8)).select(
+        "user_id",
+        "event_id",
+        F.abs(F.col("sb") / 8 - F.col("sa") / 8).alias("jump"),
+    )
+    mx = jumps.groupBy("user_id").agg(F.max("jump").alias("mj"))
+    return (
+        jumps.join(
+            mx.withColumnRenamed("user_id", "_u"),
+            (F.col("user_id") == F.col("_u")) & (F.col("jump") == F.col("mj")),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min("event_id").alias("change_event_id"),
+            F.min("jump").alias("jump"),
+        )
+    )
