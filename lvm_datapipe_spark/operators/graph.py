@@ -321,10 +321,14 @@ def incremental_components(
     :func:`connected_components` (labels are member ids — true for
     min-propagation output).  Exact: the result equals a full recompute
     over (old edges ∪ new pairs)."""
+    # self-star rows (a cluster min's own row, and any SINGLETON
+    # component) pass through unfiltered: connected_components handles
+    # self-loop edges, and dropping them would silently delete 1-node
+    # components from the output — breaking the full-recompute equality
     stars = prev_labels.select(
         F.col(prev_labels.columns[0]).alias(src),
         F.col(prev_labels.columns[1]).alias(dst),
-    ).filter(F.col(src) != F.col(dst))
+    )
     merged = new_pairs.select(
         F.col(src), F.col(dst)
     ).unionByName(stars)

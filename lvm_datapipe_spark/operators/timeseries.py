@@ -15,11 +15,12 @@ done here in two stages, mirroring the ANN design of
 
 2. **DTW refinement** (:func:`dtw_topk`): Dynamic Time Warping with a
    Sakoe-Chiba band against a broadcast query profile, LB_Keogh
-   lower-bound pruned — the envelope bound runs vectorized over every
-   candidate first and the O(L·band) DP recursion only on survivors of
-   the running top-k threshold.  DTW is not SQL-expressible, so this
-   family is python-model test-verified (SURVEY §5 convention), exactly
-   like BPE and the media kernels.
+   lower-bound pruned — each candidate is screened against the batch's
+   running top-k threshold (the first k candidates of a batch are
+   always DP-scored; after that the O(L) envelope bound skips provably
+   losing candidates before the O(L·band) DP).  DTW is not
+   SQL-expressible, so this family is python-model test-verified
+   (SURVEY §5 convention), exactly like BPE and the media kernels.
 """
 
 from __future__ import annotations
@@ -52,13 +53,18 @@ def user_value_profiles(
     w = Window.partitionBy(key_col).orderBy(ts_col, value_col)
     pos = (F.row_number().over(w) - 1).cast("long")
     n = F.count(F.lit(1)).over(Window.partitionBy(key_col))
-    bucket = F.floor((pos * length) / n).cast("long")
+    positioned = events.select(
+        F.col(key_col),
+        F.col(value_col),
+        (pos * length).alias("_pl"),
+        n.alias("_n"),
+    )
+    # TRUE integer division (DIV), matching the oracle's `//` exactly —
+    # floor(double/double) coincides only while p·L stays within double
+    # precision; DIV keeps the "integer arithmetic" portability claim
+    # honest at any count
     return (
-        events.select(
-            F.col(key_col),
-            F.col(value_col),
-            bucket.alias("bucket"),
-        )
+        positioned.withColumn("bucket", F.expr("_pl DIV _n"))
         .groupBy(key_col, "bucket")
         .agg(decimal_avg(value_col).alias("profile_value"))
     )

@@ -306,3 +306,19 @@ def test_incremental_components_no_new_edges_is_identity(spark):
         for r in incremental_components(prev, empty).collect()
     )
     assert inc == dict((r.id, r.cluster_id) for r in prev.collect())
+
+
+def test_incremental_components_keeps_singletons(spark):
+    from lvm_datapipe_spark.operators.graph import incremental_components
+
+    # a full-corpus labeling includes SINGLETON rows (id, id) — they must
+    # survive the incremental pass, not vanish with the star compression
+    prev = spark.createDataFrame(
+        [(1, 1), (2, 1), (9, 9)], ["id", "cluster_id"]
+    )
+    new = spark.createDataFrame([(2, 3)], "id_a long, id_b long")
+    inc = dict(
+        (r.id, r.cluster_id)
+        for r in incremental_components(prev, new).collect()
+    )
+    assert inc == {1: 1, 2: 1, 3: 1, 9: 9}

@@ -3,7 +3,10 @@
 The repo states its inventory (N declared / M oracle-paired) in README,
 ARCHITECTURE, and the __spark_entry__ rotation comment; three review
 rounds caught these drifting after query additions.  This derives both
-numbers from the registry and rewrites every known phrasing in place.
+numbers from the registry and rewrites every known phrasing in place —
+always against the REPO ROOT (not the cwd), with round-agnostic
+patterns, and a NONZERO exit when any pattern fails to match (a silent
+no-match is exactly the drift this tool exists to stop).
 
 Usage: python tools/sync_counts.py   (idempotent; prints what changed)
 """
@@ -14,9 +17,11 @@ import os
 import re
 import sys
 
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
 
 def main() -> int:
-    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    sys.path.insert(0, ROOT)
     from lvm_datapipe_spark.queries import ORACLE_SQL, QUERIES
 
     nq, no = len(QUERIES), len(ORACLE_SQL)
@@ -30,8 +35,9 @@ def main() -> int:
              f"**{nq} declared queries, {no} oracle-paired**"),
         ],
         "__spark_entry__.py": [
-            (r"\(\d+/\d+ oracle-paired queries green at\n# the r5 cut; \d+ declared\)",
-             f"({no}/{no} oracle-paired queries green at\n# the r5 cut; {nq} declared)"),
+            # round-agnostic: preserve whatever round the comment names
+            (r"\(\d+/\d+ oracle-paired queries green at\n# the (r\d+) cut; \d+ declared\)",
+             f"({no}/{no} oracle-paired queries green at\n# the \\1 cut; {nq} declared)"),
             (r"\(tools/check_correctness\.py, \d+/\d+ oracle-paired\)",
              f"(tools/check_correctness.py, {no}/{no} oracle-paired)"),
         ],
@@ -40,21 +46,26 @@ def main() -> int:
              f"surface to **{nq} declared\n/ {no} oracle-paired**"),
         ],
     }
-    changed = []
-    for path, subs in rules.items():
+    changed, missing = [], []
+    for name, subs in rules.items():
+        path = os.path.join(ROOT, name)
         with open(path) as f:
             s = f.read()
         orig = s
         for pat, repl in subs:
             s, n = re.subn(pat, repl, s)
             if n == 0:
-                print(f"WARNING: pattern not found in {path}: {pat[:60]}")
+                missing.append(f"{name}: {pat[:60]}")
         if s != orig:
             with open(path, "w") as f:
                 f.write(s)
-            changed.append(path)
+            changed.append(name)
     print(f"registry: {nq} declared / {no} oracle-paired; "
           f"updated: {changed or 'nothing (already in sync)'}")
+    if missing:
+        for m in missing:
+            print(f"ERROR: pattern not found — {m}")
+        return 1
     return 0
 
 
