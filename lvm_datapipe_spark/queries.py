@@ -6554,3 +6554,100 @@ def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("jump").alias("jump"),
         )
     )
+
+
+@_q(
+    "events_winsorized",
+    f"""
+    WITH b AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS lo,
+             quantile_cont(value, 0.95) AS hi
+      FROM events GROUP BY event_type)
+    SELECT e.event_type,
+           {_dsum('least(b.hi, greatest(b.lo, e.value))')} AS sum_winsorized,
+           CAST(SUM(CASE WHEN e.value < b.lo OR e.value > b.hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events e JOIN b ON b.event_type = e.event_type
+    GROUP BY e.event_type
+    """,
+)
+def events_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization — the standard outlier-robust cleaning step: clip each
+    value into its group's exact [p05, p95] band before aggregating.
+    Spark's ``percentile`` and DuckDB's ``quantile_cont`` share the
+    linear-interpolation definition (bit-identical — the agg_percentiles
+    precedent), so the clip BOUNDS are engine-exact and the clipped
+    decimal sum replays.  Two aggregates on the same grouping key: the
+    exact-percentile pass (one sort-based agg over the group) and the
+    clipped rollup after a broadcast bounds join — the corpus is scanned
+    twice but shuffled only by the tiny grouped results."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("lo"),
+        F.percentile("value", F.lit(0.95)).alias("hi"),
+    )
+    clipped = F.least(F.col("hi"), F.greatest(F.col("lo"), F.col("value")))
+    out_of_band = (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))
+    return (
+        ev.join(
+            F.broadcast(b.withColumnRenamed("event_type", "_t")),
+            F.col("event_type") == F.col("_t"),
+        )
+        .groupBy("event_type")
+        .agg(
+            A.decimal_sum(clipped).alias("sum_winsorized"),
+            F.sum(F.when(out_of_band, 1).otherwise(0)).alias("n_clipped"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@_q(
+    "events_trend_slope",
+    """
+    WITH seq AS (
+      SELECT user_id, value,
+             CAST(row_number() OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS BIGINT)
+               AS x
+      FROM events),
+    m AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(27,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x AS DECIMAL(27,6)) * CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(x AS DECIMAL(27,6)) * CAST(x AS DECIMAL(27,6))) AS DOUBLE) AS sxx
+      FROM seq GROUP BY user_id)
+    SELECT user_id, n,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+    FROM m WHERE n >= 8
+    """,
+)
+def events_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user least-squares TREND over the event sequence (is the signal
+    drifting?) — the third member of the engine-exact moments family
+    (agg_correlation, events_autocorrelation): integer positions from a
+    deterministic ordering, all four moments through DECIMAL, the slope
+    combination in doubles identical across engines.  One window shuffle
+    + one keyed aggregate on the user key.  (x variance is never zero
+    for n ≥ 2 distinct positions, so no degenerate filter is needed
+    beyond the length floor.)"""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    x = (F.row_number().over(w) - 1).cast("long")
+    d = lambda c: c.cast("decimal(27,6)")  # noqa: E731
+    seq = ev.select("user_id", "value", x.alias("x"))
+    m = seq.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d(F.col("x"))).cast("double").alias("sx"),
+        F.sum(d(F.col("value"))).cast("double").alias("sy"),
+        F.sum(d(F.col("x")) * d(F.col("value"))).cast("double").alias("sxy"),
+        F.sum(d(F.col("x")) * d(F.col("x"))).cast("double").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.filter(F.col("n") >= 8).select("user_id", "n", slope.alias("slope"))
