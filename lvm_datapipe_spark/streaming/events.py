@@ -532,3 +532,101 @@ def windowed_distinct_users(
         )
         .select(F.col("w.start").alias("window_start"), "approx_users")
     )
+
+
+RATE_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("tokens", T.DoubleType()),
+        T.StructField("last_ms", T.LongType()),
+    ]
+)
+RATE_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("allowed", T.BooleanType()),
+    ]
+)
+
+
+def rate_limit_stream(
+    events: DataFrame,
+    capacity: float = 5.0,
+    refill_per_s: float = 0.01,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-key EVENT-TIME token bucket — ingest quota enforcement as a
+    custom stateful operator (``applyInPandasWithState``, the same live
+    API as :func:`sessionize_stream`).
+
+    Each key holds a bucket of ``capacity`` tokens refilling at
+    ``refill_per_s`` tokens per EVENT-TIME second; an event is marked
+    ``allowed`` iff a full token is available (and consumes it) — the
+    deterministic classic algorithm, driven by the event's own
+    timestamps rather than processing time so that replaying the same
+    data yields the SAME decisions (processing-time limiters are
+    non-reproducible by construction, useless for a data pipeline that
+    must be re-runnable).  Within a micro-batch, events sort by
+    (ts, event_id) — a total order — so decisions are independent of
+    arrival interleaving; state per key is two scalars.  Emits EVERY
+    event with its decision (callers filter or route on ``allowed``;
+    dropping silently would hide the quota's effect from audits).
+
+    The batch twin — the same fold over the whole history in one pass —
+    is what the stream must converge to, property-tested like every
+    streaming operator here.  Convergence holds when arrival respects
+    event-time order ACROSS micro-batches (within a batch any
+    interleaving is fine — the sort normalizes it); a late row under
+    the watermark is decided against the bucket state as of its
+    arrival, not retroactively (same contract as every real quota
+    system — exact retroactive decisions would need the event-buffering
+    pattern of the tws sessionizer)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:  # pragma: no cover — no timeout configured
+            state.remove()
+            return
+        rows = []
+        for pdf in pdf_iter:
+            for eid, ts in zip(pdf["event_id"], pd.to_datetime(pdf["ts"])):
+                rows.append((int(eid), ts.to_pydatetime()))
+        rows.sort(key=lambda r: (r[1], r[0]))
+        if state.exists:
+            tokens, last_ms = state.get
+        else:
+            tokens, last_ms = float(capacity), None
+        out = []
+        for eid, ts in rows:
+            ms = int(ts.timestamp() * 1000)
+            if last_ms is not None and ms > last_ms:
+                tokens = min(
+                    float(capacity), tokens + (ms - last_ms) / 1000.0 * refill_per_s
+                )
+            last_ms = ms if last_ms is None else max(last_ms, ms)
+            if tokens >= 1.0:
+                tokens -= 1.0
+                out.append((user_id, eid, ts, True))
+            else:
+                out.append((user_id, eid, ts, False))
+        state.update((tokens, last_ms if last_ms is not None else 0))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["user_id", "event_id", "ts", "allowed"]
+            )
+
+    return (
+        ensure_event_time(events)
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=RATE_OUTPUT_SCHEMA,
+            stateStructType=RATE_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -671,3 +671,56 @@ def test_stream_temporal_enrich_matches_batch(spark, landing_dir):
     tiers = {t for _, t in got if t}
     assert any(t.startswith("tier-early") for t in tiers)
     assert any(t.startswith("tier-late") for t in tiers)
+
+
+def test_stream_rate_limit_matches_python_model(spark, tmp_path):
+    """Token-bucket decisions on a time-ordered stream must equal the
+    single-pass python fold over the same history."""
+    rows = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "ts", "user_id"
+    ).collect()
+    rows.sort(key=lambda r: (r.ts, r.event_id))
+    d = tmp_path / "rate_landing"
+    d.mkdir()
+    chunk = (len(rows) + 3) // 4  # 4 time-ordered arrival batches
+    for i in range(4):
+        with open(d / f"batch_{i}.json", "w") as f:
+            for r in rows[i * chunk : (i + 1) * chunk]:
+                f.write(json.dumps({
+                    "event_id": r.event_id,
+                    "ts": r.ts.isoformat(),
+                    "user_id": r.user_id,
+                    "event_type": "x", "value": 0.0, "props": "{}",
+                }) + "\n")
+
+    stream = ev.read_event_stream(spark, str(d))
+    q = ev.start_to_memory(
+        ev.rate_limit_stream(stream, capacity=1.0, refill_per_s=1e-6),
+        "rate_out",
+        output_mode="append",
+    )
+    _await(q)
+    got = {
+        r.event_id: r.allowed
+        for r in spark.sql("SELECT * FROM rate_out").collect()
+    }
+
+    # python model: same fold per user over the full ordered history
+    state = {}
+    want = {}
+    for r in rows:
+        tokens, last = state.get(r.user_id, (1.0, None))
+        ms = int(r.ts.timestamp() * 1000)
+        if last is not None and ms > last:
+            tokens = min(1.0, tokens + (ms - last) / 1000.0 * 1e-6)
+        last = ms if last is None else max(last, ms)
+        if tokens >= 1.0:
+            tokens -= 1.0
+            want[r.event_id] = True
+        else:
+            want[r.event_id] = False
+        state[r.user_id] = (tokens, last)
+
+    assert got == want
+    # the quota actually bites: some of each on busy users
+    assert any(got.values()) and not all(got.values())
