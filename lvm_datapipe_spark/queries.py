@@ -6437,11 +6437,11 @@ def user_value_profiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, value, prev FROM seq WHERE prev IS NOT NULL),
     m AS (
       SELECT user_id,
-             CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(prev AS DECIMAL(27,6))) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(value AS DECIMAL(27,6)) * CAST(prev AS DECIMAL(27,6))) AS DOUBLE) AS sxy,
-             CAST(SUM(CAST(value AS DECIMAL(27,6)) * CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sxx,
-             CAST(SUM(CAST(prev AS DECIMAL(27,6)) * CAST(prev AS DECIMAL(27,6))) AS DOUBLE) AS syy,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(prev AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(27,6)) * CAST(prev AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE) AS sxy,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(27,6)) * CAST(value AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(CAST(prev AS DECIMAL(27,6)) * CAST(prev AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE) AS syy,
              CAST(count(*) AS BIGINT) AS n
       FROM pairs GROUP BY user_id)
     SELECT user_id, n,
@@ -6470,12 +6470,15 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("prev").isNotNull())
     )
+    # decimal -> string -> double: the agg_correlation recipe (a direct
+    # decimal->double cast can differ from DuckDB's by 1 ulp on
+    # rounding-boundary sums of decimal products)
     m = pairs.groupBy("user_id").agg(
-        F.sum(d("value")).cast("double").alias("sx"),
-        F.sum(d("prev")).cast("double").alias("sy"),
-        F.sum(d("value") * d("prev")).cast("double").alias("sxy"),
-        F.sum(d("value") * d("value")).cast("double").alias("sxx"),
-        F.sum(d("prev") * d("prev")).cast("double").alias("syy"),
+        F.sum(d("value")).cast("string").cast("double").alias("sx"),
+        F.sum(d("prev")).cast("string").cast("double").alias("sy"),
+        F.sum(d("value") * d("prev")).cast("string").cast("double").alias("sxy"),
+        F.sum(d("value") * d("value")).cast("string").cast("double").alias("sxx"),
+        F.sum(d("prev") * d("prev")).cast("string").cast("double").alias("syy"),
         F.count(F.lit(1)).alias("n"),
     )
     vx = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
@@ -6616,10 +6619,10 @@ def events_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     m AS (
       SELECT user_id,
              CAST(count(*) AS BIGINT) AS n,
-             CAST(SUM(CAST(x AS DECIMAL(27,6))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(x AS DECIMAL(27,6)) * CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sxy,
-             CAST(SUM(CAST(x AS DECIMAL(27,6)) * CAST(x AS DECIMAL(27,6))) AS DOUBLE) AS sxx
+             CAST(CAST(SUM(CAST(x AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(x AS DECIMAL(27,6)) * CAST(value AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE) AS sxy,
+             CAST(CAST(SUM(CAST(x AS DECIMAL(27,6)) * CAST(x AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE) AS sxx
       FROM seq GROUP BY user_id)
     SELECT user_id, n,
            (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
@@ -6640,12 +6643,14 @@ def events_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = (F.row_number().over(w) - 1).cast("long")
     d = lambda c: c.cast("decimal(27,6)")  # noqa: E731
     seq = ev.select("user_id", "value", x.alias("x"))
+    # decimal -> string -> double: the agg_correlation recipe (see
+    # events_autocorrelation)
     m = seq.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(d(F.col("x"))).cast("double").alias("sx"),
-        F.sum(d(F.col("value"))).cast("double").alias("sy"),
-        F.sum(d(F.col("x")) * d(F.col("value"))).cast("double").alias("sxy"),
-        F.sum(d(F.col("x")) * d(F.col("x"))).cast("double").alias("sxx"),
+        F.sum(d(F.col("x"))).cast("string").cast("double").alias("sx"),
+        F.sum(d(F.col("value"))).cast("string").cast("double").alias("sy"),
+        F.sum(d(F.col("x")) * d(F.col("value"))).cast("string").cast("double").alias("sxy"),
+        F.sum(d(F.col("x")) * d(F.col("x"))).cast("string").cast("double").alias("sxx"),
     )
     slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
         F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")

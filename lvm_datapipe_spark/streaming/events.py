@@ -581,13 +581,24 @@ def rate_limit_stream(
     the watermark is decided against the bucket state as of its
     arrival, not retroactively (same contract as every real quota
     system — exact retroactive decisions would need the event-buffering
-    pattern of the tws sessionizer)."""
+    pattern of the tws sessionizer).
+
+    State is BOUNDED: a key idle for capacity/refill_per_s event-time
+    seconds has provably refilled to capacity, which is exactly the
+    fresh-key state — so its row is evicted on an event-time timeout at
+    that horizon with zero effect on any future decision (the
+    deduplicate_events lesson: unbounded keyed state is a guaranteed
+    OOM on a long-running stream)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    full_after_ms = int(capacity / refill_per_s * 1000) + 1
+
     def fn(key, pdf_iter, state: GroupState):
         (user_id,) = key
-        if state.hasTimedOut:  # pragma: no cover — no timeout configured
+        if state.hasTimedOut:
+            # idle long enough that the bucket is provably full again ==
+            # fresh state; dropping the row changes no future decision
             state.remove()
             return
         rows = []
@@ -613,6 +624,10 @@ def rate_limit_stream(
             else:
                 out.append((user_id, eid, ts, False))
         state.update((tokens, last_ms if last_ms is not None else 0))
+        if last_ms is not None:
+            state.setTimeoutTimestamp(
+                max(last_ms + full_after_ms, state.getCurrentWatermarkMs() + 1)
+            )
         if out:
             yield pd.DataFrame(
                 out, columns=["user_id", "event_id", "ts", "allowed"]
@@ -627,6 +642,6 @@ def rate_limit_stream(
             outputStructType=RATE_OUTPUT_SCHEMA,
             stateStructType=RATE_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )

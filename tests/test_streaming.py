@@ -26,18 +26,24 @@ def _await(query, timeout_s=60):
     query.stop()
 
 
+def _write_event_batches(d, rows, n_files=N_FILES):
+    """Write event Rows as n_files JSONL arrival batches (shared by the
+    landing_dir fixture and tests needing a custom row order)."""
+    chunk = (len(rows) + n_files - 1) // n_files
+    for i in range(n_files):
+        with open(d / f"batch_{i}.json", "w") as f:
+            for r in rows[i * chunk : (i + 1) * chunk]:
+                rec = {k: None for k in ev.EVENTS_SCHEMA.fieldNames()}
+                rec.update(r.asDict())
+                rec["ts"] = rec["ts"].isoformat()
+                f.write(json.dumps(rec) + "\n")
+
+
 @pytest.fixture(scope="module")
 def landing_dir(spark, tmp_path_factory):
     """Split the driver's events table into N json files (batch arrivals)."""
     d = tmp_path_factory.mktemp("landing")
-    rows = load_table(spark, "/root/testdata/sf0.001", "events").collect()
-    chunk = (len(rows) + N_FILES - 1) // N_FILES
-    for i in range(N_FILES):
-        with open(d / f"batch_{i}.json", "w") as f:
-            for r in rows[i * chunk : (i + 1) * chunk]:
-                rec = r.asDict()
-                rec["ts"] = rec["ts"].isoformat()
-                f.write(json.dumps(rec) + "\n")
+    _write_event_batches(d, load_table(spark, "/root/testdata/sf0.001", "events").collect())
     return str(d)
 
 
@@ -679,19 +685,10 @@ def test_stream_rate_limit_matches_python_model(spark, tmp_path):
     rows = load_table(spark, "/root/testdata/sf0.001", "events").select(
         "event_id", "ts", "user_id"
     ).collect()
-    rows.sort(key=lambda r: (r.ts, r.event_id))
+    rows.sort(key=lambda r: (r.ts, r.event_id))  # time-ordered arrival
     d = tmp_path / "rate_landing"
     d.mkdir()
-    chunk = (len(rows) + 3) // 4  # 4 time-ordered arrival batches
-    for i in range(4):
-        with open(d / f"batch_{i}.json", "w") as f:
-            for r in rows[i * chunk : (i + 1) * chunk]:
-                f.write(json.dumps({
-                    "event_id": r.event_id,
-                    "ts": r.ts.isoformat(),
-                    "user_id": r.user_id,
-                    "event_type": "x", "value": 0.0, "props": "{}",
-                }) + "\n")
+    _write_event_batches(d, rows)
 
     stream = ev.read_event_stream(spark, str(d))
     q = ev.start_to_memory(
