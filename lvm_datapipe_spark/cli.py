@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 from pyspark.sql import functions as F
@@ -267,6 +268,35 @@ def _cmd_bpe(spark, args) -> None:
     )
 
 
+def _cmd_wds_export(spark, args) -> None:
+    """Export a parquet table as WebDataset tar shards through the
+    DataSource writer (commit manifest + overwrite semantics)."""
+    from lvm_datapipe_spark.sources.webdataset import register_webdataset
+
+    register_webdataset(spark)
+    df = spark.read.parquet(args.table)
+    (
+        df.write.format("webdataset")
+        .option("path", args.out)
+        .option("key_col", args.key_col)
+        .option("columns", args.columns)
+        .option("shard_size", str(args.shard_size))
+        .mode("overwrite" if args.overwrite else "append")
+        .save()
+    )
+    manifest = json.load(open(os.path.join(args.out, "_manifest.json")))
+    print(
+        json.dumps(
+            {
+                "stage": "wds-export",
+                "rows": manifest["n_rows"],
+                "shards": len(manifest["shards"]),
+                "out": args.out,
+            }
+        )
+    )
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="lvm_datapipe_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -316,6 +346,14 @@ def build_parser() -> argparse.ArgumentParser:
     pr = sub.add_parser("profile", help="one-scan numeric column profile")
     pr.add_argument("--table", required=True)
     pr.add_argument("--columns", nargs="*", default=None)
+    wd = sub.add_parser("wds-export", help="export a table as WebDataset tar shards")
+    wd.add_argument("--table", required=True)
+    wd.add_argument("--out", required=True)
+    wd.add_argument("--key-col", default="key")
+    wd.add_argument("--columns", required=True, help="col:ext,col2:ext2")
+    wd.add_argument("--shard-size", type=int, default=1000)
+    wd.add_argument("--overwrite", action="store_true")
+
     bp = sub.add_parser("bpe", help="fit BPE merges on a text corpus")
     bp.add_argument("--table", required=True)
     bp.add_argument("--out", required=True)
@@ -345,6 +383,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             "profile": _cmd_profile,
             "manifest": _cmd_manifest,
             "bpe": _cmd_bpe,
+            "wds-export": _cmd_wds_export,
             "analyze": _cmd_analyze,
             "export-flat": _cmd_export_flat,
         }[args.cmd](spark, args)

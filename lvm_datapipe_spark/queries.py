@@ -6656,3 +6656,52 @@ def events_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     )
     return m.filter(F.col("n") >= 8).select("user_id", "n", slope.alias("slope"))
+
+
+@_q(
+    "agg_skewness_by_type",
+    """
+    WITH m AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(12,6))) AS VARCHAR) AS DOUBLE) AS s1,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(12,6)) * CAST(value AS DECIMAL(12,6))) AS VARCHAR) AS DOUBLE) AS s2,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(12,6)) * CAST(value AS DECIMAL(12,6)) * CAST(value AS DECIMAL(12,6))) AS VARCHAR) AS DOUBLE) AS s3
+      FROM events GROUP BY event_type)
+    SELECT event_type, n,
+           ((s3 - 3 * (s1 / n) * s2 + 2 * n * (s1 / n) * (s1 / n) * (s1 / n)) / n)
+             / sqrt((s2 - s1 * s1 / n) / n)
+             / ((s2 - s1 * s1 / n) / n) AS skewness
+    FROM m WHERE n >= 3 AND (s2 - s1 * s1 / n) > CAST(0.0 AS DOUBLE)
+    """,
+)
+def agg_skewness_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-exact SKEWNESS per group — the third-moment member of the
+    moments family (corr, acf, slope).  Raw power sums stay EXACT decimals
+    by construction: value quantized to (12,6), v² = (25,12), v³ = (38,18)
+    — every product fits without Spark's precision-cap rescaling — then
+    the VARCHAR→double bridge and an identical double combination.
+    Spark's built-in ``skewness`` (streaming float moments) is
+    deliberately avoided: its accumulation order is not reproducible
+    across engines.  (Kurtosis is excluded: v⁴ needs 24 fractional
+    digits on 11 integer digits and the precision cap would force a
+    lossy rescale — it requires either bounded inputs or an explicitly
+    quantized spec.)  One keyed aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    d6 = F.col("value").cast("decimal(12,6)")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d6).cast("string").cast("double").alias("s1"),
+        F.sum(d6 * d6).cast("string").cast("double").alias("s2"),
+        F.sum(d6 * d6 * d6).cast("string").cast("double").alias("s3"),
+    )
+    n, s1, s2, s3 = F.col("n"), F.col("s1"), F.col("s2"), F.col("s3")
+    mean = s1 / n
+    var_n = (s2 - s1 * s1 / n) / n
+    m3 = (s3 - 3 * mean * s2 + 2 * n * mean * mean * mean) / n
+    return (
+        m.filter((n >= 3) & ((s2 - s1 * s1 / n) > 0.0))
+        .select(
+            "event_type", "n", (m3 / F.sqrt(var_n) / var_n).alias("skewness")
+        )
+    )

@@ -222,3 +222,22 @@ def test_cli_zorder_hilbert_curve(spark, tmp_path, capsys):
     status = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert status["curve"] == "hilbert" and status["rows"] == 512
     assert spark.read.parquet(out).count() == 512
+
+
+def test_cli_wds_export(spark, tmp_path, capsys):
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(f"d{i}", f"text {i}") for i in range(12)], "key string, txt string"
+    ).write.parquet(src)
+    out = str(tmp_path / "wds")
+    rc = main(
+        ["wds-export", "--table", src, "--out", out,
+         "--columns", "txt:txt", "--shard-size", "5", "--overwrite"],
+        spark=spark,
+    )
+    assert rc == 0
+    status = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert status["rows"] == 12 and status["shards"] >= 1
+    from lvm_datapipe_spark.sources.webdataset import read_webdataset
+
+    assert read_webdataset(spark, out).count() == 12
