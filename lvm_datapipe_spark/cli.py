@@ -271,7 +271,7 @@ def _cmd_bpe(spark, args) -> None:
 def _cmd_wds_export(spark, args) -> None:
     """Export a parquet table as WebDataset tar shards through the
     DataSource writer (commit manifest + overwrite semantics)."""
-    from lvm_datapipe_spark.sources.webdataset import register_webdataset
+    from lvm_datapipe_spark.sources.webdataset import MANIFEST, register_webdataset
 
     register_webdataset(spark)
     df = spark.read.parquet(args.table)
@@ -284,7 +284,8 @@ def _cmd_wds_export(spark, args) -> None:
         .mode("overwrite" if args.overwrite else "append")
         .save()
     )
-    manifest = json.load(open(os.path.join(args.out, "_manifest.json")))
+    with open(os.path.join(args.out, MANIFEST)) as f:
+        manifest = json.load(f)
     print(
         json.dumps(
             {

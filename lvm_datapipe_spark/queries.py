@@ -6664,10 +6664,11 @@ def events_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH m AS (
       SELECT event_type,
              CAST(count(*) AS BIGINT) AS n,
-             CAST(CAST(SUM(CAST(value AS DECIMAL(12,6))) AS VARCHAR) AS DOUBLE) AS s1,
-             CAST(CAST(SUM(CAST(value AS DECIMAL(12,6)) * CAST(value AS DECIMAL(12,6))) AS VARCHAR) AS DOUBLE) AS s2,
-             CAST(CAST(SUM(CAST(value AS DECIMAL(12,6)) * CAST(value AS DECIMAL(12,6)) * CAST(value AS DECIMAL(12,6))) AS VARCHAR) AS DOUBLE) AS s3
-      FROM events GROUP BY event_type)
+             CAST(CAST(SUM(CAST(value AS DECIMAL(9,6))) AS VARCHAR) AS DOUBLE) AS s1,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(9,6)) * CAST(value AS DECIMAL(9,6))) AS VARCHAR) AS DOUBLE) AS s2,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(9,6)) * CAST(value AS DECIMAL(9,6)) * CAST(value AS DECIMAL(9,6))) AS VARCHAR) AS DOUBLE) AS s3
+      FROM events WHERE abs(value) < CAST(1000.0 AS DOUBLE)
+      GROUP BY event_type)
     SELECT event_type, n,
            ((s3 - 3 * (s1 / n) * s2 + 2 * n * (s1 / n) * (s1 / n) * (s1 / n)) / n)
              / sqrt((s2 - s1 * s1 / n) / n)
@@ -6678,17 +6679,22 @@ def events_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_skewness_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine-exact SKEWNESS per group — the third-moment member of the
     moments family (corr, acf, slope).  Raw power sums stay EXACT decimals
-    by construction: value quantized to (12,6), v² = (25,12), v³ = (38,18)
+    by construction: value quantized to (9,6), v² = (19,12), v³ = (29,18)
     — every product fits without Spark's precision-cap rescaling — then
     the VARCHAR→double bridge and an identical double combination.
-    Spark's built-in ``skewness`` (streaming float moments) is
-    deliberately avoided: its accumulation order is not reproducible
-    across engines.  (Kurtosis is excluded: v⁴ needs 24 fractional
-    digits on 11 integer digits and the precision cap would force a
-    lossy rescale — it requires either bounded inputs or an explicitly
-    quantized spec.)  One keyed aggregate."""
-    ev = load_table(spark, sf_dir, "events")
-    d6 = F.col("value").cast("decimal(12,6)")
+    The SPEC bounds inputs to |value| < 1000 explicitly (the filter is
+    part of the query, both engines): with v quantized at (9,6), v³ has
+    9 integer digits, leaving 11 integer digits of Σ-headroom in the
+    (38,18) sum — ~1e11 rows per group before overflow, a real bound
+    rather than a silent engine-divergent NULL/error.  Spark's built-in
+    ``skewness`` (streaming float moments) is deliberately avoided: its
+    accumulation order is not reproducible across engines.  (Kurtosis
+    is excluded: v⁴ would need 24 fractional digits and a lossy
+    rescale.)  One keyed aggregate."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.abs(F.col("value")) < 1000.0
+    )
+    d6 = F.col("value").cast("decimal(9,6)")
     m = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(d6).cast("string").cast("double").alias("s1"),

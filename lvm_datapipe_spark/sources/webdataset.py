@@ -217,6 +217,22 @@ try:  # pyspark >= 4 only
                     "columns option is required, e.g. 'txt:txt,payload:bin'"
                 )
             self.shard_size = int(options.get("shard_size", "1000"))
+            if not overwrite and os.path.isdir(self.path):
+                leftover = [
+                    f for f in os.listdir(self.path)
+                    if f.endswith(".tar") or f == MANIFEST
+                ]
+                if leftover:
+                    # "append" cannot be honest here: shard names are
+                    # deterministic per (partition, seq) so a second run
+                    # overwrites prior shards, and commit() rewrites the
+                    # manifest with only its own — silently clobbering
+                    # and orphaning the earlier export.  Fail loudly.
+                    raise ValueError(
+                        f"{self.path} already holds a webdataset export "
+                        f"({len(leftover)} files); write to a fresh "
+                        "directory or use mode('overwrite')"
+                    )
             if overwrite and os.path.isdir(self.path):
                 # runs on the DRIVER when the writer is built, before any
                 # task: stale shards must not survive into the new export

@@ -179,3 +179,17 @@ def test_reader_honors_manifest_over_listing(spark, tmp_path):
     os.remove(os.path.join(out, "_manifest.json"))
     keys2 = {r["key"] for r in read_webdataset(spark, out).collect()}
     assert "rogue" in keys2
+
+
+def test_datasource_append_refuses_existing_export(spark, tmp_path):
+    import pytest
+
+    from lvm_datapipe_spark.sources.webdataset import register_webdataset
+
+    register_webdataset(spark)
+    out = str(tmp_path / "wds_refuse")
+    df = spark.createDataFrame([("a", "x")], "key string, txt string").coalesce(1)
+    _ds_write(df, out)
+    with pytest.raises(Exception, match="fresh|overwrite"):
+        _ds_write(df, out)  # append onto an existing export must fail loudly
+    _ds_write(df, out, mode="overwrite")  # but overwrite remains fine
