@@ -6711,3 +6711,97 @@ def agg_skewness_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", "n", (m3 / F.sqrt(var_n) / var_n).alias("skewness")
         )
     )
+
+
+@_q(
+    "pipeline_pretrain_full",
+    f"""
+    WITH corp AS (
+      SELECT doc_id, lang, text FROM documents WHERE doc_id % 10 <> 0),
+    bench AS (
+      SELECT doc_id AS bench_id, text FROM documents WHERE doc_id % 10 = 0),
+    fp AS (
+      SELECT doc_id, lang, text,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS f
+      FROM corp),
+    kept AS (
+      SELECT doc_id, lang, text FROM (
+        SELECT fp.*, min(doc_id) OVER (PARTITION BY f) AS keeper FROM fp)
+      WHERE doc_id = keeper),
+    ct AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM kept),
+    cs AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(generate_series(1, len(toks) - 4),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+                         || toks[i+3] || ' ' || toks[i+4]))) AS shingle
+      FROM ct WHERE len(toks) >= 5),
+    bt AS (
+      SELECT bench_id, {_SQL_TOKS} AS toks FROM bench),
+    bs AS (
+      SELECT bench_id,
+             unnest(list_distinct(list_transform(generate_series(1, len(toks) - 4),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+                         || toks[i+3] || ' ' || toks[i+4]))) AS shingle
+      FROM bt WHERE len(toks) >= 5),
+    flagged AS (
+      SELECT DISTINCT cs.doc_id FROM cs JOIN bs ON cs.shingle = bs.shingle),
+    clean AS (
+      SELECT kept.* FROM kept
+      WHERE doc_id NOT IN (SELECT doc_id FROM flagged)),
+    scored AS (
+      SELECT doc_id, lang, CAST(len({_SQL_TOKS}) AS INTEGER) AS n_tokens
+      FROM clean),
+    gated AS (SELECT * FROM scored WHERE n_tokens >= 20),
+    b AS (
+      SELECT gated.*,
+             ('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % 10000 AS bucket
+      FROM gated)
+    SELECT doc_id, lang, n_tokens,
+           CASE WHEN bucket < 8000 THEN 'train'
+                WHEN bucket < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def pipeline_pretrain_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE pretraining-curation recipe as one declared plan —
+    pipeline_curate extended with the contamination leg: exact dedup
+    (md5 fingerprint, keep min id) → benchmark DECONTAMINATION (5-gram
+    shingle overlap vs the held-out benchmark slice, anti-join — the
+    decontaminate_overlap machinery with the benchmark side broadcast)
+    → quality gate (token floor) → deterministic md5-bucket split.
+    Every stage is an oracle-checked operator reused verbatim; the
+    composition costs one fingerprint window shuffle + one
+    shingle-keyed join against a BROADCAST benchmark shingle table +
+    map-side everything else.  This is the query a user runs to turn a
+    raw crawl into train/val/test — the engine's reason to exist, in
+    one EXPLAIN."""
+    from lvm_datapipe_spark.operators import text as X
+    from lvm_datapipe_spark.operators.decontaminate import decontaminate
+    from lvm_datapipe_spark.operators.sampling import split_assign
+
+    docs = load_table(spark, sf_dir, "documents")
+    corp = docs.filter(F.col("doc_id") % 10 != 0)
+    bench = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select(F.col("doc_id").alias("bench_id"), "text")
+    )
+    fp = corp.select(
+        "doc_id", "lang", "text", X.fingerprint("text").alias("f")
+    )
+    w = Window.partitionBy("f")
+    kept = (
+        fp.withColumn("keeper", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("keeper"))
+        .drop("keeper", "f")
+    )
+    clean = decontaminate(kept, bench, n=5)
+    scored = clean.select(
+        "doc_id", "lang", X.token_count("text").alias("n_tokens")
+    )
+    gated = scored.filter(F.col("n_tokens") >= 20)
+    return split_assign(
+        gated, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "lang", "n_tokens", "split")
