@@ -6805,3 +6805,82 @@ def pipeline_pretrain_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_assign(
         gated, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
     ).select("doc_id", "lang", "n_tokens", "split")
+
+
+@_q(
+    "events_seasonal_residuals",
+    f"""
+    WITH base AS (
+      SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
+             {_dsum('value')} / COUNT(value) AS baseline,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, hour(ts)),
+    dev AS (
+      SELECT e.event_id, e.event_type, CAST(hour(e.ts) AS BIGINT) AS hod,
+             e.value - b.baseline AS residual
+      FROM events e
+      JOIN base b ON b.event_type = e.event_type
+                 AND b.hod = hour(e.ts)
+      WHERE b.n >= 20),
+    mx AS (
+      SELECT event_type, MAX(abs(residual)) AS mr FROM dev GROUP BY event_type)
+    SELECT d.event_type,
+           CAST(MIN(d.event_id) AS BIGINT) AS event_id,
+           MIN(abs(d.residual)) AS abs_residual
+    FROM dev d JOIN mx ON mx.event_type = d.event_type
+                      AND abs(d.residual) = mx.mr
+    GROUP BY d.event_type
+    """,
+)
+def events_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEASONAL-baseline anomaly detection: each (event_type, hour-of-day)
+    cell gets a decimal-exact mean baseline; the most anomalous event per
+    type is the one deviating furthest from ITS OWN hour's baseline —
+    the seasonality-aware upgrade over the flat z-score/MAD outlier
+    queries (a value normal at peak hour is an anomaly at 4am).  Thin
+    cells (n < 20) are excluded from judging — their baselines are
+    noise.  One grouped aggregate (24×|types| cells, broadcast back) +
+    the mode-pattern deterministic argmax (max |residual|, then
+    earliest event).  The corpus shuffles only for the |types|-sized
+    argmax aggregates."""
+    ev = load_table(spark, sf_dir, "events")
+    hod = F.hour("ts").cast("long")
+    base = ev.groupBy(
+        "event_type", hod.alias("hod")
+    ).agg(
+        A.decimal_avg("value").alias("baseline"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    dev = (
+        ev.select("event_id", "event_type", hod.alias("hod"), "value")
+        .join(
+            F.broadcast(
+                base.withColumnRenamed("event_type", "_t").withColumnRenamed(
+                    "hod", "_h"
+                )
+            ),
+            (F.col("event_type") == F.col("_t")) & (F.col("hod") == F.col("_h")),
+        )
+        .filter(F.col("n") >= 20)
+        .select(
+            "event_id",
+            "event_type",
+            "hod",
+            (F.col("value") - F.col("baseline")).alias("residual"),
+        )
+    )
+    mx = dev.groupBy("event_type").agg(
+        F.max(F.abs("residual")).alias("mr")
+    )
+    return (
+        dev.join(
+            mx.withColumnRenamed("event_type", "_mt"),
+            (F.col("event_type") == F.col("_mt"))
+            & (F.abs(F.col("residual")) == F.col("mr")),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.min("event_id").alias("event_id"),
+            F.min(F.abs("residual")).alias("abs_residual"),
+        )
+    )
