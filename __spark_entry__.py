@@ -35,8 +35,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #      row is OLDEST, so every query periodically re-enters the window and
 #      a silent regression cannot hide outside it indefinitely.
 # Everything rotated out stays verified locally every round via
-# ``tools/check_correctness.py`` (167/167 oracle-paired queries green at
-# the r5 cut; 169 declared).
+# ``tools/check_correctness.py`` (168/168 oracle-paired queries green at
+# the r5 cut; 170 declared).
 _CHECK_FIRST = [
     # -- 1. changed in r5 (re-pointed to the LSH scale path / un-hinted
     #       customer join) + added in r5
@@ -95,7 +95,7 @@ _CHECK_FIRST = [
     "agg_distinct_count",
     # -- 4. oldest-row veterans: NONE this round — the 42 r5 additions/
     #       changes plus the 6 never-checked r4 queries and the 2 twins
-    #       fill all 50 slots.  Thirty-one late-r5 additions follow the window
+    #       fill all 50 slots.  Thirty-two late-r5 additions follow the window
     #       (profile_lineitem_numeric, text_novelty_score,
     #       dedup_soft_weights, events_native_session_window,
     #       dedup_ppjoin_pairs, and the session-3 TPC-H completions
@@ -113,10 +113,11 @@ _CHECK_FIRST = [
     #       events_changepoint,
     #       events_winsorized, events_trend_slope, agg_skewness_by_type,
     #       pipeline_pretrain_full,
-    #       events_seasonal_residuals — all
+    #       events_seasonal_residuals,
+    #       events_interarrival_stats — all
     #       locally green) and lead r6's never-officially-checked group.  Every rotated-out veteran held a green
     #       official row in r1-r4 AND is green in the r5 local full run
-    #       (tools/check_correctness.py, 167/167 oracle-paired); the oldest (a5, a6,
+    #       (tools/check_correctness.py, 168/168 oracle-paired); the oldest (a5, a6,
     #       a7, a8, w1, w2, set ops, the dedup family, ...) lead the r6
     #       veteran re-check queue.  Also permanently out-of-window:
     #       approx_distinct_users + ann_ivf_topk (rows-only by design;

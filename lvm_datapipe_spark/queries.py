@@ -6884,3 +6884,45 @@ def events_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.abs("residual")).alias("abs_residual"),
         )
     )
+
+
+@_q(
+    "events_interarrival_stats",
+    """
+    WITH seq AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT)
+               - lag(CAST(floor(epoch(ts)) AS BIGINT), 1) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+      FROM events),
+    g AS (SELECT user_id, gap_s FROM seq WHERE gap_s IS NOT NULL)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(SUM(gap_s) AS BIGINT) AS total_gap_s,
+           quantile_cont(CAST(gap_s AS DOUBLE), 0.5) AS median_gap_s,
+           CAST(MAX(gap_s) AS BIGINT) AS max_gap_s
+    FROM g GROUP BY user_id
+    """,
+)
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user INTER-ARRIVAL statistics — the activity-cadence features a
+    sessionizer's gap threshold is tuned from (how long is a "normal"
+    silence for this user?).  Gaps are exact INTEGER seconds (epoch
+    truncation both engines, lag over the deterministic (ts, event_id)
+    order), so sum/max are exact longs and the median runs through the
+    bit-identical percentile≡quantile_cont pair on exact-integer-valued
+    doubles.  One window shuffle + one keyed aggregate on the same user
+    key."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch_s = F.unix_timestamp("ts")
+    gap = (epoch_s - F.lag(epoch_s, 1).over(w)).alias("gap_s")
+    g = ev.select("user_id", gap).filter(F.col("gap_s").isNotNull())
+    return g.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("gap_s").alias("total_gap_s"),
+        F.percentile(F.col("gap_s").cast("double"), F.lit(0.5)).alias(
+            "median_gap_s"
+        ),
+        F.max("gap_s").alias("max_gap_s"),
+    )
