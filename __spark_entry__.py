@@ -38,91 +38,80 @@ def entry(spark: SparkSession) -> DataFrame:
 # ``tools/check_correctness.py`` (168/168 oracle-paired queries green at
 # the r5 cut; 170 declared).
 _CHECK_FIRST = [
-    # -- 1. changed in r5 (re-pointed to the LSH scale path / un-hinted
-    #       customer join) + added in r5
-    "dedup_embedding_cosine",
-    "dedup_clusters",
-    "split_leakage_safe",
-    "j4_region_revenue",
-    "w5_deciles_bucketed",
-    "q14_promo_revenue",
-    "q18_large_orders",
-    "embedding_centroid_by_label",
-    "w9_lead_lag",
-    "text_chunk_overlap",
-    "text_char_diversity",
-    # r5 batch 2: the classic join-shape family + pipeline operators
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q13_order_distribution",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q21_blocking_supplier",
-    "q22_inactive_balance",
-    "bloom_pruned_semi_join",
-    "scd2_docs_merge",
-    "text_zscore_by_lang",
-    "sample_match_target",
-    "events_markov_transitions",
-    "agg_correlation",
-    "sample_top_p_by_lang",
-    "ann_pq_adc_topk",
-    "pipeline_incremental",
-    "text_dup_sentence_fraction",
-    "quality_logit",
-    "events_mad_outliers",
-    "dq_report",
-    "graph_supplier_triangles",
-    "basket_part_lift",
-    "sample_temperature_mix",
-    "events_top_trigrams",
-    "dataset_card_by_source",
-    "match_view_purchase_mutual",
-    "ann_ivfpq_topk",
-    "w10_share_of_group",
-    "histogram2d_qty_price",
-    # -- 2. r4 additions that fell outside r4's 50-entry window
-    "langid_confusion",
-    "dedup_incremental_cross",
-    "text_sentences",
-    "events_zscore_outliers",
-    "retention_cohorts",
-    "funnel_view_click_purchase",
-    # -- 3. deterministic twins of the two rows-only entries
-    "ann_ivf_fixed_topk",
-    "agg_distinct_count",
-    # -- 4. oldest-row veterans: NONE this round — the 42 r5 additions/
-    #       changes plus the 6 never-checked r4 queries and the 2 twins
-    #       fill all 50 slots.  Thirty-two late-r5 additions follow the window
-    #       (profile_lineitem_numeric, text_novelty_score,
-    #       dedup_soft_weights, events_native_session_window,
-    #       dedup_ppjoin_pairs, and the session-3 TPC-H completions
-    #       q2_min_cost_supplier, q9_nation_profit, q11_important_parts,
-    #       q12_priority_by_returnflag, q15_top_supplier,
-    #       q16_supplier_part_count, q20_excess_share_suppliers,
-    #       range_join_active_spans, doc_contiguous_ids,
-    #       graph_nation_pagerank, scd2_temporal_join,
-    #       agg_incremental_merge, events_sliding_distinct_users,
-    #       negatives_ring_by_lang, curriculum_schedule, dedup_substring_spans,
-    #       agg_mode_brand_per_type,
-    #       events_props_variant,
-    #       user_value_profiles,
-    #       events_autocorrelation,
-    #       events_changepoint,
-    #       events_winsorized, events_trend_slope, agg_skewness_by_type,
-    #       pipeline_pretrain_full,
-    #       events_seasonal_residuals,
-    #       events_interarrival_stats — all
-    #       locally green) and lead r6's never-officially-checked group.  Every rotated-out veteran held a green
-    #       official row in r1-r4 AND is green in the r5 local full run
-    #       (tools/check_correctness.py, 168/168 oracle-paired); the oldest (a5, a6,
-    #       a7, a8, w1, w2, set ops, the dedup family, ...) lead the r6
-    #       veteran re-check queue.  Also permanently out-of-window:
-    #       approx_distinct_users + ann_ivf_topk (rows-only by design;
-    #       exact twins in group 3) and ann_cosine_topk (unit-test-pinned;
-    #       shares its ranking oracle shape with ann_ivf_fixed_topk).
+    # -- 1. changed or added in r6 (their prior rows, if any, no longer
+    #       describe the shipped code)
+    "events_seasonal_residuals",    # thin-cell floor 20 -> 10 (ADVICE r5)
+    "events_hourly_distinct_users",  # new: declared no-fan-out sibling of
+    #                                 the demoted sliding-distinct form
+    "text_bpe_token_count",         # bpe.py driver-loop bound (r5 item 5)
+    # -- 2. never-officially-checked late-r5 additions (all green in the
+    #       r5 local full sweep; leading per the codified rotation)
+    "profile_lineitem_numeric",
+    "text_novelty_score",
+    "dedup_soft_weights",
+    "events_native_session_window",
+    "dedup_ppjoin_pairs",
+    "q2_min_cost_supplier",
+    "q9_nation_profit",
+    "q11_important_parts",
+    "q12_priority_by_returnflag",
+    "q15_top_supplier",
+    "q16_supplier_part_count",
+    "q20_excess_share_suppliers",
+    "range_join_active_spans",
+    "doc_contiguous_ids",
+    "graph_nation_pagerank",
+    "scd2_temporal_join",
+    "agg_incremental_merge",
+    "negatives_ring_by_lang",
+    "curriculum_schedule",
+    "dedup_substring_spans",
+    "agg_mode_brand_per_type",
+    "events_props_variant",
+    "user_value_profiles",
+    "events_autocorrelation",
+    "events_changepoint",
+    "events_winsorized",
+    "events_trend_slope",
+    "agg_skewness_by_type",
+    "pipeline_pretrain_full",
+    "events_interarrival_stats",
+    # -- 3. oldest-row veterans (last official green row r3; every other
+    #       veteran holds an r4/r5 row).  Core operator families first per
+    #       policy; the 20 remaining r3-row veterans (agg_cube, agg_rollup,
+    #       asof_last_view_before_purchase, c2/c5/c7/c9/c14,
+    #       dedup_levenshtein, events_tumbling_window, hypertable_rollup,
+    #       range_join_first_day_events, semi_join_high_value_orders,
+    #       text_bpe-family/fingerprints, a9, w4, ann_cosine_topk,
+    #       ann_lsh_near_dup) lead the r7 veteran queue.
+    "a5_corpus_stats",
+    "a6_histogram",
+    "a7_value_counts",
+    "a8_count_consistency",
+    "w1_clip_numbering",
+    "w2_best_per_group",
+    "w3_sessionize",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "text_quality",
+    "text_langid",
+    "set_union_shards",
+    "set_except_finished",
+    "sort_limit_topk",
+    "q3_shipping_priority",
+    # NOTE on departures from the r5 list: events_sliding_distinct_users
+    # was DEMOTED to queries.PYTEST_ORACLES this round (VERDICT r5 item 4
+    # — its 6x fan-out plan left the declared surface together with
+    # w5_quality_deciles's SinglePartition NTILE; both keep full DuckDB
+    # oracles in tests/test_oracle_queries.py).  Permanently out-of-window:
+    # approx_distinct_users + ann_ivf_topk (rows-only by design; exact
+    # twins agg_distinct_count / ann_ivf_fixed_topk hold r5 rows) and
+    # ann_cosine_topk (unit-test-pinned; shares its ranking oracle shape
+    # with ann_ivf_fixed_topk).  Every rotated-out veteran held an official
+    # green row in r1-r5 AND stays green in the per-round local full sweep
+    # (tools/check_correctness.py).
 ]
 
 

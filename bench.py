@@ -64,6 +64,13 @@ BENCH_QUERIES = [
     "ann_lsh_near_dup",
 ]
 
+#: the r1-comparable subset — the 16 queries benchmarked in every round
+#: since r1.  Published as "common16_sec" so the headline total (which
+#: absorbed deliberate plan re-points, e.g. dedup_embedding_cosine moving
+#: to the LSH scale path in r5) stops conflating re-points with
+#: regressions (VERDICT r5 item 7).
+COMMON_16 = BENCH_QUERIES[:16]
+
 
 def main() -> None:
     from lvm_datapipe_spark.queries import QUERIES
@@ -116,6 +123,9 @@ def main() -> None:
                 "metric": "headline_queries_total_time",
                 "value": round(sum(times.values()), 4),
                 "unit": "sec",
+                "common16_sec": round(
+                    sum(t for n, t in times.items() if n in COMMON_16), 4
+                ),
                 "queries": times,
                 "sf": sf_val,
             }

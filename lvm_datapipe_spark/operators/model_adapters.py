@@ -336,7 +336,7 @@ class TinyAestheticAdapter(ScorerAdapter):
         out = []
         for f in frames:
             hid = np.maximum(w1 @ self.embed(f) + b1, 0.0)  # ReLU
-            out.append(float(w2 @ hid + b2))
+            out.append((w2 @ hid + b2).item())
         return out
 
 
@@ -388,7 +388,7 @@ class TinyImagingQualityAdapter(ScorerAdapter):
         acc = 0.0
         for f in frames:  # per-frame forward, then acc/len — :85-90
             hid = np.maximum(w1 @ self.embed(f) + b1, 0.0)  # ReLU
-            acc += float(w2 @ hid + b2)
+            acc += (w2 @ hid + b2).item()
         return acc / len(frames)
 
 

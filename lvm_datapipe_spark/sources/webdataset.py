@@ -34,6 +34,25 @@ The loader side (``read_webdataset``) exists for round-trip tests and
 small-scale inspection: it reads the manifested shard list (or lists the
 directory when no manifest exists) and parallelizes member extraction —
 production loaders stream shards whole, which is the point of the format.
+
+FILESYSTEM CONTRACT (read before pointing this at a cluster): all IO here
+is raw POSIX (``os.makedirs``/``os.replace`` on executors, driver-side
+``open`` for the manifest, ``os.listdir`` in the reader), so ``path`` must
+be a POSIX directory VISIBLE TO EVERY EXECUTOR AND THE DRIVER — local
+mode, or a shared mount (NFS/Lustre/GPFS/fuse-mounted object store).  On a
+multi-node cluster with a plain local path, shards land on each executor's
+local disk and the driver-side manifest describes nothing.  Object-store
+URI schemes (``s3://``, ``hdfs://``, ``gs://``, ...) are REJECTED up
+front rather than silently treated as relative local dirs; route them
+through a fuse mount, or copy the finished export with ``hadoop fs
+-put``/``aws s3 cp`` as a post-step.
+
+KEY CONTRACT: ``key_col`` must be GLOBALLY UNIQUE — webdataset-style
+loaders group tar members by key prefix, so two samples sharing a key
+silently clobber each other at load time.  Repeats within one task are
+detected and fail the write loudly; repeats ACROSS tasks cannot be seen
+by a per-task writer, so enforce global uniqueness upstream (it is one
+``groupBy(key).count().filter("count > 1")`` assertion away).
 """
 
 from __future__ import annotations
@@ -41,9 +60,25 @@ from __future__ import annotations
 import io
 import json
 import os
+import re
 import tarfile
 
 MANIFEST = "_manifest.json"
+
+_URI_SCHEME = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://")
+
+
+def _require_posix_path(path: str) -> None:
+    """Fail loudly on object-store/remote URI schemes: every byte of IO in
+    this module is raw POSIX, and a scheme'd path would otherwise be
+    created as a literal local directory named ``s3:`` (see module
+    docstring's FILESYSTEM CONTRACT)."""
+    if _URI_SCHEME.match(path):
+        raise ValueError(
+            f"webdataset sink/reader uses raw POSIX IO; {path!r} has a URI "
+            "scheme it cannot honor — use a shared POSIX mount visible to "
+            "all executors and the driver (see module docstring)"
+        )
 
 
 def _member_bytes(v, ext: str) -> bytes:
@@ -74,6 +109,10 @@ def _write_rows_to_shards(
     seq = n_in_shard = n_rows = 0
     tar, tmp, final = None, None, None
     shards: list = []
+    # per-task duplicate-key guard (KEY CONTRACT in the module docstring):
+    # one small string per row of this partition — loaders clobber repeated
+    # keys silently, so a repeat here is always a data bug worth failing
+    seen_keys: set = set()
 
     def close_current():
         nonlocal tar
@@ -90,6 +129,13 @@ def _write_rows_to_shards(
                 tmp = f"{final}.tmp-{attempt}"
                 tar = tarfile.open(tmp, "w")
             k = str(row[key_col])
+            if k in seen_keys:
+                raise ValueError(
+                    f"duplicate {key_col}={k!r} in partition {pid}: webdataset "
+                    "keys must be globally unique (loaders group members by "
+                    "key and silently clobber repeats)"
+                )
+            seen_keys.add(k)
             for col, ext in columns.items():
                 v = row[col]
                 if v is None:
@@ -126,7 +172,10 @@ def write_webdataset(
     completeness manifest matters).
 
     ``columns`` maps column name → member extension (see module
-    docstring for the per-extension encoding rules)."""
+    docstring for the per-extension encoding rules).  ``path`` must be a
+    shared POSIX directory and ``key_col`` globally unique — see the
+    FILESYSTEM and KEY contracts in the module docstring."""
+    _require_posix_path(path)
     os.makedirs(path, exist_ok=True)
     cols = dict(columns)
 
@@ -148,6 +197,7 @@ def read_webdataset(spark, path: str):
     the acknowledged shards in it are read — partial shards from a failed
     or superseded run are skipped; without a manifest (functional-API
     writes) the directory listing is the source of truth."""
+    _require_posix_path(path)
     mpath = os.path.join(path, MANIFEST)
     if os.path.exists(mpath):
         with open(mpath) as f:
@@ -207,6 +257,7 @@ try:  # pyspark >= 4 only
             self.path = options.get("path")
             if not self.path:
                 raise ValueError("path option is required")
+            _require_posix_path(self.path)
             self.key_col = options.get("key_col", "key")
             spec = options.get("columns", "")  # "col:ext,col2:ext2"
             self.columns = dict(

@@ -121,6 +121,25 @@ def test_no_cartesian_in_any_declared_query(spark):
     assert not offenders, offenders
 
 
+def test_no_global_window_in_any_declared_query(spark):
+    # VERDICT r5 item 4, codified: no declared query may contain a Window
+    # over an EMPTY partition spec — that is an Exchange-SinglePartition
+    # funnel of every corpus row through one reducer (the NTILE form
+    # demoted to PYTEST_ORACLES this round).  Heuristic: in the optimized
+    # plan a windowspecdefinition whose FIRST argument carries a sort
+    # direction has no partition columns (partition cols print bare, order
+    # cols print with "ASC NULLS"/"DESC NULLS").
+    import re
+
+    pat = re.compile(r"windowspecdefinition\([^,()]* (ASC NULLS|DESC NULLS)")
+    offenders = []
+    for name in QUERIES:
+        opt = _optimized(spark, name)
+        if pat.search(opt):
+            offenders.append(name)
+    assert not offenders, offenders
+
+
 def test_w5_bucketed_twin_has_no_window(spark):
     # the scale-safe decile twin: percentile aggregate + broadcast compare
     # ladder — no Window operator (the NTILE form's SinglePartition window

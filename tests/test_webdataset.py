@@ -193,3 +193,42 @@ def test_datasource_append_refuses_existing_export(spark, tmp_path):
     with pytest.raises(Exception, match="fresh|overwrite"):
         _ds_write(df, out)  # append onto an existing export must fail loudly
     _ds_write(df, out, mode="overwrite")  # but overwrite remains fine
+
+
+def test_duplicate_key_fails_loudly(spark, tmp_path):
+    # KEY CONTRACT: loaders group members by key and silently clobber
+    # repeats, so the writer must fail on an in-task duplicate
+    import pytest
+
+    out = str(tmp_path / "wds_dup")
+    df = spark.createDataFrame(
+        [("k1", "a"), ("k2", "b"), ("k1", "c")], "key string, txt string"
+    ).coalesce(1)
+    with pytest.raises(Exception, match="duplicate.*k1"):
+        write_webdataset(df, out, "key", {"txt": "txt"})
+
+
+def test_uri_scheme_paths_rejected(spark, tmp_path):
+    # FILESYSTEM CONTRACT: raw POSIX IO cannot honor object-store schemes;
+    # rejecting beats creating a literal local dir named "s3:"
+    import pytest
+
+    df = spark.createDataFrame([("k1", "a")], "key string, txt string")
+    for bad in ("s3://bucket/wds", "hdfs://nn/wds", "gs://b/wds"):
+        with pytest.raises(ValueError, match="POSIX"):
+            write_webdataset(df, bad, "key", {"txt": "txt"})
+        with pytest.raises(ValueError, match="POSIX"):
+            read_webdataset(spark, bad)
+    from lvm_datapipe_spark.sources.webdataset import register_webdataset
+
+    register_webdataset(spark)
+    with pytest.raises(Exception, match="POSIX"):
+        (
+            spark.createDataFrame([("k1", "a")], "key string, txt string")
+            .write.format("webdataset")
+            .option("path", "s3://bucket/wds")
+            .option("key_col", "key")
+            .option("columns", "txt:txt")
+            .mode("append")
+            .save()
+        )
