@@ -75,28 +75,50 @@ def _gray_to_rgb(frame: np.ndarray) -> np.ndarray:
     return np.stack([frame, frame, frame], axis=-1)
 
 
+#: path to the public LAION aesthetic checkpoint
+#: (sac+logos+ava1-l14-linearMSE.pth); when set, AestheticAdapter loads the
+#: real weights (aesthetic_score.py:100-102 does the same via torch.load)
+AESTHETIC_WEIGHTS_ENV = "LVM_AESTHETIC_WEIGHTS"
+
+
 class AestheticAdapter(ScorerAdapter):
     """M3 — CLIP+MLP aesthetic predictor; output matches the stub: one float
     per frame (the reference's ``optimal_score`` array,
-    aesthetic_score.py:130-132)."""
+    aesthetic_score.py:130-132).  The MLP head's numeric fidelity is proven
+    torch-free against the shipped public checkpoint in
+    tests/test_model_adapters.py via operators/checkpoints.AestheticMLP
+    (same five affine maps this torch path runs)."""
 
     requires = ("torch", "clip")
 
     @classmethod
     def _load(cls):  # pragma: no cover — needs torch+clip
+        import os
+
         import clip
         import torch
 
         device = "cuda" if torch.cuda.is_available() else "cpu"
         clip_model, preprocess = clip.load("ViT-L/14", device=device)
         # the LAION aesthetic head: 768 -> 1024 -> 128 -> 64 -> 16 -> 1
-        # (aesthetic_score.py:30-45); weights from the standard checkpoint
+        # (aesthetic_score.py:30-45) — NO activations (the published model
+        # comments out every ReLU), so eval inference is 5 affine maps
         mlp = torch.nn.Sequential(
             torch.nn.Linear(768, 1024), torch.nn.Dropout(0.2),
             torch.nn.Linear(1024, 128), torch.nn.Dropout(0.2),
             torch.nn.Linear(128, 64), torch.nn.Dropout(0.1),
             torch.nn.Linear(64, 16), torch.nn.Linear(16, 1),
-        ).to(device).eval()
+        )
+        wpath = os.environ.get(AESTHETIC_WEIGHTS_ENV)
+        if wpath:
+            state = torch.load(wpath, map_location="cpu")
+            # checkpoint keys are 'layers.N.*' (the reference wraps the
+            # Sequential in an attr named `layers`); this bare Sequential
+            # wants 'N.*'
+            mlp.load_state_dict(
+                {k.removeprefix("layers."): v for k, v in state.items()}
+            )
+        mlp = mlp.to(device).eval()
         return device, clip_model, preprocess, mlp
 
     def score(self, frames, h, w):  # pragma: no cover — needs torch+clip

@@ -9,6 +9,7 @@ import sys
 import types
 
 import numpy as np
+import pandas as pd
 import pytest
 
 from lvm_datapipe_spark.operators import media
@@ -324,3 +325,112 @@ def test_tiny_caption_end_to_end_on_decoded_png(spark):
     expected = MA.TinyCaptionAdapter().score(decoded, 12, 16)
     assert rows["clip0"] == expected  # exact strings
     assert rows["failed"] is None
+
+
+# --- M3 numeric fidelity vs the SHIPPED public LAION checkpoint (r6) --------
+
+AESTHETIC_PTH = (
+    "/root/reference/models/improved-aesthetic-predictor/"
+    "sac+logos+ava1-l14-linearMSE.pth"
+)
+
+_has_weights = pytest.mark.skipif(
+    not __import__("os").path.exists(AESTHETIC_PTH),
+    reason="public aesthetic checkpoint not present",
+)
+
+
+@_has_weights
+def test_aesthetic_checkpoint_loads_all_five_layer_shapes():
+    # torch-free load of the real torch zip checkpoint: every Linear of the
+    # published 768->1024->128->64->16->1 head must come back with exactly
+    # its documented shape (aesthetic_score.py:31-45)
+    from lvm_datapipe_spark.operators import checkpoints as C
+
+    sd = C.load_state_dict(AESTHETIC_PTH)
+    want = {}
+    for name, (o, i) in zip(C.AESTHETIC_LAYERS, C.AESTHETIC_SHAPES):
+        want[f"{name}.weight"] = (o, i)
+        want[f"{name}.bias"] = (o,)
+    assert {k: v.shape for k, v in sd.items()} == want
+    assert all(v.dtype == np.float32 for v in sd.values())
+    # real trained weights, not zeros/garbage
+    assert all(np.isfinite(v).all() and np.abs(v).max() > 0 for v in sd.values())
+
+
+@_has_weights
+def test_aesthetic_mlp_golden_forward_matches_hand_computation():
+    from lvm_datapipe_spark.operators.checkpoints import AestheticMLP, load_state_dict
+
+    sd = load_state_dict(AESTHETIC_PTH)
+    mlp = AestheticMLP(sd)
+    rng = np.random.default_rng(7)
+    emb = rng.standard_normal(768).astype(np.float32)
+    emb /= np.linalg.norm(emb)
+
+    # independent hand computation: explicit per-layer float64 affine chain
+    x = emb.astype(np.float64)
+    for name in ("layers.0", "layers.2", "layers.4", "layers.6", "layers.7"):
+        w = sd[f"{name}.weight"].astype(np.float64)
+        b = sd[f"{name}.bias"].astype(np.float64)
+        x = w @ x + b
+    got = float(mlp.forward(emb)[0])
+    assert abs(got - float(x[0])) < 1e-3  # float32 gemm vs float64 chain
+
+    # pinned goldens: a regression in the loader's offset/stride/layer
+    # mapping would shift these by whole units, not 1e-3
+    assert abs(got - 5.240217) < 1e-3
+    uniform = np.full(768, 1.0 / np.sqrt(768), dtype=np.float32)
+    assert abs(float(mlp.forward(uniform)[0]) - 4.883285) < 1e-3
+    # scores land in the head's native 1-10 aesthetic range
+    assert 1.0 < got < 10.0
+
+
+@_has_weights
+def test_aesthetic_mlp_batch_forward_matches_single(spark):
+    # the (n, 768) path an Arrow batch would take agrees with row-at-a-time
+    # forwards to float32 gemm tolerance, and the head is usable from a
+    # pandas UDF over an embedding column end-to-end
+    from lvm_datapipe_spark.operators.checkpoints import AestheticMLP
+
+    mlp = AestheticMLP.load(AESTHETIC_PTH)
+    rng = np.random.default_rng(11)
+    embs = rng.standard_normal((6, 768)).astype(np.float32)
+    embs /= np.linalg.norm(embs, axis=1, keepdims=True)
+    batch = mlp.forward(embs)
+    singles = np.array([mlp.forward(e)[0] for e in embs])
+    assert np.allclose(batch, singles, atol=1e-4)
+
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("float")
+    def aesthetic(col: pd.Series) -> pd.Series:
+        m = AestheticMLP.load(AESTHETIC_PTH)
+        arr = np.stack(col.to_numpy())
+        return pd.Series(m.forward(arr))
+
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in e]) for i, e in enumerate(embs)],
+        "id int, emb array<float>",
+    )
+    rows = df.select("id", aesthetic("emb").alias("score")).collect()
+    got = {r["id"]: r["score"] for r in rows}
+    for i, s in enumerate(singles):
+        assert abs(got[i] - float(s)) < 1e-3
+
+
+def test_state_dict_unpickler_rejects_arbitrary_globals(tmp_path):
+    # the allow-list must block non-state-dict pickles (e.g. os.system
+    # payloads) instead of executing them
+    import pickle
+    import zipfile
+
+    p = tmp_path / "evil.pth"
+    with zipfile.ZipFile(p, "w") as zf:
+        zf.writestr(
+            "archive/data.pkl", pickle.dumps(__import__("os").system)
+        )
+    from lvm_datapipe_spark.operators.checkpoints import load_state_dict
+
+    with pytest.raises(pickle.UnpicklingError, match="disallowed"):
+        load_state_dict(str(p))
