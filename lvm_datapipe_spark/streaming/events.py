@@ -307,14 +307,22 @@ def start_foreach_batch_partitioned(
 
 
 def tws_available() -> bool:
-    """transformWithState needs a working google.protobuf (the state-server
-    protocol); this container ships a broken one, so the tws sessionizer is
-    guarded the same way the torch model adapters are."""
+    """transformWithState needs a google.protobuf runtime able to load
+    pyspark's generated StateMessage code.  The container ships pyspark
+    without protobuf installed; :mod:`lvm_datapipe_spark.protobuf_compat`
+    bootstraps a public on-disk runtime (path probe + same-major version
+    relaxation) for the driver, and the session routes workers through the
+    ``protobuf_daemon`` shim.  False only when no runtime can be found at
+    all."""
+    from lvm_datapipe_spark.protobuf_compat import ensure_protobuf
+
+    if not ensure_protobuf():
+        return False
     try:
-        from google.protobuf import descriptor  # noqa: F401
+        from pyspark.sql.streaming.proto import StateMessage_pb2  # noqa: F401
 
         return True
-    except ImportError:
+    except Exception:
         return False
 
 
@@ -400,7 +408,16 @@ def sessionize_stream_tws(
     Why the new API matters at scale: state lives in per-key typed slots
     on the RocksDB state store backend, timers are first-class (a key can
     hold several), and the processor can evolve state schema between runs
-    — the operational gaps of applyInPandasWithState."""
+    — the operational gaps of applyInPandasWithState.
+
+    Requires the RocksDB state store provider (multiple column families:
+    one per state variable + timers); the default HDFS-backed provider
+    raises multipleColumnFamiliesNotSupported.  Set on the session here —
+    it is the provider a 100 TB stateful deployment runs anyway."""
+    events.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
     SessionProcessor = make_session_processor(gap_minutes)
     return (
         ensure_event_time(events)
