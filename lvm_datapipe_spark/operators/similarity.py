@@ -243,9 +243,19 @@ def lsh_table_planes(n_planes: int, n_tables: int, dim: int, seed: int) -> list:
     ]
 
 
+def auto_n_planes(n_rows: int, target_occupancy: int = 100) -> int:
+    """The measured sizing rule (SCALE_BENCH.md §1): planes ≈ log2(n /
+    target_occupancy), floored at the fixture-tuned 4.  Keeps per-table
+    bucket occupancy ~constant so the candidate join stays near-linear
+    instead of degrading toward n²/2^planes."""
+    import math
+
+    return max(4, math.ceil(math.log2(max(n_rows, 1) / target_occupancy)))
+
+
 def lsh_ann_candidates(
     emb: DataFrame,
-    n_planes: int = 4,
+    n_planes: int | None = 4,
     n_tables: int = 8,
     dim: int = 64,
     seed: int = 42,
@@ -265,6 +275,12 @@ def lsh_ann_candidates(
     """
     from lvm_datapipe_spark.operators.dedup import _with_cached_deps
 
+    if n_planes is None:
+        # production auto-sizing: ONE metadata-sized count decides the
+        # plane budget (the IVF-probe rule: scalar driver decisions are
+        # fine, data never is).  Pass an explicit n_planes where the query
+        # must be statically oracle-replayable (the declared queries do).
+        n_planes = auto_n_planes(emb.count())
     entries = []
     # fold dots for the plane literals — see hyperplane_lsh_buckets for the
     # janino 64 KB rationale (n_tables × n_planes flat trees in one
@@ -308,7 +324,16 @@ def lsh_near_dup_pairs(
     oracle-checkable; precision is exact (every emitted cos_sim is the true
     cosine).  Verify normalizes each vector ONCE (|corpus| rows, persisted —
     see :func:`embedding_near_dup_pairs` for why the barrier matters) so the
-    per-candidate work is a single flat dot, not three."""
+    per-candidate work is a single flat dot, not three.
+
+    SIZING RULE (measured, SCALE_BENCH.md §1): keep per-table bucket
+    occupancy roughly constant by growing ``n_planes`` ≈ log2(n/100) with
+    the corpus.  The defaults (4 planes = 16 buckets/table) are tuned for
+    the sf0.1 fixtures; left fixed, occupancy grows linearly with n and the
+    candidate set degrades toward n²/16 — the scale bench shows the
+    superlinear wall.  Recall lost to narrower buckets is rebuilt by the
+    independent tables (``n_tables=12`` held ~0.9 pair recall at the 0.9
+    threshold in the measured runs)."""
     from lvm_datapipe_spark.operators.dedup import _CACHED_DEPS_ATTR, _with_cached_deps
 
     cand = lsh_ann_candidates(emb, id_col=id_col, vec_col=vec_col, dim=dim, **lsh_kwargs)

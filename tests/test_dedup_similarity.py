@@ -460,3 +460,36 @@ def test_ppjoin_plan_keyed_joins_only(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_auto_n_planes_sizing_rule():
+    # SCALE_BENCH §1: planes ≈ log2(n/100), floored at the fixture default
+    from lvm_datapipe_spark.operators.similarity import auto_n_planes
+
+    assert auto_n_planes(0) == 4
+    assert auto_n_planes(1_000) == 4
+    assert auto_n_planes(5_000) == 6
+    assert auto_n_planes(20_000) == 8
+    assert auto_n_planes(50_000) == 9
+    assert auto_n_planes(100_000) == 10
+    assert auto_n_planes(100_000_000) == 20
+
+
+def test_lsh_candidates_auto_planes_match_explicit(spark):
+    # n_planes=None derives the plane budget from the corpus count and is
+    # bit-identical to passing the derived number explicitly
+    from lvm_datapipe_spark.operators import dedup as D
+    from lvm_datapipe_spark.operators.similarity import (
+        auto_n_planes,
+        lsh_ann_candidates,
+    )
+
+    emb = _emb(spark)
+    n = emb.count()
+    auto = lsh_ann_candidates(emb, n_planes=None)
+    explicit = lsh_ann_candidates(emb, n_planes=auto_n_planes(n))
+    got = {(r.id_a, r.id_b) for r in auto.collect()}
+    want = {(r.id_a, r.id_b) for r in explicit.collect()}
+    assert got == want
+    D.release(auto)
+    D.release(explicit)
