@@ -40,6 +40,8 @@ def entry(spark: SparkSession) -> DataFrame:
 _CHECK_FIRST = [
     # -- 1. changed or added in r6 (their prior rows, if any, no longer
     #       describe the shipped code)
+    "ccnet_perplexity_buckets",     # new: CCNet-style bigram-LM tertiles
+    "dedup_semantic_semdedup",      # new: SemDeDup over the fixed quantizer
     "events_seasonal_residuals",    # thin-cell floor 20 -> 10 (ADVICE r5)
     "events_hourly_distinct_users",  # new: declared no-fan-out sibling of
     #                                 the demoted sliding-distinct form

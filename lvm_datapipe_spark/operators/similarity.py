@@ -899,3 +899,77 @@ def ivfpq_topk_from_store(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "adc_dist")
     )
+
+
+def semdedup_keep(
+    emb: DataFrame,
+    eps: float = 0.4,
+    n_cells: int = 16,
+    dim: int = DEFAULT_DIM,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic deduplication
+    by clustering embeddings, then dropping within-cluster items whose cosine
+    to another cluster member exceeds ``eps``, keeping — per the paper's
+    best-performing variant — the member with the LOWEST similarity to its
+    centroid.
+
+    This implementation uses the repo's FIXED coarse quantizer
+    (:func:`ivf_fixed_centroids`) instead of trained k-means so the whole
+    pipeline is a deterministic expression over literals and fully
+    oracle-checkable; the trained quantizer drops in via :func:`ivf_index`
+    without changing the plan shape.  The paper's per-cluster duplicate-group
+    reduction is expressed as a deterministic DOMINANCE rule: a vector is
+    removed iff some same-cell neighbor with cosine >= eps has strictly lower
+    centroid-similarity (ties broken by lower id).  Chains (a~b~c with a!~c)
+    may keep more than one representative — the connected-components-exact
+    variant is ``lsh_near_dup_pairs`` + ``graph.connected_components``.
+
+    Plan shape (scales to 100 TB): cell assignment is one scan (n_cells
+    literal-dot folds in codegen, no shuffle); candidate pairs meet on a
+    cell equi-self-join — pair blow-up is bounded by cell size (size cells
+    via n_cells ~ corpus/target_cell_size, as SemDeDup does with k=50000 for
+    LAION), never corpus x corpus; the removal set is a keyed anti-join.
+
+    Returns ``(vec_id, cell, centroid_sim, keep)`` for every input vector.
+    """
+    a = (
+        emb.select(F.col(id_col).alias("vec_id"), as_double(vec_col).alias("v"))
+        .withColumn("nrm", F.sqrt(dot_flat(F.col("v"), F.col("v"), dim)))
+        .withColumn("sims", F.expr(_ivf_cell_sims_sql(n_cells, dim, seed, "v", "nrm")))
+        .withColumn(
+            "cell", (F.expr("array_position(sims, array_max(sims))") - 1).cast("int")
+        )
+        .withColumn("centroid_sim", F.array_max("sims"))
+        .withColumn("vn", F.expr("transform(v, x -> x / nrm)"))
+        .select("vec_id", "cell", "centroid_sim", "vn")
+    )
+    lhs = a.select(
+        F.col("vec_id").alias("id_a"),
+        "cell",
+        F.col("centroid_sim").alias("cs_a"),
+        F.col("vn").alias("va"),
+    )
+    rhs = a.select(
+        F.col("vec_id").alias("id_b"),
+        "cell",
+        F.col("centroid_sim").alias("cs_b"),
+        F.col("vn").alias("vb"),
+    )
+    removed = (
+        lhs.join(rhs, "cell")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .filter(dot(F.col("va"), F.col("vb")) >= F.lit(eps))
+        .filter(
+            (F.col("cs_a") < F.col("cs_b"))
+            | ((F.col("cs_a") == F.col("cs_b")) & (F.col("id_a") < F.col("id_b")))
+        )
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("_removed", F.lit(True))
+    )
+    return a.join(removed, "vec_id", "left").select(
+        "vec_id", "cell", "centroid_sim", F.col("_removed").isNull().alias("keep")
+    )

@@ -6978,3 +6978,176 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max("gap_s").alias("max_gap_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style LM quality filter (Wenzek et al. 2019, arXiv:1911.00359):
+# corpus-trained bigram LM -> per-doc mean surprisal -> per-language
+# head/middle/tail tertiles.  Every value in the decision path and the output
+# is an INTEGER (bit-length surprisal, fixed-point micro score, counting-based
+# discrete tertile thresholds), so the oracle match is exact by construction —
+# no percentile interpolation, no libm (measured non-portable: see
+# text.bigram_lm_surprisal and w5_deciles_bucketed's docstrings).
+# ---------------------------------------------------------------------------
+
+_CCNET_SQL = f"""
+    WITH t AS (SELECT doc_id, lang, {_SQL_LTOKS} AS toks FROM documents),
+    t2 AS (SELECT doc_id, lang, toks FROM t WHERE len(toks) >= 2),
+    bg0 AS (SELECT doc_id, lang, toks,
+                   unnest(generate_series(1, len(toks) - 1)) AS i FROM t2),
+    bg AS (SELECT doc_id, lang, toks[i] AS w1, toks[i + 1] AS w2 FROM bg0),
+    cb AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2),
+    cp AS (SELECT w1, count(*) AS cp FROM bg GROUP BY w1),
+    v AS (SELECT count(DISTINCT tok) AS vsz
+          FROM (SELECT unnest(toks) AS tok FROM t2)),
+    s AS (SELECT b.doc_id, b.lang,
+                 length(bin(cp.cp + v.vsz)) - length(bin(cb.cb + 1)) AS sp
+          FROM bg b JOIN cb ON b.w1 = cb.w1 AND b.w2 = cb.w2
+                    JOIN cp ON b.w1 = cp.w1
+                    CROSS JOIN v),
+    d AS (SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_bigrams,
+                 CAST(sum(sp) AS BIGINT) AS surprisal_sum
+          FROM s GROUP BY doc_id, lang),
+    d2 AS (SELECT *, surprisal_sum * 1000000 // n_bigrams AS surprisal_micro
+           FROM d),
+    cnt AS (SELECT lang, surprisal_micro, count(*) AS c
+            FROM d2 GROUP BY lang, surprisal_micro),
+    cum AS (SELECT lang, surprisal_micro,
+                   SUM(c) OVER (PARTITION BY lang ORDER BY surprisal_micro
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS cum
+            FROM cnt),
+    nl AS (SELECT lang, count(*) AS n FROM d2 GROUP BY lang),
+    th AS (SELECT c.lang,
+                  MIN(CASE WHEN c.cum >= (n.n + 2) // 3
+                           THEN c.surprisal_micro END) AS t1,
+                  MIN(CASE WHEN c.cum >= (2 * n.n + 2) // 3
+                           THEN c.surprisal_micro END) AS t2
+           FROM cum c JOIN nl n ON c.lang = n.lang GROUP BY c.lang)
+    SELECT d2.doc_id, d2.lang, d2.n_bigrams, d2.surprisal_sum,
+           CAST(d2.surprisal_micro AS BIGINT) AS surprisal_micro,
+           CASE WHEN d2.surprisal_micro <= th.t1 THEN 'head'
+                WHEN d2.surprisal_micro <= th.t2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM d2 JOIN th ON d2.lang = th.lang
+    """
+
+
+@_q("ccnet_perplexity_buckets", _CCNET_SQL)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet quality-filter recipe on this engine: score every document
+    with a corpus-trained bigram LM (integer bit-length surprisal — see
+    ``text.bigram_lm_surprisal`` for why not float log), then bucket into
+    per-LANGUAGE head/middle/tail tertiles, CCNet's central trick (a fluent
+    Urdu page must not lose to average English).
+
+    Tertile thresholds are DISCRETE quantiles computed by counting: per-lang
+    cumulative counts over DISTINCT integer scores, threshold = smallest
+    score whose cumulative count reaches ceil(n/3) (resp. ceil(2n/3)).  That
+    is percentile_disc semantics built from count/min — exact integers end
+    to end, unlike interpolating percentiles whose float arithmetic differs
+    across engines in the last ULP (measured on this corpus).
+
+    Scale shape: the threshold window runs over DISTINCT (lang, score) pairs
+    — post-aggregation strata, bounded by score cardinality, NOT corpus rows
+    (the global-NTILE trap w5_quality_deciles was demoted for); thresholds
+    (one row per lang) broadcast back onto the doc stream."""
+    from lvm_datapipe_spark.operators import text as X
+
+    docs = load_table(spark, sf_dir, "documents")
+    d2 = X.bigram_lm_surprisal(docs).withColumn(
+        "surprisal_micro", F.expr("surprisal_sum * 1000000L DIV n_bigrams")
+    )
+    cnt = d2.groupBy("lang", "surprisal_micro").agg(F.count(F.lit(1)).alias("c"))
+    wl = (
+        Window.partitionBy("lang")
+        .orderBy("surprisal_micro")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = cnt.withColumn("cum", F.sum("c").over(wl))
+    nl = d2.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    th = (
+        cum.join(F.broadcast(nl), "lang")
+        .groupBy("lang")
+        .agg(
+            F.min(
+                F.when(F.col("cum") >= F.expr("(n + 2) DIV 3"), F.col("surprisal_micro"))
+            ).alias("t1"),
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr("(2 * n + 2) DIV 3"), F.col("surprisal_micro")
+                )
+            ).alias("t2"),
+        )
+    )
+    return d2.join(F.broadcast(th), "lang").select(
+        "doc_id",
+        "lang",
+        "n_bigrams",
+        "surprisal_sum",
+        "surprisal_micro",
+        F.when(F.col("surprisal_micro") <= F.col("t1"), F.lit("head"))
+        .when(F.col("surprisal_micro") <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
+def _semdedup_sql(
+    eps: float = 0.4, n_cells: int = 16, seed: int = 42, dim: int = _EMB_DIM
+) -> str:
+    """DuckDB replay of SemDeDup over the fixed quantizer: centroid literals
+    from the same seeded draw, within-cell pair cosines over shared unit
+    vectors, the dominance rule verbatim.  Unlike the argmax-only IVF oracles
+    (where a last-ULP wobble cannot flip a comparison between well-separated
+    cells), ``centroid_sim`` is OUTPUT here, so literals are STRING-cast to
+    double ('…'::DOUBLE): DuckDB lexes a bare decimal literal as DECIMAL and
+    for some values the DECIMAL round-trip yields a different double than the
+    Python/JVM repr parse (measured: 6/16 centroid dots off by up to 8 ULPs
+    after cancellation); the string→double cast is the IEEE round-to-nearest
+    parse on both engines."""
+    from lvm_datapipe_spark.operators.similarity import ivf_fixed_centroids
+
+    cents = ivf_fixed_centroids(n_cells, dim, seed)
+
+    def cos_lit(v: str, c) -> str:
+        dot_vc = " + ".join(
+            f"{v}[{i + 1}]*('{float(c[i])!r}'::DOUBLE)" for i in range(dim)
+        )
+        dot_cc = sum(float(x) * float(x) for x in c)
+        return f"(({dot_vc}) / (sqrt({_dot_sql(v, v)}) * sqrt('{dot_cc!r}'::DOUBLE)))"
+
+    sims = "[" + ", ".join(cos_lit("v", c) for c in cents) + "]"
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS (SELECT vec_id, v, {sims} AS sims,
+                  sqrt({_dot_sql('v', 'v')}) AS nrm FROM e),
+    a AS (SELECT vec_id,
+                 CAST(list_indexof(sims, list_max(sims)) - 1 AS INTEGER) AS cell,
+                 list_max(sims) AS centroid_sim,
+                 list_transform(v, x -> x / nrm) AS vn
+          FROM c0),
+    rm AS (SELECT DISTINCT b.vec_id
+           FROM a x JOIN a b ON x.cell = b.cell AND x.vec_id <> b.vec_id
+           WHERE {_dot_sql('x.vn', 'b.vn')} >= {eps}
+             AND (x.centroid_sim < b.centroid_sim
+                  OR (x.centroid_sim = b.centroid_sim AND x.vec_id < b.vec_id)))
+    SELECT a.vec_id, a.cell, a.centroid_sim,
+           (rm.vec_id IS NULL) AS keep
+    FROM a LEFT JOIN rm ON rm.vec_id = a.vec_id
+    """
+
+
+@_q("dedup_semantic_semdedup", _semdedup_sql())
+def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication (Abbas et al. 2023, arXiv:2303.09540)
+    over the embeddings table: fixed-quantizer cell assignment, within-cell
+    cosine pairs at eps=0.4 (the corpus's established near-dup threshold),
+    keep the min-centroid-similarity representative via a deterministic
+    dominance rule — see ``similarity.semdedup_keep`` for semantics and the
+    100 TB shape (one assignment scan, cell-keyed self-join, no quadratic
+    pair source)."""
+    from lvm_datapipe_spark.operators.similarity import semdedup_keep
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semdedup_keep(emb, eps=0.4)

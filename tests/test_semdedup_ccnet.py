@@ -1,0 +1,146 @@
+"""Unit semantics for the r6 additions: SemDeDup (similarity.semdedup_keep)
+and the CCNet-style bigram-LM surprisal (text.bigram_lm_surprisal) — the
+declared queries are oracle-checked end to end; these tests pin the operator
+semantics on hand-built corpora where the expected answer is computable by
+hand."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+
+def _emb_df(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<double>",
+    )
+
+
+class TestSemDeDup:
+    def test_duplicate_pair_keeps_low_centroid_sim(self, spark):
+        from lvm_datapipe_spark.operators.similarity import (
+            ivf_fixed_centroids,
+            semdedup_keep,
+        )
+
+        dim = 8
+        cents = ivf_fixed_centroids(4, dim, seed=7)
+        # two near-identical vectors (cos ~ 1) plus one unrelated
+        base = [1.0, 0.5, -0.25, 2.0, 0.0, 0.0, 1.0, -1.0]
+        near = [x * 1.001 + (0.001 if i == 0 else 0.0) for i, x in enumerate(base)]
+        other = [-5.0, 4.0, 3.0, -2.0, 1.0, 6.0, -7.0, 0.5]
+        out = semdedup_keep(
+            _emb_df(spark, [base, near, other]), eps=0.95, n_cells=4, dim=dim, seed=7
+        ).collect()
+        rows = {r.vec_id: r for r in out}
+        assert rows[2].keep  # unrelated vector untouched
+        # exactly one of the near-dup pair survives; the survivor has the
+        # LOWER centroid similarity (SemDeDup's keep-far-from-centroid rule)
+        pair = [rows[0], rows[1]]
+        assert sorted(r.keep for r in pair) == [False, True]
+        kept = next(r for r in pair if r.keep)
+        dropped = next(r for r in pair if not r.keep)
+        if kept.cell == dropped.cell:
+            assert (kept.centroid_sim, kept.vec_id) <= (
+                dropped.centroid_sim,
+                dropped.vec_id,
+            )
+        # centroid_sim is the true max-cosine against the seeded centroids
+        def cos(a, b):
+            num = sum(x * y for x, y in zip(a, b))
+            return num / (
+                math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+            )
+
+        expected = max(cos(base, c) for c in cents)
+        assert rows[0].centroid_sim == pytest.approx(expected, rel=1e-12)
+
+    def test_eps_above_one_keeps_everything(self, spark):
+        from lvm_datapipe_spark.operators.similarity import semdedup_keep
+
+        dim = 8
+        vecs = [[float(i + 1)] * dim for i in range(5)]  # all cos == 1 pairs
+        out = semdedup_keep(_emb_df(spark, vecs), eps=1.01, n_cells=4, dim=dim, seed=7)
+        assert out.filter(~F.col("keep")).count() == 0
+
+    def test_colinear_group_keeps_exactly_one(self, spark):
+        from lvm_datapipe_spark.operators.similarity import semdedup_keep
+
+        dim = 8
+        v = [2.0, -1.0, 0.5, 3.0, -2.0, 1.0, 0.25, -0.5]
+        vecs = [[x * s for x in v] for s in (1.0, 2.0, 3.0)]  # cos == 1 chain
+        rows = semdedup_keep(
+            _emb_df(spark, vecs), eps=0.99, n_cells=4, dim=dim, seed=7
+        ).collect()
+        kept = [r for r in rows if r.keep]
+        # colinear vectors share a cell; exactly one survives — the minimum
+        # by (centroid_sim, vec_id).  (Scaling a vector wobbles its cosine in
+        # the last ULP, so the winner is the FP-exact minimum, not always the
+        # lowest id.)
+        assert len(kept) == 1
+        assert (kept[0].centroid_sim, kept[0].vec_id) == min(
+            (r.centroid_sim, r.vec_id) for r in rows
+        )
+
+
+class TestBigramLM:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+
+    def test_hand_computed_surprisal(self, spark):
+        from lvm_datapipe_spark.operators.text import bigram_lm_surprisal
+
+        # corpus: "a b a b" and "a c"
+        # bigrams: (a,b)x2, (b,a)x1, (a,c)x1 ; prefix counts: a->3, b->1
+        # vocab V = 3 (a, b, c)
+        docs = self._docs(spark, [(1, "en", "a b a b"), (2, "en", "a c")])
+        out = {r.doc_id: r for r in bigram_lm_surprisal(docs).collect()}
+
+        def blen(x):
+            return x.bit_length()
+
+        # doc 1: bigrams (a,b),(b,a),(a,b)
+        s_ab = blen(3 + 3) - blen(2 + 1)  # cp(a)=3, V=3, cb(a,b)=2
+        s_ba = blen(1 + 3) - blen(1 + 1)  # cp(b)=1, cb(b,a)=1
+        assert out[1].n_bigrams == 3
+        assert out[1].surprisal_sum == 2 * s_ab + s_ba
+        # doc 2: bigram (a,c): cp(a)=3, cb(a,c)=1
+        s_ac = blen(3 + 3) - blen(1 + 1)
+        assert out[2].n_bigrams == 1
+        assert out[2].surprisal_sum == s_ac
+
+    def test_short_docs_excluded(self, spark):
+        from lvm_datapipe_spark.operators.text import bigram_lm_surprisal
+
+        docs = self._docs(
+            spark, [(1, "en", "single"), (2, "en", ""), (3, "en", "two tokens")]
+        )
+        out = bigram_lm_surprisal(docs).collect()
+        assert [r.doc_id for r in out] == [3]
+
+    def test_tertile_buckets_are_discrete_quantiles(self, spark):
+        from lvm_datapipe_spark.queries import QUERIES
+
+        out = QUERIES["ccnet_perplexity_buckets"](
+            spark, "/root/testdata/sf0.001"
+        ).toPandas()
+        for lang, grp in out.groupby("lang"):
+            n = len(grp)
+            k1, k2 = (n + 2) // 3, (2 * n + 2) // 3
+            ranked = grp.sort_values(["surprisal_micro", "doc_id"]).reset_index(
+                drop=True
+            )
+            # every head doc's score <= the k1-th smallest score (discrete
+            # quantile definition); ties may push the head count above k1
+            t1 = ranked.surprisal_micro.iloc[k1 - 1]
+            t2 = ranked.surprisal_micro.iloc[k2 - 1]
+            assert (grp[grp.bucket == "head"].surprisal_micro <= t1).all()
+            assert (grp[grp.bucket == "middle"].surprisal_micro <= t2).all()
+            assert (grp[grp.bucket == "tail"].surprisal_micro > t2).all()
+            assert (grp[grp.bucket == "head"].shape[0] >= k1) == (
+                (ranked.surprisal_micro == t1).sum() > 1
+                or grp[grp.bucket == "head"].shape[0] == k1
+            )
