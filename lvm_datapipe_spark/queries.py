@@ -962,7 +962,7 @@ def _lsh_near_dup_sql(
     for t, planes in enumerate(lsh_table_planes(n_planes, n_tables, dim, seed)):
         bits = " || ".join(
             "(CASE WHEN ("
-            + " + ".join(f"v[{i + 1}]*({float(planes[b][i])!r})" for i in range(dim))
+            + " + ".join(f"v[{i + 1}]*('{float(planes[b][i])!r}'::DOUBLE)" for i in range(dim))
             + ") >= 0 THEN '1' ELSE '0' END)"
             for b in range(n_planes)
         )
@@ -1758,9 +1758,11 @@ def _ivf_fixed_sql(
     cents = ivf_fixed_centroids(n_cells, dim, seed)
 
     def cos_lit(v: str, c) -> str:
-        dot_vc = " + ".join(f"{v}[{i + 1}]*({float(c[i])!r})" for i in range(dim))
+        dot_vc = " + ".join(
+            f"{v}[{i + 1}]*('{float(c[i])!r}'::DOUBLE)" for i in range(dim)
+        )
         dot_cc = sum(float(x) * float(x) for x in c)
-        return f"(({dot_vc}) / (sqrt({_dot_sql(v, v)}) * sqrt({dot_cc!r})))"
+        return f"(({dot_vc}) / (sqrt({_dot_sql(v, v)}) * sqrt('{dot_cc!r}'::DOUBLE)))"
 
     sims = lambda v: "[" + ", ".join(cos_lit(v, c) for c in cents) + "]"  # noqa: E731
     return f"""
@@ -4989,9 +4991,11 @@ def _ivfpq_sql(
     cbs = pq_codebooks(m, ksub, dsub, pq_seed)
 
     def cos_lit(v: str, c) -> str:
-        dot_vc = " + ".join(f"{v}[{i + 1}]*({float(c[i])!r})" for i in range(dim))
+        dot_vc = " + ".join(
+            f"{v}[{i + 1}]*('{float(c[i])!r}'::DOUBLE)" for i in range(dim)
+        )
         dot_cc = sum(float(x) * float(x) for x in c)
-        return f"(({dot_vc}) / (sqrt({_dot_sql(v, v)}) * sqrt({dot_cc!r})))"
+        return f"(({dot_vc}) / (sqrt({_dot_sql(v, v)}) * sqrt('{dot_cc!r}'::DOUBLE)))"
 
     sims = lambda v: "[" + ", ".join(cos_lit(v, c) for c in cents) + "]"  # noqa: E731
 
