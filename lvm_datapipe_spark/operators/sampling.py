@@ -147,3 +147,91 @@ def weighted_sample(
     giving them a larger keep probability)."""
     b = hash_bucket(key_col, n_buckets, salt)
     return df.filter(b < (F.col(weight_col) * n_buckets))
+
+
+def dsir_doc_weights(
+    df: DataFrame,
+    target_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    carry_cols: tuple[str, ...] = ("lang", "source"),
+    n_feature_buckets: int = 512,
+    salt: str = "dsir",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169): score
+    every document by how much more likely its hashed n-gram features are
+    under a TARGET corpus (``target_pred`` rows — the quality reference,
+    e.g. a wiki-like source) than under the RAW corpus being selected from.
+    Selecting the top-weight documents is DSIR's deterministic "selection"
+    variant; the paper's Gumbel-noise resampling adds engine-dependent RNG
+    for no benefit to a reproducible pipeline.
+
+    Features are unigrams + bigrams hashed into ``n_feature_buckets`` via
+    the module's md5 bucket (bit-identical on any engine).  The per-feature
+    log-ratio uses INTEGER bit-length log2 — ``L(x) = length(bin(x))`` —
+    the same libm-free portability device as text.bigram_lm_surprisal:
+
+        s_b = (L(ct_b + 1) - L(Nt + B)) - (L(cr_b + 1) - L(Nr + B))
+
+    (add-one smoothed target and raw bucket frequencies), and a document's
+    weight is the sum of s_b over its feature OCCURRENCES — all exact
+    integers end to end.
+
+    Plan shape (scales to 100 TB): one tokenize+hash scan (features never
+    materialize per-corpus state beyond B-bucket count tables) → two
+    map-side-partial aggregates over AT MOST B rows each → the weight
+    table (B rows, two scalar totals folded in) broadcasts back onto the
+    feature stream — the scoring join is BROADCAST, zero shuffle — then one
+    per-doc aggregate.  Compare CCNet scoring, whose bigram count tables
+    are vocab-sized and must meet the stream on a keyed shuffle: hashing
+    into fixed B is exactly what makes DSIR cheap at scale.
+
+    Returns ``(id_col, *carry_cols, is_target, n_features, weight)`` for
+    every document with at least one token.
+    """
+    from lvm_datapipe_spark.operators.text import tokens
+
+    toks = tokens(F.lower(F.col(text_col)))
+    d = df.select(
+        id_col, *carry_cols, target_pred.alias("is_target"), toks.alias("toks")
+    ).filter(F.size("toks") >= 1)
+    bigrams = F.zip_with(
+        F.slice(F.col("toks"), F.lit(1), F.greatest(F.size("toks") - 1, F.lit(0))),
+        F.slice(F.col("toks"), F.lit(2), F.greatest(F.size("toks") - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    feats = d.select(
+        id_col,
+        *carry_cols,
+        "is_target",
+        F.explode(F.concat(F.col("toks"), bigrams)).alias("feat"),
+    ).withColumn("fb", hash_bucket(F.col("feat"), n_feature_buckets, salt))
+    raw = feats.groupBy("fb").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = feats.filter(F.col("is_target")).groupBy("fb").agg(
+        F.count(F.lit(1)).alias("ct")
+    )
+    totals = feats.agg(
+        F.count(F.lit(1)).alias("nr"),
+        F.sum(F.col("is_target").cast("long")).alias("nt"),
+    )
+    blen = lambda c: F.length(F.bin(c))  # noqa: E731
+    wt = (
+        raw.join(tgt, "fb", "left")
+        .withColumn("ct", F.coalesce("ct", F.lit(0)))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "fb",
+            (
+                (blen(F.col("ct") + 1) - blen(F.col("nt") + F.lit(n_feature_buckets)))
+                - (blen(F.col("cr") + 1) - blen(F.col("nr") + F.lit(n_feature_buckets)))
+            ).alias("s"),
+        )
+    )
+    return (
+        feats.join(F.broadcast(wt), "fb")
+        .groupBy(id_col, *carry_cols, "is_target")
+        .agg(
+            F.count(F.lit(1)).alias("n_features"),
+            F.sum("s").cast("bigint").alias("weight"),
+        )
+    )

@@ -7155,3 +7155,58 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return semdedup_keep(emb, eps=0.4)
+
+
+# ---------------------------------------------------------------------------
+# DSIR data selection (Xie et al. 2023, arXiv:2302.03169): hashed-n-gram
+# importance weights of raw docs against a target reference corpus, then
+# deterministic top-k selection.  Integer end to end (md5 feature buckets,
+# bit-length log-ratios), so fully oracle-checked.
+# ---------------------------------------------------------------------------
+
+_DSIR_SQL = f"""
+    WITH t AS (SELECT doc_id, lang, source, (source = 'src0') AS is_target,
+                      {_SQL_LTOKS} AS toks FROM documents),
+    t2 AS (SELECT * FROM t WHERE len(toks) >= 1),
+    uni AS (SELECT doc_id, lang, source, is_target, unnest(toks) AS feat FROM t2),
+    bg0 AS (SELECT doc_id, lang, source, is_target, toks,
+                   unnest(generate_series(1, len(toks) - 1)) AS i
+            FROM t2 WHERE len(toks) >= 2),
+    bg AS (SELECT doc_id, lang, source, is_target,
+                  toks[i] || ' ' || toks[i + 1] AS feat FROM bg0),
+    f0 AS (SELECT * FROM uni UNION ALL SELECT * FROM bg),
+    f AS (SELECT *, ('0x' || substr(md5('dsir' || feat), 1, 8))::BIGINT % 512 AS fb
+          FROM f0),
+    raw AS (SELECT fb, count(*) AS cr FROM f GROUP BY fb),
+    tgt AS (SELECT fb, count(*) AS ct FROM f WHERE is_target GROUP BY fb),
+    tot AS (SELECT count(*) AS nr,
+                   count(*) FILTER (WHERE is_target) AS nt FROM f),
+    wt AS (SELECT raw.fb,
+                  (length(bin(COALESCE(tgt.ct, 0) + 1)) - length(bin(tot.nt + 512)))
+                - (length(bin(raw.cr + 1)) - length(bin(tot.nr + 512))) AS s
+           FROM raw LEFT JOIN tgt ON raw.fb = tgt.fb CROSS JOIN tot),
+    dw AS (SELECT f.doc_id, f.lang, f.source, f.is_target,
+                  CAST(count(*) AS BIGINT) AS n_features,
+                  CAST(sum(wt.s) AS BIGINT) AS weight
+           FROM f JOIN wt ON f.fb = wt.fb
+           GROUP BY f.doc_id, f.lang, f.source, f.is_target)
+    SELECT doc_id, lang, source, is_target, n_features, weight
+    FROM dw ORDER BY weight DESC, doc_id LIMIT 100
+    """
+
+
+@_q("dsir_target_selection", _DSIR_SQL)
+def dsir_target_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR selection: keep the 100 documents whose hashed-n-gram features
+    look most like the 'src0' reference source (playing the role of DSIR's
+    target corpus).  See ``sampling.dsir_doc_weights`` for the integer
+    log-ratio weights and why the scoring join is broadcast (the whole
+    learned 'model' is B=512 bucket rows + two scalars — the reason DSIR
+    beats vocab-sized LM scoring at 100 TB).  Top-k is deterministic
+    (weight DESC, doc_id): the reproducible twin of the paper's
+    Gumbel-noise resampling."""
+    from lvm_datapipe_spark.operators import sampling as S
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = S.dsir_doc_weights(docs, F.col("source") == "src0")
+    return w.orderBy(F.desc("weight"), F.asc("doc_id")).limit(100)

@@ -144,3 +144,62 @@ class TestBigramLM:
                 (ranked.surprisal_micro == t1).sum() > 1
                 or grp[grp.bucket == "head"].shape[0] == k1
             )
+
+
+class TestDSIR:
+    def test_hand_computed_weight(self, spark):
+        from lvm_datapipe_spark.operators.sampling import dsir_doc_weights
+
+        docs = spark.createDataFrame(
+            [(1, "en", "tgt", "alpha beta"), (2, "en", "raw", "gamma")],
+            "doc_id bigint, lang string, source string, text string",
+        )
+        out = {
+            r.doc_id: r
+            for r in dsir_doc_weights(
+                docs, F.col("source") == "tgt", n_feature_buckets=512
+            ).collect()
+        }
+        # features: doc1 -> alpha, beta, "alpha beta" (target); doc2 -> gamma
+        # Nr = 4, Nt = 3, B = 512
+        import hashlib
+
+        def fb(feat):
+            h = hashlib.md5(("dsir" + feat).encode()).hexdigest()
+            return int(h[:8], 16) % 512
+
+        feats = {"alpha": 1, "beta": 1, "alpha beta": 1, "gamma": 0}
+        buckets = {}
+        for f_, in_t in feats.items():
+            b = fb(f_)
+            cr, ct = buckets.get(b, (0, 0))
+            buckets[b] = (cr + 1, ct + in_t)
+
+        def blen(x):
+            return x.bit_length()
+
+        def s(b):
+            cr, ct = buckets[b]
+            return (blen(ct + 1) - blen(3 + 512)) - (blen(cr + 1) - blen(4 + 512))
+
+        w1 = s(fb("alpha")) + s(fb("beta")) + s(fb("alpha beta"))
+        w2 = s(fb("gamma"))
+        assert out[1].weight == w1 and out[1].n_features == 3 and out[1].is_target
+        assert out[2].weight == w2 and out[2].n_features == 1 and not out[2].is_target
+
+    def test_target_lookalikes_outrank(self, spark):
+        """Docs sharing the target's vocabulary must outweigh docs that
+        share nothing with it (the property DSIR selection relies on)."""
+        from lvm_datapipe_spark.operators.sampling import dsir_doc_weights
+
+        rows = [(i, "en", "tgt", "data pipeline spark shuffle") for i in range(5)]
+        rows += [(10, "en", "raw", "data pipeline spark join")]
+        rows += [(11, "en", "raw", "zebra quagga okapi tapir")]
+        docs = spark.createDataFrame(
+            rows, "doc_id bigint, lang string, source string, text string"
+        )
+        out = {
+            r.doc_id: r.weight
+            for r in dsir_doc_weights(docs, F.col("source") == "tgt").collect()
+        }
+        assert out[10] > out[11]
