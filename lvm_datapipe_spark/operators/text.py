@@ -10,6 +10,8 @@ a deterministic DuckDB-SQL twin for the oracle gate.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -360,4 +362,77 @@ def bigram_lm_surprisal(
     return s.groupBy(id_col, *carry_cols).agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.sum("surprisal").cast("bigint").alias("surprisal_sum"),
+    )
+
+
+#: Gopher's mandatory-stopword set (Rae et al. 2021, arXiv:2112.11446 A1.1):
+#: a document must contain at least 2 of these to pass the stopword rule.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+#: line-leading bullet markers for the bullet-line rule
+GOPHER_BULLETS = ["- ", "* ", "• "]
+
+
+def gopher_quality_flags(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher's document-quality rule battery (Rae et al. 2021,
+    arXiv:2112.11446, Appendix A1.1 — the filter set RefinedWeb/Dolma/
+    FineWeb inherit), one boolean per rule plus the conjunction:
+
+    - ``word_count_ok``    : 50 <= n_words <= 100_000
+    - ``mean_word_len_ok`` : mean word length in [3, 10]
+    - ``symbol_ratio_ok``  : (# '#' chars + # '...' runs) / n_words <= 0.1
+    - ``bullet_lines_ok``  : < 90% of lines start with a bullet marker
+    - ``ellipsis_lines_ok``: <= 30% of lines end with '...'
+    - ``alpha_word_ok``    : >= 80% of words contain an alphabetic char
+    - ``stopword_ok``      : contains >= 2 of GOPHER_STOPWORDS
+    - ``keep``             : all of the above
+
+    Every threshold is evaluated as an exact INTEGER cross-multiplication
+    (``10 * symbols <= n_words`` instead of ``symbols / n_words <= 0.1``):
+    no division, no floats, so the flags are bit-portable to any engine and
+    the whole battery is one scan-shaped projection — at 100 TB the filter
+    costs a map pass, nothing else.  Rules are flags, not a silent filter:
+    downstream picks ``keep`` or re-weights individual rules.
+    """
+    t = _c(text_col)
+    toks = tokens(F.lower(t))
+    lines = F.split(t, "\n")
+    n_words = F.size(toks)
+    sum_word_len = F.aggregate(
+        toks, F.lit(0), lambda acc, x: acc + F.length(x)
+    )
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    n_lines = F.size(lines)
+    is_bullet = lambda l: reduce(  # noqa: E731
+        lambda a, b: a | b, [l.startswith(m) for m in GOPHER_BULLETS]
+    )
+    n_bullet = F.size(F.filter(lines, is_bullet))
+    n_ell_end = F.size(F.filter(lines, lambda l: l.endswith("...")))
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[a-z]")))
+    n_stop = reduce(
+        lambda a, b: a + b,
+        [F.array_contains(toks, w).cast("int") for w in GOPHER_STOPWORDS],
+    )
+    flags = {
+        "word_count_ok": (n_words >= 50) & (n_words <= 100_000),
+        "mean_word_len_ok": (F.lit(3) * n_words <= sum_word_len)
+        & (sum_word_len <= F.lit(10) * n_words),
+        "symbol_ratio_ok": F.lit(10) * (n_hash + n_ellipsis.cast("long"))
+        <= n_words.cast("long"),
+        "bullet_lines_ok": F.lit(10) * n_bullet < F.lit(9) * n_lines,
+        "ellipsis_lines_ok": F.lit(10) * n_ell_end <= F.lit(3) * n_lines,
+        "alpha_word_ok": F.lit(5) * n_alpha >= F.lit(4) * n_words,
+        "stopword_ok": n_stop >= 2,
+    }
+    keep = reduce(lambda a, b: a & b, flags.values())
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        *[c.alias(n) for n, c in flags.items()],
+        keep.alias("keep"),
     )

@@ -7210,3 +7210,66 @@ def dsir_target_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     w = S.dsir_doc_weights(docs, F.col("source") == "src0")
     return w.orderBy(F.desc("weight"), F.asc("doc_id")).limit(100)
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality-rule battery (Rae et al. 2021, arXiv:2112.11446 A1.1) — the
+# rule set RefinedWeb/Dolma/FineWeb inherit.  Integer cross-multiplied
+# thresholds -> bit-portable booleans, fully oracle-checked.
+# ---------------------------------------------------------------------------
+
+_GOPHER_SQL = rf"""
+    WITH base AS (
+      SELECT doc_id, text, {_SQL_LTOKS} AS toks,
+             string_split(text, chr(10)) AS lines
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+             len(toks) AS n_words,
+             COALESCE(list_aggregate(list_transform(toks, x -> length(x)),
+                                     'sum'), 0) AS swl,
+             length(text) - length(replace(text, '#', '')) AS n_hash,
+             (length(text) - length(replace(text, '...', ''))) // 3 AS n_ell,
+             len(lines) AS n_lines,
+             len(list_filter(lines, l -> l LIKE '- %' OR l LIKE '* %'
+                                       OR l LIKE '• %')) AS n_bullet,
+             len(list_filter(lines, l -> l LIKE '%...')) AS n_ell_end,
+             len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+             (CASE WHEN list_contains(toks, 'the')  THEN 1 ELSE 0 END
+            + CASE WHEN list_contains(toks, 'be')   THEN 1 ELSE 0 END
+            + CASE WHEN list_contains(toks, 'to')   THEN 1 ELSE 0 END
+            + CASE WHEN list_contains(toks, 'of')   THEN 1 ELSE 0 END
+            + CASE WHEN list_contains(toks, 'and')  THEN 1 ELSE 0 END
+            + CASE WHEN list_contains(toks, 'that') THEN 1 ELSE 0 END
+            + CASE WHEN list_contains(toks, 'have') THEN 1 ELSE 0 END
+            + CASE WHEN list_contains(toks, 'with') THEN 1 ELSE 0 END) AS n_stop
+      FROM base),
+    fl AS (
+      SELECT doc_id, CAST(n_words AS INTEGER) AS n_words,
+             (n_words >= 50 AND n_words <= 100000) AS word_count_ok,
+             (3 * n_words <= swl AND swl <= 10 * n_words) AS mean_word_len_ok,
+             (10 * (n_hash + n_ell) <= n_words) AS symbol_ratio_ok,
+             (10 * n_bullet < 9 * n_lines) AS bullet_lines_ok,
+             (10 * n_ell_end <= 3 * n_lines) AS ellipsis_lines_ok,
+             (5 * n_alpha >= 4 * n_words) AS alpha_word_ok,
+             (n_stop >= 2) AS stopword_ok
+      FROM m)
+    SELECT *,
+           (word_count_ok AND mean_word_len_ok AND symbol_ratio_ok
+            AND bullet_lines_ok AND ellipsis_lines_ok AND alpha_word_ok
+            AND stopword_ok) AS keep
+    FROM fl
+    """
+
+
+@_q("gopher_quality_rules", _GOPHER_SQL)
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher's rule battery over the documents table — see
+    ``text.gopher_quality_flags`` for the rules and the integer
+    cross-multiplication trick that keeps every threshold bit-portable.
+    One scan-shaped projection: the full battery costs a map pass at any
+    scale."""
+    from lvm_datapipe_spark.operators import text as X
+
+    docs = load_table(spark, sf_dir, "documents")
+    return X.gopher_quality_flags(docs)

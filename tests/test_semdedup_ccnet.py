@@ -203,3 +203,51 @@ class TestDSIR:
             for r in dsir_doc_weights(docs, F.col("source") == "tgt").collect()
         }
         assert out[10] > out[11]
+
+
+class TestGopherRules:
+    def _flags(self, spark, text):
+        from lvm_datapipe_spark.operators.text import gopher_quality_flags
+
+        df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+        return gopher_quality_flags(df).collect()[0]
+
+    def test_good_document_passes(self, spark):
+        text = " ".join(
+            ["the quick brown fox jumps over that lazy dog with style and grace"] * 5
+        )
+        r = self._flags(spark, text)
+        assert r.keep and r.word_count_ok and r.stopword_ok and r.alpha_word_ok
+
+    def test_short_doc_fails_word_count_only(self, spark):
+        r = self._flags(spark, "the cat sat with that dog and all of them")
+        assert not r.word_count_ok and not r.keep
+        assert r.stopword_ok and r.alpha_word_ok and r.mean_word_len_ok
+
+    def test_symbol_ratio(self, spark):
+        base = "the data of and that have with be " * 8  # 64 words, passes
+        # 9 hash words -> 73 words, 90 > 73: fails the 10% symbol budget
+        r = self._flags(spark, base + "# # # # # # # # #")
+        assert not r.symbol_ratio_ok
+        r2 = self._flags(spark, base + "# # #")  # 3 hashes, 67 words
+        assert r2.symbol_ratio_ok
+
+    def test_bullet_and_ellipsis_lines(self, spark):
+        words = "the of and that have with be data " * 8
+        bullets = "\n".join(["- item"] * 10)
+        r = self._flags(spark, words + "\n" + bullets)  # 10/11 lines bullets
+        assert not r.bullet_lines_ok
+        ell = "\n".join(["trailing..."] * 5) + "\n" + words
+        r2 = self._flags(spark, ell)  # 5/6 lines end with ...
+        assert not r2.ellipsis_lines_ok
+
+    def test_numeric_words_fail_alpha_rule(self, spark):
+        nums = " ".join(str(i) for i in range(60))
+        r = self._flags(spark, nums + " the of")
+        assert not r.alpha_word_ok and not r.keep
+
+    def test_mean_word_length_bounds(self, spark):
+        long_words = " ".join(["pneumonoultramicroscopic"] * 60)
+        assert not self._flags(spark, long_words).mean_word_len_ok
+        short_words = " ".join(["a b"] * 60)
+        assert not self._flags(spark, short_words).mean_word_len_ok
