@@ -157,6 +157,7 @@ def dsir_doc_weights(
     carry_cols: tuple[str, ...] = ("lang", "source"),
     n_feature_buckets: int = 512,
     salt: str = "dsir",
+    bucket_fn=None,
 ) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169): score
     every document by how much more likely its hashed n-gram features are
@@ -186,6 +187,14 @@ def dsir_doc_weights(
     are vocab-sized and must meet the stream on a keyed shuffle: hashing
     into fixed B is exactly what makes DSIR cheap at scale.
 
+    ``bucket_fn`` swaps the feature hash: the default md5 bucket is the
+    ORACLE-portable choice (DuckDB computes the identical bucket), but md5
+    is measured at ~2.5x wall time on the scoring pipeline
+    (tools/scale_bench.py section 4: 256 s vs 98 s at 1M docs); production
+    runs that do not need a SQL replay should pass
+    ``lambda c: F.abs(F.xxhash64(c)) % B`` — xxhash64 is JVM-side
+    effectively free, same plan shape, and the fastest scorer measured.
+
     Returns ``(id_col, *carry_cols, is_target, n_features, weight)`` for
     every document with at least one token.
     """
@@ -205,27 +214,28 @@ def dsir_doc_weights(
         *carry_cols,
         "is_target",
         F.explode(F.concat(F.col("toks"), bigrams)).alias("feat"),
-    ).withColumn("fb", hash_bucket(F.col("feat"), n_feature_buckets, salt))
-    raw = feats.groupBy("fb").agg(F.count(F.lit(1)).alias("cr"))
-    tgt = feats.filter(F.col("is_target")).groupBy("fb").agg(
-        F.count(F.lit(1)).alias("ct")
+    ).withColumn(
+        "fb",
+        bucket_fn(F.col("feat"))
+        if bucket_fn is not None
+        else hash_bucket(F.col("feat"), n_feature_buckets, salt),
     )
-    totals = feats.agg(
-        F.count(F.lit(1)).alias("nr"),
-        F.sum(F.col("is_target").cast("long")).alias("nt"),
+    # ONE aggregate pass produces raw and target bucket counts together
+    # (conditional sum), and the totals fall out of the B-row table itself —
+    # the expensive tokenize+hash feature scan runs exactly twice (counting,
+    # scoring) instead of four times.
+    counts = feats.groupBy("fb").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum(F.col("is_target").cast("long")).alias("ct"),
     )
+    totals = counts.agg(F.sum("cr").alias("nr"), F.sum("ct").alias("nt"))
     blen = lambda c: F.length(F.bin(c))  # noqa: E731
-    wt = (
-        raw.join(tgt, "fb", "left")
-        .withColumn("ct", F.coalesce("ct", F.lit(0)))
-        .crossJoin(F.broadcast(totals))
-        .select(
-            "fb",
-            (
-                (blen(F.col("ct") + 1) - blen(F.col("nt") + F.lit(n_feature_buckets)))
-                - (blen(F.col("cr") + 1) - blen(F.col("nr") + F.lit(n_feature_buckets)))
-            ).alias("s"),
-        )
+    wt = counts.crossJoin(F.broadcast(totals)).select(
+        "fb",
+        (
+            (blen(F.col("ct") + 1) - blen(F.col("nt") + F.lit(n_feature_buckets)))
+            - (blen(F.col("cr") + 1) - blen(F.col("nr") + F.lit(n_feature_buckets)))
+        ).alias("s"),
     )
     return (
         feats.join(F.broadcast(wt), "fb")

@@ -7202,7 +7202,9 @@ def dsir_target_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     target corpus).  See ``sampling.dsir_doc_weights`` for the integer
     log-ratio weights and why the scoring join is broadcast (the whole
     learned 'model' is B=512 bucket rows + two scalars — the reason DSIR
-    beats vocab-sized LM scoring at 100 TB).  Top-k is deterministic
+    beats vocab-sized LM scoring at 100 TB — measured in SCALE_BENCH.md
+    section 4: constant 512-row state vs a count table already at 766k
+    rows for a 1M-doc corpus).  Top-k is deterministic
     (weight DESC, doc_id): the reproducible twin of the paper's
     Gumbel-noise resampling."""
     from lvm_datapipe_spark.operators import sampling as S
