@@ -7275,3 +7275,55 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return X.gopher_quality_flags(docs)
+
+
+@_q(
+    "mix_token_budget",
+    rf"""
+    WITH t AS (SELECT doc_id, source,
+                      CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens,
+                      md5('mixb' || CAST(doc_id AS VARCHAR)) AS h
+               FROM documents),
+    c AS (SELECT doc_id, source, n_tokens,
+                 SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND CURRENT ROW) AS cum_tokens
+          FROM t)
+    SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM c WHERE cum_tokens <= 400
+    """,
+)
+def mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix assembly under an exact per-source TOKEN budget: each
+    source contributes documents in deterministic md5-of-id order until its
+    cumulative token count reaches the budget (400 here — a literal; real
+    mixes pass per-source budgets from the mixture spec).  The rate-based
+    sibling ``sample_temperature_mix`` hits a budget only in expectation;
+    training-data contracts are written in tokens, so the assembly step
+    needs the exact form.
+
+    Scale shape: token counting is scan-shaped; the cumulative sum is ONE
+    window partitioned by source (keyed shuffle, no global order); the md5
+    order makes the kept prefix a pure function of doc ids — stable under
+    repartitioning and incremental arrival, and the same rows DuckDB
+    selects.  Integers end to end."""
+    from lvm_datapipe_spark.operators import text as X
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("mixb"), F.col("doc_id").cast("string")).cast("binary"))
+    t = docs.select(
+        "doc_id",
+        "source",
+        X.token_count("text").cast("bigint").alias("n_tokens"),
+        h.alias("h"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= 400)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+    )

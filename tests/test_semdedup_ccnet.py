@@ -251,3 +251,36 @@ class TestGopherRules:
         assert not self._flags(spark, long_words).mean_word_len_ok
         short_words = " ".join(["a b"] * 60)
         assert not self._flags(spark, short_words).mean_word_len_ok
+
+
+class TestTokenBudgetMix:
+    def test_matches_python_reference(self, spark, tmp_path):
+        import hashlib
+
+        rows = [
+            (i, "en", f"s{i % 3}", " ".join(["tok"] * (50 + 37 * i % 200)))
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id bigint, lang string, source string, text string"
+        )
+        df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+        from lvm_datapipe_spark.queries import QUERIES
+
+        got = {
+            r.doc_id: (r.source, r.n_tokens, r.cum_tokens)
+            for r in QUERIES["mix_token_budget"](spark, str(tmp_path)).collect()
+        }
+        # python reference: md5-ordered prefix per source, cum <= 400
+        expect = {}
+        by_src: dict = {}
+        for doc_id, _, src, text in rows:
+            h = hashlib.md5(("mixb" + str(doc_id)).encode()).hexdigest()
+            by_src.setdefault(src, []).append((h, doc_id, len(text.split())))
+        for src, lst in by_src.items():
+            cum = 0
+            for h, doc_id, n in sorted(lst):
+                cum += n
+                if cum <= 400:
+                    expect[doc_id] = (src, n, cum)
+        assert got == expect
