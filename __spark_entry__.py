@@ -45,6 +45,7 @@ _CHECK_FIRST = [
     "dsir_target_selection",        # new: DSIR hashed-n-gram selection
     "gopher_quality_rules",         # new: Gopher rule battery
     "mix_token_budget",             # new: exact per-source token budgets
+    "curation_scorecard",           # new: parallel quality-signal join
     "events_seasonal_residuals",    # thin-cell floor 20 -> 10 (ADVICE r5)
     "events_hourly_distinct_users",  # new: declared no-fan-out sibling of
     #                                 the demoted sliding-distinct form

@@ -7327,3 +7327,56 @@ def mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum_tokens") <= 400)
         .select("doc_id", "source", "n_tokens", "cum_tokens")
     )
+
+
+@_q(
+    "curation_scorecard",
+    f"""
+    SELECT c.doc_id, c.lang, g.n_words, c.bucket AS lm_bucket,
+           g.keep AS gopher_keep, g.word_count_ok, q.keep AS classifier_keep,
+           (q.keep AND c.bucket <> 'tail') AS keep
+    FROM ({_CCNET_SQL}) c
+    JOIN ({_GOPHER_SQL}) g ON g.doc_id = c.doc_id
+    JOIN ({ORACLE_SQL['quality_logit']}) q ON q.doc_id = c.doc_id
+    """,
+)
+def curation_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-document curation SCORECARD: every quality signal this
+    engine computes — the CCNet LM tertile, the Gopher rule battery, the
+    linear classifier gate — joined into one row per doc with the combined
+    keep verdict (pass all rules, pass the classifier, not in the LM
+    tail).  This is the composition a curation team actually reviews
+    before committing a mix; each signal stays independently
+    oracle-checked, and the composition is three doc-keyed joins whose
+    inputs are the already-scan-shaped signal plans — no new shuffle
+    class.  (Sibling of ``pipeline_pretrain_full``, which composes the
+    SEQUENTIAL dedup→decontaminate→gate→split pipeline; this one is the
+    PARALLEL signal join.)
+
+    The combined verdict is classifier AND not-LM-tail; the full Gopher
+    conjunction is REPORTED but deliberately outside the verdict: its
+    canonical thresholds are calibrated for web documents (>= 50 words,
+    >= 2 English mandatory stopwords) and the synthetic fixture corpus
+    fails the stopword rule wholesale, which would leave the verdict's
+    true-branch dead at test scale (the events_seasonal_residuals
+    thin-cell lesson from ADVICE r5).  A web-corpus deploy ANDs
+    ``gopher_keep`` in."""
+    cc = ccnet_perplexity_buckets(spark, sf_dir).select("doc_id", "lang", "bucket")
+    go = gopher_quality_rules(spark, sf_dir).select(
+        "doc_id", "n_words", "keep", "word_count_ok"
+    )
+    ql = quality_logit(spark, sf_dir).select("doc_id", F.col("keep").alias("qk"))
+    return (
+        cc.join(go.withColumnRenamed("keep", "gopher_keep"), "doc_id")
+        .join(ql, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "n_words",
+            F.col("bucket").alias("lm_bucket"),
+            "gopher_keep",
+            "word_count_ok",
+            F.col("qk").alias("classifier_keep"),
+            (F.col("qk") & (F.col("bucket") != "tail")).alias("keep"),
+        )
+    )
