@@ -107,6 +107,11 @@ _CHECK_FIRST = [
     "set_except_finished",
     "sort_limit_topk",
     "q3_shipping_priority",
+    # r6 window accounting: the 6 r6 additions push the last 6 veterans
+    # (text_quality, text_langid, set_union_shards, set_except_finished,
+    # sort_limit_topk, q3_shipping_priority) past slot 50 — they keep
+    # their r1-r5 official rows, stay green in the local full sweep, and
+    # join the r7 veteran queue.
     # NOTE on departures from the r5 list: events_sliding_distinct_users
     # was DEMOTED to queries.PYTEST_ORACLES this round (VERDICT r5 item 4
     # — its 6x fan-out plan left the declared surface together with
