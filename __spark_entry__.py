@@ -46,6 +46,8 @@ _CHECK_FIRST = [
     "gopher_quality_rules",         # new: Gopher rule battery
     "mix_token_budget",             # new: exact per-source token budgets
     "curation_scorecard",           # new: parallel quality-signal join
+    "adaptive_sessionize",          # new: per-user tuned gap thresholds
+    "sketch_median_value",          # new: mergeable quantile sketch
     "events_seasonal_residuals",    # thin-cell floor 20 -> 10 (ADVICE r5)
     "events_hourly_distinct_users",  # new: declared no-fan-out sibling of
     #                                 the demoted sliding-distinct form

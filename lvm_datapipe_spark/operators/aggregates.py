@@ -11,7 +11,7 @@ partial aggregation order differs run-to-run and engine-to-engine.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Exact decimal accumulator wide enough for sf-scaled sums of ~1e5-magnitude
@@ -308,4 +308,73 @@ def heavy_hitters(
         summaries.groupBy("value")
         .agg(F.sum("est").alias("est_count"))
         .orderBy(F.col("est_count").desc(), F.col("value"))
+    )
+
+
+def quantile_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    n_bins: int = 64,
+) -> DataFrame:
+    """Mergeable fixed-bin QUANTILE sketch — the third member of the
+    no-rescan sketch family next to :func:`hll_partials` (distinct counts)
+    and :func:`heavy_hitters` (top keys).  The sketch for a group is its
+    per-bin count vector over ``n_bins`` equal-width bins spanning the
+    group's [min, max]: shard sketches merge by SUMMING counts (exact
+    associativity — proven in tests), so incremental corpora never rescan
+    history to maintain quantile estimates.
+
+    Returns one row per (group, bin) with ``(group_col, bin, c, mn, width,
+    n)`` — everything downstream (:func:`sketch_median`) derives from this
+    table.  Deterministic: bin edges come from one min/max aggregate
+    (exact doubles both engines), bin index is exact-IEEE arithmetic."""
+    rng = df.groupBy(group_col).agg(
+        F.min(F.col(value_col).cast("double")).alias("mn"),
+        F.max(F.col(value_col).cast("double")).alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    width = (F.col("mx") - F.col("mn")) / F.lit(float(n_bins))
+    b = (
+        df.join(F.broadcast(rng), group_col)
+        .withColumn("width", width)
+        .withColumn(
+            "bin",
+            F.when(F.col("width") == 0.0, F.lit(0)).otherwise(
+                F.least(
+                    F.lit(n_bins - 1),
+                    F.floor(
+                        (F.col(value_col).cast("double") - F.col("mn"))
+                        / F.col("width")
+                    ).cast("int"),
+                )
+            ),
+        )
+    )
+    return b.groupBy(group_col, "bin", "mn", "width", "n").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+
+
+def sketch_median(sketch: DataFrame, group_col: str) -> DataFrame:
+    """Median estimate from a :func:`quantile_sketch` table: the first bin
+    whose cumulative count reaches the lower-median rank ceil(n/2), estimated
+    at the bin midpoint — error is bounded by half a bin width (asserted
+    against the exact percentile in tests).  The rank is INTEGER arithmetic
+    ((n+1) DIV 2) and the cumulative window runs over <= n_bins rows per
+    group — sketch-sized, never corpus-sized."""
+    wc = (
+        Window.partitionBy(group_col)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = sketch.withColumn("cum", F.sum("c").over(wc))
+    hit = cum.filter(F.col("cum") >= F.expr("(n + 1) DIV 2"))
+    wr = Window.partitionBy(group_col).orderBy("bin")
+    first = hit.withColumn("_r", F.row_number().over(wr)).filter(F.col("_r") == 1)
+    est = F.col("mn") + (F.col("bin").cast("double") + F.lit(0.5)) * F.col("width")
+    return first.select(
+        group_col,
+        F.col("n").alias("n"),
+        F.when(F.col("width") == 0.0, F.col("mn")).otherwise(est).alias("median_est"),
     )

@@ -7380,3 +7380,139 @@ def curation_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("qk") & (F.col("bucket") != "tail")).alias("keep"),
         )
     )
+
+
+@_q(
+    "adaptive_sessionize",
+    """
+    WITH g0 AS (
+      SELECT user_id, event_id, ts, epoch(ts) AS es,
+             epoch(ts) - LAG(epoch(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+      FROM events),
+    med AS (
+      SELECT user_id,
+             quantile_cont(CAST(gap_s AS DOUBLE), 0.5) AS med_gap
+      FROM g0 WHERE gap_s IS NOT NULL GROUP BY user_id),
+    th AS (
+      SELECT g0.user_id, g0.event_id, g0.ts, g0.gap_s,
+             greatest(300.0, least(3.0 * COALESCE(med.med_gap, 600.0),
+                                   7200.0)) AS threshold_s
+      FROM g0 LEFT JOIN med ON g0.user_id = med.user_id),
+    flagged AS (
+      SELECT user_id, event_id, ts, threshold_s,
+             CASE WHEN gap_s IS NULL
+                       OR CAST(gap_s AS DOUBLE) > threshold_s
+                  THEN 1 ELSE 0 END AS is_new
+      FROM th),
+    sessions AS (
+      SELECT user_id, ts, threshold_s,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS BIGINT) AS session_id
+      FROM flagged)
+    SELECT user_id, session_id, threshold_s,
+           COUNT(*) AS n_events,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end
+    FROM sessions GROUP BY user_id, session_id, threshold_s
+    """,
+)
+def adaptive_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADAPTIVE sessionization: each user's session gap threshold is tuned
+    from their own cadence — 3x their median inter-arrival gap, clamped to
+    [5 min, 2 h] (default 30 min for single-event users) — the documented
+    consumer of ``events_interarrival_stats``'s features (a chatty bot's
+    sessions should not be glued together by a threshold tuned for weekly
+    visitors).
+
+    Exactness: gaps are integer epoch seconds; the per-user median of
+    integer-valued doubles runs through the bit-identical
+    percentile==quantile_cont pair (so ends in .0 or .5); 3x and the
+    clamp are exact double ops; the flag compares an integer gap against
+    that exact threshold.  Scale shape: everything is keyed on user_id —
+    the lag window, the median aggregate, the threshold join, and the
+    session cumsum reuse ONE partitioning; no global window anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    es = F.unix_timestamp("ts")
+    g0 = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        (es - F.lag(es, 1).over(w)).alias("gap_s"),
+    )
+    med = (
+        g0.filter(F.col("gap_s").isNotNull())
+        .groupBy("user_id")
+        .agg(F.percentile(F.col("gap_s").cast("double"), F.lit(0.5)).alias("med_gap"))
+    )
+    th = g0.join(med, "user_id", "left").withColumn(
+        "threshold_s",
+        F.greatest(
+            F.lit(300.0),
+            F.least(F.lit(3.0) * F.coalesce("med_gap", F.lit(600.0)), F.lit(7200.0)),
+        ),
+    )
+    flagged = th.withColumn(
+        "is_new",
+        (
+            F.col("gap_s").isNull()
+            | (F.col("gap_s").cast("double") > F.col("threshold_s"))
+        ).cast("int"),
+    )
+    ws = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sessions = flagged.withColumn(
+        "session_id", F.sum("is_new").over(ws).cast("bigint")
+    )
+    return sessions.groupBy("user_id", "session_id", "threshold_s").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@_q(
+    "sketch_median_value",
+    """
+    WITH rng AS (
+      SELECT event_type,
+             min(CAST(value AS DOUBLE)) AS mn,
+             max(CAST(value AS DOUBLE)) AS mx,
+             count(*) AS n
+      FROM events GROUP BY event_type),
+    b AS (
+      SELECT e.event_type, rng.mn, rng.n,
+             (rng.mx - rng.mn) / 64.0 AS width,
+             CASE WHEN (rng.mx - rng.mn) / 64.0 = 0.0 THEN 0
+                  ELSE least(63, CAST(floor((CAST(e.value AS DOUBLE) - rng.mn)
+                                            / ((rng.mx - rng.mn) / 64.0))
+                                 AS INTEGER))
+             END AS bin
+      FROM events e JOIN rng ON e.event_type = rng.event_type),
+    sk AS (SELECT event_type, bin, mn, width, n, count(*) AS c
+           FROM b GROUP BY event_type, bin, mn, width, n),
+    cum AS (SELECT *, SUM(c) OVER (PARTITION BY event_type ORDER BY bin
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM sk),
+    hit AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                 ORDER BY bin) AS _r
+            FROM cum WHERE cum >= (n + 1) // 2)
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           CASE WHEN width = 0.0 THEN mn
+                ELSE mn + (CAST(bin AS DOUBLE) + 0.5) * width END AS median_est
+    FROM hit WHERE _r = 1
+    """,
+)
+def sketch_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type median of ``value`` from the MERGEABLE fixed-bin quantile
+    sketch (``aggregates.quantile_sketch`` / ``sketch_median``) — the
+    incremental-corpus form of a median: shard sketches merge by summing
+    bin counts, so daily arrivals never rescan history (unlike the exact
+    ``percentile``, whose state is the value multiset).  Estimate error is
+    bounded by half a bin width (asserted vs the exact median in tests).
+    Two scans (range, binning) + one sketch-sized window."""
+    from lvm_datapipe_spark.operators.aggregates import quantile_sketch, sketch_median
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = quantile_sketch(ev, "value", "event_type", n_bins=64)
+    return sketch_median(sk, "event_type")

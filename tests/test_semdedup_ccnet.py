@@ -284,3 +284,73 @@ class TestTokenBudgetMix:
                 if cum <= 400:
                     expect[doc_id] = (src, n, cum)
         assert got == expect
+
+
+class TestQuantileSketch:
+    def test_error_bound_vs_exact_median(self, spark):
+        from lvm_datapipe_spark.operators.aggregates import (
+            quantile_sketch,
+            sketch_median,
+        )
+        from lvm_datapipe_spark.catalog import load_table
+
+        ev = load_table(spark, "/root/testdata/sf0.001", "events")
+        est = {
+            r.event_type: r.median_est
+            for r in sketch_median(
+                quantile_sketch(ev, "value", "event_type", n_bins=64), "event_type"
+            ).collect()
+        }
+        exact = {
+            r.event_type: (r.med, r.w)
+            for r in ev.groupBy("event_type")
+            .agg(
+                F.percentile(F.col("value").cast("double"), F.lit(0.5)).alias("med"),
+                (
+                    (
+                        F.max(F.col("value").cast("double"))
+                        - F.min(F.col("value").cast("double"))
+                    )
+                    / 64.0
+                ).alias("w"),
+            )
+            .collect()
+        }
+        assert est.keys() == exact.keys()
+        for t, (med, w) in exact.items():
+            # midpoint estimate of the rank-hitting bin is within one bin
+            # width of the true median
+            assert abs(est[t] - med) <= w, (t, est[t], med, w)
+
+    def test_shard_merge_equals_whole_corpus(self, spark):
+        """True mergeability: bin each shard SEPARATELY against the shared
+        global edges, SUM the per-shard counts, and recover exactly the
+        whole-corpus sketch — the no-rescan maintenance property."""
+        import pandas as pd
+
+        from lvm_datapipe_spark.catalog import load_table
+        from lvm_datapipe_spark.operators.aggregates import quantile_sketch
+
+        ev = load_table(spark, "/root/testdata/sf0.001", "events")
+        whole = quantile_sketch(ev, "value", "event_type").toPandas()
+        edges = whole[["event_type", "mn", "width", "n"]].drop_duplicates()
+        merged: dict = {}
+        for p in (0, 1):
+            shard = (
+                ev.filter(F.col("event_id") % 2 == p)
+                .select("event_type", F.col("value").cast("double").alias("v"))
+                .toPandas()
+            )
+            j = shard.merge(edges, on="event_type")
+            binned = j.apply(
+                lambda r: 0
+                if r.width == 0.0
+                else min(63, int((r.v - r.mn) // r.width)),
+                axis=1,
+            )
+            for (t, b), c in j.assign(bin=binned).groupby(
+                ["event_type", "bin"]
+            ).size().items():
+                merged[(t, b)] = merged.get((t, b), 0) + c
+        got = {(r.event_type, r.bin): r.c for r in whole.itertuples()}
+        assert merged == got
