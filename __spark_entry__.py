@@ -48,6 +48,8 @@ _CHECK_FIRST = [
     "curation_scorecard",           # new: parallel quality-signal join
     "adaptive_sessionize",          # new: per-user tuned gap thresholds
     "sketch_median_value",          # new: mergeable quantile sketch
+    "funnel_view_click_purchase",   # new: ordered funnel
+    "retention_cohorts",            # new: cohort retention matrix
     "events_seasonal_residuals",    # thin-cell floor 20 -> 10 (ADVICE r5)
     "events_hourly_distinct_users",  # new: declared no-fan-out sibling of
     #                                 the demoted sliding-distinct form

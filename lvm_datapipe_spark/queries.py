@@ -7516,3 +7516,104 @@ def sketch_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     sk = quantile_sketch(ev, "value", "event_type", n_bins=64)
     return sketch_median(sk, "event_type")
+
+
+@_q(
+    "funnel_view_click_purchase",
+    """
+    WITH v AS (SELECT user_id, min(ts) AS t_view
+               FROM events WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts) AS t_click
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t_view
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+          GROUP BY e.user_id)
+    SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+           (CASE WHEN p.user_id IS NOT NULL THEN 3
+                 WHEN c.user_id IS NOT NULL THEN 2
+                 ELSE 1 END) AS steps_reached
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+           LEFT JOIN p ON v.user_id = p.user_id
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED funnel analysis (view -> click -> purchase): a step only
+    counts when it happens strictly AFTER the user's entry into the
+    previous step (min-ts chaining — a later click cannot be credited to
+    an earlier purchase).  Three conditional min aggregates chained by
+    user-keyed joins: every stage shuffles on the SAME key, so at scale
+    this is one partitioning reused three times, not three independent
+    shuffles of the corpus.  Timestamps and step counts are exact."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            F.when(F.col("t_purchase").isNotNull(), F.lit(3))
+            .when(F.col("t_click").isNotNull(), F.lit(2))
+            .otherwise(F.lit(1))
+            .alias("steps_reached"),
+        )
+    )
+
+
+@_q(
+    "retention_cohorts",
+    """
+    WITH first_day AS (
+      SELECT user_id, min(date_trunc('DAY', ts)) AS cohort_day
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('DAY', ts) AS day
+      FROM events)
+    SELECT f.cohort_day,
+           CAST(datediff('day', f.cohort_day, a.day) AS INTEGER) AS day_offset,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS active_users
+    FROM activity a JOIN first_day f ON a.user_id = f.user_id
+    GROUP BY f.cohort_day, day_offset
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-cohort matrix: users grouped by first-seen day, counted
+    on each subsequent day they return (cohort x day-offset).  Two
+    user-keyed aggregates + one user-keyed join — the day-offset regroup
+    is over (cohort, offset) pairs, bounded by days^2, never corpus rows.
+    Exact integers (DATE truncation and day arithmetic both engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("DAY", F.col("ts"))
+    first = ev.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    activity = ev.select("user_id", day.alias("day")).distinct()
+    return (
+        activity.join(first, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
