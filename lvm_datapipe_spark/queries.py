@@ -7617,3 +7617,91 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count_distinct("user_id").alias("active_users"))
     )
+
+
+@_q(
+    "ab_test_welch_z",
+    """
+    WITH a AS (
+      SELECT event_type,
+             ('0x' || substr(md5('ab' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+               % 2 AS arm,
+             value
+      FROM events WHERE abs(value) < CAST(1000.0 AS DOUBLE)),
+    m AS (
+      SELECT event_type, arm,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(9,6))) AS VARCHAR) AS DOUBLE) AS s1,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(9,6)) * CAST(value AS DECIMAL(9,6)))
+                  AS VARCHAR) AS DOUBLE) AS s2
+      FROM a GROUP BY event_type, arm),
+    p AS (
+      SELECT t.event_type,
+             t.n AS n_treat, c.n AS n_ctrl,
+             t.s1 / t.n AS mean_treat, c.s1 / c.n AS mean_ctrl,
+             (t.s2 - t.s1 * t.s1 / t.n) / (t.n - 1) AS var_treat,
+             (c.s2 - c.s1 * c.s1 / c.n) / (c.n - 1) AS var_ctrl
+      FROM m t JOIN m c ON t.event_type = c.event_type
+            AND t.arm = 1 AND c.arm = 0)
+    SELECT event_type, n_treat, n_ctrl, mean_treat, mean_ctrl,
+           (mean_treat - mean_ctrl)
+             / sqrt(var_treat / n_treat + var_ctrl / n_ctrl) AS welch_z
+    FROM p
+    WHERE n_treat >= 2 AND n_ctrl >= 2
+      AND (var_treat / n_treat + var_ctrl / n_ctrl) > CAST(0.0 AS DOUBLE)
+    """,
+)
+def ab_test_welch_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout with ENGINE-EXACT statistics: users split
+    50/50 by the module's md5 bucket (assignment is a pure function of
+    user_id — stable under repartitioning, rerun, and incremental
+    arrival, the property a long-running experiment requires), then a
+    per-metric Welch z-statistic from exact decimal power sums (the
+    agg_skewness_by_type recipe: (9,6) quantization, VARCHAR→double
+    bridge, identical double combination).  sqrt and division are
+    correctly-rounded IEEE — the whole readout is bit-portable.  One
+    keyed aggregate + a 2-arm pivot join on tiny per-group rows."""
+    from lvm_datapipe_spark.operators.sampling import hash_bucket
+
+    ev = load_table(spark, sf_dir, "events").filter(F.abs(F.col("value")) < 1000.0)
+    d6 = F.col("value").cast("decimal(9,6)")
+    m = (
+        ev.withColumn("arm", hash_bucket("user_id", 2, "ab"))
+        .groupBy("event_type", "arm")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(d6).cast("string").cast("double").alias("s1"),
+            F.sum(d6 * d6).cast("string").cast("double").alias("s2"),
+        )
+    )
+    t = m.filter(F.col("arm") == 1).select(
+        "event_type",
+        F.col("n").alias("n_treat"),
+        (F.col("s1") / F.col("n")).alias("mean_treat"),
+        ((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)).alias(
+            "var_treat"
+        ),
+    )
+    c = m.filter(F.col("arm") == 0).select(
+        "event_type",
+        F.col("n").alias("n_ctrl"),
+        (F.col("s1") / F.col("n")).alias("mean_ctrl"),
+        ((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)).alias(
+            "var_ctrl"
+        ),
+    )
+    se2 = F.col("var_treat") / F.col("n_treat") + F.col("var_ctrl") / F.col("n_ctrl")
+    return (
+        t.join(c, "event_type")
+        .filter((F.col("n_treat") >= 2) & (F.col("n_ctrl") >= 2) & (se2 > 0.0))
+        .select(
+            "event_type",
+            "n_treat",
+            "n_ctrl",
+            "mean_treat",
+            "mean_ctrl",
+            ((F.col("mean_treat") - F.col("mean_ctrl")) / F.sqrt(se2)).alias(
+                "welch_z"
+            ),
+        )
+    )
