@@ -51,6 +51,7 @@ _CHECK_FIRST = [
     "funnel_view_click_purchase",   # new: ordered funnel
     "retention_cohorts",            # new: cohort retention matrix
     "ab_test_welch_z",              # new: engine-exact experiment readout
+    "erasure_cascade_audit",        # new: GDPR cascade purge audit
     "events_seasonal_residuals",    # thin-cell floor 20 -> 10 (ADVICE r5)
     "events_hourly_distinct_users",  # new: declared no-fan-out sibling of
     #                                 the demoted sliding-distinct form

@@ -7705,3 +7705,71 @@ def ab_test_welch_z(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@_q(
+    "erasure_cascade_audit",
+    """
+    WITH blocked AS (
+      SELECT c_custkey FROM customer WHERE c_custkey % 37 = 0),
+    o_purged AS (
+      SELECT o.o_orderkey FROM orders o
+      JOIN blocked b ON o.o_custkey = b.c_custkey),
+    audit AS (
+      SELECT 'customer' AS table_name,
+             (SELECT count(*) FROM blocked) AS n_purged,
+             (SELECT count(*) FROM customer) -
+               (SELECT count(*) FROM blocked) AS n_kept
+      UNION ALL
+      SELECT 'orders',
+             (SELECT count(*) FROM o_purged),
+             (SELECT count(*) FROM orders) -
+               (SELECT count(*) FROM o_purged)
+      UNION ALL
+      SELECT 'lineitem',
+             (SELECT count(*) FROM lineitem l
+              JOIN o_purged p ON l.l_orderkey = p.o_orderkey),
+             (SELECT count(*) FROM lineitem) -
+               (SELECT count(*) FROM lineitem l
+                JOIN o_purged p ON l.l_orderkey = p.o_orderkey))
+    SELECT table_name, CAST(n_purged AS BIGINT) AS n_purged,
+           CAST(n_kept AS BIGINT) AS n_kept
+    FROM audit
+    """,
+)
+def erasure_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten CASCADE audit: a customer blocklist (here a
+    deterministic predicate standing in for the deletion-request table)
+    propagates through the foreign-key chain customer -> orders ->
+    lineitem, and the audit reports purged/kept row counts per table —
+    the compliance artifact an erasure job must produce BEFORE the
+    destructive write (the actual purge is the same anti-joins with a
+    writer).
+
+    Scale shape: the blocklist and the purged-order keyset are both
+    keyset-sized (ids only, no payload columns — column pruning keeps the
+    scans narrow); each cascade level is one keyed semi-join; counts are
+    map-side partial aggregates.  At 100 TB the keysets broadcast."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    blocked = cust.filter(F.col("c_custkey") % 37 == 0).select("c_custkey")
+    o_purged = orders.join(
+        blocked, orders.o_custkey == blocked.c_custkey
+    ).select("o_orderkey")
+    l_purged = li.join(o_purged, li.l_orderkey == o_purged.o_orderkey)
+
+    def _row(name: str, purged, total):
+        return purged.agg(F.count(F.lit(1)).alias("n_purged")).crossJoin(
+            total.agg(F.count(F.lit(1)).alias("n_total"))
+        ).select(
+            F.lit(name).alias("table_name"),
+            F.col("n_purged").cast("bigint").alias("n_purged"),
+            (F.col("n_total") - F.col("n_purged")).cast("bigint").alias("n_kept"),
+        )
+
+    return (
+        _row("customer", blocked, cust)
+        .unionAll(_row("orders", o_purged, orders))
+        .unionAll(_row("lineitem", l_purged, li))
+    )
