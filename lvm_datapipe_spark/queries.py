@@ -7773,3 +7773,113 @@ def erasure_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(_row("orders", o_purged, orders))
         .unionAll(_row("lineitem", l_purged, li))
     )
+
+
+@_q(
+    "drift_tv_distance",
+    """
+    WITH rng AS (
+      SELECT event_type,
+             min(CAST(value AS DOUBLE)) AS mn,
+             max(CAST(value AS DOUBLE)) AS mx
+      FROM events GROUP BY event_type),
+    b AS (
+      SELECT e.event_type,
+             CASE WHEN (rng.mx - rng.mn) / 32.0 = 0.0 THEN 0
+                  ELSE least(31, CAST(floor((CAST(e.value AS DOUBLE) - rng.mn)
+                                            / ((rng.mx - rng.mn) / 32.0))
+                                 AS INTEGER))
+             END AS bin,
+             CASE WHEN e.ts < TIMESTAMP '2024-01-16 00:00:00'
+                  THEN 1 ELSE 0 END AS first_half
+      FROM events e JOIN rng ON e.event_type = rng.event_type),
+    c AS (
+      SELECT event_type, bin,
+             CAST(SUM(first_half) AS BIGINT) AS c1,
+             CAST(SUM(1 - first_half) AS BIGINT) AS c2
+      FROM b GROUP BY event_type, bin),
+    n AS (
+      SELECT event_type,
+             CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
+      FROM c GROUP BY event_type),
+    s AS (
+      SELECT c.event_type,
+             CAST(SUM(abs(c.c1 * n.n2 - c.c2 * n.n1)) AS BIGINT) AS num
+      FROM c JOIN n ON c.event_type = n.event_type
+      GROUP BY c.event_type)
+    SELECT s.event_type, n.n1 AS n_first, n.n2 AS n_second,
+           CAST(s.num AS DOUBLE)
+             / (2.0 * CAST(n.n1 AS DOUBLE) * CAST(n.n2 AS DOUBLE))
+             AS tv_distance
+    FROM s JOIN n ON s.event_type = n.event_type
+    WHERE n.n1 > 0 AND n.n2 > 0
+    """,
+)
+def drift_tv_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution DRIFT monitor: exact total-variation distance between
+    the first and second half of the month, per metric, over 32 fixed
+    value bins — the snapshot-over-snapshot check a corpus pipeline runs
+    before accepting a new ingest.  PSI's log-ratio is the textbook drift
+    score but libm logs are not bit-portable (measured); total variation
+    is, because 0.5*sum|c1/n1 - c2/n2| rewrites to the INTEGER sum
+    sum|c1*n2 - c2*n1| / (2*n1*n2) — one exact bigint aggregate and a
+    single final IEEE division.  Scale shape: one range aggregate
+    broadcast, one scan to bin, two type-keyed aggregates over bin-table
+    rows (<= 32 per type)."""
+    ev = load_table(spark, sf_dir, "events")
+    rng = ev.groupBy("event_type").agg(
+        F.min(F.col("value").cast("double")).alias("mn"),
+        F.max(F.col("value").cast("double")).alias("mx"),
+    )
+    width = (F.col("mx") - F.col("mn")) / 32.0
+    b = (
+        ev.join(F.broadcast(rng), "event_type")
+        .select(
+            "event_type",
+            F.when(width == 0.0, F.lit(0))
+            .otherwise(
+                F.least(
+                    F.lit(31),
+                    F.floor(
+                        (F.col("value").cast("double") - F.col("mn")) / width
+                    ).cast("int"),
+                )
+            )
+            .alias("bin"),
+            F.when(
+                F.col("ts") < F.to_timestamp(F.lit("2024-01-16 00:00:00")), 1
+            )
+            .otherwise(0)
+            .alias("first_half"),
+        )
+    )
+    c = b.groupBy("event_type", "bin").agg(
+        F.sum("first_half").cast("bigint").alias("c1"),
+        F.sum(1 - F.col("first_half")).cast("bigint").alias("c2"),
+    )
+    n = c.groupBy("event_type").agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+    )
+    s = (
+        c.join(n, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1")))
+            .cast("bigint")
+            .alias("num")
+        )
+    )
+    return (
+        s.join(n, "event_type")
+        .filter((F.col("n1") > 0) & (F.col("n2") > 0))
+        .select(
+            "event_type",
+            F.col("n1").alias("n_first"),
+            F.col("n2").alias("n_second"),
+            (
+                F.col("num").cast("double")
+                / (F.lit(2.0) * F.col("n1").cast("double") * F.col("n2").cast("double"))
+            ).alias("tv_distance"),
+        )
+    )
