@@ -935,6 +935,8 @@ def semdedup_keep(
 
     Returns ``(vec_id, cell, centroid_sim, keep)`` for every input vector.
     """
+    from lvm_datapipe_spark.operators.dedup import _with_cached_deps
+
     a = (
         emb.select(F.col(id_col).alias("vec_id"), as_double(vec_col).alias("v"))
         .withColumn("nrm", F.sqrt(dot_flat(F.col("v"), F.col("v"), dim)))
@@ -945,6 +947,10 @@ def semdedup_keep(
         .withColumn("centroid_sim", F.array_max("sims"))
         .withColumn("vn", F.expr("transform(v, x -> x / nrm)"))
         .select("vec_id", "cell", "centroid_sim", "vn")
+        # the assignment scan (n_cells literal-dot folds per row) feeds both
+        # sides of the pair join AND the final output — persist so it runs
+        # once, not three times (measured 6.6 s -> ~4 s at sf0.1)
+        .persist()
     )
     lhs = a.select(
         F.col("vec_id").alias("id_a"),
@@ -970,6 +976,7 @@ def semdedup_keep(
         .distinct()
         .withColumn("_removed", F.lit(True))
     )
-    return a.join(removed, "vec_id", "left").select(
+    out = a.join(removed, "vec_id", "left").select(
         "vec_id", "cell", "centroid_sim", F.col("_removed").isNull().alias("keep")
     )
+    return _with_cached_deps(out, [a])

@@ -345,6 +345,10 @@ def bigram_lm_surprisal(
     bg = d.select(id_col, *carry_cols, F.explode(pairs).alias("p")).select(
         id_col, *carry_cols, "p.w1", "p.w2"
     )
+    # (deliberately NOT persisted: measured neutral at sf0.1 — the count
+    # aggregates are map-side cheap and the cost lives in the two keyed
+    # scoring joins, so materializing the corpus-sized bigram stream buys
+    # nothing and costs storage churn at scale)
     cb = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
     cp = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("cp"))
     vocab = d.select(F.explode("toks").alias("tok")).agg(
