@@ -53,6 +53,7 @@ _CHECK_FIRST = [
     "ab_test_welch_z",              # new: engine-exact experiment readout
     "erasure_cascade_audit",        # new: GDPR cascade purge audit
     "drift_tv_distance",            # new: exact TV drift monitor
+    "sample_neyman_allocation",     # new: variance-optimal strata budgets
     "events_seasonal_residuals",    # thin-cell floor 20 -> 10 (ADVICE r5)
     "events_hourly_distinct_users",  # new: declared no-fan-out sibling of
     #                                 the demoted sliding-distinct form

@@ -7883,3 +7883,126 @@ def drift_tv_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tv_distance"),
         )
     )
+
+
+@_q(
+    "sample_neyman_allocation",
+    """
+    WITH m AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(9,6))) AS VARCHAR) AS DOUBLE) AS s1,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(9,6)) * CAST(value AS DECIMAL(9,6)))
+                  AS VARCHAR) AS DOUBLE) AS s2
+      FROM events WHERE abs(value) < CAST(1000.0 AS DOUBLE)
+      GROUP BY event_type),
+    w AS (
+      SELECT event_type, n,
+             CAST(n AS DOUBLE) * sqrt((s2 - s1 * s1 / n) / (n - 1)) AS wt
+      FROM m WHERE n >= 2),
+    tot AS (SELECT sum(wt) AS sw FROM w),
+    alloc AS (
+      SELECT w.event_type, w.n,
+             1000.0 * w.wt / tot.sw AS a,
+             CAST(floor(1000.0 * w.wt / tot.sw) AS BIGINT) AS base,
+             1000.0 * w.wt / tot.sw - floor(1000.0 * w.wt / tot.sw) AS rem
+      FROM w CROSS JOIN tot),
+    leftover AS (SELECT 1000 - sum(base) AS l FROM alloc),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, event_type) AS rr
+      FROM alloc),
+    target AS (
+      SELECT r.event_type, r.n,
+             r.base + (CASE WHEN r.rr <= leftover.l THEN 1 ELSE 0 END) AS n_target
+      FROM ranked r CROSS JOIN leftover),
+    sel AS (
+      SELECT e.event_id, e.event_type,
+             ROW_NUMBER() OVER (PARTITION BY e.event_type
+                 ORDER BY md5('ney' || CAST(e.event_id AS VARCHAR)), e.event_id)
+               AS rk
+      FROM events e WHERE abs(e.value) < CAST(1000.0 AS DOUBLE))
+    SELECT s.event_id, s.event_type, t.n_target
+    FROM sel s JOIN target t ON s.event_type = t.event_type
+    WHERE s.rk <= t.n_target
+    """,
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEYMAN-allocation stratified sampling: a fixed total budget (1000)
+    split across strata proportional to n_h * sigma_h — the
+    variance-minimizing allocation for estimating the population mean —
+    with LARGEST-REMAINDER integer apportionment (floor everyone, rank
+    fractional remainders, top up until the budget is exact) and
+    deterministic md5-rank selection inside each stratum.
+
+    Exactness: sigma_h from the exact decimal power sums (skewness
+    recipe); allocation shares are identical IEEE doubles on both
+    engines, so the remainder ranking agrees; membership is a pure
+    function of event ids.  Scale shape: the moments aggregate and the
+    per-stratum selection window share the stratum key; the allocation
+    table is strata-sized and broadcast."""
+    ev = load_table(spark, sf_dir, "events").filter(F.abs(F.col("value")) < 1000.0)
+    d6 = F.col("value").cast("decimal(9,6)")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d6).cast("string").cast("double").alias("s1"),
+        F.sum(d6 * d6).cast("string").cast("double").alias("s2"),
+    )
+    w = m.filter(F.col("n") >= 2).select(
+        "event_type",
+        "n",
+        (
+            F.col("n").cast("double")
+            * F.sqrt(
+                (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+                / (F.col("n") - 1)
+            )
+        ).alias("wt"),
+    )
+    tot = w.agg(F.sum("wt").alias("sw"))
+    a = F.lit(1000.0) * F.col("wt") / F.col("sw")
+    alloc = w.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n",
+        F.floor(a).cast("bigint").alias("base"),
+        (a - F.floor(a)).alias("rem"),
+    )
+    leftover = alloc.agg((F.lit(1000) - F.sum("base")).alias("l"))
+    # Largest-remainder rank WITHOUT a global window (the alloc table is
+    # strata-sized, but the declared surface bans empty-partition windows
+    # outright): rr = 1 + |rows strictly ahead in (rem DESC, event_type ASC)|
+    # via a broadcast non-equi self-join count.
+    ahead = alloc.select(
+        F.col("event_type").alias("b_et"), F.col("rem").alias("b_rem")
+    )
+    ranked = (
+        alloc.join(
+            F.broadcast(ahead),
+            (F.col("b_rem") > F.col("rem"))
+            | (
+                (F.col("b_rem") == F.col("rem"))
+                & (F.col("b_et") < F.col("event_type"))
+            ),
+            "left",
+        )
+        .groupBy("event_type", "base")
+        .agg((F.count("b_et") + F.lit(1)).alias("rr"))
+    )
+    target = ranked.crossJoin(F.broadcast(leftover)).select(
+        "event_type",
+        (
+            F.col("base")
+            + F.when(F.col("rr") <= F.col("l"), 1).otherwise(0)
+        ).alias("n_target"),
+    )
+    ws = Window.partitionBy("event_type").orderBy(
+        F.md5(F.concat(F.lit("ney"), F.col("event_id").cast("string")).cast("binary")),
+        "event_id",
+    )
+    sel = ev.select(
+        "event_id", "event_type", F.row_number().over(ws).alias("rk")
+    )
+    return (
+        sel.join(F.broadcast(target), "event_type")
+        .filter(F.col("rk") <= F.col("n_target"))
+        .select("event_id", "event_type", "n_target")
+    )
