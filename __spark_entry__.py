@@ -35,8 +35,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #      row is OLDEST, so every query periodically re-enters the window and
 #      a silent regression cannot hide outside it indefinitely.
 # Everything rotated out stays verified locally every round via
-# ``tools/check_correctness.py`` (167/167 oracle-paired queries green at
-# the r5 cut; 169 declared).
+# ``tools/check_correctness.py`` (182/182 oracle-paired queries green at
+# the r5 cut; 184 declared).
 _CHECK_FIRST = [
     # -- 1. changed or added in r6 (their prior rows, if any, no longer
     #       describe the shipped code)
@@ -54,6 +54,9 @@ _CHECK_FIRST = [
     "erasure_cascade_audit",        # new: GDPR cascade purge audit
     "drift_tv_distance",            # new: exact TV drift monitor
     "sample_neyman_allocation",     # new: variance-optimal strata budgets
+    "sample_priority_topk",         # new: Duffield priority sampling
+    "drift_ks_statistic",           # new: exact two-sample KS per stratum
+    "user_day_event_sequence",      # new: ordered trajectory assembly
     "events_seasonal_residuals",    # thin-cell floor 20 -> 10 (ADVICE r5)
     "events_hourly_distinct_users",  # new: declared no-fan-out sibling of
     #                                 the demoted sliding-distinct form
@@ -130,7 +133,7 @@ _CHECK_FIRST = [
     # ann_cosine_topk (unit-test-pinned; shares its ranking oracle shape
     # with ann_ivf_fixed_topk).  Every rotated-out veteran held an official
     # green row in r1-r5 AND stays green in the per-round local full sweep
-    # (tools/check_correctness.py, 167/167 oracle-paired).
+    # (tools/check_correctness.py, 182/182 oracle-paired).
 ]
 
 

@@ -8006,3 +8006,183 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= F.col("n_target"))
         .select("event_id", "event_type", "n_target")
     )
+
+
+@_q(
+    "sample_priority_topk",
+    """
+    WITH p AS (
+      SELECT o_orderkey, o_totalprice,
+             o_totalprice
+               / ((('0x' || substr(md5('prio' || CAST(o_orderkey AS VARCHAR)), 1, 13))::BIGINT + 1)
+                  / 4503599627370496.0) AS priority
+      FROM orders),
+    t AS (SELECT * FROM p ORDER BY priority DESC, o_orderkey LIMIT 501),
+    tau AS (SELECT min(priority) AS tau FROM t),
+    s AS (SELECT * FROM t ORDER BY priority DESC, o_orderkey LIMIT 500)
+    SELECT s.o_orderkey, s.o_totalprice,
+           GREATEST(s.o_totalprice, tau.tau) AS weight_est
+    FROM s CROSS JOIN tau
+    """,
+)
+def sample_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling (Duffield-Lund-Thorup): fixed-size weighted sample
+    without replacement.  Each row gets priority w/u with u a deterministic
+    md5-uniform in (0,1]; the sample is the top-k priorities and the
+    (k+1)-th priority tau yields the unbiased Horvitz-Thompson-style
+    estimator weight max(w, tau) (sum of estimates ~ population total).
+
+    Exactness: u = (h+1)/2^52 with h a 13-hex-digit md5 prefix -- the
+    numerator is exactly representable and the divisor is a power of two,
+    so u and the single division w/u are identical IEEE doubles on both
+    engines.  Scale shape: TakeOrdered top-k (per-partition heaps + one
+    k-sized merge at the driver), a scalar broadcast for tau, no global
+    sort and no window."""
+    k = 500
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("prio"), F.col("o_orderkey").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        + F.lit(1)
+    ) / F.lit(4503599627370496.0)
+    p = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        (F.col("o_totalprice") / u).alias("priority"),
+    )
+    top = p.orderBy(F.desc("priority"), F.asc("o_orderkey")).limit(k + 1)
+    tau = top.agg(F.min("priority").alias("tau"))
+    s = top.orderBy(F.desc("priority"), F.asc("o_orderkey")).limit(k)
+    return s.crossJoin(F.broadcast(tau)).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.greatest(F.col("o_totalprice"), F.col("tau")).alias("weight_est"),
+    )
+
+
+@_q(
+    "drift_ks_statistic",
+    """
+    WITH t AS (
+      SELECT event_type, value,
+             SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS cb
+      FROM events WHERE abs(value) < CAST(1000.0 AS DOUBLE)
+      GROUP BY event_type, value),
+    c AS (
+      SELECT event_type,
+             SUM(ca) OVER (PARTITION BY event_type ORDER BY value) AS cuma,
+             SUM(cb) OVER (PARTITION BY event_type ORDER BY value) AS cumb,
+             SUM(ca) OVER (PARTITION BY event_type) AS na,
+             SUM(cb) OVER (PARTITION BY event_type) AS nb
+      FROM t)
+    SELECT event_type,
+           CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           MAX(abs(CAST(cuma AS DOUBLE) / CAST(na AS DOUBLE)
+                   - CAST(cumb AS DOUBLE) / CAST(nb AS DOUBLE))) AS ks_stat
+    FROM c WHERE na > 0 AND nb > 0
+    GROUP BY event_type, na, nb
+    """,
+)
+def drift_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic per stratum: split the
+    event stream into two cohorts by user-id parity and compute
+    D = max_v |F_A(v) - F_B(v)| over the pooled distinct values -- the
+    classic distribution-drift test between two pipeline snapshots or
+    engine versions (complements [[drift_tv_distance]]'s binned TV).
+
+    Exactness: ECDF steps are ratios of exact integer cumulative counts;
+    each division/subtraction/abs/max is a single IEEE-identical double op.
+    Scale shape: one keyed aggregate on (event_type, value), then keyed
+    windows over the distinct-value table (already reduced), no global
+    window, no fan-out."""
+    ev = load_table(spark, sf_dir, "events").filter(F.abs(F.col("value")) < 1000.0)
+    t = ev.groupBy("event_type", "value").agg(
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0)).alias("cb"),
+    )
+    wc = Window.partitionBy("event_type").orderBy("value")
+    wp = Window.partitionBy("event_type")
+    c = t.select(
+        "event_type",
+        F.sum("ca").over(wc).alias("cuma"),
+        F.sum("cb").over(wc).alias("cumb"),
+        F.sum("ca").over(wp).alias("na"),
+        F.sum("cb").over(wp).alias("nb"),
+    )
+    return (
+        c.filter((F.col("na") > 0) & (F.col("nb") > 0))
+        .groupBy("event_type", "na", "nb")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cuma").cast("double") / F.col("na").cast("double")
+                    - F.col("cumb").cast("double") / F.col("nb").cast("double")
+                )
+            ).alias("ks_stat")
+        )
+        .select(
+            "event_type",
+            F.col("na").cast("bigint").alias("n_a"),
+            F.col("nb").cast("bigint").alias("n_b"),
+            "ks_stat",
+        )
+    )
+
+
+@_q(
+    "user_day_event_sequence",
+    """
+    SELECT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS seq
+    FROM events
+    GROUP BY user_id, CAST(ts AS DATE)
+    """,
+)
+def user_day_event_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered trajectory assembly: serialize each user-day's event stream
+    into a single '>'-delimited action sequence -- the SFT/agent-trace
+    shape (per-conversation ordered turn assembly) and the input format
+    for sequence-mining / next-action models.
+
+    Determinism: the sequence order is (ts, event_id) -- a total order --
+    realized WITHOUT a window: collect_list(struct(ts, event_id,
+    event_type)) then array_sort (struct ordering is field-lexicographic),
+    so the aggregate stays a single keyed shuffle with partial (map-side)
+    collection, and is stable under repartition.  Scale note: per-group
+    state is one user-day of events (bounded by user activity, not corpus
+    size)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id", F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("ts"), F.col("event_id"), F.col("event_type")
+                            )
+                        )
+                    ),
+                    lambda x: x["event_type"],
+                ),
+                ">",
+            ).alias("seq"),
+        )
+        .select("user_id", "day", "n_events", "seq")
+    )
