@@ -35,8 +35,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #      row is OLDEST, so every query periodically re-enters the window and
 #      a silent regression cannot hide outside it indefinitely.
 # Everything rotated out stays verified locally every round via
-# ``tools/check_correctness.py`` (182/182 oracle-paired queries green at
-# the r5 cut; 184 declared).
+# ``tools/check_correctness.py`` (187/187 oracle-paired queries green at
+# the r5 cut; 189 declared).
 _CHECK_FIRST = [
     # -- 1. changed or added in r6 (their prior rows, if any, no longer
     #       describe the shipped code)
@@ -53,10 +53,6 @@ _CHECK_FIRST = [
     "ab_test_welch_z",              # new: engine-exact experiment readout
     "erasure_cascade_audit",        # new: GDPR cascade purge audit
     "drift_tv_distance",            # new: exact TV drift monitor
-    "sample_neyman_allocation",     # new: variance-optimal strata budgets
-    "sample_priority_topk",         # new: Duffield priority sampling
-    "drift_ks_statistic",           # new: exact two-sample KS per stratum
-    "user_day_event_sequence",      # new: ordered trajectory assembly
     "events_seasonal_residuals",    # thin-cell floor 20 -> 10 (ADVICE r5)
     "events_hourly_distinct_users",  # new: declared no-fan-out sibling of
     #                                 the demoted sliding-distinct form
@@ -93,6 +89,24 @@ _CHECK_FIRST = [
     "agg_skewness_by_type",
     "pipeline_pretrain_full",
     "events_interarrival_stats",
+    # -- 2b. added late in r6 (no prior rows).  The window is oversubscribed
+    #       this round (25 new-r6 + 30 never-checked late-r5 > 50 slots), and
+    #       VERDICT r5 item 2 names the late-r5 set as the r6 target — so the
+    #       late-r5 queries keep their slots, the first 4 late-r6 additions
+    #       take the remaining slots 47-50, and the other 5
+    #       (events_gapfill_hourly, label_agreement_kappa,
+    #       gini_engagement_by_type, user_type_diversity,
+    #       pareto_half_revenue_customers) LEAD the r7 queue; all 9 are green
+    #       in this round's local full sweep (tools/check_correctness.py).
+    "sample_neyman_allocation",     # new: variance-optimal strata budgets
+    "sample_priority_topk",         # new: Duffield priority sampling
+    "drift_ks_statistic",           # new: exact two-sample KS per stratum
+    "user_day_event_sequence",      # new: ordered trajectory assembly
+    "events_gapfill_hourly",        # new: dense hourly grid w/ zero-fill
+    "label_agreement_kappa",        # new: chance-corrected labeler QA
+    "gini_engagement_by_type",      # new: exact Lorenz/Gini concentration
+    "user_type_diversity",          # new: rational Gini-Simpson diversity
+    "pareto_half_revenue_customers",  # new: decimal-exact coverage curve
     # -- 3. oldest-row veterans (last official green row r3; every other
     #       veteran holds an r4/r5 row).  Core operator families first per
     #       policy; the 20 remaining r3-row veterans (agg_cube, agg_rollup,
@@ -118,11 +132,11 @@ _CHECK_FIRST = [
     "set_except_finished",
     "sort_limit_topk",
     "q3_shipping_priority",
-    # r6 window accounting: the 6 r6 additions push the last 6 veterans
-    # (text_quality, text_langid, set_union_shards, set_except_finished,
-    # sort_limit_topk, q3_shipping_priority) past slot 50 — they keep
-    # their r1-r5 official rows, stay green in the local full sweep, and
-    # join the r7 veteran queue.
+    # r6 window accounting (final): sections 1+2 (16 + 30) plus the first 4
+    # of section 2b fill all 50 slots, so EVERY section-3 veteran sits past
+    # slot 50 this round — each keeps its r1-r5 official rows, stays green
+    # in the local full sweep, and joins the r7 veteran queue behind the 5
+    # out-of-window 2b additions.
     # NOTE on departures from the r5 list: events_sliding_distinct_users
     # was DEMOTED to queries.PYTEST_ORACLES this round (VERDICT r5 item 4
     # — its 6x fan-out plan left the declared surface together with
@@ -133,7 +147,7 @@ _CHECK_FIRST = [
     # ann_cosine_topk (unit-test-pinned; shares its ranking oracle shape
     # with ann_ivf_fixed_topk).  Every rotated-out veteran held an official
     # green row in r1-r5 AND stays green in the per-round local full sweep
-    # (tools/check_correctness.py, 182/182 oracle-paired).
+    # (tools/check_correctness.py, 187/187 oracle-paired).
 ]
 
 

@@ -7939,7 +7939,13 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines, so the remainder ranking agrees; membership is a pure
     function of event ids.  Scale shape: the moments aggregate and the
     per-stratum selection window share the stratum key; the allocation
-    table is strata-sized and broadcast."""
+    table is strata-sized and broadcast.
+
+    One-shot capped semantics: a stratum whose population is smaller than
+    its target delivers its whole population (no iterative redistribution)
+    -- so the delivered sample is exactly min(n_target, n_h) per stratum,
+    and equals the full budget whenever every stratum covers its target
+    (true at the driver's sf0.01 and above)."""
     ev = load_table(spark, sf_dir, "events").filter(F.abs(F.col("value")) < 1000.0)
     d6 = F.col("value").cast("decimal(9,6)")
     m = ev.groupBy("event_type").agg(
@@ -8185,4 +8191,314 @@ def user_day_event_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("seq"),
         )
         .select("user_id", "day", "n_events", "seq")
+    )
+
+
+@_q(
+    "events_gapfill_hourly",
+    """
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, date_trunc('hour', ts)),
+    b AS (SELECT event_type, min(hr) AS h0, max(hr) AS h1
+          FROM h GROUP BY event_type),
+    grid AS (
+      SELECT b.event_type,
+             unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS hr
+      FROM b)
+    SELECT g.event_type, strftime(g.hr, '%Y-%m-%d %H') AS hour,
+           CAST(COALESCE(h.n, 0) AS BIGINT) AS n_events,
+           CAST(CASE WHEN h.n IS NULL THEN 0 ELSE 1 END AS BIGINT) AS has_data
+    FROM grid g
+    LEFT JOIN h ON g.event_type = h.event_type AND g.hr = h.hr
+    """,
+)
+def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: materialize the DENSE hourly grid per
+    event type (from each type's first to last active hour) and left-join
+    the observed hourly counts, so silent-hour gaps become explicit
+    zero rows -- the resample/reindex step every downstream
+    forecaster/alerter needs before it can distinguish 'no data' from
+    'no traffic'.
+
+    Scale shape: the grid is generated from the AGGREGATED per-type
+    bounds (types x hours rows, tiny vs the corpus) via sequence+explode
+    -- no per-event fan-out; the grid-to-counts join is keyed on
+    (event_type, hour) where the counts side is already reduced."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    b = h.groupBy("event_type").agg(
+        F.min("hr").alias("h0"), F.max("hr").alias("h1")
+    )
+    grid = b.select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("interval 1 hour"))
+        ).alias("hr"),
+    )
+    return grid.join(h, ["event_type", "hr"], "left").select(
+        "event_type",
+        F.date_format("hr", "yyyy-MM-dd HH").alias("hour"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+        F.when(F.col("n").isNull(), 0).otherwise(1).cast("bigint").alias("has_data"),
+    )
+
+
+@_q(
+    "label_agreement_kappa",
+    """
+    WITH l AS (
+      SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS a,
+             CASE WHEN length(text) - length(replace(text, ' ', '')) >= 40
+                  THEN 1 ELSE 0 END AS b
+      FROM documents),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+             CAST(SUM(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+             CAST(SUM(a) AS BIGINT) AS a1, CAST(SUM(b) AS BIGINT) AS b1
+      FROM l)
+    SELECT n, n11, n00,
+           (CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE)
+            - (CAST(a1 AS DOUBLE) * CAST(b1 AS DOUBLE)
+               + CAST(n - a1 AS DOUBLE) * CAST(n - b1 AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+           / (CAST(1 AS DOUBLE)
+              - (CAST(a1 AS DOUBLE) * CAST(b1 AS DOUBLE)
+                 + CAST(n - a1 AS DOUBLE) * CAST(n - b1 AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS kappa
+    FROM m
+    """,
+)
+def label_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two deterministic labeling functions (a
+    char-length gate vs a word-count gate) -- the labeling-QA readout for
+    weak supervision: chance-corrected agreement po-pe over 1-pe, where
+    po/pe come from the exact integer confusion matrix.
+
+    Exactness: every input to the kappa expression is an exact integer
+    count; the double expression tree is written identically on both
+    engines.  Scale shape: one scan-shaped aggregate (map-side partials),
+    output is a single row."""
+    docs = load_table(spark, sf_dir, "documents")
+    l = docs.select(
+        F.when(F.col("n_chars") >= 300, 1).otherwise(0).alias("a"),
+        F.when(
+            F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            >= 40,
+            1,
+        )
+        .otherwise(0)
+        .alias("b"),
+    )
+    m = l.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when((F.col("a") == 1) & (F.col("b") == 1), 1).otherwise(0)).alias(
+            "n11"
+        ),
+        F.sum(F.when((F.col("a") == 0) & (F.col("b") == 0), 1).otherwise(0)).alias(
+            "n00"
+        ),
+        F.sum("a").alias("a1"),
+        F.sum("b").alias("b1"),
+    )
+    nd = F.col("n").cast("double")
+    pe = (
+        F.col("a1").cast("double") * F.col("b1").cast("double")
+        + (F.col("n") - F.col("a1")).cast("double")
+        * (F.col("n") - F.col("b1")).cast("double")
+    ) / (nd * nd)
+    po = (F.col("n11") + F.col("n00")).cast("double") / nd
+    return m.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n11").cast("bigint").alias("n11"),
+        F.col("n00").cast("bigint").alias("n00"),
+        ((po - pe) / (F.lit(1).cast("double") - pe)).alias("kappa"),
+    )
+
+
+@_q(
+    "gini_engagement_by_type",
+    """
+    WITH u AS (
+      SELECT event_type, user_id,
+             SUM(CAST(value AS DECIMAL(9,6))) AS tot
+      FROM events WHERE value > CAST(0.0 AS DOUBLE)
+      GROUP BY event_type, user_id),
+    r AS (
+      SELECT event_type, tot,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY tot, user_id) AS rk
+      FROM u),
+    s AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+             CAST(CAST(SUM(tot) AS VARCHAR) AS DOUBLE) AS s0,
+             CAST(CAST(SUM(rk * tot) AS VARCHAR) AS DOUBLE) AS s1
+      FROM r GROUP BY event_type)
+    SELECT event_type, n_users,
+           (2.0 * s1 - (CAST(n_users AS DOUBLE) + 1.0) * s0)
+             / (CAST(n_users AS DOUBLE) * s0) AS gini
+    FROM s WHERE n_users >= 2
+    """,
+)
+def gini_engagement_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user engagement value within each event
+    type -- the concentration/inequality readout that tells a dataset
+    curator whether a source's contribution is dominated by a handful of
+    heavy users (a dedup/contamination risk) or spread evenly.
+
+    Exactness: user totals are exact DECIMAL sums; the Lorenz moment
+    sum(rank*total) multiplies an integer rank into the decimal and sums
+    exactly; only the final fixed expression tree runs in doubles
+    (decimal-to-double via the string route, the repo convention).  Scale
+    shape: keyed aggregate -> keyed window (event_type partitions) ->
+    keyed aggregate; no global window."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0.0)
+    u = ev.groupBy("event_type", "user_id").agg(
+        F.sum(F.col("value").cast("decimal(9,6)")).alias("tot")
+    )
+    w = Window.partitionBy("event_type").orderBy("tot", "user_id")
+    r = u.select(
+        "event_type", "tot", F.row_number().over(w).alias("rk")
+    )
+    s = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("tot").cast("string").cast("double").alias("s0"),
+        F.sum(F.col("rk") * F.col("tot")).cast("string").cast("double").alias("s1"),
+    )
+    nd = F.col("n_users").cast("double")
+    return (
+        s.filter(F.col("n_users") >= 2)
+        .select(
+            "event_type",
+            F.col("n_users").cast("bigint").alias("n_users"),
+            (
+                (F.lit(2.0) * F.col("s1") - (nd + F.lit(1.0)) * F.col("s0"))
+                / (nd * F.col("s0"))
+            ).alias("gini"),
+        )
+    )
+
+
+@_q(
+    "user_type_diversity",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS ct
+      FROM events GROUP BY user_id, event_type),
+    u AS (
+      SELECT user_id,
+             CAST(SUM(ct) AS BIGINT) AS n_events,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(SUM(ct * ct) AS BIGINT) AS s2
+      FROM c GROUP BY user_id)
+    SELECT user_id, n_events, n_types,
+           1.0 - CAST(s2 AS DOUBLE)
+                 / (CAST(n_events AS DOUBLE) * CAST(n_events AS DOUBLE))
+             AS simpson
+    FROM u
+    """,
+)
+def user_type_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral diversity per user via the Gini-Simpson index
+    1 - sum(p_i^2): the probability two random actions by the user differ
+    in type.  The same readout a curator runs per-source on token/topic
+    distributions to catch monoculture slices; chosen over Shannon
+    entropy because it is RATIONAL in the counts (no transcendental log,
+    whose last-ulp rounding differs across engines).
+
+    Scale shape: two keyed aggregates sharing the user_id key (the second
+    groups an already-reduced table); map-side partials throughout."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("ct"))
+    u = c.groupBy("user_id").agg(
+        F.sum("ct").cast("bigint").alias("n_events"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.col("ct") * F.col("ct")).cast("bigint").alias("s2"),
+    )
+    ne = F.col("n_events").cast("double")
+    return u.select(
+        "user_id",
+        "n_events",
+        F.col("n_types").cast("bigint").alias("n_types"),
+        (F.lit(1.0) - F.col("s2").cast("double") / (ne * ne)).alias("simpson"),
+    )
+
+
+@_q(
+    "pareto_half_revenue_customers",
+    """
+    WITH t AS (
+      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS tot
+      FROM orders GROUP BY o_custkey),
+    r AS (
+      SELECT c.c_nationkey, t.tot,
+             SUM(t.tot) OVER (PARTITION BY c.c_nationkey
+                              ORDER BY t.tot DESC, t.o_custkey) AS cum,
+             SUM(t.tot) OVER (PARTITION BY c.c_nationkey) AS total
+      FROM t JOIN customer c ON t.o_custkey = c.c_custkey),
+    s AS (
+      SELECT c_nationkey,
+             CAST(count(*) AS BIGINT) AS n_customers,
+             CAST(SUM(CASE WHEN 2 * cum < total THEN 1 ELSE 0 END) + 1
+                  AS BIGINT) AS n_to_half
+      FROM r GROUP BY c_nationkey)
+    SELECT n.n_name, s.n_customers, s.n_to_half,
+           CAST(s.n_to_half AS DOUBLE) / CAST(s.n_customers AS DOUBLE)
+             AS half_share
+    FROM s JOIN nation n ON s.c_nationkey = n.n_nationkey
+    """,
+)
+def pareto_half_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto coverage: per nation, how many of its highest-revenue
+    customers it takes to cover HALF the nation's total revenue (and the
+    share of the customer base that is) -- the concentration-curve
+    question behind 'can we dedup/downsample the long tail without
+    moving the aggregate'.
+
+    Exactness: revenue stays DECIMAL end-to-end; the half-threshold test
+    is the integer-exact comparison 2*cum < total (no division, no
+    doubles until the final share ratio).  Scale shape: keyed aggregate
+    on custkey, shuffle join to the customer dim on the same key, keyed
+    windows per nation, broadcast nation-name join."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    t = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("tot")
+    )
+    j = t.join(cust, t.o_custkey == cust.c_custkey)
+    wc = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("tot"), F.asc("o_custkey")
+    )
+    wp = Window.partitionBy("c_nationkey")
+    r = j.select(
+        "c_nationkey",
+        "tot",
+        F.sum("tot").over(wc).alias("cum"),
+        F.sum("tot").over(wp).alias("total"),
+    )
+    s = r.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        (
+            F.sum(F.when(F.lit(2) * F.col("cum") < F.col("total"), 1).otherwise(0))
+            + F.lit(1)
+        )
+        .cast("bigint")
+        .alias("n_to_half"),
+    )
+    return (
+        s.join(F.broadcast(nation), s.c_nationkey == nation.n_nationkey)
+        .select(
+            "n_name",
+            F.col("n_customers").cast("bigint").alias("n_customers"),
+            "n_to_half",
+            (
+                F.col("n_to_half").cast("double")
+                / F.col("n_customers").cast("double")
+            ).alias("half_share"),
+        )
     )

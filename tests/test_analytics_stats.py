@@ -1,0 +1,185 @@
+"""Spec checks for the r6 statistics/sampling queries.
+
+The driver oracle gate proves Spark == DuckDB on the SAME SQL spec; these
+tests prove the spec itself — each query is compared against an independent
+pure-python/numpy model (textbook formula) computed from the same parquet.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+
+from lvm_datapipe_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_pd():
+    return duckdb.sql(
+        f"SELECT event_id, ts, user_id, event_type, value FROM '{SF}/events.parquet'"
+    ).df()
+
+
+def test_ks_matches_bruteforce_ecdf(spark, events_pd):
+    ev = events_pd[events_pd.value.abs() < 1000.0]
+    out = {
+        r["event_type"]: r
+        for r in QUERIES["drift_ks_statistic"](spark, SF).collect()
+    }
+    for et, g in ev.groupby("event_type"):
+        a = np.sort(g[g.user_id % 2 == 0].value.to_numpy())
+        b = np.sort(g[g.user_id % 2 == 1].value.to_numpy())
+        if len(a) == 0 or len(b) == 0:
+            assert et not in out
+            continue
+        pooled = np.unique(np.concatenate([a, b]))
+        d = np.max(
+            np.abs(
+                np.searchsorted(a, pooled, side="right") / len(a)
+                - np.searchsorted(b, pooled, side="right") / len(b)
+            )
+        )
+        row = out[et]
+        assert row["n_a"] == len(a) and row["n_b"] == len(b)
+        assert row["ks_stat"] == pytest.approx(d, abs=1e-12)
+        assert 0.0 <= row["ks_stat"] <= 1.0
+
+
+def test_gini_matches_pairwise_mean_difference(spark, events_pd):
+    # rank identity G = (2*sum(i*x_i) - (n+1)*sum(x))/(n*sum(x)) must equal
+    # the textbook mean-absolute-difference form sum|xi-xj| / (2 n^2 mean)
+    ev = events_pd[events_pd.value > 0.0]
+    out = {
+        r["event_type"]: r
+        for r in QUERIES["gini_engagement_by_type"](spark, SF).collect()
+    }
+    for et, g in ev.groupby("event_type"):
+        x = g.groupby("user_id").value.sum().to_numpy()
+        if len(x) < 2:
+            assert et not in out
+            continue
+        mad = np.abs(x[:, None] - x[None, :]).sum()
+        gini = mad / (2.0 * len(x) ** 2 * x.mean())
+        assert out[et]["gini"] == pytest.approx(gini, abs=1e-9)
+        assert out[et]["n_users"] == len(x)
+
+
+def test_kappa_matches_textbook_formula(spark):
+    docs = duckdb.sql(
+        f"SELECT text, n_chars FROM '{SF}/documents.parquet'"
+    ).df()
+    a = (docs.n_chars >= 300).astype(int).to_numpy()
+    b = (
+        docs.text.map(lambda t: len(t) - len(t.replace(" ", ""))) >= 40
+    ).astype(int).to_numpy()
+    n = len(a)
+    po = float(np.sum(a == b)) / n
+    pe = (a.sum() * b.sum() + (n - a.sum()) * (n - b.sum())) / float(n) ** 2
+    kappa = (po - pe) / (1.0 - pe)
+    row = QUERIES["label_agreement_kappa"](spark, SF).collect()[0]
+    assert row["n"] == n
+    assert row["kappa"] == pytest.approx(kappa, abs=1e-12)
+    assert -1.0 <= row["kappa"] <= 1.0
+
+
+def test_gapfill_grid_is_dense_and_mass_preserving(spark, events_pd):
+    rows = QUERIES["events_gapfill_hourly"](spark, SF).collect()
+    per_type = {}
+    for r in rows:
+        per_type.setdefault(r["event_type"], []).append(r)
+    hours = events_pd.ts.dt.floor("h")
+    for et, g in events_pd.groupby("event_type"):
+        got = per_type.pop(et)
+        h = hours[g.index]
+        span = int((h.max() - h.min()).total_seconds() // 3600) + 1
+        # dense: one row per hour in [first, last], no gaps, no dupes
+        assert len(got) == span == len({r["hour"] for r in got})
+        # mass-preserving: zero-filled rows add nothing
+        assert sum(r["n_events"] for r in got) == len(g)
+        assert all((r["n_events"] == 0) == (r["has_data"] == 0) for r in got)
+    assert not per_type
+
+
+def test_priority_sample_estimator_near_population_total(spark):
+    orders = duckdb.sql(
+        f"SELECT o_orderkey, o_totalprice FROM '{SF}/orders.parquet'"
+    ).df()
+    rows = QUERIES["sample_priority_topk"](spark, SF).collect()
+    assert len(rows) == 500
+    w = dict(zip(orders.o_orderkey, orders.o_totalprice))
+    # each sampled row keeps its true weight or the tau threshold, never less
+    assert all(r["weight_est"] >= w[r["o_orderkey"]] for r in rows)
+    # Horvitz-Thompson property: the estimator total tracks the population
+    # total (deterministic hash => this is a fixed, replayable realization)
+    est = sum(r["weight_est"] for r in rows)
+    total = float(orders.o_totalprice.sum())
+    assert abs(est - total) / total < 0.15
+
+
+def test_neyman_budget_is_exact(spark, events_pd):
+    rows = QUERIES["sample_neyman_allocation"](spark, SF).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["event_type"], []).append(r["n_target"])
+    sizes = (
+        events_pd[events_pd.value.abs() < 1000.0]
+        .groupby("event_type")
+        .size()
+        .to_dict()
+    )
+    # integer targets apportion the full budget exactly...
+    assert sum(v[0] for v in per.values()) == 1000
+    # ...and each stratum delivers min(target, population) — at this tiny
+    # sf the budget exceeds some strata, which then under-deliver (the
+    # documented one-shot capped semantics; at the driver's sf0.01 every
+    # stratum covers its target and exactly 1000 rows come back)
+    assert all(len(v) == min(v[0], sizes[et]) for et, v in per.items())
+
+
+def test_user_day_sequence_orders_by_time(spark, events_pd):
+    rows = QUERIES["user_day_event_sequence"](spark, SF).collect()
+    got = {(r["user_id"], r["day"]): r for r in rows}
+    df = events_pd.sort_values(["ts", "event_id"])
+    df["day"] = df.ts.dt.strftime("%Y-%m-%d")
+    for (uid, day), g in df.groupby(["user_id", "day"]):
+        r = got.pop((uid, day))
+        assert r["seq"] == ">".join(g.event_type)
+        assert r["n_events"] == len(g)
+    assert not got
+
+
+def test_simpson_diversity_formula(spark, events_pd):
+    rows = {r["user_id"]: r for r in QUERIES["user_type_diversity"](spark, SF).collect()}
+    for uid, g in events_pd.groupby("user_id"):
+        c = g.event_type.value_counts().to_numpy()
+        r = rows[uid]
+        assert r["n_events"] == c.sum() and r["n_types"] == len(c)
+        assert r["simpson"] == pytest.approx(
+            1.0 - float((c.astype(np.int64) ** 2).sum()) / float(c.sum()) ** 2,
+            abs=1e-12,
+        )
+
+
+def test_pareto_half_coverage_model(spark):
+    orders = duckdb.sql(
+        f"""SELECT c.c_nationkey, o.o_custkey, SUM(o.o_totalprice) AS tot
+            FROM '{SF}/orders.parquet' o
+            JOIN '{SF}/customer.parquet' c ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2"""
+    ).df()
+    nation = duckdb.sql(
+        f"SELECT n_nationkey, n_name FROM '{SF}/nation.parquet'"
+    ).df()
+    names = dict(zip(nation.n_nationkey, nation.n_name))
+    rows = {r["n_name"]: r for r in
+            QUERIES["pareto_half_revenue_customers"](spark, SF).collect()}
+    for nk, g in orders.groupby("c_nationkey"):
+        x = np.sort(g.tot.to_numpy())[::-1]
+        cum = np.cumsum(x)
+        k = int(np.argmax(cum >= cum[-1] / 2.0)) + 1
+        r = rows.pop(names[nk])
+        assert r["n_customers"] == len(x) and r["n_to_half"] == k
+    assert not rows
