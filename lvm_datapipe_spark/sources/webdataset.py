@@ -19,8 +19,10 @@ Scale shape:
 - one tar SHARD per ``shard_size`` samples within each partition, named
   ``shard-{partition:05d}-{seq:05d}.tar`` — writers never contend on a
   final file (shards are written to an attempt-suffixed temp name and
-  ``os.replace``d into place, so a speculative or retried task attempt
-  cannot tear a shard: the last completed attempt wins atomically);
+  moved into place via the filesystem's rename, so a speculative or
+  retried task attempt cannot tear a shard: the last completed attempt
+  wins — atomically on local/HDFS; see the FILESYSTEM CONTRACT for the
+  object-store caveat);
 - samples are written in the partition's row order — pre-sort/
   pre-repartition upstream to control shard composition (e.g.
   ``contiguous_ids`` then ``repartitionByRange`` for size-balanced,
@@ -35,17 +37,21 @@ small-scale inspection: it reads the manifested shard list (or lists the
 directory when no manifest exists) and parallelizes member extraction —
 production loaders stream shards whole, which is the point of the format.
 
-FILESYSTEM CONTRACT (read before pointing this at a cluster): all IO here
-is raw POSIX (``os.makedirs``/``os.replace`` on executors, driver-side
-``open`` for the manifest, ``os.listdir`` in the reader), so ``path`` must
-be a POSIX directory VISIBLE TO EVERY EXECUTOR AND THE DRIVER — local
-mode, or a shared mount (NFS/Lustre/GPFS/fuse-mounted object store).  On a
-multi-node cluster with a plain local path, shards land on each executor's
-local disk and the driver-side manifest describes nothing.  Object-store
-URI schemes (``s3://``, ``hdfs://``, ``gs://``, ...) are REJECTED up
-front rather than silently treated as relative local dirs; route them
-through a fuse mount, or copy the finished export with ``hadoop fs
--put``/``aws s3 cp`` as a post-step.
+FILESYSTEM CONTRACT (read before pointing this at a cluster): every byte
+of IO here is routed through ``pyarrow.fs`` — a plain path resolves to
+the local filesystem, a URI scheme (``file://``, ``s3://``, ``hdfs://``,
+``gs://``, ...) resolves via ``pyarrow.fs.FileSystem.from_uri`` on the
+driver AND inside each task, so on a multi-node cluster an object-store
+URI gives every executor and the driver the SAME directory (credentials
+come from the standard env/instance-role chain).  A PLAIN path on a
+multi-node cluster must still be a shared mount (NFS/Lustre/fuse) — with
+executor-local disks the shards land per-node and the driver manifest
+describes nothing.  An unknown scheme fails loudly at ``from_uri`` time.
+Atomicity note: shards are written to an attempt-suffixed temp name and
+moved into place — an atomic rename on local/HDFS; on S3-like stores the
+move is copy+delete (last completed attempt still wins, but a reader
+listing mid-move can see both names; the manifest-honoring reader is
+immune since only acknowledged final names are manifested).
 
 KEY CONTRACT: ``key_col`` must be GLOBALLY UNIQUE — webdataset-style
 loaders group tar members by key prefix, so two samples sharing a key
@@ -60,6 +66,7 @@ from __future__ import annotations
 import io
 import json
 import os
+import posixpath
 import re
 import tarfile
 
@@ -68,17 +75,37 @@ MANIFEST = "_manifest.json"
 _URI_SCHEME = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://")
 
 
-def _require_posix_path(path: str) -> None:
-    """Fail loudly on object-store/remote URI schemes: every byte of IO in
-    this module is raw POSIX, and a scheme'd path would otherwise be
-    created as a literal local directory named ``s3:`` (see module
-    docstring's FILESYSTEM CONTRACT)."""
+def _fs_for(path: str):
+    """Resolve ``path`` to a (pyarrow FileSystem, fs-local path) pair.
+
+    Plain paths → LocalFileSystem (absolutized, so executor tasks that
+    fork with a different cwd agree with the driver); scheme'd URIs →
+    ``FileSystem.from_uri`` (unknown schemes raise there, loudly).  Called
+    independently on the driver and inside every task — pyarrow
+    filesystems are constructed from the path string, never shipped."""
+    from pyarrow import fs as pafs
+
     if _URI_SCHEME.match(path):
-        raise ValueError(
-            f"webdataset sink/reader uses raw POSIX IO; {path!r} has a URI "
-            "scheme it cannot honor — use a shared POSIX mount visible to "
-            "all executors and the driver (see module docstring)"
-        )
+        return pafs.FileSystem.from_uri(path)
+    return pafs.LocalFileSystem(), os.path.abspath(path)
+
+
+def _exists(fs, p: str) -> bool:
+    from pyarrow import fs as pafs
+
+    return fs.get_file_info(p).type != pafs.FileType.NotFound
+
+
+def _list_names(fs, root: str) -> list[str]:
+    """Base names of regular files directly under ``root`` ([] if absent)."""
+    from pyarrow import fs as pafs
+
+    sel = pafs.FileSelector(root, allow_not_found=True)
+    return [
+        posixpath.basename(info.path)
+        for info in fs.get_file_info(sel)
+        if info.is_file
+    ]
 
 
 def _member_bytes(v, ext: str) -> bytes:
@@ -103,11 +130,13 @@ def _write_rows_to_shards(
     attempt: int,
 ) -> tuple[int, list]:
     """Shared shard-writing core: returns (n_rows, final shard names).
-    Each shard goes to ``<final>.tmp-<attempt>`` and is atomically
-    ``os.replace``d on close."""
-    os.makedirs(path, exist_ok=True)
+    Each shard streams to ``<final>.tmp-<attempt>`` through the resolved
+    pyarrow filesystem and is moved into place on close (atomic rename on
+    local/HDFS; copy+delete on S3-likes — see FILESYSTEM CONTRACT)."""
+    fs, root = _fs_for(path)
+    fs.create_dir(root, recursive=True)
     seq = n_in_shard = n_rows = 0
-    tar, tmp, final = None, None, None
+    tar, stream, tmp, final = None, None, None, None
     shards: list = []
     # per-task duplicate-key guard (KEY CONTRACT in the module docstring):
     # one small string per row of this partition — loaders clobber repeated
@@ -115,19 +144,23 @@ def _write_rows_to_shards(
     seen_keys: set = set()
 
     def close_current():
-        nonlocal tar
+        nonlocal tar, stream
         if tar is not None:
             tar.close()
-            os.replace(tmp, final)
-            shards.append(os.path.basename(final))
-            tar = None
+            stream.close()
+            fs.move(tmp, final)
+            shards.append(posixpath.basename(final))
+            tar = stream = None
 
     try:
         for row in rows:
             if tar is None:
-                final = os.path.join(path, f"shard-{pid:05d}-{seq:05d}.tar")
+                final = posixpath.join(root, f"shard-{pid:05d}-{seq:05d}.tar")
                 tmp = f"{final}.tmp-{attempt}"
-                tar = tarfile.open(tmp, "w")
+                stream = fs.open_output_stream(tmp)
+                # "w|" = sequential stream mode: no seeks, so the same
+                # writer works against non-seekable object-store streams
+                tar = tarfile.open(fileobj=stream, mode="w|")
             k = str(row[key_col])
             if k in seen_keys:
                 raise ValueError(
@@ -154,8 +187,10 @@ def _write_rows_to_shards(
     except BaseException:
         if tar is not None:
             tar.close()
-        if tmp is not None and os.path.exists(tmp):
-            os.remove(tmp)  # never leave a torn temp behind
+        if stream is not None:
+            stream.close()
+        if tmp is not None and _exists(fs, tmp):
+            fs.delete_file(tmp)  # never leave a torn temp behind
         raise
     return n_rows, shards
 
@@ -172,11 +207,12 @@ def write_webdataset(
     completeness manifest matters).
 
     ``columns`` maps column name → member extension (see module
-    docstring for the per-extension encoding rules).  ``path`` must be a
-    shared POSIX directory and ``key_col`` globally unique — see the
-    FILESYSTEM and KEY contracts in the module docstring."""
-    _require_posix_path(path)
-    os.makedirs(path, exist_ok=True)
+    docstring for the per-extension encoding rules).  ``path`` may be a
+    shared directory or an object-store URI, and ``key_col`` must be
+    globally unique — see the FILESYSTEM and KEY contracts in the module
+    docstring."""
+    fs, root = _fs_for(path)  # resolve driver-side too: fail fast on a bad scheme
+    fs.create_dir(root, recursive=True)
     cols = dict(columns)
 
     def write_partition(rows):
@@ -197,26 +233,34 @@ def read_webdataset(spark, path: str):
     the acknowledged shards in it are read — partial shards from a failed
     or superseded run are skipped; without a manifest (functional-API
     writes) the directory listing is the source of truth."""
-    _require_posix_path(path)
-    mpath = os.path.join(path, MANIFEST)
-    if os.path.exists(mpath):
-        with open(mpath) as f:
-            names = json.load(f)["shards"]
-        shards = sorted(os.path.join(path, n) for n in names)
+    fs, root = _fs_for(path)
+    mpath = posixpath.join(root, MANIFEST)
+    if _exists(fs, mpath):
+        with fs.open_input_stream(mpath) as f:
+            names = json.loads(f.read().decode())["shards"]
+        shards = sorted(posixpath.join(root, n) for n in names)
     else:
         shards = sorted(
-            os.path.join(path, f)
-            for f in os.listdir(path)
-            if f.endswith(".tar")
+            posixpath.join(root, n)
+            for n in _list_names(fs, root)
+            if n.endswith(".tar")
         )
 
     def read_shard(it):
+        # re-resolve inside the task: executors build their own filesystem
+        # handle from the path string (works for object-store URIs too)
+        task_fs, _root = _fs_for(path)
         for shard in it:
-            with tarfile.open(shard, "r") as tar:
-                for m in tar.getmembers():
+            # "r|*" = sequential stream mode (members read in order, no
+            # seeks) — the non-seekable-input sibling of the writer's "w|"
+            with task_fs.open_input_stream(shard) as st, tarfile.open(
+                fileobj=st, mode="r|*"
+            ) as tar:
+                for m in tar:
                     stem, _dot, ext = m.name.rpartition(".")
-                    data = tar.extractfile(m).read()
-                    yield (os.path.basename(shard), stem, ext, bytearray(data))
+                    f = tar.extractfile(m)
+                    data = f.read() if f is not None else b""
+                    yield (posixpath.basename(shard), stem, ext, bytearray(data))
 
     rdd = spark.sparkContext.parallelize(shards, max(len(shards), 1)).mapPartitions(
         read_shard
@@ -257,7 +301,7 @@ try:  # pyspark >= 4 only
             self.path = options.get("path")
             if not self.path:
                 raise ValueError("path option is required")
-            _require_posix_path(self.path)
+            fs, root = _fs_for(self.path)  # fail fast on an unknown scheme
             self.key_col = options.get("key_col", "key")
             spec = options.get("columns", "")  # "col:ext,col2:ext2"
             self.columns = dict(
@@ -268,30 +312,28 @@ try:  # pyspark >= 4 only
                     "columns option is required, e.g. 'txt:txt,payload:bin'"
                 )
             self.shard_size = int(options.get("shard_size", "1000"))
-            if not overwrite and os.path.isdir(self.path):
-                leftover = [
-                    f for f in os.listdir(self.path)
-                    if f.endswith(".tar") or f == MANIFEST
-                ]
-                if leftover:
-                    # "append" cannot be honest here: shard names are
-                    # deterministic per (partition, seq) so a second run
-                    # overwrites prior shards, and commit() rewrites the
-                    # manifest with only its own — silently clobbering
-                    # and orphaning the earlier export.  Fail loudly.
-                    raise ValueError(
-                        f"{self.path} already holds a webdataset export "
-                        f"({len(leftover)} files); write to a fresh "
-                        "directory or use mode('overwrite')"
-                    )
-            if overwrite and os.path.isdir(self.path):
+            existing = [
+                n for n in _list_names(fs, root)
+                if n.endswith(".tar") or n == MANIFEST
+            ]
+            if not overwrite and existing:
+                # "append" cannot be honest here: shard names are
+                # deterministic per (partition, seq) so a second run
+                # overwrites prior shards, and commit() rewrites the
+                # manifest with only its own — silently clobbering
+                # and orphaning the earlier export.  Fail loudly.
+                raise ValueError(
+                    f"{self.path} already holds a webdataset export "
+                    f"({len(existing)} files); write to a fresh "
+                    "directory or use mode('overwrite')"
+                )
+            if overwrite:
                 # runs on the DRIVER when the writer is built, before any
                 # task: stale shards must not survive into the new export
                 # (they would outlive the rewritten manifest and leak into
                 # directory-listing readers)
-                for f in os.listdir(self.path):
-                    if f.endswith(".tar") or f == MANIFEST:
-                        os.remove(os.path.join(self.path, f))
+                for n in existing:
+                    fs.delete_file(posixpath.join(root, n))
 
         def write(self, rows):
             from pyspark import TaskContext
@@ -308,8 +350,9 @@ try:  # pyspark >= 4 only
                 "n_rows": sum(m.n_rows for m in messages),
                 "shards": sorted(s for m in messages for s in m.shards),
             }
-            with open(os.path.join(self.path, MANIFEST), "w") as f:
-                json.dump(manifest, f, sort_keys=True)
+            fs, root = _fs_for(self.path)
+            with fs.open_output_stream(posixpath.join(root, MANIFEST)) as f:
+                f.write(json.dumps(manifest, sort_keys=True).encode())
 
         def abort(self, messages):
             # acknowledged shards from completed tasks are left on disk but
