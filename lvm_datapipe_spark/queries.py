@@ -8502,3 +8502,190 @@ def pareto_half_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("half_share"),
         )
     )
+
+
+def _ann_recall_sql() -> str:
+    """Recall@10 oracle: the exact brute-force top-10 CTE joined against
+    the fixed-quantizer IVF top-10 (both replayed with the same literals
+    and tie-breaks as their standalone oracle-checked queries)."""
+    exact_body = ORACLE_SQL["ann_cosine_topk"]
+    ivf_body = _ivf_fixed_sql()
+    return f"""
+    WITH exact AS (SELECT query_id, neighbor_id FROM ({exact_body}) x),
+    approx AS (SELECT query_id, neighbor_id FROM ({ivf_body}) a),
+    base AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+             FROM exact GROUP BY query_id),
+    hit AS (SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hit
+            FROM exact e JOIN approx a
+              ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+            GROUP BY e.query_id)
+    SELECT b.query_id, b.n_exact,
+           CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+           CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / CAST(b.n_exact AS DOUBLE)
+             AS recall
+    FROM base b LEFT JOIN hit h ON b.query_id = h.query_id
+    """
+
+
+@_q("ann_recall_eval", _ann_recall_sql())
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine ANN quality evaluation: recall@10 of the fixed-quantizer
+    IVF (n_probe=4 of 16 cells) against the exact brute-force top-10, per
+    query -- the measurement loop an index operator runs before trading
+    recall for probe cost.  Composes two already-oracle-checked operators,
+    so the oracle replays BOTH sides with identical literals/tie-breaks
+    and the recall ratio is a single exact integer division.
+
+    Scale shape: inherits the probed-cell pruning of the IVF side and the
+    broadcast-queries scan of the exact side; the recall join keys on
+    (query_id, neighbor_id) over two k*|queries|-sized tables (tiny)."""
+    from lvm_datapipe_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_fixed_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, queries, k=10).select("query_id", "neighbor_id")
+    approx = ivf_fixed_topk(emb, queries, k=10, n_cells=16, n_probe=4).select(
+        "query_id", "neighbor_id"
+    )
+    base = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    hit = (
+        exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return base.join(hit, "query_id", "left").select(
+        "query_id",
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        F.coalesce(F.col("n_hit"), F.lit(0)).cast("bigint").alias("n_hit"),
+        (
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+            / F.col("n_exact").cast("double")
+        ).alias("recall"),
+    )
+
+
+@_q(
+    "events_wma_hourly",
+    """
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, date_trunc('hour', ts)),
+    b AS (SELECT event_type, min(hr) AS h0, max(hr) AS h1
+          FROM h GROUP BY event_type),
+    grid AS (
+      SELECT b.event_type,
+             unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS hr
+      FROM b),
+    dense AS (
+      SELECT g.event_type, g.hr, CAST(COALESCE(h.n, 0) AS BIGINT) AS n
+      FROM grid g
+      LEFT JOIN h ON g.event_type = h.event_type AND g.hr = h.hr),
+    lagged AS (
+      SELECT event_type, hr, n,
+             lag(n, 1) OVER (PARTITION BY event_type ORDER BY hr) AS n1,
+             lag(n, 2) OVER (PARTITION BY event_type ORDER BY hr) AS n2
+      FROM dense)
+    SELECT event_type, strftime(hr, '%Y-%m-%d %H') AS hour, n,
+           CAST(4 * n + 2 * n1 + n2 AS DOUBLE) / CAST(7 AS DOUBLE) AS wma
+    FROM lagged WHERE n1 IS NOT NULL AND n2 IS NOT NULL
+    """,
+)
+def events_wma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Finite-kernel weighted moving average (weights 4/2/1 over the last
+    three hours, normalized by 7) per event type, computed over the DENSE
+    gap-filled hourly grid so the kernel is a true time-shift (a silent
+    hour contributes 0, not the previous observed hour) -- the exact
+    integer-arithmetic smoother (EWMA's infinite tail is a driver of
+    cross-engine float drift; a finite integer kernel has none: one
+    division by 7 per output row).
+
+    Scale shape: same as [[events_gapfill_hourly]] (grid generated from
+    aggregated bounds) plus one keyed lag window over the grid-sized
+    table."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.count(F.lit(1)).alias("n0"))
+    b = h.groupBy("event_type").agg(
+        F.min("hr").alias("h0"), F.max("hr").alias("h1")
+    )
+    grid = b.select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("interval 1 hour"))
+        ).alias("hr"),
+    )
+    dense = grid.join(h, ["event_type", "hr"], "left").select(
+        "event_type", "hr", F.coalesce(F.col("n0"), F.lit(0)).cast("bigint").alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy("hr")
+    lagged = dense.select(
+        "event_type",
+        "hr",
+        "n",
+        F.lag("n", 1).over(w).alias("n1"),
+        F.lag("n", 2).over(w).alias("n2"),
+    )
+    return lagged.filter(
+        F.col("n1").isNotNull() & F.col("n2").isNotNull()
+    ).select(
+        "event_type",
+        F.date_format("hr", "yyyy-MM-dd HH").alias("hour"),
+        "n",
+        (
+            (F.lit(4) * F.col("n") + F.lit(2) * F.col("n1") + F.col("n2")).cast(
+                "double"
+            )
+            / F.lit(7).cast("double")
+        ).alias("wma"),
+    )
+
+
+@_q(
+    "partition_skew_report",
+    """
+    WITH b AS (
+      SELECT ('0x' || substr(md5('pt' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 32
+               AS bucket
+      FROM documents),
+    c AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY bucket)
+    SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(MAX(n) AS BIGINT) AS max_bucket,
+           CAST(MIN(n) AS BIGINT) AS min_bucket,
+           CAST(MAX(n) * count(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)
+             AS skew_ratio
+    FROM c
+    """,
+)
+def partition_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-partition skew diagnostic: bucket the corpus by the same
+    md5 hash family the samplers use (32 buckets), then report the
+    max/mean imbalance factor -- the number that predicts whether a keyed
+    shuffle at scale has a straggler partition (skew_ratio ~ 1 means
+    balanced; >> 1 means salt or re-key before scaling up).
+
+    Exactness: pure integer counts; the ratio is computed as
+    max*n_buckets/total in one exact multiply + one division.  Scale
+    shape: one scan-shaped bucket aggregate over 32 cells, then a
+    32-row summary."""
+    from lvm_datapipe_spark.operators.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.select(hash_bucket("doc_id", 32, "pt").alias("bucket")).groupBy(
+        "bucket"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return c.agg(
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.max("n").cast("bigint").alias("max_bucket"),
+        F.min("n").cast("bigint").alias("min_bucket"),
+        (
+            (F.max("n") * F.count(F.lit(1))).cast("double")
+            / F.sum("n").cast("double")
+        ).alias("skew_ratio"),
+    )
