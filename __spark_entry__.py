@@ -35,8 +35,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #      row is OLDEST, so every query periodically re-enters the window and
 #      a silent regression cannot hide outside it indefinitely.
 # Everything rotated out stays verified locally every round via
-# ``tools/check_correctness.py`` (190/190 oracle-paired queries green at
-# the r5 cut; 192 declared).
+# ``tools/check_correctness.py`` (192/192 oracle-paired queries green at
+# the r5 cut; 194 declared).
 _CHECK_FIRST = [
     # -- 1. changed or added in r6 (their prior rows, if any, no longer
     #       describe the shipped code)
@@ -93,12 +93,13 @@ _CHECK_FIRST = [
     #       this round (25 new-r6 + 30 never-checked late-r5 > 50 slots), and
     #       VERDICT r5 item 2 names the late-r5 set as the r6 target — so the
     #       late-r5 queries keep their slots, the first 4 late-r6 additions
-    #       take the remaining slots 47-50, and the other 8
+    #       take the remaining slots 47-50, and the other 10
     #       (events_gapfill_hourly, label_agreement_kappa,
     #       gini_engagement_by_type, user_type_diversity,
     #       pareto_half_revenue_customers, ann_recall_eval,
-    #       events_wma_hourly, partition_skew_report) LEAD the r7 queue; all
-    #       12 are green in this round's local full sweep
+    #       events_wma_hourly, partition_skew_report,
+    #       weighted_median_price_by_brand, vocab_churn_halves) LEAD the r7
+    #       queue; all 14 are green in this round's local full sweep
     #       (tools/check_correctness.py).
     "sample_neyman_allocation",     # new: variance-optimal strata budgets
     "sample_priority_topk",         # new: Duffield priority sampling
@@ -112,6 +113,8 @@ _CHECK_FIRST = [
     "ann_recall_eval",              # new: in-engine IVF recall@10 readout
     "events_wma_hourly",            # new: finite-kernel dense-grid WMA
     "partition_skew_report",        # new: shuffle-imbalance diagnostic
+    "weighted_median_price_by_brand",  # new: exact weighted quantile
+    "vocab_churn_halves",           # new: named-token drift monitor
     # -- 3. oldest-row veterans (last official green row r3; every other
     #       veteran holds an r4/r5 row).  Core operator families first per
     #       policy; the 20 remaining r3-row veterans (agg_cube, agg_rollup,
@@ -140,7 +143,7 @@ _CHECK_FIRST = [
     # r6 window accounting (final): sections 1+2 (16 + 30) plus the first 4
     # of section 2b fill all 50 slots, so EVERY section-3 veteran sits past
     # slot 50 this round — each keeps its r1-r5 official rows, stays green
-    # in the local full sweep, and joins the r7 veteran queue behind the 8
+    # in the local full sweep, and joins the r7 veteran queue behind the 10
     # out-of-window 2b additions.
     # NOTE on departures from the r5 list: events_sliding_distinct_users
     # was DEMOTED to queries.PYTEST_ORACLES this round (VERDICT r5 item 4
@@ -152,7 +155,7 @@ _CHECK_FIRST = [
     # ann_cosine_topk (unit-test-pinned; shares its ranking oracle shape
     # with ann_ivf_fixed_topk).  Every rotated-out veteran held an official
     # green row in r1-r5 AND stays green in the per-round local full sweep
-    # (tools/check_correctness.py, 190/190 oracle-paired).
+    # (tools/check_correctness.py, 192/192 oracle-paired).
 ]
 
 

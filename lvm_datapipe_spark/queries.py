@@ -8689,3 +8689,136 @@ def partition_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n").cast("double")
         ).alias("skew_ratio"),
     )
+
+
+@_q(
+    "weighted_median_price_by_brand",
+    """
+    WITH j AS (
+      SELECT p.p_brand, l.l_extendedprice AS price,
+             CAST(l.l_quantity AS BIGINT) AS w
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    g AS (
+      SELECT p_brand, price, CAST(SUM(w) AS BIGINT) AS w
+      FROM j GROUP BY p_brand, price),
+    c AS (
+      SELECT p_brand, price, w,
+             SUM(w) OVER (PARTITION BY p_brand ORDER BY price) AS cum,
+             SUM(w) OVER (PARTITION BY p_brand) AS tot
+      FROM g)
+    SELECT p_brand, CAST(MAX(tot) AS BIGINT) AS total_qty,
+           MIN(CASE WHEN 2 * cum >= tot THEN price END) AS wmedian_price
+    FROM c GROUP BY p_brand
+    """,
+)
+def weighted_median_price_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact WEIGHTED median (lower): per part brand, the smallest price at
+    which the cumulative quantity reaches half the brand's total quantity
+    -- the quantity-weighted center of the price distribution (the exact
+    dual of the sketch-based quantile ops, for when the answer must be a
+    number both engines agree on to the bit).
+
+    Exactness: quantities are integer-valued (cast BIGINT); collapsing to
+    per-(brand, price) weight sums FIRST makes the cumulative sum
+    peer-free, so the 2*cum >= tot threshold is a pure integer
+    comparison and the selected price is a raw parquet double.  Scale
+    shape: keyed join (part dim broadcast by AQE), keyed aggregate, keyed
+    windows, keyed argmin -- no global window."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "p_brand",
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+    )
+    g = j.groupBy("p_brand", "price").agg(F.sum("w").cast("bigint").alias("w"))
+    wc = Window.partitionBy("p_brand").orderBy("price")
+    wp = Window.partitionBy("p_brand")
+    c = g.select(
+        "p_brand",
+        "price",
+        "w",
+        F.sum("w").over(wc).alias("cum"),
+        F.sum("w").over(wp).alias("tot"),
+    )
+    return c.groupBy("p_brand").agg(
+        F.max("tot").cast("bigint").alias("total_qty"),
+        F.min(
+            F.when(F.lit(2) * F.col("cum") >= F.col("tot"), F.col("price"))
+        ).alias("wmedian_price"),
+    )
+
+
+@_q(
+    "vocab_churn_halves",
+    rf"""
+    WITH tok AS (
+      SELECT doc_id % 2 AS half, unnest({_SQL_LTOKS}) AS token
+      FROM documents),
+    fa AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok
+           WHERE half = 0 GROUP BY token),
+    fb AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok
+           WHERE half = 1 GROUP BY token),
+    ta AS (SELECT token FROM fa ORDER BY n DESC, token LIMIT 10),
+    tb AS (SELECT token FROM fb ORDER BY n DESC, token LIMIT 10),
+    u AS (
+      SELECT COALESCE(ta.token, tb.token) AS token,
+             ta.token IS NOT NULL AS in_a, tb.token IS NOT NULL AS in_b
+      FROM ta FULL OUTER JOIN tb ON ta.token = tb.token)
+    SELECT u.token,
+           CAST(COALESCE(fa.n, 0) AS BIGINT) AS n_a,
+           CAST(COALESCE(fb.n, 0) AS BIGINT) AS n_b,
+           CASE WHEN in_a AND in_b THEN 'stayed'
+                WHEN in_b THEN 'entered' ELSE 'exited' END AS status
+    FROM u
+    LEFT JOIN fa ON u.token = fa.token
+    LEFT JOIN fb ON u.token = fb.token
+    """,
+)
+def vocab_churn_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter churn: which tokens ENTER or EXIT the top-10
+    vocabulary between two corpus halves (deterministic doc-id split
+    standing in for two ingestion snapshots) -- the token-level drift
+    monitor a curation pipeline runs between crawls, sharper than the
+    distribution-level [[drift_tv_distance]] / [[drift_ks_statistic]]
+    because it names the tokens that moved.
+
+    Scale shape: one tokenize pass feeding two token-keyed partial
+    aggregates, TakeOrdered top-10 each (no global sort; k sized to the
+    synthetic corpus's 31-token vocabulary so enter/exit transitions
+    actually occur at test scale -- the ADVICE-r5 thin-cell lesson; a
+    production deploy raises k to 100+), a tiny full-outer join, and two
+    keyed lookups back into the frequency tables for the true counts
+    (AQE broadcasts the tiny probe side)."""
+    from lvm_datapipe_spark.operators import text as X
+
+    docs = load_table(spark, sf_dir, "documents")
+    fa = X.token_frequencies(docs.filter(F.col("doc_id") % 2 == 0))
+    fb = X.token_frequencies(docs.filter(F.col("doc_id") % 2 == 1))
+    ta = R.top_k(fa, [F.desc("n"), F.asc("token")], 10).select(
+        F.col("token").alias("a_token")
+    )
+    tb = R.top_k(fb, [F.desc("n"), F.asc("token")], 10).select(
+        F.col("token").alias("b_token")
+    )
+    u = ta.join(
+        tb, ta.a_token == tb.b_token, "full_outer"
+    ).select(
+        F.coalesce("a_token", "b_token").alias("token"),
+        F.col("a_token").isNotNull().alias("in_a"),
+        F.col("b_token").isNotNull().alias("in_b"),
+    )
+    out = (
+        u
+        .join(fa.withColumnRenamed("n", "na"), "token", "left")
+        .join(fb.withColumnRenamed("n", "nb"), "token", "left")
+    )
+    return out.select(
+        "token",
+        F.coalesce("na", F.lit(0)).cast("bigint").alias("n_a"),
+        F.coalesce("nb", F.lit(0)).cast("bigint").alias("n_b"),
+        F.when(F.col("in_a") & F.col("in_b"), "stayed")
+        .when(F.col("in_b"), "entered")
+        .otherwise("exited")
+        .alias("status"),
+    )
