@@ -35,8 +35,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #      row is OLDEST, so every query periodically re-enters the window and
 #      a silent regression cannot hide outside it indefinitely.
 # Everything rotated out stays verified locally every round via
-# ``tools/check_correctness.py`` (192/192 oracle-paired queries green at
-# the r5 cut; 194 declared).
+# ``tools/check_correctness.py`` (192/192 oracle-paired queries green in
+# the latest full local sweep; 194 declared).
 _CHECK_FIRST = [
     # -- 1. changed or added in r6 (their prior rows, if any, no longer
     #       describe the shipped code)

@@ -106,6 +106,19 @@ def stratified_sample(
     return df.filter(bucket < thresh)
 
 
+def md5_order(key_col: Column | str, salt: str = "") -> list[Column]:
+    """THE canonical deterministic hash-rank ordering: md5 of salt+key
+    (string-cast, then binary-cast) ascending, with the key itself as the
+    tie-break.  Every SQL-replayed rank selection shares this one recipe —
+    its DuckDB twin is ``ORDER BY md5('<salt>' || CAST(key AS VARCHAR)),
+    key`` — so the hash expression must never be re-implemented inline
+    (a drifted copy, e.g. one missing the binary cast, silently breaks
+    the cross-engine replay contract)."""
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    h = F.md5(F.concat(F.lit(salt), key.cast("string")).cast("binary"))
+    return [h.asc(), key.asc()]
+
+
 def sample_k_per_group(
     df: DataFrame,
     group_col: str,
@@ -122,8 +135,7 @@ def sample_k_per_group(
     Plan: one window shuffle keyed on the group; Spark plans the rank
     filter as WindowGroupLimit (per-partition top-k below the shuffle), so
     no group's full contents sort globally."""
-    h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")).cast("binary"))
-    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    w = Window.partitionBy(group_col).orderBy(*md5_order(key_col, salt))
     return (
         df.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= k)

@@ -7972,6 +7972,13 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(a).cast("bigint").alias("base"),
         (a - F.floor(a)).alias("rem"),
     )
+    # alloc's lineage is the full-corpus moments aggregate, and alloc
+    # feeds THREE consumers (ranked's left side, the broadcast 'ahead'
+    # copy, the leftover aggregate) — persist the strata-sized frame so
+    # the scan+aggregate runs once, not three times (the SemDeDup persist
+    # pattern; no release protocol needed: the cached frame is a handful
+    # of rows)
+    alloc = alloc.persist()
     leftover = alloc.agg((F.lit(1000) - F.sum("base")).alias("l"))
     # Largest-remainder rank WITHOUT a global window (the alloc table is
     # strata-sized, but the declared surface bans empty-partition windows
@@ -8000,10 +8007,9 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.when(F.col("rr") <= F.col("l"), 1).otherwise(0)
         ).alias("n_target"),
     )
-    ws = Window.partitionBy("event_type").orderBy(
-        F.md5(F.concat(F.lit("ney"), F.col("event_id").cast("string")).cast("binary")),
-        "event_id",
-    )
+    from lvm_datapipe_spark.operators.sampling import md5_order
+
+    ws = Window.partitionBy("event_type").orderBy(*md5_order("event_id", "ney"))
     sel = ev.select(
         "event_id", "event_type", F.row_number().over(ws).alias("rk")
     )
@@ -8066,7 +8072,10 @@ def sample_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         (F.col("o_totalprice") / u).alias("priority"),
     )
-    top = p.orderBy(F.desc("priority"), F.asc("o_orderkey")).limit(k + 1)
+    # the (k+1)-row TakeOrdered is consumed twice (tau aggregate + final
+    # re-limit) — persist so the orders scan and per-partition heaps run
+    # once (tiny cached frame, no release protocol needed)
+    top = p.orderBy(F.desc("priority"), F.asc("o_orderkey")).limit(k + 1).persist()
     tau = top.agg(F.min("priority").alias("tau"))
     s = top.orderBy(F.desc("priority"), F.asc("o_orderkey")).limit(k)
     return s.crossJoin(F.broadcast(tau)).select(
@@ -8194,10 +8203,13 @@ def user_day_event_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q(
-    "events_gapfill_hourly",
-    """
-    WITH h AS (
+# Shared dense hourly grid (single source of truth for the gap-fill and
+# WMA queries): per event type, one row per hour from its first to last
+# active hour, with n = 0 for silent hours.  The grid is generated from
+# the AGGREGATED per-type bounds (types x hours rows) via
+# sequence+explode — no per-event fan-out; the grid-to-counts join is
+# keyed on (event_type, hour) with the counts side already reduced.
+_DENSE_HOURLY_SQL = """h AS (
       SELECT event_type, date_trunc('hour', ts) AS hr,
              CAST(count(*) AS BIGINT) AS n
       FROM events GROUP BY event_type, date_trunc('hour', ts)),
@@ -8206,30 +8218,21 @@ def user_day_event_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid AS (
       SELECT b.event_type,
              unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS hr
-      FROM b)
-    SELECT g.event_type, strftime(g.hr, '%Y-%m-%d %H') AS hour,
-           CAST(COALESCE(h.n, 0) AS BIGINT) AS n_events,
-           CAST(CASE WHEN h.n IS NULL THEN 0 ELSE 1 END AS BIGINT) AS has_data
-    FROM grid g
-    LEFT JOIN h ON g.event_type = h.event_type AND g.hr = h.hr
-    """,
-)
-def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-series gap filling: materialize the DENSE hourly grid per
-    event type (from each type's first to last active hour) and left-join
-    the observed hourly counts, so silent-hour gaps become explicit
-    zero rows -- the resample/reindex step every downstream
-    forecaster/alerter needs before it can distinguish 'no data' from
-    'no traffic'.
+      FROM b),
+    dense AS (
+      SELECT g.event_type, g.hr, CAST(COALESCE(h.n, 0) AS BIGINT) AS n
+      FROM grid g
+      LEFT JOIN h ON g.event_type = h.event_type AND g.hr = h.hr)"""
 
-    Scale shape: the grid is generated from the AGGREGATED per-type
-    bounds (types x hours rows, tiny vs the corpus) via sequence+explode
-    -- no per-event fan-out; the grid-to-counts join is keyed on
-    (event_type, hour) where the counts side is already reduced."""
+
+def _dense_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of ``_DENSE_HOURLY_SQL``: (event_type, hr, n) with
+    explicit zero rows for silent hours.  An observed hour always has
+    n >= 1, so n = 0 <=> gap-filled row."""
     ev = load_table(spark, sf_dir, "events")
     h = ev.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
-    ).agg(F.count(F.lit(1)).alias("n"))
+    ).agg(F.count(F.lit(1)).alias("n0"))
     b = h.groupBy("event_type").agg(
         F.min("hr").alias("h0"), F.max("hr").alias("h1")
     )
@@ -8241,9 +8244,37 @@ def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return grid.join(h, ["event_type", "hr"], "left").select(
         "event_type",
+        "hr",
+        F.coalesce(F.col("n0"), F.lit(0)).cast("bigint").alias("n"),
+    )
+
+
+@_q(
+    "events_gapfill_hourly",
+    f"""
+    WITH {_DENSE_HOURLY_SQL}
+    SELECT event_type, strftime(hr, '%Y-%m-%d %H') AS hour,
+           n AS n_events,
+           CAST(CASE WHEN n = 0 THEN 0 ELSE 1 END AS BIGINT) AS has_data
+    FROM dense
+    """,
+)
+def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: materialize the DENSE hourly grid per
+    event type (from each type's first to last active hour) and left-join
+    the observed hourly counts, so silent-hour gaps become explicit
+    zero rows -- the resample/reindex step every downstream
+    forecaster/alerter needs before it can distinguish 'no data' from
+    'no traffic'.
+
+    Scale shape: see ``_dense_hourly_counts`` (the shared grid core this
+    query and [[events_wma_hourly]] both build on)."""
+    dense = _dense_hourly_counts(spark, sf_dir)
+    return dense.select(
+        "event_type",
         F.date_format("hr", "yyyy-MM-dd HH").alias("hour"),
-        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
-        F.when(F.col("n").isNull(), 0).otherwise(1).cast("bigint").alias("has_data"),
+        F.col("n").alias("n_events"),
+        F.when(F.col("n") == 0, 0).otherwise(1).cast("bigint").alias("has_data"),
     )
 
 
@@ -8569,21 +8600,8 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "events_wma_hourly",
-    """
-    WITH h AS (
-      SELECT event_type, date_trunc('hour', ts) AS hr,
-             CAST(count(*) AS BIGINT) AS n
-      FROM events GROUP BY event_type, date_trunc('hour', ts)),
-    b AS (SELECT event_type, min(hr) AS h0, max(hr) AS h1
-          FROM h GROUP BY event_type),
-    grid AS (
-      SELECT b.event_type,
-             unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS hr
-      FROM b),
-    dense AS (
-      SELECT g.event_type, g.hr, CAST(COALESCE(h.n, 0) AS BIGINT) AS n
-      FROM grid g
-      LEFT JOIN h ON g.event_type = h.event_type AND g.hr = h.hr),
+    f"""
+    WITH {_DENSE_HOURLY_SQL},
     lagged AS (
       SELECT event_type, hr, n,
              lag(n, 1) OVER (PARTITION BY event_type ORDER BY hr) AS n1,
@@ -8603,25 +8621,10 @@ def events_wma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine float drift; a finite integer kernel has none: one
     division by 7 per output row).
 
-    Scale shape: same as [[events_gapfill_hourly]] (grid generated from
-    aggregated bounds) plus one keyed lag window over the grid-sized
-    table."""
-    ev = load_table(spark, sf_dir, "events")
-    h = ev.groupBy(
-        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
-    ).agg(F.count(F.lit(1)).alias("n0"))
-    b = h.groupBy("event_type").agg(
-        F.min("hr").alias("h0"), F.max("hr").alias("h1")
-    )
-    grid = b.select(
-        "event_type",
-        F.explode(
-            F.sequence(F.col("h0"), F.col("h1"), F.expr("interval 1 hour"))
-        ).alias("hr"),
-    )
-    dense = grid.join(h, ["event_type", "hr"], "left").select(
-        "event_type", "hr", F.coalesce(F.col("n0"), F.lit(0)).cast("bigint").alias("n")
-    )
+    Scale shape: ``_dense_hourly_counts`` (the shared grid core, also
+    behind [[events_gapfill_hourly]]) plus one keyed lag window over the
+    grid-sized table."""
+    dense = _dense_hourly_counts(spark, sf_dir)
     w = Window.partitionBy("event_type").orderBy("hr")
     lagged = dense.select(
         "event_type",

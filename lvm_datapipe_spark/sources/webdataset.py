@@ -185,12 +185,22 @@ def _write_rows_to_shards(
                 n_in_shard, seq = 0, seq + 1
         close_current()
     except BaseException:
+        # best-effort cleanup: the closes may themselves raise on a broken
+        # remote stream (often the very condition behind the original
+        # error) — suppress them so the ORIGINAL exception propagates and
+        # the temp-object deletion still runs
+        import contextlib
+
         if tar is not None:
-            tar.close()
+            with contextlib.suppress(Exception):
+                tar.close()
         if stream is not None:
-            stream.close()
-        if tmp is not None and _exists(fs, tmp):
-            fs.delete_file(tmp)  # never leave a torn temp behind
+            with contextlib.suppress(Exception):
+                stream.close()
+        if tmp is not None:
+            with contextlib.suppress(Exception):
+                if _exists(fs, tmp):
+                    fs.delete_file(tmp)  # never leave a torn temp behind
         raise
     return n_rows, shards
 
@@ -234,6 +244,12 @@ def read_webdataset(spark, path: str):
     or superseded run are skipped; without a manifest (functional-API
     writes) the directory listing is the source of truth."""
     fs, root = _fs_for(path)
+    from pyarrow import fs as pafs
+
+    if fs.get_file_info(root).type == pafs.FileType.NotFound:
+        # fail loudly on a typo'd / not-yet-written path — a silent empty
+        # DataFrame would let a downstream job "succeed" on zero rows
+        raise FileNotFoundError(f"webdataset path does not exist: {path}")
     mpath = posixpath.join(root, MANIFEST)
     if _exists(fs, mpath):
         with fs.open_input_stream(mpath) as f:

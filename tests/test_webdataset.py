@@ -240,3 +240,12 @@ def test_unknown_uri_scheme_rejected(spark, tmp_path):
         write_webdataset(df, "bogus://bucket/wds", "key", {"txt": "txt"})
     with pytest.raises(Exception, match="[Uu]nrecognized|[Uu]nknown|scheme"):
         read_webdataset(spark, "bogus://bucket/wds")
+
+
+def test_read_missing_path_fails_loudly(spark, tmp_path):
+    # a typo'd path must raise, not return a silent empty DataFrame that
+    # lets a downstream job "succeed" on zero rows
+    import pytest
+
+    with pytest.raises(FileNotFoundError, match="does not exist"):
+        read_webdataset(spark, str(tmp_path / "no_such_export"))

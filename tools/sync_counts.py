@@ -35,9 +35,10 @@ def main() -> int:
              f"**{nq} declared queries, {no} oracle-paired**"),
         ],
         "__spark_entry__.py": [
-            # round-agnostic: preserve whatever round the comment names
-            (r"\(\d+/\d+ oracle-paired queries green at\n# the (r\d+) cut; \d+ declared\)",
-             f"({no}/{no} oracle-paired queries green at\n# the \\1 cut; {nq} declared)"),
+            # current-state phrasing only — historical "rN cut" notes must
+            # never be rewritten (review r6: a sync clobbered r5-era totals)
+            (r"\(\d+/\d+ oracle-paired queries green in\n# the latest full local sweep; \d+ declared\)",
+             f"({no}/{no} oracle-paired queries green in\n# the latest full local sweep; {nq} declared)"),
             (r"\(tools/check_correctness\.py, \d+/\d+ oracle-paired\)",
              f"(tools/check_correctness.py, {no}/{no} oracle-paired)"),
         ],
