@@ -364,7 +364,53 @@ def build_parser() -> argparse.ArgumentParser:
     mf = sub.add_parser("manifest", help="write or verify a delivery manifest")
     mf.add_argument("--table", required=True)
     mf.add_argument("--verify", action="store_true")
+
+    tc = sub.add_parser("tx-commit", help="publish a parquet table as the next txlog version")
+    tc.add_argument("--table", required=True, help="input parquet path")
+    tc.add_argument("--out", required=True, help="versioned table dir")
+    tc.add_argument("--op", choices=["overwrite", "append"], default="overwrite")
+    th = sub.add_parser("tx-history", help="print a versioned table's commit log")
+    th.add_argument("--table", required=True, help="versioned table dir")
+    tv = sub.add_parser("tx-vacuum", help="drop old txlog versions + unreferenced data")
+    tv.add_argument("--table", required=True, help="versioned table dir")
+    tv.add_argument("--keep-last", type=int, default=2)
     return p
+
+
+def _cmd_tx_commit(spark, args) -> None:
+    """Publish a parquet table as the next version of a txlog table."""
+    from lvm_datapipe_spark.sources import txlog
+
+    df = spark.read.parquet(args.table)
+    v = txlog.commit(spark, df, args.out, op=args.op)
+    print(
+        json.dumps(
+            {"stage": "tx-commit", "version": v, "op": args.op, "out": args.out}
+        )
+    )
+
+
+def _cmd_tx_history(spark, args) -> None:
+    """Print the commit log of a versioned table."""
+    from lvm_datapipe_spark.sources import txlog
+
+    print(
+        json.dumps(
+            {
+                "stage": "tx-history",
+                "latest": txlog.latest_version(args.table),
+                "history": txlog.history(args.table),
+            }
+        )
+    )
+
+
+def _cmd_tx_vacuum(spark, args) -> None:
+    """Drop manifests older than --keep-last and unreferenced data dirs."""
+    from lvm_datapipe_spark.sources import txlog
+
+    result = txlog.vacuum(args.table, keep_last=args.keep_last)
+    print(json.dumps({"stage": "tx-vacuum", **result}))
 
 
 def main(argv: list[str] | None = None, spark=None) -> int:
@@ -385,6 +431,9 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             "manifest": _cmd_manifest,
             "bpe": _cmd_bpe,
             "wds-export": _cmd_wds_export,
+            "tx-commit": _cmd_tx_commit,
+            "tx-history": _cmd_tx_history,
+            "tx-vacuum": _cmd_tx_vacuum,
             "analyze": _cmd_analyze,
             "export-flat": _cmd_export_flat,
         }[args.cmd](spark, args)

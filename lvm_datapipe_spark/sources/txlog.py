@@ -1,0 +1,226 @@
+"""Minimal copy-on-write transaction log — versioned parquet tables with
+time travel (the capability a table format like Delta/Iceberg provides,
+reduced to the piece a snapshot-store pipeline actually needs: atomic
+version publication + reproducible reads of any historical version).
+
+Reference parity note: the reference pipeline rewrites whole metadata
+snapshots between stages and resumes by diffing them; a versioned table
+makes that resume contract explicit — every stage commit is a numbered,
+immutable version, and "the snapshot stage N read" is replayable forever
+(until vacuumed).
+
+Layout::
+
+    table_dir/
+      _txlog/
+        00000001.json   # manifest: {version, op, files, n_rows, parent}
+        00000002.json
+        _latest         # pointer file, content "2" (atomic-rename swap)
+      data/
+        v00000001/part-*.parquet   # each commit's files, never mutated
+        v00000002/part-*.parquet
+
+Commit protocol (optimistic concurrency):
+
+1. write the new data files under ``data/v{N}/`` (N = latest + 1);
+2. create ``_txlog/{N}.json`` with ``O_EXCL`` — two racing committers
+   cannot both win; the loser gets :class:`VersionConflict` and retries
+   on top of the new latest;
+3. atomically swap the ``_latest`` pointer (temp file + ``os.replace``).
+
+A crash between (1) and (3) leaves an orphaned data dir / un-pointered
+manifest — readers never see it (they resolve through the pointer), and
+``vacuum`` removes it.  ``op="append"`` manifests carry the parent's
+files plus their own, so reads stay a single ``spark.read.parquet`` over
+an explicit file list (no directory listing at read time — the manifest
+IS the source of truth, which also makes concurrent vacuum+read safe for
+retained versions).
+
+FILESYSTEM CONTRACT: the log protocol needs atomic ``rename`` and
+exclusive ``create`` — true of local/NFS/HDFS-mounted paths, NOT of bare
+object stores (the reason production table formats pair S3 with a
+coordination service).  Data files are written by Spark and may live on
+any Spark-writable filesystem; the ``_txlog`` directory must be on a
+rename-atomic one.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+_LOGDIR = "_txlog"
+_LATEST = "_latest"
+
+
+class VersionConflict(RuntimeError):
+    """Another committer published this version first — re-read the table
+    state and retry the commit on top of the new latest."""
+
+
+def _log_dir(table_dir: str) -> str:
+    return os.path.join(table_dir, _LOGDIR)
+
+
+def _manifest_path(table_dir: str, version: int) -> str:
+    return os.path.join(_log_dir(table_dir), f"{version:08d}.json")
+
+
+def latest_version(table_dir: str) -> int:
+    """Current committed version (0 = empty table, no commits yet)."""
+    p = os.path.join(_log_dir(table_dir), _LATEST)
+    if not os.path.exists(p):
+        return 0
+    with open(p) as f:
+        return int(f.read().strip())
+
+
+def _read_manifest(table_dir: str, version: int) -> dict:
+    mp = _manifest_path(table_dir, version)
+    if not os.path.exists(mp):
+        raise FileNotFoundError(
+            f"version {version} does not exist (or was vacuumed) in {table_dir}"
+        )
+    with open(mp) as f:
+        return json.load(f)
+
+
+def commit(
+    spark: SparkSession,
+    df: DataFrame,
+    table_dir: str,
+    op: str = "overwrite",
+) -> int:
+    """Publish ``df`` as the table's next version; returns the version.
+
+    ``op="overwrite"`` — the new version is exactly ``df``;
+    ``op="append"`` — the new version is the parent version plus ``df``
+    (the parent's files are REFERENCED, not rewritten — append is O(new
+    data), the copy-on-write property).
+
+    Raises :class:`VersionConflict` if a concurrent committer wins the
+    race for this version number; the caller retries (its data dir is
+    version-stamped with the LOSING number, so the retry rewrites it —
+    never torn state).
+    """
+    if op not in ("overwrite", "append"):
+        raise ValueError(f"op must be 'overwrite' or 'append', got {op!r}")
+    os.makedirs(_log_dir(table_dir), exist_ok=True)
+    parent = latest_version(table_dir)
+    version = parent + 1
+    vdir = os.path.join(table_dir, "data", f"v{version:08d}")
+    df.write.mode("overwrite").parquet(vdir)
+    own = sorted(
+        os.path.join(vdir, f)
+        for f in os.listdir(vdir)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+    files = own
+    n_rows = spark.read.parquet(vdir).count()
+    if op == "append" and parent > 0:
+        pm = _read_manifest(table_dir, parent)
+        files = pm["files"] + own
+        n_rows += pm["n_rows"]
+    manifest = {
+        "version": version,
+        "parent": parent,
+        "op": op,
+        "files": files,
+        "n_rows": n_rows,
+    }
+    mp = _manifest_path(table_dir, version)
+    try:
+        # O_EXCL is the whole concurrency story: exactly one committer can
+        # create this manifest; everyone else conflicts and retries
+        fd = os.open(mp, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+    except FileExistsError as exc:
+        raise VersionConflict(
+            f"version {version} of {table_dir} was committed concurrently"
+        ) from exc
+    with os.fdopen(fd, "w") as f:
+        json.dump(manifest, f, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    tmp = os.path.join(_log_dir(table_dir), f"{_LATEST}.tmp.{version}")
+    with open(tmp, "w") as f:
+        f.write(str(version))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(_log_dir(table_dir), _LATEST))
+    return version
+
+
+def read(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Read the table at ``version`` (default: latest).  The manifest's
+    explicit file list is the source of truth — no directory listing, so
+    orphaned crash leftovers and newer in-flight commits are invisible."""
+    v = latest_version(table_dir) if version is None else version
+    if v == 0:
+        raise FileNotFoundError(f"{table_dir} has no committed versions")
+    m = _read_manifest(table_dir, v)
+    return spark.read.parquet(*m["files"])
+
+
+def history(table_dir: str) -> list[dict]:
+    """Commit log, oldest first: [{version, parent, op, n_rows, n_files}]."""
+    ld = _log_dir(table_dir)
+    if not os.path.isdir(ld):
+        return []
+    out = []
+    for name in sorted(os.listdir(ld)):
+        if not name.endswith(".json"):
+            continue
+        m = json.load(open(os.path.join(ld, name)))
+        out.append(
+            {
+                "version": m["version"],
+                "parent": m["parent"],
+                "op": m["op"],
+                "n_rows": m["n_rows"],
+                "n_files": len(m["files"]),
+            }
+        )
+    return out
+
+
+def vacuum(table_dir: str, keep_last: int = 2) -> dict:
+    """Drop manifests older than the last ``keep_last`` versions and every
+    data directory no retained manifest references (including orphans from
+    crashed commits).  Returns {"dropped_versions": [...],
+    "removed_dirs": [...]}.
+
+    Readers of retained versions are unaffected (their manifests list
+    every file they need); readers of dropped versions get the explicit
+    FileNotFoundError from :func:`read`.
+    """
+    import shutil
+
+    latest = latest_version(table_dir)
+    keep_from = max(1, latest - keep_last + 1)
+    retained_files: set[str] = set()
+    dropped: list[int] = []
+    ld = _log_dir(table_dir)
+    versions = sorted(
+        int(n[:-5]) for n in os.listdir(ld) if n.endswith(".json")
+    )
+    for v in versions:
+        m = _read_manifest(table_dir, v)
+        if v >= keep_from:
+            retained_files.update(m["files"])
+        else:
+            dropped.append(v)
+    data_dir = os.path.join(table_dir, "data")
+    removed: list[str] = []
+    if os.path.isdir(data_dir):
+        for d in sorted(os.listdir(data_dir)):
+            full = os.path.join(data_dir, d)
+            if not any(f.startswith(full + os.sep) for f in retained_files):
+                shutil.rmtree(full)
+                removed.append(d)
+    for v in dropped:
+        os.remove(_manifest_path(table_dir, v))
+    return {"dropped_versions": dropped, "removed_dirs": removed}
