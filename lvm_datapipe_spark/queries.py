@@ -8825,3 +8825,92 @@ def vocab_churn_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("exited")
         .alias("status"),
     )
+
+
+@_q(
+    "attribution_linear_exact",
+    """
+    WITH p AS (
+      SELECT event_id AS pid, user_id, ts AS pts,
+             CAST(floor(value * 1000000.0) AS BIGINT) AS micro
+      FROM events
+      WHERE event_type = 'purchase' AND value > CAST(0.0 AS DOUBLE)),
+    t AS (
+      SELECT event_id AS tid, user_id, ts AS tts, event_type
+      FROM events WHERE event_type IN ('view', 'click')),
+    j AS (
+      SELECT p.pid, p.micro, t.tid, t.event_type, t.tts
+      FROM p JOIN t ON p.user_id = t.user_id
+      WHERE t.tts < p.pts AND t.tts >= p.pts - INTERVAL 1 HOUR),
+    r AS (
+      SELECT pid, micro, event_type,
+             ROW_NUMBER() OVER (PARTITION BY pid ORDER BY tts, tid) AS rk,
+             COUNT(*) OVER (PARTITION BY pid) AS n
+      FROM j),
+    c AS (
+      SELECT event_type,
+             micro // n + (CASE WHEN rk <= micro % n THEN 1 ELSE 0 END)
+               AS credit
+      FROM r)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(SUM(credit) AS BIGINT) AS credit_micro,
+           CAST(SUM(credit) AS DOUBLE) / 1000000.0 AS credit_value
+    FROM c GROUP BY event_type
+    """,
+)
+def attribution_linear_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT linear multi-touch attribution: each purchase's value is
+    split across the user's view/click touches in the preceding hour --
+    in INTEGER micro-units with largest-remainder apportionment (floor
+    share to everyone, the first value%n touches by time get +1), the
+    same integer-apportionment trick as [[sample_neyman_allocation]].
+    Per-purchase credits sum to exactly the purchase value, and the
+    cross-purchase SUM is a bigint -- no float-accumulation drift, which
+    is what makes naive value/n attribution engine-divergent.
+
+    Scale shape: the purchase-touch pairing is a user-keyed equi-join
+    with a 1-hour range predicate (per-user activity bounds the fan-out;
+    at extreme per-user volumes, re-key on (user, hour-bucket) like the
+    binned range join); the rank/count windows partition by purchase id.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 0.0)
+    ).select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        F.col("ts").alias("pts"),
+        F.floor(F.col("value") * 1000000.0).cast("bigint").alias("micro"),
+    )
+    t = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("tid"),
+        "user_id",
+        F.col("ts").alias("tts"),
+        "event_type",
+    )
+    j = p.join(t, "user_id").filter(
+        (F.col("tts") < F.col("pts"))
+        & (F.col("tts") >= F.expr("pts - INTERVAL 1 HOUR"))
+    )
+    wr = Window.partitionBy("pid").orderBy("tts", "tid")
+    wn = Window.partitionBy("pid")
+    r = j.select(
+        "pid",
+        "micro",
+        "event_type",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    c = r.select(
+        "event_type",
+        (
+            F.expr("micro div n")
+            + F.when(F.col("rk") <= F.col("micro") % F.col("n"), 1).otherwise(0)
+        ).alias("credit"),
+    )
+    return c.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.sum("credit").cast("bigint").alias("credit_micro"),
+        (F.sum("credit").cast("double") / F.lit(1000000.0)).alias("credit_value"),
+    )

@@ -187,6 +187,27 @@ def history(table_dir: str) -> list[dict]:
     return out
 
 
+def diff_files(
+    spark: SparkSession, table_dir: str, v_from: int, v_to: int
+) -> DataFrame:
+    """Rows ADDED between two versions, read file-incrementally: only the
+    files present in ``v_to``'s manifest but not ``v_from``'s are scanned
+    — for an append chain this is O(new data), the incremental-processing
+    contract (process each version's delta exactly once, no full-table
+    rescan, no row-level diff join).
+
+    For overwrite commits the file sets are disjoint, so this returns the
+    whole new version — use a row-level comparison (e.g. the
+    snapshot-diff query pattern) when overwrites must be diffed
+    semantically."""
+    fa = set(_read_manifest(table_dir, v_from)["files"]) if v_from > 0 else set()
+    fb = _read_manifest(table_dir, v_to)["files"]
+    new = [f for f in fb if f not in fa]
+    if not new:
+        return read(spark, table_dir, v_to).limit(0)
+    return spark.read.parquet(*new)
+
+
 def vacuum(table_dir: str, keep_last: int = 2) -> dict:
     """Drop manifests older than the last ``keep_last`` versions and every
     data directory no retained manifest references (including orphans from

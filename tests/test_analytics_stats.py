@@ -8,6 +8,7 @@ pure-python/numpy model (textbook formula) computed from the same parquet.
 from __future__ import annotations
 
 import duckdb
+import pandas as pd
 import numpy as np
 import pytest
 
@@ -183,3 +184,30 @@ def test_pareto_half_coverage_model(spark):
         r = rows.pop(names[nk])
         assert r["n_customers"] == len(x) and r["n_to_half"] == k
     assert not rows
+
+
+def test_attribution_conserves_value_exactly(spark, events_pd):
+    import math
+
+    rows = QUERIES["attribution_linear_exact"](spark, SF).collect()
+    # independent model: total attributed micro-value = sum of
+    # floor(value*1e6) over purchases that HAVE >= 1 touch in the hour
+    ev = events_pd
+    purchases = ev[(ev.event_type == "purchase") & (ev.value > 0)]
+    touches = ev[ev.event_type.isin(["view", "click"])]
+    attributed = 0
+    n_pairs = 0
+    by_user = dict(tuple(touches.groupby("user_id")))
+    for _, pr in purchases.iterrows():
+        tu = by_user.get(pr.user_id)
+        if tu is None:
+            continue
+        inwin = tu[(tu.ts < pr.ts) & (tu.ts >= pr.ts - pd.Timedelta(hours=1))]
+        if len(inwin):
+            attributed += math.floor(pr.value * 1000000.0)
+            n_pairs += len(inwin)
+    # conservation: integer credits across all touch types sum to exactly
+    # the attributed purchase value (the whole point of the integer
+    # largest-remainder split)
+    assert sum(r["credit_micro"] for r in rows) == attributed
+    assert sum(r["n_touches"] for r in rows) == n_pairs

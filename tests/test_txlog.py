@@ -97,3 +97,17 @@ def test_vacuum_keeps_files_referenced_by_retained_appends(spark, tmp_path):
 def test_read_empty_table_fails_loudly(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         txlog.read(spark, str(tmp_path / "nope"))
+
+
+def test_diff_files_reads_only_the_delta(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    txlog.commit(spark, _df(spark, [(1, "a"), (2, "b")]), t)
+    txlog.commit(spark, _df(spark, [(3, "c")]), t, op="append")
+    txlog.commit(spark, _df(spark, [(4, "d")]), t, op="append")
+    # incremental contract: exactly the rows added between the versions
+    assert {r["id"] for r in txlog.diff_files(spark, t, 1, 3).collect()} == {3, 4}
+    assert {r["id"] for r in txlog.diff_files(spark, t, 2, 3).collect()} == {4}
+    # from version 0 (empty) the delta is the whole table
+    assert {r["id"] for r in txlog.diff_files(spark, t, 0, 2).collect()} == {1, 2, 3}
+    # no delta -> empty frame with the table schema, not an error
+    assert txlog.diff_files(spark, t, 3, 3).count() == 0
