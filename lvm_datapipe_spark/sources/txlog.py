@@ -92,6 +92,7 @@ def commit(
     df: DataFrame,
     table_dir: str,
     op: str = "overwrite",
+    meta: dict | None = None,
 ) -> int:
     """Publish ``df`` as the table's next version; returns the version.
 
@@ -129,6 +130,7 @@ def commit(
         "op": op,
         "files": files,
         "n_rows": n_rows,
+        "meta": meta or {},
     }
     mp = _manifest_path(table_dir, version)
     try:
@@ -184,6 +186,22 @@ def history(table_dir: str) -> list[dict]:
                 "n_files": len(m["files"]),
             }
         )
+    return out
+
+
+def committed_epochs(table_dir: str) -> set:
+    """Stream-epoch ids recorded in any manifest's ``meta.epoch`` — the
+    replay-skip set for the exactly-once streaming sink (see
+    ``streaming.events.start_versioned_sink``)."""
+    out = set()
+    ld = _log_dir(table_dir)
+    if not os.path.isdir(ld):
+        return out
+    for name in os.listdir(ld):
+        if name.endswith(".json"):
+            m = json.load(open(os.path.join(ld, name)))
+            if "epoch" in m.get("meta", {}):
+                out.add(m["meta"]["epoch"])
     return out
 
 

@@ -306,6 +306,43 @@ def start_foreach_batch_partitioned(
     )
 
 
+def start_versioned_sink(df: DataFrame, table_dir: str, checkpoint: str):
+    """EXACTLY-ONCE streaming delivery into a versioned table: every
+    micro-batch appends as one immutable txlog version stamped with its
+    epoch id, and a REPLAYED batch (crash between the commit and Spark's
+    checkpoint write — the gap foreachBatch's at-least-once contract
+    leaves open) is SKIPPED because its epoch is already in a committed
+    manifest.  A crash mid-commit is also safe: the replay computes the
+    same version number (the pointer never advanced) and rewrites the
+    same data dir cleanly.
+
+    Downstream consumers get the full versioned-table contract:
+    ``txlog.read`` for the current snapshot, ``txlog.diff_files`` for
+    per-version increments (process each micro-batch's delta exactly
+    once), time travel for replayable backfills."""
+    from lvm_datapipe_spark.sources import txlog
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if batch_id in txlog.committed_epochs(table_dir):
+            return  # replayed epoch — already durably committed
+        txlog.commit(
+            batch_df.sparkSession,
+            batch_df,
+            table_dir,
+            op="append",
+            meta={"epoch": batch_id},
+        )
+
+    return (
+        df.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
+
+
 def tws_available() -> bool:
     """transformWithState needs a google.protobuf runtime able to load
     pyspark's generated StateMessage code.  The container ships pyspark

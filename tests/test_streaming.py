@@ -721,3 +721,55 @@ def test_stream_rate_limit_matches_python_model(spark, tmp_path):
     assert got == want
     # the quota actually bites: some of each on busy users
     assert any(got.values()) and not all(got.values())
+
+
+def test_versioned_sink_delivers_exactly_once(spark, landing_dir, tmp_path):
+    """foreachBatch -> txlog: every micro-batch lands as one epoch-stamped
+    append version; the final table equals the batch input and per-version
+    diffs partition it exactly."""
+    from lvm_datapipe_spark.sources import txlog
+
+    tbl = str(tmp_path / "vtbl")
+    ckpt = str(tmp_path / "vckpt")
+    stream = ev.read_event_stream(spark, landing_dir, max_files_per_trigger=1)
+    q = ev.start_versioned_sink(stream.select("event_id", "event_type"), tbl, ckpt)
+    _await(q)
+    want = {
+        r.event_id
+        for r in load_table(spark, "/root/testdata/sf0.001", "events").collect()
+    }
+    got = {r.event_id for r in txlog.read(spark, tbl).collect()}
+    assert got == want
+    # one version per non-empty micro-batch, each stamped with its epoch
+    hist = txlog.history(tbl)
+    assert len(hist) >= 2 and all(e["op"] == "append" for e in hist)
+    assert len(txlog.committed_epochs(tbl)) == len(hist)
+    # the per-version deltas tile the table with no overlap
+    deltas = [
+        {r.event_id for r in txlog.diff_files(spark, tbl, v - 1, v).collect()}
+        for v in range(1, len(hist) + 1)
+    ]
+    assert set().union(*deltas) == want
+    assert sum(len(d) for d in deltas) == len(want)
+
+
+def test_versioned_sink_skips_replayed_epoch(spark, landing_dir, tmp_path):
+    """The at-least-once gap: a batch whose commit landed but whose
+    checkpoint write did not is REPLAYED by Spark — the sink must skip it
+    (its epoch is already manifested), not double-append."""
+    from lvm_datapipe_spark.sources import txlog
+
+    tbl = str(tmp_path / "vtbl2")
+    # pre-commit epoch 0 as if a previous run crashed after commit,
+    # before the checkpoint write...
+    seed = spark.createDataFrame([(999999, "ghost")], "event_id long, event_type string")
+    txlog.commit(spark, seed, tbl, op="append", meta={"epoch": 0})
+    # ...then "restart" with a FRESH checkpoint: Spark re-delivers epoch 0
+    ckpt = str(tmp_path / "vckpt2")
+    stream = ev.read_event_stream(spark, landing_dir, max_files_per_trigger=10000)
+    q = ev.start_versioned_sink(stream.select("event_id", "event_type"), tbl, ckpt)
+    _await(q)
+    # the replayed epoch-0 batch was skipped: the table still holds ONLY
+    # the previously committed version
+    assert txlog.latest_version(tbl) == 1
+    assert {r.event_id for r in txlog.read(spark, tbl).collect()} == {999999}
