@@ -35,8 +35,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #      row is OLDEST, so every query periodically re-enters the window and
 #      a silent regression cannot hide outside it indefinitely.
 # Everything rotated out stays verified locally every round via
-# ``tools/check_correctness.py`` (193/193 oracle-paired queries green in
-# the latest full local sweep; 195 declared).
+# ``tools/check_correctness.py`` (195/195 oracle-paired queries green in
+# the latest full local sweep; 197 declared).
 _CHECK_FIRST = [
     # -- 1. changed or added in r6 (their prior rows, if any, no longer
     #       describe the shipped code)
@@ -99,7 +99,8 @@ _CHECK_FIRST = [
     #       pareto_half_revenue_customers, ann_recall_eval,
     #       events_wma_hourly, partition_skew_report,
     #       weighted_median_price_by_brand, vocab_churn_halves,
-    #       attribution_linear_exact) LEAD the r7 queue; all 15 are green
+    #       attribution_linear_exact, next_event_training_pairs,
+    #       pipeline_sft_examples) LEAD the r7 queue; all 17 are green
     #       in this round's local full sweep (tools/check_correctness.py).
     "sample_neyman_allocation",     # new: variance-optimal strata budgets
     "sample_priority_topk",         # new: Duffield priority sampling
@@ -116,6 +117,8 @@ _CHECK_FIRST = [
     "weighted_median_price_by_brand",  # new: exact weighted quantile
     "vocab_churn_halves",           # new: named-token drift monitor
     "attribution_linear_exact",     # new: integer multi-touch attribution
+    "next_event_training_pairs",    # new: autoregressive example shaping
+    "pipeline_sft_examples",        # new: pairs -> gate -> user-level split
     # -- 3. oldest-row veterans (last official green row r3; every other
     #       veteran holds an r4/r5 row).  Core operator families first per
     #       policy; the 20 remaining r3-row veterans (agg_cube, agg_rollup,
@@ -144,7 +147,7 @@ _CHECK_FIRST = [
     # r6 window accounting (final): sections 1+2 (16 + 30) plus the first 4
     # of section 2b fill all 50 slots, so EVERY section-3 veteran sits past
     # slot 50 this round — each keeps its r1-r5 official rows, stays green
-    # in the local full sweep, and joins the r7 veteran queue behind the 11
+    # in the local full sweep, and joins the r7 veteran queue behind the 13
     # out-of-window 2b additions.
     # NOTE on departures from the r5 list: events_sliding_distinct_users
     # was DEMOTED to queries.PYTEST_ORACLES this round (VERDICT r5 item 4
@@ -156,7 +159,7 @@ _CHECK_FIRST = [
     # ann_cosine_topk (unit-test-pinned; shares its ranking oracle shape
     # with ann_ivf_fixed_topk).  Every rotated-out veteran held an official
     # green row in r1-r5 AND stays green in the per-round local full sweep
-    # (tools/check_correctness.py, 193/193 oracle-paired).
+    # (tools/check_correctness.py, 195/195 oracle-paired).
 ]
 
 

@@ -8914,3 +8914,104 @@ def attribution_linear_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("credit").cast("bigint").alias("credit_micro"),
         (F.sum("credit").cast("double") / F.lit(1000000.0)).alias("credit_value"),
     )
+
+
+@_q(
+    "next_event_training_pairs",
+    """
+    SELECT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           string_agg(event_type, '>') OVER (
+             PARTITION BY user_id, CAST(ts AS DATE)
+             ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prefix,
+           event_type AS label
+    FROM events
+    QUALIFY prefix IS NOT NULL
+    """,
+)
+def next_event_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autoregressive training-example materialization: each event becomes
+    one (prefix-of-the-user-day-so-far, next-action) supervised pair --
+    the canonical next-token/next-action dataset shaping step (every
+    position is a label exactly once, so the expansion is LINEAR in
+    events, not quadratic in sequence length).
+
+    Determinism: the prefix is an ordered string_agg over the (ts,
+    event_id) total order.  Scale shape: ONE keyed window (user-day
+    partitions, running collect) -- the per-row prefix payload is bounded
+    by the user's day activity, not the corpus."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id", F.col("ts").cast("date"))
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        ev.select(
+            "user_id",
+            F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day"),
+            F.concat_ws(">", F.collect_list("event_type").over(w)).alias("prefix"),
+            F.col("event_type").alias("label"),
+        )
+        .filter(F.col("prefix") != "")
+    )
+
+
+@_q(
+    "pipeline_sft_examples",
+    """
+    WITH pairs AS (
+      SELECT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+             string_agg(event_type, '>') OVER (
+               PARTITION BY user_id, CAST(ts AS DATE)
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prefix,
+             event_type AS label,
+             COUNT(*) OVER (PARTITION BY user_id, CAST(ts AS DATE)) AS day_n
+      FROM events
+      QUALIFY prefix IS NOT NULL)
+    SELECT user_id, day, prefix, label,
+           CASE WHEN ('0x' || substr(md5('sft' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                     % 10 < 8
+                THEN 'train' ELSE 'val' END AS split
+    FROM pairs WHERE day_n >= 3
+    """,
+)
+def pipeline_sft_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end SFT example pipeline: trajectory pair materialization
+    ([[next_event_training_pairs]]) -> activity gate (user-days with < 3
+    events carry no sequence signal) -> USER-level 80/20 md5 split (the
+    leakage-safe boundary: all of a user's examples land on one side, so
+    val never sees a prefix of a train user's behavior).
+
+    Scale shape: one keyed window pass produces pairs AND the day-count
+    gate (same partitioning, no second shuffle); the split is a
+    scan-shaped pure hash function of user_id -- stable under
+    repartition, replayable across engines."""
+    from lvm_datapipe_spark.operators.sampling import hash_bucket
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    wp = Window.partitionBy("user_id", day).orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wn = Window.partitionBy("user_id", day)
+    pairs = ev.select(
+        "user_id",
+        F.date_format(day, "yyyy-MM-dd").alias("day"),
+        F.concat_ws(">", F.collect_list("event_type").over(wp)).alias("prefix"),
+        F.col("event_type").alias("label"),
+        F.count(F.lit(1)).over(wn).alias("day_n"),
+    ).filter(F.col("prefix") != "")
+    return (
+        pairs.filter(F.col("day_n") >= 3)
+        .select(
+            "user_id",
+            "day",
+            "prefix",
+            "label",
+            F.when(hash_bucket("user_id", 10, "sft") < 8, "train")
+            .otherwise("val")
+            .alias("split"),
+        )
+    )
