@@ -351,6 +351,85 @@ def _intkeys(d: dict) -> dict:
     return {int(k): v for k, v in d.items()}
 
 
+def bench_txlog_incremental(spark, quick: bool) -> dict:
+    """Versioned-table incremental reads: after a B-version append chain,
+    reading the latest DELTA (diff_files) must cost O(one batch) while the
+    full-snapshot read costs O(table) — measured at two chain lengths so
+    the full-read growth and the flat delta cost are both visible."""
+    from pyspark.sql import functions as F
+
+    from lvm_datapipe_spark.sources import txlog
+
+    per_batch = 20_000 if quick else 200_000
+    tbl = os.path.join(SCRATCH, "txlog_tbl")
+    shutil.rmtree(tbl, ignore_errors=True)
+    out: dict = {"per_batch_rows": per_batch, "points": {}}
+    for i in range(1, 11):
+        df = (
+            spark.range((i - 1) * per_batch, i * per_batch, 1, 8)
+            .withColumnRenamed("id", "event_id")
+            .withColumn("v", (F.col("event_id") % 97).cast("double"))
+        )
+        txlog.commit(spark, df, tbl, op="append")
+        if i in (5, 10):
+            # warm-up scan first, then min-of-3 per read shape — the
+            # sub-second absolute times are otherwise JIT/page-cache noise
+            _noop(txlog.read(spark, tbl))
+            t_full = min(_noop(txlog.read(spark, tbl)) for _ in range(3))
+            t_diff = min(
+                _noop(txlog.diff_files(spark, tbl, i - 1, i)) for _ in range(3)
+            )
+            hist = {h["version"]: h["n_files"] for h in txlog.history(tbl)}
+            out["points"][i] = {
+                "total_rows": i * per_batch,
+                "full_read_sec": round(t_full, 3),
+                "delta_read_sec": round(t_diff, 3),
+                "full_read_files": hist[i],
+                "delta_read_files": hist[i] - hist[i - 1],
+            }
+    shutil.rmtree(tbl, ignore_errors=True)
+    return out
+
+
+def render_txlog_md(res: dict) -> list[str]:
+    t = res["txlog_incremental"]
+    pts = {int(k): v for k, v in t["points"].items()}
+    lines = [
+        "## 5. Versioned-table incremental reads (sources/txlog.py)",
+        "",
+        f"Append chain of 10 versions x {t['per_batch_rows']:,} rows;",
+        "`full` = `txlog.read` (latest snapshot, every manifested file),",
+        "`delta` = `txlog.diff_files(v-1, v)` (only the newest version's",
+        "files — the incremental-processing contract).",
+        "",
+        "Times are min-of-3 after a warm-up scan; `files` columns are the",
+        "manifest-counted parquet files each read actually opens — the",
+        "deterministic evidence (timing at this size is sub-second).",
+        "",
+        "| versions | total rows | full files | full sec "
+        "| delta files | delta sec |",
+        "|---|---|---|---|---|---|",
+    ]
+    for v in sorted(pts):
+        p = pts[v]
+        lines.append(
+            f"| {v} | {p['total_rows']:,} | {p['full_read_files']} "
+            f"| {p['full_read_sec']} | {p['delta_read_files']} "
+            f"| {p['delta_read_sec']} |"
+        )
+    lines += [
+        "",
+        "- The delta read is flat as the chain grows: it opens exactly one",
+        "  version's files (8) regardless of table size, while the full",
+        "  read opens every manifested file (8x versions).  At 100 TB the",
+        "  same manifests mean a daily incremental job touches only the",
+        "  day's appended files — no full-table rescan and no row-level",
+        "  diff join.",
+        "",
+    ]
+    return lines
+
+
 def render_md(res: dict) -> str:
     x = {
         k: (_intkeys(v) if isinstance(v, dict) else v)
@@ -483,11 +562,14 @@ def render_md(res: dict) -> str:
             "  is broadcast at 100 TB by construction.",
             "",
         ]
+    if "txlog_incremental" in res:
+        lines += render_txlog_md(res)
     return "\n".join(lines)
 
 
 def main() -> None:
     quick = "--quick" in sys.argv
+    only_txlog = "--only-txlog" in sys.argv
     os.makedirs(SCRATCH, exist_ok=True)
     from lvm_datapipe_spark.session import get_spark
 
@@ -498,20 +580,40 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count()))
 
-    res: dict = {"quick": quick, "cpus": cpus, "scratch": SCRATCH}
-    print("== LSH crossover ==", flush=True)
-    res["lsh_crossover"] = bench_lsh_crossover(spark, quick)
-    print("== connected components ==", flush=True)
-    res["connected_components"] = bench_connected_components(spark, quick)
-    print("== skew ==", flush=True)
-    res["skew"] = bench_skew(spark, quick)
-    print("== LM scoring: DSIR vs CCNet ==", flush=True)
-    res["lm_scoring"] = bench_lm_scoring(spark, quick)
+    if only_txlog:
+        # incremental mode: merge the new section into the committed
+        # results instead of re-running the (long) full matrix
+        with open(os.path.join(REPO, "SCALE_BENCH.json")) as f:
+            res = json.load(f)
+    else:
+        res = {"quick": quick, "cpus": cpus, "scratch": SCRATCH}
+        print("== LSH crossover ==", flush=True)
+        res["lsh_crossover"] = bench_lsh_crossover(spark, quick)
+        print("== connected components ==", flush=True)
+        res["connected_components"] = bench_connected_components(spark, quick)
+        print("== skew ==", flush=True)
+        res["skew"] = bench_skew(spark, quick)
+        print("== LM scoring: DSIR vs CCNet ==", flush=True)
+        res["lm_scoring"] = bench_lm_scoring(spark, quick)
+    print("== txlog incremental reads ==", flush=True)
+    res["txlog_incremental"] = bench_txlog_incremental(spark, quick)
 
     with open(os.path.join(REPO, "SCALE_BENCH.json"), "w") as f:
         json.dump(res, f, indent=2, sort_keys=True)
-    with open(os.path.join(REPO, "SCALE_BENCH.md"), "w") as f:
-        f.write(render_md(res))
+    if only_txlog:
+        # append/replace just the new section; earlier sections' text is
+        # left byte-identical to the committed full-run render
+        md_path = os.path.join(REPO, "SCALE_BENCH.md")
+        with open(md_path) as f:
+            md = f.read()
+        marker = "## 5. Versioned-table incremental reads"
+        if marker in md:
+            md = md[: md.index(marker)]
+        with open(md_path, "w") as f:
+            f.write(md.rstrip("\n") + "\n\n" + "\n".join(render_txlog_md(res)))
+    else:
+        with open(os.path.join(REPO, "SCALE_BENCH.md"), "w") as f:
+            f.write(render_md(res))
     print("wrote SCALE_BENCH.json + SCALE_BENCH.md", flush=True)
     shutil.rmtree("/dev/shm/spark-scale-local", ignore_errors=True)
 
