@@ -440,3 +440,45 @@ def gopher_quality_flags(
         *[c.alias(n) for n, c in flags.items()],
         keep.alias("keep"),
     )
+
+
+def skipgram_pairs(
+    docs: DataFrame,
+    window: int = 2,
+    min_count: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Skip-gram (center, context) co-occurrence counts — the word2vec
+    training-pair shaping stage, and the raw counts behind token PMI.
+
+    Returns ``(center, context, cnt)`` for every ordered pair within
+    ``±window`` positions that occurs at least ``min_count`` times.
+
+    Scale shape: NO positional self-join (which would be dl² pairs per
+    document filtered after the fact).  Each token position fans out to
+    exactly ``2*window`` candidate offsets via a literal offset array;
+    out-of-range offsets are dropped by an explicit bounds filter BEFORE
+    the array lookups (and the 0-based ``F.get`` returns NULL rather than
+    raising if an engine ever reorders the projection).  The only shuffle
+    is the (center, context) count with map-side partials, and the
+    ``min_count`` floor is applied IN the aggregate (HAVING) so sub-floor
+    pairs never leave the exchange."""
+    offsets = [d for d in range(-window, window + 1) if d != 0]
+    t = docs.select(id_col, tokens(F.lower(_c(text_col))).alias("toks"))
+    # two generators are not allowed in one Project; chain two selects
+    ex = t.select(
+        "toks", F.explode(F.sequence(F.lit(1), F.size("toks"))).alias("i")
+    ).select(
+        "toks", "i", F.explode(F.array(*[F.lit(d) for d in offsets])).alias("d")
+    )
+    j = F.col("i") + F.col("d")
+    pairs = ex.filter((j >= 1) & (j <= F.size("toks"))).select(
+        F.get("toks", F.col("i") - 1).alias("center"),
+        F.get("toks", j - 1).alias("context"),
+    )
+    return (
+        pairs.groupBy("center", "context")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )

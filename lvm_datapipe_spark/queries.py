@@ -9015,3 +9015,158 @@ def pipeline_sft_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("split"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval: BM25 lexical ranking, hybrid lexical+vector fusion, skip-grams
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("window", "merge", "stream")
+
+
+def _bm25_lexagg_sql(terms=_BM25_TERMS, k1: float = 1.2, b: float = 0.75) -> str:
+    """CTE chain computing per-doc BM25 scores — literals come from the
+    SAME Python floats as the Spark side's F.lit values (repr round-trips
+    bit-exactly; '::DOUBLE' defeats DuckDB's DECIMAL literal lexing), and
+    the per-term combination replays the Spark side's fixed coalesce
+    chain, so the result is bit-identical."""
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    combine = "\n          + ".join(
+        f"COALESCE(MAX(CASE WHEN token = '{t}' THEN s END), 0.0)" for t in terms
+    )
+    return f"""
+    tok AS (SELECT doc_id, unnest({_SQL_LTOKS}) AS token FROM documents),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(dl) AS BIGINT) AS total_toks FROM dl),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+           WHERE token IN ({in_list}) GROUP BY doc_id, token),
+    dft AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+    s AS (SELECT tf.doc_id, tf.token,
+            ((CAST(n.n_docs AS DOUBLE) - CAST(dft.df AS DOUBLE) + 0.5)
+              / (CAST(dft.df AS DOUBLE) + 0.5))
+            * (CAST(tf.tf AS DOUBLE) * '{k1 + 1.0!r}'::DOUBLE)
+            / (CAST(tf.tf AS DOUBLE)
+               + '{k1!r}'::DOUBLE * ('{1.0 - b!r}'::DOUBLE
+                  + '{b!r}'::DOUBLE * (CAST(dl.dl AS DOUBLE)
+                     / (CAST(n.total_toks AS DOUBLE)
+                        / CAST(n.n_docs AS DOUBLE)))))
+            AS s
+          FROM tf JOIN dl USING (doc_id) JOIN dft USING (token) CROSS JOIN n),
+    lexagg AS (SELECT doc_id, {combine} AS score FROM s GROUP BY doc_id)"""
+
+
+@_q(
+    "bm25_topk",
+    f"""
+    WITH {_bm25_lexagg_sql()}
+    SELECT doc_id, score FROM lexagg ORDER BY score DESC, doc_id LIMIT 10
+    """,
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval: top-10 documents for a fixed 3-term query
+    (log-free linear idf — see operators/ranking.py for the spec and the
+    bit-portability rationale).
+
+    Scale shape: the token stream is filtered to the query's terms BEFORE
+    the (doc, term) aggregate, so the scoring shuffle is sized by those
+    terms' posting lists, not the corpus; df (≤3 rows) and the corpus
+    scalars broadcast; doc length is one scan-shaped keyed count; the
+    final top-10 is TakeOrderedAndProject (per-task heaps, no global
+    sort)."""
+    from lvm_datapipe_spark.operators import ranking as RK
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = RK.bm25_scores(docs, _BM25_TERMS)
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+
+
+@_q(
+    "hybrid_rank_fusion",
+    f"""
+    WITH {_bm25_lexagg_sql()},
+    lextop AS (SELECT doc_id, score FROM lexagg
+               ORDER BY score DESC, doc_id LIMIT 50),
+    lex AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+                 AS rank FROM lextop),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    sc AS (SELECT vec_id, {_cos_sql('qv', 'v')} AS cos_sim
+           FROM e CROSS JOIN q WHERE vec_id <> 0),
+    vectop AS (SELECT vec_id, cos_sim FROM sc
+               ORDER BY cos_sim DESC, vec_id LIMIT 50),
+    vec AS (SELECT vec_id AS doc_id,
+                   ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id) AS rank
+            FROM vectop)
+    SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+           COALESCE(1.0 / CAST(60 + lex.rank AS DOUBLE), 0.0)
+           + COALESCE(1.0 / CAST(60 + vec.rank AS DOUBLE), 0.0) AS rrf
+    FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+    ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+)
+def hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of a BM25 lexical top-50
+    and an exact-cosine vector top-50 (query = embedding of vec_id 0; the
+    tables share the 0..N id space, the classic doc/embedding sidecar
+    layout).  RRF needs only ranks — no score calibration across the two
+    scorers — which is what makes it the standard lexical+vector fusion.
+
+    Scale shape: each leg's candidate list is a bounded top-50
+    (TakeOrderedAndProject); the rank windows and the full-outer fusion
+    join run over ≤50-row inputs, so nothing downstream of the two
+    corpus scans grows with the corpus."""
+    from lvm_datapipe_spark.operators import ranking as RK
+    from lvm_datapipe_spark.operators import similarity as V
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = RK.ranked_topk(RK.bm25_scores(docs, _BM25_TERMS), "score", "doc_id", 50)
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(
+            V.as_double("embedding").alias("qv")
+        )
+    )
+    sc = (
+        emb.crossJoin(q)
+        .filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            V.cosine(F.col("qv"), V.as_double("embedding")).alias("cos_sim"),
+        )
+    )
+    vec = RK.ranked_topk(sc, "cos_sim", "vec_id", 50).withColumnRenamed(
+        "vec_id", "doc_id"
+    )
+    fused = RK.rrf_fuse(lex, vec, "doc_id")
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(10)
+
+
+@_q(
+    "skipgram_pairs",
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_LTOKS} AS toks FROM documents),
+    ex AS (SELECT toks, unnest(range(1, len(toks) + 1)) AS i FROM t),
+    pairs AS (
+      SELECT toks[i] AS center, toks[i + d] AS context
+      FROM ex CROSS JOIN (SELECT unnest([-2, -1, 1, 2]) AS d) d
+      WHERE i + d BETWEEN 1 AND len(toks))
+    SELECT center, context, CAST(count(*) AS BIGINT) AS cnt
+    FROM pairs GROUP BY center, context HAVING count(*) >= 5
+    """,
+)
+def skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram (center, context) pair counts within a ±2 window — the
+    word2vec training-pair shaping stage and the raw counts behind token
+    PMI (the log-free lift twin of [[basket_part_lift]]).
+
+    Scale shape (operators/text.py:skipgram_pairs): no positional
+    self-join — each position fans out to exactly 2·window offset lookups
+    into the still-attached token array, so the pre-aggregate row count
+    is 4× the token count, never dl² per doc; the min-count floor is
+    applied IN the single keyed count so sub-floor pairs never leave the
+    shuffle."""
+    from lvm_datapipe_spark.operators import text as X
+
+    docs = load_table(spark, sf_dir, "documents")
+    return X.skipgram_pairs(docs, window=2, min_count=5)

@@ -121,23 +121,75 @@ def test_no_cartesian_in_any_declared_query(spark):
     assert not offenders, offenders
 
 
+def _unbounded_global_windows(opt_plan: str, max_limit: int = 1000) -> bool:
+    """True if the optimized plan has a Window over an EMPTY partition spec
+    whose input is NOT bounded by a small GlobalLimit.
+
+    An empty-partition window funnels its whole input through one reducer
+    (Exchange SinglePartition) — the corpus-scale killer.  The one
+    legitimate shape is rank-assignment over an already-top-k'd candidate
+    list (GlobalLimit k directly under the Window, k small): its single
+    partition holds ≤ k rows at ANY corpus size.  The tree is printed
+    depth-first and Window/Project/Filter are unary, so the window's
+    input bound is decided by its first non-(Project|Filter) descendant
+    line."""
+    import re
+
+    pat = re.compile(r"windowspecdefinition\([^,()]* (ASC NULLS|DESC NULLS)")
+    lines = opt_plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Window [" not in line or not pat.search(line):
+            continue
+        bounded = False
+        for nxt in lines[i + 1 :]:
+            node = nxt.lstrip(" :+-")
+            if node.startswith(("Project [", "Filter ")):
+                continue  # row-preserving/reducing unary ops keep the bound
+            m = re.match(r"GlobalLimit (\d+)", node)
+            bounded = bool(m) and int(m.group(1)) <= max_limit
+            break
+        if not bounded:
+            return True
+    return False
+
+
 def test_no_global_window_in_any_declared_query(spark):
     # VERDICT r5 item 4, codified: no declared query may contain a Window
     # over an EMPTY partition spec — that is an Exchange-SinglePartition
     # funnel of every corpus row through one reducer (the NTILE form
-    # demoted to PYTEST_ORACLES this round).  Heuristic: in the optimized
-    # plan a windowspecdefinition whose FIRST argument carries a sort
-    # direction has no partition columns (partition cols print bare, order
-    # cols print with "ASC NULLS"/"DESC NULLS").
-    import re
-
-    pat = re.compile(r"windowspecdefinition\([^,()]* (ASC NULLS|DESC NULLS)")
+    # demoted to PYTEST_ORACLES this round) — UNLESS the window's input
+    # is a ≤1000-row GlobalLimit candidate list (rank assignment in the
+    # retrieval queries; see _unbounded_global_windows).  Heuristic: a
+    # windowspecdefinition whose FIRST argument carries a sort direction
+    # has no partition columns (partition cols print bare, order cols
+    # print with "ASC NULLS"/"DESC NULLS").
     offenders = []
     for name in QUERIES:
         opt = _optimized(spark, name)
-        if pat.search(opt):
+        if _unbounded_global_windows(opt):
             offenders.append(name)
     assert not offenders, offenders
+
+
+def test_unbounded_window_detector_still_fires():
+    # the allowance must not blind the guard: a corpus-shaped global
+    # window (no limit below) and an over-large limit both still flag
+    corpus = (
+        "Window [row_number() windowspecdefinition(x#1 DESC NULLS LAST, "
+        "specifiedwindowframe(...)) AS r#2], [x#1 DESC NULLS LAST]\n"
+        "+- Relation [x#1] parquet"
+    )
+    assert _unbounded_global_windows(corpus)
+    big = corpus.replace(
+        "+- Relation [x#1] parquet",
+        "+- GlobalLimit 50000\n   +- Relation [x#1] parquet",
+    )
+    assert _unbounded_global_windows(big)
+    ok = corpus.replace(
+        "+- Relation [x#1] parquet",
+        "+- GlobalLimit 50\n   +- Relation [x#1] parquet",
+    )
+    assert not _unbounded_global_windows(ok)
 
 
 def test_w5_bucketed_twin_has_no_window(spark):

@@ -1,0 +1,119 @@
+"""Unit tests for lexical ranking / hybrid fusion (operators/ranking.py)
+and skip-gram pair shaping (operators/text.py).
+
+The DuckDB parity of the declared queries (bm25_topk, hybrid_rank_fusion,
+skipgram_pairs) is covered by tools/check_correctness.py; these tests pin
+the operator semantics on hand-computed corpora.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lvm_datapipe_spark.operators import ranking as RK
+from lvm_datapipe_spark.operators import text as X
+
+
+@pytest.fixture(scope="module")
+def tiny_docs(spark):
+    return spark.createDataFrame(
+        [(1, "cat dog cat"), (2, "dog fish"), (3, "bird")],
+        ["doc_id", "text"],
+    )
+
+
+def _bm25_expected(tf: int, df: int, dl: int, n_docs: int, avgdl: float) -> float:
+    # same association order as bm25_scores / the oracle SQL
+    idf = (float(n_docs) - float(df) + 0.5) / (float(df) + 0.5)
+    return idf * (float(tf) * 2.2) / (
+        float(tf) + 1.2 * (0.25 + 0.75 * (float(dl) / avgdl))
+    )
+
+
+def test_bm25_scores_hand_computed(spark, tiny_docs):
+    got = {
+        r["doc_id"]: r["score"]
+        for r in RK.bm25_scores(tiny_docs, ("cat", "dog")).collect()
+    }
+    avgdl = 6.0 / 3.0
+    exp1 = _bm25_expected(2, 1, 3, 3, avgdl) + _bm25_expected(1, 2, 3, 3, avgdl)
+    exp2 = _bm25_expected(1, 2, 2, 3, avgdl)
+    # bit-exact: the Python fold above replays the Column expression order
+    assert got == {1: exp1, 2: exp2}
+    assert 3 not in got  # no matching term -> no row
+
+
+def test_bm25_tf_saturation_and_length_norm(spark, tiny_docs):
+    got = {
+        r["doc_id"]: r["score"]
+        for r in RK.bm25_scores(tiny_docs, ("dog",)).collect()
+    }
+    # doc 2 is shorter than doc 1 with the same tf=1 -> higher score
+    assert got[2] > got[1]
+
+
+def test_bm25_rejects_bad_terms(spark, tiny_docs):
+    with pytest.raises(ValueError):
+        RK.bm25_scores(tiny_docs, ())
+    with pytest.raises(ValueError):
+        RK.bm25_scores(tiny_docs, ("a", "a"))
+
+
+def test_ranked_topk_bounds_and_ties(spark):
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 7.0), (3, 5.0), (4, 1.0)], ["doc_id", "score"]
+    )
+    rows = RK.ranked_topk(df, "score", "doc_id", 3).collect()
+    assert [(r["doc_id"], r["rank"]) for r in rows] == [(2, 1), (1, 2), (3, 3)]
+
+
+def test_rrf_fuse_full_outer_semantics(spark):
+    a = spark.createDataFrame([(1, 1), (2, 2)], ["doc_id", "rank"])
+    b = spark.createDataFrame([(2, 1), (3, 2)], ["doc_id", "rank"])
+    got = {r["doc_id"]: r["rrf"] for r in RK.rrf_fuse(a, b, "doc_id").collect()}
+    assert got == {
+        1: 1.0 / 61.0 + 0.0,
+        2: 1.0 / 62.0 + 1.0 / 61.0,
+        3: 0.0 + 1.0 / 62.0,
+    }
+
+
+def test_skipgram_pairs_hand_computed(spark):
+    docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    got = {
+        (r["center"], r["context"]): r["cnt"]
+        for r in X.skipgram_pairs(docs, window=1, min_count=1).collect()
+    }
+    assert got == {("a", "b"): 1, ("b", "a"): 1, ("b", "c"): 1, ("c", "b"): 1}
+
+
+def test_skipgram_window2_includes_distance2_pairs(spark):
+    docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    got = {
+        (r["center"], r["context"]): r["cnt"]
+        for r in X.skipgram_pairs(docs, window=2, min_count=1).collect()
+    }
+    assert got[("a", "c")] == 1 and got[("c", "a")] == 1
+    assert len(got) == 6
+
+
+def test_skipgram_min_count_floor_and_empty_text(spark):
+    docs = spark.createDataFrame(
+        [(1, "x y x y x y"), (2, ""), (3, "z")], ["doc_id", "text"]
+    )
+    out = X.skipgram_pairs(docs, window=1, min_count=3)
+    got = {(r["center"], r["context"]): r["cnt"] for r in out.collect()}
+    # x<->y adjacencies occur 5 times each direction; z has no neighbors
+    assert got == {("x", "y"): 5, ("y", "x"): 5}
+
+
+def test_fusion_query_plan_has_no_corpus_sort(spark):
+    """The candidate legs must compile to TakeOrderedAndProject (top-k
+    heaps), never a global Sort over the corpus."""
+    from lvm_datapipe_spark.queries import QUERIES
+
+    plan = QUERIES["hybrid_rank_fusion"](
+        spark, "/root/testdata/sf0.001"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
