@@ -369,6 +369,12 @@ def build_parser() -> argparse.ArgumentParser:
     tc.add_argument("--table", required=True, help="input parquet path")
     tc.add_argument("--out", required=True, help="versioned table dir")
     tc.add_argument("--op", choices=["overwrite", "append"], default="overwrite")
+    tm = sub.add_parser(
+        "tx-merge", help="upsert a parquet table of updates into a txlog table"
+    )
+    tm.add_argument("--table", required=True, help="updates parquet path")
+    tm.add_argument("--out", required=True, help="versioned table dir")
+    tm.add_argument("--keys", nargs="+", required=True, help="merge key columns")
     th = sub.add_parser("tx-history", help="print a versioned table's commit log")
     th.add_argument("--table", required=True, help="versioned table dir")
     tv = sub.add_parser("tx-vacuum", help="drop old txlog versions + unreferenced data")
@@ -386,6 +392,26 @@ def _cmd_tx_commit(spark, args) -> None:
     print(
         json.dumps(
             {"stage": "tx-commit", "version": v, "op": args.op, "out": args.out}
+        )
+    )
+
+
+def _cmd_tx_merge(spark, args) -> None:
+    """Upsert updates into a versioned table (file-granular copy-on-write)."""
+    from lvm_datapipe_spark.sources import txlog
+
+    df = spark.read.parquet(args.table)
+    v = txlog.merge(spark, df, args.out, key_cols=list(args.keys))
+    m = txlog._read_manifest(args.out, v)
+    print(
+        json.dumps(
+            {
+                "stage": "tx-merge",
+                "version": v,
+                "out": args.out,
+                "rewritten_files": m["meta"].get("rewritten_files"),
+                "kept_files": m["meta"].get("kept_files"),
+            }
         )
     )
 
@@ -432,6 +458,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             "bpe": _cmd_bpe,
             "wds-export": _cmd_wds_export,
             "tx-commit": _cmd_tx_commit,
+            "tx-merge": _cmd_tx_merge,
             "tx-history": _cmd_tx_history,
             "tx-vacuum": _cmd_tx_vacuum,
             "analyze": _cmd_analyze,

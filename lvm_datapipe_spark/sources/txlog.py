@@ -111,6 +111,21 @@ def commit(
     os.makedirs(_log_dir(table_dir), exist_ok=True)
     parent = latest_version(table_dir)
     version = parent + 1
+    own, own_rows = _write_version_files(spark, df, table_dir, version)
+    files = own
+    n_rows = own_rows
+    if op == "append" and parent > 0:
+        pm = _read_manifest(table_dir, parent)
+        files = pm["files"] + own
+        n_rows += pm["n_rows"]
+    _publish(table_dir, version, parent, op, files, n_rows, meta)
+    return version
+
+
+def _write_version_files(
+    spark: SparkSession, df: DataFrame, table_dir: str, version: int
+) -> tuple[list[str], int]:
+    """Write ``df`` under ``data/v{version}/``; return (files, row count)."""
     vdir = os.path.join(table_dir, "data", f"v{version:08d}")
     df.write.mode("overwrite").parquet(vdir)
     own = sorted(
@@ -118,12 +133,18 @@ def commit(
         for f in os.listdir(vdir)
         if f.endswith(".parquet") and not f.startswith(("_", "."))
     )
-    files = own
-    n_rows = spark.read.parquet(vdir).count()
-    if op == "append" and parent > 0:
-        pm = _read_manifest(table_dir, parent)
-        files = pm["files"] + own
-        n_rows += pm["n_rows"]
+    return own, spark.read.parquet(vdir).count()
+
+
+def _publish(
+    table_dir: str,
+    version: int,
+    parent: int,
+    op: str,
+    files: list[str],
+    n_rows: int,
+    meta: dict | None,
+) -> None:
     manifest = {
         "version": version,
         "parent": parent,
@@ -151,7 +172,6 @@ def commit(
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, os.path.join(_log_dir(table_dir), _LATEST))
-    return version
 
 
 def read(
@@ -224,6 +244,113 @@ def diff_files(
     if not new:
         return read(spark, table_dir, v_to).limit(0)
     return spark.read.parquet(*new)
+
+
+def _strip_scheme(path: str) -> str:
+    """``_metadata.file_path`` is a URI (``file:/x`` or ``file:///x``
+    depending on the Hadoop path layer); manifests store plain paths."""
+    if path.startswith("file:"):
+        from urllib.parse import urlparse
+
+        return urlparse(path).path
+    return path
+
+
+def merge(
+    spark: SparkSession,
+    updates: DataFrame,
+    table_dir: str,
+    key_cols: list[str],
+    meta: dict | None = None,
+) -> int:
+    """Delta-style MERGE (upsert) at FILE granularity: rows of ``updates``
+    replace every current row sharing their key; keys not present insert.
+    Returns the new version.
+
+    The copy-on-write property that matters at 100 TB: only data files
+    that actually CONTAIN a matched key are rewritten.  Affected files are
+    found with one key semi-join against the snapshot's ``_metadata.
+    file_path`` column (the result is file-path-sized, never row-sized);
+    every untouched file is carried into the new manifest by REFERENCE.
+    A daily upsert into a date-clustered 100 TB table therefore rewrites
+    ~one day's files, not the table.
+
+    Semantics guards (fail loudly, not silently):
+    - ``updates`` must be key-unique — two update rows with one key would
+      make the surviving row order-dependent;
+    - ``updates`` must carry exactly the table's columns (any order);
+    - if the table has several rows for a key, ALL are replaced by the
+      single update row (MERGE collapses them — documented, tested).
+
+    Concurrency matches :func:`commit`: the manifest O_EXCL create is the
+    commit point; a losing racer gets :class:`VersionConflict` and must
+    re-run the whole merge against the new latest (its data dir is
+    version-stamped with the losing number, so the retry overwrites it).
+    """
+    parent = latest_version(table_dir)
+    if parent == 0:
+        return commit(spark, updates, table_dir, op="overwrite", meta=meta)
+    pm = _read_manifest(table_dir, parent)
+    snap_cols = spark.read.parquet(*pm["files"]).columns
+    if set(updates.columns) != set(snap_cols):
+        raise ValueError(
+            f"updates columns {sorted(updates.columns)} != table columns "
+            f"{sorted(snap_cols)}"
+        )
+    missing = [k for k in key_cols if k not in snap_cols]
+    if missing:
+        raise ValueError(f"key columns {missing} not in table schema")
+    updates = updates.select(*snap_cols)
+    from pyspark.sql import functions as F
+
+    keys = updates.select(*key_cols)
+    dup = keys.groupBy(*key_cols).count().filter(F.col("count") > 1)
+    if dup.limit(1).count() > 0:
+        raise ValueError(
+            f"updates are not unique on {key_cols}; MERGE would be "
+            "order-dependent"
+        )
+    snap = spark.read.parquet(*pm["files"])
+    affected_uris = [
+        r[0]
+        for r in snap.select(
+            F.col("_metadata.file_path").alias("fp"), *key_cols
+        )
+        .join(keys, key_cols, "left_semi")
+        .select("fp")
+        .distinct()
+        .collect()
+    ]
+    # manifests may hold relative paths (tx-commit --out tbl); the
+    # metadata column is always an absolute URI — compare canonicalized
+    by_abs = {os.path.abspath(f): f for f in pm["files"]}
+    affected_abs = {os.path.abspath(_strip_scheme(u)) for u in affected_uris}
+    if not affected_abs <= by_abs.keys():
+        raise RuntimeError(
+            f"semi-join returned files outside the manifest: "
+            f"{sorted(affected_abs - by_abs.keys())[:3]}"
+        )
+    affected = {by_abs[a] for a in affected_abs}
+    kept = [f for f in pm["files"] if f not in affected]
+    version = parent + 1
+    if affected:
+        touched = spark.read.parquet(*sorted(affected))
+        touched_rows = touched.count()
+        survivors = touched.join(keys, key_cols, "left_anti")
+        new_df = survivors.unionByName(updates)
+    else:
+        touched_rows = 0
+        new_df = updates
+    own, own_rows = _write_version_files(spark, new_df, table_dir, version)
+    n_rows = pm["n_rows"] - touched_rows + own_rows
+    merge_meta = {
+        "merge_keys": list(key_cols),
+        "rewritten_files": len(affected),
+        "kept_files": len(kept),
+        **(meta or {}),
+    }
+    _publish(table_dir, version, parent, "merge", kept + own, n_rows, merge_meta)
+    return version
 
 
 def vacuum(table_dir: str, keep_last: int = 2) -> dict:
