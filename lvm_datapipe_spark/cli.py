@@ -380,6 +380,12 @@ def build_parser() -> argparse.ArgumentParser:
     tv = sub.add_parser("tx-vacuum", help="drop old txlog versions + unreferenced data")
     tv.add_argument("--table", required=True, help="versioned table dir")
     tv.add_argument("--keep-last", type=int, default=2)
+    tk = sub.add_parser(
+        "tx-compact", help="bin-pack a txlog table's small files as a new version"
+    )
+    tk.add_argument("--table", required=True, help="versioned table dir")
+    tk.add_argument("--small-file-mb", type=int, default=32)
+    tk.add_argument("--target-file-mb", type=int, default=128)
     return p
 
 
@@ -431,6 +437,25 @@ def _cmd_tx_history(spark, args) -> None:
     )
 
 
+def _cmd_tx_compact(spark, args) -> None:
+    """Bin-pack the latest version's small files into a new version."""
+    from lvm_datapipe_spark.sources import txlog
+
+    before = txlog.latest_version(args.table)
+    v = txlog.compact(
+        spark,
+        args.table,
+        small_file_mb=args.small_file_mb,
+        target_file_mb=args.target_file_mb,
+    )
+    status = {"stage": "tx-compact", "version": v, "compacted": v != before}
+    if v != before:
+        m = txlog._read_manifest(args.table, v)
+        status["compacted_files"] = m["meta"]["compacted_files"]
+        status["written_files"] = m["meta"]["written_files"]
+    print(json.dumps(status))
+
+
 def _cmd_tx_vacuum(spark, args) -> None:
     """Drop manifests older than --keep-last and unreferenced data dirs."""
     from lvm_datapipe_spark.sources import txlog
@@ -459,6 +484,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             "wds-export": _cmd_wds_export,
             "tx-commit": _cmd_tx_commit,
             "tx-merge": _cmd_tx_merge,
+            "tx-compact": _cmd_tx_compact,
             "tx-history": _cmd_tx_history,
             "tx-vacuum": _cmd_tx_vacuum,
             "analyze": _cmd_analyze,

@@ -353,6 +353,62 @@ def merge(
     return version
 
 
+def compact(
+    spark: SparkSession,
+    table_dir: str,
+    small_file_mb: int = 32,
+    target_file_mb: int = 128,
+    meta: dict | None = None,
+) -> int:
+    """OPTIMIZE: bin-pack the latest version's small files into
+    ~``target_file_mb`` files as a NEW version — rows are untouched, so
+    reads get fewer/bigger scans while every historical version keeps
+    time-travelling (the replaced small files stay on disk until
+    :func:`vacuum`; a txlog table must never rewrite files in place).
+
+    Only files under ``small_file_mb`` are rewritten; already-large files
+    carry into the new manifest by reference.  No-op (returns the current
+    version, no commit) when fewer than two small files exist — one small
+    file gains nothing from a rewrite.
+
+    The append/merge/compact lifecycle is the 100 TB steady state:
+    streaming appends produce per-epoch small files, daily compaction
+    folds them, vacuum reclaims the replaced bytes.
+    """
+    parent = latest_version(table_dir)
+    if parent == 0:
+        raise FileNotFoundError(f"{table_dir} has no committed versions")
+    pm = _read_manifest(table_dir, parent)
+    cutoff = small_file_mb * 1024 * 1024
+    small = [f for f in pm["files"] if os.path.getsize(f) < cutoff]
+    if len(small) < 2:
+        return parent
+    kept = [f for f in pm["files"] if f not in set(small)]
+    import math
+
+    small_bytes = sum(os.path.getsize(f) for f in small)
+    n_out = max(1, math.ceil(small_bytes / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(*small).coalesce(n_out)
+    version = parent + 1
+    own, own_rows = _write_version_files(spark, df, table_dir, version)
+    small_rows = spark.read.parquet(*small).count()
+    if own_rows != small_rows:
+        raise RuntimeError(
+            f"compact row-count drift: rewrote {small_rows} rows but the "
+            f"new files hold {own_rows} — aborting before publish"
+        )
+    compact_meta = {
+        "compacted_files": len(small),
+        "written_files": len(own),
+        **(meta or {}),
+    }
+    _publish(
+        table_dir, version, parent, "compact", kept + own, pm["n_rows"],
+        compact_meta,
+    )
+    return version
+
+
 def vacuum(table_dir: str, keep_last: int = 2) -> dict:
     """Drop manifests older than the last ``keep_last`` versions and every
     data directory no retained manifest references (including orphans from

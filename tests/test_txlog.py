@@ -248,3 +248,61 @@ def test_merge_handles_relative_manifest_paths(spark, tmp_path):
     v = txlog.merge(spark, _df(spark, [(2, "B")]), t, ["id"])
     got = {r["id"]: r["val"] for r in txlog.read(spark, t, version=v).collect()}
     assert got == {1: "a", 2: "B"}
+
+
+def test_compact_folds_small_files_preserving_rows_and_history(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    for i in range(4):  # 4 appends x 2 files = 8 tiny files
+        _commit_partitioned(
+            spark, t, [(i * 10 + j, f"v{i * 10 + j}") for j in range(10)], 2
+        )
+    before = txlog._read_manifest(t, 4)
+    v = txlog.compact(spark, t, small_file_mb=32, target_file_mb=128)
+    assert v == 5
+    m = txlog._read_manifest(t, v)
+    assert m["op"] == "compact"
+    assert m["n_rows"] == before["n_rows"] == 40
+    assert len(m["files"]) < len(before["files"])
+    assert m["meta"]["compacted_files"] == len(before["files"])
+    # rows identical, old version still time-travels
+    new = {r["id"]: r["val"] for r in txlog.read(spark, t).collect()}
+    old = {r["id"]: r["val"] for r in txlog.read(spark, t, version=4).collect()}
+    assert new == old and len(new) == 40
+    # vacuum afterwards reclaims the replaced small files
+    res = txlog.vacuum(t, keep_last=1)
+    assert res["dropped_versions"] == [1, 2, 3, 4]
+    assert txlog.read(spark, t).count() == 40
+
+
+def test_compact_noop_when_nothing_small_enough(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    txlog.commit(
+        spark,
+        spark.createDataFrame([(1, "a")], "id long, val string").coalesce(1),
+        t,
+    )
+    # one small file only -> no-op, no new version
+    assert txlog.compact(spark, t) == 1
+    assert txlog.latest_version(t) == 1
+    # files above the cutoff -> also a no-op
+    _commit_partitioned(spark, t, [(2, "b")], 1)
+    assert txlog.compact(spark, t, small_file_mb=0) == 2
+
+
+def test_cli_tx_compact(spark, tmp_path, capsys):
+    import json as _json
+
+    from lvm_datapipe_spark import cli
+
+    base = str(tmp_path / "base.parquet")
+    t = str(tmp_path / "tbl")
+    _df(spark, [(1, "a"), (2, "b")]).write.parquet(base)
+    assert cli.main(["tx-commit", "--table", base, "--out", t], spark=spark) == 0
+    assert cli.main(
+        ["tx-commit", "--table", base, "--out", t, "--op", "append"], spark=spark
+    ) == 0
+    capsys.readouterr()
+    assert cli.main(["tx-compact", "--table", t], spark=spark) == 0
+    status = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert status["stage"] == "tx-compact" and status["compacted"] is True
+    assert txlog.read(spark, t).count() == 4
