@@ -343,6 +343,55 @@ def start_versioned_sink(df: DataFrame, table_dir: str, checkpoint: str):
     )
 
 
+def start_versioned_upsert_sink(
+    df: DataFrame, table_dir: str, checkpoint: str, key_cols: list[str]
+):
+    """EXACTLY-ONCE streaming UPSERT into a versioned table: each
+    micro-batch MERGEs on ``key_cols`` (late re-emissions of a key
+    replace the stored row — the streaming SCD/current-state shape),
+    with the same epoch-skip replay guard as :func:`start_versioned_sink`.
+
+    The 100 TB property comes from ``txlog.merge``'s file granularity:
+    a micro-batch touching k keys rewrites only the files containing
+    those keys, never the table.  Within one batch, duplicate keys are
+    collapsed deterministically to the lexicographically-greatest full
+    row (a pure function of the batch's DATA, not its partition order —
+    replays must produce byte-identical merges) before the key-unique
+    merge contract applies."""
+    from pyspark.sql import functions as F
+
+    from lvm_datapipe_spark.sources import txlog
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if batch_id in txlog.committed_epochs(table_dir):
+            return  # replayed epoch — already durably committed
+        others = [c for c in batch_df.columns if c not in key_cols]
+        if others:
+            latest = (
+                batch_df.groupBy(*key_cols)
+                .agg(F.max(F.struct(*others)).alias("_s"))
+                .select(*key_cols, *[F.col(f"_s.{c}").alias(c) for c in others])
+            )
+        else:  # key-only rows: duplicates are identical, keep one
+            latest = batch_df.dropDuplicates(key_cols)
+        txlog.merge(
+            batch_df.sparkSession,
+            latest,
+            table_dir,
+            key_cols=key_cols,
+            meta={"epoch": batch_id},
+        )
+
+    return (
+        df.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .start()
+    )
+
+
 def tws_available() -> bool:
     """transformWithState needs a google.protobuf runtime able to load
     pyspark's generated StateMessage code.  The container ships pyspark

@@ -773,3 +773,48 @@ def test_versioned_sink_skips_replayed_epoch(spark, landing_dir, tmp_path):
     # the previously committed version
     assert txlog.latest_version(tbl) == 1
     assert {r.event_id for r in txlog.read(spark, tbl).collect()} == {999999}
+
+
+def test_versioned_upsert_sink_merges_per_epoch(spark, tmp_path):
+    """Streaming upsert: within a batch duplicate keys collapse to the
+    greatest payload struct; across batches later epochs MERGE (replace
+    matched keys, insert new ones); a full replay under a fresh
+    checkpoint is skipped via the epoch guard."""
+    import json as _json
+
+    from lvm_datapipe_spark.sources import txlog
+
+    d = tmp_path / "landing"
+    d.mkdir()
+    tbl = str(tmp_path / "utbl")
+    ckpt = str(tmp_path / "uckpt")
+
+    def _stream():
+        return spark.readStream.schema("user_id long, val string").json(str(d))
+
+    def _run(checkpoint):
+        q = ev.start_versioned_upsert_sink(_stream(), tbl, checkpoint, ["user_id"])
+        _await(q)
+
+    with open(d / "f1.json", "w") as f:
+        for row in [(1, "a"), (1, "b"), (2, "x")]:
+            f.write(_json.dumps({"user_id": row[0], "val": row[1]}) + "\n")
+    _run(ckpt)
+    got = {r["user_id"]: r["val"] for r in txlog.read(spark, tbl).collect()}
+    assert got == {1: "b", 2: "x"}  # in-batch dup of key 1 -> greatest struct
+
+    with open(d / "f2.json", "w") as f:
+        for row in [(2, "z"), (3, "n")]:
+            f.write(_json.dumps({"user_id": row[0], "val": row[1]}) + "\n")
+    _run(ckpt)  # same checkpoint: only the new file arrives as the next epoch
+    got = {r["user_id"]: r["val"] for r in txlog.read(spark, tbl).collect()}
+    assert got == {1: "b", 2: "z", 3: "n"}
+    hist = txlog.history(tbl)
+    assert [h["op"] for h in hist] == ["overwrite", "merge"]
+
+    # fresh checkpoint -> Spark re-delivers everything as epoch 0, which is
+    # already committed: the replay must be skipped, the table unchanged
+    _run(str(tmp_path / "uckpt2"))
+    assert txlog.latest_version(tbl) == 2
+    got = {r["user_id"]: r["val"] for r in txlog.read(spark, tbl).collect()}
+    assert got == {1: "b", 2: "z", 3: "n"}
