@@ -9170,3 +9170,46 @@ def skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return X.skipgram_pairs(docs, window=2, min_count=5)
+
+
+@_q(
+    "postings_topk_by_term",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({_SQL_LTOKS}) AS token FROM documents),
+    tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok
+           GROUP BY doc_id, token)
+    SELECT token, doc_id, tf,
+           CAST(ROW_NUMBER() OVER (PARTITION BY token
+                ORDER BY tf DESC, doc_id) AS INTEGER) AS rank
+    FROM tf
+    QUALIFY rank <= 3
+    """,
+)
+def postings_topk_by_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Impact-ordered posting lists: the top-3 documents per term by term
+    frequency — the index-side delivery shape of retrieval (the per-doc
+    mirror is [[tfidf_top_terms]]; [[bm25_topk]] is the query-time
+    consumer).  Real impact-ordered indexes keep the head of each posting
+    list hot; the cap is the point, not a shortcut.
+
+    Scale shape: one (doc, token) count with map-side partials, then a
+    TOKEN-keyed window that Spark executes as WindowGroupLimit — the
+    per-group top-k filter runs BELOW the shuffle on each map partition,
+    so at most 3 rows per (token, input-partition) ever enter the
+    exchange; key count = vocabulary size."""
+    from lvm_datapipe_spark.operators import text as X
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(X.tokens(F.lower(F.col("text")))).alias("token")
+    )
+    tf = (
+        tok.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    w = Window.partitionBy("token").orderBy(F.desc("tf"), F.asc("doc_id"))
+    return (
+        tf.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("token", "doc_id", "tf", F.col("rank").cast("int").alias("rank"))
+    )
