@@ -300,12 +300,16 @@ def merge(
     missing = [k for k in key_cols if k not in snap_cols]
     if missing:
         raise ValueError(f"key columns {missing} not in table schema")
-    updates = updates.select(*snap_cols)
+    # the update set feeds three separate jobs (uniqueness check, affected-
+    # file semi-join, rewrite): pin it so a nondeterministic upstream
+    # (sampled/shuffled input) cannot drift between them
+    updates = updates.select(*snap_cols).persist()
     from pyspark.sql import functions as F
 
     keys = updates.select(*key_cols)
     dup = keys.groupBy(*key_cols).count().filter(F.col("count") > 1)
     if dup.limit(1).count() > 0:
+        updates.unpersist()
         raise ValueError(
             f"updates are not unique on {key_cols}; MERGE would be "
             "order-dependent"
@@ -341,7 +345,10 @@ def merge(
     else:
         touched_rows = 0
         new_df = updates
-    own, own_rows = _write_version_files(spark, new_df, table_dir, version)
+    try:
+        own, own_rows = _write_version_files(spark, new_df, table_dir, version)
+    finally:
+        updates.unpersist()
     n_rows = pm["n_rows"] - touched_rows + own_rows
     merge_meta = {
         "merge_keys": list(key_cols),

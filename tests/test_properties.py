@@ -392,3 +392,49 @@ def test_temporal_join_matches_version_model(spark, fact_ts, boundaries):
         return live[0][1] if live else None
 
     assert got == {i: model(t) for i, t in enumerate(fact_ts)}
+
+
+# --- txlog MERGE vs a pure dict model -------------------------------------
+
+_ops = st.lists(
+    st.tuples(
+        st.sampled_from(["merge", "append"]),
+        st.dictionaries(
+            st.integers(min_value=0, max_value=9),          # key
+            st.sampled_from(["a", "b", "c", "d"]),           # value
+            min_size=1,
+            max_size=4,
+        ),
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@given(_ops)
+@settings(**SETTINGS)
+def test_txlog_merge_matches_dict_model(spark, tmp_path_factory, ops):
+    """A random commit/merge sequence must leave the table equal to a plain
+    python dict applying the same upserts (appends use fresh keys so the
+    table stays key-unique, matching MERGE's contract)."""
+    from lvm_datapipe_spark.sources import txlog
+
+    t = str(tmp_path_factory.mktemp("txprop") / "tbl")
+    model: dict[int, str] = {}
+    fresh = 100  # disjoint key space for appends
+    for kind, batch in ops:
+        if kind == "append":
+            batch = {fresh + i: v for i, v in enumerate(batch.values())}
+            fresh += len(batch)
+        rows = sorted(batch.items())
+        df = spark.createDataFrame(rows, "id long, val string")
+        if kind == "append" and txlog.latest_version(t) > 0:
+            txlog.commit(spark, df, t, op="append")
+        else:
+            txlog.merge(spark, df, t, ["id"])
+        model.update(batch)
+    got = {r["id"]: r["val"] for r in txlog.read(spark, t).collect()}
+    assert got == model
+    # every historical version is still readable (time travel intact)
+    for v in range(1, txlog.latest_version(t) + 1):
+        assert txlog.read(spark, t, version=v).count() >= 0
