@@ -9213,3 +9213,60 @@ def postings_topk_by_term(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("token", "doc_id", "tf", F.col("rank").cast("int").alias("rank"))
     )
+
+
+@_q(
+    "pmi_skipgram_lift",
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_LTOKS} AS toks FROM documents),
+    ex AS (SELECT toks, unnest(range(1, len(toks) + 1)) AS i FROM t),
+    raw AS (
+      SELECT toks[i] AS center, toks[i + d] AS context,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM ex CROSS JOIN (SELECT unnest([-2, -1, 1, 2]) AS d) d
+      WHERE i + d BETWEEN 1 AND len(toks)
+      GROUP BY center, context),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM raw),
+    mc AS (SELECT center, CAST(sum(cnt) AS BIGINT) AS c_center
+           FROM raw GROUP BY center),
+    mx AS (SELECT context, CAST(sum(cnt) AS BIGINT) AS c_context
+           FROM raw GROUP BY context)
+    SELECT raw.center, raw.context, raw.cnt,
+           (CAST(raw.cnt AS DOUBLE) * CAST(tot.total AS DOUBLE))
+           / (CAST(mc.c_center AS DOUBLE) * CAST(mx.c_context AS DOUBLE))
+           AS lift
+    FROM raw
+    JOIN mc USING (center) JOIN mx USING (context) CROSS JOIN tot
+    WHERE raw.cnt >= 5
+    """,
+)
+def pmi_skipgram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level association lift over ±2-window skip-gram pairs — PMI
+    without the log (PMI = log(lift); the log-free form is bit-portable
+    across engines, same spec choice as [[basket_part_lift]], whose
+    docstring names this exact token analogue).  lift > 1 marks
+    collocations; the word2vec/GloVe statistics in one query.
+
+    Scale shape: the unfloored pair aggregate is the marginals' input (a
+    floored one would bias p(center)/p(context)), computed once and
+    persisted across its three consumers; marginals are vocab-sized and
+    broadcast back; the support floor prunes the output only.  Exact
+    integer counts everywhere, one double expression at the end (counts
+    < 2^53 — holds to ~9e15 pair occurrences)."""
+    from lvm_datapipe_spark.operators import text as X
+
+    docs = load_table(spark, sf_dir, "documents")
+    raw = X.skipgram_pairs(docs, window=2, min_count=1).persist()
+    tot = raw.agg(F.sum("cnt").cast("long").alias("total"))
+    mc = raw.groupBy("center").agg(F.sum("cnt").cast("long").alias("c_center"))
+    mx = raw.groupBy("context").agg(F.sum("cnt").cast("long").alias("c_context"))
+    lift = (F.col("cnt").cast("double") * F.col("total").cast("double")) / (
+        F.col("c_center").cast("double") * F.col("c_context").cast("double")
+    )
+    return (
+        raw.filter(F.col("cnt") >= 5)
+        .join(F.broadcast(mc), "center")
+        .join(F.broadcast(mx), "context")
+        .crossJoin(F.broadcast(tot))
+        .select("center", "context", "cnt", lift.alias("lift"))
+    )
