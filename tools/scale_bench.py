@@ -391,6 +391,110 @@ def bench_txlog_incremental(spark, quick: bool) -> dict:
     return out
 
 
+def bench_txlog_merge(spark, quick: bool) -> dict:
+    """File-granular MERGE evidence: upsert a key set clustered in ONE
+    version's id range into a multi-version table and compare (a) the
+    manifest-counted rewritten-file share and (b) wall time against the
+    baseline full-table rewrite (read snapshot, anti-join, union,
+    overwrite-commit — what a table without file skipping must do)."""
+    from pyspark.sql import functions as F
+
+    from lvm_datapipe_spark.sources import txlog
+
+    per_batch = 20_000 if quick else 1_000_000
+    n_versions = 10
+
+    def _updates(spark):
+        # 1000 keys inside version 1's id range only
+        return (
+            spark.range(0, 1000, 1, 4)
+            .withColumnRenamed("id", "event_id")
+            .withColumn("v", F.lit(-1.0))
+        )
+
+    def _build(tbl):
+        shutil.rmtree(tbl, ignore_errors=True)
+        for i in range(1, n_versions + 1):
+            df = (
+                spark.range((i - 1) * per_batch, i * per_batch, 1, 8)
+                .withColumnRenamed("id", "event_id")
+                .withColumn("v", (F.col("event_id") % 97).cast("double"))
+            )
+            txlog.commit(spark, df, tbl, op="append")
+
+    def _version_bytes(tbl, v):
+        vdir = os.path.join(tbl, "data", f"v{v:08d}")
+        return sum(
+            os.path.getsize(os.path.join(vdir, f))
+            for f in os.listdir(vdir)
+            if f.endswith(".parquet")
+        )
+
+    tbl = os.path.join(SCRATCH, "txlog_merge_tbl")
+    _build(tbl)
+    m0 = txlog._read_manifest(tbl, n_versions)
+    t0 = time.time()
+    v = txlog.merge(spark, _updates(spark), tbl, ["event_id"])
+    merge_sec = round(time.time() - t0, 3)
+    m1 = txlog._read_manifest(tbl, v)
+
+    # baseline: rewrite the whole table (no file skipping)
+    t0 = time.time()
+    snap = txlog.read(spark, tbl)
+    upd = _updates(spark)
+    rewritten = snap.join(upd.select("event_id"), "event_id", "left_anti").unionByName(
+        upd
+    )
+    v2 = txlog.commit(spark, rewritten, tbl, op="overwrite")
+    overwrite_sec = round(time.time() - t0, 3)
+
+    out = {
+        "total_rows": n_versions * per_batch,
+        "total_files": len(m0["files"]),
+        "table_bytes": sum(
+            _version_bytes(tbl, i) for i in range(1, n_versions + 1)
+        ),
+        "merge_rewritten_files": m1["meta"]["rewritten_files"],
+        "merge_sec": merge_sec,
+        "merge_bytes_written": _version_bytes(tbl, v),
+        "full_rewrite_sec": overwrite_sec,
+        "full_rewrite_bytes_written": _version_bytes(tbl, v2),
+    }
+    shutil.rmtree(tbl, ignore_errors=True)
+    return out
+
+
+def render_txlog_merge_md(res: dict) -> list[str]:
+    t = res["txlog_merge"]
+    mb = 1024 * 1024
+    return [
+        "## 6. File-granular MERGE vs full-table rewrite (txlog.merge)",
+        "",
+        f"Table: {t['total_rows']:,} rows in {t['total_files']} files "
+        f"({t['table_bytes'] / mb:.0f} MB, 10 append versions); upsert of "
+        "1,000 keys clustered in one version's id range.",
+        "",
+        "| path | files rewritten | bytes written | sec |",
+        "|---|---|---|---|",
+        f"| txlog.merge (semi-join on `_metadata.file_path`) "
+        f"| {t['merge_rewritten_files']} "
+        f"| {t['merge_bytes_written'] / mb:.1f} MB | {t['merge_sec']} |",
+        f"| full-table rewrite (anti-join + overwrite commit) "
+        f"| {t['total_files']} "
+        f"| {t['full_rewrite_bytes_written'] / mb:.1f} MB "
+        f"| {t['full_rewrite_sec']} |",
+        "",
+        "- Files-rewritten and bytes-written are the deterministic",
+        "  evidence and the quantity that scales: the merge's write is",
+        "  sized by the files whose key ranges intersect the update set,",
+        "  the baseline's by the table.  Both paths scan the table once",
+        "  (the merge to locate affected files, the baseline to rewrite),",
+        "  so at 100 TB the difference is write amplification — one",
+        "  day's files versus re-materializing 100 TB.",
+        "",
+    ]
+
+
 def render_txlog_md(res: dict) -> list[str]:
     t = res["txlog_incremental"]
     pts = {int(k): v for k, v in t["points"].items()}
@@ -564,6 +668,8 @@ def render_md(res: dict) -> str:
         ]
     if "txlog_incremental" in res:
         lines += render_txlog_md(res)
+    if "txlog_merge" in res:
+        lines += render_txlog_merge_md(res)
     return "\n".join(lines)
 
 
@@ -597,6 +703,8 @@ def main() -> None:
         res["lm_scoring"] = bench_lm_scoring(spark, quick)
     print("== txlog incremental reads ==", flush=True)
     res["txlog_incremental"] = bench_txlog_incremental(spark, quick)
+    print("== txlog file-granular merge ==", flush=True)
+    res["txlog_merge"] = bench_txlog_merge(spark, quick)
 
     with open(os.path.join(REPO, "SCALE_BENCH.json"), "w") as f:
         json.dump(res, f, indent=2, sort_keys=True)
@@ -610,7 +718,11 @@ def main() -> None:
         if marker in md:
             md = md[: md.index(marker)]
         with open(md_path, "w") as f:
-            f.write(md.rstrip("\n") + "\n\n" + "\n".join(render_txlog_md(res)))
+            f.write(
+                md.rstrip("\n")
+                + "\n\n"
+                + "\n".join(render_txlog_md(res) + render_txlog_merge_md(res))
+            )
     else:
         with open(os.path.join(REPO, "SCALE_BENCH.md"), "w") as f:
             f.write(render_md(res))
