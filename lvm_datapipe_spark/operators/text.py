@@ -482,3 +482,55 @@ def skipgram_pairs(
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         .filter(F.col("cnt") >= min_count)
     )
+
+
+def hashed_features(
+    docs: DataFrame,
+    dim: int = 64,
+    salt: str = "feat",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Feature hashing (the hashing trick, Weinberger et al. 2009): each
+    token maps to a bucket in [0, dim) with a ±1 sign, per-doc bucket
+    weights are the signed counts, L2-normalized — the fastText-style
+    bag-of-words featurizer that needs NO vocabulary table, so it is a
+    pure scan at any corpus size.
+
+    Returns the sparse form ``(id_col, bucket, weight)`` with zero-weight
+    buckets dropped.  Everything is exact integer arithmetic (signed
+    counts, then a sum of squared BIGINTs for the norm) until one final
+    sqrt + divide — bit-identical across engines by construction.
+
+    Scale shape: one md5 per token (scan), one (doc, bucket) signed-count
+    shuffle (key fan-in bounded by dim per doc), one doc-keyed norm
+    aggregate joined back; no vocabulary build, no broadcast state."""
+    from lvm_datapipe_spark.operators.sampling import hash_bucket
+
+    tok = docs.select(
+        id_col, F.explode(tokens(F.lower(_c(text_col)))).alias("token")
+    )
+    h = F.md5(F.concat(F.lit(salt), F.col("token").cast("string")).cast("binary"))
+    sign = F.lit(1) - F.lit(2) * (
+        F.conv(F.substring(h, 9, 1), 16, 10).cast("bigint") % 2
+    )
+    w = (
+        tok.select(
+            id_col,
+            hash_bucket("token", dim, salt).alias("bucket"),
+            sign.alias("sign"),
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.sum("sign").cast("long").alias("w"))
+        .filter(F.col("w") != 0)
+    )
+    norm = w.groupBy(id_col).agg(
+        F.sum(F.col("w") * F.col("w")).cast("long").alias("norm2")
+    )
+    return w.join(norm, id_col).select(
+        id_col,
+        "bucket",
+        (F.col("w").cast("double") / F.sqrt(F.col("norm2").cast("double"))).alias(
+            "weight"
+        ),
+    )

@@ -9270,3 +9270,42 @@ def pmi_skipgram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .select("center", "context", "cnt", lift.alias("lift"))
     )
+
+
+@_q(
+    "doc_hashed_features",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(lower(text),
+             '\\s+'), x -> x <> '')) AS token
+      FROM documents),
+    sgn AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('feat' || token), 1, 8))::BIGINT % 64
+               AS bucket,
+             1 - 2 * (('0x' || substr(md5('feat' || token), 9, 1))::BIGINT % 2)
+               AS sign
+      FROM tok),
+    w AS (SELECT doc_id, bucket, CAST(sum(sign) AS BIGINT) AS w
+          FROM sgn GROUP BY doc_id, bucket HAVING sum(sign) <> 0),
+    nrm AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS norm2
+            FROM w GROUP BY doc_id)
+    SELECT w.doc_id, w.bucket,
+           CAST(w.w AS DOUBLE) / sqrt(CAST(nrm.norm2 AS DOUBLE)) AS weight
+    FROM w JOIN nrm USING (doc_id)
+    """,
+)
+def doc_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick document featurizer (operators/text.py:
+    hashed_features): 64-dim signed-hash bag-of-words, L2-normalized,
+    sparse (doc_id, bucket, weight) output — vocabulary-free text
+    embeddings whose cosine is a plain sparse dot, feeding the same ANN
+    machinery as the embeddings table.
+
+    Bit-portability: signed counts and the squared-norm are exact BIGINT
+    aggregates (order-free); the only float math is one final
+    sqrt + divide, mirrored verbatim in the oracle."""
+    from lvm_datapipe_spark.operators import text as X
+
+    docs = load_table(spark, sf_dir, "documents")
+    return X.hashed_features(docs, dim=64, salt="feat")

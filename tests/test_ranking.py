@@ -117,3 +117,63 @@ def test_fusion_query_plan_has_no_corpus_sort(spark):
         spark, "/root/testdata/sf0.001"
     )._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_hashed_features_unit_norm_and_determinism(spark):
+    docs = spark.createDataFrame(
+        [(1, "cat dog cat fish"), (2, "cat"), (3, "")], ["doc_id", "text"]
+    )
+    rows = X.hashed_features(docs, dim=8, salt="t").collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["bucket"], r["weight"]))
+    # L2 norm is 1 for every doc with surviving buckets
+    for doc, feats in by_doc.items():
+        assert abs(sum(w * w for _, w in feats) - 1.0) < 1e-12
+    # single-token doc -> exactly one bucket at weight +-1
+    assert len(by_doc[2]) == 1 and abs(abs(by_doc[2][0][1]) - 1.0) < 1e-15
+    # empty doc -> no rows
+    assert 3 not in by_doc
+    # stable under repartition (pure hash of content)
+    again = X.hashed_features(docs.repartition(7), dim=8, salt="t").collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_hashed_features_signs_cancel(spark):
+    # two tokens in the same bucket with opposite signs must cancel and
+    # drop the bucket; synthesize by brute-force searching token pairs
+    from lvm_datapipe_spark.operators.sampling import hash_bucket
+
+    cand = spark.createDataFrame(
+        [(f"w{i}",) for i in range(300)], ["token"]
+    ).select(
+        "token",
+        hash_bucket("token", 4, "t").alias("b"),
+        (
+            F.lit(1)
+            - F.lit(2)
+            * (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("t"), F.col("token")).cast("binary")),
+                        9,
+                        1,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 2
+            )
+        ).alias("s"),
+    )
+    rows = cand.collect()
+    pos = {(r["b"], r["s"]): r["token"] for r in rows}
+    pair = None
+    for b in range(4):
+        if (b, 1) in pos and (b, -1) in pos:
+            pair = (pos[(b, 1)], pos[(b, -1)], b)
+            break
+    assert pair, "no cancelling pair among 300 tokens (hash badly skewed?)"
+    docs = spark.createDataFrame([(1, f"{pair[0]} {pair[1]}")], ["doc_id", "text"])
+    out = X.hashed_features(docs, dim=4, salt="t").collect()
+    assert all(r["bucket"] != pair[2] for r in out)
