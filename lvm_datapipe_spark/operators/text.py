@@ -505,25 +505,7 @@ def hashed_features(
     Scale shape: one md5 per token (scan), one (doc, bucket) signed-count
     shuffle (key fan-in bounded by dim per doc), one doc-keyed norm
     aggregate joined back; no vocabulary build, no broadcast state."""
-    from lvm_datapipe_spark.operators.sampling import hash_bucket
-
-    tok = docs.select(
-        id_col, F.explode(tokens(F.lower(_c(text_col)))).alias("token")
-    )
-    h = F.md5(F.concat(F.lit(salt), F.col("token").cast("string")).cast("binary"))
-    sign = F.lit(1) - F.lit(2) * (
-        F.conv(F.substring(h, 9, 1), 16, 10).cast("bigint") % 2
-    )
-    w = (
-        tok.select(
-            id_col,
-            hash_bucket("token", dim, salt).alias("bucket"),
-            sign.alias("sign"),
-        )
-        .groupBy(id_col, "bucket")
-        .agg(F.sum("sign").cast("long").alias("w"))
-        .filter(F.col("w") != 0)
-    )
+    w = hashed_counts(docs, dim, salt, id_col, text_col)
     norm = w.groupBy(id_col).agg(
         F.sum(F.col("w") * F.col("w")).cast("long").alias("norm2")
     )
@@ -533,4 +515,37 @@ def hashed_features(
         (F.col("w").cast("double") / F.sqrt(F.col("norm2").cast("double"))).alias(
             "weight"
         ),
+    )
+
+
+def hashed_counts(
+    docs: DataFrame,
+    dim: int = 64,
+    salt: str = "feat",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The exact-integer core of :func:`hashed_features`: per-doc SIGNED
+    bucket counts ``(id_col, bucket, w)`` with zero buckets dropped.
+    Kept integer so downstream dot products stay exact BIGINT arithmetic
+    (see queries.sparse_cosine_topk) — normalization is one float
+    expression applied at the very end, never inside an aggregate."""
+    from lvm_datapipe_spark.operators.sampling import hash_bucket
+
+    tok = docs.select(
+        id_col, F.explode(tokens(F.lower(_c(text_col)))).alias("token")
+    )
+    h = F.md5(F.concat(F.lit(salt), F.col("token").cast("string")).cast("binary"))
+    sign = F.lit(1) - F.lit(2) * (
+        F.conv(F.substring(h, 9, 1), 16, 10).cast("bigint") % 2
+    )
+    return (
+        tok.select(
+            id_col,
+            hash_bucket("token", dim, salt).alias("bucket"),
+            sign.alias("sign"),
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.sum("sign").cast("long").alias("w"))
+        .filter(F.col("w") != 0)
     )

@@ -9309,3 +9309,82 @@ def doc_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return X.hashed_features(docs, dim=64, salt="feat")
+
+
+_HASHED_COUNTS_SQL = """
+    tok AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(lower(text),
+             '\\s+'), x -> x <> '')) AS token
+      FROM documents),
+    sgn AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('feat' || token), 1, 8))::BIGINT % 64
+               AS bucket,
+             1 - 2 * (('0x' || substr(md5('feat' || token), 9, 1))::BIGINT % 2)
+               AS sign
+      FROM tok),
+    w AS (SELECT doc_id, bucket, CAST(sum(sign) AS BIGINT) AS w
+          FROM sgn GROUP BY doc_id, bucket HAVING sum(sign) <> 0),
+    nrm AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS norm2
+            FROM w GROUP BY doc_id)"""
+
+
+@_q(
+    "sparse_cosine_topk",
+    f"""
+    WITH {_HASHED_COUNTS_SQL},
+    q AS (SELECT bucket, w AS qw FROM w WHERE doc_id = 0),
+    qn AS (SELECT norm2 AS qnorm2 FROM nrm WHERE doc_id = 0),
+    dots AS (
+      SELECT w.doc_id, CAST(sum(w.w * q.qw) AS BIGINT) AS dot_i
+      FROM w JOIN q USING (bucket)
+      WHERE w.doc_id <> 0
+      GROUP BY w.doc_id)
+    SELECT d.doc_id,
+           CAST(d.dot_i AS DOUBLE)
+           / (sqrt(CAST(n.norm2 AS DOUBLE)) * sqrt(CAST(qn.qnorm2 AS DOUBLE)))
+             AS cos_sim
+    FROM dots d JOIN nrm n USING (doc_id) CROSS JOIN qn
+    ORDER BY cos_sim DESC, doc_id LIMIT 10
+    """,
+)
+def sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse cosine retrieval over the hashing-trick features: top-10
+    documents most similar to doc 0, executed EXACTLY the way an inverted
+    index executes a dot product — the broadcast query vector joins the
+    corpus postings on bucket, partial products sum per doc.
+
+    Bit-portability: the dot and both squared norms are exact BIGINT
+    aggregates (order-free); cosine is ONE float expression at the end.
+    Scale shape: query features (≤ dim rows) broadcast; the only shuffle
+    is the doc-keyed partial-aggregated dot; top-10 is
+    TakeOrderedAndProject."""
+    from lvm_datapipe_spark.operators import text as X
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = X.hashed_counts(docs, dim=64, salt="feat").persist()
+    nrm = w.groupBy("doc_id").agg(
+        F.sum(F.col("w") * F.col("w")).cast("long").alias("norm2")
+    )
+    q = F.broadcast(
+        w.filter(F.col("doc_id") == 0).select("bucket", F.col("w").alias("qw"))
+    )
+    qn = F.broadcast(
+        nrm.filter(F.col("doc_id") == 0).select(F.col("norm2").alias("qnorm2"))
+    )
+    dots = (
+        w.filter(F.col("doc_id") != 0)
+        .join(q, "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("w") * F.col("qw")).cast("long").alias("dot_i"))
+    )
+    cos = F.col("dot_i").cast("double") / (
+        F.sqrt(F.col("norm2").cast("double")) * F.sqrt(F.col("qnorm2").cast("double"))
+    )
+    return (
+        dots.join(nrm, "doc_id")
+        .crossJoin(qn)
+        .select("doc_id", cos.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("doc_id"))
+        .limit(10)
+    )
