@@ -306,3 +306,24 @@ def test_cli_tx_compact(spark, tmp_path, capsys):
     status = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert status["stage"] == "tx-compact" and status["compacted"] is True
     assert txlog.read(spark, t).count() == 4
+
+
+def test_merge_and_compact_raise_on_concurrent_commit(spark, tmp_path):
+    # the O_EXCL manifest create is the commit point for EVERY op: a rival
+    # version published mid-merge/compact must surface as VersionConflict
+    t = str(tmp_path / "tbl")
+    _commit_partitioned(spark, t, [(i, "x") for i in range(20)], 4)
+
+    def _rival(version):
+        with open(os.path.join(t, "_txlog", f"{version:08d}.json"), "w") as f:
+            json.dump({"version": version, "parent": version - 1,
+                       "op": "overwrite", "files": [], "n_rows": 0,
+                       "meta": {}}, f)
+
+    _rival(2)
+    with pytest.raises(txlog.VersionConflict):
+        txlog.merge(spark, _df(spark, [(0, "y")]), t, ["id"])
+    os.remove(os.path.join(t, "_txlog", "00000002.json"))
+    _rival(2)
+    with pytest.raises(txlog.VersionConflict):
+        txlog.compact(spark, t, small_file_mb=32)
