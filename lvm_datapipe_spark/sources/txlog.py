@@ -105,12 +105,21 @@ def commit(
     race for this version number; the caller retries (its data dir is
     version-stamped with the LOSING number, so the retry rewrites it —
     never torn state).
+
+    An APPEND whose columns differ from the parent's manifested schema
+    fails loudly: ``spark.read.parquet`` over an explicit file list takes
+    the first file's schema, so a drifted append would otherwise merge
+    cleanly today and silently DROP its new column (or null out a missing
+    one) on every later read.  Overwrites may change schema freely — the
+    new version references only its own files.
     """
     if op not in ("overwrite", "append"):
         raise ValueError(f"op must be 'overwrite' or 'append', got {op!r}")
     os.makedirs(_log_dir(table_dir), exist_ok=True)
     parent = latest_version(table_dir)
     version = parent + 1
+    if op == "append" and parent > 0:
+        _check_append_schema(df, table_dir, parent)
     own, own_rows = _write_version_files(spark, df, table_dir, version)
     files = own
     n_rows = own_rows
@@ -118,8 +127,22 @@ def commit(
         pm = _read_manifest(table_dir, parent)
         files = pm["files"] + own
         n_rows += pm["n_rows"]
-    _publish(table_dir, version, parent, op, files, n_rows, meta)
+    _publish(table_dir, version, parent, op, files, n_rows, meta,
+             columns=df.columns)
     return version
+
+
+def _check_append_schema(df: DataFrame, table_dir: str, parent: int) -> None:
+    """Appends must match the parent's column set.  Older manifests
+    (pre-``columns``) skip the check — their reads already carry the
+    first-file-schema caveat this guard exists to prevent going forward."""
+    pm = _read_manifest(table_dir, parent)
+    expect = pm.get("columns")
+    if expect is not None and sorted(df.columns) != sorted(expect):
+        raise ValueError(
+            f"append columns {sorted(df.columns)} != table columns "
+            f"{sorted(expect)}; use op='overwrite' to change schema"
+        )
 
 
 def _write_version_files(
@@ -144,6 +167,7 @@ def _publish(
     files: list[str],
     n_rows: int,
     meta: dict | None,
+    columns: list[str] | None = None,
 ) -> None:
     manifest = {
         "version": version,
@@ -151,6 +175,7 @@ def _publish(
         "op": op,
         "files": files,
         "n_rows": n_rows,
+        "columns": columns,
         "meta": meta or {},
     }
     mp = _manifest_path(table_dir, version)
@@ -356,7 +381,8 @@ def merge(
         "kept_files": len(kept),
         **(meta or {}),
     }
-    _publish(table_dir, version, parent, "merge", kept + own, n_rows, merge_meta)
+    _publish(table_dir, version, parent, "merge", kept + own, n_rows,
+             merge_meta, columns=snap_cols)
     return version
 
 
@@ -411,7 +437,7 @@ def compact(
     }
     _publish(
         table_dir, version, parent, "compact", kept + own, pm["n_rows"],
-        compact_meta,
+        compact_meta, columns=pm.get("columns") or df.columns,
     )
     return version
 

@@ -327,3 +327,33 @@ def test_merge_and_compact_raise_on_concurrent_commit(spark, tmp_path):
     _rival(2)
     with pytest.raises(txlog.VersionConflict):
         txlog.compact(spark, t, small_file_mb=32)
+
+
+def test_append_schema_drift_fails_loudly(spark, tmp_path):
+    # explicit-file-list reads take the FIRST file's schema, so a drifted
+    # append would silently drop/null columns — it must raise instead
+    t = str(tmp_path / "tbl")
+    txlog.commit(spark, _df(spark, [(1, "a")]), t)
+    drifted = spark.createDataFrame([(2, "b", 1.5)], "id long, val string, score double")
+    with pytest.raises(ValueError, match="append columns"):
+        txlog.commit(spark, drifted, t, op="append")
+    narrower = spark.createDataFrame([(2,)], "id long")
+    with pytest.raises(ValueError, match="append columns"):
+        txlog.commit(spark, narrower, t, op="append")
+    # overwrite may change schema freely (it references only its own files)
+    v = txlog.commit(spark, drifted, t, op="overwrite")
+    assert txlog._read_manifest(t, v)["columns"] == ["id", "val", "score"]
+    # ...and subsequent appends validate against the NEW schema
+    txlog.commit(spark, drifted, t, op="append")
+
+
+def test_append_to_pre_columns_manifest_still_works(spark, tmp_path):
+    # manifests written before the schema field skip the check
+    t = str(tmp_path / "tbl")
+    txlog.commit(spark, _df(spark, [(1, "a")]), t)
+    mp = txlog._manifest_path(t, 1)
+    m = json.load(open(mp))
+    del m["columns"]
+    json.dump(m, open(mp, "w"))
+    txlog.commit(spark, _df(spark, [(2, "b")]), t, op="append")
+    assert txlog.read(spark, t).count() == 2
