@@ -357,3 +357,19 @@ def test_append_to_pre_columns_manifest_still_works(spark, tmp_path):
     json.dump(m, open(mp, "w"))
     txlog.commit(spark, _df(spark, [(2, "b")]), t, op="append")
     assert txlog.read(spark, t).count() == 2
+
+
+def test_merge_with_updates_derived_from_own_snapshot(spark, tmp_path):
+    # the read-modify-write production shape: updates computed FROM the
+    # table's own latest snapshot (lazy plans read the old immutable
+    # files while the new version dir is written — no self-clobber)
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "tbl")
+    _commit_partitioned(spark, t, [(i, f"v{i}") for i in range(20)], 4)
+    snap = txlog.read(spark, t)
+    upd = snap.filter(snap["id"] < 5).withColumn("val", F.upper(F.col("val")))
+    v = txlog.merge(spark, upd, t, ["id"])
+    got = {r["id"]: r["val"] for r in txlog.read(spark, t, version=v).collect()}
+    assert got[0] == "V0" and got[4] == "V4" and got[5] == "v5"
+    assert len(got) == 20
