@@ -64,6 +64,10 @@ def bm25_scores(
         raise ValueError("bm25_scores needs at least one query term")
     if len(set(terms)) != len(terms):
         raise ValueError(f"duplicate query terms: {terms}")
+    if any(t != t.lower() for t in terms):
+        # tokens are lowercased before matching; an uppercase term would
+        # silently match nothing
+        raise ValueError(f"query terms must be lowercase: {terms}")
     tok = docs.select(
         id_col, F.explode(tokens(F.lower(F.col(text_col)))).alias("token")
     )

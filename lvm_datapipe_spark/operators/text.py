@@ -464,6 +464,8 @@ def skipgram_pairs(
     is the (center, context) count with map-side partials, and the
     ``min_count`` floor is applied IN the aggregate (HAVING) so sub-floor
     pairs never leave the exchange."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
     offsets = [d for d in range(-window, window + 1) if d != 0]
     t = docs.select(id_col, tokens(F.lower(_c(text_col))).alias("toks"))
     # two generators are not allowed in one Project; chain two selects
@@ -530,6 +532,9 @@ def hashed_counts(
     Kept integer so downstream dot products stay exact BIGINT arithmetic
     (see queries.sparse_cosine_topk) — normalization is one float
     expression applied at the very end, never inside an aggregate."""
+    if dim < 1:
+        # % 0 is NULL in Spark SQL — the buckets would silently vanish
+        raise ValueError(f"dim must be >= 1, got {dim}")
     from lvm_datapipe_spark.operators.sampling import hash_bucket
 
     tok = docs.select(

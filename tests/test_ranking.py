@@ -177,3 +177,12 @@ def test_hashed_features_signs_cancel(spark):
     docs = spark.createDataFrame([(1, f"{pair[0]} {pair[1]}")], ["doc_id", "text"])
     out = X.hashed_features(docs, dim=4, salt="t").collect()
     assert all(r["bucket"] != pair[2] for r in out)
+
+
+def test_input_validation_guards(spark, tiny_docs):
+    with pytest.raises(ValueError, match="lowercase"):
+        RK.bm25_scores(tiny_docs, ("Cat",))
+    with pytest.raises(ValueError, match="window"):
+        X.skipgram_pairs(tiny_docs, window=0)
+    with pytest.raises(ValueError, match="dim"):
+        X.hashed_counts(tiny_docs, dim=0)
