@@ -380,6 +380,13 @@ def build_parser() -> argparse.ArgumentParser:
     tv = sub.add_parser("tx-vacuum", help="drop old txlog versions + unreferenced data")
     tv.add_argument("--table", required=True, help="versioned table dir")
     tv.add_argument("--keep-last", type=int, default=2)
+    td = sub.add_parser(
+        "tx-diff", help="materialize the rows added between two txlog versions"
+    )
+    td.add_argument("--table", required=True, help="versioned table dir")
+    td.add_argument("--from", dest="v_from", type=int, required=True)
+    td.add_argument("--to", dest="v_to", type=int, required=True)
+    td.add_argument("--out", required=True, help="output parquet path")
     tk = sub.add_parser(
         "tx-compact", help="bin-pack a txlog table's small files as a new version"
     )
@@ -437,6 +444,27 @@ def _cmd_tx_history(spark, args) -> None:
     )
 
 
+def _cmd_tx_diff(spark, args) -> None:
+    """Write the file-incremental delta between two versions as parquet —
+    the CLI form of the process-each-version-exactly-once contract."""
+    from lvm_datapipe_spark.sources import txlog
+
+    delta = txlog.diff_files(spark, args.table, args.v_from, args.v_to)
+    delta.write.mode("overwrite").parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    print(
+        json.dumps(
+            {
+                "stage": "tx-diff",
+                "from": args.v_from,
+                "to": args.v_to,
+                "rows": n,
+                "out": args.out,
+            }
+        )
+    )
+
+
 def _cmd_tx_compact(spark, args) -> None:
     """Bin-pack the latest version's small files into a new version."""
     from lvm_datapipe_spark.sources import txlog
@@ -485,6 +513,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             "tx-commit": _cmd_tx_commit,
             "tx-merge": _cmd_tx_merge,
             "tx-compact": _cmd_tx_compact,
+            "tx-diff": _cmd_tx_diff,
             "tx-history": _cmd_tx_history,
             "tx-vacuum": _cmd_tx_vacuum,
             "analyze": _cmd_analyze,

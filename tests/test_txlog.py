@@ -373,3 +373,28 @@ def test_merge_with_updates_derived_from_own_snapshot(spark, tmp_path):
     got = {r["id"]: r["val"] for r in txlog.read(spark, t, version=v).collect()}
     assert got[0] == "V0" and got[4] == "V4" and got[5] == "v5"
     assert len(got) == 20
+
+
+def test_cli_tx_diff(spark, tmp_path, capsys):
+    import json as _json
+
+    from lvm_datapipe_spark import cli
+
+    base = str(tmp_path / "base.parquet")
+    more = str(tmp_path / "more.parquet")
+    t = str(tmp_path / "tbl")
+    out = str(tmp_path / "delta.parquet")
+    _df(spark, [(1, "a")]).write.parquet(base)
+    _df(spark, [(2, "b"), (3, "c")]).write.parquet(more)
+    assert cli.main(["tx-commit", "--table", base, "--out", t], spark=spark) == 0
+    assert cli.main(
+        ["tx-commit", "--table", more, "--out", t, "--op", "append"], spark=spark
+    ) == 0
+    capsys.readouterr()
+    assert cli.main(
+        ["tx-diff", "--table", t, "--from", "1", "--to", "2", "--out", out],
+        spark=spark,
+    ) == 0
+    status = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert status["stage"] == "tx-diff" and status["rows"] == 2
+    assert {r["id"] for r in spark.read.parquet(out).collect()} == {2, 3}
