@@ -495,6 +495,118 @@ def render_txlog_merge_md(res: dict) -> list[str]:
     ]
 
 
+def bench_bm25_postings(spark, quick: bool) -> dict:
+    """BM25 posting-list evidence, two parts.
+
+    (a) PUSHDOWN PROOF: the 'naive' formulation (aggregate tf for every
+    token, filter to the query terms AFTER) compiles to the SAME plan as
+    the hand-written filter-first shape — the term filter is on a
+    grouping key, so Catalyst pushes it through the aggregate.  Recorded
+    as a plan-text boolean, because there is no slower plan to race: the
+    declarative formulation already IS the posting-list plan.
+
+    (b) COST OF THE FILTER: the tf aggregate over the query terms'
+    posting lists versus over the whole token stream (what scoring with
+    no term predicate — or materializing a full tf table per query —
+    would pay)."""
+    from pyspark.sql import functions as F
+
+    from lvm_datapipe_spark.operators.text import tokens as toks_expr
+
+    n_docs = 50_000 if quick else 2_000_000
+    words = [f"w{i}" for i in range(100)]
+    terms = ("w3", "w57", "w91")
+    # deterministic corpus: 20 distinct tokens/doc via id arithmetic over
+    # a 100-word vocabulary (each term hits ~1/100th of the token stream)
+    warr = "array(" + ",".join(f"'{w}'" for w in words) + ")"
+    text = F.expr(
+        "concat_ws(' ', transform(sequence(0, 19), "
+        f"k -> element_at({warr}, cast((doc_id * 7 + k * 13) % 100 AS INT) + 1)))"
+    )
+    docs = (
+        spark.range(0, n_docs, 1, 32)
+        .withColumnRenamed("id", "doc_id")
+        .select("doc_id", text.alias("text"))
+        .persist()
+    )
+    docs.count()  # materialize the corpus before timing
+    tok = docs.select(
+        "doc_id", F.explode(toks_expr(F.lower(F.col("text")))).alias("token")
+    )
+    # (a) pushdown proof on the naive formulation
+    naive = (
+        tok.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .filter(F.col("token").isin(list(terms)))
+    )
+    opt = naive._jdf.queryExecution().optimizedPlan().toString()
+    lines = opt.splitlines()
+    agg_i = next(i for i, l in enumerate(lines) if "Aggregate" in l)
+    pushed = any(
+        "Filter" in l and "token" in l and " IN " in l for l in lines[agg_i:]
+    )
+    # (b) filtered vs full tf aggregate
+    t0 = time.time()
+    post_rows = (
+        tok.filter(F.col("token").isin(list(terms)))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .count()
+    )
+    post_sec = round(time.time() - t0, 2)
+    t0 = time.time()
+    full_rows = (
+        tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf")).count()
+    )
+    full_sec = round(time.time() - t0, 2)
+    docs.unpersist()
+    return {
+        "n_docs": n_docs,
+        "total_tokens": n_docs * 20,
+        "naive_formulation_filter_pushed_below_agg": pushed,
+        "postings_sec": post_sec,
+        "postings_rows": post_rows,
+        "full_tf_sec": full_sec,
+        "full_tf_rows": full_rows,
+    }
+
+
+def render_bm25_md(res: dict) -> list[str]:
+    t = res["bm25_postings"]
+    return [
+        "## 7. BM25 posting-list scoring (pushdown proof + filter cost)",
+        "",
+        f"Corpus: {t['n_docs']:,} synthetic docs x 20 distinct tokens "
+        f"({t['total_tokens']:,} tokens; 3 query terms).",
+        "",
+        "**Pushdown proof** — the naive formulation (tf aggregate over",
+        "every token, term filter AFTER) optimizes to the filter-first",
+        "posting-list plan: the term predicate is on a grouping key, so",
+        "Catalyst pushes it through the aggregate.  Verified in the",
+        f"optimized plan text: `Filter token IN (...)` below the",
+        f"Aggregate = **{t['naive_formulation_filter_pushed_below_agg']}**.",
+        "There is no slower 'naive plan' to race — declaring the filter",
+        "anywhere yields the posting-list shape.",
+        "",
+        "**What the filter buys** — the (doc, term) tf aggregate over the",
+        "query terms' posting lists vs over the whole stream (the cost of",
+        "scoring without a term predicate, or of materializing a full tf",
+        "table per query):",
+        "",
+        "| tf aggregate input | output rows | sec |",
+        "|---|---|---|",
+        f"| query-term posting lists | {t['postings_rows']:,} "
+        f"| {t['postings_sec']} |",
+        f"| full token stream | {t['full_tf_rows']:,} | {t['full_tf_sec']} |",
+        "",
+        "- At 100 TB with a web vocabulary the full-stream aggregate",
+        "  shuffles the tokenized corpus; the posting-list form shuffles",
+        "  a few terms' occurrences.  The doc-length side is corpus",
+        "  metadata — computed once, reusable across queries.",
+        "",
+    ]
+
+
 def render_txlog_md(res: dict) -> list[str]:
     t = res["txlog_incremental"]
     pts = {int(k): v for k, v in t["points"].items()}
@@ -670,6 +782,8 @@ def render_md(res: dict) -> str:
         lines += render_txlog_md(res)
     if "txlog_merge" in res:
         lines += render_txlog_merge_md(res)
+    if "bm25_postings" in res:
+        lines += render_bm25_md(res)
     return "\n".join(lines)
 
 
@@ -705,6 +819,8 @@ def main() -> None:
     res["txlog_incremental"] = bench_txlog_incremental(spark, quick)
     print("== txlog file-granular merge ==", flush=True)
     res["txlog_merge"] = bench_txlog_merge(spark, quick)
+    print("== bm25 posting-list scoring ==", flush=True)
+    res["bm25_postings"] = bench_bm25_postings(spark, quick)
 
     with open(os.path.join(REPO, "SCALE_BENCH.json"), "w") as f:
         json.dump(res, f, indent=2, sort_keys=True)
@@ -721,7 +837,11 @@ def main() -> None:
             f.write(
                 md.rstrip("\n")
                 + "\n\n"
-                + "\n".join(render_txlog_md(res) + render_txlog_merge_md(res))
+                + "\n".join(
+                    render_txlog_md(res)
+                    + render_txlog_merge_md(res)
+                    + render_bm25_md(res)
+                )
             )
     else:
         with open(os.path.join(REPO, "SCALE_BENCH.md"), "w") as f:
