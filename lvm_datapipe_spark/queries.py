@@ -9388,3 +9388,44 @@ def sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_sim"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+@_q(
+    "kanonymity_audit",
+    """
+    SELECT c_nationkey,
+           CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+           CAST(count(*) AS BIGINT) AS k,
+           CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS l,
+           count(*) < 5 AS violates_k5,
+           count(DISTINCT c_mktsegment) < 2 AS violates_l2
+    FROM customer
+    GROUP BY c_nationkey, CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT)
+    """,
+)
+def kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit (Sweeney; Machanavajjhala et al.):
+    for each quasi-identifier equivalence class (nation x coarse account-
+    balance band), the class size k and the diversity l of the sensitive
+    attribute (market segment), with the k<5 / l<2 violation flags — the
+    re-identification risk report a release gate runs BEFORE publishing a
+    "de-identified" extract (small classes re-identify by linkage; k-safe
+    but homogeneous classes still leak the sensitive value).  Compliance
+    sibling of [[erasure_cascade_audit]].
+
+    Scale shape: ONE keyed aggregate over the quasi-identifier columns
+    (count + count-distinct share the shuffle); output is cell-count
+    sized, bounded by the QI domain, never the table."""
+    c = load_table(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("long")
+    k = F.count(F.lit(1))
+    l = F.countDistinct("c_mktsegment")
+    return (
+        c.groupBy(F.col("c_nationkey"), band.alias("bal_band"))
+        .agg(
+            k.cast("long").alias("k"),
+            l.cast("long").alias("l"),
+            (k < 5).alias("violates_k5"),
+            (l < 2).alias("violates_l2"),
+        )
+    )
