@@ -9429,3 +9429,61 @@ def kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (l < 2).alias("violates_l2"),
         )
     )
+
+
+@_q(
+    "item_item_cosine",
+    """
+    WITH b AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    item AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY l_partkey),
+    pair AS (
+      SELECT x.l_partkey AS p1, y.l_partkey AS p2, CAST(count(*) AS BIGINT) AS co
+      FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+      GROUP BY x.l_partkey, y.l_partkey
+      HAVING count(*) >= 3)
+    SELECT p.p1, p.p2, p.co,
+           CAST(p.co AS DOUBLE)
+             / (sqrt(CAST(i1.cnt AS DOUBLE)) * sqrt(CAST(i2.cnt AS DOUBLE)))
+             AS cosine
+    FROM pair p
+    JOIN item i1 ON i1.l_partkey = p.p1
+    JOIN item i2 ON i2.l_partkey = p.p2
+    """,
+)
+def item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item cosine similarity over co-purchase sets — the implicit-
+    feedback recommender's retrieval form: each part is the binary vector
+    of orders containing it, so cos(p1, p2) = co / (sqrt(c1)·sqrt(c2))
+    with every count exact BIGINT and ONE float expression at the end.
+    [[basket_part_lift]] measures association strength (independence-
+    normalized); this measures vector similarity (popularity-normalized)
+    — recommenders rank by cosine precisely because lift over-rewards
+    rare-rare pairs.
+
+    Scale shape: identical to the lift query — basket distinct, canonical
+    (p1 < p2) pair aggregate with the support floor applied IN the
+    aggregate, item counts broadcast back."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    b = li.distinct()
+    item = b.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    x = b.select("l_orderkey", F.col("l_partkey").alias("p1"))
+    y = b.select("l_orderkey", F.col("l_partkey").alias("p2"))
+    pair = (
+        x.join(y, "l_orderkey")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).cast("long").alias("co"))
+        .filter(F.col("co") >= 3)
+    )
+    i1 = item.select(F.col("l_partkey").alias("p1"), F.col("cnt").alias("c1"))
+    i2 = item.select(F.col("l_partkey").alias("p2"), F.col("cnt").alias("c2"))
+    cos = F.col("co").cast("double") / (
+        F.sqrt(F.col("c1").cast("double")) * F.sqrt(F.col("c2").cast("double"))
+    )
+    return (
+        pair.join(F.broadcast(i1), "p1")
+        .join(F.broadcast(i2), "p2")
+        .select("p1", "p2", "co", cos.alias("cosine"))
+    )
