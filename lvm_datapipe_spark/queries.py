@@ -9487,3 +9487,88 @@ def item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(i2), "p2")
         .select("p1", "p2", "co", cos.alias("cosine"))
     )
+
+
+#: Poisson(1) CDF over the 32-bit md5-prefix space: floor(cum_k * 2^32) for
+#: k = 0..3 (k >= 4 is the clamped tail).  Integer thresholds make the
+#: replicate weights pure integer arithmetic — bit-portable by construction.
+_POIS_T = (1580030168, 3160060337, 3950075421, 4213413783)
+_BOOT_B = 8
+
+
+def _boot_sql() -> str:
+    cols, arms = [], []
+    for b in range(_BOOT_B):
+        h = (f"('0x' || substr(md5('boot{b}:' || CAST(event_id AS VARCHAR)), "
+             "1, 8))::BIGINT")
+        k = (f"CASE WHEN {h} < {_POIS_T[0]} THEN 0 "
+             f"WHEN {h} < {_POIS_T[1]} THEN 1 "
+             f"WHEN {h} < {_POIS_T[2]} THEN 2 "
+             f"WHEN {h} < {_POIS_T[3]} THEN 3 ELSE 4 END")
+        cols.append(
+            f"CAST(SUM({k}) AS BIGINT) AS n_{b}, "
+            f"{_DEC_SUM.format(x=f'value * {k}')} "
+            f"/ CAST(SUM({k}) AS DOUBLE) AS m_{b}"
+        )
+        arms.append(
+            f"SELECT event_type, CAST({b} AS INTEGER) AS replicate, "
+            f"n_{b} AS n, m_{b} AS mean_value FROM agg"
+        )
+    return (
+        "WITH agg AS (SELECT event_type, "
+        + ",\n      ".join(cols)
+        + " FROM events GROUP BY event_type)\n    "
+        + "\n    UNION ALL ".join(arms)
+    )
+
+
+@_q("bootstrap_mean_replicates", _boot_sql())
+def bootstrap_mean_replicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap (Chamandy et al.'s one-pass scheme) for the
+    uncertainty of per-type mean event value: each of 8 replicates
+    weights every row by a DETERMINISTIC Poisson(1) draw (md5-derived
+    32-bit uniform against integer CDF thresholds — replayable on any
+    engine, stable under repartition), so all replicate means come from
+    ONE scan with 8 conditional aggregates.  No resampling fan-out, no
+    8x shuffle: the classic bootstrap's per-replicate resample becomes a
+    per-row weight column, which is the only form that survives 100 TB.
+    Replicate spread = the standard error readout for [[ab_test_welch_z]]
+    -style metric reports where the normal approximation is in doubt."""
+    ev = load_table(spark, sf_dir, "events")
+    aggs = []
+    for b in range(_BOOT_B):
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"boot{b}:"), F.col("event_id").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        k = (
+            F.when(h < _POIS_T[0], 0)
+            .when(h < _POIS_T[1], 1)
+            .when(h < _POIS_T[2], 2)
+            .when(h < _POIS_T[3], 3)
+            .otherwise(4)
+        )
+        aggs.append(F.sum(k).cast("long").alias(f"n_{b}"))
+        aggs.append(
+            (
+                A.decimal_sum(F.col("value") * k)
+                / F.sum(k).cast("double")
+            ).alias(f"m_{b}")
+        )
+    agg = ev.groupBy("event_type").agg(*aggs)
+    stack_args = ", ".join(
+        f"CAST({b} AS INT), n_{b}, m_{b}" for b in range(_BOOT_B)
+    )
+    return agg.selectExpr(
+        "event_type",
+        f"stack({_BOOT_B}, {stack_args}) AS (replicate, n, mean_value)",
+    )
