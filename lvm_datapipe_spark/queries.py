@@ -9572,3 +9572,62 @@ def bootstrap_mean_replicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         f"stack({_BOOT_B}, {stack_args}) AS (replicate, n, mean_value)",
     )
+
+
+@_q(
+    "graph_triangle_counts",
+    """
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT x.l_partkey AS a, y.l_partkey AS bb
+      FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+      GROUP BY x.l_partkey, y.l_partkey
+      HAVING count(*) >= 2),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT a AS node FROM e UNION ALL SELECT bb AS node FROM e)
+      GROUP BY node),
+    d AS (
+      SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND e.a < e.bb)
+                  THEN e.a ELSE e.bb END AS u,
+             CASE WHEN (da.d < db.d) OR (da.d = db.d AND e.a < e.bb)
+                  THEN e.bb ELSE e.a END AS v
+      FROM e JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.bb),
+    dv AS (SELECT d.u, d.v, deg.d AS dvg FROM d JOIN deg ON deg.node = d.v),
+    tri AS (
+      SELECT w1.u AS x, w1.v AS y, w2.v AS z
+      FROM dv w1 JOIN dv w2 ON w1.u = w2.u
+           AND ((w1.dvg < w2.dvg) OR (w1.dvg = w2.dvg AND w1.v < w2.v))
+      JOIN d c ON c.u = w1.v AND c.v = w2.v)
+    SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
+      SELECT x AS node FROM tri
+      UNION ALL SELECT y AS node FROM tri
+      UNION ALL SELECT z AS node FROM tri)
+    GROUP BY node
+    """,
+)
+def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the co-purchase graph (edges = part
+    pairs co-ordered >= 2 times; the floor keeps the graph
+    triangle-dense at BOTH oracle scales — a floor of 3 leaves sf0.01
+    triangle-free and the gate would verify nothing).  The counting core
+    is operators/graph.py:triangle_counts — degree orientation bounds
+    the wedge join's fan-out at O(sqrt(m)) per key, so the hub part that
+    would explode a naive 2-hop self-join never becomes a join key; see
+    the operator docstring for the Chiba-Nishizeki/Suri-Vassilvitskii
+    construction.  All keyed joins, all integer arithmetic."""
+    from lvm_datapipe_spark.operators.graph import triangle_counts
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    bb = li.distinct()
+    x = bb.select("l_orderkey", F.col("l_partkey").alias("a"))
+    y = bb.select("l_orderkey", F.col("l_partkey").alias("bb"))
+    e = (
+        x.join(y, "l_orderkey")
+        .filter(F.col("a") < F.col("bb"))
+        .groupBy("a", "bb")
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= 2)
+        .select("a", "bb")
+    )
+    return triangle_counts(e, "a", "bb")

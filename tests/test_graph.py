@@ -322,3 +322,52 @@ def test_incremental_components_keeps_singletons(spark):
         for r in incremental_components(prev, new).collect()
     )
     assert inc == {1: 1, 2: 1, 3: 1, 9: 9}
+
+
+# --- triangle counting (degree orientation) --------------------------------
+
+
+def _brute_triangles(edges):
+    from itertools import combinations
+
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    counts = {}
+    for x, y, z in combinations(sorted(adj), 3):
+        if y in adj[x] and z in adj[x] and z in adj[y]:
+            for n in (x, y, z):
+                counts[n] = counts.get(n, 0) + 1
+    return counts
+
+
+@pytest.mark.parametrize(
+    "edges",
+    [
+        # K4 plus a pendant: every K4 node is in 3 triangles, pendant in 0
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)],
+        # two triangles sharing an edge + an isolated edge
+        [(1, 2), (2, 3), (1, 3), (2, 4), (3, 4), (8, 9)],
+        # triangle-free (star + path)
+        [(1, 2), (1, 3), (1, 4), (5, 6), (6, 7)],
+    ],
+)
+def test_triangle_counts_match_brute_force(spark, edges):
+    from lvm_datapipe_spark.operators.graph import triangle_counts
+
+    df = _pairs(spark, edges)
+    got = {r["node"]: r["triangles"] for r in triangle_counts(df).collect()}
+    assert got == _brute_triangles(edges)
+
+
+def test_triangle_counts_deterministic_under_repartition_and_orientation(spark):
+    from lvm_datapipe_spark.operators.graph import triangle_counts
+
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 1), (2, 4)]  # K4 again
+    flipped = [(b, a) for a, b in edges]  # reversed orientations
+    a = {r["node"]: r["triangles"]
+         for r in triangle_counts(_pairs(spark, edges)).collect()}
+    b = {r["node"]: r["triangles"]
+         for r in triangle_counts(_pairs(spark, flipped).repartition(7)).collect()}
+    assert a == b == _brute_triangles(edges)
