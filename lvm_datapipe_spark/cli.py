@@ -380,6 +380,12 @@ def build_parser() -> argparse.ArgumentParser:
     tv = sub.add_parser("tx-vacuum", help="drop old txlog versions + unreferenced data")
     tv.add_argument("--table", required=True, help="versioned table dir")
     tv.add_argument("--keep-last", type=int, default=2)
+    tx = sub.add_parser(
+        "tx-delete", help="delete rows by key from a txlog table (new version)"
+    )
+    tx.add_argument("--table", required=True, help="keys parquet path")
+    tx.add_argument("--out", required=True, help="versioned table dir")
+    tx.add_argument("--keys", nargs="+", required=True, help="key columns")
     td = sub.add_parser(
         "tx-diff", help="materialize the rows added between two txlog versions"
     )
@@ -439,6 +445,27 @@ def _cmd_tx_history(spark, args) -> None:
                 "stage": "tx-history",
                 "latest": txlog.latest_version(args.table),
                 "history": txlog.history(args.table),
+            }
+        )
+    )
+
+
+def _cmd_tx_delete(spark, args) -> None:
+    """Delete rows by key (file-granular); see txlog.delete's vacuum
+    caveat for compliance erasure."""
+    from lvm_datapipe_spark.sources import txlog
+
+    keys = spark.read.parquet(args.table)
+    v = txlog.delete(spark, keys, args.out, key_cols=list(args.keys))
+    m = txlog._read_manifest(args.out, v)
+    print(
+        json.dumps(
+            {
+                "stage": "tx-delete",
+                "version": v,
+                "out": args.out,
+                "deleted_rows": m["meta"].get("deleted_rows"),
+                "rewritten_files": m["meta"].get("rewritten_files"),
             }
         )
     )
@@ -512,6 +539,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             "wds-export": _cmd_wds_export,
             "tx-commit": _cmd_tx_commit,
             "tx-merge": _cmd_tx_merge,
+            "tx-delete": _cmd_tx_delete,
             "tx-compact": _cmd_tx_compact,
             "tx-diff": _cmd_tx_diff,
             "tx-history": _cmd_tx_history,

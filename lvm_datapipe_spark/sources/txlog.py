@@ -386,6 +386,85 @@ def merge(
     return version
 
 
+def delete(
+    spark: SparkSession,
+    keys: DataFrame,
+    table_dir: str,
+    key_cols: list[str],
+    meta: dict | None = None,
+) -> int:
+    """File-granular DELETE: remove every row whose key appears in
+    ``keys`` (MERGE minus the insert arm — same affected-file semi-join
+    on ``_metadata.file_path``, same carry-by-reference for untouched
+    files).  Returns the new version; the manifest meta records
+    ``deleted_rows`` for the audit trail.
+
+    COMPLIANCE CAVEAT (right-to-be-forgotten): a delete creates a new
+    VERSION — the deleted rows still exist in every older version's
+    files until :func:`vacuum` drops the manifests that reference them.
+    An erasure pipeline is therefore delete -> vacuum(keep_last=1),
+    with [[erasure_cascade_audit]]-style counts captured BEFORE the
+    destructive pair.  Raises :class:`VersionConflict` on a concurrent
+    commit, like every other writer."""
+    parent = latest_version(table_dir)
+    if parent == 0:
+        raise FileNotFoundError(f"{table_dir} has no committed versions")
+    pm = _read_manifest(table_dir, parent)
+    snap_cols = pm.get("columns") or spark.read.parquet(*pm["files"]).columns
+    missing = [k for k in key_cols if k not in snap_cols]
+    if missing:
+        raise ValueError(f"key columns {missing} not in table schema")
+    from pyspark.sql import functions as F
+
+    kdf = keys.select(*key_cols).distinct().persist()
+    snap = spark.read.parquet(*pm["files"])
+    affected_uris = [
+        r[0]
+        for r in snap.select(
+            F.col("_metadata.file_path").alias("fp"), *key_cols
+        )
+        .join(kdf, key_cols, "left_semi")
+        .select("fp")
+        .distinct()
+        .collect()
+    ]
+    by_abs = {os.path.abspath(f): f for f in pm["files"]}
+    affected_abs = {os.path.abspath(_strip_scheme(u)) for u in affected_uris}
+    if not affected_abs <= by_abs.keys():
+        raise RuntimeError(
+            f"semi-join returned files outside the manifest: "
+            f"{sorted(affected_abs - by_abs.keys())[:3]}"
+        )
+    affected = {by_abs[a] for a in affected_abs}
+    kept = [f for f in pm["files"] if f not in affected]
+    version = parent + 1
+    if not affected:  # nothing matched: publish an empty-delta version
+        kdf.unpersist()
+        _publish(
+            table_dir, version, parent, "delete", kept, pm["n_rows"],
+            {"delete_keys": list(key_cols), "deleted_rows": 0,
+             "rewritten_files": 0, "kept_files": len(kept), **(meta or {})},
+            columns=snap_cols,
+        )
+        return version
+    touched = spark.read.parquet(*sorted(affected))
+    touched_rows = touched.count()
+    survivors = touched.join(kdf, key_cols, "left_anti")
+    try:
+        own, own_rows = _write_version_files(spark, survivors, table_dir, version)
+    finally:
+        kdf.unpersist()
+    n_rows = pm["n_rows"] - touched_rows + own_rows
+    _publish(
+        table_dir, version, parent, "delete", kept + own, n_rows,
+        {"delete_keys": list(key_cols), "deleted_rows": touched_rows - own_rows,
+         "rewritten_files": len(affected), "kept_files": len(kept),
+         **(meta or {})},
+        columns=snap_cols,
+    )
+    return version
+
+
 def compact(
     spark: SparkSession,
     table_dir: str,

@@ -398,3 +398,63 @@ def test_cli_tx_diff(spark, tmp_path, capsys):
     status = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert status["stage"] == "tx-diff" and status["rows"] == 2
     assert {r["id"] for r in spark.read.parquet(out).collect()} == {2, 3}
+
+
+def test_delete_removes_keys_file_granularly(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    _commit_partitioned(spark, t, [(i, f"v{i}") for i in range(40)], 4)
+    before = txlog._read_manifest(t, 1)["files"]
+    keys = spark.createDataFrame([(0,), (1,), (100,)], "id long")  # 100 absent
+    v = txlog.delete(spark, keys, t, ["id"])
+    m = txlog._read_manifest(t, v)
+    assert m["op"] == "delete"
+    assert m["meta"]["deleted_rows"] == 2
+    assert m["meta"]["rewritten_files"] >= 1
+    kept = [f for f in m["files"] if f in set(before)]
+    assert len(kept) >= 2  # untouched files carried by reference
+    got = {r["id"] for r in txlog.read(spark, t).collect()}
+    assert 0 not in got and 1 not in got and len(got) == 38
+    # time travel: pre-delete snapshot intact until vacuum (the caveat)
+    assert txlog.read(spark, t, version=1).count() == 40
+    res = txlog.vacuum(t, keep_last=1)
+    assert res["dropped_versions"] == [1]
+    with pytest.raises(FileNotFoundError):
+        txlog.read(spark, t, version=1)
+
+
+def test_delete_no_match_publishes_empty_delta(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    txlog.commit(spark, _df(spark, [(1, "a")]), t)
+    v = txlog.delete(spark, spark.createDataFrame([(9,)], "id long"), t, ["id"])
+    m = txlog._read_manifest(t, v)
+    assert m["meta"]["deleted_rows"] == 0 and m["n_rows"] == 1
+    assert txlog.read(spark, t).count() == 1
+
+
+def test_delete_bad_key_and_empty_table(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    with pytest.raises(FileNotFoundError):
+        txlog.delete(spark, _df(spark, [(1, "a")]), str(tmp_path / "no"), ["id"])
+    txlog.commit(spark, _df(spark, [(1, "a")]), t)
+    with pytest.raises(ValueError, match="key columns"):
+        txlog.delete(spark, _df(spark, [(1, "a")]), t, ["nope"])
+
+
+def test_cli_tx_delete(spark, tmp_path, capsys):
+    import json as _json
+
+    from lvm_datapipe_spark import cli
+
+    base = str(tmp_path / "base.parquet")
+    keys = str(tmp_path / "keys.parquet")
+    t = str(tmp_path / "tbl")
+    _df(spark, [(1, "a"), (2, "b"), (3, "c")]).write.parquet(base)
+    spark.createDataFrame([(2,)], "id long").write.parquet(keys)
+    assert cli.main(["tx-commit", "--table", base, "--out", t], spark=spark) == 0
+    capsys.readouterr()
+    assert cli.main(
+        ["tx-delete", "--table", keys, "--out", t, "--keys", "id"], spark=spark
+    ) == 0
+    status = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert status["stage"] == "tx-delete" and status["deleted_rows"] == 1
+    assert {r["id"] for r in txlog.read(spark, t).collect()} == {1, 3}
