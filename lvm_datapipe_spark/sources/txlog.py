@@ -281,6 +281,36 @@ def _strip_scheme(path: str) -> str:
     return path
 
 
+def _affected_files(
+    spark: SparkSession, pm: dict, keys: DataFrame, key_cols: list[str]
+) -> set:
+    """Manifest files containing at least one row matching ``keys``: one
+    key semi-join against the snapshot's ``_metadata.file_path`` column
+    (result is file-path-sized), canonicalized against the manifest's
+    possibly-relative paths."""
+    from pyspark.sql import functions as F
+
+    snap = spark.read.parquet(*pm["files"])
+    uris = [
+        r[0]
+        for r in snap.select(
+            F.col("_metadata.file_path").alias("fp"), *key_cols
+        )
+        .join(keys, key_cols, "left_semi")
+        .select("fp")
+        .distinct()
+        .collect()
+    ]
+    by_abs = {os.path.abspath(f): f for f in pm["files"]}
+    affected_abs = {os.path.abspath(_strip_scheme(u)) for u in uris}
+    if not affected_abs <= by_abs.keys():
+        raise RuntimeError(
+            f"semi-join returned files outside the manifest: "
+            f"{sorted(affected_abs - by_abs.keys())[:3]}"
+        )
+    return {by_abs[a] for a in affected_abs}
+
+
 def merge(
     spark: SparkSession,
     updates: DataFrame,
@@ -339,27 +369,7 @@ def merge(
             f"updates are not unique on {key_cols}; MERGE would be "
             "order-dependent"
         )
-    snap = spark.read.parquet(*pm["files"])
-    affected_uris = [
-        r[0]
-        for r in snap.select(
-            F.col("_metadata.file_path").alias("fp"), *key_cols
-        )
-        .join(keys, key_cols, "left_semi")
-        .select("fp")
-        .distinct()
-        .collect()
-    ]
-    # manifests may hold relative paths (tx-commit --out tbl); the
-    # metadata column is always an absolute URI — compare canonicalized
-    by_abs = {os.path.abspath(f): f for f in pm["files"]}
-    affected_abs = {os.path.abspath(_strip_scheme(u)) for u in affected_uris}
-    if not affected_abs <= by_abs.keys():
-        raise RuntimeError(
-            f"semi-join returned files outside the manifest: "
-            f"{sorted(affected_abs - by_abs.keys())[:3]}"
-        )
-    affected = {by_abs[a] for a in affected_abs}
+    affected = _affected_files(spark, pm, keys, key_cols)
     kept = [f for f in pm["files"] if f not in affected]
     version = parent + 1
     if affected:
@@ -417,25 +427,7 @@ def delete(
     from pyspark.sql import functions as F
 
     kdf = keys.select(*key_cols).distinct().persist()
-    snap = spark.read.parquet(*pm["files"])
-    affected_uris = [
-        r[0]
-        for r in snap.select(
-            F.col("_metadata.file_path").alias("fp"), *key_cols
-        )
-        .join(kdf, key_cols, "left_semi")
-        .select("fp")
-        .distinct()
-        .collect()
-    ]
-    by_abs = {os.path.abspath(f): f for f in pm["files"]}
-    affected_abs = {os.path.abspath(_strip_scheme(u)) for u in affected_uris}
-    if not affected_abs <= by_abs.keys():
-        raise RuntimeError(
-            f"semi-join returned files outside the manifest: "
-            f"{sorted(affected_abs - by_abs.keys())[:3]}"
-        )
-    affected = {by_abs[a] for a in affected_abs}
+    affected = _affected_files(spark, pm, kdf, key_cols)
     kept = [f for f in pm["files"] if f not in affected]
     version = parent + 1
     if not affected:  # nothing matched: publish an empty-delta version
