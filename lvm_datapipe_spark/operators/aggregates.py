@@ -378,3 +378,84 @@ def sketch_median(sketch: DataFrame, group_col: str) -> DataFrame:
         F.col("n").alias("n"),
         F.when(F.col("width") == 0.0, F.col("mn")).otherwise(est).alias("median_est"),
     )
+
+
+def cm_sketch(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 256,
+    salt: str = "cm",
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan) of a value column's
+    frequency distribution — the mergeable point-frequency companion to
+    the HLL (distinct), Misra-Gries (top-k) and fixed-bin quantile
+    sketches.  Returns the ``depth x width`` counter table as rows
+    ``(d, bucket, cnt)`` (absent cells are implicit zeros), built with
+    ONE scan: each value fans out to ``depth`` md5-derived buckets
+    (deterministic, engine-portable — same idiom as
+    ``sampling.hash_bucket``) and a single keyed count aggregates them.
+
+    Sketches MERGE by summing cell-wise (:func:`cm_merge`) — the
+    no-rescan rollup property: materialize one sketch per day partition,
+    answer any coarser window by summing sketches.  Estimates
+    (:func:`cm_estimate`) are min-over-rows and NEVER undercount;
+    overcount is bounded by e·N/width with prob 1-(1/e)^depth.
+    Approximate by nature → TEST-verified (overestimate-only + bound +
+    merge == whole-corpus sketch), like the other sketches."""
+    rows = []
+    for d in range(depth):
+        h = F.md5(
+            F.concat(F.lit(f"{salt}{d}:"), F.col(value_col).cast("string")).cast(
+                "binary"
+            )
+        )
+        b = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % width
+        rows.append(F.struct(F.lit(d).alias("d"), b.alias("bucket")))
+    return (
+        df.select(F.explode(F.array(*rows)).alias("cell"))
+        .select("cell.d", "cell.bucket")
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cm_merge(*sketches: DataFrame) -> DataFrame:
+    """Sum count-min sketches cell-wise (all must share depth/width/salt)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("d", "bucket").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+
+
+def cm_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    salt: str = "cm",
+) -> DataFrame:
+    """Point-frequency estimates for ``keys`` from a count-min sketch:
+    min over the depth rows of the addressed cells (missing cells are
+    true zeros).  The sketch is sketch-sized — broadcast — so lookup is
+    a scan of ``keys``, never of the sketched corpus."""
+    cells = []
+    for d in range(depth):
+        h = F.md5(
+            F.concat(F.lit(f"{salt}{d}:"), F.col(key_col).cast("string")).cast(
+                "binary"
+            )
+        )
+        b = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % width
+        cells.append(F.struct(F.lit(d).alias("d"), b.alias("bucket")))
+    addressed = keys.select(
+        key_col, F.explode(F.array(*cells)).alias("cell")
+    ).select(key_col, "cell.d", "cell.bucket")
+    joined = addressed.join(F.broadcast(sketch), ["d", "bucket"], "left")
+    return (
+        joined.groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est"))
+    )

@@ -188,3 +188,46 @@ def test_heavy_hitters_containment_guarantee(spark):
     # the three hot values dominate the ranking
     top3 = sorted(hh, key=lambda v: -hh[v])[:3]
     assert set(top3) == {"hot_a", "hot_b", "hot_c"}
+
+
+# --- count-min sketch ------------------------------------------------------
+
+
+def test_cm_sketch_never_undercounts_and_bounds(spark):
+    from collections import Counter
+
+    from lvm_datapipe_spark.operators.aggregates import cm_estimate, cm_sketch
+
+    vals = [f"k{i % 37}" for i in range(2000)] + ["hot"] * 500
+    true = Counter(vals)
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    sk = cm_sketch(df, "v", depth=4, width=256).persist()
+    keys = spark.createDataFrame([(k,) for k in true], ["v"])
+    est = {r["v"]: r["est"] for r in cm_estimate(sk, keys, "v").collect()}
+    n = len(vals)
+    for k, t in true.items():
+        assert est[k] >= t, f"undercount for {k}"
+        # e*N/width error bound (holds deterministically here: the
+        # documented failure prob at depth 4 is (1/e)^4 ~ 1.8%)
+        assert est[k] - t <= 2.718281828 * n / 256 + 1
+    # an absent key estimates near zero (collisions only)
+    miss = cm_estimate(
+        sk, spark.createDataFrame([("absent",)], ["v"]), "v"
+    ).first()["est"]
+    assert 0 <= miss <= 2.718281828 * n / 256 + 1
+
+
+def test_cm_merge_equals_whole_corpus_sketch(spark):
+    from lvm_datapipe_spark.operators.aggregates import cm_merge, cm_sketch
+
+    a = spark.createDataFrame([(f"x{i % 11}",) for i in range(300)], ["v"])
+    b = spark.createDataFrame([(f"x{i % 7}",) for i in range(200)], ["v"])
+    merged = {
+        (r["d"], r["bucket"]): r["cnt"]
+        for r in cm_merge(cm_sketch(a, "v"), cm_sketch(b, "v")).collect()
+    }
+    whole = {
+        (r["d"], r["bucket"]): r["cnt"]
+        for r in cm_sketch(a.unionByName(b), "v").collect()
+    }
+    assert merged == whole
