@@ -46,6 +46,19 @@ def normalize_text(text: Column | str) -> Column:
     return F.trim(F.regexp_replace(t, "[ \t\n\r\f]+", " "))
 
 
+def normalize_text_unicode(text: Column | str) -> Column:
+    """Unicode sibling of :func:`normalize_text` for non-transliterated
+    corpora: keep letters and digits of ANY script (``\p{L}\p{N}`` —
+    the property classes Java regex and DuckDB's RE2 agree on), so
+    accents, CJK, Cyrillic, Arabic survive; punctuation, symbols and
+    emoji are stripped exactly as the ASCII form strips them.  Same
+    explicit whitespace class and collapse/trim chain, so it remains
+    engine-portable."""
+    t = F.lower(_c(text))
+    t = F.regexp_replace(t, "[^\\p{L}\\p{N} \t\n\r\f]", "")
+    return F.trim(F.regexp_replace(t, "[ \t\n\r\f]+", " "))
+
+
 def token_frequencies(
     df: DataFrame, text_col: str = "text", lowercase: bool = True
 ) -> DataFrame:
