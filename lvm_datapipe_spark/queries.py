@@ -9507,8 +9507,8 @@ def _boot_sql() -> str:
              f"WHEN {h} < {_POIS_T[3]} THEN 3 ELSE 4 END")
         cols.append(
             f"CAST(SUM({k}) AS BIGINT) AS n_{b}, "
-            f"{_DEC_SUM.format(x=f'value * {k}')} "
-            f"/ CAST(SUM({k}) AS DOUBLE) AS m_{b}"
+            f"CASE WHEN SUM({k}) > 0 THEN {_DEC_SUM.format(x=f'value * {k}')} "
+            f"/ CAST(SUM({k}) AS DOUBLE) END AS m_{b}"
         )
         arms.append(
             f"SELECT event_type, CAST({b} AS INTEGER) AS replicate, "
@@ -9558,10 +9558,12 @@ def bootstrap_mean_replicates(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(4)
         )
         aggs.append(F.sum(k).cast("long").alias(f"n_{b}"))
+        # a group whose every row drew weight 0 (37% per replicate for a
+        # 1-row group) must yield NULL, not an ANSI divide-by-zero crash
         aggs.append(
-            (
-                A.decimal_sum(F.col("value") * k)
-                / F.sum(k).cast("double")
+            F.when(
+                F.sum(k) > 0,
+                A.decimal_sum(F.col("value") * k) / F.sum(k).cast("double"),
             ).alias(f"m_{b}")
         )
     agg = ev.groupBy("event_type").agg(*aggs)

@@ -211,3 +211,52 @@ def test_attribution_conserves_value_exactly(spark, events_pd):
     # largest-remainder split)
     assert sum(r["credit_micro"] for r in rows) == attributed
     assert sum(r["n_touches"] for r in rows) == n_pairs
+
+
+def test_bootstrap_single_row_groups_yield_null_not_div0(spark):
+    """A (group, replicate) whose every row drew Poisson weight 0 (37%
+    chance for a 1-row group) must produce a NULL mean, not an ANSI
+    divide-by-zero crash."""
+    from pyspark.sql import functions as F
+
+    from lvm_datapipe_spark.operators import aggregates as A
+    from lvm_datapipe_spark.queries import _BOOT_B, _POIS_T
+
+    ev = spark.createDataFrame(
+        [(i, f"t{i}", 1.5) for i in range(20)],
+        "event_id long, event_type string, value double",
+    )
+    aggs = []
+    for b in range(_BOOT_B):
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"boot{b}:"), F.col("event_id").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        k = (
+            F.when(h < _POIS_T[0], 0)
+            .when(h < _POIS_T[1], 1)
+            .when(h < _POIS_T[2], 2)
+            .when(h < _POIS_T[3], 3)
+            .otherwise(4)
+        )
+        aggs.append(
+            F.when(
+                F.sum(k) > 0,
+                A.decimal_sum(F.col("value") * k) / F.sum(k).cast("double"),
+            ).alias(f"m_{b}")
+        )
+    rows = ev.groupBy("event_type").agg(*aggs).collect()  # must not raise
+    assert len(rows) == 20
+    nulls = sum(
+        1 for r in rows for b in range(_BOOT_B) if r[f"m_{b}"] is None
+    )
+    assert nulls > 0  # the zero-weight case actually occurred and survived
