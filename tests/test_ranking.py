@@ -186,3 +186,35 @@ def test_input_validation_guards(spark, tiny_docs):
         X.skipgram_pairs(tiny_docs, window=0)
     with pytest.raises(ValueError, match="dim"):
         X.hashed_counts(tiny_docs, dim=0)
+
+
+def test_sparse_cosine_matches_dense_numpy_reference(spark):
+    """The inverted-index sparse dot (sparse_cosine_topk) must rank
+    exactly like an independent dense cosine over the same hashed
+    vectors — numpy is the reference implementation here, not DuckDB."""
+    import numpy as np
+
+    from lvm_datapipe_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    counts = X.hashed_counts(
+        spark.read.parquet(f"{sf}/documents.parquet"), dim=64, salt="feat"
+    ).collect()
+    vecs = {}
+    for r in counts:
+        vecs.setdefault(r["doc_id"], np.zeros(64))[r["bucket"]] = r["w"]
+    q = vecs[0] / np.linalg.norm(vecs[0])
+    sims = sorted(
+        (
+            (float(q @ (v / np.linalg.norm(v))), doc)
+            for doc, v in vecs.items()
+            if doc != 0
+        ),
+        key=lambda t: (-t[0], t[1]),
+    )[:10]
+    want = [doc for _, doc in sims]
+    got_rows = QUERIES["sparse_cosine_topk"](spark, sf).collect()
+    got = [r["doc_id"] for r in got_rows]
+    assert got == want
+    for (s, _), r in zip(sims, got_rows):
+        assert abs(r["cos_sim"] - s) < 1e-9
