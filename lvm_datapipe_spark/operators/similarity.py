@@ -547,7 +547,17 @@ def ivf_index(
     vecs = emb.select(
         F.col(id_col), as_double(vec_col).alias("v")
     ).withColumn("features", array_to_vector(F.col("v")))
-    km = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell")
+    n = vecs.count()
+    if n == 0:
+        # MLlib KMeans cannot fit zero rows; an empty corpus has a
+        # well-defined IVF answer (no cells, no candidates) — return it
+        # instead of an opaque fit error
+        empty = vecs.select(id_col, "v", F.lit(0).alias("cell")).limit(0)
+        return empty, []
+    km = KMeans(
+        k=min(n_cells, n), seed=seed, featuresCol="features",
+        predictionCol="cell",
+    )
     model = km.fit(vecs)
     assigned = model.transform(vecs).select(id_col, "v", "cell")
     centroids = [[float(x) for x in c] for c in model.clusterCenters()]
@@ -573,6 +583,12 @@ def ivf_topk(
     assigned, centroids = ivf_index(emb, n_cells, seed, id_col, vec_col)
 
     q = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
+    if not centroids:  # empty corpus: no cells, no neighbors
+        return q.select(
+            "query_id",
+            F.col("query_id").alias("neighbor_id"),
+            F.lit(0).alias("rank"),
+        ).limit(0)
     cent_rows = [(i, c) for i, c in enumerate(centroids)]
     cents = q.sparkSession.createDataFrame(cent_rows, ["cell", "centroid"]).withColumn(
         "centroid", F.col("centroid").cast("array<double>")

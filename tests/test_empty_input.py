@@ -1,0 +1,64 @@
+"""Empty-input robustness: every operator family must return an empty
+result on empty tables, never crash (the production new-partition /
+fresh-tenant case — a daily job's first run sees zero rows).
+
+The full 208-query sweep on empty fixtures runs out-of-band (it found
+exactly one crash: MLlib KMeans.fit on zero rows, now guarded); this
+suite pins the guarded path plus one representative per heavy machinery
+family so the property cannot silently regress."""
+
+from __future__ import annotations
+
+import pytest
+
+REPRESENTATIVES = [
+    "q1_pricing_summary",        # scan + aggregate
+    "ann_ivf_topk",              # the previously-crashing KMeans path
+    "ann_lsh_near_dup",          # LSH banding + self-join
+    "dedup_minhash_lsh",         # signature machinery
+    "hybrid_rank_fusion",        # retrieval composition (limits, windows)
+    "sparse_cosine_topk",        # hashed features + broadcast postings
+    "graph_triangle_counts",     # wedge joins
+    "dedup_clusters",            # iterative connected components
+    "bootstrap_mean_replicates", # conditional aggregates + div guard
+    "pipeline_pretrain_full",    # the composed curation pipeline
+    "events_tumbling_window",    # event-time windowing
+    "scd2_docs_merge",           # SCD2 merge
+]
+
+
+@pytest.fixture(scope="module")
+def empty_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("sf_empty")
+    src = "/root/testdata/sf0.001"
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        spark.read.parquet(f"{src}/{t}.parquet").limit(0).write.parquet(
+            str(d / f"{t}.parquet")
+        )
+    return str(d)
+
+
+@pytest.mark.parametrize("name", REPRESENTATIVES)
+def test_query_survives_empty_input(spark, empty_dir, name):
+    from lvm_datapipe_spark.queries import QUERIES
+
+    assert QUERIES[name](spark, empty_dir).count() == 0
+
+
+def test_ivf_index_empty_and_tiny_corpora(spark):
+    from lvm_datapipe_spark.operators.similarity import ivf_index, ivf_topk
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assigned, centroids = ivf_index(empty, n_cells=16)
+    assert centroids == [] and assigned.count() == 0
+    assert ivf_topk(empty, empty).count() == 0
+    # fewer rows than cells: k clamps to n instead of crashing
+    tiny = spark.createDataFrame(
+        [(i, [float(i)] * 64) for i in range(3)],
+        "vec_id long, embedding array<float>",
+    )
+    assigned, centroids = ivf_index(tiny, n_cells=16)
+    assert len(centroids) == 3 and assigned.count() == 3
