@@ -554,6 +554,13 @@ def ivf_index(
         # instead of an opaque fit error
         empty = vecs.select(id_col, "v", F.lit(0).alias("cell")).limit(0)
         return empty, []
+    if n == 1:
+        # KMeans also rejects k=1; one row IS its own (only) centroid
+        row = vecs.select(id_col, "v").first()
+        return (
+            vecs.select(id_col, "v", F.lit(0).alias("cell")),
+            [[float(x) for x in row["v"]]],
+        )
     km = KMeans(
         k=min(n_cells, n), seed=seed, featuresCol="features",
         predictionCol="cell",

@@ -62,3 +62,37 @@ def test_ivf_index_empty_and_tiny_corpora(spark):
     )
     assigned, centroids = ivf_index(tiny, n_cells=16)
     assert len(centroids) == 3 and assigned.count() == 3
+
+
+@pytest.fixture(scope="module")
+def one_row_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("sf_one")
+    src = "/root/testdata/sf0.001"
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        spark.read.parquet(f"{src}/{t}.parquet").limit(1).write.parquet(
+            str(d / f"{t}.parquet")
+        )
+    return str(d)
+
+
+@pytest.mark.parametrize("name", REPRESENTATIVES)
+def test_query_survives_one_row_tables(spark, one_row_dir, name):
+    """Single-row tables exercise 1-row groups (the class that crashed
+    bootstrap replicate means under ANSI) and the k=1 KMeans path."""
+    from lvm_datapipe_spark.queries import QUERIES
+
+    QUERIES[name](spark, one_row_dir).count()  # must not raise
+
+
+def test_ivf_single_row_corpus_is_its_own_centroid(spark):
+    from lvm_datapipe_spark.operators.similarity import ivf_index
+
+    one = spark.createDataFrame(
+        [(7, [1.0] * 64)], "vec_id long, embedding array<float>"
+    )
+    assigned, centroids = ivf_index(one, n_cells=16)
+    assert len(centroids) == 1 and centroids[0] == [1.0] * 64
+    assert [(r["vec_id"], r["cell"]) for r in assigned.collect()] == [(7, 0)]
