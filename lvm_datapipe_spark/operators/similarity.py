@@ -544,9 +544,14 @@ def ivf_index(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: F401
 
-    vecs = emb.select(
-        F.col(id_col), as_double(vec_col).alias("v")
-    ).withColumn("features", array_to_vector(F.col("v")))
+    vecs = (
+        emb.select(F.col(id_col), as_double(vec_col).alias("v"))
+        # a NULL vector cannot be assigned to a cell (and crashes the
+        # KMeans fit) — un-indexable rows are dropped, matching the
+        # brute-force/LSH paths where a null cosine filters out
+        .filter(F.col("v").isNotNull())
+        .withColumn("features", array_to_vector(F.col("v")))
+    )
     n = vecs.count()
     if n == 0:
         # MLlib KMeans cannot fit zero rows; an empty corpus has a

@@ -96,3 +96,48 @@ def test_ivf_single_row_corpus_is_its_own_centroid(spark):
     assigned, centroids = ivf_index(one, n_cells=16)
     assert len(centroids) == 1 and centroids[0] == [1.0] * 64
     assert [(r["vec_id"], r["cell"]) for r in assigned.collect()] == [(7, 0)]
+
+
+@pytest.fixture(scope="module")
+def null_payload_dir(spark, tmp_path_factory):
+    """Key columns intact, every payload column NULL — the corrupt-batch /
+    schema-present-values-missing arrival case."""
+    from pyspark.sql import functions as F
+
+    keep = {
+        "doc_id", "vec_id", "event_id", "user_id", "l_orderkey", "l_partkey",
+        "l_suppkey", "o_orderkey", "o_custkey", "c_custkey", "c_nationkey",
+        "s_suppkey", "s_nationkey", "p_partkey", "n_nationkey", "n_regionkey",
+        "r_regionkey", "l_linenumber",
+    }
+    d = tmp_path_factory.mktemp("sf_nulls")
+    src = "/root/testdata/sf0.001"
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        df = spark.read.parquet(f"{src}/{t}.parquet").limit(20)
+        for f_ in df.schema.fields:
+            if f_.name not in keep:
+                df = df.withColumn(f_.name, F.lit(None).cast(f_.dataType))
+        df.write.parquet(str(d / f"{t}.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", REPRESENTATIVES)
+def test_query_survives_null_payloads(spark, null_payload_dir, name):
+    from lvm_datapipe_spark.queries import QUERIES
+
+    QUERIES[name](spark, null_payload_dir).count()  # must not raise
+
+
+def test_ivf_drops_null_vectors(spark):
+    from lvm_datapipe_spark.operators.similarity import ivf_index
+
+    emb = spark.createDataFrame(
+        [(1, [1.0] * 64), (2, None), (3, [2.0] * 64)],
+        "vec_id long, embedding array<float>",
+    )
+    assigned, centroids = ivf_index(emb, n_cells=2)
+    assert {r["vec_id"] for r in assigned.collect()} == {1, 3}
+    assert len(centroids) == 2
