@@ -9633,3 +9633,119 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a", "bb")
     )
     return triangle_counts(e, "a", "bb")
+
+
+@_q(
+    "audience_overlap_pairs",
+    """
+    WITH b AS (SELECT DISTINCT user_id, event_type FROM events),
+    n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_users
+          FROM b GROUP BY event_type),
+    p AS (SELECT x.event_type AS type_a, y.event_type AS type_b,
+                 CAST(count(*) AS BIGINT) AS n_both
+          FROM b x JOIN b y ON x.user_id = y.user_id
+                AND x.event_type < y.event_type
+          GROUP BY x.event_type, y.event_type)
+    SELECT p.type_a, p.type_b, na.n_users AS n_a, nb.n_users AS n_b, p.n_both,
+           CAST(p.n_both AS DOUBLE)
+             / CAST(na.n_users + nb.n_users - p.n_both AS DOUBLE) AS jaccard
+    FROM p JOIN n na ON na.event_type = p.type_a
+           JOIN n nb ON nb.event_type = p.type_b
+    """,
+)
+def audience_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap between event types: |users(A and B)|
+    and exact Jaccard for every (type_a < type_b) pair — the audience-
+    overlap matrix behind segmentation and cross-sell analyses, and the
+    exact twin of a sketched overlap (the HLL partials in
+    operators/aggregates.py give the same matrix by inclusion-exclusion
+    without the self-join when types number in the thousands).
+
+    Scale shape: the (user, type) base is one distinct aggregate; the
+    pair counts come from a user_id-keyed equi-self-join whose per-user
+    fan-out is bounded by types-per-user squared (types are a small
+    enumerable set, not corpus-sized); per-type totals are broadcast
+    back.  Counts stay BIGINT; ONE final float division."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select("user_id", "event_type").distinct()
+    n = b.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    x = b.select("user_id", F.col("event_type").alias("type_a"))
+    y = b.select("user_id", F.col("event_type").alias("type_b"))
+    p = (
+        x.join(y, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    na = n.select(F.col("event_type").alias("type_a"), F.col("n_users").alias("n_a"))
+    nb = n.select(F.col("event_type").alias("type_b"), F.col("n_users").alias("n_b"))
+    jac = F.col("n_both").cast("double") / (
+        (F.col("n_a") + F.col("n_b") - F.col("n_both")).cast("double")
+    )
+    return (
+        p.join(F.broadcast(na), "type_a")
+        .join(F.broadcast(nb), "type_b")
+        .select("type_a", "type_b", "n_a", "n_b", "n_both", jac.alias("jaccard"))
+    )
+
+
+@_q(
+    "text_rank_normalize",
+    """
+    WITH r AS (
+      SELECT doc_id, lang, n_chars,
+             CAST(rank() OVER (PARTITION BY lang ORDER BY n_chars) AS BIGINT)
+               AS rnk
+      FROM documents),
+    s AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+                 CAST(min(n_chars) AS BIGINT) AS mn,
+                 CAST(max(n_chars) AS BIGINT) AS mx
+          FROM documents GROUP BY lang)
+    SELECT r.doc_id, r.lang, CAST(r.n_chars AS BIGINT) AS n_chars,
+           CASE WHEN s.n > 1
+                THEN CAST(r.rnk - 1 AS DOUBLE) / CAST(s.n - 1 AS DOUBLE)
+                ELSE 0.0 END AS pct_rank,
+           CASE WHEN s.mx > s.mn
+                THEN CAST(r.n_chars - s.mn AS DOUBLE) / CAST(s.mx - s.mn AS DOUBLE)
+                ELSE 0.0 END AS minmax
+    FROM r JOIN s ON s.lang = r.lang
+    """,
+)
+def text_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank- and min-max feature normalization of a quality proxy per
+    language — the scaling step before fusing heterogeneous quality
+    signals (a raw char count is incomparable across langs; its in-lang
+    percentile is).  Both forms are exact rationals of integers with a
+    guard for degenerate one-value groups, so the scores are
+    bit-portable (ties share a rank on both engines by definition of
+    rank()).
+
+    Scale shape: ONE lang-keyed window for the rank (sort within
+    partitions only) and a per-lang stats aggregate broadcast back —
+    no global sort, no second shuffle on the fact table."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars")
+    r = docs.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.rank().over(w).cast("long").alias("rnk"),
+    )
+    s = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("n_chars").cast("long").alias("mn"),
+        F.max("n_chars").cast("long").alias("mx"),
+    )
+    pct = F.when(
+        F.col("n") > 1,
+        (F.col("rnk") - 1).cast("double") / (F.col("n") - 1).cast("double"),
+    ).otherwise(F.lit(0.0))
+    mm = F.when(
+        F.col("mx") > F.col("mn"),
+        (F.col("n_chars") - F.col("mn")).cast("double")
+        / (F.col("mx") - F.col("mn")).cast("double"),
+    ).otherwise(F.lit(0.0))
+    return (
+        r.join(F.broadcast(s), "lang")
+        .select("doc_id", "lang", "n_chars", pct.alias("pct_rank"), mm.alias("minmax"))
+    )
