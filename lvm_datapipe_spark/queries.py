@@ -9749,3 +9749,102 @@ def text_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         r.join(F.broadcast(s), "lang")
         .select("doc_id", "lang", "n_chars", pct.alias("pct_rank"), mm.alias("minmax"))
     )
+
+
+@_q(
+    "text_readability",
+    r"""
+    WITH c AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n_words,
+             CAST(len(list_filter(list_transform(
+                    string_split_regex(text, '[.!?]+'), x -> trim(x)),
+                    x -> x <> '')) AS BIGINT) AS n_sentences,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                  AS BIGINT) AS n_syllables
+      FROM documents)
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           CASE WHEN n_words > 0 AND n_sentences > 0 THEN
+             (('206.835'::DOUBLE
+               - ('1.015'::DOUBLE
+                  * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))))
+              - ('84.6'::DOUBLE
+                 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))))
+           END AS flesch,
+           CASE WHEN n_words = 0 OR n_sentences = 0 THEN 'empty'
+                WHEN (('206.835'::DOUBLE
+                       - ('1.015'::DOUBLE
+                          * (CAST(n_words AS DOUBLE)
+                             / CAST(n_sentences AS DOUBLE))))
+                      - ('84.6'::DOUBLE
+                         * (CAST(n_syllables AS DOUBLE)
+                            / CAST(n_words AS DOUBLE)))) >= '60.0'::DOUBLE
+                  THEN 'easy'
+                WHEN (('206.835'::DOUBLE
+                       - ('1.015'::DOUBLE
+                          * (CAST(n_words AS DOUBLE)
+                             / CAST(n_sentences AS DOUBLE))))
+                      - ('84.6'::DOUBLE
+                         * (CAST(n_syllables AS DOUBLE)
+                            / CAST(n_words AS DOUBLE)))) >= '30.0'::DOUBLE
+                  THEN 'standard'
+                ELSE 'difficult' END AS band
+    FROM c
+    """,
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document — a classic curation signal
+    (readability gates complement the Gopher battery: a page can pass
+    every length rule and still be word-salad).  Syllables use the
+    standard vowel-group approximation (runs of [aeiouy] in lowercased
+    text), words the whitespace tokenizer, sentences the terminator
+    split shared with ``text_sentences``.  All three counts are exact
+    integers; the score is ONE fixed-shape float expression evaluated
+    identically on both engines (each IEEE op is correctly rounded, so
+    an identical association order is bit-portable), and the band
+    thresholds compare that same expression.
+
+    Scale shape: pure scan — three regexp counts and arithmetic, no
+    shuffle at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.size(
+        F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    ).cast("long")
+    n_sents = F.size(
+        F.filter(
+            F.transform(F.split(F.col("text"), r"[.!?]+"), lambda x: F.trim(x)),
+            lambda x: x != "",
+        )
+    ).cast("long")
+    n_syll = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), F.lit(0))
+    ).cast("long")
+    c = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sents.alias("n_sentences"),
+        n_syll.alias("n_syllables"),
+    )
+    flesch = F.lit(206.835) - (
+        F.lit(1.015)
+        * (F.col("n_words").cast("double") / F.col("n_sentences").cast("double"))
+    ) - (
+        F.lit(84.6)
+        * (F.col("n_syllables").cast("double") / F.col("n_words").cast("double"))
+    )
+    score = F.when((F.col("n_words") > 0) & (F.col("n_sentences") > 0), flesch)
+    band = (
+        F.when((F.col("n_words") == 0) | (F.col("n_sentences") == 0), F.lit("empty"))
+        .when(flesch >= F.lit(60.0), F.lit("easy"))
+        .when(flesch >= F.lit(30.0), F.lit("standard"))
+        .otherwise(F.lit("difficult"))
+    )
+    return c.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        score.alias("flesch"),
+        band.alias("band"),
+    )
