@@ -9848,3 +9848,118 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         score.alias("flesch"),
         band.alias("band"),
     )
+
+
+@_q(
+    "mix_budget_spillover",
+    rf"""
+    WITH t AS (SELECT doc_id, source,
+                      CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens,
+                      md5('mixs' || CAST(doc_id AS VARCHAR)) AS h
+               FROM documents),
+    a AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS avail
+          FROM t GROUP BY source),
+    p AS (SELECT
+            CAST(SUM(CASE WHEN avail <= 1300 THEN 1300 - avail ELSE 0 END)
+                 AS BIGINT) AS pool,
+            CAST(SUM(CASE WHEN avail > 1300 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_surplus
+          FROM a),
+    r AS (SELECT x.source, CAST(1 + count(y.source) AS BIGINT) AS rr
+          FROM a x LEFT JOIN a y ON y.avail > 1300 AND y.source < x.source
+          WHERE x.avail > 1300 GROUP BY x.source),
+    bud AS (SELECT a.source,
+                   CAST(1300 + CASE WHEN a.avail > 1300 AND p.n_surplus > 0
+                        THEN p.pool // p.n_surplus
+                             + CASE WHEN r.rr <= p.pool % p.n_surplus
+                               THEN 1 ELSE 0 END
+                        ELSE 0 END AS BIGINT) AS budget
+            FROM a LEFT JOIN r ON r.source = a.source CROSS JOIN p),
+    c AS (SELECT doc_id, source, n_tokens,
+                 SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND CURRENT ROW) AS cum
+          FROM t)
+    SELECT c.doc_id, c.source, c.n_tokens,
+           CAST(c.cum AS BIGINT) AS cum_tokens, b.budget
+    FROM c JOIN bud b ON b.source = c.source
+    WHERE c.cum <= b.budget
+    """,
+)
+def mix_budget_spillover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mix assembly WITH SPILLOVER: sources too small to
+    fill their base budget (1300 tokens here — chosen so the sf0.01
+    oracle fixture exercises ALL THREE behaviors: deficit keep-all,
+    remainder-bearing spillover, and surplus truncation; the ADVICE r5
+    dead-branch lesson) return the unused part to a
+    pool, which is redistributed across the surplus sources in equal
+    integer shares (remainder to the lexicographically first sources) —
+    one deterministic round of the rebalancing real mixture specs need
+    when a niche source under-delivers.  [[mix_token_budget]] is the
+    no-spillover base form.
+
+    Scale shape: per-source totals are one keyed aggregate; pool and
+    surplus-count are a 2-scalar aggregate of the source-sized table;
+    the surplus ranking uses the broadcast count-ahead self-join (the
+    Neyman pattern — the declared surface bans empty-partition windows);
+    the kept prefix is the same ONE source-keyed cumsum window as the
+    base form.  Integers end to end."""
+    from lvm_datapipe_spark.operators import text as X
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("mixs"), F.col("doc_id").cast("string")).cast("binary"))
+    t = docs.select(
+        "doc_id",
+        "source",
+        X.token_count("text").cast("bigint").alias("n_tokens"),
+        h.alias("h"),
+    )
+    avail = (
+        t.groupBy("source").agg(F.sum("n_tokens").cast("long").alias("avail"))
+    ).persist()
+    pool = avail.agg(
+        F.sum(
+            F.when(F.col("avail") <= 1300, F.lit(1300) - F.col("avail")).otherwise(0)
+        )
+        .cast("long")
+        .alias("pool"),
+        F.sum(F.when(F.col("avail") > 1300, 1).otherwise(0))
+        .cast("long")
+        .alias("n_surplus"),
+    )
+    surplus = avail.filter(F.col("avail") > 1300)
+    ahead = surplus.select(F.col("source").alias("b_src"))
+    ranked = (
+        surplus.join(F.broadcast(ahead), F.col("b_src") < F.col("source"), "left")
+        .groupBy("source")
+        .agg((F.count("b_src") + F.lit(1)).cast("long").alias("rr"))
+    )
+    bud = (
+        avail.join(F.broadcast(ranked), "source", "left")
+        .crossJoin(F.broadcast(pool))
+        .select(
+            "source",
+            (
+                F.lit(1300)
+                + F.when(
+                    (F.col("avail") > 1300) & (F.col("n_surplus") > 0),
+                    F.expr("pool DIV n_surplus")
+                    + F.when(F.col("rr") <= F.col("pool") % F.col("n_surplus"), 1)
+                    .otherwise(0),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("budget"),
+        )
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return (
+        c.join(F.broadcast(bud), "source")
+        .filter(F.col("cum_tokens") <= F.col("budget"))
+        .select("doc_id", "source", "n_tokens", "cum_tokens", "budget")
+    )
