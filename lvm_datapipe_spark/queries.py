@@ -9963,3 +9963,104 @@ def mix_budget_spillover(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum_tokens") <= F.col("budget"))
         .select("doc_id", "source", "n_tokens", "cum_tokens", "budget")
     )
+
+
+@_q(
+    "hard_negative_mining",
+    f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv
+          FROM e WHERE vec_id < 10),
+    s AS (SELECT q.query_id, q.qlabel, e.vec_id AS neighbor_id, e.label,
+                 {_cos_sql('qv', 'v')} AS cos_sim
+          FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+    pos AS (SELECT query_id, neighbor_id, cos_sim
+            FROM (SELECT query_id, neighbor_id, cos_sim,
+                         ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, neighbor_id) AS rn
+                  FROM s WHERE label = qlabel) x WHERE rn = 1),
+    neg AS (SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+              SELECT s.query_id, s.neighbor_id, s.cos_sim,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY s.query_id
+                          ORDER BY s.cos_sim DESC, s.neighbor_id) AS INTEGER)
+                       AS rnk
+              FROM s JOIN pos p ON p.query_id = s.query_id
+              WHERE s.label <> s.qlabel AND s.cos_sim < p.cos_sim) x
+            WHERE rnk <= 3)
+    SELECT query_id, neighbor_id, 'positive' AS role,
+           CAST(1 AS INTEGER) AS rnk, cos_sim FROM pos
+    UNION ALL
+    SELECT query_id, neighbor_id, 'semi_hard_negative' AS role, rnk, cos_sim
+    FROM neg
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-hard negative mining for contrastive training (the FaceNet
+    rule, Schroff et al. 2015): per anchor, the top same-label neighbor
+    is the POSITIVE, and the negatives kept are the most-similar
+    different-label items that are still STRICTLY LESS similar than that
+    positive — negatives harder than the positive are excluded as label
+    noise, and (on this near-random fixture) that exclusion branch is
+    live for most anchors.  Emits the (anchor, positive, 3 semi-hard
+    negatives) block a triplet-loss dataloader consumes.
+
+    Scale shape: the anchor set is bounded and BROADCAST (one corpus
+    scan scores all anchors — the ann_cosine_topk plan); both rank
+    windows partition by query_id, so their width is the anchor count,
+    never the corpus.  The cosine is the proven left-fold form —
+    bit-identical across engines — so the cos < pos_cos comparison is
+    portable."""
+    from lvm_datapipe_spark.operators.similarity import as_double, cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", "label", as_double("embedding").alias("v"))
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("qlabel"),
+            F.col("v").alias("qv"),
+        )
+    )
+    s = (
+        e.crossJoin(q)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "qlabel",
+            F.col("vec_id").alias("neighbor_id"),
+            "label",
+            cosine(F.col("qv"), F.col("v")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    pos = (
+        s.filter(F.col("label") == F.col("qlabel"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
+    pcos = F.broadcast(
+        pos.select("query_id", F.col("cos_sim").alias("pos_cos"))
+    )
+    neg = (
+        s.join(pcos, "query_id")
+        .filter((F.col("label") != F.col("qlabel")) & (F.col("cos_sim") < F.col("pos_cos")))
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select("query_id", "neighbor_id", "rnk", "cos_sim")
+    )
+    return pos.select(
+        "query_id",
+        "neighbor_id",
+        F.lit("positive").alias("role"),
+        F.lit(1).cast("int").alias("rnk"),
+        "cos_sim",
+    ).unionByName(
+        neg.select(
+            "query_id",
+            "neighbor_id",
+            F.lit("semi_hard_negative").alias("role"),
+            "rnk",
+            "cos_sim",
+        )
+    )
