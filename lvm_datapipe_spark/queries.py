@@ -10178,3 +10178,129 @@ def bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "margin",
         )
     )
+
+
+@_q(
+    "shard_manifest",
+    rf"""
+    WITH t AS (SELECT doc_id,
+                      CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens,
+                      md5('shard' || CAST(doc_id AS VARCHAR)) AS h
+               FROM documents),
+    s AS (SELECT doc_id, n_tokens, h,
+                 CAST(('0x' || substr(h, 1, 8))::BIGINT % 8 AS BIGINT)
+                   AS shard_id
+          FROM t)
+    SELECT doc_id, shard_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard_id ORDER BY h, doc_id)
+                AS BIGINT) AS pos,
+           n_tokens,
+           CAST(SUM(n_tokens) OVER (PARTITION BY shard_id ORDER BY h, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - n_tokens AS BIGINT) AS token_offset
+    FROM s
+    """,
+)
+def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-export SHARD MANIFEST: a deterministic global
+    shuffle (md5 of doc id — stable under repartition, rerun, and
+    incremental arrival), hash assignment into 8 shards, and within
+    each shard the document's position and exact token offset — the
+    (shard, pos, offset) triple a dataloader needs for random access
+    and resumable iteration.  The WebDataset sink consumes exactly this
+    ordering; [[mix_token_budget]] decides WHAT ships, this decides
+    WHERE it lands.
+
+    Scale shape: hashing is scan-shaped; position and offset are ONE
+    shard-keyed window (8 balanced partitions by construction — md5 is
+    uniform); no global sort anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    from lvm_datapipe_spark.operators import text as X
+
+    h = F.md5(F.concat(F.lit("shard"), F.col("doc_id").cast("string")).cast("binary"))
+    t = docs.select(
+        "doc_id",
+        X.token_count("text").cast("bigint").alias("n_tokens"),
+        h.alias("h"),
+    )
+    shard = (
+        F.conv(F.substring("h", 1, 8), 16, 10).cast("long") % 8
+    ).cast("long")
+    s = t.withColumn("shard_id", shard)
+    wp = Window.partitionBy("shard_id").orderBy("h", "doc_id")
+    wc = wp.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return s.select(
+        "doc_id",
+        "shard_id",
+        F.row_number().over(wp).cast("long").alias("pos"),
+        "n_tokens",
+        (F.sum("n_tokens").over(wc) - F.col("n_tokens"))
+        .cast("long")
+        .alias("token_offset"),
+    )
+
+
+@_q(
+    "theil_sen_slope_by_user",
+    """
+    WITH e AS (
+      SELECT user_id, value,
+             CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS BIGINT) AS i
+      FROM events),
+    p AS (SELECT a.user_id,
+                 (b.value - a.value) / CAST(b.i - a.i AS DOUBLE) AS slope,
+                 a.i AS i, b.i AS j
+          FROM e a JOIN e b ON a.user_id = b.user_id AND a.i < b.i),
+    r AS (SELECT user_id, slope,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                      ORDER BY slope, i, j) AS BIGINT) AS rk,
+                 CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS np
+          FROM p)
+    SELECT user_id, np AS n_pairs, slope AS sen_slope
+    FROM r WHERE rk = (np + 1) // 2
+    """,
+)
+def theil_sen_slope_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per user: the MEDIAN of all pairwise
+    slopes of value over event order — the estimator that shrugs off
+    the outliers that wreck [[events_trend_slope]]'s least squares
+    (breakdown point 29%).  The median is the DISCRETE lower median
+    (rank (n+1) DIV 2 by (slope, pair) order — element selection, not
+    interpolation: interpolating quantiles differ per-ULP across
+    engines on double inputs, measured in the ccnet tertile work).
+
+    Scale shape: the pair build is a user_id-keyed equi-self-join whose
+    fan-out is bounded by per-user event count squared (bounded per
+    entity, never corpus-quadratic — the Theil-Sen cost model); the
+    rank/median windows share the same user_id partitioning.  Each
+    slope is ONE IEEE division of bit-identical inputs."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = ev.select(
+        "user_id", "value", F.row_number().over(w).cast("long").alias("i")
+    )
+    a = e.select("user_id", F.col("value").alias("va"), F.col("i").alias("i"))
+    b = e.select("user_id", F.col("value").alias("vb"), F.col("i").alias("j"))
+    p = (
+        a.join(b, "user_id")
+        .filter(F.col("i") < F.col("j"))
+        .select(
+            "user_id",
+            ((F.col("vb") - F.col("va")) / (F.col("j") - F.col("i")).cast("double"))
+            .alias("slope"),
+            "i",
+            "j",
+        )
+    )
+    wr = Window.partitionBy("user_id").orderBy("slope", "i", "j")
+    wn = Window.partitionBy("user_id")
+    r = p.select(
+        "user_id",
+        "slope",
+        F.row_number().over(wr).cast("long").alias("rk"),
+        F.count(F.lit(1)).over(wn).cast("long").alias("np"),
+    )
+    return r.filter(F.col("rk") == F.expr("(np + 1) DIV 2")).select(
+        "user_id", F.col("np").alias("n_pairs"), F.col("slope").alias("sen_slope")
+    )
