@@ -1008,3 +1008,84 @@ def semdedup_keep(
         "vec_id", "cell", "centroid_sim", F.col("_removed").isNull().alias("keep")
     )
     return _with_cached_deps(out, [a])
+
+
+def icl_chain_order(
+    emb: DataFrame,
+    n_cells: int = 16,
+    dim: int = DEFAULT_DIM,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """In-Context Pretraining document ordering (Shi et al. 2023,
+    arXiv:2310.10638): place semantically related documents next to each
+    other in the training stream by traversing each similarity cluster as a
+    greedy nearest-neighbor path.  Cells come from the repo's FIXED coarse
+    quantizer (deterministic, SQL-replayable — the SemDeDup choice); within
+    each cell the chain starts at the lowest id and repeatedly hops to the
+    most-similar unvisited member (ties to the lower id), which is the
+    paper's degree-bounded graph traversal specialized to a path.
+
+    Returns ``(vec_id, cell, pos)`` — pos is the document's slot in its
+    cell's stream; a dataloader concatenates cells in cell order.
+
+    Plan shape: cell assignment is the one-scan literal-dot fold shared with
+    the IVF/SemDeDup family (no shuffle); the traversal is ONE
+    ``applyInPandas`` over cell groups — per-cell cost is O(cell² · dim),
+    which is the published algorithm's cost model, and cell size is
+    controlled by n_cells exactly as in SemDeDup (k=50000 for LAION-scale).
+    The UDF computes every dot as an explicit LEFT-ASSOCIATED fold so the
+    comparisons that drive the traversal are bit-identical to the SQL
+    oracle's fold — the ordering is reproducible across engines, batch
+    sizes, and partitionings.
+    """
+    import pandas as pd
+
+    a = (
+        emb.select(F.col(id_col).alias("vec_id"), as_double(vec_col).alias("v"))
+        .withColumn("nrm", F.sqrt(dot_flat(F.col("v"), F.col("v"), dim)))
+        .withColumn("sims", F.expr(_ivf_cell_sims_sql(n_cells, dim, seed, "v", "nrm")))
+        .withColumn(
+            "cell", (F.expr("array_position(sims, array_max(sims))") - 1).cast("int")
+        )
+        .withColumn("vn", F.expr("transform(v, x -> x / nrm)"))
+        .select("vec_id", "cell", "vn")
+    )
+
+    def chain(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].tolist()
+        vecs = pdf["vn"].tolist()
+        by_id = dict(zip(ids, (list(v) for v in vecs)))
+
+        def fold_dot(x, y):
+            acc = 0.0
+            for i in range(len(x)):
+                acc += x[i] * y[i]
+            return acc
+
+        cur = min(ids)
+        order = [cur]
+        left = set(ids) - {cur}
+        while left:
+            cv = by_id[cur]
+            # max by (cos, -id): scan in ascending id so the FIRST strict
+            # improvement wins — lower id takes cosine ties
+            best_id, best_c = None, None
+            for cand in sorted(left):
+                c = fold_dot(cv, by_id[cand])
+                if best_c is None or c > best_c:
+                    best_id, best_c = cand, c
+            order.append(best_id)
+            left.discard(best_id)
+            cur = best_id
+        cell = int(pdf["cell"].iloc[0])
+        return pd.DataFrame(
+            {
+                "vec_id": order,
+                "cell": [cell] * len(order),
+                "pos": range(1, len(order) + 1),
+            }
+        )
+
+    return a.groupBy("cell").applyInPandas(chain, "vec_id long, cell int, pos long")

@@ -10304,3 +10304,64 @@ def theil_sen_slope_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.filter(F.col("rk") == F.expr("(np + 1) DIV 2")).select(
         "user_id", F.col("np").alias("n_pairs"), F.col("slope").alias("sen_slope")
     )
+
+
+def _icl_chain_sql(n_cells: int = 16, seed: int = 42, dim: int = _EMB_DIM) -> str:
+    """DuckDB replay of the ICL greedy chain: cell assignment with the
+    shared quantizer literals (string-cast to DOUBLE — the DECIMAL-lexing
+    pitfall documented in _semdedup_sql), within-cell pair cosines over the
+    shared unit vectors, then the traversal itself as a RECURSIVE CTE whose
+    step picks the best unvisited neighbor with a QUALIFY rank — the same
+    (cos DESC, id ASC) decision the Spark UDF's left-fold scan makes, over
+    bit-identical doubles."""
+    from lvm_datapipe_spark.operators.similarity import ivf_fixed_centroids
+
+    cents = ivf_fixed_centroids(n_cells, dim, seed)
+
+    def cos_lit(v: str, c) -> str:
+        dot_vc = " + ".join(
+            f"{v}[{i + 1}]*('{float(c[i])!r}'::DOUBLE)" for i in range(dim)
+        )
+        dot_cc = sum(float(x) * float(x) for x in c)
+        return f"(({dot_vc}) / (sqrt({_dot_sql(v, v)}) * sqrt('{dot_cc!r}'::DOUBLE)))"
+
+    sims = "[" + ", ".join(cos_lit("v", c) for c in cents) + "]"
+    return f"""
+    WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS (SELECT vec_id, v, {sims} AS sims,
+                  sqrt({_dot_sql('v', 'v')}) AS nrm FROM e),
+    a AS (SELECT vec_id,
+                 CAST(list_indexof(sims, list_max(sims)) - 1 AS INTEGER) AS cell,
+                 list_transform(v, x -> x / nrm) AS vn
+          FROM c0),
+    p AS (SELECT x.cell, x.vec_id AS id_a, b.vec_id AS id_b,
+                 {_dot_sql('x.vn', 'b.vn')} AS c
+          FROM a x JOIN a b ON x.cell = b.cell AND x.vec_id <> b.vec_id),
+    starts AS (SELECT cell, min(vec_id) AS vec_id FROM a GROUP BY cell),
+    chain AS (
+      SELECT s.cell, s.vec_id, CAST(1 AS BIGINT) AS pos, [s.vec_id] AS visited
+      FROM starts s
+      UNION ALL
+      SELECT c.cell, p.id_b, c.pos + 1, list_append(c.visited, p.id_b)
+      FROM chain c JOIN p ON p.cell = c.cell AND p.id_a = c.vec_id
+           AND NOT list_contains(c.visited, p.id_b)
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY c.cell
+                                 ORDER BY p.c DESC, p.id_b) = 1
+    )
+    SELECT vec_id, cell, pos FROM chain
+    """
+
+
+@_q("icl_similarity_chain", _icl_chain_sql())
+def icl_similarity_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-Context Pretraining ordering (Shi et al. 2023,
+    arXiv:2310.10638) over the embeddings table: related documents are
+    placed adjacently in the training stream by walking each quantizer
+    cell as a greedy nearest-neighbor path — see
+    operators/similarity.py:icl_chain_order for the algorithm, cost
+    model, and the left-fold determinism contract that lets a recursive
+    DuckDB CTE replay the traversal decision-for-decision."""
+    from lvm_datapipe_spark.operators.similarity import icl_chain_order
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return icl_chain_order(emb)
