@@ -1044,6 +1044,9 @@ def icl_chain_order(
 
     a = (
         emb.select(F.col(id_col).alias("vec_id"), as_double(vec_col).alias("v"))
+        # a NULL vector cannot join a similarity chain — drop it, matching
+        # the ivf_index null-payload rule
+        .filter(F.col("v").isNotNull())
         .withColumn("nrm", F.sqrt(dot_flat(F.col("v"), F.col("v"), dim)))
         .withColumn("sims", F.expr(_ivf_cell_sims_sql(n_cells, dim, seed, "v", "nrm")))
         .withColumn(

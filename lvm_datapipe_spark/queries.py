@@ -10327,7 +10327,8 @@ def _icl_chain_sql(n_cells: int = 16, seed: int = 42, dim: int = _EMB_DIM) -> st
 
     sims = "[" + ", ".join(cos_lit("v", c) for c in cents) + "]"
     return f"""
-    WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                     FROM embeddings WHERE embedding IS NOT NULL),
     c0 AS (SELECT vec_id, v, {sims} AS sims,
                   sqrt({_dot_sql('v', 'v')}) AS nrm FROM e),
     a AS (SELECT vec_id,

@@ -24,6 +24,8 @@ REPRESENTATIVES = [
     "pipeline_pretrain_full",    # the composed curation pipeline
     "events_tumbling_window",    # event-time windowing
     "scd2_docs_merge",           # SCD2 merge
+    "icl_similarity_chain",      # applyInPandas greedy traversal
+    "bitext_margin_pairs",       # margin mining (pivot sums, dual windows)
 ]
 
 
