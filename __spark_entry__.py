@@ -35,8 +35,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #      row is OLDEST, so every query periodically re-enters the window and
 #      a silent regression cannot hide outside it indefinitely.
 # Everything rotated out stays verified locally every round via
-# ``tools/check_correctness.py`` (206/206 oracle-paired queries green in
-# the latest full local sweep; 208 declared).
+# ``tools/check_correctness.py`` (215/215 oracle-paired queries green in
+# the latest full local sweep; 217 declared).
 _CHECK_FIRST = [
     # -- 1. changed or added in r6 (their prior rows, if any, no longer
     #       describe the shipped code)
@@ -105,7 +105,11 @@ _CHECK_FIRST = [
     #       postings_topk_by_term, pmi_skipgram_lift,
     #       doc_hashed_features, sparse_cosine_topk,
     #       kanonymity_audit, item_item_cosine,
-    #       bootstrap_mean_replicates, graph_triangle_counts) LEAD the r7
+    #       bootstrap_mean_replicates, graph_triangle_counts, and the
+    #       session-7 additions audience_overlap_pairs,
+    #       text_rank_normalize, text_readability, mix_budget_spillover,
+    #       hard_negative_mining, bitext_margin_pairs, shard_manifest,
+    #       theil_sen_slope_by_user, icl_similarity_chain) LEAD the r7
     #       queue; all are green in this round's local full sweep
     #       (tools/check_correctness.py).
     "sample_neyman_allocation",     # new: variance-optimal strata budgets
@@ -165,7 +169,7 @@ _CHECK_FIRST = [
     # ann_cosine_topk (unit-test-pinned; shares its ranking oracle shape
     # with ann_ivf_fixed_topk).  Every rotated-out veteran held an official
     # green row in r1-r5 AND stays green in the per-round local full sweep
-    # (tools/check_correctness.py, 206/206 oracle-paired).
+    # (tools/check_correctness.py, 215/215 oracle-paired).
 ]
 
 
