@@ -10366,3 +10366,228 @@ def icl_similarity_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return icl_chain_order(emb)
+
+
+@_q(
+    "preference_pairs_dpo",
+    f"""
+    WITH s AS (SELECT o.o_custkey AS custkey, l.l_partkey AS partkey,
+                      {_DEC_SUM.format(x='l.l_extendedprice * (1 - l.l_discount)')}
+                        AS spend
+               FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+               GROUP BY o.o_custkey, l.l_partkey),
+    r AS (SELECT custkey, partkey, spend,
+                 ROW_NUMBER() OVER (PARTITION BY custkey
+                      ORDER BY spend DESC, partkey) AS rt,
+                 ROW_NUMBER() OVER (PARTITION BY custkey
+                      ORDER BY spend ASC, partkey DESC) AS rb,
+                 count(*) OVER (PARTITION BY custkey) AS np
+          FROM s)
+    SELECT c.custkey, CAST(c.np AS BIGINT) AS n_parts,
+           c.partkey AS chosen_part, j.partkey AS rejected_part,
+           c.spend AS chosen_spend, j.spend AS rejected_spend
+    FROM r c JOIN r j ON j.custkey = c.custkey AND j.rb = 1
+    WHERE c.rt = 1 AND c.np >= 2
+    """,
+)
+def preference_pairs_dpo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair assembly for DPO/RLHF-style training: per context
+    (customer), the CHOSEN response is the max-preference item (top part
+    by exact spend) and the REJECTED one the min-preference item — the
+    max-margin pairing that makes the preference signal least ambiguous.
+    The opposite tiebreaks (min partkey for chosen, max for rejected)
+    guarantee chosen != rejected whenever the context has >= 2 items,
+    even under total ties.
+
+    Scale shape: spend is one (custkey, partkey)-keyed decimal
+    aggregate; both rank windows and the pair join share the custkey
+    partitioning — one shuffle family end to end."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("custkey"),
+            F.col("l_partkey").alias("partkey"),
+        )
+        .agg(
+            A.decimal_sum(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+            ).alias("spend")
+        )
+    )
+    wt = Window.partitionBy("custkey").orderBy(F.desc("spend"), F.asc("partkey"))
+    wb = Window.partitionBy("custkey").orderBy(F.asc("spend"), F.desc("partkey"))
+    wn = Window.partitionBy("custkey")
+    r = s.select(
+        "custkey",
+        "partkey",
+        "spend",
+        F.row_number().over(wt).alias("rt"),
+        F.row_number().over(wb).alias("rb"),
+        F.count(F.lit(1)).over(wn).alias("np"),
+    )
+    c = r.filter((F.col("rt") == 1) & (F.col("np") >= 2)).select(
+        "custkey",
+        F.col("np").cast("long").alias("n_parts"),
+        F.col("partkey").alias("chosen_part"),
+        F.col("spend").alias("chosen_spend"),
+    )
+    j = r.filter(F.col("rb") == 1).select(
+        "custkey",
+        F.col("partkey").alias("rejected_part"),
+        F.col("spend").alias("rejected_spend"),
+    )
+    return c.join(j, "custkey").select(
+        "custkey",
+        "n_parts",
+        "chosen_part",
+        "rejected_part",
+        "chosen_spend",
+        "rejected_spend",
+    )
+
+
+@_q(
+    "attribution_time_decay",
+    """
+    WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS pts
+               FROM events WHERE event_type = 'purchase'),
+    t AS (SELECT event_id AS touch_id, user_id, event_type AS touch_type,
+                 ts AS t_ts, CAST(floor(epoch(ts)) AS BIGINT) AS tts
+          FROM events WHERE event_type <> 'purchase'),
+    j AS (SELECT p.purchase_id, t.touch_id, t.touch_type,
+                 CAST(LEAST((p.pts - t.tts) // 3600, 20) AS BIGINT)
+                   AS decay_hours
+          FROM p JOIN t ON t.user_id = p.user_id
+                AND t.t_ts < p.p_ts AND p.pts - t.tts <= 86400),
+    w AS (SELECT purchase_id, touch_id, touch_type, decay_hours,
+                 ('1.0'::DOUBLE) / CAST(1 << decay_hours AS DOUBLE) AS wt
+          FROM j)
+    SELECT purchase_id, touch_id, touch_type, decay_hours,
+           wt / (SUM(wt) OVER (PARTITION BY purchase_id)) AS credit
+    FROM w
+    """,
+)
+def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution: every touch in the 24 h before
+    a purchase earns credit halving per hour of age — weight 2^-h with
+    h capped at 20.  The cap is load-bearing for exactness: each weight
+    is then a DYADIC rational >= 2^-20 and per-purchase totals stay
+    below 2^9, so the whole weight sum spans < 53 mantissa bits and
+    plain SUM is EXACT and order-free (no decimal detour, no libm
+    pow — the weight is built by integer shift).  [[attribution_linear_exact]]
+    is the equal-credit sibling.
+
+    Scale shape: one user-keyed join bounded by per-user event density
+    x the 24 h horizon, then ONE purchase-keyed window for
+    normalization.  Credit is a single IEEE division of exact doubles."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.unix_timestamp("ts").alias("pts"),
+    )
+    t = ev.filter(F.col("event_type") != "purchase").select(
+        F.col("event_id").alias("touch_id"),
+        "user_id",
+        F.col("event_type").alias("touch_type"),
+        F.col("ts").alias("t_ts"),
+        F.unix_timestamp("ts").alias("tts"),
+    )
+    j = (
+        p.join(t, "user_id")
+        .filter(
+            (F.col("t_ts") < F.col("p_ts"))
+            & ((F.col("pts") - F.col("tts")) <= 86400)
+        )
+        .select(
+            "purchase_id",
+            "touch_id",
+            "touch_type",
+            F.least(F.expr("(pts - tts) DIV 3600"), F.lit(20))
+            .cast("long")
+            .alias("decay_hours"),
+        )
+    )
+    w = j.withColumn(
+        "wt",
+        F.expr("CAST(1.0 AS DOUBLE) / CAST(shiftleft(1, CAST(decay_hours AS INT)) AS DOUBLE)"),
+    )
+    wp = Window.partitionBy("purchase_id")
+    return w.select(
+        "purchase_id",
+        "touch_id",
+        "touch_type",
+        "decay_hours",
+        (F.col("wt") / F.sum("wt").over(wp)).alias("credit"),
+    )
+
+
+@_q(
+    "bootstrap_ci_mean",
+    f"""
+    WITH reps AS ({_boot_sql()}),
+    v AS (SELECT event_type, replicate, mean_value FROM reps
+          WHERE mean_value IS NOT NULL),
+    r AS (SELECT event_type, replicate, mean_value,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                      ORDER BY mean_value, replicate) AS rk,
+                 count(*) OVER (PARTITION BY event_type) AS nr
+          FROM v),
+    env AS (SELECT event_type, CAST(max(nr) AS BIGINT) AS n_reps,
+                   min(mean_value) AS ci_lo, max(mean_value) AS ci_hi
+            FROM r GROUP BY event_type),
+    med AS (SELECT event_type, mean_value AS ci_med FROM r
+            WHERE rk = (nr + 1) // 2),
+    pt AS (SELECT event_type,
+                  {_DEC_SUM.format(x='value')} / CAST(count(*) AS DOUBLE)
+                    AS point_mean
+           FROM events GROUP BY event_type)
+    SELECT pt.event_type, pt.point_mean, e.n_reps, e.ci_lo, m.ci_med, e.ci_hi
+    FROM pt JOIN env e ON e.event_type = pt.event_type
+            JOIN med m ON m.event_type = pt.event_type
+    """,
+)
+def bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The uncertainty READOUT over [[bootstrap_mean_replicates]]: per
+    event type, the point estimate (exact decimal mean) with the
+    replicate envelope (min/max of the 8 Poisson-bootstrap replicate
+    means — the crude percentile-method bounds 8 replicates support)
+    and the discrete lower-median replicate.  Min/max/element-selection
+    only — no float aggregation over the replicate means, so every
+    output bit is inherited from the already-portable replicate query.
+
+    Scale shape: the replicate table is (types x 8) rows; everything
+    downstream of the one-scan bootstrap aggregate is sketch-sized."""
+    reps = QUERIES["bootstrap_mean_replicates"](spark, sf_dir)
+    v = reps.filter(F.col("mean_value").isNotNull())
+    wr = Window.partitionBy("event_type").orderBy("mean_value", "replicate")
+    wn = Window.partitionBy("event_type")
+    r = v.select(
+        "event_type",
+        "mean_value",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("nr"),
+    )
+    env = r.groupBy("event_type").agg(
+        F.max("nr").cast("long").alias("n_reps"),
+        F.min("mean_value").alias("ci_lo"),
+        F.max("mean_value").alias("ci_hi"),
+    )
+    med = r.filter(F.col("rk") == F.expr("(nr + 1) DIV 2")).select(
+        "event_type", F.col("mean_value").alias("ci_med")
+    )
+    ev = load_table(spark, sf_dir, "events")
+    pt = ev.groupBy("event_type").agg(
+        (A.decimal_sum("value") / F.count(F.lit(1)).cast("double")).alias(
+            "point_mean"
+        )
+    )
+    return (
+        pt.join(F.broadcast(env), "event_type")
+        .join(F.broadcast(med), "event_type")
+        .select("event_type", "point_mean", "n_reps", "ci_lo", "ci_med", "ci_hi")
+    )
