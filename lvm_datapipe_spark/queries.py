@@ -10591,3 +10591,237 @@ def bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(med), "event_type")
         .select("event_type", "point_mean", "n_reps", "ci_lo", "ci_med", "ci_hi")
     )
+
+
+@_q(
+    "survival_risk_table",
+    """
+    WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    pu AS (SELECT e.user_id, min(e.ts) AS p_ts
+           FROM events e JOIN v ON v.user_id = e.user_id
+           WHERE e.event_type = 'purchase' AND e.ts >= v.v_ts
+           GROUP BY e.user_id),
+    mx AS (SELECT max(ts) AS m_ts FROM events),
+    d AS (SELECT v.user_id,
+                 CAST(CASE WHEN pu.p_ts IS NOT NULL
+                      THEN (CAST(floor(epoch(pu.p_ts)) AS BIGINT)
+                            - CAST(floor(epoch(v.v_ts)) AS BIGINT)) // 86400
+                      ELSE (CAST(floor(epoch(mx.m_ts)) AS BIGINT)
+                            - CAST(floor(epoch(v.v_ts)) AS BIGINT)) // 86400
+                      END AS BIGINT) AS dur_days,
+                 (pu.p_ts IS NOT NULL) AS observed
+          FROM v LEFT JOIN pu ON pu.user_id = v.user_id CROSS JOIN mx),
+    pd AS (SELECT dur_days,
+                  CAST(SUM(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_events,
+                  CAST(SUM(CASE WHEN observed THEN 0 ELSE 1 END) AS BIGINT)
+                    AS n_censored,
+                  CAST(count(*) AS BIGINT) AS n_total
+           FROM d GROUP BY dur_days),
+    risk AS (SELECT x.dur_days, CAST(SUM(y.n_total) AS BIGINT) AS n_at_risk
+             FROM pd x JOIN pd y ON y.dur_days >= x.dur_days
+             GROUP BY x.dur_days)
+    SELECT p.dur_days AS day, r.n_at_risk, p.n_events, p.n_censored
+    FROM pd p JOIN risk r ON r.dur_days = p.dur_days
+    """,
+)
+def survival_risk_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier RISK TABLE for time-to-conversion: per day since a
+    user's first view, the number still at risk, the conversions
+    (first purchase at that lag), and the right-censored exits (users
+    never converting, censored at the corpus horizon).  This integer
+    triple IS the product-limit estimator's input — S(t) follows by
+    multiplying (1 - d/n) down the rows, kept OUT of the query because
+    a float cumulative product is order-sensitive across engines; the
+    risk table itself is exact.
+
+    Scale shape: first-view/first-purchase are user-keyed min
+    aggregates; the horizon is a broadcast scalar; per-day counts are
+    one keyed aggregate of a users-sized table; the at-risk cumulative
+    uses a non-equi self-join of the DAY table (bounded by the horizon
+    in days — the Neyman count-ahead pattern, no global window)."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    pu = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    mx = ev.agg(F.max("ts").alias("m_ts"))
+    end = F.when(
+        F.col("p_ts").isNotNull(), F.unix_timestamp("p_ts")
+    ).otherwise(F.unix_timestamp("m_ts"))
+    d = (
+        v.join(pu, "user_id", "left")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "user_id",
+            (end - F.unix_timestamp("v_ts")).alias("gap_s"),
+            F.col("p_ts").isNotNull().alias("observed"),
+        )
+        .select(
+            "user_id",
+            F.expr("gap_s DIV 86400").cast("long").alias("dur_days"),
+            "observed",
+        )
+    )
+    pd_ = d.groupBy("dur_days").agg(
+        F.sum(F.when(F.col("observed"), 1).otherwise(0)).cast("long").alias("n_events"),
+        F.sum(F.when(F.col("observed"), 0).otherwise(1))
+        .cast("long")
+        .alias("n_censored"),
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+    )
+    y = pd_.select(F.col("dur_days").alias("y_day"), F.col("n_total").alias("y_n"))
+    risk = (
+        pd_.join(F.broadcast(y), F.col("y_day") >= F.col("dur_days"))
+        .groupBy("dur_days")
+        .agg(F.sum("y_n").cast("long").alias("n_at_risk"))
+    )
+    return (
+        pd_.join(F.broadcast(risk), "dur_days")
+        .select(
+            F.col("dur_days").alias("day"), "n_at_risk", "n_events", "n_censored"
+        )
+    )
+
+
+@_q(
+    "length_bucket_batches",
+    rf"""
+    WITH t AS (SELECT doc_id, CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens,
+                      md5('lenb' || CAST(doc_id AS VARCHAR)) AS h
+               FROM documents),
+    b AS (SELECT doc_id, n_tokens, h,
+                 CAST(LEAST(n_tokens // 32, 15) AS BIGINT) AS bucket FROM t),
+    r AS (SELECT doc_id, n_tokens, bucket,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY bucket
+                      ORDER BY h, doc_id) AS BIGINT) AS rn
+          FROM b)
+    SELECT bucket, CAST((rn - 1) // 8 AS BIGINT) AS batch_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(max(n_tokens) AS BIGINT) AS max_len,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(count(*) * max(n_tokens) - SUM(n_tokens) AS BIGINT)
+             AS padded_tokens,
+           CASE WHEN count(*) * max(n_tokens) > 0 THEN
+             CAST(count(*) * max(n_tokens) - SUM(n_tokens) AS DOUBLE)
+               / CAST(count(*) * max(n_tokens) AS DOUBLE) END AS waste_frac
+    FROM r GROUP BY bucket, (rn - 1) // 8
+    """,
+)
+def length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed BATCH ASSEMBLY — the padding-minimizing batching
+    every seq2seq/packed-training dataloader performs: documents are
+    binned by token count (32-token-wide buckets, capped), shuffled
+    deterministically inside each bucket (md5 order), cut into
+    batches of 8, and each batch reports its exact padding waste
+    (n x max_len - sum_len).  The per-batch waste_frac is the metric
+    you tune bucket width against; [[pack_sequences_by_lang]] is the
+    concatenative alternative for decoder-only training.
+
+    Scale shape: bucketing is scan-shaped; position assignment is ONE
+    bucket-keyed window; the batch aggregate reuses the same
+    (bucket, batch) keying.  Integers throughout; the division is
+    guarded for the all-empty-docs batch."""
+    docs = load_table(spark, sf_dir, "documents")
+    from lvm_datapipe_spark.operators import text as X
+
+    h = F.md5(F.concat(F.lit("lenb"), F.col("doc_id").cast("string")).cast("binary"))
+    t = docs.select(
+        "doc_id",
+        X.token_count("text").cast("bigint").alias("n_tokens"),
+        h.alias("h"),
+    )
+    b = t.withColumn(
+        "bucket", F.least(F.expr("n_tokens DIV 32"), F.lit(15)).cast("long")
+    )
+    w = Window.partitionBy("bucket").orderBy("h", "doc_id")
+    r = b.withColumn("rn", F.row_number().over(w).cast("long"))
+    g = r.withColumn("batch_id", F.expr("(rn - 1) DIV 8").cast("long"))
+    agg = g.groupBy("bucket", "batch_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.max("n_tokens").cast("long").alias("max_len"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+    )
+    padded = F.col("n_docs") * F.col("max_len") - F.col("sum_tokens")
+    denom = F.col("n_docs") * F.col("max_len")
+    return agg.select(
+        "bucket",
+        "batch_id",
+        "n_docs",
+        "max_len",
+        "sum_tokens",
+        padded.cast("long").alias("padded_tokens"),
+        F.when(denom > 0, padded.cast("double") / denom.cast("double")).alias(
+            "waste_frac"
+        ),
+    )
+
+
+@_q(
+    "calibration_table",
+    r"""
+    WITH f AS (
+      SELECT doc_id, length(text) AS n_chars,
+             CAST(len(list_filter(string_split_regex(text, '\s+'),
+                  x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM documents),
+    s AS (SELECT doc_id, n_tokens,
+                 (-2.0 + 0.004 * CAST(n_tokens AS DOUBLE))
+                   + 0.35 * (CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+                   AS logit,
+                 (n_tokens BETWEEN 50 AND 100000) AS label
+          FROM f WHERE n_tokens > 0)
+    SELECT CAST(floor(logit / ('0.125'::DOUBLE)) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS pos_rate
+    FROM s GROUP BY bin
+    """,
+)
+def calibration_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier CALIBRATION table (reliability-curve input): the
+    [[quality_logit]] score binned into fixed 0.125-wide cells against
+    the Gopher word-count rule as the reference label (the full Gopher
+    conjunction is wholesale-false on this fixture — the scorecard's
+    documented dead-branch rationale — while the word-count rule splits
+    277/500), yielding per-bin observed positive rates.  A well-
+    calibrated gate shows monotone rates; the table is what you
+    threshold against when the gate's operating point moves.
+
+    Scale shape: pure scan + one bin-keyed aggregate; bin edges from
+    floor-division of the same double both engines computed
+    bit-identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(
+        F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    ).cast("long")
+    f = docs.select(
+        "doc_id", F.length("text").alias("n_chars"), n_tokens.alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    logit = (
+        F.lit(-2.0) + F.lit(0.004) * F.col("n_tokens").cast("double")
+    ) + F.lit(0.35) * (
+        F.col("n_chars").cast("double") / F.col("n_tokens").cast("double")
+    )
+    s = f.select(
+        F.floor(logit / F.lit(0.125)).cast("long").alias("bin"),
+        F.col("n_tokens").between(50, 100000).alias("label"),
+    )
+    return s.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("label"), 1).otherwise(0)).cast("long").alias("n_pos"),
+        (
+            F.sum(F.when(F.col("label"), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("pos_rate"),
+    )
