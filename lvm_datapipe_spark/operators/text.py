@@ -47,7 +47,7 @@ def normalize_text(text: Column | str) -> Column:
 
 
 def normalize_text_unicode(text: Column | str) -> Column:
-    """Unicode sibling of :func:`normalize_text` for non-transliterated
+    r"""Unicode sibling of :func:`normalize_text` for non-transliterated
     corpora: keep letters and digits of ANY script (``\p{L}\p{N}`` —
     the property classes Java regex and DuckDB's RE2 agree on), so
     accents, CJK, Cyrillic, Arabic survive; punctuation, symbols and
