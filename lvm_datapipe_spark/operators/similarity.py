@@ -1092,3 +1092,86 @@ def icl_chain_order(
         )
 
     return a.groupBy("cell").applyInPandas(chain, "vec_id long, cell int, pos long")
+
+
+def kcenter_coreset(
+    emb: DataFrame,
+    k: int = 8,
+    n_cells: int = 16,
+    dim: int = DEFAULT_DIM,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center CORESET selection (Sener & Savarese 2018,
+    arXiv:1708.00489 — the active-learning/data-pruning selection rule):
+    within each quantizer cell, start from the lowest id and repeatedly add
+    the point FARTHEST from the current selection (max over candidates of
+    min cosine distance to any selected point; ties to the lower id), up to
+    ``k`` representatives per cell.  The selected set is the 2-approximate
+    k-center cover — the diversity-preserving subsample that keeps one
+    exemplar per region instead of one per duplicate-cluster (SemDeDup's
+    complementary failure mode).
+
+    Returns ``(vec_id, cell, pos)`` for SELECTED points only; pos is the
+    selection order (pos=1 is the seed, early picks are the most spread).
+
+    Plan shape: identical family to :func:`icl_chain_order` — one-scan cell
+    assignment, one ``applyInPandas`` per cell group, per-cell cost
+    O(k · cell · dim).  Distances are exact left-fold cosines so the
+    traversal decisions replay bit-identically in the recursive SQL oracle.
+    """
+    import pandas as pd
+
+    a = (
+        emb.select(F.col(id_col).alias("vec_id"), as_double(vec_col).alias("v"))
+        .filter(F.col("v").isNotNull())
+        .withColumn("nrm", F.sqrt(dot_flat(F.col("v"), F.col("v"), dim)))
+        .withColumn("sims", F.expr(_ivf_cell_sims_sql(n_cells, dim, seed, "v", "nrm")))
+        .withColumn(
+            "cell", (F.expr("array_position(sims, array_max(sims))") - 1).cast("int")
+        )
+        .withColumn("vn", F.expr("transform(v, x -> x / nrm)"))
+        .select("vec_id", "cell", "vn")
+    )
+
+    def select_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].tolist()
+        by_id = dict(zip(ids, (list(v) for v in pdf["vn"].tolist())))
+
+        def dist(x, y):
+            acc = 0.0
+            for i in range(len(x)):
+                acc += x[i] * y[i]
+            return 1.0 - acc
+
+        seed_id = min(ids)
+        chosen = [seed_id]
+        mind = {
+            i: dist(by_id[seed_id], by_id[i]) for i in ids if i != seed_id
+        }
+        while mind and len(chosen) < k:
+            best_id, best_d = None, None
+            for cand in sorted(mind):
+                d = mind[cand]
+                if best_d is None or d > best_d:
+                    best_id, best_d = cand, d
+            chosen.append(best_id)
+            del mind[best_id]
+            bv = by_id[best_id]
+            for cand in mind:
+                d = dist(bv, by_id[cand])
+                if d < mind[cand]:
+                    mind[cand] = d
+        cell = int(pdf["cell"].iloc[0])
+        return pd.DataFrame(
+            {
+                "vec_id": chosen,
+                "cell": [cell] * len(chosen),
+                "pos": range(1, len(chosen) + 1),
+            }
+        )
+
+    return a.groupBy("cell").applyInPandas(
+        select_cell, "vec_id long, cell int, pos long"
+    )

@@ -10948,3 +10948,67 @@ def join_size_estimate_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("exact_join_size").cast("double")
         ).alias("overcount_ratio"),
     )
+
+
+def _kcenter_sql(k: int = 8, n_cells: int = 16, seed: int = 42, dim: int = _EMB_DIM) -> str:
+    """DuckDB replay of greedy k-center: shared quantizer-literal cell
+    assignment, symmetric within-cell cosine DISTANCES, then the selection
+    loop as a recursive CTE whose step AGGREGATES min-distance-to-selected
+    per candidate (GROUP BY over the state row) and picks the farthest via
+    QUALIFY — the same (max min-dist, lower id) rule the Spark UDF's
+    incremental update makes over bit-identical doubles."""
+    from lvm_datapipe_spark.operators.similarity import ivf_fixed_centroids
+
+    cents = ivf_fixed_centroids(n_cells, dim, seed)
+
+    def cos_lit(v: str, c) -> str:
+        dot_vc = " + ".join(
+            f"{v}[{i + 1}]*('{float(c[i])!r}'::DOUBLE)" for i in range(dim)
+        )
+        dot_cc = sum(float(x) * float(x) for x in c)
+        return f"(({dot_vc}) / (sqrt({_dot_sql(v, v)}) * sqrt('{dot_cc!r}'::DOUBLE)))"
+
+    sims = "[" + ", ".join(cos_lit("v", c) for c in cents) + "]"
+    return f"""
+    WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                         FROM embeddings WHERE embedding IS NOT NULL),
+    c0 AS (SELECT vec_id, v, {sims} AS sims,
+                  sqrt({_dot_sql('v', 'v')}) AS nrm FROM e),
+    a AS (SELECT vec_id,
+                 CAST(list_indexof(sims, list_max(sims)) - 1 AS INTEGER) AS cell,
+                 list_transform(v, x -> x / nrm) AS vn
+          FROM c0),
+    p AS (SELECT x.cell, x.vec_id AS id_a, b.vec_id AS id_b,
+                 ('1.0'::DOUBLE) - ({_dot_sql('x.vn', 'b.vn')}) AS dist
+          FROM a x JOIN a b ON x.cell = b.cell AND x.vec_id <> b.vec_id),
+    starts AS (SELECT cell, min(vec_id) AS vec_id FROM a GROUP BY cell),
+    sel AS (
+      SELECT s.cell, s.vec_id, CAST(1 AS BIGINT) AS pos, [s.vec_id] AS visited
+      FROM starts s
+      UNION ALL
+      SELECT c.cell, p.id_b, c.pos + 1, list_append(c.visited, p.id_b)
+      FROM sel c JOIN p ON p.cell = c.cell
+           AND list_contains(c.visited, p.id_a)
+           AND NOT list_contains(c.visited, p.id_b)
+      GROUP BY c.cell, c.pos, c.visited, p.id_b
+      HAVING c.pos < {k}
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY c.cell
+              ORDER BY MIN(p.dist) DESC, p.id_b) = 1
+    )
+    SELECT vec_id, cell, pos FROM sel
+    """
+
+
+@_q("kcenter_coreset", _kcenter_sql())
+def kcenter_coreset_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection (Sener & Savarese 2018,
+    arXiv:1708.00489) over the embeddings table: up to 8 maximally-
+    spread representatives per quantizer cell — the diversity-first
+    data-pruning rule, complementary to [[dedup_semantic_semdedup]]
+    (which removes redundancy; this KEEPS coverage).  See
+    operators/similarity.py:kcenter_coreset for the algorithm and the
+    left-fold determinism contract behind the recursive SQL oracle."""
+    from lvm_datapipe_spark.operators.similarity import kcenter_coreset
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kcenter_coreset(emb)
