@@ -109,7 +109,11 @@ _CHECK_FIRST = [
     #       session-7 additions audience_overlap_pairs,
     #       text_rank_normalize, text_readability, mix_budget_spillover,
     #       hard_negative_mining, bitext_margin_pairs, shard_manifest,
-    #       theil_sen_slope_by_user, icl_similarity_chain) LEAD the r7
+    #       theil_sen_slope_by_user, icl_similarity_chain,
+    #       preference_pairs_dpo, attribution_time_decay,
+    #       bootstrap_ci_mean, survival_risk_table, length_bucket_batches,
+    #       calibration_table, events_burst_detection,
+    #       join_size_estimate_cm, kcenter_coreset) LEAD the r7
     #       queue; all are green in this round's local full sweep
     #       (tools/check_correctness.py).
     "sample_neyman_allocation",     # new: variance-optimal strata budgets
