@@ -11012,3 +11012,138 @@ def kcenter_coreset_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return kcenter_coreset(emb)
+
+
+@_q(
+    "quantile_normalize_sources",
+    """
+    WITH d AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS x
+               FROM documents),
+    r AS (SELECT doc_id, source, x,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY source
+                      ORDER BY x, doc_id) AS BIGINT) AS rk
+          FROM d),
+    ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM d GROUP BY source),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+    vals AS (SELECT x AS v, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY x),
+    cum AS (SELECT a.v, CAST(SUM(b.c) AS BIGINT) AS cum_le
+            FROM vals a JOIN vals b ON b.v <= a.v GROUP BY a.v),
+    t AS (SELECT r.doc_id, r.source, r.x,
+                 ((r.rk * tot.n + ns.n_s - 1) // ns.n_s) AS k
+          FROM r JOIN ns ON ns.source = r.source CROSS JOIN tot),
+    m AS (SELECT t.doc_id, t.source, t.x, CAST(min(c.v) AS BIGINT) AS x_norm
+          FROM t JOIN cum c ON c.cum_le >= t.k
+          GROUP BY t.doc_id, t.source, t.x)
+    SELECT doc_id, source, x AS n_chars, x_norm
+    FROM m
+    """,
+)
+def quantile_normalize_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTILE NORMALIZATION across sources (the batch-effect
+    correction rule): each document's feature is REMAPPED to the pooled
+    corpus value at its within-source quantile — after which every
+    source has (up to ties) the same feature distribution, so a
+    per-source scanner bias can't masquerade as a quality signal.
+    [[text_rank_normalize]] rescales within a group; this aligns
+    groups to a COMMON distribution.  Pure integer rank arithmetic:
+    target pooled rank k = ceil(rk * N / n_s) (computed as
+    (rk*N + n_s - 1) DIV n_s), and the mapped value is the smallest
+    pooled value whose cumulative count reaches k — counting-based
+    discrete quantiles, no interpolation (the ccnet portability rule).
+
+    Scale shape: the only corpus-sized shuffles are the source-keyed
+    rank window and the final doc-keyed aggregate; the pooled
+    distribution lives as a DISTINCT-VALUES table with count-ahead
+    cumulative counts (bounded by feature cardinality, broadcast —
+    the Neyman pattern, no global window)."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("x")
+    )
+    w = Window.partitionBy("source").orderBy("x", "doc_id")
+    r = d.withColumn("rk", F.row_number().over(w).cast("long"))
+    ns = d.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_s"))
+    tot = d.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    vals = d.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    vb = vals.select(F.col("x").alias("bv"), F.col("c").alias("bc"))
+    cum = (
+        vals.join(F.broadcast(vb), F.col("bv") <= F.col("x"))
+        .groupBy("x")
+        .agg(F.sum("bc").cast("long").alias("cum_le"))
+        .select(F.col("x").alias("v"), "cum_le")
+    )
+    t = (
+        r.join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "source",
+            "x",
+            F.expr("(rk * n + n_s - 1) DIV n_s").cast("long").alias("k"),
+        )
+    )
+    m = (
+        t.join(F.broadcast(cum), F.col("cum_le") >= F.col("k"))
+        .groupBy("doc_id", "source", "x")
+        .agg(F.min("v").cast("long").alias("x_norm"))
+    )
+    return m.select("doc_id", "source", F.col("x").alias("n_chars"), "x_norm")
+
+
+@_q(
+    "revenue_mom_growth",
+    f"""
+    WITH m AS (SELECT CAST(strftime(o_orderdate, '%Y') AS BIGINT) * 12
+                      + CAST(strftime(o_orderdate, '%m') AS BIGINT) - 1
+                        AS month_id,
+                      strftime(o_orderdate, '%Y-%m') AS month,
+                      {_DEC_SUM.format(x='o_totalprice')} AS revenue,
+                      CAST(count(*) AS BIGINT) AS n_orders
+               FROM orders GROUP BY month_id, month)
+    SELECT c.month, c.n_orders, c.revenue,
+           p.revenue AS prev_revenue,
+           (c.revenue - p.revenue) / p.revenue AS mom_growth
+    FROM m c JOIN m p ON p.month_id = c.month_id - 1
+    """,
+)
+def revenue_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth — the KPI trend readout.  The
+    monthly lag uses an EQUI-self-join on an integer month index
+    (month_id = 12*year + month - 1) instead of a LAG window: the
+    months table has no partitioning key, and a global-order window is
+    banned from the declared surface; the join expresses the same
+    adjacency with a broadcastable month-sized table.  Revenue is the
+    exact decimal sum; growth is ONE float expression over two such
+    sums.
+
+    Scale shape: one keyed aggregate over orders (month key), then a
+    self-join of the months-sized table.  Months with no predecessor
+    (the first) drop out by the inner join — explicit, not NULL-padded."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        (
+            F.year("o_orderdate").cast("long") * 12
+            + F.month("o_orderdate").cast("long")
+            - 1
+        ).alias("month_id"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+    ).agg(
+        A.decimal_sum("o_totalprice").alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )
+    p = m.select(
+        (F.col("month_id") + 1).alias("month_id"),
+        F.col("revenue").alias("prev_revenue"),
+    )
+    return (
+        m.join(F.broadcast(p), "month_id")
+        .select(
+            "month",
+            "n_orders",
+            "revenue",
+            "prev_revenue",
+            (
+                (F.col("revenue") - F.col("prev_revenue")) / F.col("prev_revenue")
+            ).alias("mom_growth"),
+        )
+    )
