@@ -11147,3 +11147,343 @@ def revenue_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mom_growth"),
         )
     )
+
+
+# Benford expected first-digit probabilities log10(1 + 1/d), computed ONCE in
+# Python and injected as the SAME float literal into both engines (the literal
+# recipe) — cross-engine log10 is not guaranteed bit-identical, a shared
+# literal is.
+_BENFORD_P = {
+    1: 0.3010299956639812,
+    2: 0.17609125905568124,
+    3: 0.12493873660829992,
+    4: 0.09691001300805642,
+    5: 0.07918124604762482,
+    6: 0.06694678963061322,
+    7: 0.05799194697768673,
+    8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+_BENFORD_CASE_SQL = "CASE digit " + " ".join(
+    f"WHEN {d} THEN '{p!r}'::DOUBLE" for d, p in _BENFORD_P.items()
+) + " END"
+
+
+@_q(
+    "benford_first_digit",
+    f"""
+    WITH v AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT) AS cents
+               FROM lineitem WHERE l_extendedprice > 0),
+    d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit
+          FROM v),
+    c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM d),
+    e AS (SELECT digit, n, total,
+                 {_BENFORD_CASE_SQL} AS exp_p
+          FROM c CROSS JOIN t)
+    SELECT digit, n,
+           CAST(n AS DOUBLE) / total AS obs_p,
+           exp_p,
+           ((CAST(n AS DOUBLE) - CAST(total AS DOUBLE) * exp_p)
+            * (CAST(n AS DOUBLE) - CAST(total AS DOUBLE) * exp_p))
+           / (CAST(total AS DOUBLE) * exp_p) AS chi2_term
+    FROM e
+    """,
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENFORD'S-LAW first-digit audit over prices — the forensic
+    data-quality check for synthetic/fabricated numeric columns (a
+    generator that draws uniform prices fails it; organically grown
+    ledgers follow log10(1+1/d)).  The first significant digit is
+    extracted WITHOUT float log10: the price is fixed to exact cents
+    (DECIMAL(18,2) * 100 -> BIGINT) and the digit is the first
+    character of the integer's decimal string — pure integer/string
+    arithmetic, identical in any engine.  Expected probabilities are
+    shared Python-float literals (cross-engine log10 is not
+    bit-portable); the chi-square terms are the per-digit
+    goodness-of-fit readout.
+
+    Scale shape: one scan + one 9-group aggregate; the totals row is a
+    1-row broadcast.  9 output rows regardless of corpus size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    digit = (
+        li.filter(F.col("l_extendedprice") > 0)
+        .select(
+            F.substring(
+                (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+                .cast("long")
+                .cast("string"),
+                1,
+                1,
+            )
+            .cast("long")
+            .alias("digit")
+        )
+    )
+    c = digit.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = digit.agg(F.count(F.lit(1)).cast("long").alias("total"))
+    exp_p = F.lit(None).cast("double")
+    for d, p in _BENFORD_P.items():
+        exp_p = F.when(F.col("digit") == d, F.lit(p)).otherwise(exp_p)
+    e = c.crossJoin(F.broadcast(tot)).withColumn("exp_p", exp_p)
+    nd = F.col("n").cast("double")
+    expected = F.col("total").cast("double") * F.col("exp_p")
+    return e.select(
+        "digit",
+        "n",
+        (nd / F.col("total")).alias("obs_p"),
+        "exp_p",
+        (((nd - expected) * (nd - expected)) / expected).alias("chi2_term"),
+    )
+
+
+@_q(
+    "auc_purchase_value",
+    """
+    WITH e AS (SELECT CAST(ts AS DATE) AS day,
+                      value,
+                      CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                        AS is_pos,
+                      CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END
+                        AS is_neg
+               FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+    r AS (SELECT day, is_pos, is_neg,
+                 CAST(SUM(is_neg) OVER (PARTITION BY day ORDER BY value
+                      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS neg_le,
+                 CAST(SUM(is_neg) OVER (PARTITION BY day, value)
+                      AS BIGINT) AS neg_eq
+          FROM e),
+    d AS (SELECT day,
+                 CAST(SUM(is_pos) AS BIGINT) AS n_pos,
+                 CAST(SUM(is_neg) AS BIGINT) AS n_neg,
+                 CAST(SUM(CASE WHEN is_pos = 1
+                           THEN 2 * (neg_le - neg_eq) + neg_eq
+                           ELSE 0 END) AS BIGINT) AS u2
+          FROM r GROUP BY day)
+    SELECT strftime(day, '%Y-%m-%d') AS day, n_pos, n_neg, u2,
+           CAST(u2 AS DOUBLE) / CAST(2 * n_pos * n_neg AS DOUBLE) AS auc
+    FROM d WHERE n_pos > 0 AND n_neg > 0
+    """,
+)
+def auc_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily AUC (Mann-Whitney U) of `value` as a purchase classifier —
+    the model-eval readout computed EXACTLY in integer rank arithmetic:
+    for each positive, count negatives strictly below (via a
+    RANGE-frame running sum that includes ties, minus the tie group)
+    plus half the tied negatives; doubling everything keeps it BIGINT
+    (u2 = 2U), and AUC = u2 / (2 * n_pos * n_neg) is ONE float division
+    of exact integers.  Ties get the standard mid-rank treatment with
+    no float rank averaging.
+
+    Scale shape: both windows partition by day (no global window), then
+    one day-keyed aggregate — the day key bounds every partition, and
+    at 100 TB the windows parallelize across days."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    ).select(
+        F.col("ts").cast("date").alias("day"),
+        "value",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_pos"),
+        F.when(F.col("event_type") == "purchase", 0).otherwise(1).alias("is_neg"),
+    )
+    w_le = (
+        Window.partitionBy("day")
+        .orderBy("value")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_eq = Window.partitionBy("day", "value")
+    r = e.select(
+        "day",
+        "is_pos",
+        "is_neg",
+        F.sum("is_neg").over(w_le).cast("long").alias("neg_le"),
+        F.sum("is_neg").over(w_eq).cast("long").alias("neg_eq"),
+    )
+    d = r.groupBy("day").agg(
+        F.sum("is_pos").cast("long").alias("n_pos"),
+        F.sum("is_neg").cast("long").alias("n_neg"),
+        F.sum(
+            F.when(
+                F.col("is_pos") == 1,
+                2 * (F.col("neg_le") - F.col("neg_eq")) + F.col("neg_eq"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("u2"),
+    )
+    return d.filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0)).select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_pos",
+        "n_neg",
+        "u2",
+        (
+            F.col("u2").cast("double")
+            / (2 * F.col("n_pos") * F.col("n_neg")).cast("double")
+        ).alias("auc"),
+    )
+
+
+@_q(
+    "chisq_source_lang",
+    """
+    WITH d AS (SELECT source, lang FROM documents
+               WHERE source IS NOT NULL AND lang IS NOT NULL),
+    c AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS o
+          FROM d GROUP BY source, lang),
+    rt AS (SELECT source, CAST(count(*) AS BIGINT) AS row_n
+           FROM d GROUP BY source),
+    ct AS (SELECT lang, CAST(count(*) AS BIGINT) AS col_n
+           FROM d GROUP BY lang),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+    g AS (SELECT rt.source, ct.lang, rt.row_n, ct.col_n,
+                 COALESCE(c.o, CAST(0 AS BIGINT)) AS o
+          FROM rt CROSS JOIN ct
+          LEFT JOIN c ON c.source = rt.source AND c.lang = ct.lang)
+    SELECT g.source, g.lang, g.o,
+           CAST(g.row_n * g.col_n AS DOUBLE) / t.n AS expected,
+           ((CAST(g.o AS DOUBLE) - CAST(g.row_n * g.col_n AS DOUBLE) / t.n)
+            * (CAST(g.o AS DOUBLE) - CAST(g.row_n * g.col_n AS DOUBLE) / t.n))
+           / (CAST(g.row_n * g.col_n AS DOUBLE) / t.n) AS chi2_term
+    FROM g CROSS JOIN t
+    """,
+)
+def chisq_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square INDEPENDENCE test cells for source x lang — the
+    composition-drift alarm ("does language mix depend on scanner
+    source?").  The full contingency grid is the CROSS product of the
+    two marginal tables (so ZERO-observed cells contribute their
+    expected mass — omitting them understates the statistic), with
+    observed counts left-joined in.  Marginals stay exact BIGINTs; each
+    cell's expected count is the single float expression row_n*col_n/n
+    (integer product first, one division), and the chi-square
+    contribution repeats that expression verbatim so both engines
+    evaluate the identical tree.  Summing chi2_term gives the
+    statistic; per-cell terms localize WHICH (source, lang) drifted.
+
+    Scale shape: one keyed aggregate for the cells; marginals and the
+    total are group-count-sized broadcasts.  Cell count is bounded by
+    |sources| x |langs|, not corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.filter(
+        F.col("source").isNotNull() & F.col("lang").isNotNull()
+    ).select("source", "lang")
+    c = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    rt = d.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("row_n"))
+    ct = d.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("col_n"))
+    t = d.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    g = (
+        rt.crossJoin(F.broadcast(ct))
+        .join(F.broadcast(c), ["source", "lang"], "left")
+        .withColumn("o", F.coalesce(F.col("o"), F.lit(0).cast("long")))
+    )
+    j = g.crossJoin(F.broadcast(t))
+    od = F.col("o").cast("double")
+    expected = (F.col("row_n") * F.col("col_n")).cast("double") / F.col("n")
+    return j.select(
+        "source",
+        "lang",
+        "o",
+        expected.alias("expected"),
+        (((od - expected) * (od - expected)) / expected).alias("chi2_term"),
+    )
+
+
+def _discrete_laplace_cdf(eps: float = 0.5, k_max: int = 12) -> list[tuple[int, float]]:
+    """CDF thresholds of the discrete (two-sided geometric) Laplace
+    distribution P(k) ∝ exp(-eps)**|k|, truncated to [-k_max, k_max]
+    (tail mass folded into the extremes).  Computed ONCE in Python so
+    both engines compare against the SAME float literals."""
+    import math
+
+    a = math.exp(-eps)
+    p0 = (1.0 - a) / (1.0 + a)
+    tail = sum(p0 * a ** abs(k) for k in range(-200, -k_max))
+    out, s = [], tail
+    for k in range(-k_max, k_max):
+        s += p0 * a ** abs(k)
+        out.append((k, s))
+    return out
+
+
+_DP_CDF = _discrete_laplace_cdf()
+_DP_CASE_SQL = "CASE " + " ".join(
+    f"WHEN u < '{c!r}'::DOUBLE THEN CAST({k} AS BIGINT)" for k, c in _DP_CDF
+) + " ELSE CAST(12 AS BIGINT) END"
+
+
+@_q(
+    "dp_release_counts",
+    f"""
+    WITH c AS (SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+                      CAST(count(*) AS BIGINT) AS n
+               FROM events
+               WHERE event_type IS NOT NULL AND ts IS NOT NULL
+               GROUP BY event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d')),
+    h AS (SELECT event_type, day, n,
+                 ('0x' || substr(md5('dp1|' || event_type || '|' || day), 1, 8))::BIGINT
+                   / 4294967296.0 AS u
+          FROM c),
+    z AS (SELECT event_type, day, n, {_DP_CASE_SQL} AS noise FROM h)
+    SELECT event_type, day, n, noise,
+           CASE WHEN n + noise > 0 THEN n + noise ELSE CAST(0 AS BIGINT) END
+             AS released
+    FROM z
+    """,
+)
+def dp_release_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release (audit mode): daily
+    per-event-type counts plus DISCRETE-Laplace noise (the two-sided
+    geometric mechanism, eps=0.5), deterministically seeded from the
+    group key so releases are replayable and testable — inverse-CDF
+    over a md5 hash fraction, with the CDF ladder shared between
+    engines as Python-float literals.  Noise stays a BIGINT (the
+    discrete mechanism needs no float arithmetic on the release path);
+    the hash fraction u = h / 2**32 is an EXACT power-of-two scaling,
+    so both engines compare identical bits against identical
+    thresholds.  Post-processing clamps released counts at 0.  Audit
+    mode keeps the true n alongside; a production release would drop it
+    (and use a secret salt instead of 'dp1|').
+
+    Scale shape: one keyed aggregate over events, then scan-shaped
+    hash + ladder arithmetic on the group-count-sized result."""
+    ev = load_table(spark, sf_dir, "events")
+    c = (
+        ev.filter(F.col("event_type").isNotNull() & F.col("ts").isNotNull())
+        .groupBy(
+            "event_type",
+            F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("dp1|"), F.col("event_type"), F.lit("|"), F.col("day")
+                ).cast("binary")
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = h / F.lit(4294967296.0)
+    noise = F.lit(12).cast("long")
+    for k, cth in reversed(_DP_CDF):
+        noise = F.when(u < F.lit(cth), F.lit(k).cast("long")).otherwise(noise)
+    z = c.withColumn("noise", noise)
+    return z.select(
+        "event_type",
+        "day",
+        "n",
+        "noise",
+        F.when(F.col("n") + F.col("noise") > 0, F.col("n") + F.col("noise"))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("released"),
+    )

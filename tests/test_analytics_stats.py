@@ -260,3 +260,96 @@ def test_bootstrap_single_row_groups_yield_null_not_div0(spark):
         1 for r in rows for b in range(_BOOT_B) if r[f"m_{b}"] is None
     )
     assert nulls > 0  # the zero-weight case actually occurred and survived
+
+
+def test_benford_digits_match_bruteforce_and_probs_sum(spark):
+    """First-digit counts equal a pure-python digit extraction over exact
+    cents, and the Benford expected probabilities sum to 1."""
+    rows = {
+        r["digit"]: r
+        for r in QUERIES["benford_first_digit"](spark, SF).collect()
+    }
+    prices = duckdb.sql(
+        f"SELECT l_extendedprice FROM '{SF}/lineitem.parquet' "
+        "WHERE l_extendedprice > 0"
+    ).df()["l_extendedprice"]
+    import decimal
+
+    digits = (
+        prices.map(
+            lambda x: int(
+                str(
+                    int(
+                        decimal.Decimal(repr(x)).quantize(
+                            decimal.Decimal("0.01")
+                        )
+                        * 100
+                    )
+                )[0]
+            )
+        )
+    ).value_counts()
+    total = int(digits.sum())
+    for d, n in digits.items():
+        assert rows[d]["n"] == int(n)
+        assert rows[d]["obs_p"] == pytest.approx(n / total, abs=0)
+    assert sum(r["exp_p"] for r in rows.values()) == pytest.approx(1.0, abs=1e-12)
+    # chi2 terms are internally consistent with n/exp_p
+    for r in rows.values():
+        e = total * r["exp_p"]
+        assert r["chi2_term"] == pytest.approx((r["n"] - e) ** 2 / e, rel=1e-12)
+
+
+def test_auc_matches_pairwise_mann_whitney(spark, events_pd):
+    """Daily AUC equals the O(n^2) pairwise definition (ties count 1/2)."""
+    out = {
+        r["day"]: r for r in QUERIES["auc_purchase_value"](spark, SF).collect()
+    }
+    ev = events_pd.dropna(subset=["value", "ts"]).copy()
+    ev["day"] = ev.ts.dt.strftime("%Y-%m-%d")
+    for day, g in ev.groupby("day"):
+        pos = g[g.event_type == "purchase"].value.to_numpy()
+        neg = g[g.event_type != "purchase"].value.to_numpy()
+        if len(pos) == 0 or len(neg) == 0:
+            assert day not in out
+            continue
+        wins = (pos[:, None] > neg[None, :]).sum()
+        ties = (pos[:, None] == neg[None, :]).sum()
+        u2 = int(2 * wins + ties)
+        assert out[day]["u2"] == u2
+        assert out[day]["n_pos"] == len(pos) and out[day]["n_neg"] == len(neg)
+        assert out[day]["auc"] == pytest.approx(
+            u2 / (2 * len(pos) * len(neg)), abs=0
+        )
+
+
+def test_chisq_cells_match_textbook_statistic(spark):
+    """Sum of per-cell terms equals the textbook chi-square statistic."""
+    rows = QUERIES["chisq_source_lang"](spark, SF).collect()
+    docs = duckdb.sql(
+        f"SELECT source, lang FROM '{SF}/documents.parquet' "
+        "WHERE source IS NOT NULL AND lang IS NOT NULL"
+    ).df()
+    ct = pd.crosstab(docs.source, docs.lang)
+    n = ct.to_numpy().sum()
+    exp = np.outer(ct.sum(axis=1), ct.sum(axis=0)) / n
+    chi2 = ((ct.to_numpy() - exp) ** 2 / exp).sum()
+    assert sum(r["chi2_term"] for r in rows) == pytest.approx(chi2, rel=1e-12)
+    # expected counts sum back to N and cells cover the full table
+    assert sum(r["o"] for r in rows) == n
+    assert sum(r["expected"] for r in rows) == pytest.approx(float(n), rel=1e-12)
+
+
+def test_dp_release_noise_is_bounded_deterministic_and_clamped(spark):
+    rows = QUERIES["dp_release_counts"](spark, SF).collect()
+    again = QUERIES["dp_release_counts"](spark, SF).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))  # replayable
+    assert rows
+    for r in rows:
+        assert -12 <= r["noise"] <= 12
+        assert r["released"] == max(0, r["n"] + r["noise"])
+    # the mechanism actually perturbs: not every noise draw is 0, and the
+    # empirical mean is near 0 (zero-mean mechanism, ~150 draws)
+    noises = [r["noise"] for r in rows]
+    assert any(z != 0 for z in noises)
+    assert abs(sum(noises) / len(noises)) < 1.0
