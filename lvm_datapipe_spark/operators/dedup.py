@@ -116,6 +116,28 @@ def ngram_jaccard_pairs(
     cached = shingle_rows(df, text_col, id_col, n).persist()
     ex = cached
     sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    inter = shingle_intersections(ex, id_col, max_shingle_freq)
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
+    out = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return _with_cached_deps(out, [cached])
+
+
+def shingle_intersections(
+    ex: DataFrame, id_col: str = "doc_id", max_shingle_freq: int | None = 1000
+) -> DataFrame:
+    """(id_a, id_b, n_common) for every unordered id pair sharing ≥1 shingle
+    in the DISTINCT (id, shingle) table ``ex`` — the shared intersection
+    kernel under Jaccard, containment, and overlap set-similarity forms."""
     if max_shingle_freq is not None:
         # Capped path, ONE shuffle: group by shingle, collect the (bounded)
         # posting list, drop over-cap shingles by list size, then emit pairs
@@ -146,17 +168,45 @@ def ngram_jaccard_pairs(
             .groupBy("id_a", "id_b")
             .agg(F.count(F.lit(1)).alias("n_common"))
         )
+    return inter
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int | None = 1000,
+) -> DataFrame:
+    """ASYMMETRIC near-dup pairs by n-gram containment C(A in B) =
+    |A∩B| / |A| ≥ threshold — the quote/inclusion detector.  Jaccard
+    misses a short doc wholly quoted inside a long one (the union
+    denominator dilutes it); containment normalizes by the SMALLER
+    side's own size, so full inclusion scores 1.0 regardless of the
+    container's length.  Emits one row per unordered pair whose max
+    directional containment clears the threshold, with both directions
+    reported (cont_a = share of A's shingles found in B, cont_b vice
+    versa).
+
+    Plan shape: identical to :func:`ngram_jaccard_pairs` — distinct
+    (id, shingle) rows, the capped posting-list intersection kernel,
+    then two keyed joins against the size table.  Same stop-shingle cap
+    semantics (sizes always uncapped)."""
+    cached = shingle_rows(df, text_col, id_col, n).persist()
+    sizes = cached.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    inter = shingle_intersections(cached, id_col, max_shingle_freq)
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
     out = (
         inter.join(sa, "id_a")
         .join(sb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        .withColumn("cont_a", F.col("n_common") / F.col("n_a"))
+        .withColumn("cont_b", F.col("n_common") / F.col("n_b"))
+        .filter(
+            (F.col("cont_a") >= threshold) | (F.col("cont_b") >= threshold)
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .select("id_a", "id_b", "n_common", "cont_a", "cont_b")
     )
     return _with_cached_deps(out, [cached])
 

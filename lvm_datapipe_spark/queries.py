@@ -11487,3 +11487,113 @@ def dp_release_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0).cast("long"))
         .alias("released"),
     )
+
+
+@_q(
+    "dedup_containment_pairs",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+    sh AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM toks WHERE len({_SQL_SHINGLES}) > 0),
+    ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    keep AS (SELECT shingle FROM ex GROUP BY shingle HAVING COUNT(*) <= 1000),
+    exk AS (SELECT ex.doc_id, ex.shingle FROM ex JOIN keep USING (shingle)),
+    sz AS (SELECT doc_id, CAST(len(s) AS INTEGER) AS n FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM exk a JOIN exk b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, n_common,
+           n_common / sa.n AS cont_a,
+           n_common / sb.n AS cont_b
+    FROM inter
+    JOIN sz sa ON sa.doc_id = id_a
+    JOIN sz sb ON sb.doc_id = id_b
+    WHERE n_common / sa.n >= 0.8 OR n_common / sb.n >= 0.8
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC containment near-dup (quote/inclusion detection):
+    C(A in B) = |A∩B|/|A| scores a short doc fully quoted inside a long
+    one as 1.0 where Jaccard's union denominator would bury it.  The
+    curation use is one-way boilerplate: a license block or template
+    contained in thousands of docs is invisible to symmetric Jaccard at
+    any threshold but lights up here.  Shares the capped posting-list
+    intersection kernel with dedup_ngram_jaccard (the cap mirrored in
+    the oracle's HAVING), sizes always uncapped."""
+    from lvm_datapipe_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    return D.containment_pairs(docs, threshold=0.8, max_shingle_freq=1000)
+
+
+@_q(
+    "source_shingle_overlap",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+    sh AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM toks WHERE len({_SQL_SHINGLES}) > 0),
+    ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    ds AS (SELECT DISTINCT d.source, e.shingle
+           FROM ex e JOIN documents d USING (doc_id)
+           WHERE d.source IS NOT NULL),
+    sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM ds GROUP BY source),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT src_a, src_b, n_shared,
+           n_shared / LEAST(sa.n, sb.n) AS overlap_coef,
+           n_shared / (sa.n + sb.n - n_shared) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.source = src_a
+    JOIN sz sb ON sb.source = src_b
+    """,
+)
+def source_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-SOURCE contamination matrix: for every pair of scanner
+    sources, how much of their n-gram shingle vocabulary is shared —
+    the "did crawl B re-ingest crawl A?" audit run BEFORE doc-level
+    dedup (a source pair with overlap_coef near 1 means one feed is a
+    subset of the other and can be dropped wholesale, far cheaper than
+    pairwise doc dedup).  Overlap coefficient (shared / min) catches
+    subset feeds; Jaccard gives the symmetric view.
+
+    Scale shape: the (source, shingle) table is corpus-sized but the
+    per-shingle posting list is bounded by |sources| (tiny), so the
+    shingle self-join cannot blow up regardless of corpus size; output
+    is |sources|²/2 rows."""
+    from lvm_datapipe_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.filter(F.col("source").isNotNull())
+    sr = D.shingle_rows(d)
+    ds = (
+        sr.join(d.select("doc_id", "source"), "doc_id")
+        .select("source", "shingle")
+        .dropDuplicates()
+    )
+    sz = ds.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    inter = (
+        D.shingle_intersections(ds, "source", None)
+        .select(
+            F.col("id_a").alias("src_a"),
+            F.col("id_b").alias("src_b"),
+            F.col("n_common").cast("long").alias("n_shared"),
+        )
+    )
+    sa = sz.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    sb = sz.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            (F.col("n_shared") / F.least("n_a", "n_b")).alias("overlap_coef"),
+            (
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+            ).alias("jaccard"),
+        )
+    )

@@ -3,6 +3,7 @@ found, scale-path variants must agree with exact baselines."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from lvm_datapipe_spark.operators import dedup as D
@@ -493,3 +494,102 @@ def test_lsh_candidates_auto_planes_match_explicit(spark):
     assert got == want
     D.release(auto)
     D.release(explicit)
+
+
+def test_containment_catches_quote_jaccard_misses(spark):
+    """A short doc fully quoted inside a long one: containment 1.0, while
+    Jaccard at the same corpus stays below its 0.6 threshold."""
+    from lvm_datapipe_spark.operators import dedup as D
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    filler = " ".join(f"w{i}" for i in range(120))
+    df = spark.createDataFrame(
+        [(1, quote), (2, filler + " " + quote + " " + filler.upper())],
+        "doc_id long, text string",
+    )
+    got = D.containment_pairs(df, threshold=0.8).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert r["cont_a"] == 1.0  # every shingle of the quote is in the container
+    assert r["cont_b"] < 0.1
+    assert D.ngram_jaccard_pairs(df, threshold=0.6).count() == 0
+
+
+def test_containment_matches_bruteforce_sets(spark, sf_dir):
+    """Containment pairs on the real corpus equal a pure-python set model."""
+    import duckdb
+
+    from lvm_datapipe_spark.operators import dedup as D
+    from lvm_datapipe_spark.queries import QUERIES
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+    ).df()
+
+    def shingles(t):
+        toks = [x for x in (t or "").split() if x]
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    sets = {r.doc_id: shingles(r.text) for r in docs.itertuples()}
+    sets = {k: v for k, v in sets.items() if v}
+    expected = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            common = len(sets[a] & sets[b])
+            if not common:
+                continue
+            ca, cb = common / len(sets[a]), common / len(sets[b])
+            if ca >= 0.8 or cb >= 0.8:
+                expected[(a, b)] = (common, ca, cb)
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_common"], r["cont_a"], r["cont_b"])
+        for r in QUERIES["dedup_containment_pairs"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(expected)
+    for k, (n, ca, cb) in expected.items():
+        gn, gca, gcb = got[k]
+        assert gn == n
+        assert gca == pytest.approx(ca, abs=0) and gcb == pytest.approx(cb, abs=0)
+
+
+def test_source_overlap_matches_bruteforce_sets(spark, sf_dir):
+    import duckdb
+
+    from lvm_datapipe_spark.queries import QUERIES
+
+    docs = duckdb.sql(
+        f"SELECT source, text FROM '{sf_dir}/documents.parquet' "
+        "WHERE source IS NOT NULL"
+    ).df()
+
+    def shingles(t):
+        toks = [x for x in (t or "").split() if x]
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    per_src = {}
+    for r in docs.itertuples():
+        per_src.setdefault(r.source, set()).update(shingles(r.text))
+    per_src = {k: v for k, v in per_src.items() if v}
+    got = {
+        (r["src_a"], r["src_b"]): r
+        for r in QUERIES["source_shingle_overlap"](spark, sf_dir).collect()
+    }
+    srcs = sorted(per_src)
+    n_expected = 0
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            shared = len(per_src[a] & per_src[b])
+            if not shared:
+                continue
+            n_expected += 1
+            r = got[(a, b)]
+            assert r["n_shared"] == shared
+            assert r["overlap_coef"] == pytest.approx(
+                shared / min(len(per_src[a]), len(per_src[b])), abs=0
+            )
+            assert r["jaccard"] == pytest.approx(
+                shared / (len(per_src[a]) + len(per_src[b]) - shared), abs=0
+            )
+    assert len(got) == n_expected
