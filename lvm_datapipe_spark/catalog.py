@@ -118,8 +118,13 @@ def load_table(
     else:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
+        # INT96-encoded files (Spark's own default writer) also report as
+        # timestamp[ns] in the arrow footer, but Spark reads them as native
+        # TIMESTAMP — only convert columns that actually surfaced as longs.
+        dtypes = dict(df.dtypes)
         for c in nanos_cols:
-            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+            if dtypes.get(c) == "bigint":
+                df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     if rebalance:
         target = spark.sparkContext.defaultParallelism
         needed = _REBALANCE_CACHE.get(path)

@@ -11597,3 +11597,282 @@ def source_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@_q(
+    "kendall_tau_source_size",
+    """
+    WITH s AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS x,
+                      CAST(count(DISTINCT lang) AS BIGINT) AS y
+               FROM documents WHERE source IS NOT NULL GROUP BY source),
+    p AS (SELECT a.x AS xa, a.y AS ya, b.x AS xb, b.y AS yb
+          FROM s a JOIN s b ON a.source < b.source),
+    c AS (SELECT
+            CAST(SUM(CASE WHEN (xa - xb) * (ya - yb) > 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS conc,
+            CAST(SUM(CASE WHEN (xa - xb) * (ya - yb) < 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS disc,
+            CAST(SUM(CASE WHEN xa = xb AND ya <> yb THEN 1 ELSE 0 END)
+                 AS BIGINT) AS tie_x,
+            CAST(SUM(CASE WHEN ya = yb AND xa <> xb THEN 1 ELSE 0 END)
+                 AS BIGINT) AS tie_y,
+            CAST(SUM(CASE WHEN xa = xb AND ya = yb THEN 1 ELSE 0 END)
+                 AS BIGINT) AS tie_xy,
+            CAST(count(*) AS BIGINT) AS n_pairs
+          FROM p)
+    SELECT conc, disc, tie_x, tie_y, tie_xy, n_pairs,
+           CASE WHEN conc + disc + tie_x > 0 AND conc + disc + tie_y > 0
+                THEN CAST(conc - disc AS DOUBLE)
+                     / (sqrt(CAST(conc + disc + tie_x AS DOUBLE))
+                        * sqrt(CAST(conc + disc + tie_y AS DOUBLE)))
+                ELSE NULL END AS tau_b
+    FROM c
+    """,
+)
+def kendall_tau_source_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KENDALL'S TAU-B rank agreement between two per-source signals
+    (total chars vs language spread) — the "do my quality signals rank
+    sources the same way?" readout, computed EXACTLY from integer
+    concordant/discordant/tie pair counts (no float rank averaging;
+    tau-b's tie correction keeps every term BIGINT until one final
+    sqrt/divide over exact integers — IEEE sqrt is bit-identical
+    everywhere).  Doubly-tied pairs are excluded from both denominator
+    terms per the standard definition.
+
+    Scale shape: the pair self-join runs over the SOURCE-level
+    aggregate (|sources| rows, broadcast non-equi join), never over
+    corpus rows — the corpus contributes one keyed aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = (
+        docs.filter(F.col("source").isNotNull())
+        .groupBy("source")
+        .agg(
+            F.sum("n_chars").cast("long").alias("x"),
+            F.countDistinct("lang").cast("long").alias("y"),
+        )
+    )
+    a = s.select(F.col("source").alias("src_a"), F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = s.select(F.col("source").alias("src_b"), F.col("x").alias("xb"), F.col("y").alias("yb"))
+    p = a.join(F.broadcast(b), F.col("src_a") < F.col("src_b"))
+    dx, dy = F.col("xa") - F.col("xb"), F.col("ya") - F.col("yb")
+    c = p.agg(
+        F.sum(F.when(dx * dy > 0, 1).otherwise(0)).cast("long").alias("conc"),
+        F.sum(F.when(dx * dy < 0, 1).otherwise(0)).cast("long").alias("disc"),
+        F.sum(F.when((dx == 0) & (dy != 0), 1).otherwise(0)).cast("long").alias("tie_x"),
+        F.sum(F.when((dy == 0) & (dx != 0), 1).otherwise(0)).cast("long").alias("tie_y"),
+        F.sum(F.when((dx == 0) & (dy == 0), 1).otherwise(0)).cast("long").alias("tie_xy"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    )
+    cd = F.col("conc") + F.col("disc")
+    tau = (F.col("conc") - F.col("disc")).cast("double") / (
+        F.sqrt((cd + F.col("tie_x")).cast("double"))
+        * F.sqrt((cd + F.col("tie_y")).cast("double"))
+    )
+    return c.select(
+        "conc",
+        "disc",
+        "tie_x",
+        "tie_y",
+        "tie_xy",
+        "n_pairs",
+        F.when(
+            (cd + F.col("tie_x") > 0) & (cd + F.col("tie_y") > 0), tau
+        ).alias("tau_b"),
+    )
+
+
+@_q(
+    "events_lead_lag_xcorr",
+    """
+    WITH x AS (SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+                        AS day_id,
+                      CAST(count(*) AS BIGINT) AS x
+               FROM events WHERE event_type = 'click' AND ts IS NOT NULL
+               GROUP BY 1),
+    y AS (SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+                   AS day_id,
+                 CAST(count(*) AS BIGINT) AS y
+          FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+          GROUP BY 1),
+    l AS (SELECT CAST(unnest([-3, -2, -1, 0, 1, 2, 3]) AS BIGINT) AS lag),
+    j AS (SELECT l.lag, x.x, y.y
+          FROM l CROSS JOIN x JOIN y ON y.day_id = x.day_id + l.lag),
+    a AS (SELECT lag, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx,
+                 CAST(sum(y * y) AS BIGINT) AS syy
+          FROM j GROUP BY lag)
+    SELECT lag, n,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                ELSE NULL END AS pearson_r
+    FROM a
+    """,
+)
+def events_lead_lag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAD-LAG cross-correlation between the daily click series and the
+    daily purchase series at lags -3..+3 — the "does X lead Y?"
+    causality-screening readout.  Pearson r at each lag is assembled
+    from EXACT integer sums (n, Σx, Σy, Σxy, Σx², Σy² — all BIGINT over
+    daily counts) with the n*Σxy - ΣxΣy form, so the only float ops are
+    one subtraction-free cast, two IEEE sqrts, and one division —
+    bit-identical in any engine.  Degenerate lags (zero variance) yield
+    NULL, not a crash.
+
+    Scale shape: two keyed daily aggregates, a 7-row broadcast lag
+    table, one equi-join on the shifted day key, and a 7-group
+    aggregate.  Day-count-sized intermediates throughout."""
+    ev = load_table(spark, sf_dir, "events")
+    day_id = F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01")).cast("long")
+    x = (
+        ev.filter((F.col("event_type") == "click") & F.col("ts").isNotNull())
+        .groupBy(day_id.alias("day_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    y = (
+        ev.filter((F.col("event_type") == "purchase") & F.col("ts").isNotNull())
+        .groupBy(day_id.alias("day_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    lags = spark.createDataFrame([(i,) for i in range(-3, 4)], "lag long")
+    j = (
+        x.crossJoin(F.broadcast(lags))
+        .withColumn("probe_day", F.col("day_id") + F.col("lag"))
+        .join(y, F.col("probe_day") == y["day_id"])
+        .select("lag", "x", "y")
+    )
+    a = j.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    return a.select(
+        "lag",
+        "n",
+        F.when(
+            (vx > 0) & (vy > 0),
+            num / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
+        ).alias("pearson_r"),
+    )
+
+
+@_q(
+    "churn_labels_weekly",
+    """
+    WITH m AS (SELECT user_id,
+                      CAST(floor(CAST(CAST(ts AS DATE) - DATE '1970-01-01'
+                                      AS BIGINT) / 7) AS BIGINT) AS week_id,
+                      CAST(count(*) AS BIGINT) AS n_events
+               FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+               GROUP BY 1, 2),
+    mx AS (SELECT CAST(max(week_id) AS BIGINT) AS last_w FROM m)
+    SELECT c.user_id, c.week_id, c.n_events,
+           CASE WHEN n.user_id IS NULL THEN CAST(1 AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS churned
+    FROM m c
+    LEFT JOIN m n ON n.user_id = c.user_id AND n.week_id = c.week_id + 1
+    CROSS JOIN mx
+    WHERE c.week_id < mx.last_w
+    """,
+)
+def churn_labels_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHURN LABEL GENERATION — the classic supervised-label shaping
+    job: a user active in week w is labeled churned iff they have no
+    activity in week w+1.  The label is a LEFT anti-pattern join on an
+    integer week index (epoch days DIV 7 — positive days, so floor
+    division is exact in both engines), and the final week is excluded
+    because its future is unobserved (the right-censoring guard every
+    churn pipeline needs and most forget).
+
+    Scale shape: one (user, week)-keyed aggregate, a self-equi-join on
+    (user, week+1), and a 1-row broadcast for the censoring cutoff —
+    all keyed, no windows."""
+    ev = load_table(spark, sf_dir, "events")
+    week_id = F.floor(
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01")).cast("long")
+        / 7
+    ).cast("long")
+    m = (
+        ev.filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .groupBy("user_id", week_id.alias("week_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    nxt = m.select(
+        F.col("user_id").alias("n_user"),
+        (F.col("week_id") - 1).alias("n_prev_week"),
+    )
+    mx = m.agg(F.max("week_id").cast("long").alias("last_w"))
+    return (
+        m.join(
+            nxt,
+            (F.col("user_id") == F.col("n_user"))
+            & (F.col("week_id") == F.col("n_prev_week")),
+            "left",
+        )
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("week_id") < F.col("last_w"))
+        .select(
+            "user_id",
+            "week_id",
+            "n_events",
+            F.when(F.col("n_user").isNull(), F.lit(1).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+            .alias("churned"),
+        )
+    )
+
+
+@_q(
+    "vocab_hapax_ratio",
+    rf"""
+    WITH toks AS (SELECT source, unnest({_SQL_TOKS}) AS tok
+                  FROM documents WHERE source IS NOT NULL),
+    tc AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+           FROM toks GROUP BY source, tok),
+    r AS (SELECT source, CAST(count(*) AS BIGINT) AS n_distinct,
+                 CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_hapax
+          FROM tc GROUP BY source)
+    SELECT source, n_distinct, n_hapax,
+           CAST(n_hapax AS DOUBLE) / n_distinct AS hapax_ratio
+    FROM r
+    """,
+)
+def vocab_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAPAX LEGOMENA ratio per source — the vocabulary-richness /
+    boilerplate detector: a source whose token distribution has almost
+    no once-occurring words is template spam; natural prose sits near
+    the Zipfian ~0.4-0.6 band.  Pure integer token counting (two keyed
+    aggregates) with ONE final float division.
+
+    Scale shape: token explode is scan-shaped; the (source, token)
+    aggregate is the only corpus-sized shuffle, and the per-source
+    rollup is group-sized."""
+    from lvm_datapipe_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tc = (
+        docs.filter(F.col("source").isNotNull())
+        .select("source", F.explode(tokens("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    r = tc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long").alias("n_hapax"),
+    )
+    return r.select(
+        "source",
+        "n_distinct",
+        "n_hapax",
+        (F.col("n_hapax").cast("double") / F.col("n_distinct")).alias("hapax_ratio"),
+    )

@@ -353,3 +353,126 @@ def test_dp_release_noise_is_bounded_deterministic_and_clamped(spark):
     noises = [r["noise"] for r in rows]
     assert any(z != 0 for z in noises)
     assert abs(sum(noises) / len(noises)) < 1.0
+
+
+def test_kendall_tau_matches_bruteforce_pairs(spark):
+    row = QUERIES["kendall_tau_source_size"](spark, SF).collect()[0]
+    agg = duckdb.sql(
+        f"SELECT source, sum(n_chars) AS x, count(DISTINCT lang) AS y "
+        f"FROM '{SF}/documents.parquet' WHERE source IS NOT NULL "
+        "GROUP BY source"
+    ).df()
+    xs = list(zip(agg.x.astype(int), agg.y.astype(int)))
+    conc = disc = tx = ty = txy = 0
+    for i in range(len(xs)):
+        for j in range(i + 1, len(xs)):
+            dx, dy = xs[i][0] - xs[j][0], xs[i][1] - xs[j][1]
+            if dx * dy > 0:
+                conc += 1
+            elif dx * dy < 0:
+                disc += 1
+            elif dx == 0 and dy == 0:
+                txy += 1
+            elif dx == 0:
+                tx += 1
+            else:
+                ty += 1
+    assert (row["conc"], row["disc"], row["tie_x"], row["tie_y"], row["tie_xy"]) == (
+        conc, disc, tx, ty, txy
+    )
+    denom = ((conc + disc + tx) * (conc + disc + ty)) ** 0.5
+    assert row["tau_b"] == pytest.approx((conc - disc) / denom, rel=1e-12)
+
+
+def test_lead_lag_xcorr_matches_numpy(spark, events_pd):
+    out = {r["lag"]: r for r in QUERIES["events_lead_lag_xcorr"](spark, SF).collect()}
+    assert set(out) == set(range(-3, 4))
+    ev = events_pd.dropna(subset=["ts"])
+    days = (ev.ts.dt.normalize() - pd.Timestamp("1970-01-01")).dt.days
+    xc = ev[ev.event_type == "click"].groupby(days).size()
+    yc = ev[ev.event_type == "purchase"].groupby(days[ev.event_type == "purchase"]).size()
+    for lag in range(-3, 4):
+        pairs = [
+            (int(xc[d]), int(yc[d + lag]))
+            for d in xc.index
+            if d + lag in yc.index
+        ]
+        r = out[lag]
+        assert r["n"] == len(pairs)
+        xv = np.array([p[0] for p in pairs], dtype=float)
+        yv = np.array([p[1] for p in pairs], dtype=float)
+        expected = np.corrcoef(xv, yv)[0, 1]
+        assert r["pearson_r"] == pytest.approx(expected, rel=1e-9)
+    # the readout is non-degenerate: lag 0 correlates over the full span
+    assert out[0]["n"] >= 20 and out[0]["pearson_r"] is not None
+
+
+def test_churn_labels_match_bruteforce_sets(spark, events_pd):
+    rows = QUERIES["churn_labels_weekly"](spark, SF).collect()
+    ev = events_pd.dropna(subset=["ts", "user_id"])
+    week = ((ev.ts.dt.normalize() - pd.Timestamp("1970-01-01")).dt.days // 7)
+    active = set(zip(ev.user_id.astype(int), week.astype(int)))
+    last_w = max(w for _, w in active)
+    expected = {
+        (u, w): 0 if (u, w + 1) in active else 1
+        for (u, w) in active
+        if w < last_w
+    }
+    got = {(r["user_id"], r["week_id"]): r["churned"] for r in rows}
+    assert got == expected
+    counts = ev.groupby([ev.user_id.astype(int), week.astype(int)]).size()
+    for r in rows:
+        assert r["n_events"] == int(counts[(r["user_id"], r["week_id"])])
+
+
+def test_churn_label_fires_on_sparse_corpus(spark, tmp_path):
+    """The driver corpus is dense (every user active every week, so every
+    label is 0 there); a sparse synthetic corpus pins the churned=1 branch
+    and the right-censoring cutoff."""
+    import datetime
+
+    ev = spark.createDataFrame(
+        [
+            # user 1: weeks 0 and 1 -> not churned in week 0, censored wk 1+
+            (1, 1, datetime.datetime(1970, 1, 1), "view", 1.0, None),
+            (2, 1, datetime.datetime(1970, 1, 8), "view", 1.0, None),
+            # user 2: week 0 only -> churned in week 0
+            (3, 2, datetime.datetime(1970, 1, 2), "view", 1.0, None),
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string, "
+        "value double, props string",
+    )
+    d = str(tmp_path / "sparse")
+    ev.write.parquet(f"{d}/events.parquet")
+    got = {
+        (r["user_id"], r["week_id"]): r["churned"]
+        for r in QUERIES["churn_labels_weekly"](spark, d).collect()
+    }
+    # last week (1) is censored out; week 0 labels split by next-week activity
+    assert got == {(1, 0): 0, (2, 0): 1}
+
+
+def test_hapax_ratio_matches_counter(spark):
+    from collections import Counter
+
+    rows = {r["source"]: r for r in QUERIES["vocab_hapax_ratio"](spark, SF).collect()}
+    docs = duckdb.sql(
+        f"SELECT source, text FROM '{SF}/documents.parquet' "
+        "WHERE source IS NOT NULL"
+    ).df()
+    per_src = {}
+    for r in docs.itertuples():
+        per_src.setdefault(r.source, Counter()).update(
+            x for x in (r.text or "").split() if x
+        )
+    for src, cnt in per_src.items():
+        if not cnt:
+            assert src not in rows
+            continue
+        n_distinct = len(cnt)
+        n_hapax = sum(1 for v in cnt.values() if v == 1)
+        assert rows[src]["n_distinct"] == n_distinct
+        assert rows[src]["n_hapax"] == n_hapax
+        assert rows[src]["hapax_ratio"] == pytest.approx(
+            n_hapax / n_distinct, abs=0
+        )
