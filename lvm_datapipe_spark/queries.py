@@ -11876,3 +11876,167 @@ def vocab_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hapax",
         (F.col("n_hapax").cast("double") / F.col("n_distinct")).alias("hapax_ratio"),
     )
+
+
+@_q(
+    "target_encode_loo",
+    """
+    WITH g AS (SELECT o_orderpriority,
+                      SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS sum_g,
+                      CAST(count(*) AS BIGINT) AS n_g
+               FROM orders GROUP BY o_orderpriority)
+    SELECT o_orderkey, o.o_orderpriority, o_totalprice,
+           CASE WHEN n_g > 1
+                THEN CAST(sum_g - CAST(o_totalprice AS DECIMAL(27,6)) AS DOUBLE)
+                     / (n_g - 1)
+                ELSE NULL END AS loo_mean
+    FROM orders o JOIN g ON g.o_orderpriority = o.o_orderpriority
+    """,
+)
+def target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAVE-ONE-OUT target encoding — the leakage-safe categorical
+    feature: each row's encoded value is the category's target mean
+    COMPUTED WITHOUT THAT ROW ((sum_g - x_i) / (n_g - 1)), so the
+    feature never contains the row's own label (the train-time leak
+    that makes naive target encoding overfit).  The subtraction happens
+    in EXACT decimal before the single double cast+division; singleton
+    categories yield NULL (no peer information), not a divide-by-zero.
+
+    Scale shape: one keyed aggregate to the category table (broadcast
+    back — category cardinality, not corpus), one scan to encode.  No
+    window, no per-row shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(27,6)")
+    g = o.groupBy("o_orderpriority").agg(
+        F.sum(dec).alias("sum_g"),
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+    )
+    return (
+        o.join(F.broadcast(g), "o_orderpriority")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            "o_totalprice",
+            F.when(
+                F.col("n_g") > 1,
+                (F.col("sum_g") - dec).cast("double") / (F.col("n_g") - 1),
+            ).alias("loo_mean"),
+        )
+    )
+
+
+_MH_K = 16
+_MH_EST_SQL = " + ".join(
+    f"CASE WHEN sa.sig[{i + 1}] = sb.sig[{i + 1}] THEN 1 ELSE 0 END"
+    for i in range(_MH_K)
+)
+
+
+@_q(
+    "minhash_estimate_error",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+    sh AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM toks WHERE len({_SQL_SHINGLES}) > 0),
+    sig AS (
+      SELECT doc_id,
+             list_transform(generate_series(0, 15),
+               i -> list_min(list_transform(s, x -> md5(CAST(i AS VARCHAR) || ':' || x)))) AS sig
+      FROM sh),
+    bands AS (
+      SELECT doc_id, b.b AS band,
+             md5(sig[b.b*4+1] || ',' || sig[b.b*4+2] || ',' || sig[b.b*4+3] || ',' || sig[b.b*4+4]) AS bucket
+      FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) b),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+    est AS (
+      SELECT p.id_a, p.id_b,
+             CAST({_MH_EST_SQL} AS BIGINT) AS n_matches
+      FROM pairs p
+      JOIN sig sa ON sa.doc_id = p.id_a
+      JOIN sig sb ON sb.doc_id = p.id_b),
+    ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    keep AS (SELECT shingle FROM ex GROUP BY shingle HAVING COUNT(*) <= 1000),
+    exk AS (SELECT ex.doc_id, ex.shingle FROM ex JOIN keep USING (shingle)),
+    sz AS (SELECT doc_id, CAST(len(s) AS INTEGER) AS n FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM exk a JOIN exk b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    j AS (
+      SELECT e.id_a, e.id_b, e.n_matches,
+             CAST(e.n_matches AS DOUBLE) / CAST(16 AS DOUBLE) AS est_jaccard,
+             COALESCE(i.n_common, CAST(0 AS BIGINT))
+               / (sa.n + sb.n - COALESCE(i.n_common, CAST(0 AS BIGINT)))
+               AS exact_jaccard
+      FROM est e
+      LEFT JOIN inter i ON i.id_a = e.id_a AND i.id_b = e.id_b
+      JOIN sz sa ON sa.doc_id = e.id_a
+      JOIN sz sb ON sb.doc_id = e.id_b)
+    SELECT id_a, id_b, n_matches, est_jaccard, exact_jaccard,
+           est_jaccard - exact_jaccard AS err
+    FROM j
+    """,
+)
+def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MINHASH ESTIMATOR CALIBRATION — for every LSH candidate pair,
+    the signature-estimated Jaccard (matching positions / k) next to
+    the EXACT n-gram Jaccard, with the signed error.  This is the
+    "is k=16 enough for my threshold?" eval every MinHash deployment
+    needs: the error column's spread at the decision boundary tells
+    you whether to raise k or band differently, measured on YOUR
+    corpus rather than the textbook binomial bound.
+
+    Scale shape: signatures and bands are the standard scan-shaped
+    pipeline; the exact-Jaccard side runs the capped posting-list
+    kernel ONLY as a join against the (already bounded) candidate
+    pairs.  Everything keyed — no quadratic path."""
+    from lvm_datapipe_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(docs).persist()
+    pairs = D.lsh_candidate_pairs(sigs)
+    sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
+    match_expr = " + ".join(
+        f"CASE WHEN sig_a[{i}] = sig_b[{i}] THEN 1 ELSE 0 END"
+        for i in range(_MH_K)
+    )
+    est = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.expr(f"CAST({match_expr} AS BIGINT)").alias("n_matches"),
+        )
+    )
+    sr = D.shingle_rows(docs).persist()
+    sizes = sr.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = D.shingle_intersections(sr, "doc_id", 1000)
+    nza = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
+    nzb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
+    nc = F.coalesce(F.col("n_common"), F.lit(0).cast("long"))
+    out = (
+        est.join(inter, ["id_a", "id_b"], "left")
+        .join(nza, "id_a")
+        .join(nzb, "id_b")
+        .withColumn(
+            "est_jaccard", F.col("n_matches").cast("double") / F.lit(16).cast("double")
+        )
+        .withColumn(
+            "exact_jaccard", nc / (F.col("n_a") + F.col("n_b") - nc)
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "n_matches",
+            "est_jaccard",
+            "exact_jaccard",
+            (F.col("est_jaccard") - F.col("exact_jaccard")).alias("err"),
+        )
+    )
+    from lvm_datapipe_spark.operators.dedup import _with_cached_deps
+
+    return _with_cached_deps(out, [sigs, sr])

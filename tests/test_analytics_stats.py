@@ -476,3 +476,51 @@ def test_hapax_ratio_matches_counter(spark):
         assert rows[src]["hapax_ratio"] == pytest.approx(
             n_hapax / n_distinct, abs=0
         )
+
+
+def test_target_encode_loo_matches_pandas_and_handles_singletons(spark, tmp_path):
+    rows = QUERIES["target_encode_loo"](spark, SF).collect()
+    orders = duckdb.sql(
+        f"SELECT o_orderkey, o_orderpriority, o_totalprice FROM '{SF}/orders.parquet'"
+    ).df()
+    g = orders.groupby("o_orderpriority")["o_totalprice"].agg(["sum", "count"])
+    for r in rows[:200]:
+        s, n = g.loc[r["o_orderpriority"]]
+        assert r["loo_mean"] == pytest.approx(
+            (s - r["o_totalprice"]) / (n - 1), rel=1e-9
+        )
+    assert len(rows) == len(orders)
+    # singleton category -> NULL, never a divide-by-zero
+    one = spark.createDataFrame(
+        [(1, "ONLY", 10.0)], "o_orderkey long, o_orderpriority string, o_totalprice double"
+    )
+    d = str(tmp_path / "single")
+    one.write.parquet(f"{d}/orders.parquet")
+    out = QUERIES["target_encode_loo"](spark, d).collect()
+    assert len(out) == 1 and out[0]["loo_mean"] is None
+
+
+def test_minhash_error_readout_is_calibrated(spark):
+    """Estimated vs exact Jaccard on the candidate pairs: the estimate is a
+    16-trial binomial around the exact value, so |err| beyond ~4 sigma
+    (0.5 at J~0.5) would mean broken signatures; and n_matches must equal
+    a brute-force signature comparison."""
+    from lvm_datapipe_spark.operators import dedup as D
+    from lvm_datapipe_spark.catalog import load_table
+
+    rows = QUERIES["minhash_estimate_error"](spark, SF).collect()
+    assert rows
+    sigs = {
+        r["doc_id"]: r["sig"]
+        for r in D.minhash_signatures(load_table(spark, SF, "documents")).collect()
+    }
+    for r in rows:
+        matches = sum(
+            1 for a, b in zip(sigs[r["id_a"]], sigs[r["id_b"]]) if a == b
+        )
+        assert r["n_matches"] == matches
+        assert r["est_jaccard"] == pytest.approx(matches / 16.0, abs=0)
+        assert abs(r["err"]) <= 0.55
+        assert r["err"] == pytest.approx(
+            r["est_jaccard"] - r["exact_jaccard"], abs=0
+        )
