@@ -1175,3 +1175,96 @@ def kcenter_coreset(
     return a.groupBy("cell").applyInPandas(
         select_cell, "vec_id long, cell int, pos long"
     )
+
+
+#: MMR trade-off weight and its complement — computed ONCE in Python so the
+#: Spark UDF and the SQL oracle score candidates with the same two doubles.
+MMR_LAMBDA = 0.7
+MMR_ONE_MINUS_LAMBDA = 1.0 - MMR_LAMBDA
+
+
+def mmr_select(
+    emb: DataFrame,
+    k: int = 8,
+    n_cells: int = 16,
+    dim: int = DEFAULT_DIM,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """MAXIMAL MARGINAL RELEVANCE selection (Carbonell & Goldstein 1998,
+    SIGIR) — the relevance-vs-redundancy greedy rule used to pick diverse
+    in-context examples / retrieval results: repeatedly add the candidate
+    maximizing ``lambda*rel(c) - (1-lambda)*max_{s in S} sim(c, s)``.
+    Relevance here is the candidate's cosine to its quantizer-cell centroid
+    (the shared fixed-literal quantizer), redundancy the max cosine to
+    anything already selected; the seed is the most relevant point.  Where
+    :func:`kcenter_coreset` maximizes pure spread, MMR trades spread against
+    staying close to the query/topic — lambda=1 degenerates to top-k by
+    relevance, lambda=0 to farthest-point diversity.
+
+    Returns ``(vec_id, cell, pos)`` for selected points, pos = pick order.
+
+    Plan shape: identical family to kcenter_coreset — one-scan cell+rel
+    assignment, one ``applyInPandas`` per cell, O(k · cell · dim) per cell.
+    Scores are exact left-fold doubles with shared literal constants, so the
+    greedy decisions replay bit-identically in a recursive SQL oracle."""
+    import pandas as pd
+
+    a = (
+        emb.select(F.col(id_col).alias("vec_id"), as_double(vec_col).alias("v"))
+        .filter(F.col("v").isNotNull())
+        .withColumn("nrm", F.sqrt(dot_flat(F.col("v"), F.col("v"), dim)))
+        .withColumn("sims", F.expr(_ivf_cell_sims_sql(n_cells, dim, seed, "v", "nrm")))
+        .withColumn(
+            "cell", (F.expr("array_position(sims, array_max(sims))") - 1).cast("int")
+        )
+        .withColumn("rel", F.expr("array_max(sims)"))
+        .withColumn("vn", F.expr("transform(v, x -> x / nrm)"))
+        .select("vec_id", "cell", "rel", "vn")
+    )
+
+    def select_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].tolist()
+        by_id = dict(zip(ids, (list(v) for v in pdf["vn"].tolist())))
+        rel = dict(zip(ids, pdf["rel"].tolist()))
+
+        def sim(x, y):
+            acc = 0.0
+            for i in range(len(x)):
+                acc += x[i] * y[i]
+            return acc
+
+        seed_id, seed_r = None, None
+        for i in sorted(ids):
+            if seed_r is None or rel[i] > seed_r:
+                seed_id, seed_r = i, rel[i]
+        chosen = [seed_id]
+        maxsim = {
+            i: sim(by_id[seed_id], by_id[i]) for i in ids if i != seed_id
+        }
+        while maxsim and len(chosen) < k:
+            best_id, best_s = None, None
+            for cand in sorted(maxsim):
+                s = MMR_LAMBDA * rel[cand] - MMR_ONE_MINUS_LAMBDA * maxsim[cand]
+                if best_s is None or s > best_s:
+                    best_id, best_s = cand, s
+            chosen.append(best_id)
+            del maxsim[best_id]
+            bv = by_id[best_id]
+            for cand in maxsim:
+                s = sim(bv, by_id[cand])
+                if s > maxsim[cand]:
+                    maxsim[cand] = s
+        cell = int(pdf["cell"].iloc[0])
+        return pd.DataFrame(
+            {
+                "vec_id": chosen,
+                "cell": [cell] * len(chosen),
+                "pos": range(1, len(chosen) + 1),
+            }
+        )
+
+    return a.groupBy("cell").applyInPandas(
+        select_cell, "vec_id long, cell int, pos long"
+    )

@@ -12040,3 +12040,80 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lvm_datapipe_spark.operators.dedup import _with_cached_deps
 
     return _with_cached_deps(out, [sigs, sr])
+
+
+def _mmr_sql(k: int = 8, n_cells: int = 16, seed: int = 42, dim: int = _EMB_DIM) -> str:
+    """DuckDB replay of MMR selection: shared quantizer-literal cell/rel
+    assignment, within-cell cosine SIMILARITIES, then the greedy loop as a
+    recursive CTE whose step aggregates max-sim-to-selected per candidate
+    and picks argmax of lambda*rel - (1-lambda)*maxsim via QUALIFY — the
+    same (higher score, lower id) rule the Spark UDF's incremental update
+    makes over bit-identical doubles (shared MMR_LAMBDA literals)."""
+    from lvm_datapipe_spark.operators.similarity import (
+        MMR_LAMBDA,
+        MMR_ONE_MINUS_LAMBDA,
+        ivf_fixed_centroids,
+    )
+
+    cents = ivf_fixed_centroids(n_cells, dim, seed)
+
+    def cos_lit(v: str, c) -> str:
+        dot_vc = " + ".join(
+            f"{v}[{i + 1}]*('{float(c[i])!r}'::DOUBLE)" for i in range(dim)
+        )
+        dot_cc = sum(float(x) * float(x) for x in c)
+        return f"(({dot_vc}) / (sqrt({_dot_sql(v, v)}) * sqrt('{dot_cc!r}'::DOUBLE)))"
+
+    sims = "[" + ", ".join(cos_lit("v", c) for c in cents) + "]"
+    lam = f"('{MMR_LAMBDA!r}'::DOUBLE)"
+    oml = f"('{MMR_ONE_MINUS_LAMBDA!r}'::DOUBLE)"
+    return f"""
+    WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                         FROM embeddings WHERE embedding IS NOT NULL),
+    c0 AS (SELECT vec_id, v, {sims} AS sims,
+                  sqrt({_dot_sql('v', 'v')}) AS nrm FROM e),
+    a AS (SELECT vec_id,
+                 CAST(list_indexof(sims, list_max(sims)) - 1 AS INTEGER) AS cell,
+                 list_max(sims) AS rel,
+                 list_transform(v, x -> x / nrm) AS vn
+          FROM c0),
+    p AS (SELECT x.cell, x.vec_id AS id_a, b.vec_id AS id_b,
+                 ({_dot_sql('x.vn', 'b.vn')}) AS sim
+          FROM a x JOIN a b ON x.cell = b.cell AND x.vec_id <> b.vec_id),
+    seeds AS (SELECT cell, vec_id FROM a
+              QUALIFY ROW_NUMBER() OVER (PARTITION BY cell
+                      ORDER BY rel DESC, vec_id) = 1),
+    sel AS (
+      SELECT s.cell, s.vec_id, CAST(1 AS BIGINT) AS pos, [s.vec_id] AS visited
+      FROM seeds s
+      UNION ALL
+      SELECT c.cell, p.id_b, c.pos + 1, list_append(c.visited, p.id_b)
+      FROM sel c
+      JOIN p ON p.cell = c.cell
+           AND list_contains(c.visited, p.id_a)
+           AND NOT list_contains(c.visited, p.id_b)
+      JOIN a r ON r.vec_id = p.id_b
+      GROUP BY c.cell, c.pos, c.visited, p.id_b, r.rel
+      HAVING c.pos < {k}
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY c.cell
+              ORDER BY {lam} * r.rel - {oml} * MAX(p.sim) DESC, p.id_b) = 1
+    )
+    SELECT vec_id, cell, pos FROM sel
+    """
+
+
+@_q("mmr_diverse_selection", _mmr_sql())
+def mmr_diverse_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance diverse selection (Carbonell &
+    Goldstein 1998) over the embeddings table: up to 8 picks per
+    quantizer cell trading topic relevance (cosine to the cell
+    centroid) against redundancy (max cosine to already-picked) at
+    lambda=0.7 — the in-context-example / retrieval re-ranking rule.
+    Complements [[kcenter_coreset]] (pure spread) and
+    [[dedup_semantic_semdedup]] (pure redundancy removal).  See
+    operators/similarity.py:mmr_select for the determinism contract
+    behind the recursive SQL oracle."""
+    from lvm_datapipe_spark.operators.similarity import mmr_select
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return mmr_select(emb)

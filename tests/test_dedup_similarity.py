@@ -593,3 +593,102 @@ def test_source_overlap_matches_bruteforce_sets(spark, sf_dir):
                 shared / (len(per_src[a]) + len(per_src[b]) - shared), abs=0
             )
     assert len(got) == n_expected
+
+
+def test_mmr_matches_independent_python_model(spark, sf_dir):
+    """The operator's picks equal an independent numpy MMR replay (argmax of
+    lambda*rel - (1-lambda)*maxsim per round), and the seed of every cell is
+    its most relevant point."""
+    import duckdb
+    import numpy as np
+
+    from lvm_datapipe_spark.operators.similarity import (
+        MMR_LAMBDA,
+        MMR_ONE_MINUS_LAMBDA,
+        ivf_fixed_centroids,
+    )
+    from lvm_datapipe_spark.queries import QUERIES
+
+    emb = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' "
+        "WHERE embedding IS NOT NULL"
+    ).df()
+    cents = np.array(ivf_fixed_centroids(16, 64, 42))
+    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    got = {}
+    for r in QUERIES["mmr_diverse_selection"](spark, sf_dir).collect():
+        got.setdefault(r["cell"], []).append((r["pos"], r["vec_id"]))
+    by_cell = {}
+    for r in emb.itertuples():
+        v = np.asarray(list(r.embedding), dtype=float)
+        vn = v / np.linalg.norm(v)
+        sims = cn @ vn
+        cell = int(np.argmax(sims))
+        by_cell.setdefault(cell, []).append((int(r.vec_id), vn, float(np.max(sims))))
+    for cell, pts in by_cell.items():
+        ids = [p[0] for p in pts]
+        vecs = {p[0]: p[1] for p in pts}
+        rel = {p[0]: p[2] for p in pts}
+        seed = min(
+            (i for i in ids),
+            key=lambda i: (-rel[i], i),
+        )
+        chosen = [seed]
+        maxsim = {
+            i: float(vecs[seed] @ vecs[i]) for i in ids if i != seed
+        }
+        while maxsim and len(chosen) < 8:
+            best = min(
+                maxsim,
+                key=lambda c: (
+                    -(MMR_LAMBDA * rel[c] - MMR_ONE_MINUS_LAMBDA * maxsim[c]),
+                    c,
+                ),
+            )
+            chosen.append(best)
+            del maxsim[best]
+            for c in maxsim:
+                s = float(vecs[best] @ vecs[c])
+                if s > maxsim[c]:
+                    maxsim[c] = s
+        picks = [v for _, v in sorted(got.pop(cell))]
+        # float summation order differs between numpy dot and the operator's
+        # left fold, so allow score-tie reorderings only if sets agree
+        assert picks == chosen
+    assert not got
+
+
+def test_mmr_diversifies_beyond_pure_relevance(spark, sf_dir):
+    """Somewhere, the MMR order must depart from descending-relevance order
+    (otherwise the redundancy term is dead code at this lambda)."""
+    import duckdb
+    import numpy as np
+
+    from lvm_datapipe_spark.operators.similarity import ivf_fixed_centroids
+    from lvm_datapipe_spark.queries import QUERIES
+
+    emb = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' "
+        "WHERE embedding IS NOT NULL"
+    ).df()
+    cents = np.array(ivf_fixed_centroids(16, 64, 42))
+    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    rel, cell_of = {}, {}
+    for r in emb.itertuples():
+        v = np.asarray(list(r.embedding), dtype=float)
+        vn = v / np.linalg.norm(v)
+        sims = cn @ vn
+        rel[int(r.vec_id)] = float(np.max(sims))
+        cell_of[int(r.vec_id)] = int(np.argmax(sims))
+    per_cell = {}
+    for r in QUERIES["mmr_diverse_selection"](spark, sf_dir).collect():
+        per_cell.setdefault(r["cell"], []).append((r["pos"], r["vec_id"]))
+    departed = False
+    for cell, picks in per_cell.items():
+        order = [v for _, v in sorted(picks)]
+        top_by_rel = sorted(
+            (i for i in rel if cell_of[i] == cell), key=lambda i: (-rel[i], i)
+        )[: len(order)]
+        if order != top_by_rel:
+            departed = True
+    assert departed
