@@ -35,8 +35,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #      row is OLDEST, so every query periodically re-enters the window and
 #      a silent regression cannot hide outside it indefinitely.
 # Everything rotated out stays verified locally every round via
-# ``tools/check_correctness.py`` (239/239 oracle-paired queries green in
-# the latest full local sweep; 241 declared).
+# ``tools/check_correctness.py`` (241/241 oracle-paired queries green in
+# the latest full local sweep; 243 declared).
 _CHECK_FIRST = [
     # -- 1. changed or added in r6 (their prior rows, if any, no longer
     #       describe the shipped code)
@@ -120,7 +120,8 @@ _CHECK_FIRST = [
     #       source_shingle_overlap, kendall_tau_source_size,
     #       events_lead_lag_xcorr, churn_labels_weekly,
     #       vocab_hapax_ratio, target_encode_loo,
-    #       minhash_estimate_error, mmr_diverse_selection) LEAD the r7
+    #       minhash_estimate_error, mmr_diverse_selection,
+    #       spearman_len_vs_spaces, interval_union_coverage) LEAD the r7
     #       queue; all are green in this round's local full sweep
     #       (tools/check_correctness.py).
     "sample_neyman_allocation",     # new: variance-optimal strata budgets
@@ -180,7 +181,7 @@ _CHECK_FIRST = [
     # ann_cosine_topk (unit-test-pinned; shares its ranking oracle shape
     # with ann_ivf_fixed_topk).  Every rotated-out veteran held an official
     # green row in r1-r5 AND stays green in the per-round local full sweep
-    # (tools/check_correctness.py, 239/239 oracle-paired).
+    # (tools/check_correctness.py, 241/241 oracle-paired).
 ]
 
 

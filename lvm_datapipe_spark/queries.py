@@ -12117,3 +12117,182 @@ def mmr_diverse_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return mmr_select(emb)
+
+
+@_q(
+    "spearman_len_vs_spaces",
+    """
+    WITH d AS (SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS x,
+                      CAST(length(text) - length(replace(text, ' ', ''))
+                           AS BIGINT) AS y
+               FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL),
+    r AS (SELECT lang, doc_id, x, y,
+                 CAST(2 * RANK() OVER (PARTITION BY lang ORDER BY x)
+                      + COUNT(*) OVER (PARTITION BY lang, x) - 1
+                      AS BIGINT) AS r2x,
+                 CAST(2 * RANK() OVER (PARTITION BY lang ORDER BY y)
+                      + COUNT(*) OVER (PARTITION BY lang, y) - 1
+                      AS BIGINT) AS r2y
+          FROM d),
+    a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(CAST(r2x AS DECIMAL(19,0))) AS DOUBLE) AS sx,
+                 CAST(SUM(CAST(r2y AS DECIMAL(19,0))) AS DOUBLE) AS sy,
+                 CAST(SUM(CAST(r2x AS DECIMAL(19,0)) * r2y) AS DOUBLE) AS sxy,
+                 CAST(SUM(CAST(r2x AS DECIMAL(19,0)) * r2x) AS DOUBLE) AS sxx,
+                 CAST(SUM(CAST(r2y AS DECIMAL(19,0)) * r2y) AS DOUBLE) AS syy
+          FROM r GROUP BY lang)
+    SELECT lang, n,
+           CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0
+                 AND CAST(n AS DOUBLE) * syy - sy * sy > 0
+                THEN (CAST(n AS DOUBLE) * sxy - sx * sy)
+                     / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+                        * sqrt(CAST(n AS DOUBLE) * syy - sy * sy))
+                ELSE NULL END AS spearman_rho
+    FROM a
+    """,
+)
+def spearman_len_vs_spaces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPEARMAN rank correlation per language between doc length and
+    whitespace count — the monotone-association readout robust to the
+    heavy-tailed length distribution where Pearson saturates on
+    outliers.  Tie handling is the textbook mid-rank, kept INTEGER by
+    doubling: doubled mid-rank = 2*RANK + tie_count - 1 (never a .5).
+    Rank sums accumulate in exact DECIMAL(38,0) (so the plan never
+    silently overflows BIGINT on billion-row groups — decimal overflow
+    is loud); the Pearson-over-ranks combination then runs entirely in
+    DOUBLE with one shared expression tree.  Zero-variance groups yield
+    NULL.
+
+    Scale shape: two lang-partitioned rank windows (no global window)
+    plus one keyed aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.filter(F.col("lang").isNotNull() & F.col("text").isNotNull()).select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("long").alias("x"),
+        (
+            F.length("text") - F.length(F.regexp_replace("text", " ", ""))
+        ).cast("long").alias("y"),
+    )
+    wx = Window.partitionBy("lang").orderBy("x")
+    wy = Window.partitionBy("lang").orderBy("y")
+    r = d.select(
+        "lang",
+        (2 * F.rank().over(wx) + F.count(F.lit(1)).over(Window.partitionBy("lang", "x")) - 1)
+        .cast("long")
+        .alias("r2x"),
+        (2 * F.rank().over(wy) + F.count(F.lit(1)).over(Window.partitionBy("lang", "y")) - 1)
+        .cast("long")
+        .alias("r2y"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    a = r.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec("r2x")).cast("double").alias("sx"),
+        F.sum(dec("r2y")).cast("double").alias("sy"),
+        F.sum(dec("r2x") * F.col("r2y")).cast("double").alias("sxy"),
+        F.sum(dec("r2x") * F.col("r2x")).cast("double").alias("sxx"),
+        F.sum(dec("r2y") * F.col("r2y")).cast("double").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    vx = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = nd * F.col("syy") - F.col("sy") * F.col("sy")
+    rho = (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(vx) * F.sqrt(vy)
+    )
+    return a.select(
+        "lang", "n", F.when((vx > 0) & (vy > 0), rho).alias("spearman_rho")
+    )
+
+
+@_q(
+    "interval_union_coverage",
+    """
+    WITH s AS (SELECT event_id, user_id,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS start_s,
+                      CAST(floor(epoch(ts)) AS BIGINT)
+                        + CAST(floor(value) AS BIGINT) AS end_s
+               FROM events
+               WHERE ts IS NOT NULL AND user_id IS NOT NULL
+                 AND value IS NOT NULL AND value > 0),
+    m AS (SELECT event_id, user_id, start_s, end_s,
+                 MAX(end_s) OVER (PARTITION BY user_id
+                      ORDER BY start_s, end_s, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_max_end
+          FROM s),
+    f AS (SELECT event_id, user_id, start_s, end_s,
+                 CASE WHEN prev_max_end IS NULL OR start_s > prev_max_end
+                      THEN 1 ELSE 0 END AS is_new
+          FROM m),
+    i AS (SELECT user_id, start_s, end_s,
+                 CAST(SUM(is_new) OVER (PARTITION BY user_id
+                      ORDER BY start_s, end_s, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS island
+          FROM f),
+    g AS (SELECT user_id, island,
+                 CAST(max(end_s) - min(start_s) AS BIGINT) AS cov
+          FROM i GROUP BY user_id, island)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(cov) AS BIGINT) AS covered_seconds
+    FROM g GROUP BY user_id
+    """,
+)
+def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL UNION per user — merge overlapping activity spans
+    (event start + `value` seconds) and report total covered seconds:
+    the occupancy/coverage primitive behind GPU-utilization accounting,
+    overlapping-clip dedup, and billable-time rollups.  The sweep is
+    the classic islands trick: a span starts a new island iff its start
+    exceeds the running MAX(end) of everything before it (ROWS frame
+    with a 1-PRECEDING upper bound — NOT a lag of the previous row's
+    end, which breaks when a long span swallows its successors);
+    cumulative island ids then reduce to min-start/max-end per island.
+    Pure integer epoch-second arithmetic.
+
+    Scale shape: two user-partitioned windows + two keyed aggregates —
+    parallel across users, no global ordering anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    # unix_seconds truncates; epochs are positive so truncation == floor,
+    # matching the oracle's floor(epoch(ts))
+    start = F.unix_seconds(F.col("ts").cast("timestamp")).cast("long")
+    s = ev.filter(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+        & (F.col("value") > 0)
+    ).select(
+        "event_id",
+        "user_id",
+        start.alias("start_s"),
+        (start + F.floor(F.col("value")).cast("long")).alias("end_s"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("start_s", "end_s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    m = s.withColumn("prev_max_end", F.max("end_s").over(w_prev))
+    f = m.withColumn(
+        "is_new",
+        F.when(
+            F.col("prev_max_end").isNull()
+            | (F.col("start_s") > F.col("prev_max_end")),
+            1,
+        ).otherwise(0),
+    )
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("start_s", "end_s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    i = f.withColumn("island", F.sum("is_new").over(w_cum).cast("long"))
+    g = i.groupBy("user_id", "island").agg(
+        (F.max("end_s") - F.min("start_s")).cast("long").alias("cov")
+    )
+    return g.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.sum("cov").cast("long").alias("covered_seconds"),
+    )

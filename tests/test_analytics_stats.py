@@ -524,3 +524,72 @@ def test_minhash_error_readout_is_calibrated(spark):
         assert r["err"] == pytest.approx(
             r["est_jaccard"] - r["exact_jaccard"], abs=0
         )
+
+
+def test_spearman_matches_scipyfree_midrank_model(spark):
+    rows = {r["lang"]: r for r in QUERIES["spearman_len_vs_spaces"](spark, SF).collect()}
+    docs = duckdb.sql(
+        f"SELECT lang, n_chars, length(text) - length(replace(text, ' ', '')) AS y "
+        f"FROM '{SF}/documents.parquet' WHERE lang IS NOT NULL AND text IS NOT NULL"
+    ).df()
+    for lang, g in docs.groupby("lang"):
+        rx = pd.Series(g.n_chars).rank(method="average").to_numpy()
+        ry = pd.Series(g.y).rank(method="average").to_numpy()
+        r = rows[lang]
+        assert r["n"] == len(g)
+        if np.std(rx) == 0 or np.std(ry) == 0:
+            assert r["spearman_rho"] is None
+            continue
+        expected = np.corrcoef(rx, ry)[0, 1]
+        assert r["spearman_rho"] == pytest.approx(expected, rel=1e-9)
+        assert -1.0 <= r["spearman_rho"] <= 1.0
+
+
+def test_interval_union_matches_sweep_model(spark, events_pd):
+    rows = {r["user_id"]: r for r in
+            QUERIES["interval_union_coverage"](spark, SF).collect()}
+    ev = events_pd.dropna(subset=["ts", "user_id", "value"])
+    ev = ev[ev.value > 0]
+    import math
+
+    per_user = {}
+    for r in ev.itertuples():
+        start = int(math.floor(r.ts.timestamp()))
+        per_user.setdefault(int(r.user_id), []).append(
+            (start, start + int(math.floor(r.value)))
+        )
+    for uid, spans in per_user.items():
+        spans.sort()
+        merged = []
+        for s, e in spans:
+            if merged and s <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((s, e))
+        r = rows.pop(uid)
+        assert r["n_islands"] == len(merged)
+        assert r["covered_seconds"] == sum(e - s for s, e in merged)
+    assert not rows
+
+
+def test_interval_union_long_span_swallows_successors(spark, tmp_path):
+    """A long span covering several later short spans must form ONE island
+    (the running-max formulation; a lag-of-previous-end would split it)."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [
+            (1, 7, base, "view", 100.0, None),                       # [0, 100)
+            (2, 7, base + datetime.timedelta(seconds=10), "view", 5.0, None),
+            (3, 7, base + datetime.timedelta(seconds=50), "view", 5.0, None),
+            (4, 7, base + datetime.timedelta(seconds=200), "view", 5.0, None),
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string, "
+        "value double, props string",
+    )
+    d = str(tmp_path / "spans")
+    ev.write.parquet(f"{d}/events.parquet")
+    out = QUERIES["interval_union_coverage"](spark, d).collect()
+    assert len(out) == 1
+    assert out[0]["n_islands"] == 2 and out[0]["covered_seconds"] == 105
