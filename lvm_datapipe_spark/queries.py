@@ -12296,3 +12296,202 @@ def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_islands"),
         F.sum("cov").cast("long").alias("covered_seconds"),
     )
+
+
+@_q(
+    "dedup_rate_by_source",
+    r"""
+    WITH f AS (SELECT source,
+                      md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+                        AS fingerprint
+               FROM documents WHERE source IS NOT NULL)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT fingerprint) AS BIGINT) AS n_distinct,
+           CAST(count(*) - count(DISTINCT fingerprint) AS BIGINT) AS n_dups,
+           CAST(count(*) - count(DISTINCT fingerprint) AS DOUBLE) / count(*)
+             AS dup_rate
+    FROM f GROUP BY source
+    """,
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEDUP TELEMETRY per source — the feed-health readout every
+    ingestion pipeline charts: exact-duplicate rate by scanner source
+    (same whitespace/case-normalized fingerprint as [[dedup_exact]]).
+    A source whose dup_rate jumps is re-crawling itself; comparing
+    across sources ranks feeds by redundancy BEFORE paying for
+    near-dup passes.  Integer counts, one float division.
+
+    Scale shape: one (source, fingerprint)-keyed aggregate (the
+    count-distinct shuffles once on the pair, then rolls up)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from lvm_datapipe_spark.operators.text import fingerprint
+
+    f = docs.filter(F.col("source").isNotNull()).select(
+        "source", fingerprint("text").alias("fingerprint")
+    )
+    return f.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("fingerprint").cast("long").alias("n_distinct"),
+        (F.count(F.lit(1)) - F.countDistinct("fingerprint"))
+        .cast("long")
+        .alias("n_dups"),
+        (
+            (F.count(F.lit(1)) - F.countDistinct("fingerprint")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("dup_rate"),
+    )
+
+
+@_q(
+    "referential_integrity_audit",
+    """
+    SELECT 'lineitem.l_orderkey->orders' AS fk,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN p.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_orphans
+    FROM lineitem c LEFT JOIN orders p ON c.l_orderkey = p.o_orderkey
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part',
+           CAST(count(*) AS BIGINT),
+           CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem c LEFT JOIN part p ON c.l_partkey = p.p_partkey
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier',
+           CAST(count(*) AS BIGINT),
+           CAST(SUM(CASE WHEN p.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem c LEFT JOIN supplier p ON c.l_suppkey = p.s_suppkey
+    UNION ALL
+    SELECT 'orders.o_custkey->customer',
+           CAST(count(*) AS BIGINT),
+           CAST(SUM(CASE WHEN p.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders c LEFT JOIN customer p ON c.o_custkey = p.c_custkey
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation',
+           CAST(count(*) AS BIGINT),
+           CAST(SUM(CASE WHEN p.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM customer c LEFT JOIN nation p ON c.c_nationkey = p.n_nationkey
+    UNION ALL
+    SELECT 'supplier.s_nationkey->nation',
+           CAST(count(*) AS BIGINT),
+           CAST(SUM(CASE WHEN p.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM supplier c LEFT JOIN nation p ON c.s_nationkey = p.n_nationkey
+    UNION ALL
+    SELECT 'nation.n_regionkey->region',
+           CAST(count(*) AS BIGINT),
+           CAST(SUM(CASE WHEN p.r_regionkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM nation c LEFT JOIN region p ON c.n_regionkey = p.r_regionkey
+    """,
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REFERENTIAL-INTEGRITY audit across every TPC-H foreign key —
+    the cross-table data-quality gate (dq's not-null/unique checks are
+    single-table; orphaned keys need joins).  One row per FK edge with
+    total child rows and orphan count; a warehouse load is publishable
+    iff every n_orphans is 0.  Left joins against unique parent keys
+    never fan out, so n_rows doubles as a join-cardinality regression
+    check.
+
+    Scale shape: seven independent keyed left joins, each aggregating
+    map-side to a single row — dims broadcast under AQE, the two
+    fact-fact joins shuffle on their key."""
+    t = {n: load_table(spark, sf_dir, n) for n in
+         ("lineitem", "orders", "part", "supplier", "customer", "nation", "region")}
+
+    def edge(label, child, ckey, parent, pkey):
+        return (
+            t[child]
+            .join(
+                t[parent].select(pkey),
+                F.col(ckey) == F.col(pkey),
+                "left",
+            )
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(F.when(F.col(pkey).isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_orphans"),
+            )
+            .select(F.lit(label).alias("fk"), "n_rows", "n_orphans")
+        )
+
+    edges = [
+        edge("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        edge("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        edge("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        edge("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        edge("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        edge("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        edge("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    out = edges[0]
+    for e in edges[1:]:
+        out = out.unionAll(e)
+    return out
+
+
+@_q(
+    "share_hierarchy_revenue",
+    f"""
+    WITH base AS (SELECT r.r_name, n.n_name, o.o_totalprice
+                  FROM orders o
+                  JOIN customer c ON o.o_custkey = c.c_custkey
+                  JOIN nation n ON c.c_nationkey = n.n_nationkey
+                  JOIN region r ON n.n_regionkey = r.r_regionkey),
+    nat AS (SELECT r_name, n_name, {_DEC_SUM.format(x='o_totalprice')} AS revenue
+            FROM base GROUP BY r_name, n_name),
+    reg AS (SELECT r_name, {_DEC_SUM.format(x='o_totalprice')} AS region_revenue
+            FROM base GROUP BY r_name),
+    tot AS (SELECT {_DEC_SUM.format(x='o_totalprice')} AS total_revenue FROM base)
+    SELECT nat.r_name, nat.n_name, nat.revenue,
+           reg.region_revenue, tot.total_revenue,
+           nat.revenue / reg.region_revenue AS nation_share_of_region,
+           reg.region_revenue / tot.total_revenue AS region_share_of_total
+    FROM nat JOIN reg ON reg.r_name = nat.r_name CROSS JOIN tot
+    """,
+)
+def share_hierarchy_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIERARCHICAL share-of-parent — revenue decomposed along
+    region <- nation with each level's share of its parent (the
+    drill-down treemap readout; [[w10_share_of_group]] gives one
+    level, this composes two).  Every level is an independent exact
+    decimal sum over the SAME base join (no share-of-share float
+    compounding), divisions in double only at the end.
+
+    Scale shape: one 3-dim broadcast join chain over orders, then
+    three keyed aggregates of descending cardinality; nation and
+    region tables are broadcast-sized by construction."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    base = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("r_name", "n_name", "o_totalprice")
+    )
+    nat = base.groupBy("r_name", "n_name").agg(
+        A.decimal_sum("o_totalprice").alias("revenue")
+    )
+    reg = base.groupBy("r_name").agg(
+        A.decimal_sum("o_totalprice").alias("region_revenue")
+    )
+    tot = base.agg(A.decimal_sum("o_totalprice").alias("total_revenue"))
+    return (
+        nat.join(F.broadcast(reg), "r_name")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "r_name",
+            "n_name",
+            "revenue",
+            "region_revenue",
+            "total_revenue",
+            (F.col("revenue") / F.col("region_revenue")).alias(
+                "nation_share_of_region"
+            ),
+            (F.col("region_revenue") / F.col("total_revenue")).alias(
+                "region_share_of_total"
+            ),
+        )
+    )

@@ -593,3 +593,68 @@ def test_interval_union_long_span_swallows_successors(spark, tmp_path):
     out = QUERIES["interval_union_coverage"](spark, d).collect()
     assert len(out) == 1
     assert out[0]["n_islands"] == 2 and out[0]["covered_seconds"] == 105
+
+
+def test_dedup_rate_identities_and_planted_dup(spark, tmp_path):
+    rows = QUERIES["dedup_rate_by_source"](spark, SF).collect()
+    assert sum(r["n_docs"] for r in rows) == 500
+    for r in rows:
+        assert r["n_dups"] == r["n_docs"] - r["n_distinct"]
+        assert r["dup_rate"] == pytest.approx(r["n_dups"] / r["n_docs"], abs=0)
+    dup = spark.createDataFrame(
+        [(1, "same text here", "en", "feedA", 14),
+         (2, "same  TEXT here", "en", "feedA", 15),  # normalizes equal
+         (3, "different", "en", "feedA", 9)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "dups")
+    dup.write.parquet(f"{d}/documents.parquet")
+    out = QUERIES["dedup_rate_by_source"](spark, d).collect()
+    assert len(out) == 1
+    assert out[0]["n_docs"] == 3 and out[0]["n_distinct"] == 2
+    assert out[0]["dup_rate"] == pytest.approx(1 / 3, rel=1e-12)
+
+
+def test_referential_integrity_clean_and_planted_orphan(spark, tmp_path):
+    rows = {r["fk"]: r for r in
+            QUERIES["referential_integrity_audit"](spark, SF).collect()}
+    assert len(rows) == 7
+    assert all(r["n_orphans"] == 0 for r in rows.values())  # TPC-H is intact
+    n_li = duckdb.sql(
+        f"SELECT count(*) FROM '{SF}/lineitem.parquet'"
+    ).fetchone()[0]
+    assert rows["lineitem.l_orderkey->orders"]["n_rows"] == n_li
+    # plant an orphan: copy tables, drop one referenced order
+    import shutil, os
+
+    d = str(tmp_path / "ri")
+    os.makedirs(d)
+    for t in ("lineitem", "part", "supplier", "customer", "nation", "region"):
+        shutil.copy(f"{SF}/{t}.parquet", f"{d}/{t}.parquet")
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    first_used = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey"
+    ).limit(1).collect()[0][0]
+    o.filter(f"o_orderkey <> {first_used}").write.parquet(f"{d}/orders.parquet")
+    out = {r["fk"]: r for r in
+           QUERIES["referential_integrity_audit"](spark, d).collect()}
+    assert out["lineitem.l_orderkey->orders"]["n_orphans"] > 0
+
+
+def test_hierarchy_shares_sum_to_one(spark):
+    rows = QUERIES["share_hierarchy_revenue"](spark, SF).collect()
+    per_region = {}
+    for r in rows:
+        per_region.setdefault(r["r_name"], []).append(r)
+    region_shares = 0.0
+    for rn, g in per_region.items():
+        assert sum(x["nation_share_of_region"] for x in g) == pytest.approx(
+            1.0, rel=1e-12
+        )
+        region_shares += g[0]["region_share_of_total"]
+        # every row in a region agrees on the region/total sums
+        assert len({x["region_revenue"] for x in g}) == 1
+        assert all(
+            x["revenue"] <= x["region_revenue"] <= x["total_revenue"] for x in g
+        )
+    assert region_shares == pytest.approx(1.0, rel=1e-12)
