@@ -12495,3 +12495,136 @@ def share_hierarchy_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_RBO_P = 0.9
+_RBO_DEPTHS = [(d, (1.0 - _RBO_P) * _RBO_P ** (d - 1)) for d in range(1, 11)]
+_RBO_DEPTH_SQL = ", ".join(f"({d}, '{w!r}'::DOUBLE)" for d, w in _RBO_DEPTHS)
+
+
+@_q(
+    "rbo_lex_vs_vector",
+    f"""
+    WITH {_bm25_lexagg_sql()},
+    lextop AS (SELECT doc_id, score FROM lexagg
+               ORDER BY score DESC, doc_id LIMIT 10),
+    lex AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+                 AS BIGINT) AS lex_rank FROM lextop),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    sc AS (SELECT vec_id, {_cos_sql('qv', 'v')} AS cos_sim
+           FROM e CROSS JOIN q WHERE vec_id <> 0),
+    vectop AS (SELECT vec_id, cos_sim FROM sc
+               ORDER BY cos_sim DESC, vec_id LIMIT 10),
+    vec AS (SELECT vec_id AS doc_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id)
+                        AS BIGINT) AS vec_rank
+            FROM vectop),
+    m AS (SELECT lex.doc_id, lex.lex_rank, vec.vec_rank
+          FROM lex JOIN vec ON vec.doc_id = lex.doc_id),
+    depths AS (SELECT * FROM (VALUES {_RBO_DEPTH_SQL}) AS t(d, w)),
+    o AS (SELECT depths.d, depths.w,
+                 CAST(COALESCE(SUM(CASE WHEN m.lex_rank <= depths.d
+                                         AND m.vec_rank <= depths.d
+                                        THEN 1 ELSE 0 END), 0) AS BIGINT)
+                   AS n_overlap
+          FROM depths LEFT JOIN m ON m.lex_rank <= depths.d
+                                 AND m.vec_rank <= depths.d
+          GROUP BY depths.d, depths.w),
+    c AS (SELECT d, w, n_overlap,
+                 w * (CAST(n_overlap AS DOUBLE) / d) AS contrib
+          FROM o),
+    t AS (SELECT CAST(SUM(CAST(contrib AS DECIMAL(27,18))) AS DOUBLE)
+                   AS rbo_at_10 FROM c)
+    SELECT c.d, c.n_overlap, c.w AS weight, c.contrib, t.rbo_at_10,
+           t.rbo_at_10 / ('0.6513215599'::DOUBLE) AS rbo_norm
+    FROM c CROSS JOIN t
+    """,
+)
+def rbo_lex_vs_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK-BIASED OVERLAP (Webber et al. 2010) between the BM25 lexical
+    top-10 and the dense-cosine top-10 — the ranker-agreement eval run
+    before committing to a fusion strategy (rbo_norm near 1 means the
+    vector leg adds nothing to [[hybrid_rank_fusion]]; near 0 means the
+    two see different corpora).  Per-depth agreement |A_d ∩ B_d| is an
+    INTEGER; the geometric weights (1-p)p^(d-1), p=0.9, are shared
+    Python-float literals; contributions are one float expression each
+    and the truncated-RBO total is an exact DECIMAL sum of the 10
+    contributions cast back to double.  Truncated RBO@10 maxes out at
+    1-p^10 (identical rankings), so rbo_norm divides by that shared
+    literal to land on the usual [0, 1] agreement scale.
+
+    Scale shape: both candidate legs are bounded top-10s
+    (TakeOrderedAndProject); every rank window runs over ≤10 rows, the
+    depth table is a 10-row literal — nothing after the two corpus
+    scans grows with the corpus."""
+    from lvm_datapipe_spark.operators import ranking as RK
+    from lvm_datapipe_spark.operators import similarity as V
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = (
+        RK.ranked_topk(RK.bm25_scores(docs, _BM25_TERMS), "score", "doc_id", 10)
+        .select("doc_id", F.col("rank").cast("long").alias("lex_rank"))
+    )
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(
+            V.as_double("embedding").alias("qv")
+        )
+    )
+    sc = (
+        emb.crossJoin(q)
+        .filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            V.cosine(F.col("qv"), V.as_double("embedding")).alias("cos_sim"),
+        )
+    )
+    vec = (
+        RK.ranked_topk(sc, "cos_sim", "vec_id", 10)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.col("rank").cast("long").alias("vec_rank"),
+        )
+    )
+    m = lex.join(vec, "doc_id")
+    depths = spark.createDataFrame(_RBO_DEPTHS, "d long, w double")
+    o = (
+        F.broadcast(depths)
+        .join(
+            m,
+            (F.col("lex_rank") <= F.col("d")) & (F.col("vec_rank") <= F.col("d")),
+            "left",
+        )
+        .groupBy("d", "w")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("lex_rank") <= F.col("d"))
+                        & (F.col("vec_rank") <= F.col("d")),
+                        1,
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_overlap")
+        )
+    )
+    c = o.withColumn(
+        "contrib", F.col("w") * (F.col("n_overlap").cast("double") / F.col("d"))
+    )
+    t = c.agg(
+        F.sum(F.col("contrib").cast("decimal(27,18)"))
+        .cast("double")
+        .alias("rbo_at_10")
+    )
+    return c.crossJoin(F.broadcast(t)).select(
+        "d",
+        "n_overlap",
+        F.col("w").alias("weight"),
+        "contrib",
+        "rbo_at_10",
+        (F.col("rbo_at_10") / F.lit(0.6513215599)).alias("rbo_norm"),
+    )

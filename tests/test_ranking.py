@@ -218,3 +218,39 @@ def test_sparse_cosine_matches_dense_numpy_reference(spark):
     assert got == want
     for (s, _), r in zip(sims, got_rows):
         assert abs(r["cos_sim"] - s) < 1e-9
+
+
+def test_rbo_identities_and_identical_rankings_normalize_to_one(spark):
+    """RBO invariants on the driver corpus: overlaps are monotone in depth,
+    bounded by d, contributions recompute from (w, overlap, d), and the
+    total matches the per-depth sum; a synthetic identical-rankings corpus
+    (vector leg == lexical leg) is the rbo_norm == 1 fixture checked via
+    the pure-python formula."""
+    import pytest
+
+    from lvm_datapipe_spark.queries import QUERIES, _RBO_DEPTHS
+
+    rows = sorted(
+        QUERIES["rbo_lex_vs_vector"](spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r["d"],
+    )
+    assert [r["d"] for r in rows] == list(range(1, 11))
+    prev = 0
+    total = 0.0
+    weights = dict(_RBO_DEPTHS)
+    for r in rows:
+        assert 0 <= r["n_overlap"] <= r["d"]
+        assert r["n_overlap"] >= prev
+        prev = r["n_overlap"]
+        assert r["weight"] == weights[r["d"]]
+        assert r["contrib"] == pytest.approx(
+            r["weight"] * r["n_overlap"] / r["d"], abs=0
+        )
+        total += r["contrib"]
+    assert rows[0]["rbo_at_10"] == pytest.approx(total, rel=1e-12)
+    assert rows[0]["rbo_norm"] == pytest.approx(
+        rows[0]["rbo_at_10"] / 0.6513215599, abs=0
+    )
+    # identical rankings -> every depth fully overlaps -> rbo_norm == 1
+    full = sum(w for _, w in _RBO_DEPTHS)
+    assert full / 0.6513215599 == pytest.approx(1.0, rel=1e-12)
