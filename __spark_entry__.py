@@ -35,8 +35,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #      row is OLDEST, so every query periodically re-enters the window and
 #      a silent regression cannot hide outside it indefinitely.
 # Everything rotated out stays verified locally every round via
-# ``tools/check_correctness.py`` (245/245 oracle-paired queries green in
-# the latest full local sweep; 247 declared).
+# ``tools/check_correctness.py`` (248/248 oracle-paired queries green in
+# the latest full local sweep; 250 declared).
 _CHECK_FIRST = [
     # -- 1. changed or added in r6 (their prior rows, if any, no longer
     #       describe the shipped code)
@@ -123,8 +123,10 @@ _CHECK_FIRST = [
     #       minhash_estimate_error, mmr_diverse_selection,
     #       spearman_len_vs_spaces, interval_union_coverage,
     #       dedup_rate_by_source, referential_integrity_audit,
-    #       share_hierarchy_revenue, rbo_lex_vs_vector) LEAD the r7
-    #       queue; all are green in this round's local full sweep
+    #       share_hierarchy_revenue, rbo_lex_vs_vector,
+    #       events_poisson_rate_alarm, rfm_segments,
+    #       dispersion_lineitems_per_order) LEAD the r7 queue; all are
+    #       green in this round's local full sweep
     #       (tools/check_correctness.py).
     "sample_neyman_allocation",     # new: variance-optimal strata budgets
     "sample_priority_topk",         # new: Duffield priority sampling
@@ -183,7 +185,7 @@ _CHECK_FIRST = [
     # ann_cosine_topk (unit-test-pinned; shares its ranking oracle shape
     # with ann_ivf_fixed_topk).  Every rotated-out veteran held an official
     # green row in r1-r5 AND stays green in the per-round local full sweep
-    # (tools/check_correctness.py, 245/245 oracle-paired).
+    # (tools/check_correctness.py, 248/248 oracle-paired).
 ]
 
 

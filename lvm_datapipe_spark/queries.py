@@ -12628,3 +12628,227 @@ def rbo_lex_vs_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rbo_at_10",
         (F.col("rbo_at_10") / F.lit(0.6513215599)).alias("rbo_norm"),
     )
+
+
+@_q(
+    "events_poisson_rate_alarm",
+    """
+    WITH c AS (SELECT event_type,
+                      CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+                        AS day_id,
+                      strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+                      CAST(count(*) AS BIGINT) AS n
+               FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+               GROUP BY 1, 2, 3),
+    w AS (SELECT event_type, day_id, day, n,
+                 CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY day_id
+                      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT)
+                   AS bsum,
+                 CAST(COUNT(n) OVER (PARTITION BY event_type ORDER BY day_id
+                      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT)
+                   AS bn
+          FROM c)
+    SELECT event_type, day, n,
+           CAST(bsum AS DOUBLE) / 7 AS lambda_hat,
+           (CAST(n AS DOUBLE) - CAST(bsum AS DOUBLE) / 7)
+             / sqrt(CAST(bsum AS DOUBLE) / 7) AS z,
+           CASE WHEN (CAST(n AS DOUBLE) - CAST(bsum AS DOUBLE) / 7)
+                     / sqrt(CAST(bsum AS DOUBLE) / 7) > 3.0
+                  OR (CAST(n AS DOUBLE) - CAST(bsum AS DOUBLE) / 7)
+                     / sqrt(CAST(bsum AS DOUBLE) / 7) < -3.0
+                THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS alarm
+    FROM w WHERE bn = 7 AND bsum > 0
+    """,
+)
+def events_poisson_rate_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VOLUME anomaly alarm: each day's event count per type against a
+    Poisson rate estimated from the trailing 7 FULL days (rows with a
+    short history are excluded, so the alarm never fires off a cold
+    start).  z = (n - lambda) / sqrt(lambda) — the variance-stabilized
+    residual for counts, where a plain value-z-score
+    ([[events_zscore_outliers]]) would mis-model the mean-variance
+    coupling.  Integer day counts; lambda and z are mirrored float
+    expressions; |z| > 3 raises the alarm.
+
+    Scale shape: one keyed daily aggregate, one type-partitioned ROWS
+    window over day-count-sized data."""
+    ev = load_table(spark, sf_dir, "events")
+    c = (
+        ev.filter(F.col("event_type").isNotNull() & F.col("ts").isNotNull())
+        .groupBy(
+            "event_type",
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
+            .cast("long")
+            .alias("day_id"),
+            F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    wnd = (
+        Window.partitionBy("event_type")
+        .orderBy("day_id")
+        .rowsBetween(-7, -1)
+    )
+    w = c.select(
+        "event_type",
+        "day",
+        "n",
+        F.sum("n").over(wnd).cast("long").alias("bsum"),
+        F.count("n").over(wnd).cast("long").alias("bn"),
+    )
+    lam = F.col("bsum").cast("double") / 7
+    z = (F.col("n").cast("double") - lam) / F.sqrt(lam)
+    return (
+        w.filter((F.col("bn") == 7) & (F.col("bsum") > 0))
+        .select(
+            "event_type",
+            "day",
+            "n",
+            lam.alias("lambda_hat"),
+            z.alias("z"),
+            F.when((z > 3.0) | (z < -3.0), F.lit(1).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+            .alias("alarm"),
+        )
+    )
+
+
+_RFM_HI_PS = [0.8, 0.6, 0.4, 0.2]
+
+
+@_q(
+    "rfm_segments",
+    f"""
+    WITH c AS (SELECT o_custkey,
+                      CAST(max(o_orderdate) AS DATE) AS last_order,
+                      CAST(count(*) AS BIGINT) AS frequency,
+                      {_DEC_SUM.format(x='o_totalprice')} AS monetary
+               FROM orders GROUP BY o_custkey),
+    mx AS (SELECT CAST(max(o_orderdate) AS DATE) AS ref_day FROM orders),
+    r AS (SELECT c.o_custkey,
+                 CAST(mx.ref_day - c.last_order AS BIGINT) AS recency_days,
+                 c.frequency, c.monetary
+          FROM c CROSS JOIN mx),
+    q AS (SELECT quantile_cont(recency_days, {_RFM_HI_PS}) AS rt,
+                 quantile_cont(frequency, {_RFM_HI_PS}) AS ft,
+                 quantile_cont(monetary, {_RFM_HI_PS}) AS mt
+          FROM r),
+    s AS (SELECT r.o_custkey, r.recency_days, r.frequency, r.monetary,
+                 CAST(1 + {' + '.join(f'(CASE WHEN CAST(r.recency_days AS DOUBLE) < q.rt[{i + 1}] THEN 1 ELSE 0 END)' for i in range(4))}
+                      AS BIGINT) AS r_score,
+                 CAST(1 + {' + '.join(f'(CASE WHEN CAST(r.frequency AS DOUBLE) > q.ft[{i + 1}] THEN 1 ELSE 0 END)' for i in range(4))}
+                      AS BIGINT) AS f_score,
+                 CAST(1 + {' + '.join(f'(CASE WHEN r.monetary > q.mt[{i + 1}] THEN 1 ELSE 0 END)' for i in range(4))}
+                      AS BIGINT) AS m_score
+          FROM r CROSS JOIN q)
+    SELECT o_custkey, recency_days, frequency, monetary,
+           r_score, f_score, m_score,
+           r_score * 100 + f_score * 10 + m_score AS rfm
+    FROM s
+    """,
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM SEGMENTATION — the classic customer-value stratification:
+    recency (days since last order, lower is better), frequency (order
+    count), monetary (exact decimal revenue), each scored 1-5 against
+    quintile boundaries from ONE exact-percentile aggregate broadcast
+    back over the customer table (the [[w5_deciles_bucketed]] ladder —
+    no global NTILE window).  Recency's ladder is inverted (< the
+    descending thresholds) so 5 always means "best".  The composite rfm
+    code (r*100+f*10+m) is the segment key marketing pipelines group
+    by.
+
+    Scale shape: one customer-keyed aggregate, a 1-row quantile
+    broadcast, a scan-shaped ladder — no window over corpus rows."""
+    o = load_table(spark, sf_dir, "orders")
+    c = o.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        A.decimal_sum("o_totalprice").alias("monetary"),
+    )
+    mx = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("ref_day"))
+    r = c.crossJoin(F.broadcast(mx)).select(
+        "o_custkey",
+        F.datediff("ref_day", "last_order").cast("long").alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    ps = F.lit(_RFM_HI_PS)
+    q = r.agg(
+        F.percentile(F.col("recency_days").cast("double"), ps).alias("rt"),
+        F.percentile(F.col("frequency").cast("double"), ps).alias("ft"),
+        F.percentile("monetary", ps).alias("mt"),
+    )
+    rs, fs, ms = F.lit(1), F.lit(1), F.lit(1)
+    for i in range(4):
+        rs = rs + (
+            F.col("recency_days").cast("double") < F.element_at("rt", i + 1)
+        ).cast("int")
+        fs = fs + (
+            F.col("frequency").cast("double") > F.element_at("ft", i + 1)
+        ).cast("int")
+        ms = ms + (F.col("monetary") > F.element_at("mt", i + 1)).cast("int")
+    s = r.crossJoin(F.broadcast(q)).select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        rs.cast("long").alias("r_score"),
+        fs.cast("long").alias("f_score"),
+        ms.cast("long").alias("m_score"),
+    )
+    return s.select(
+        "*",
+        (
+            F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+        ).alias("rfm"),
+    )
+
+
+@_q(
+    "dispersion_lineitems_per_order",
+    """
+    WITH c AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS k
+               FROM lineitem GROUP BY l_orderkey),
+    a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(k) AS BIGINT) AS sx,
+                 CAST(sum(k * k) AS BIGINT) AS sxx
+          FROM c)
+    SELECT n, sx, sxx,
+           CAST(sx AS DOUBLE) / n AS mean_k,
+           (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS var_k,
+           ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+             / (CAST(sx AS DOUBLE) / n) AS dispersion_index
+    FROM a
+    """,
+)
+def dispersion_lineitems_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INDEX OF DISPERSION (variance-to-mean ratio) of lineitems per
+    order — the one-number Poissonness check on a count distribution:
+    ~1 means orders accumulate items independently, >1 means bursty
+    (a generator or upstream batching artifact), <1 means capped.
+    All moments are exact BIGINT sums (population variance via
+    n*Σk² - (Σk)²); the three output ratios are mirrored float
+    expressions.
+
+    Scale shape: one keyed count + one 1-row moment aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).cast("long").alias("k"))
+    a = c.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("k").cast("long").alias("sx"),
+        F.sum(F.col("k") * F.col("k")).cast("long").alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    var_k = (nd * F.col("sxx") - sxd * sxd) / (nd * nd)
+    return a.select(
+        "n",
+        "sx",
+        "sxx",
+        (sxd / F.col("n")).alias("mean_k"),
+        var_k.alias("var_k"),
+        (var_k / (sxd / F.col("n"))).alias("dispersion_index"),
+    )

@@ -658,3 +658,69 @@ def test_hierarchy_shares_sum_to_one(spark):
             x["revenue"] <= x["region_revenue"] <= x["total_revenue"] for x in g
         )
     assert region_shares == pytest.approx(1.0, rel=1e-12)
+
+
+def test_poisson_alarm_matches_trailing_week_model(spark, events_pd):
+    rows = {(r["event_type"], r["day"]): r for r in
+            QUERIES["events_poisson_rate_alarm"](spark, SF).collect()}
+    ev = events_pd.dropna(subset=["ts"])
+    days = ev.ts.dt.strftime("%Y-%m-%d")
+    seen = set()
+    for et, g in ev.groupby("event_type"):
+        counts = days[g.index].value_counts().sort_index()
+        ds = list(counts.index)
+        for i, d in enumerate(ds):
+            if i < 7:
+                assert (et, d) not in rows
+                continue
+            lam = sum(counts.iloc[i - 7 : i]) / 7
+            r = rows[(et, d)]
+            seen.add((et, d))
+            assert r["n"] == int(counts.iloc[i])
+            assert r["lambda_hat"] == pytest.approx(lam, rel=1e-12)
+            z = (counts.iloc[i] - lam) / lam**0.5
+            assert r["z"] == pytest.approx(z, rel=1e-9)
+            assert r["alarm"] == (1 if abs(z) > 3 else 0)
+    assert seen == set(rows)
+
+
+def test_rfm_scores_match_numpy_quantile_ladder(spark):
+    rows = QUERIES["rfm_segments"](spark, SF).collect()
+    orders = duckdb.sql(
+        f"SELECT o_custkey, max(o_orderdate) AS last_o, count(*) AS f, "
+        f"sum(o_totalprice) AS m FROM '{SF}/orders.parquet' GROUP BY 1"
+    ).df()
+    ref = orders.last_o.max()
+    rec = (ref - orders.last_o).dt.days.to_numpy(dtype=float)
+    fr = orders.f.to_numpy(dtype=float)
+    mo = orders.m.to_numpy(dtype=float)
+    rt = np.quantile(rec, [0.8, 0.6, 0.4, 0.2])
+    ft = np.quantile(fr, [0.8, 0.6, 0.4, 0.2])
+    mt = np.quantile(mo, [0.8, 0.6, 0.4, 0.2])
+    by_cust = {
+        int(r.o_custkey): (float((ref - r.last_o).days), float(r.f), float(r.m))
+        for r in orders.itertuples()
+    }
+    assert len(rows) == len(by_cust)
+    for r in rows:
+        rec_c, f_c, m_c = by_cust[r["o_custkey"]]
+        assert r["recency_days"] == rec_c and r["frequency"] == f_c
+        assert r["monetary"] == pytest.approx(m_c, rel=1e-9)
+        assert r["r_score"] == 1 + sum(rec_c < t for t in rt)
+        assert r["f_score"] == 1 + sum(f_c > t for t in ft)
+        assert r["m_score"] == pytest.approx(
+            1 + sum(m_c > t for t in mt), abs=0
+        )
+        assert r["rfm"] == r["r_score"] * 100 + r["f_score"] * 10 + r["m_score"]
+        assert 1 <= r["r_score"] <= 5 and 1 <= r["f_score"] <= 5
+
+
+def test_dispersion_matches_numpy_population_variance(spark):
+    row = QUERIES["dispersion_lineitems_per_order"](spark, SF).collect()[0]
+    k = duckdb.sql(
+        f"SELECT count(*) AS k FROM '{SF}/lineitem.parquet' GROUP BY l_orderkey"
+    ).df().k.to_numpy(dtype=float)
+    assert row["n"] == len(k)
+    assert row["mean_k"] == pytest.approx(k.mean(), rel=1e-12)
+    assert row["var_k"] == pytest.approx(k.var(), rel=1e-9)
+    assert row["dispersion_index"] == pytest.approx(k.var() / k.mean(), rel=1e-9)
