@@ -12852,3 +12852,201 @@ def dispersion_lineitems_per_order(spark: SparkSession, sf_dir: str) -> DataFram
         var_k.alias("var_k"),
         (var_k / (sxd / F.col("n"))).alias("dispersion_index"),
     )
+
+
+@_q(
+    "parts_in_all_regions",
+    """
+    WITH pr AS (SELECT DISTINCT l.l_partkey AS partkey, n.n_regionkey AS rk
+                FROM lineitem l
+                JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                JOIN nation n ON s.s_nationkey = n.n_nationkey),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n_regions FROM region),
+    c AS (SELECT partkey, CAST(count(*) AS BIGINT) AS n_covered
+          FROM pr GROUP BY partkey)
+    SELECT c.partkey AS p_partkey, p.p_name, c.n_covered
+    FROM c CROSS JOIN t
+    JOIN part p ON p.p_partkey = c.partkey
+    WHERE c.n_covered = t.n_regions
+    """,
+)
+def parts_in_all_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RELATIONAL DIVISION (the FOR-ALL query): parts that have shipped
+    from suppliers in EVERY region — the classic universal
+    quantification no join alone expresses, reduced to counting:
+    distinct (part, region) coverage == |regions|.  The division-by-
+    counting form is the only one that scales (the textbook double
+    NOT-EXISTS nests two anti-joins per row).
+
+    Scale shape: lineitem joins two broadcast dims, one distinct + one
+    keyed count, a 1-row region-count broadcast, and a final keyed join
+    to part for the name."""
+    li = load_table(spark, sf_dir, "lineitem")
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    re = load_table(spark, sf_dir, "region")
+    pa = load_table(spark, sf_dir, "part")
+    pr = (
+        li.join(su, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(F.col("l_partkey").alias("partkey"), F.col("n_regionkey").alias("rk"))
+        .dropDuplicates()
+    )
+    t = re.agg(F.count(F.lit(1)).cast("long").alias("n_regions"))
+    c = pr.groupBy("partkey").agg(F.count(F.lit(1)).cast("long").alias("n_covered"))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .filter(F.col("n_covered") == F.col("n_regions"))
+        .join(pa, F.col("partkey") == F.col("p_partkey"))
+        .select(F.col("partkey").alias("p_partkey"), "p_name", "n_covered")
+    )
+
+
+_WILSON_Z = 1.96
+_WILSON_Z2 = 3.8415999999999997
+
+
+@_q(
+    "conversion_wilson_ci",
+    f"""
+    WITH d AS (SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+                      CAST(SUM(CASE WHEN event_type IN ('view', 'purchase')
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_trials,
+                      CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                               END) AS BIGINT) AS n_purchases
+               FROM events WHERE ts IS NOT NULL GROUP BY 1),
+    p AS (SELECT day, n_trials, n_purchases,
+                 CAST(n_purchases AS DOUBLE) / n_trials AS phat,
+                 CAST(n_trials AS DOUBLE) AS nd
+          FROM d WHERE n_trials > 0)
+    SELECT day, n_trials, n_purchases, phat,
+           ((phat + '{_WILSON_Z2!r}'::DOUBLE / (2 * nd))
+            - '{_WILSON_Z!r}'::DOUBLE
+              * sqrt((phat * (1.0 - phat)) / nd
+                     + '{_WILSON_Z2!r}'::DOUBLE / (4 * nd * nd)))
+           / (1.0 + '{_WILSON_Z2!r}'::DOUBLE / nd) AS wilson_low,
+           ((phat + '{_WILSON_Z2!r}'::DOUBLE / (2 * nd))
+            + '{_WILSON_Z!r}'::DOUBLE
+              * sqrt((phat * (1.0 - phat)) / nd
+                     + '{_WILSON_Z2!r}'::DOUBLE / (4 * nd * nd)))
+           / (1.0 + '{_WILSON_Z2!r}'::DOUBLE / nd) AS wilson_high
+    FROM p
+    """,
+)
+def conversion_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily purchase share of view+purchase traffic with WILSON score
+    intervals
+    (z=1.96) — the small-sample-safe CI every KPI dashboard should use
+    instead of the normal approximation (which goes negative near 0 and
+    lies at small n).  Counts are integers; phat and both bounds are
+    mirrored float expression trees with z and z^2 as shared Python
+    literals.
+
+    Scale shape: one day-keyed conditional aggregate + scan-shaped
+    arithmetic on the day-count-sized result."""
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.filter(F.col("ts").isNotNull())
+        .groupBy(
+            F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day")
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("event_type").isin("view", "purchase"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_trials"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("n_purchases"),
+        )
+        .filter(F.col("n_trials") > 0)
+    )
+    nd = F.col("n_trials").cast("double")
+    phat = F.col("n_purchases").cast("double") / F.col("n_trials")
+    z, z2 = F.lit(_WILSON_Z), F.lit(_WILSON_Z2)
+    center = phat + z2 / (2 * nd)
+    half = z * F.sqrt((phat * (1.0 - phat)) / nd + z2 / (4 * nd * nd))
+    denom = 1.0 + z2 / nd
+    return d.select(
+        "day",
+        "n_trials",
+        "n_purchases",
+        phat.alias("phat"),
+        ((center - half) / denom).alias("wilson_low"),
+        ((center + half) / denom).alias("wilson_high"),
+    )
+
+
+@_q(
+    "events_peak_hours_nms",
+    """
+    WITH h AS (SELECT event_type,
+                      CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 3600)
+                           AS BIGINT) AS hr_id,
+                      strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+                      CAST(count(*) AS BIGINT) AS n
+               FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+               GROUP BY 1, 2, 3),
+    w AS (SELECT event_type, hr_id, hour, n,
+                 COALESCE(MAX(n) OVER (PARTITION BY event_type ORDER BY hr_id
+                          ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING),
+                          CAST(-1 AS BIGINT)) AS prev_max,
+                 COALESCE(MAX(n) OVER (PARTITION BY event_type ORDER BY hr_id
+                          ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING),
+                          CAST(-1 AS BIGINT)) AS next_max
+          FROM h),
+    pk AS (SELECT event_type, hr_id, hour, n FROM w
+           WHERE n > prev_max AND n > next_max),
+    r AS (SELECT event_type, hour, n,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                      ORDER BY n DESC, hr_id) AS BIGINT) AS peak_rank
+          FROM pk)
+    SELECT event_type, hour, n, peak_rank FROM r WHERE peak_rank <= 5
+    """,
+)
+def events_peak_hours_nms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PEAK DETECTION with non-maximum suppression: hours that are
+    STRICT local maxima of the per-type hourly series within a +-2h
+    neighborhood, ranked to the top 5 per type — the load-spike report
+    that a plain top-k-by-count gets wrong (it returns 5 adjacent hours
+    of one spike; NMS forces distinct peaks).  Strict > on both sides
+    means plateaus yield no peak (documented; a plateau is a sustained
+    level, not a spike).  Integer counts throughout.
+
+    Scale shape: one keyed hourly aggregate, two type-partitioned ROWS
+    windows, and a WindowGroupLimit-able top-5 per type."""
+    ev = load_table(spark, sf_dir, "events")
+    hr_id = F.floor(
+        F.unix_seconds(F.col("ts").cast("timestamp")).cast("long") / 3600
+    ).cast("long")
+    h = (
+        ev.filter(F.col("event_type").isNotNull() & F.col("ts").isNotNull())
+        .groupBy(
+            "event_type",
+            hr_id.alias("hr_id"),
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH").alias(
+                "hour"
+            ),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    wp = Window.partitionBy("event_type").orderBy("hr_id").rowsBetween(-2, -1)
+    wn = Window.partitionBy("event_type").orderBy("hr_id").rowsBetween(1, 2)
+    w = h.select(
+        "event_type",
+        "hr_id",
+        "hour",
+        "n",
+        F.coalesce(F.max("n").over(wp), F.lit(-1).cast("long")).alias("prev_max"),
+        F.coalesce(F.max("n").over(wn), F.lit(-1).cast("long")).alias("next_max"),
+    )
+    pk = w.filter((F.col("n") > F.col("prev_max")) & (F.col("n") > F.col("next_max")))
+    wr = Window.partitionBy("event_type").orderBy(F.desc("n"), F.asc("hr_id"))
+    r = pk.select(
+        "event_type",
+        "hour",
+        "n",
+        F.row_number().over(wr).cast("long").alias("peak_rank"),
+    )
+    return r.filter(F.col("peak_rank") <= 5)

@@ -724,3 +724,67 @@ def test_dispersion_matches_numpy_population_variance(spark):
     assert row["mean_k"] == pytest.approx(k.mean(), rel=1e-12)
     assert row["var_k"] == pytest.approx(k.var(), rel=1e-9)
     assert row["dispersion_index"] == pytest.approx(k.var() / k.mean(), rel=1e-9)
+
+
+def test_relational_division_matches_set_model(spark):
+    rows = {r["p_partkey"] for r in QUERIES["parts_in_all_regions"](spark, SF).collect()}
+    cov = duckdb.sql(
+        f"""SELECT l.l_partkey AS pk, n.n_regionkey AS rk
+            FROM '{SF}/lineitem.parquet' l
+            JOIN '{SF}/supplier.parquet' s ON l.l_suppkey = s.s_suppkey
+            JOIN '{SF}/nation.parquet' n ON s.s_nationkey = n.n_nationkey"""
+    ).df()
+    n_regions = duckdb.sql(
+        f"SELECT count(*) FROM '{SF}/region.parquet'"
+    ).fetchone()[0]
+    per_part = {}
+    for r in cov.itertuples():
+        per_part.setdefault(int(r.pk), set()).add(int(r.rk))
+    expected = {p for p, s in per_part.items() if len(s) == n_regions}
+    assert rows == expected
+    assert expected  # non-vacuous at this sf
+
+
+def test_wilson_interval_properties_and_scipyfree_formula(spark):
+    rows = QUERIES["conversion_wilson_ci"](spark, SF).collect()
+    assert rows
+    z, z2 = 1.96, 1.96 * 1.96
+    for r in rows:
+        n, k = r["n_trials"], r["n_purchases"]
+        assert 0 <= k <= n
+        p = k / n
+        denom = 1 + z2 / n
+        center = (p + z2 / (2 * n)) / denom
+        half = z * ((p * (1 - p) / n + z2 / (4 * n * n)) ** 0.5) / denom
+        assert r["phat"] == pytest.approx(p, abs=0)
+        assert r["wilson_low"] == pytest.approx(center - half, rel=1e-12)
+        assert r["wilson_high"] == pytest.approx(center + half, rel=1e-12)
+        # the whole point of Wilson: bounds stay inside [0, 1]
+        assert 0.0 <= r["wilson_low"] <= r["phat"] <= r["wilson_high"] <= 1.0
+
+
+def test_peak_nms_returns_strict_local_maxima_only(spark, events_pd):
+    rows = QUERIES["events_peak_hours_nms"](spark, SF).collect()
+    assert rows
+    ev = events_pd.dropna(subset=["ts"])
+    hours = ev.ts.dt.floor("h")
+    for et, g in ev.groupby("event_type"):
+        counts = hours[g.index].value_counts().sort_index()
+        ids = [(int(h.timestamp() // 3600), int(c)) for h, c in counts.items()]
+        peaks = []
+        for i, (hid, n) in enumerate(ids):
+            prev = [c for h, c in ids[max(0, i - 2): i] if h >= hid - 2]
+            nxt = [c for h, c in ids[i + 1: i + 3] if h <= hid + 2]
+            # the ROWS frame uses positional neighbors; the hourly grid is
+            # dense in this data so positional == temporal
+            prev = [c for _, c in ids[max(0, i - 2): i]]
+            nxt = [c for _, c in ids[i + 1: i + 3]]
+            if all(n > c for c in prev) and all(n > c for c in nxt):
+                peaks.append((hid, n))
+        peaks.sort(key=lambda t: (-t[1], t[0]))
+        got = sorted(
+            [r for r in rows if r["event_type"] == et],
+            key=lambda r: r["peak_rank"],
+        )
+        assert [(g_["n"]) for g_ in got] == [n for _, n in peaks[:5]]
+        assert len(got) <= 5
