@@ -13050,3 +13050,112 @@ def events_peak_hours_nms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(wr).cast("long").alias("peak_rank"),
     )
     return r.filter(F.col("peak_rank") <= 5)
+
+
+@_q(
+    "set_intersect_all",
+    """
+    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+    INTERSECT ALL
+    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'N'
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag semantics): each part key appears
+    min(count_R, count_N) times — the multiplicity-preserving sibling
+    of [[set_intersect]] that SQL workloads need when downstream
+    aggregation weights by occurrence.  Uses Spark's native
+    ``intersectAll`` (hash-partial counts on each side, LEAST of the
+    multiplicities — one keyed shuffle per side, no row explosion
+    beyond the answer).
+
+    Scale shape: two filtered scans + one keyed intersect shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    r = li.filter(F.col("l_returnflag") == "R").select("l_partkey")
+    n = li.filter(F.col("l_returnflag") == "N").select("l_partkey")
+    return r.intersectAll(n)
+
+
+@_q(
+    "grpo_group_advantages",
+    """
+    WITH e AS (SELECT event_id, user_id,
+                      strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+                      value AS reward
+               FROM events
+               WHERE ts IS NOT NULL AND user_id IS NOT NULL
+                 AND value IS NOT NULL),
+    g AS (SELECT user_id, day,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(CAST(reward AS DECIMAL(27,6))) AS DOUBLE) AS sx,
+                 CAST(SUM(CAST(reward AS DECIMAL(27,6))
+                          * CAST(reward AS DECIMAL(27,6))) AS DOUBLE) AS sxx
+          FROM e GROUP BY user_id, day),
+    j AS (SELECT e.event_id, e.user_id, e.day, e.reward, g.n,
+                 g.sx / g.n AS mean_r,
+                 (CAST(g.n AS DOUBLE) * g.sxx - g.sx * g.sx)
+                   / (CAST(g.n AS DOUBLE) * (CAST(g.n AS DOUBLE) - 1.0))
+                   AS var_r
+          FROM e JOIN g ON g.user_id = e.user_id AND g.day = e.day
+          WHERE g.n > 1)
+    SELECT event_id, user_id, day, reward, n, mean_r,
+           CASE WHEN var_r > 0
+                THEN (reward - mean_r) / sqrt(var_r)
+                ELSE CAST(0.0 AS DOUBLE) END AS advantage
+    FROM j
+    """,
+)
+def grpo_group_advantages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRPO-style GROUP-RELATIVE ADVANTAGES (Shao et al. 2024,
+    arXiv:2402.03300 — the DeepSeekMath policy-gradient recipe): within
+    each sampling group (here user x day standing in for
+    prompt x rollout-batch), every reward is normalized to
+    (r - group_mean) / group_std — the advantage signal RLHF training
+    data carries instead of raw rewards.  Group moments come from exact
+    DECIMAL sums (order-free partials); mean/variance/z are mirrored
+    float expressions with the sample-variance (n-1) denominator;
+    zero-variance groups emit advantage 0 (every rollout equal — no
+    gradient signal), and singleton groups are excluded (no baseline).
+
+    Scale shape: one keyed moment aggregate + one keyed join back —
+    the standard two-pass normalize, no window."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.filter(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+    ).select(
+        "event_id",
+        "user_id",
+        F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day"),
+        F.col("value").alias("reward"),
+    )
+    dec = F.col("reward").cast("decimal(27,6)")
+    g = e.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec).cast("double").alias("sx"),
+        F.sum(dec * dec).cast("double").alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    mean_r = F.col("sx") / F.col("n")
+    var_r = (nd * F.col("sxx") - F.col("sx") * F.col("sx")) / (nd * (nd - 1.0))
+    j = (
+        e.join(g, ["user_id", "day"])
+        .filter(F.col("n") > 1)
+        .withColumn("mean_r", mean_r)
+        .withColumn("var_r", var_r)
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        "day",
+        "reward",
+        "n",
+        "mean_r",
+        F.when(
+            F.col("var_r") > 0,
+            (F.col("reward") - F.col("mean_r")) / F.sqrt("var_r"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("advantage"),
+    )

@@ -788,3 +788,46 @@ def test_peak_nms_returns_strict_local_maxima_only(spark, events_pd):
         )
         assert [(g_["n"]) for g_ in got] == [n for _, n in peaks[:5]]
         assert len(got) <= 5
+
+
+def test_intersect_all_multiplicities_match_bag_model(spark):
+    from collections import Counter
+
+    rows = Counter(
+        r["l_partkey"] for r in QUERIES["set_intersect_all"](spark, SF).collect()
+    )
+    li = duckdb.sql(
+        f"SELECT l_partkey, l_returnflag FROM '{SF}/lineitem.parquet' "
+        "WHERE l_returnflag IN ('R', 'N')"
+    ).df()
+    cr = Counter(li[li.l_returnflag == "R"].l_partkey)
+    cn = Counter(li[li.l_returnflag == "N"].l_partkey)
+    expected = {k: min(cr[k], cn[k]) for k in cr.keys() & cn.keys()}
+    assert dict(rows) == expected
+
+
+def test_grpo_advantages_are_group_standardized(spark, events_pd):
+    rows = QUERIES["grpo_group_advantages"](spark, SF).collect()
+    ev = events_pd.dropna(subset=["ts", "user_id", "value"]).copy()
+    ev["day"] = ev.ts.dt.strftime("%Y-%m-%d")
+    by_event = {}
+    for (uid, day), g in ev.groupby(["user_id", "day"]):
+        r = g.value.to_numpy(dtype=float)
+        if len(r) < 2:
+            continue
+        mean, sd = r.mean(), r.std(ddof=1)
+        for eid, val in zip(g.event_id, r):
+            adv = 0.0 if sd == 0 else (val - mean) / sd
+            by_event[int(eid)] = (len(r), mean, adv)
+    assert len(rows) == len(by_event)
+    for r in rows:
+        n, mean, adv = by_event[r["event_id"]]
+        assert r["n"] == n
+        assert r["mean_r"] == pytest.approx(mean, rel=1e-12)
+        assert r["advantage"] == pytest.approx(adv, rel=1e-9)
+    # standardization identity: within each (user, day), advantages sum ~0
+    per_group = {}
+    for r in rows:
+        per_group.setdefault((r["user_id"], r["day"]), []).append(r["advantage"])
+    for g, advs in per_group.items():
+        assert sum(advs) == pytest.approx(0.0, abs=1e-9)
