@@ -35,8 +35,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #      row is OLDEST, so every query periodically re-enters the window and
 #      a silent regression cannot hide outside it indefinitely.
 # Everything rotated out stays verified locally every round via
-# ``tools/check_correctness.py`` (253/253 oracle-paired queries green in
-# the latest full local sweep; 255 declared).
+# ``tools/check_correctness.py`` (254/254 oracle-paired queries green in
+# the latest full local sweep; 256 declared).
 _CHECK_FIRST = [
     # -- 1. changed or added in r6 (their prior rows, if any, no longer
     #       describe the shipped code)
@@ -127,9 +127,9 @@ _CHECK_FIRST = [
     #       events_poisson_rate_alarm, rfm_segments,
     #       dispersion_lineitems_per_order, parts_in_all_regions,
     #       conversion_wilson_ci, events_peak_hours_nms,
-    #       set_intersect_all, grpo_group_advantages) LEAD the r7
-    #       queue; all are green in this round's local full sweep
-    #       (tools/check_correctness.py).
+    #       set_intersect_all, grpo_group_advantages,
+    #       split_leakage_measure) LEAD the r7 queue; all are green in
+    #       this round's local full sweep (tools/check_correctness.py).
     "sample_neyman_allocation",     # new: variance-optimal strata budgets
     "sample_priority_topk",         # new: Duffield priority sampling
     "drift_ks_statistic",           # new: exact two-sample KS per stratum
@@ -187,7 +187,7 @@ _CHECK_FIRST = [
     # ann_cosine_topk (unit-test-pinned; shares its ranking oracle shape
     # with ann_ivf_fixed_topk).  Every rotated-out veteran held an official
     # green row in r1-r5 AND stays green in the per-round local full sweep
-    # (tools/check_correctness.py, 253/253 oracle-paired).
+    # (tools/check_correctness.py, 254/254 oracle-paired).
 ]
 
 

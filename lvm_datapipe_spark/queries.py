@@ -13159,3 +13159,113 @@ def grpo_group_advantages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("advantage"),
     )
+
+
+@_q(
+    "split_leakage_measure",
+    f"""
+    WITH RECURSIVE pairs AS ({_lsh_near_dup_sql()}),
+    edges AS (SELECT id_a AS u, id_b AS w FROM pairs
+              UNION SELECT id_b AS u, id_a AS w FROM pairs),
+    reach AS (SELECT u, w FROM edges
+              UNION SELECT r.u AS u, e2.w AS w
+              FROM reach r JOIN edges e2 ON r.w = e2.u),
+    cc AS (SELECT u AS id, least(u, min(w)) AS cluster_id FROM reach GROUP BY u),
+    keyed AS (
+      SELECT e.vec_id, coalesce(cc.cluster_id, e.vec_id) AS skey
+      FROM embeddings e LEFT JOIN cc ON cc.id = e.vec_id),
+    s AS (SELECT vec_id,
+            CASE WHEN ('0x' || substr(md5('split' || CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+                      % 10000 < 9000 THEN 'train' ELSE 'holdout' END AS naive_split,
+            CASE WHEN ('0x' || substr(md5('split' || CAST(skey AS VARCHAR)), 1, 8))::BIGINT
+                      % 10000 < 9000 THEN 'train' ELSE 'holdout' END AS safe_split
+          FROM keyed),
+    p AS (SELECT sa.naive_split AS na, sb.naive_split AS nb,
+                 sa.safe_split AS fa, sb.safe_split AS fb
+          FROM pairs pr
+          JOIN s sa ON sa.vec_id = pr.id_a
+          JOIN s sb ON sb.vec_id = pr.id_b)
+    SELECT 'naive' AS scheme,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN na <> nb THEN 1 ELSE 0 END) AS BIGINT) AS n_cross,
+           CASE WHEN count(*) > 0
+                THEN CAST(SUM(CASE WHEN na <> nb THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*)
+                ELSE CAST(0.0 AS DOUBLE) END AS leak_rate
+    FROM p
+    UNION ALL
+    SELECT 'cluster_safe',
+           CAST(count(*) AS BIGINT),
+           CAST(SUM(CASE WHEN fa <> fb THEN 1 ELSE 0 END) AS BIGINT),
+           CASE WHEN count(*) > 0
+                THEN CAST(SUM(CASE WHEN fa <> fb THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*)
+                ELSE CAST(0.0 AS DOUBLE) END
+    FROM p
+    """,
+)
+def split_leakage_measure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURE the eval-leakage a naive row-id split causes: for every
+    LSH-verified near-dup pair, does the pair straddle train/holdout?
+    Reported for BOTH schemes — the naive md5(vec_id) split (leaks: two
+    near-identical vectors land on opposite sides and the holdout stops
+    being held out) and the cluster-keyed split of
+    [[split_leakage_safe]] (structurally 0 cross pairs: both members
+    share the cluster representative key).  This is the number that
+    justifies paying for dedup-aware splitting — measured on YOUR
+    corpus, not argued.
+
+    Scale shape: the pair source is the bucketed LSH path, clustering
+    is the iterative CC operator, splits are scan-shaped md5 buckets;
+    the measure itself is two keyed joins + one aggregate."""
+    from lvm_datapipe_spark.operators import similarity as V
+    from lvm_datapipe_spark.operators.graph import connected_components
+    from lvm_datapipe_spark.operators.sampling import hash_bucket
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = V.lsh_near_dup_pairs(emb, threshold=0.4).persist()
+    cc = connected_components(pairs)
+    keyed = emb.join(
+        cc.withColumnRenamed("id", "vec_id"), "vec_id", "left"
+    ).select("vec_id", F.coalesce("cluster_id", "vec_id").alias("skey"))
+    s = keyed.select(
+        "vec_id",
+        F.when(hash_bucket("vec_id", salt="split") < 9000, "train")
+        .otherwise("holdout")
+        .alias("naive_split"),
+        F.when(hash_bucket("skey", salt="split") < 9000, "train")
+        .otherwise("holdout")
+        .alias("safe_split"),
+    )
+    sa = s.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("naive_split").alias("na"),
+        F.col("safe_split").alias("fa"),
+    )
+    sb = s.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("naive_split").alias("nb"),
+        F.col("safe_split").alias("fb"),
+    )
+    p = pairs.join(sa, "id_a").join(sb, "id_b")
+
+    def scheme(label, a, b):
+        cross = F.sum(F.when(F.col(a) != F.col(b), 1).otherwise(0)).cast("long")
+        return p.agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            cross.alias("n_cross"),
+        ).select(
+            F.lit(label).alias("scheme"),
+            "n_pairs",
+            "n_cross",
+            F.when(
+                F.col("n_pairs") > 0,
+                F.col("n_cross").cast("double") / F.col("n_pairs"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("leak_rate"),
+        )
+
+    return scheme("naive", "na", "nb").unionAll(
+        scheme("cluster_safe", "fa", "fb")
+    )

@@ -831,3 +831,25 @@ def test_grpo_advantages_are_group_standardized(spark, events_pd):
         per_group.setdefault((r["user_id"], r["day"]), []).append(r["advantage"])
     for g, advs in per_group.items():
         assert sum(advs) == pytest.approx(0.0, abs=1e-9)
+
+
+def test_split_leakage_measured_and_eliminated(spark):
+    """The leakage readout must show the cluster-keyed split eliminating
+    every cross-split near-dup pair the naive split leaks, and the numbers
+    must be internally consistent with the LSH pair set."""
+    from lvm_datapipe_spark.catalog import load_table
+    from lvm_datapipe_spark.operators import similarity as V
+
+    rows = {r["scheme"]: r for r in
+            QUERIES["split_leakage_measure"](spark, SF).collect()}
+    assert set(rows) == {"naive", "cluster_safe"}
+    n_pairs = V.lsh_near_dup_pairs(
+        load_table(spark, SF, "embeddings"), threshold=0.4
+    ).count()
+    for r in rows.values():
+        assert r["n_pairs"] == n_pairs
+        assert 0 <= r["n_cross"] <= r["n_pairs"]
+        expected_rate = (r["n_cross"] / r["n_pairs"]) if r["n_pairs"] else 0.0
+        assert r["leak_rate"] == pytest.approx(expected_rate, abs=0)
+    # the whole point: cluster-keyed splitting cannot leak
+    assert rows["cluster_safe"]["n_cross"] == 0
