@@ -13269,3 +13269,244 @@ def split_leakage_measure(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scheme("naive", "na", "nb").unionAll(
         scheme("cluster_safe", "fa", "fb")
     )
+
+
+@_q(
+    "dedup_threshold_sweep",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+    sh AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM toks WHERE len({_SQL_SHINGLES}) > 0),
+    ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    keep AS (SELECT shingle FROM ex GROUP BY shingle HAVING COUNT(*) <= 1000),
+    exk AS (SELECT ex.doc_id, ex.shingle FROM ex JOIN keep USING (shingle)),
+    sz AS (SELECT doc_id, CAST(len(s) AS INTEGER) AS n FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM exk a JOIN exk b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    j AS (SELECT n_common / (sa.n + sb.n - n_common) AS jac
+          FROM inter
+          JOIN sz sa ON sa.doc_id = id_a
+          JOIN sz sb ON sb.doc_id = id_b),
+    b AS (SELECT CASE WHEN jac >= 0.9 THEN '0.9-1.0'
+                      WHEN jac >= 0.8 THEN '0.8-0.9'
+                      WHEN jac >= 0.7 THEN '0.7-0.8'
+                      WHEN jac >= 0.6 THEN '0.6-0.7'
+                      WHEN jac >= 0.5 THEN '0.5-0.6'
+                      WHEN jac >= 0.4 THEN '0.4-0.5'
+                      WHEN jac >= 0.3 THEN '0.3-0.4'
+                      WHEN jac >= 0.2 THEN '0.2-0.3'
+                      ELSE '0.0-0.2' END AS band
+          FROM j)
+    SELECT band, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM b GROUP BY band
+    """,
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THRESHOLD SWEEP for the n-gram Jaccard deduper: the pair-count
+    histogram by similarity band — the decision-support readout that
+    picks the dedup threshold (a cliff between bands marks the
+    natural boundary between near-dups and topical overlap; setting
+    0.6 blind is guessing).  One run of the capped intersection kernel
+    scores EVERY candidate pair once; the banding is a CASE ladder, so
+    sweeping thresholds costs one query, not one dedup run per
+    candidate threshold.
+
+    Scale shape: identical to [[dedup_ngram_jaccard]] minus the final
+    filter — the cap bounds every posting list; output is ≤9 rows."""
+    from lvm_datapipe_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    cached = D.shingle_rows(docs).persist()
+    sizes = cached.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = D.shingle_intersections(cached, "doc_id", 1000)
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    j = inter.join(sa, "id_a").join(sb, "id_b").select(jac.alias("jac"))
+    band = (
+        F.when(F.col("jac") >= 0.9, "0.9-1.0")
+        .when(F.col("jac") >= 0.8, "0.8-0.9")
+        .when(F.col("jac") >= 0.7, "0.7-0.8")
+        .when(F.col("jac") >= 0.6, "0.6-0.7")
+        .when(F.col("jac") >= 0.5, "0.5-0.6")
+        .when(F.col("jac") >= 0.4, "0.4-0.5")
+        .when(F.col("jac") >= 0.3, "0.3-0.4")
+        .when(F.col("jac") >= 0.2, "0.2-0.3")
+        .otherwise("0.0-0.2")
+    )
+    out = (
+        j.select(band.alias("band"))
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+    from lvm_datapipe_spark.operators.dedup import _with_cached_deps
+
+    return _with_cached_deps(out, [cached])
+
+
+@_q(
+    "source_distinctive_terms",
+    rf"""
+    WITH toks AS (SELECT source, unnest({_SQL_TOKS}) AS tok
+                  FROM documents WHERE source IS NOT NULL),
+    st AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS a
+           FROM toks GROUP BY source, tok),
+    ssz AS (SELECT source, CAST(sum(a) AS BIGINT) AS s_total FROM st
+            GROUP BY source),
+    ct AS (SELECT tok, CAST(sum(a) AS BIGINT) AS b FROM st GROUP BY tok),
+    t AS (SELECT CAST(sum(a) AS BIGINT) AS d_total FROM st),
+    l AS (SELECT st.source, st.tok, st.a,
+                 (CAST(st.a AS DOUBLE) * t.d_total)
+                   / (CAST(ct.b AS DOUBLE) * ssz.s_total) AS lift
+          FROM st
+          JOIN ssz ON ssz.source = st.source
+          JOIN ct ON ct.tok = st.tok
+          CROSS JOIN t
+          WHERE st.a >= 5),
+    r AS (SELECT source, tok, a, lift,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY source
+                      ORDER BY lift DESC, tok) AS BIGINT) AS rnk
+          FROM l)
+    SELECT source, tok, a AS n_occurrences, lift, rnk
+    FROM r WHERE rnk <= 5
+    """,
+)
+def source_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCTIVE TERMS per source by rate lift — the interpretable
+    "what makes this feed different" diagnostic: lift = (term rate in
+    source) / (term rate in corpus), top-5 per source with a min-count
+    floor of 5 (rare-token lifts are noise).  Rate ratio instead of
+    log-odds keeps it a single float expression over exact integer
+    counts — no cross-engine log.
+
+    Scale shape: one (source, token) aggregate; the corpus term table
+    joins keyed on token; top-5 per source is a WindowGroupLimit-able
+    source-partitioned rank."""
+    from lvm_datapipe_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    st = (
+        docs.filter(F.col("source").isNotNull())
+        .select("source", F.explode(tokens("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("a"))
+    )
+    ssz = st.groupBy("source").agg(F.sum("a").cast("long").alias("s_total"))
+    ct = st.groupBy("tok").agg(F.sum("a").cast("long").alias("b"))
+    t = st.agg(F.sum("a").cast("long").alias("d_total"))
+    lift = (F.col("a").cast("double") * F.col("d_total")) / (
+        F.col("b").cast("double") * F.col("s_total")
+    )
+    l = (
+        st.filter(F.col("a") >= 5)
+        .join(F.broadcast(ssz), "source")
+        .join(ct, "tok")
+        .crossJoin(F.broadcast(t))
+        .select("source", "tok", "a", lift.alias("lift"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("lift"), F.asc("tok"))
+    r = l.select(
+        "source", "tok", "a", "lift", F.row_number().over(w).cast("long").alias("rnk")
+    )
+    return r.filter(F.col("rnk") <= 5).select(
+        "source", "tok", F.col("a").alias("n_occurrences"), "lift", "rnk"
+    )
+
+
+@_q(
+    "embedding_centroid_drift",
+    """
+    WITH ex AS (
+      SELECT label, vec_id % 2 AS half, u.pos AS pos,
+             embedding[u.pos]::DOUBLE AS x
+      FROM embeddings
+      CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) u
+      WHERE embedding IS NOT NULL AND label IS NOT NULL),
+    g AS (SELECT label, half, pos,
+                 CAST(SUM(CAST(x AS DECIMAL(27,6))) AS DECIMAL(18,6)) AS s,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM ex GROUP BY label, half, pos),
+    p AS (SELECT label, pos,
+                 MAX(CASE WHEN half = 0 THEN s END) AS s0,
+                 MAX(CASE WHEN half = 1 THEN s END) AS s1,
+                 MAX(CASE WHEN half = 0 THEN n END) AS n0,
+                 MAX(CASE WHEN half = 1 THEN n END) AS n1
+          FROM g GROUP BY label, pos),
+    a AS (SELECT label,
+                 SUM(s0 * s1) AS dot,
+                 SUM(s0 * s0) AS sq0,
+                 SUM(s1 * s1) AS sq1,
+                 CAST(MIN(n0) AS BIGINT) AS n_half0,
+                 CAST(MIN(n1) AS BIGINT) AS n_half1
+          FROM p WHERE s0 IS NOT NULL AND s1 IS NOT NULL
+          GROUP BY label)
+    SELECT label, n_half0, n_half1,
+           CASE WHEN CAST(sq0 AS DOUBLE) > 0 AND CAST(sq1 AS DOUBLE) > 0
+                THEN CAST(dot AS DOUBLE)
+                     / (sqrt(CAST(sq0 AS DOUBLE)) * sqrt(CAST(sq1 AS DOUBLE)))
+                ELSE NULL END AS centroid_cosine
+    FROM a
+    """,
+)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING DRIFT monitor: per label, the cosine between the class
+    centroid of one half of the corpus (even vec_ids) and the other
+    half (odd) — an A/A-style self-consistency readout whose value near
+    1 calibrates what "no drift" looks like before pointing the same
+    query at yesterday-vs-today partitions.  The trick making it
+    oracle-exact: cosine is SCALE-INVARIANT, so it is computed on the
+    un-normalized per-dimension DECIMAL sums (never dividing by counts)
+    — dot and both squared norms stay exact decimals through every
+    partial aggregation, and the only float ops are three casts, two
+    sqrts, one division.
+
+    Scale shape: posexplode to (label, half, pos) rows, two keyed
+    aggregates over a |labels| x 2 x 64 key space — no whole vector
+    crosses a shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = (
+        emb.filter(F.col("embedding").isNotNull() & F.col("label").isNotNull())
+        .select(
+            "label",
+            (F.col("vec_id") % 2).alias("half"),
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "pos0", "x"
+            ),
+        )
+        .select("label", "half", (F.col("pos0") + 1).alias("pos"), "x")
+    )
+    g = ex.groupBy("label", "half", "pos").agg(
+        F.sum(F.col("x").cast("decimal(27,6)"))
+        .cast("decimal(18,6)")
+        .alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    p = g.groupBy("label", "pos").agg(
+        F.max(F.when(F.col("half") == 0, F.col("s"))).alias("s0"),
+        F.max(F.when(F.col("half") == 1, F.col("s"))).alias("s1"),
+        F.max(F.when(F.col("half") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("half") == 1, F.col("n"))).alias("n1"),
+    )
+    a = (
+        p.filter(F.col("s0").isNotNull() & F.col("s1").isNotNull())
+        .groupBy("label")
+        .agg(
+            F.sum(F.col("s0") * F.col("s1")).alias("dot"),
+            F.sum(F.col("s0") * F.col("s0")).alias("sq0"),
+            F.sum(F.col("s1") * F.col("s1")).alias("sq1"),
+            F.min("n0").cast("long").alias("n_half0"),
+            F.min("n1").cast("long").alias("n_half1"),
+        )
+    )
+    sq0d = F.col("sq0").cast("double")
+    sq1d = F.col("sq1").cast("double")
+    return a.select(
+        "label",
+        "n_half0",
+        "n_half1",
+        F.when(
+            (sq0d > 0) & (sq1d > 0),
+            F.col("dot").cast("double") / (F.sqrt(sq0d) * F.sqrt(sq1d)),
+        ).alias("centroid_cosine"),
+    )
