@@ -13510,3 +13510,255 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dot").cast("double") / (F.sqrt(sq0d) * F.sqrt(sq1d)),
         ).alias("centroid_cosine"),
     )
+
+
+@_q(
+    "events_cusum_shift",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY event_type, hour),
+    tot AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS BIGINT) AS total
+      FROM hourly GROUP BY event_type),
+    d AS (
+      SELECT h.event_type, h.hour, t.n, t.n * h.c - t.total AS dev
+      FROM hourly h JOIN tot t USING (event_type)),
+    cu AS (
+      SELECT event_type, hour, n,
+             SUM(dev) OVER w AS cum
+      FROM d
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    s AS (
+      SELECT event_type, hour, n,
+             cum - MIN(cum) OVER w AS s_up,
+             MAX(cum) OVER w - cum AS s_dn
+      FROM cu
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    r AS (
+      SELECT event_type, hour, n, s_up, s_dn,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY s_up DESC, hour ASC) AS r_up,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY s_dn DESC, hour ASC) AS r_dn
+      FROM s)
+    SELECT u.event_type,
+           u.hour AS up_peak_hour,
+           CAST(u.s_up AS DOUBLE) / u.n AS up_peak_cusum,
+           v.hour AS down_peak_hour,
+           CAST(v.s_dn AS DOUBLE) / v.n AS down_peak_cusum
+    FROM (SELECT * FROM r WHERE r_up = 1) u
+    JOIN (SELECT * FROM r WHERE r_dn = 1) v USING (event_type)
+    """,
+)
+def events_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM mean-shift detection over the hourly event-rate series, per
+    event type: where is the strongest evidence of an upward (and
+    downward) shift away from the series mean?  The textbook recursion
+    S_t = max(0, S_{t-1} + y_t) is NOT window-expressible -- but it has
+    an exact closed form: with C_t = cumsum(y), S_t = C_t - min_{j<=t}
+    C_j (and the downward side is the mirror against the running max).
+    That identity turns a stateful scan into two plain window functions.
+    Exactness: deviations are pre-scaled by n (dev = n*count - total, an
+    integer) so the mean subtraction never leaves integer arithmetic;
+    the ONLY float op is the final rescale S/n.
+
+    Scale shape: one (type, hour) aggregate, then windows partitioned by
+    event_type over an |hours|-sized series per type -- bounded keys, no
+    corpus-row window, no fan-out."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("total"),
+    )
+    d = hourly.join(tot, "event_type").select(
+        "event_type",
+        "hour",
+        "n",
+        (F.col("n") * F.col("c") - F.col("total")).alias("dev"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cu = d.select(
+        "event_type", "hour", "n", F.sum("dev").over(w).alias("cum")
+    )
+    s = cu.select(
+        "event_type",
+        "hour",
+        "n",
+        (F.col("cum") - F.min("cum").over(w)).alias("s_up"),
+        (F.max("cum").over(w) - F.col("cum")).alias("s_dn"),
+    )
+    r = s.select(
+        "event_type",
+        "hour",
+        "n",
+        "s_up",
+        "s_dn",
+        F.row_number()
+        .over(
+            Window.partitionBy("event_type").orderBy(
+                F.desc("s_up"), F.asc("hour")
+            )
+        )
+        .alias("r_up"),
+        F.row_number()
+        .over(
+            Window.partitionBy("event_type").orderBy(
+                F.desc("s_dn"), F.asc("hour")
+            )
+        )
+        .alias("r_dn"),
+    )
+    up = r.filter(F.col("r_up") == 1).select(
+        "event_type",
+        F.col("hour").alias("up_peak_hour"),
+        (F.col("s_up").cast("double") / F.col("n")).alias("up_peak_cusum"),
+    )
+    dn = r.filter(F.col("r_dn") == 1).select(
+        "event_type",
+        F.col("hour").alias("down_peak_hour"),
+        (F.col("s_dn").cast("double") / F.col("n")).alias("down_peak_cusum"),
+    )
+    return up.join(dn, "event_type").select(
+        "event_type",
+        "up_peak_hour",
+        "up_peak_cusum",
+        "down_peak_hour",
+        "down_peak_cusum",
+    )
+
+
+@_q(
+    "user_streak_histogram",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    numbered AS (
+      SELECT user_id,
+             (d - DATE '1970-01-01')
+               - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS grp
+      FROM days),
+    streaks AS (
+      SELECT user_id, grp, CAST(count(*) AS BIGINT) AS streak_len
+      FROM numbered GROUP BY user_id, grp),
+    longest AS (
+      SELECT user_id, MAX(streak_len) AS longest_streak
+      FROM streaks GROUP BY user_id)
+    SELECT longest_streak, CAST(count(*) AS BIGINT) AS n_users
+    FROM longest GROUP BY longest_streak
+    """,
+)
+def user_streak_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user, reported as a
+    histogram (streak length -> user count) -- the standard engagement /
+    habit-formation readout.  Gaps-and-islands: consecutive calendar
+    days share a constant (epoch_day - row_number) group key, so runs
+    fall out of one window plus one aggregate.  All-integer end to end.
+
+    Scale shape: distinct (user, day) prunes to at most users x days
+    rows; the window partitions by user over day counts (bounded per
+    user); final histogram is a tiny keyed aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    numbered = days.select(
+        "user_id",
+        (
+            F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+            - F.row_number().over(w)
+        ).alias("grp"),
+    )
+    streaks = numbered.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("streak_len")
+    )
+    longest = streaks.groupBy("user_id").agg(
+        F.max("streak_len").alias("longest_streak")
+    )
+    return longest.groupBy("longest_streak").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+
+
+@_q(
+    "session_bounce_stats",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts > LAG(ts) OVER w + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts, event_id, event_type,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS BIGINT) AS session_id
+      FROM flagged),
+    per_session AS (
+      SELECT user_id, session_id,
+             CAST(count(*) AS BIGINT) AS n_events,
+             MIN(ts ORDER BY ts, event_id) AS s_start,
+             FIRST(event_type ORDER BY ts, event_id) AS entry_type
+      FROM sessions GROUP BY user_id, session_id)
+    SELECT entry_type,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounce,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS bounce_rate,
+           CAST(SUM(n_events) AS DOUBLE) / count(*) AS events_per_session
+    FROM per_session GROUP BY entry_type
+    """,
+)
+def session_bounce_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce-rate and depth by session ENTRY event type: sessionize on
+    the 30-minute inactivity gap (the w3_sessionize kernel), take each
+    session's first event type as its entry page, then report sessions /
+    bounces (single-event sessions) / bounce rate / mean events per
+    session for each entry type -- the which-landing-flow-loses-people
+    readout.  Counters stay integer; the two rates are single final
+    divisions of exact BIGINTs.
+
+    Scale shape: one user-partitioned window pass (same as w3), one
+    (user, session) aggregate, one tiny per-type aggregate.  The entry
+    type uses min_by on the (ts, event_id) total order -- no second
+    window pass over the corpus."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    is_new = F.when(
+        prev_ts.isNull() | (F.col("ts") > prev_ts + F.expr("INTERVAL 30 MINUTES")), 1
+    ).otherwise(0)
+    sessions = ev.withColumn("is_new", is_new).withColumn(
+        "session_id", F.sum(F.col("is_new").cast("long")).over(w)
+    )
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min_by(
+            "event_type", F.struct(F.col("ts"), F.col("event_id"))
+        ).alias("entry_type"),
+    )
+    bounce = F.sum(
+        F.when(F.col("n_events") == 1, 1).otherwise(0).cast("long")
+    )
+    return per_session.groupBy("entry_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        bounce.cast("long").alias("n_bounce"),
+        (bounce.cast("double") / F.count(F.lit(1))).alias("bounce_rate"),
+        (F.sum("n_events").cast("double") / F.count(F.lit(1))).alias(
+            "events_per_session"
+        ),
+    )
