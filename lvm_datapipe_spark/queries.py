@@ -41,6 +41,7 @@ _DEC_SUM = "CAST(SUM(CAST({x} AS DECIMAL(27,6))) AS DOUBLE)"
 
 def _q(name: str, sql: str | None = None):
     def deco(fn):
+        assert name not in QUERIES, f"duplicate query registration: {name}"
         QUERIES[name] = fn
         if sql is not None:
             ORACLE_SQL[name] = sql
@@ -3116,50 +3117,7 @@ def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
-    "retention_cohorts",
-    """
-    WITH firstday AS (
-      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY user_id),
-    activity AS (
-      SELECT DISTINCT e.user_id, f.cohort_day,
-             datediff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
-      FROM events e JOIN firstday f ON e.user_id = f.user_id)
-    SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
-           CAST(day_offset AS INTEGER) AS day_offset,
-           CAST(count(*) AS BIGINT) AS active_users
-    FROM activity GROUP BY cohort_day, day_offset
-    """,
-)
-def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cohort retention: users grouped by first-seen day, counted per
-    activity-day offset — the self-aggregation-join analytics shape (one
-    user-keyed aggregate broadcast back over the fact table)."""
-    ev = load_table(spark, sf_dir, "events")
-    firstday = ev.groupBy("user_id").agg(
-        F.min(F.col("ts").cast("date")).alias("cohort_day")
-    )
-    activity = (
-        ev.join(F.broadcast(firstday), "user_id")
-        .select(
-            "user_id",
-            "cohort_day",
-            F.datediff(F.col("ts").cast("date"), F.col("cohort_day")).alias(
-                "day_offset"
-            ),
-        )
-        .distinct()
-    )
-    return (
-        activity.groupBy("cohort_day", "day_offset")
-        .agg(F.count(F.lit(1)).alias("active_users"))
-        # date projected to ISO string: pandas reads DuckDB DATEs back as
-        # Timestamps, which would value-mismatch Spark's datetime.date
-        .withColumn("cohort_day", F.date_format("cohort_day", "yyyy-MM-dd"))
-    )
-
-
-@_q(
-    "funnel_view_click_purchase",
+    "funnel_first_touch_counts",
     """
     WITH m AS (
       SELECT user_id,
@@ -3177,11 +3135,15 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM m
     """,
 )
-def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered conversion funnel (view → click → purchase, strictly
+def funnel_first_touch_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST-TOUCH conversion funnel (view → click → purchase, strictly
     increasing first-occurrence times) in ONE pass: conditional min per
-    stage, then filtered counts — no joins, no sessionization needed for
-    the first-touch funnel."""
+    stage, then filtered counts — no joins, no sessionization needed.
+    Differs from ``funnel_view_click_purchase`` (the staged-min per-user
+    form): here each stage compares GLOBAL first occurrences, the
+    classic first-touch attribution convention.  (Was shadowed by a
+    duplicate registration of the staged form until r6 — ``_q`` now
+    asserts name uniqueness.)"""
     ev = load_table(spark, sf_dir, "events")
 
     def first_of(t):
