@@ -13724,3 +13724,221 @@ def session_bounce_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "events_per_session"
         ),
     )
+
+
+@_q(
+    "orders_pareto_skyline",
+    """
+    SELECT o.o_orderkey, o.o_totalprice, o.o_orderdate
+    FROM orders o
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders d
+      WHERE d.o_totalprice >= o.o_totalprice
+        AND d.o_orderdate >= o.o_orderdate
+        AND (d.o_totalprice > o.o_totalprice
+             OR d.o_orderdate > o.o_orderdate))
+    """,
+)
+def orders_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKYLINE (Pareto frontier) operator: orders not dominated on
+    (o_totalprice, o_orderdate) -- no other order is at least as
+    high-value AND at least as recent with a strict improvement in one
+    dimension.  The ORACLE is the textbook NOT EXISTS dominance
+    definition (independent of the plan, the strongest pairing); the
+    Spark plan is a BUCKETED distributed skyline that never builds a
+    pair product:
+
+      1. bucket rows by price range (256 order-preserving width buckets
+         -- any row in a higher bucket has strictly higher price);
+      2. per-bucket max date -> a 256-row summary; strict-higher-bucket
+         running max via a broadcast B x B self-join (window-free);
+      3. CROSS-BUCKET PRUNE: drop every row whose date <= the max date
+         of any higher-priced bucket (dominated by construction) --
+         survivors per bucket are skyline candidates only;
+      4. exact within-bucket pass over the pruned remainder: per-price
+         max date + a bucket-PARTITIONED strict-higher-price window.
+
+    All comparisons are on raw column values; the only float math is the
+    shared bucket formula ((price-lo)/(hi-lo)*256, identical association
+    both engines).  Scale shape: one scan, one bucket-keyed aggregate,
+    one broadcast of a fixed-size summary, windows partitioned by
+    bucket over PRUNED rows -- no global sort, no SinglePartition
+    window, no cartesian."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    rng = o.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    nb = F.lit(256.0)
+    raw = F.floor(
+        (F.col("o_totalprice") - F.col("lo"))
+        / (F.col("hi") - F.col("lo"))
+        * nb
+    )
+    bucket = (
+        F.when(F.col("hi") > F.col("lo"), F.least(F.lit(255), raw))
+        .otherwise(F.lit(0))
+        .cast("int")
+    )
+    b = o.crossJoin(F.broadcast(rng)).select(
+        "o_orderkey", "o_totalprice", "o_orderdate", bucket.alias("bucket")
+    )
+    bs = b.groupBy("bucket").agg(F.max("o_orderdate").alias("bmax"))
+    lo_side = bs.select(F.col("bucket").alias("bucket"))
+    hi_side = bs.select(
+        F.col("bucket").alias("hbucket"), F.col("bmax").alias("hmax")
+    )
+    sh = (
+        lo_side.join(
+            F.broadcast(hi_side), F.col("hbucket") > F.col("bucket"), "left"
+        )
+        .groupBy("bucket")
+        .agg(F.max("hmax").alias("higher_max"))
+    )
+    pruned = b.join(F.broadcast(sh), "bucket").filter(
+        F.col("higher_max").isNull()
+        | (F.col("o_orderdate") > F.col("higher_max"))
+    )
+    pp = pruned.groupBy("bucket", "o_totalprice").agg(
+        F.max("o_orderdate").alias("pmax")
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(F.desc("o_totalprice"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ppw = pp.withColumn("sh_in", F.max("pmax").over(w))
+    return (
+        pruned.join(ppw, ["bucket", "o_totalprice"])
+        .filter(
+            (F.col("o_orderdate") == F.col("pmax"))
+            & (
+                F.col("sh_in").isNull()
+                | (F.col("o_orderdate") > F.col("sh_in"))
+            )
+        )
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+    )
+
+
+@_q(
+    "funnel_within_hour",
+    """
+    WITH v AS (SELECT user_id, min(ts) AS t_view
+               FROM events WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts) AS t_click, max(v.t_view) AS t_view
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t_view
+            AND e.ts <= v.t_view + INTERVAL 1 HOUR
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+            AND e.ts <= c.t_view + INTERVAL 1 HOUR
+          GROUP BY e.user_id),
+    j AS (SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
+          FROM v LEFT JOIN c ON v.user_id = c.user_id
+                 LEFT JOIN p ON v.user_id = p.user_id)
+    SELECT CAST(count(t_view) AS BIGINT) AS n_view,
+           CAST(count(t_click) AS BIGINT) AS n_click_1h,
+           CAST(count(t_purchase) AS BIGINT) AS n_purchase_1h,
+           CASE WHEN count(t_view) > 0
+                THEN CAST(count(t_click) AS DOUBLE) / count(t_view)
+                ELSE NULL END AS click_rate,
+           CASE WHEN count(t_click) > 0
+                THEN CAST(count(t_purchase) AS DOUBLE) / count(t_click)
+                ELSE NULL END AS purchase_rate
+    FROM j
+    """,
+)
+def funnel_within_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-CONSTRAINED funnel (the ClickHouse-windowFunnel shape): the
+    whole view -> click -> purchase chain must complete within ONE HOUR
+    of the user's first view -- a click next week is not conversion.
+    Differs from ``funnel_view_click_purchase`` (unbounded staged mins)
+    by the window anchor: every stage deadline is t_view + 1h.  Stages
+    chain by user-keyed joins on the SAME key (one partitioning reused);
+    rates are single divisions of exact counts, zero-guarded (ANSI mode
+    throws on 0/0).
+
+    Scale shape: three filtered user-keyed aggregates + two left joins
+    on user_id, then one global count -- no windows, no fan-out."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_view"))
+            & (F.col("ts") <= F.col("t_view") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"), F.max("t_view").alias("t_view"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_click"))
+            & (F.col("ts") <= F.col("t_view") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    j = v.join(c.select("user_id", "t_click"), "user_id", "left").join(
+        p, "user_id", "left"
+    )
+    n_view = F.count("t_view")
+    n_click = F.count("t_click")
+    n_purchase = F.count("t_purchase")
+    return j.agg(
+        n_view.cast("long").alias("n_view"),
+        n_click.cast("long").alias("n_click_1h"),
+        n_purchase.cast("long").alias("n_purchase_1h"),
+        F.when(n_view > 0, n_click.cast("double") / n_view).alias(
+            "click_rate"
+        ),
+        F.when(n_click > 0, n_purchase.cast("double") / n_click).alias(
+            "purchase_rate"
+        ),
+    )
+
+
+@_q(
+    "dup_graph_degree_hist",
+    f"""
+    WITH pairs AS ({_lsh_near_dup_sql(n_tables=12)}),
+    ends AS (SELECT id_a AS id FROM pairs
+             UNION ALL SELECT id_b AS id FROM pairs),
+    deg AS (SELECT id, CAST(count(*) AS BIGINT) AS degree
+            FROM ends GROUP BY id)
+    SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY degree
+    """,
+)
+def dup_graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the near-dup pair graph (the LSH scale
+    path's output): how many documents have 1, 2, ... near-duplicates.
+    The shape diagnostic run BEFORE clustering -- a heavy-tailed degree
+    histogram means boilerplate hubs (one template matching thousands),
+    which blow up connected components and usually call for a
+    remove-the-template pass instead of pairwise dedup.  All-integer.
+
+    Scale shape: pairs from the banded equi-join, then two keyed
+    aggregates (per-node degree, then the tiny histogram)."""
+    from lvm_datapipe_spark.operators import similarity as V
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = V.lsh_near_dup_pairs(emb, threshold=0.4, n_tables=12)
+    ends = pairs.select(F.col("id_a").alias("id")).unionAll(
+        pairs.select(F.col("id_b").alias("id"))
+    )
+    deg = ends.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    return deg.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
