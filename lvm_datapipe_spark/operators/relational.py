@@ -262,3 +262,71 @@ def contiguous_ids(
         .withColumn(id_col, (F.col("_off") + F.col("_local")).cast("long"))
         .drop("_pid", "_off", "_local")
     )
+
+
+def pareto_skyline_2d(
+    df: DataFrame, x_col: str, y_col: str, n_buckets: int = 256
+) -> DataFrame:
+    """Distributed 2-D SKYLINE (Pareto frontier, maximizing both columns):
+    rows for which no other row is >= in both dimensions with a strict
+    improvement in at least one.  Bucketed algorithm -- no pair product,
+    no global sort:
+
+      1. order-preserving width buckets on ``x_col`` (any row in a higher
+         bucket has strictly higher x);
+      2. per-bucket max(y) -> fixed-size summary; strict-higher-bucket
+         max via a broadcast B x B self-join (window-free);
+      3. cross-bucket prune: a row whose y <= some higher bucket's max y
+         is dominated by construction;
+      4. exact within-bucket pass on survivors: per-x max(y) + a
+         bucket-PARTITIONED strict-higher-x running max.
+
+    Ties: rows equal in BOTH dimensions do not dominate each other and
+    are all returned.  Nulls in either column are excluded (dominance is
+    undefined for them).  The only float math is the bucket formula
+    ((x-lo)/(hi-lo)*B, same association on any engine mirroring it)."""
+    cols = df.columns
+    d = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    rng = d.agg(F.min(x_col).alias("_lo"), F.max(x_col).alias("_hi"))
+    raw = F.floor(
+        (F.col(x_col) - F.col("_lo"))
+        / (F.col("_hi") - F.col("_lo"))
+        * F.lit(float(n_buckets))
+    )
+    bucket = (
+        F.when(
+            F.col("_hi") > F.col("_lo"),
+            F.least(F.lit(n_buckets - 1), raw),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+    )
+    b = d.crossJoin(F.broadcast(rng)).select(*cols, bucket.alias("_bucket"))
+    bs = b.groupBy("_bucket").agg(F.max(y_col).alias("_bmax"))
+    hi_side = bs.select(
+        F.col("_bucket").alias("_hbucket"), F.col("_bmax").alias("_hmax")
+    )
+    sh = (
+        bs.select("_bucket")
+        .join(F.broadcast(hi_side), F.col("_hbucket") > F.col("_bucket"), "left")
+        .groupBy("_bucket")
+        .agg(F.max("_hmax").alias("_higher_max"))
+    )
+    pruned = b.join(F.broadcast(sh), "_bucket").filter(
+        F.col("_higher_max").isNull() | (F.col(y_col) > F.col("_higher_max"))
+    )
+    pp = pruned.groupBy("_bucket", x_col).agg(F.max(y_col).alias("_pmax"))
+    w = (
+        Window.partitionBy("_bucket")
+        .orderBy(F.desc(x_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ppw = pp.withColumn("_sh_in", F.max("_pmax").over(w))
+    return (
+        pruned.join(ppw, ["_bucket", x_col])
+        .filter(
+            (F.col(y_col) == F.col("_pmax"))
+            & (F.col("_sh_in").isNull() | (F.col(y_col) > F.col("_sh_in")))
+        )
+        .select(*cols)
+    )

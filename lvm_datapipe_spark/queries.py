@@ -13767,61 +13767,7 @@ def orders_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice", "o_orderdate"
     )
-    rng = o.agg(
-        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
-    )
-    nb = F.lit(256.0)
-    raw = F.floor(
-        (F.col("o_totalprice") - F.col("lo"))
-        / (F.col("hi") - F.col("lo"))
-        * nb
-    )
-    bucket = (
-        F.when(F.col("hi") > F.col("lo"), F.least(F.lit(255), raw))
-        .otherwise(F.lit(0))
-        .cast("int")
-    )
-    b = o.crossJoin(F.broadcast(rng)).select(
-        "o_orderkey", "o_totalprice", "o_orderdate", bucket.alias("bucket")
-    )
-    bs = b.groupBy("bucket").agg(F.max("o_orderdate").alias("bmax"))
-    lo_side = bs.select(F.col("bucket").alias("bucket"))
-    hi_side = bs.select(
-        F.col("bucket").alias("hbucket"), F.col("bmax").alias("hmax")
-    )
-    sh = (
-        lo_side.join(
-            F.broadcast(hi_side), F.col("hbucket") > F.col("bucket"), "left"
-        )
-        .groupBy("bucket")
-        .agg(F.max("hmax").alias("higher_max"))
-    )
-    pruned = b.join(F.broadcast(sh), "bucket").filter(
-        F.col("higher_max").isNull()
-        | (F.col("o_orderdate") > F.col("higher_max"))
-    )
-    pp = pruned.groupBy("bucket", "o_totalprice").agg(
-        F.max("o_orderdate").alias("pmax")
-    )
-    w = (
-        Window.partitionBy("bucket")
-        .orderBy(F.desc("o_totalprice"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    ppw = pp.withColumn("sh_in", F.max("pmax").over(w))
-    return (
-        pruned.join(ppw, ["bucket", "o_totalprice"])
-        .filter(
-            (F.col("o_orderdate") == F.col("pmax"))
-            & (
-                F.col("sh_in").isNull()
-                | (F.col("o_orderdate") > F.col("sh_in"))
-            )
-        )
-        .select("o_orderkey", "o_totalprice", "o_orderdate")
-    )
-
-
+    return R.pareto_skyline_2d(o, "o_totalprice", "o_orderdate")
 @_q(
     "funnel_within_hour",
     """
@@ -13865,6 +13811,12 @@ def funnel_within_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: three filtered user-keyed aggregates + two left joins
     on user_id, then one global count -- no windows, no fan-out."""
     ev = load_table(spark, sf_dir, "events")
+    return _funnel_within_hour_frame(ev)
+
+
+def _funnel_within_hour_frame(ev: DataFrame) -> DataFrame:
+    """Query body over an arbitrary events frame (unit-testable on
+    synthetic deadline-edge fixtures)."""
     v = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")

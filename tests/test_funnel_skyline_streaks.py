@@ -1,0 +1,247 @@
+"""Spec checks for the r6 session/funnel/skyline/CUSUM queries.
+
+The driver oracle gate proves Spark == DuckDB on the same SQL spec; these
+tests prove the SPEC — each query is compared against an independent
+pure-python/pandas model (textbook definition) on the same parquet, plus
+synthetic fixtures for the edges the real data cannot guarantee to hit
+(dominance ties, funnel deadline boundaries).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from lvm_datapipe_spark.queries import QUERIES, _funnel_within_hour_frame
+from lvm_datapipe_spark.operators.relational import pareto_skyline_2d
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_pd():
+    return duckdb.sql(
+        f"SELECT event_id, ts, user_id, event_type, value"
+        f" FROM '{SF}/events.parquet'"
+    ).df()
+
+
+# ---------------------------------------------------------------------------
+# CUSUM: the window closed form must equal the textbook recursion
+# ---------------------------------------------------------------------------
+
+
+def test_cusum_closed_form_matches_sequential_recursion(spark, events_pd):
+    out = {
+        r["event_type"]: r
+        for r in QUERIES["events_cusum_shift"](spark, SF)
+        .toPandas()
+        .to_dict("records")
+    }
+    ev = events_pd.copy()
+    ev["hour"] = ev.ts.dt.floor("h")
+    for etype, g in ev.groupby("event_type"):
+        counts = g.groupby("hour").size().sort_index()
+        n, total = len(counts), int(counts.sum())
+        # textbook recursion on the n-scaled integer deviations
+        s_up = s_dn = 0
+        best_up = best_dn = -1
+        up_hour = dn_hour = None
+        for hour, c in counts.items():
+            dev = n * int(c) - total
+            s_up = max(0, s_up + dev)
+            s_dn = max(0, s_dn - dev)
+            if s_up > best_up:
+                best_up, up_hour = s_up, hour
+            if s_dn > best_dn:
+                best_dn, dn_hour = s_dn, hour
+        row = out[etype]
+        assert row["up_peak_cusum"] == best_up / n, etype
+        assert row["down_peak_cusum"] == best_dn / n, etype
+        assert pd.Timestamp(row["up_peak_hour"]) == up_hour, etype
+        assert pd.Timestamp(row["down_peak_hour"]) == dn_hour, etype
+
+
+# ---------------------------------------------------------------------------
+# Skyline: bucketed distributed algorithm == O(n^2) brute force
+# ---------------------------------------------------------------------------
+
+
+def _brute_skyline(rows):
+    keep = []
+    for i, (_, xi, yi) in enumerate(rows):
+        dominated = any(
+            xj >= xi and yj >= yi and (xj > xi or yj > yi)
+            for j, (_, xj, yj) in enumerate(rows)
+            if j != i
+        )
+        if not dominated:
+            keep.append(rows[i])
+    return sorted(keep)
+
+
+def test_skyline_matches_bruteforce_on_orders(spark):
+    got = sorted(
+        (r.o_orderkey, r.o_totalprice, r.o_orderdate)
+        for r in QUERIES["orders_pareto_skyline"](spark, SF).collect()
+    )
+    rows = [
+        (int(k), float(p), d)
+        for k, p, d in duckdb.sql(
+            f"SELECT o_orderkey, o_totalprice, o_orderdate"
+            f" FROM '{SF}/orders.parquet'"
+        ).fetchall()
+    ]
+    assert got == _brute_skyline(rows)
+
+
+def test_skyline_handles_ties_and_duplicates(spark):
+    # small x/y alphabets force every tie class: equal-x, equal-y, and
+    # exact duplicate points (which never dominate each other)
+    rng = np.random.default_rng(7)
+    rows = [
+        (i, float(x), float(y))
+        for i, (x, y) in enumerate(
+            zip(rng.integers(0, 6, 80), rng.integers(0, 6, 80))
+        )
+    ]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    got = sorted(
+        (r.id, r.x, r.y) for r in pareto_skyline_2d(df, "x", "y").collect()
+    )
+    assert got == _brute_skyline(rows)
+    # duplicates of a frontier point must ALL be returned
+    xs = {(x, y) for _, x, y in got}
+    for x, y in xs:
+        want = [r for r in rows if (r[1], r[2]) == (x, y)]
+        have = [r for r in got if (r[1], r[2]) == (x, y)]
+        assert sorted(want) == sorted(have)
+
+
+def test_skyline_degenerate_inputs(spark):
+    empty = spark.createDataFrame([], "id long, x double, y double")
+    assert pareto_skyline_2d(empty, "x", "y").count() == 0
+    one = spark.createDataFrame([(1, 2.0, 3.0)], "id long, x double, y double")
+    assert pareto_skyline_2d(one, "x", "y").collect()[0].id == 1
+    # constant x (hi == lo): frontier is the max-y rows
+    const = spark.createDataFrame(
+        [(i, 5.0, float(i % 3)) for i in range(9)],
+        "id long, x double, y double",
+    )
+    got = {r.id for r in pareto_skyline_2d(const, "x", "y").collect()}
+    assert got == {2, 5, 8}
+    # nulls are excluded, not crashed on
+    nulls = spark.createDataFrame(
+        [(1, None, 1.0), (2, 1.0, None), (3, 1.0, 1.0)],
+        "id long, x double, y double",
+    )
+    assert [r.id for r in pareto_skyline_2d(nulls, "x", "y").collect()] == [3]
+
+
+# ---------------------------------------------------------------------------
+# Longest-streak histogram vs a pandas model
+# ---------------------------------------------------------------------------
+
+
+def test_streak_histogram_matches_python(spark, events_pd):
+    got = {
+        int(r.longest_streak): int(r.n_users)
+        for r in QUERIES["user_streak_histogram"](spark, SF).collect()
+    }
+    longest = {}
+    for uid, g in events_pd.groupby("user_id"):
+        days = sorted(set(g.ts.dt.date))
+        best = run = 1
+        for a, b in zip(days, days[1:]):
+            run = run + 1 if (b - a).days == 1 else 1
+            best = max(best, run)
+        longest[uid] = best
+    want = {}
+    for v in longest.values():
+        want[v] = want.get(v, 0) + 1
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Hour-bounded funnel: deadline edges on a synthetic fixture
+# ---------------------------------------------------------------------------
+
+
+def _ev_df(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(minutes=m), u, t, 0.0, "{}")
+            for i, (u, t, m) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+
+
+def test_funnel_within_hour_deadline_edges(spark):
+    rows = [
+        # u1: click at exactly +60min counts (<=), purchase just misses
+        (1, "view", 0), (1, "click", 60), (1, "purchase", 61),
+        # u2: full chain inside the hour
+        (2, "view", 0), (2, "click", 10), (2, "purchase", 59),
+        # u3: click after the deadline -> stage 1 only
+        (3, "view", 0), (3, "click", 61),
+        # u4: purchase before the click never counts
+        (4, "view", 0), (4, "purchase", 5), (4, "click", 10),
+        # u5: no view -> not in the funnel at all
+        (5, "click", 0), (5, "purchase", 1),
+    ]
+    out = _funnel_within_hour_frame(_ev_df(spark, rows)).collect()[0]
+    assert out.n_view == 4
+    assert out.n_click_1h == 3  # u1 (boundary), u2, u4
+    assert out.n_purchase_1h == 1  # only u2; u1 missed by a minute
+    assert out.click_rate == 3 / 4
+    assert out.purchase_rate == 1 / 3
+
+
+def test_funnel_within_hour_empty_is_null_not_div0(spark):
+    out = _funnel_within_hour_frame(_ev_df(spark, [])).collect()[0]
+    assert (out.n_view, out.n_click_1h, out.n_purchase_1h) == (0, 0, 0)
+    assert out.click_rate is None and out.purchase_rate is None
+
+
+# ---------------------------------------------------------------------------
+# Session bounce stats vs a pandas model
+# ---------------------------------------------------------------------------
+
+
+def test_bounce_stats_match_python_sessionizer(spark, events_pd):
+    got = {
+        r.entry_type: r
+        for r in QUERIES["session_bounce_stats"](spark, SF).collect()
+    }
+    sessions = []
+    for _, g in events_pd.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        cur = None
+        prev = None
+        for _, row in g.iterrows():
+            if prev is None or (row.ts - prev).total_seconds() > 1800:
+                if cur:
+                    sessions.append(cur)
+                cur = {"entry": row.event_type, "n": 0}
+            cur["n"] += 1
+            prev = row.ts
+        if cur:
+            sessions.append(cur)
+    agg = {}
+    for s in sessions:
+        a = agg.setdefault(s["entry"], [0, 0, 0])
+        a[0] += 1
+        a[1] += 1 if s["n"] == 1 else 0
+        a[2] += s["n"]
+    assert set(got) == set(agg)
+    for t, (n, b, e) in agg.items():
+        assert got[t].n_sessions == n, t
+        assert got[t].n_bounce == b, t
+        assert got[t].bounce_rate == b / n, t
+        assert got[t].events_per_session == e / n, t
