@@ -13894,3 +13894,196 @@ def dup_graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.groupBy("degree").agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes")
     )
+
+
+@_q(
+    "forecast_seasonal_naive_backtest",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY event_type, hour),
+    j AS (
+      SELECT a.event_type, a.c AS actual, b.c AS predicted
+      FROM hourly a
+      JOIN hourly b ON b.event_type = a.event_type
+                   AND b.hour = a.hour - INTERVAL 24 HOUR)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(SUM(abs(actual - predicted)) AS BIGINT) AS abs_err_total,
+           CAST(SUM(abs(actual - predicted)) AS DOUBLE) / count(*) AS mae,
+           CAST(SUM(actual - predicted) AS DOUBLE) / count(*) AS bias
+    FROM j GROUP BY event_type
+    """,
+)
+def forecast_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORECAST BACKTEST of the seasonal-naive baseline (predict this
+    hour's event count with the count 24 hours earlier) -- the honest
+    yardstick every fancier forecaster must beat, and the cheapest
+    data-drift tripwire (MAE jumping means the daily rhythm broke).
+    Errors are integer count differences; MAE and bias are single final
+    divisions of exact integer sums -- no float aggregation.
+
+    Scale shape: one (type, hour) aggregate, one self equi-join on the
+    shifted hour key (keyed, no fan-out), one tiny per-type aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    a = hourly.select(
+        "event_type", "hour", F.col("c").alias("actual")
+    )
+    b = hourly.select(
+        "event_type",
+        (F.col("hour") + F.expr("INTERVAL 24 HOURS")).alias("hour"),
+        F.col("c").alias("predicted"),
+    )
+    j = a.join(b, ["event_type", "hour"])
+    err = F.col("actual") - F.col("predicted")
+    n = F.count(F.lit(1))
+    return j.groupBy("event_type").agg(
+        n.cast("long").alias("n_cells"),
+        F.sum(F.abs(err)).cast("long").alias("abs_err_total"),
+        (F.sum(F.abs(err)).cast("double") / n).alias("mae"),
+        (F.sum(err).cast("double") / n).alias("bias"),
+    )
+
+
+@_q(
+    "customer_order_regularity",
+    """
+    WITH gaps AS (
+      SELECT o_custkey,
+             CAST(datediff('day',
+                  LAG(CAST(o_orderdate AS DATE)) OVER w,
+                  CAST(o_orderdate AS DATE)) AS BIGINT) AS gap
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+    st AS (
+      SELECT o_custkey,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(gap) AS BIGINT) AS s1,
+             CAST(SUM(gap * gap) AS BIGINT) AS s2
+      FROM gaps WHERE gap IS NOT NULL GROUP BY o_custkey
+      HAVING count(*) >= 2 AND SUM(gap) > 0),
+    cv AS (
+      SELECT o_custkey, n, s1,
+             sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+                  / (n - 1))
+               / (CAST(s1 AS DOUBLE) / n) AS cv
+      FROM st),
+    seg AS (
+      SELECT CASE WHEN cv < CAST(0.5 AS DOUBLE) THEN 'regular'
+                  WHEN cv < CAST(1.0 AS DOUBLE) THEN 'mixed'
+                  ELSE 'sporadic' END AS segment,
+             n, s1
+      FROM cv)
+    SELECT segment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(SUM(s1) AS DOUBLE) / SUM(n) AS avg_gap_days
+    FROM seg GROUP BY segment
+    """,
+)
+def customer_order_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase-rhythm segmentation: per customer, the coefficient of
+    variation of inter-order gaps (std/mean of day gaps) classifies
+    buying as regular (<0.5 -- clockwork), mixed, or sporadic (>=1.0 --
+    bursty); the readout is customers and average gap per segment.  Gaps
+    are integer day counts, so the power sums are EXACT integers and the
+    per-customer cv is a fixed float expression over them; segment
+    counts are integers and the segment-level average gap divides two
+    exact integer totals.
+
+    Scale shape: one customer-partitioned window (lag), one customer
+    aggregate, one 3-row segment aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        )
+        .cast("long")
+        .alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    st = (
+        gaps.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("gap").cast("long").alias("s1"),
+            F.sum(F.col("gap") * F.col("gap")).cast("long").alias("s2"),
+        )
+        .filter((F.col("n") >= 2) & (F.col("s1") > 0))
+    )
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("double")
+    cv = F.sqrt((s2d - s1d * F.col("s1") / F.col("n")) / (F.col("n") - 1)) / (
+        s1d / F.col("n")
+    )
+    seg = st.select(
+        F.when(cv < 0.5, "regular")
+        .when(cv < 1.0, "mixed")
+        .otherwise("sporadic")
+        .alias("segment"),
+        "n",
+        "s1",
+    )
+    return seg.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        (F.sum("s1").cast("double") / F.sum("n")).alias("avg_gap_days"),
+    )
+
+
+@_q(
+    "session_handoff_matrix",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts > LAG(ts) OVER w + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts, event_id, event_type,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS BIGINT) AS session_id
+      FROM flagged),
+    per_session AS (
+      SELECT user_id, session_id,
+             FIRST(event_type ORDER BY ts, event_id) AS entry_type,
+             LAST(event_type ORDER BY ts, event_id) AS exit_type
+      FROM sessions GROUP BY user_id, session_id)
+    SELECT entry_type, exit_type, CAST(count(*) AS BIGINT) AS n_sessions
+    FROM per_session GROUP BY entry_type, exit_type
+    """,
+)
+def session_handoff_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session ENTRY x EXIT type matrix: where journeys start vs where
+    they end, over 30-minute-gap sessions -- the one-glance flow map
+    (e.g. sessions entering on 'view' but exiting on 'error' mark the
+    broken path).  Complements ``session_bounce_stats`` (entry only) and
+    ``events_markov_transitions`` (event-level, not session-level).
+    min_by/max_by on the (ts, event_id) total order -- exact, no second
+    window pass.
+
+    Scale shape: one user-partitioned window, one (user, session)
+    aggregate, one |types|^2 aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    is_new = F.when(
+        prev_ts.isNull() | (F.col("ts") > prev_ts + F.expr("INTERVAL 30 MINUTES")), 1
+    ).otherwise(0)
+    sessions = ev.withColumn("is_new", is_new).withColumn(
+        "session_id", F.sum(F.col("is_new").cast("long")).over(w)
+    )
+    order_key = F.struct(F.col("ts"), F.col("event_id"))
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.min_by("event_type", order_key).alias("entry_type"),
+        F.max_by("event_type", order_key).alias("exit_type"),
+    )
+    return per_session.groupBy("entry_type", "exit_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions")
+    )
