@@ -14087,3 +14087,240 @@ def session_handoff_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_session.groupBy("entry_type", "exit_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_sessions")
     )
+
+
+@_q(
+    "user_lifecycle_accounting",
+    """
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             CAST((CAST(ts AS DATE) - DATE '1970-01-01') // 7 AS BIGINT)
+               AS week_id
+      FROM events),
+    fw AS (SELECT user_id, MIN(week_id) AS first_week FROM uw GROUP BY user_id),
+    prv AS (SELECT user_id, week_id + 1 AS week_id FROM uw),
+    act AS (
+      SELECT u.user_id, u.week_id,
+             CASE WHEN u.week_id = f.first_week THEN 'new'
+                  WHEN p.user_id IS NOT NULL THEN 'retained'
+                  ELSE 'resurrected' END AS state
+      FROM uw u
+      JOIN fw f ON f.user_id = u.user_id
+      LEFT JOIN prv p ON p.user_id = u.user_id AND p.week_id = u.week_id),
+    dormant AS (
+      SELECT p.week_id, CAST(count(*) AS BIGINT) AS n_dormant
+      FROM prv p LEFT JOIN uw u
+        ON u.user_id = p.user_id AND u.week_id = p.week_id
+      WHERE u.user_id IS NULL
+      GROUP BY p.week_id),
+    counts AS (
+      SELECT week_id,
+             CAST(count(*) FILTER (WHERE state = 'new') AS BIGINT) AS n_new,
+             CAST(count(*) FILTER (WHERE state = 'retained') AS BIGINT)
+               AS n_retained,
+             CAST(count(*) FILTER (WHERE state = 'resurrected') AS BIGINT)
+               AS n_resurrected
+      FROM act GROUP BY week_id)
+    SELECT c.week_id, c.n_new, c.n_retained, c.n_resurrected,
+           COALESCE(d.n_dormant, 0) AS n_dormant,
+           c.n_new + c.n_retained + c.n_resurrected AS n_active
+    FROM counts c LEFT JOIN dormant d ON d.week_id = c.week_id
+    """,
+)
+def user_lifecycle_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROWTH ACCOUNTING: every weekly active user is exactly one of
+    new (first-ever week), retained (also active last week), or
+    resurrected (active before, dormant last week); users active last
+    week but not this week are dormant.  The bookkeeping identity
+    active = new + retained + resurrected holds by construction, and
+    week-over-week: active_w = active_{w-1} + new + resurrected -
+    dormant -- the decomposition that tells WHY a DAU/WAU curve moved.
+    All-integer set logic on a 7-day integer week grid (identical both
+    engines -- no locale week rules).
+
+    Scale shape: distinct (user, week), two user-keyed joins (first-week
+    and the self-join shifted one week), one anti-join for dormancy,
+    then |weeks|-sized aggregates."""
+    ev = load_table(spark, sf_dir, "events")
+    week = F.floor(
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        / 7
+    ).cast("long")
+    uw = ev.select("user_id", week.alias("week_id")).distinct()
+    fw = uw.groupBy("user_id").agg(F.min("week_id").alias("first_week"))
+    prv = uw.select("user_id", (F.col("week_id") + 1).alias("week_id"))
+    act = (
+        uw.join(fw, "user_id")
+        .join(
+            prv.withColumn("was_active", F.lit(1)),
+            ["user_id", "week_id"],
+            "left",
+        )
+        .select(
+            "week_id",
+            F.when(F.col("week_id") == F.col("first_week"), "new")
+            .when(F.col("was_active").isNotNull(), "retained")
+            .otherwise("resurrected")
+            .alias("state"),
+        )
+    )
+    counts = act.groupBy("week_id").agg(
+        F.count_if(F.col("state") == "new").cast("long").alias("n_new"),
+        F.count_if(F.col("state") == "retained")
+        .cast("long")
+        .alias("n_retained"),
+        F.count_if(F.col("state") == "resurrected")
+        .cast("long")
+        .alias("n_resurrected"),
+    )
+    dormant = (
+        prv.join(uw, ["user_id", "week_id"], "left_anti")
+        .groupBy("week_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dormant"))
+    )
+    return (
+        counts.join(dormant, "week_id", "left")
+        .select(
+            "week_id",
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            F.coalesce(F.col("n_dormant"), F.lit(0).cast("long")).alias(
+                "n_dormant"
+            ),
+            (
+                F.col("n_new") + F.col("n_retained") + F.col("n_resurrected")
+            ).alias("n_active"),
+        )
+    )
+
+
+@_q(
+    "revenue_bridge_by_month",
+    """
+    WITH cm AS (
+      SELECT o_custkey,
+             CAST(strftime(o_orderdate, '%Y') AS BIGINT) * 12
+               + CAST(strftime(o_orderdate, '%m') AS BIGINT) - 1 AS month_id,
+             strftime(o_orderdate, '%Y-%m') AS month,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DECIMAL(27,6))
+               AS rev
+      FROM orders GROUP BY o_custkey, month_id, month),
+    months AS (SELECT DISTINCT month_id, month FROM cm),
+    prv AS (SELECT o_custkey, month_id + 1 AS month_id, rev FROM cm),
+    fo AS (
+      SELECT COALESCE(c.o_custkey, p.o_custkey) AS o_custkey,
+             COALESCE(c.month_id, p.month_id) AS month_id,
+             c.rev AS cur_rev, p.rev AS prev_rev
+      FROM cm c FULL OUTER JOIN prv p
+        ON p.o_custkey = c.o_custkey AND p.month_id = c.month_id),
+    comp AS (
+      SELECT month_id,
+             CAST(SUM(CASE WHEN prev_rev IS NULL THEN cur_rev
+                           ELSE CAST(0 AS DECIMAL(27,6)) END)
+                  AS DOUBLE) AS new_rev,
+             CAST(SUM(CASE WHEN cur_rev IS NULL THEN prev_rev
+                           ELSE CAST(0 AS DECIMAL(27,6)) END)
+                  AS DOUBLE) AS churned_rev,
+             CAST(SUM(CASE WHEN cur_rev IS NOT NULL AND prev_rev IS NOT NULL
+                                AND cur_rev > prev_rev
+                           THEN cur_rev - prev_rev
+                           ELSE CAST(0 AS DECIMAL(27,6)) END)
+                  AS DOUBLE) AS expansion_rev,
+             CAST(SUM(CASE WHEN cur_rev IS NOT NULL AND prev_rev IS NOT NULL
+                                AND cur_rev < prev_rev
+                           THEN prev_rev - cur_rev
+                           ELSE CAST(0 AS DECIMAL(27,6)) END)
+                  AS DOUBLE) AS contraction_rev,
+             CAST(SUM(COALESCE(cur_rev, CAST(0 AS DECIMAL(27,6))))
+                  AS DOUBLE) AS total_rev
+      FROM fo GROUP BY month_id)
+    SELECT m.month, c.new_rev, c.expansion_rev, c.contraction_rev,
+           c.churned_rev, c.total_rev
+    FROM comp c
+    JOIN months m ON m.month_id = c.month_id
+    WHERE c.month_id - 1 IN (SELECT month_id FROM months)
+    """,
+)
+def revenue_bridge_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REVENUE BRIDGE (the SaaS waterfall): each month's revenue change
+    decomposed into new (customers with no revenue last month),
+    expansion (existing customers spending more), contraction (spending
+    less), and churned (customers gone this month), satisfying
+    total_m - total_{m-1} = new + expansion - contraction - churned
+    EXACTLY -- every component is a decimal sum of decimal differences,
+    cast to double only at the edge (the identity is bit-true, not
+    approximately true; asserted in tests).  First month (no
+    predecessor in the data) is excluded -- its "new" would be an
+    artifact of the observation window.
+
+    Scale shape: one (customer, month) aggregate, a customer-keyed
+    full-outer self-join shifted one month, then |months|-sized
+    aggregates and a broadcast months filter."""
+    o = load_table(spark, sf_dir, "orders")
+    dec = "decimal(27,6)"
+    zero = F.lit(0).cast(dec)
+    cm = o.groupBy(
+        "o_custkey",
+        (
+            F.year("o_orderdate").cast("long") * 12
+            + F.month("o_orderdate").cast("long")
+            - 1
+        ).alias("month_id"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast(dec)).cast(dec).alias("rev")
+    )
+    months = cm.select("month_id", "month").distinct()
+    prv = cm.select(
+        "o_custkey",
+        (F.col("month_id") + 1).alias("month_id"),
+        F.col("rev").alias("prev_rev"),
+    )
+    cur = cm.select("o_custkey", "month_id", F.col("rev").alias("cur_rev"))
+    fo = cur.join(prv, ["o_custkey", "month_id"], "full_outer")
+    both = F.col("cur_rev").isNotNull() & F.col("prev_rev").isNotNull()
+    comp = fo.groupBy("month_id").agg(
+        F.sum(
+            F.when(F.col("prev_rev").isNull(), F.col("cur_rev")).otherwise(zero)
+        )
+        .cast("double")
+        .alias("new_rev"),
+        F.sum(
+            F.when(F.col("cur_rev").isNull(), F.col("prev_rev")).otherwise(zero)
+        )
+        .cast("double")
+        .alias("churned_rev"),
+        F.sum(
+            F.when(
+                both & (F.col("cur_rev") > F.col("prev_rev")),
+                F.col("cur_rev") - F.col("prev_rev"),
+            ).otherwise(zero)
+        )
+        .cast("double")
+        .alias("expansion_rev"),
+        F.sum(
+            F.when(
+                both & (F.col("cur_rev") < F.col("prev_rev")),
+                F.col("prev_rev") - F.col("cur_rev"),
+            ).otherwise(zero)
+        )
+        .cast("double")
+        .alias("contraction_rev"),
+        F.sum(F.coalesce(F.col("cur_rev"), zero))
+        .cast("double")
+        .alias("total_rev"),
+    )
+    has_pred = months.select((F.col("month_id") + 1).alias("month_id"))
+    return (
+        comp.join(F.broadcast(has_pred), "month_id")
+        .join(F.broadcast(months), "month_id")
+        .select(
+            "month",
+            "new_rev",
+            "expansion_rev",
+            "contraction_rev",
+            "churned_rev",
+            "total_rev",
+        )
+    )

@@ -245,3 +245,61 @@ def test_bounce_stats_match_python_sessionizer(spark, events_pd):
         assert got[t].n_bounce == b, t
         assert got[t].bounce_rate == b / n, t
         assert got[t].events_per_session == e / n, t
+
+
+# ---------------------------------------------------------------------------
+# Growth accounting + revenue bridge: the bookkeeping identities
+# ---------------------------------------------------------------------------
+
+
+def test_lifecycle_accounting_identities(spark, events_pd):
+    rows = sorted(
+        QUERIES["user_lifecycle_accounting"](spark, SF).collect(),
+        key=lambda r: r.week_id,
+    )
+    # active = new + retained + resurrected is structural; check the
+    # week-over-week flow identity and the independently computed WAU
+    wau = (
+        events_pd.assign(week=(events_pd.ts.dt.date - dt.date(1970, 1, 1)).map(
+            lambda d: d.days // 7))
+        .groupby("week")["user_id"]
+        .nunique()
+        .to_dict()
+    )
+    for r in rows:
+        assert r.n_active == r.n_new + r.n_retained + r.n_resurrected
+        assert r.n_active == wau[r.week_id], r.week_id
+    for a, b in zip(rows, rows[1:]):
+        if b.week_id == a.week_id + 1:
+            assert b.n_active == a.n_active + b.n_new + b.n_resurrected - b.n_dormant
+
+
+def test_revenue_bridge_identity_is_exact(spark):
+    out = {
+        r.month: r for r in QUERIES["revenue_bridge_by_month"](spark, SF).collect()
+    }
+    totals = dict(
+        duckdb.sql(
+            f"SELECT strftime(o_orderdate, '%Y-%m'),"
+            f" CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)"
+            f" FROM '{SF}/orders.parquet' GROUP BY 1"
+        ).fetchall()
+    )
+    months = sorted(totals)
+    checked = 0
+    for prev, cur in zip(months, months[1:]):
+        if cur not in out:
+            continue
+        r = out[cur]
+        assert r.total_rev == totals[cur], cur
+        # the waterfall must close EXACTLY at the data's cent precision
+        # (compare in integer cents: double +/- reorders rounding, so a
+        # float-arithmetic comparison would manufacture spurious error)
+        cents = lambda x: round(x * 100)  # noqa: E731
+        assert cents(r.total_rev) - cents(totals[prev]) == cents(
+            r.new_rev
+        ) + cents(r.expansion_rev) - cents(r.contraction_rev) - cents(
+            r.churned_rev
+        ), cur
+        checked += 1
+    assert checked >= 10
