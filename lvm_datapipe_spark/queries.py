@@ -14324,3 +14324,281 @@ def revenue_bridge_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_rev",
         )
     )
+
+
+@_q(
+    "attribution_position_based",
+    """
+    WITH p AS (
+      SELECT event_id AS pid, user_id, ts AS pts,
+             CAST(floor(value * 1000000.0) AS BIGINT) AS micro
+      FROM events
+      WHERE event_type = 'purchase' AND value > CAST(0.0 AS DOUBLE)),
+    t AS (
+      SELECT event_id AS tid, user_id, ts AS tts, event_type
+      FROM events WHERE event_type IN ('view', 'click')),
+    j AS (
+      SELECT p.pid, p.micro, t.tid, t.event_type, t.tts
+      FROM p JOIN t ON p.user_id = t.user_id
+      WHERE t.tts < p.pts AND t.tts >= p.pts - INTERVAL 1 HOUR),
+    r AS (
+      SELECT pid, micro, event_type,
+             ROW_NUMBER() OVER (PARTITION BY pid ORDER BY tts, tid) AS rk,
+             COUNT(*) OVER (PARTITION BY pid) AS n
+      FROM j),
+    c AS (
+      SELECT event_type,
+             CASE
+               WHEN n = 1 THEN micro
+               WHEN n = 2 THEN
+                 CASE WHEN rk = 1 THEN micro // 2 + micro % 2
+                      ELSE micro // 2 END
+               WHEN rk = 1 THEN (micro * 2) // 5
+               WHEN rk = n THEN (micro * 2) // 5
+               ELSE (micro - 2 * ((micro * 2) // 5)) // (n - 2)
+                    + (CASE WHEN rk - 1 <=
+                            (micro - 2 * ((micro * 2) // 5)) % (n - 2)
+                       THEN 1 ELSE 0 END)
+             END AS credit
+      FROM r)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(SUM(credit) AS BIGINT) AS credit_micro,
+           CAST(SUM(credit) AS DOUBLE) / 1000000.0 AS credit_value
+    FROM c GROUP BY event_type
+    """,
+)
+def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POSITION-BASED (U-shaped) multi-touch attribution: 40% of each
+    purchase to the first touch, 40% to the last, 20% shared by the
+    middles -- the standard complement to [[attribution_linear_exact]]
+    and [[attribution_time_decay]].  Same integer micro-unit discipline:
+    40% = (micro*2)//5 exactly, the middle pool is whatever remains (so
+    per-purchase credits sum to EXACTLY the purchase value even when 40%
+    doesn't divide evenly), middles apportion by largest-remainder in
+    time order; n=1 takes all, n=2 splits 50/50 with the odd unit to the
+    earlier touch.  Every credit is a BIGINT; no float until the final
+    /1e6 readout.
+
+    Scale shape: identical to the linear form -- user-keyed equi-join
+    with a 1-hour range predicate, purchase-partitioned windows, tiny
+    final aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 0.0)
+    ).select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        F.col("ts").alias("pts"),
+        F.floor(F.col("value") * 1000000.0).cast("bigint").alias("micro"),
+    )
+    t = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("tid"),
+        "user_id",
+        F.col("ts").alias("tts"),
+        "event_type",
+    )
+    j = p.join(t, "user_id").filter(
+        (F.col("tts") < F.col("pts"))
+        & (F.col("tts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR"))
+    )
+    wp = Window.partitionBy("pid")
+    r = j.select(
+        "pid",
+        "micro",
+        "event_type",
+        F.row_number().over(wp.orderBy("tts", "tid")).alias("rk"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    forty = F.expr("(micro * 2) div 5")
+    mid_pool = F.col("micro") - 2 * forty
+    mid_each = F.expr(
+        "(micro - 2 * ((micro * 2) div 5)) div (n - 2)"
+    ) + F.when(
+        (F.col("rk") - 1) <= mid_pool % (F.col("n") - 2), 1
+    ).otherwise(0)
+    credit = (
+        F.when(F.col("n") == 1, F.col("micro"))
+        .when(
+            F.col("n") == 2,
+            F.when(
+                F.col("rk") == 1,
+                F.expr("micro div 2") + F.col("micro") % 2,
+            ).otherwise(F.expr("micro div 2")),
+        )
+        .when(F.col("rk") == 1, forty)
+        .when(F.col("rk") == F.col("n"), forty)
+        .otherwise(mid_each)
+    )
+    c = r.select("event_type", credit.alias("credit"))
+    return c.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_touches"),
+        F.sum("credit").cast("long").alias("credit_micro"),
+        (F.sum("credit").cast("double") / 1000000.0).alias("credit_value"),
+    )
+
+
+@_q(
+    "ab_diff_in_diff",
+    """
+    WITH a AS (
+      SELECT event_type,
+             ('0x' || substr(md5('ab' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+               % 2 AS arm,
+             CASE WHEN ts >= TIMESTAMP '2024-01-20 00:00:00'
+                  THEN 1 ELSE 0 END AS post,
+             value
+      FROM events WHERE abs(value) < CAST(1000.0 AS DOUBLE)),
+    m AS (
+      SELECT event_type, arm, post,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(9,6))) AS VARCHAR) AS DOUBLE)
+               AS s1
+      FROM a GROUP BY event_type, arm, post),
+    piv AS (
+      SELECT event_type,
+             MAX(CASE WHEN arm = 1 AND post = 0 THEN s1 / n END) AS mt_pre,
+             MAX(CASE WHEN arm = 1 AND post = 1 THEN s1 / n END) AS mt_post,
+             MAX(CASE WHEN arm = 0 AND post = 0 THEN s1 / n END) AS mc_pre,
+             MAX(CASE WHEN arm = 0 AND post = 1 THEN s1 / n END) AS mc_post,
+             CAST(MIN(n) AS BIGINT) AS min_cell_n
+      FROM m GROUP BY event_type)
+    SELECT event_type, mt_pre, mt_post, mc_pre, mc_post, min_cell_n,
+           (mt_post - mt_pre) - (mc_post - mc_pre) AS did
+    FROM piv
+    WHERE mt_pre IS NOT NULL AND mt_post IS NOT NULL
+      AND mc_pre IS NOT NULL AND mc_post IS NOT NULL
+    """,
+)
+def ab_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENCE-IN-DIFFERENCES readout: the treatment effect estimate
+    (treated post-pre change) minus (control post-pre change), per
+    metric -- the workhorse for launches that couldn't be randomized at
+    exposure time (here arms are the stable md5 user split and the
+    'launch' is the Jan-20 cut used by the incremental queries, making
+    the estimate an A/A check: did should hover near 0).  Cell means
+    come from exact decimal sums (the [[ab_test_welch_z]] recipe); the
+    2x2 pivot is conditional MAX per cell; did is ONE fixed float
+    expression.
+
+    Scale shape: one (metric, arm, period) keyed aggregate over the
+    corpus, then a |metrics|-sized pivot.  No windows, no joins on
+    corpus rows."""
+    from lvm_datapipe_spark.operators.sampling import hash_bucket
+
+    ev = load_table(spark, sf_dir, "events").filter(F.abs(F.col("value")) < 1000.0)
+    cut = F.to_timestamp(F.lit("2024-01-20 00:00:00"))
+    d6 = F.col("value").cast("decimal(9,6)")
+    m = (
+        ev.select(
+            "event_type",
+            hash_bucket("user_id", 2, "ab").alias("arm"),
+            F.when(F.col("ts") >= cut, 1).otherwise(0).alias("post"),
+            "value",
+        )
+        .groupBy("event_type", "arm", "post")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(d6).cast("string").cast("double").alias("s1"),
+        )
+    )
+
+    def cell(arm, post):
+        return F.max(
+            F.when(
+                (F.col("arm") == arm) & (F.col("post") == post),
+                F.col("s1") / F.col("n"),
+            )
+        )
+
+    piv = m.groupBy("event_type").agg(
+        cell(1, 0).alias("mt_pre"),
+        cell(1, 1).alias("mt_post"),
+        cell(0, 0).alias("mc_pre"),
+        cell(0, 1).alias("mc_post"),
+        F.min("n").cast("long").alias("min_cell_n"),
+    )
+    return piv.filter(
+        F.col("mt_pre").isNotNull()
+        & F.col("mt_post").isNotNull()
+        & F.col("mc_pre").isNotNull()
+        & F.col("mc_post").isNotNull()
+    ).select(
+        "event_type",
+        "mt_pre",
+        "mt_post",
+        "mc_pre",
+        "mc_post",
+        "min_cell_n",
+        (
+            (F.col("mt_post") - F.col("mt_pre"))
+            - (F.col("mc_post") - F.col("mc_pre"))
+        ).alias("did"),
+    )
+
+
+@_q(
+    "conversion_latency_quantiles",
+    """
+    WITH p AS (
+      SELECT event_id AS pid, user_id, ts AS pts
+      FROM events WHERE event_type = 'purchase'),
+    v AS (
+      SELECT user_id, ts AS vts FROM events WHERE event_type = 'view'),
+    m AS (
+      SELECT p.pid, MAX(v.vts) AS vts, MAX(p.pts) AS pts
+      FROM p JOIN v ON v.user_id = p.user_id
+      WHERE v.vts < p.pts AND v.vts >= p.pts - INTERVAL 7 DAY
+      GROUP BY p.pid),
+    lat AS (
+      SELECT (CAST(floor(epoch(pts)) AS BIGINT)
+              - CAST(floor(epoch(vts)) AS BIGINT)) // 60 AS latency_min
+      FROM m)
+    SELECT CAST(count(*) AS BIGINT) AS n_conversions,
+           quantile_cont(latency_min, 0.5) AS p50_min,
+           quantile_cont(latency_min, 0.9) AS p90_min,
+           quantile_cont(latency_min, 0.99) AS p99_min
+    FROM lat
+    """,
+)
+def conversion_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-TO-CONVERT distribution: each purchase matched AS-OF to the
+    user's most recent view in the preceding 7 days; latency in whole
+    minutes, reported as p50/p90/p99 -- the SLA-style readout for the
+    conversion loop ("half convert within X minutes, the tail takes
+    Y").  Latencies are integer epoch-second differences (the
+    unix_seconds == floor(epoch()) bridge); percentile() and
+    quantile_cont linear-interpolate identically on the sorted integer
+    list.
+
+    Scale shape: user-keyed equi-join bounded by the 7-day range
+    predicate, per-purchase max (keyed aggregate), then one global
+    percentile aggregate (partial-merged, not windowed)."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), "user_id", F.col("ts").alias("pts")
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("vts")
+    )
+    m = (
+        p.join(v, "user_id")
+        .filter(
+            (F.col("vts") < F.col("pts"))
+            & (F.col("vts") >= F.col("pts") - F.expr("INTERVAL 7 DAYS"))
+        )
+        .groupBy("pid")
+        .agg(F.max("vts").alias("vts"), F.max("pts").alias("pts"))
+    )
+    lat = m.select(
+        F.expr(
+            "(unix_seconds(cast(pts as timestamp))"
+            " - unix_seconds(cast(vts as timestamp))) div 60"
+        ).alias("latency_min")
+    )
+    return lat.agg(
+        F.count(F.lit(1)).cast("long").alias("n_conversions"),
+        F.expr("percentile(latency_min, 0.5)").alias("p50_min"),
+        F.expr("percentile(latency_min, 0.9)").alias("p90_min"),
+        F.expr("percentile(latency_min, 0.99)").alias("p99_min"),
+    )

@@ -303,3 +303,54 @@ def test_revenue_bridge_identity_is_exact(spark):
         ), cur
         checked += 1
     assert checked >= 10
+
+
+def test_position_attribution_conserves_value_exactly(spark):
+    out = QUERIES["attribution_position_based"](spark, SF).collect()
+    total_credit = sum(r.credit_micro for r in out)
+    # independent model: total credited micro == sum of floor(value*1e6)
+    # over purchases that have >=1 view/click touch in the prior hour
+    want = duckdb.sql(
+        f"""
+        WITH e AS (SELECT * FROM '{SF}/events.parquet'),
+        p AS (SELECT event_id, user_id, ts,
+                     CAST(floor(value * 1000000.0) AS BIGINT) AS micro
+              FROM e WHERE event_type = 'purchase' AND value > 0.0)
+        SELECT COALESCE(SUM(micro), 0) FROM p
+        WHERE EXISTS (
+          SELECT 1 FROM e t
+          WHERE t.user_id = p.user_id AND t.event_type IN ('view','click')
+            AND t.ts < p.ts AND t.ts >= p.ts - INTERVAL 1 HOUR)
+        """
+    ).fetchone()[0]
+    assert total_credit == want
+
+
+def test_position_attribution_u_shape_weights(spark):
+    # 4 touches on one purchase of value 1.0: first/last get 400000,
+    # two middles split the 200000 pool evenly
+    rows = [
+        (1, "view", 0), (1, "click", 5), (1, "view", 10), (1, "click", 15),
+        (1, "purchase", 20),
+    ]
+    from pyspark.sql import functions as F
+
+    df = _ev_df(spark, rows)
+    # give the purchase a value
+    df = df.withColumn(
+        "value", F.when(df.event_type == "purchase", 1.0).otherwise(0.0)
+    )
+    from lvm_datapipe_spark.queries import QUERIES as Q
+    import lvm_datapipe_spark.queries as qmod
+
+    # run the query body against the synthetic frame via monkeypatched load
+    orig = qmod.load_table
+    qmod.load_table = lambda s, d, t: df
+    try:
+        out = {r.event_type: r for r in Q["attribution_position_based"](spark, SF).collect()}
+    finally:
+        qmod.load_table = orig
+    # first (view@0) 400000 + middle view@10 100000 -> views 500000
+    # middle click@5 100000 + last click@15 400000  -> clicks 500000
+    assert out["view"].credit_micro == 500000
+    assert out["click"].credit_micro == 500000
