@@ -14602,3 +14602,147 @@ def conversion_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(latency_min, 0.9)").alias("p90_min"),
         F.expr("percentile(latency_min, 0.99)").alias("p99_min"),
     )
+
+
+def _top_pc_sql(n_iters: int = 8, dim: int = _EMB_DIM) -> str:
+    """DuckDB replay of the power-iteration top principal component.
+
+    The heavy part (the exact decimal scatter matrix M = n*Sxx - s s^T)
+    is plain grouped aggregation; the 64-dim eigensolve is replayed as a
+    fixed chain of CTEs whose float operations (left-associated dot
+    chains, sqrt, elementwise division) occur in EXACTLY the order the
+    Spark driver loop performs them -- bit-identical results."""
+    up = f"(SELECT unnest(range(1, {dim + 1})) AS i) u"
+    parts = [
+        f"""WITH ex AS (
+      SELECT vec_id, u.i AS i,
+             CAST(embedding[u.i]::DOUBLE AS DECIMAL(9,6)) AS x
+      FROM embeddings CROSS JOIN {up}
+      WHERE embedding IS NOT NULL),
+    nrow AS (SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n FROM ex),
+    sxx AS (SELECT a.i AS i, b.i AS j, SUM(a.x * b.x) AS sp
+            FROM ex a JOIN ex b USING (vec_id) GROUP BY a.i, b.i),
+    sv AS (SELECT i, SUM(x) AS s FROM ex GROUP BY i),
+    cells AS (
+      SELECT sxx.i, sxx.j,
+             CAST(nrow.n * sxx.sp - sa.s * sb.s AS DOUBLE) AS m
+      FROM sxx CROSS JOIN nrow
+      JOIN sv sa ON sa.i = sxx.i
+      JOIN sv sb ON sb.i = sxx.j),
+    g AS (SELECT i, list(m ORDER BY j) AS grow FROM cells GROUP BY i),
+    v0 AS (SELECT list_transform(range(1, {dim + 1}),
+                                 x -> CAST(0.125 AS DOUBLE)) AS vec)"""
+    ]
+    for k in range(1, n_iters + 1):
+        parts.append(
+            f"""w{k} AS (SELECT g.i, {_dot_sql('g.grow', f'v{k - 1}.vec')} AS wi
+           FROM g CROSS JOIN v{k - 1})"""
+        )
+        if k < n_iters:
+            parts.append(
+                f"""v{k} AS (SELECT list_transform(wl,
+                    x -> x / sqrt({_dot_sql('wl', 'wl')})) AS vec
+           FROM (SELECT list(wi ORDER BY i) AS wl FROM w{k}))"""
+            )
+    parts.append(
+        f"wf AS (SELECT list(wi ORDER BY i) AS wl FROM w{n_iters})"
+    )
+    body = ",\n    ".join(parts)
+    return f"""
+    {body}
+    SELECT CAST(u.i AS INTEGER) AS dim,
+           wl[u.i] / sqrt({_dot_sql('wl', 'wl')}) AS loading,
+           sqrt({_dot_sql('wl', 'wl')}) / CAST(nrow.n * nrow.n AS DOUBLE)
+             AS eigenvalue
+    FROM wf CROSS JOIN nrow CROSS JOIN {up}
+    WHERE wl IS NOT NULL AND sqrt({_dot_sql('wl', 'wl')}) > CAST(0.0 AS DOUBLE)
+    """
+
+
+@_q("embedding_top_pc_power_iteration", _top_pc_sql())
+def embedding_top_pc_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP PRINCIPAL COMPONENT of the embedding corpus by distributed
+    power iteration -- the embedding-QA readout (a dominant PC with a
+    huge eigenvalue means a mean-offset/anisotropy problem; the loading
+    vector says which dimensions).  Fully oracle-exact, which no naive
+    float implementation achieves:
+
+    - the only corpus-sized computation is the SCATTER MATRIX
+      M = n*Sxx - s s^T, accumulated as EXACT DECIMALS (per-element
+      (9,6) quantization, products and sums exact) via a 64x64
+      pair-explode with map-side partial aggregation -- shuffle traffic
+      is 4096 cells per partition regardless of corpus size, and no
+      vec_id-keyed join ever happens;
+    - the 64x64 eigensolve is METADATA math: cells are collected (4096
+      decimals -- the BPE/bloom collect() class) and 8 fixed power
+      iterations run on the driver with left-associated dot chains, the
+      exact float-op sequence the DuckDB oracle replays CTE-for-CTE.
+
+    Output: (dim, loading, eigenvalue); loading is the unit vector after
+    exactly 8 steps and eigenvalue its Rayleigh estimate in
+    biased-covariance units (lambda / n^2).  CONTRACT NOTE: the spec is
+    the FIXED-STEP iteration (what the oracle replays), not the
+    converged eigenvector -- on a near-isotropic corpus (tiny eigen-gap)
+    8 steps is an estimate that approaches the top eigenvalue from
+    below; tests pin both the exact 8-step result and the ballpark
+    against numpy's full eigensolve."""
+    from decimal import Decimal
+    from math import sqrt as _sqrt
+
+    dim = _EMB_DIM
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    arr = F.col("embedding").cast("array<double>")
+    e1 = emb.select(
+        arr.alias("a"), F.posexplode(arr).alias("i0", "xi")
+    )
+    e2 = e1.select(
+        (F.col("i0") + 1).alias("i"),
+        F.col("xi").cast("decimal(9,6)").alias("xd"),
+        F.posexplode(F.col("a")).alias("j0", "xj"),
+    ).select(
+        "i",
+        (F.col("j0") + 1).alias("j"),
+        (F.col("xd") * F.col("xj").cast("decimal(9,6)")).alias("p"),
+    )
+    cells = e2.groupBy("i", "j").agg(F.sum("p").alias("sp")).collect()
+    sv = {
+        r["i"]: r["s"]
+        for r in e1.select(
+            (F.col("i0") + 1).alias("i"),
+            F.col("xi").cast("decimal(9,6)").alias("x"),
+        )
+        .groupBy("i")
+        .agg(F.sum("x").alias("s"))
+        .collect()
+    }
+    n = emb.count()
+    schema = "dim int, loading double, eigenvalue double"
+    if n == 0 or not cells:
+        return spark.createDataFrame([], schema)
+    nd = Decimal(n)
+    md = [[0.0] * dim for _ in range(dim)]
+    for r in cells:
+        md[r["i"] - 1][r["j"] - 1] = float(
+            nd * r["sp"] - sv[r["i"]] * sv[r["j"]]
+        )
+
+    def _dot(a, b):
+        acc = a[0] * b[0]
+        for t in range(1, dim):
+            acc = acc + a[t] * b[t]
+        return acc
+
+    v = [0.125] * dim
+    w = v
+    for _ in range(8):
+        w = [_dot(row, v) for row in md]
+        nrm = _sqrt(_dot(w, w))
+        if nrm == 0.0:
+            return spark.createDataFrame([], schema)
+        v = [x / nrm for x in w]
+    lam = _sqrt(_dot(w, w))
+    eig = lam / float(n * n)
+    rows = [(i + 1, w[i] / lam, eig) for i in range(dim)]
+    return spark.createDataFrame(rows, schema)

@@ -354,3 +354,36 @@ def test_position_attribution_u_shape_weights(spark):
     # middle click@5 100000 + last click@15 400000  -> clicks 500000
     assert out["view"].credit_micro == 500000
     assert out["click"].credit_micro == 500000
+
+
+def test_top_pc_matches_numpy_power_iteration(spark):
+    # the query's CONTRACT is the fixed 8-step power iteration from the
+    # 0.125-ones start (oracle-replayable); on near-isotropic data that
+    # is an estimate, not the converged eigenvector -- so compare against
+    # numpy running the SAME 8 steps, and sanity-bound the eigenvalue
+    # estimate against the true top eigenvalue (it approaches from below)
+    out = sorted(
+        QUERIES["embedding_top_pc_power_iteration"](spark, SF).collect(),
+        key=lambda r: r.dim,
+    )
+    v = np.array([r.loading for r in out])
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-12  # unit norm
+    emb = duckdb.sql(
+        f"SELECT embedding FROM '{SF}/embeddings.parquet'"
+        f" WHERE embedding IS NOT NULL"
+    ).fetchall()
+    X = np.array([e[0] for e in emb], dtype=np.float64)
+    # same quantization as the engines: decimal(9,6) = round-half-away
+    Xq = np.sign(X) * np.floor(np.abs(X) * 1e6 + 0.5) / 1e6
+    n = len(Xq)
+    M = n * (Xq.T @ Xq) - np.outer(Xq.sum(0), Xq.sum(0))
+    vv = np.full(64, 0.125)
+    w = vv
+    for _ in range(8):
+        w = M @ vv
+        vv = w / np.linalg.norm(w)
+    lam = np.linalg.norm(w)
+    assert float(np.abs(v - w / lam).max()) < 1e-9  # same 8-step result
+    top = np.linalg.eigvalsh(np.cov(X.T, bias=True))[-1]
+    eig = out[0].eigenvalue
+    assert 0.5 * top < eig <= top * (1 + 1e-9)  # from below, right scale
