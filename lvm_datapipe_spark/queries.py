@@ -14746,3 +14746,151 @@ def embedding_top_pc_power_iteration(spark: SparkSession, sf_dir: str) -> DataFr
     eig = lam / float(n * n)
     rows = [(i + 1, w[i] / lam, eig) for i in range(dim)]
     return spark.createDataFrame(rows, schema)
+
+
+@_q(
+    "source_venn_overlap",
+    """
+    WITH fp AS (
+      SELECT md5(text) AS fingerprint,
+             array_to_string(list_sort(list(DISTINCT source)), '+') AS combo
+      FROM documents WHERE source IS NOT NULL
+      GROUP BY md5(text))
+    SELECT combo, CAST(count(*) AS BIGINT) AS n_fingerprints
+    FROM fp GROUP BY combo
+    """,
+)
+def source_venn_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VENN diagram of exact-duplicate content across sources: each
+    distinct text fingerprint is labeled with the sorted set of sources
+    it appears in ('web', 'web+wiki', ...) and the combinations are
+    counted -- the one-query answer to "how much of feed A is already
+    inside feed B" BEFORE committing to ingest it (inclusion-exclusion
+    falls out by summing rows).  Fingerprint = md5(text), the exact-dedup
+    key; all-integer.
+
+    Scale shape: one fingerprint-keyed aggregate (collect_set over the
+    handful of sources), one tiny combo aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = (
+        docs.filter(F.col("source").isNotNull())
+        .groupBy(F.md5("text").alias("fingerprint"))
+        .agg(
+            F.concat_ws(
+                "+", F.sort_array(F.collect_set("source"))
+            ).alias("combo")
+        )
+    )
+    return fp.groupBy("combo").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fingerprints")
+    )
+
+
+@_q(
+    "range_partition_boundaries",
+    """
+    WITH q AS (
+      SELECT quantile_cont(l_extendedprice,
+               [x / 32.0 FOR x IN range(1, 32)]) AS bounds
+      FROM lineitem)
+    SELECT CAST(u.i AS INTEGER) AS boundary_idx,
+           bounds[u.i] AS boundary_value
+    FROM q CROSS JOIN (SELECT unnest(range(1, 32)) AS i) u
+    """,
+)
+def range_partition_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA-LAYOUT ADVISOR: the 31 interior boundaries that split the
+    sort key into 32 equal-row range partitions -- what
+    ``repartitionByRange`` samples approximately, computed exactly; feed
+    them to a writer as explicit split points for reproducible,
+    balanced file layout (sampling-based splits shift run to run).
+    Fractions i/32 are exact binary doubles; percentile() and
+    quantile_cont linear-interpolate identically.
+
+    Scale shape: ONE percentile aggregate over the corpus (partial
+    merge, no sort, no window) returning a 31-element array."""
+    li = load_table(spark, sf_dir, "lineitem")
+    fracs = ", ".join(repr(x / 32.0) for x in range(1, 32))
+    q = li.agg(
+        F.expr(f"percentile(l_extendedprice, array({fracs}))").alias("bounds")
+    )
+    return q.select(
+        F.posexplode(F.col("bounds")).alias("pos0", "boundary_value")
+    ).select(
+        (F.col("pos0") + 1).cast("int").alias("boundary_idx"),
+        "boundary_value",
+    )
+
+
+@_q(
+    "session_top_paths",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts > LAG(ts) OVER w + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts, event_id, event_type,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS BIGINT) AS session_id
+      FROM flagged),
+    ranked AS (
+      SELECT user_id, session_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                                ORDER BY ts, event_id) AS rk
+      FROM sessions),
+    paths AS (
+      SELECT concat_ws('>',
+               MAX(CASE WHEN rk = 1 THEN event_type END),
+               MAX(CASE WHEN rk = 2 THEN event_type END),
+               MAX(CASE WHEN rk = 3 THEN event_type END)) AS path
+      FROM ranked WHERE rk <= 3 GROUP BY user_id, session_id)
+    SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path ASC
+    LIMIT 10
+    """,
+)
+def session_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP SESSION PATHS: the 10 most common 3-step openings
+    ('view>click>purchase', ...) over 30-minute-gap sessions -- the
+    where-do-journeys-actually-go readout that motivates funnel
+    definitions instead of assuming them.  Prefix capped at 3 steps so
+    the path alphabet stays bounded; shorter sessions contribute their
+    full prefix (concat_ws skips the missing steps identically on both
+    engines).  Deterministic top-10: (count desc, path asc).
+
+    Scale shape: the shared sessionize window, one (user, session)
+    pivot aggregate, a bounded path aggregate, TakeOrdered for the
+    limit."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    is_new = F.when(
+        prev_ts.isNull() | (F.col("ts") > prev_ts + F.expr("INTERVAL 30 MINUTES")), 1
+    ).otherwise(0)
+    sessions = ev.withColumn("is_new", is_new).withColumn(
+        "session_id", F.sum(F.col("is_new").cast("long")).over(w)
+    )
+    ranked = sessions.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+        ),
+    ).filter(F.col("rk") <= 3)
+
+    def step(k):
+        return F.max(F.when(F.col("rk") == k, F.col("event_type")))
+
+    paths = ranked.groupBy("user_id", "session_id").agg(
+        F.concat_ws(">", step(1), step(2), step(3)).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(10)
+    )
