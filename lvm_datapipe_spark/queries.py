@@ -14894,3 +14894,158 @@ def session_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), F.asc("path"))
         .limit(10)
     )
+
+
+@_q(
+    "ship_latency_by_priority",
+    """
+    WITH lat AS (
+      SELECT o.o_orderpriority,
+             CAST(datediff('day', CAST(o.o_orderdate AS DATE),
+                           CAST(l.l_shipdate AS DATE)) AS BIGINT)
+               AS latency_days
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey)
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lineitems,
+           quantile_cont(latency_days, 0.5) AS p50_days,
+           quantile_cont(latency_days, 0.9) AS p90_days,
+           quantile_cont(latency_days, 0.99) AS p99_days,
+           CAST(MAX(latency_days) AS BIGINT) AS max_days
+    FROM lat GROUP BY o_orderpriority
+    """,
+)
+def ship_latency_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER-TO-SHIP latency SLA readout: days from order placement to
+    each line item's ship date, p50/p90/p99 + max per order priority --
+    the does-priority-actually-mean-faster check.  Latencies are integer
+    day differences; percentile()/quantile_cont interpolate identically.
+
+    Scale shape: the lineitem-orders equi-join shuffles on orderkey
+    (AQE-sized, no forced broadcast of the growing orders side), then
+    one percentile aggregate per priority -- partial-merged, no
+    windows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    lat = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        )
+        .cast("long")
+        .alias("latency_days"),
+    )
+    return lat.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+        F.expr("percentile(latency_days, 0.5)").alias("p50_days"),
+        F.expr("percentile(latency_days, 0.9)").alias("p90_days"),
+        F.expr("percentile(latency_days, 0.99)").alias("p99_days"),
+        F.max("latency_days").cast("long").alias("max_days"),
+    )
+
+
+@_q(
+    "skyline_dominance_counts",
+    """
+    WITH sky AS (
+      SELECT o.o_orderkey, o.o_totalprice, o.o_orderdate
+      FROM orders o
+      WHERE NOT EXISTS (
+        SELECT 1 FROM orders d
+        WHERE d.o_totalprice >= o.o_totalprice
+          AND d.o_orderdate >= o.o_orderdate
+          AND (d.o_totalprice > o.o_totalprice
+               OR d.o_orderdate > o.o_orderdate)))
+    SELECT s.o_orderkey, s.o_totalprice, s.o_orderdate,
+           CAST(count(*) AS BIGINT) AS n_dominated
+    FROM sky s JOIN orders r
+      ON r.o_totalprice <= s.o_totalprice
+     AND r.o_orderdate <= s.o_orderdate
+     AND r.o_orderkey <> s.o_orderkey
+    GROUP BY s.o_orderkey, s.o_totalprice, s.o_orderdate
+    """,
+)
+def skyline_dominance_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOMINANCE SCORE for each skyline point: how many other orders it
+    weakly dominates (<= in both dimensions) -- ranks the frontier by
+    coverage ("this corner point dominates 40% of the corpus, that one
+    is a niche extreme").  The frontier comes from the bucketed
+    [[orders_pareto_skyline]] operator; counting joins the FRONTIER
+    (tiny, broadcast) against the corpus with the two range predicates
+    -- a broadcast nested loop over a frontier-sized side, never a
+    corpus x corpus product.
+
+    Scale shape: skyline plan (bucketed, pruned) + one broadcast-range
+    join + a frontier-sized aggregate."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    sky = R.pareto_skyline_2d(o, "o_totalprice", "o_orderdate").select(
+        F.col("o_orderkey").alias("s_key"),
+        F.col("o_totalprice").alias("s_price"),
+        F.col("o_orderdate").alias("s_date"),
+    )
+    j = o.join(
+        F.broadcast(sky),
+        (F.col("o_totalprice") <= F.col("s_price"))
+        & (F.col("o_orderdate") <= F.col("s_date"))
+        & (F.col("o_orderkey") != F.col("s_key")),
+    )
+    return j.groupBy("s_key", "s_price", "s_date").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dominated")
+    ).select(
+        F.col("s_key").alias("o_orderkey"),
+        F.col("s_price").alias("o_totalprice"),
+        F.col("s_date").alias("o_orderdate"),
+        "n_dominated",
+    )
+
+
+@_q(
+    "events_debounce_collapse",
+    """
+    WITH r AS (
+      SELECT event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(*) FILTER (WHERE prev_type = event_type) AS BIGINT)
+             AS n_collapsed,
+           CAST(count(*) FILTER (WHERE prev_type IS NULL
+                                 OR prev_type <> event_type) AS BIGINT)
+             AS n_kept,
+           CAST(count(*) FILTER (WHERE prev_type = event_type) AS DOUBLE)
+             / count(*) AS collapse_rate
+    FROM r GROUP BY event_type
+    """,
+)
+def events_debounce_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEBOUNCE audit: per event type, how many events are consecutive
+    repeats of the same type within a user's stream (the double-fire /
+    retry noise a debounce filter would collapse to run-starts) -- run
+    before shipping clickstream to training, since repeat-noise inflates
+    engagement features.  Keep rule: first event of each same-type run
+    (lag != type or null).  Counters exact; rate is one division
+    (count(*) per group is >0 by construction -- no zero guard needed).
+
+    Scale shape: one user-partitioned lag window, one per-type
+    aggregate.  The collapsed STREAM itself is the same plan minus the
+    aggregate -- this readout prices the filter before applying it."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    dup = F.col("prev_type") == F.col("event_type")
+    keep = F.col("prev_type").isNull() | (
+        F.col("prev_type") != F.col("event_type")
+    )
+    return r.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.count_if(dup).cast("long").alias("n_collapsed"),
+        F.count_if(keep).cast("long").alias("n_kept"),
+        (F.count_if(dup).cast("double") / F.count(F.lit(1))).alias(
+            "collapse_rate"
+        ),
+    )
