@@ -777,6 +777,51 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Deduplication
 # ---------------------------------------------------------------------------
 
+def _jaccard_pairs_sql() -> str:
+    """Shared oracle SQL for the capped n-gram Jaccard pair set (threshold
+    0.6, stop-shingle cap 1000) — used by dedup_ngram_jaccard and the
+    method-agreement composition."""
+    return f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+    sh AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM toks WHERE len({_SQL_SHINGLES}) > 0),
+    ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    keep AS (SELECT shingle FROM ex GROUP BY shingle HAVING COUNT(*) <= 1000),
+    exk AS (SELECT ex.doc_id, ex.shingle FROM ex JOIN keep USING (shingle)),
+    sz AS (SELECT doc_id, CAST(len(s) AS INTEGER) AS n FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM exk a JOIN exk b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           n_common / (sa.n + sb.n - n_common) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.doc_id = id_a
+    JOIN sz sb ON sb.doc_id = id_b
+    WHERE n_common / (sa.n + sb.n - n_common) >= 0.6
+    """
+
+
+def _minhash_pairs_sql() -> str:
+    """Shared oracle SQL for the MinHash-LSH candidate pair set (16
+    hashes, 4 bands x 4 rows)."""
+    return f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+    sh AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM toks WHERE len({_SQL_SHINGLES}) > 0),
+    sig AS (
+      SELECT doc_id,
+             list_transform(generate_series(0, 15),
+               i -> list_min(list_transform(s, x -> md5(CAST(i AS VARCHAR) || ':' || x)))) AS sig
+      FROM sh),
+    bands AS (
+      SELECT doc_id, b.b AS band,
+             md5(sig[b.b*4+1] || ',' || sig[b.b*4+2] || ',' || sig[b.b*4+3] || ',' || sig[b.b*4+4]) AS bucket
+      FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) b)
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    """
+
+
+
 
 @_q(
     "dedup_exact",
@@ -796,24 +841,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "dedup_ngram_jaccard",
-    f"""
-    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
-    sh AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM toks WHERE len({_SQL_SHINGLES}) > 0),
-    ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
-    keep AS (SELECT shingle FROM ex GROUP BY shingle HAVING COUNT(*) <= 1000),
-    exk AS (SELECT ex.doc_id, ex.shingle FROM ex JOIN keep USING (shingle)),
-    sz AS (SELECT doc_id, CAST(len(s) AS INTEGER) AS n FROM sh),
-    inter AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-      FROM exk a JOIN exk b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY 1, 2)
-    SELECT id_a, id_b,
-           n_common / (sa.n + sb.n - n_common) AS jaccard
-    FROM inter
-    JOIN sz sa ON sa.doc_id = id_a
-    JOIN sz sb ON sb.doc_id = id_b
-    WHERE n_common / (sa.n + sb.n - n_common) >= 0.6
-    """,
+    _jaccard_pairs_sql(),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram Jaccard near-dup with the stop-shingle skew cap ACTIVE (the
@@ -827,21 +855,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "dedup_minhash_lsh",
-    f"""
-    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
-    sh AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM toks WHERE len({_SQL_SHINGLES}) > 0),
-    sig AS (
-      SELECT doc_id,
-             list_transform(generate_series(0, 15),
-               i -> list_min(list_transform(s, x -> md5(CAST(i AS VARCHAR) || ':' || x)))) AS sig
-      FROM sh),
-    bands AS (
-      SELECT doc_id, b.b AS band,
-             md5(sig[b.b*4+1] || ',' || sig[b.b*4+2] || ',' || sig[b.b*4+3] || ',' || sig[b.b*4+4]) AS bucket
-      FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) b)
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-    """,
+    _minhash_pairs_sql(),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lvm_datapipe_spark.operators import dedup as D
@@ -15049,3 +15063,72 @@ def events_debounce_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
             "collapse_rate"
         ),
     )
+
+
+@_q(
+    "dedup_method_agreement",
+    f"""
+    WITH jc AS (SELECT id_a, id_b FROM ({_jaccard_pairs_sql()})),
+    mh AS ({_minhash_pairs_sql()}),
+    sh AS (SELECT id_a, id_b FROM ({_simhash_sql()}))
+    SELECT 'minhash_vs_simhash' AS method_pair,
+           (SELECT CAST(count(*) AS BIGINT) FROM mh JOIN sh USING (id_a, id_b))
+             AS n_both,
+           (SELECT CAST(count(*) AS BIGINT) FROM mh ANTI JOIN sh USING (id_a, id_b))
+             AS n_only_first,
+           (SELECT CAST(count(*) AS BIGINT) FROM sh ANTI JOIN mh USING (id_a, id_b))
+             AS n_only_second
+    UNION ALL
+    SELECT 'minhash_vs_jaccard',
+           (SELECT CAST(count(*) AS BIGINT) FROM mh JOIN jc USING (id_a, id_b)),
+           (SELECT CAST(count(*) AS BIGINT) FROM mh ANTI JOIN jc USING (id_a, id_b)),
+           (SELECT CAST(count(*) AS BIGINT) FROM jc ANTI JOIN mh USING (id_a, id_b))
+    UNION ALL
+    SELECT 'simhash_vs_jaccard',
+           (SELECT CAST(count(*) AS BIGINT) FROM sh JOIN jc USING (id_a, id_b)),
+           (SELECT CAST(count(*) AS BIGINT) FROM sh ANTI JOIN jc USING (id_a, id_b)),
+           (SELECT CAST(count(*) AS BIGINT) FROM jc ANTI JOIN sh USING (id_a, id_b))
+    """,
+)
+def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEDUP METHOD AGREEMENT matrix: for each pair of near-dup methods
+    (MinHash-LSH bands, SimHash hamming<=3, capped exact n-gram Jaccard
+    >=0.6), how many document pairs both flag vs each alone -- the
+    calibration readout that says whether the cheap sketch methods are
+    interchangeable with the exact one ON THIS CORPUS, or which one to
+    trust when they disagree.  Pure set algebra over the three
+    deterministic pair sets; all-integer.
+
+    Scale shape: each pair set is its banded/capped keyed-join plan; the
+    agreement counts are (id_a, id_b)-keyed joins between pair tables --
+    pair tables are output-sized (bounded by banding), never corpus^2."""
+    from lvm_datapipe_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    jc = D.ngram_jaccard_pairs(docs, threshold=0.6, max_shingle_freq=1000).select(
+        "id_a", "id_b"
+    )
+    mh = D.minhash_lsh_pairs(docs).select("id_a", "id_b")
+    sh = D.simhash_pairs(docs, max_hamming=3, bands=4).select("id_a", "id_b")
+
+    def agree(name, a, b):
+        both = a.join(b, ["id_a", "id_b"]).count()
+        only_a = a.join(b, ["id_a", "id_b"], "left_anti").count()
+        only_b = b.join(a, ["id_a", "id_b"], "left_anti").count()
+        return spark.createDataFrame(
+            [(name, both, only_a, only_b)],
+            "method_pair string, n_both long, n_only_first long,"
+            " n_only_second long",
+        )
+
+    jc = jc.persist()
+    mh = mh.persist()
+    sh = sh.persist()
+    out = (
+        agree("minhash_vs_simhash", mh, sh)
+        .unionAll(agree("minhash_vs_jaccard", mh, jc))
+        .unionAll(agree("simhash_vs_jaccard", sh, jc))
+    )
+    from lvm_datapipe_spark.operators.dedup import _with_cached_deps
+
+    return _with_cached_deps(out, [jc, mh, sh])
