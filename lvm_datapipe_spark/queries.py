@@ -15132,3 +15132,154 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lvm_datapipe_spark.operators.dedup import _with_cached_deps
 
     return _with_cached_deps(out, [jc, mh, sh])
+
+
+@_q(
+    "cohort_ltv_curve",
+    """
+    WITH cm AS (
+      SELECT o_custkey,
+             CAST(strftime(o_orderdate, '%Y') AS BIGINT) * 12
+               + CAST(strftime(o_orderdate, '%m') AS BIGINT) - 1 AS month_id,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DECIMAL(27,6))
+               AS rev
+      FROM orders GROUP BY o_custkey, month_id),
+    fc AS (SELECT o_custkey, MIN(month_id) AS cohort_id FROM cm
+           GROUP BY o_custkey),
+    sz AS (SELECT cohort_id, CAST(count(*) AS BIGINT) AS n_customers
+           FROM fc GROUP BY cohort_id),
+    co AS (
+      SELECT fc.cohort_id, cm.month_id - fc.cohort_id AS offset_months,
+             CAST(SUM(cm.rev) AS DECIMAL(27,6)) AS rev
+      FROM cm JOIN fc ON fc.o_custkey = cm.o_custkey
+      GROUP BY fc.cohort_id, offset_months),
+    cum AS (
+      SELECT cohort_id, offset_months,
+             SUM(rev) OVER (PARTITION BY cohort_id ORDER BY offset_months
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_rev
+      FROM co)
+    SELECT CAST(cum.cohort_id AS BIGINT) AS cohort_id,
+           CAST(offset_months AS BIGINT) AS offset_months,
+           sz.n_customers,
+           CAST(cum_rev AS DOUBLE) AS cum_revenue,
+           CAST(cum_rev AS DOUBLE) / sz.n_customers AS ltv_per_customer
+    FROM cum JOIN sz ON sz.cohort_id = cum.cohort_id
+    """,
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHORT LTV CURVE: customers grouped by first-purchase month;
+    cumulative revenue per cohort at each month offset, normalized per
+    customer -- the payback/LTV readout that retention counts alone
+    can't give.  Revenue stays DECIMAL through the per-customer-month
+    aggregate, the cohort-offset regroup, AND the cumulative window
+    (exact at every point); the per-customer division is the only float
+    op.  Offsets with no cohort activity simply have no row -- the
+    cumulative value at the next present offset is still exact.
+
+    Scale shape: (customer, month) aggregate, customer-keyed cohort
+    join, (cohort, offset) regroup, then a window PARTITIONED by cohort
+    over |offsets| rows."""
+    o = load_table(spark, sf_dir, "orders")
+    dec = "decimal(27,6)"
+    cm = o.groupBy(
+        "o_custkey",
+        (
+            F.year("o_orderdate").cast("long") * 12
+            + F.month("o_orderdate").cast("long")
+            - 1
+        ).alias("month_id"),
+    ).agg(F.sum(F.col("o_totalprice").cast(dec)).cast(dec).alias("rev"))
+    fc = cm.groupBy("o_custkey").agg(F.min("month_id").alias("cohort_id"))
+    sz = fc.groupBy("cohort_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers")
+    )
+    co = (
+        cm.join(fc, "o_custkey")
+        .groupBy(
+            "cohort_id",
+            (F.col("month_id") - F.col("cohort_id")).alias("offset_months"),
+        )
+        .agg(F.sum("rev").cast(dec).alias("rev"))
+    )
+    w = (
+        Window.partitionBy("cohort_id")
+        .orderBy("offset_months")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = co.select(
+        "cohort_id", "offset_months", F.sum("rev").over(w).alias("cum_rev")
+    )
+    return cum.join(sz, "cohort_id").select(
+        F.col("cohort_id").cast("long").alias("cohort_id"),
+        F.col("offset_months").cast("long").alias("offset_months"),
+        "n_customers",
+        F.col("cum_rev").cast("double").alias("cum_revenue"),
+        (F.col("cum_rev").cast("double") / F.col("n_customers")).alias(
+            "ltv_per_customer"
+        ),
+    )
+
+
+@_q(
+    "vocab_coverage_by_freq_class",
+    f"""
+    WITH tf AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest({_SQL_TOKS}) AS tok FROM documents)
+      GROUP BY tok),
+    tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS total,
+                   CAST(count(*) AS BIGINT) AS n_types
+            FROM tf),
+    ladder AS (SELECT unnest([2, 5, 10, 50, 100]) AS threshold)
+    SELECT CAST(l.threshold AS INTEGER) AS threshold,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(SUM(tf.freq) AS BIGINT) AS n_occurrences,
+           CAST(SUM(tf.freq) AS DOUBLE) / MAX(tot.total) AS coverage,
+           CAST(count(*) AS DOUBLE) / MAX(tot.n_types) AS type_fraction
+    FROM tf CROSS JOIN ladder l CROSS JOIN tot
+    WHERE tf.freq >= l.threshold
+    GROUP BY l.threshold
+    """,
+)
+def vocab_coverage_by_freq_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIPF COVERAGE readout: what fraction of all token OCCURRENCES is
+    covered by the token TYPES seen at least t times (t = 2..100) -- the
+    vocabulary-size decision table for tokenizer training ("types with
+    freq >= 10 are 1.8% of the vocab but 96% of the text").  Uses
+    frequency THRESHOLDS rather than top-k ranks on purpose: rank
+    requires a global sort/window over the vocab table; threshold
+    classes are one aggregate -- same decision content, scale-safe.
+    Counts exact; the two fractions are final divisions.
+
+    Scale shape: one token-keyed aggregate, a 5x fan-out of the vocab
+    table against the threshold ladder (broadcast), one 5-row
+    aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    from lvm_datapipe_spark.operators.text import tokens
+
+    tf = (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    tot = tf.agg(
+        F.sum("freq").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+    )
+    ladder = spark.createDataFrame(
+        [(2,), (5,), (10,), (50,), (100,)], "threshold int"
+    )
+    j = (
+        tf.crossJoin(F.broadcast(ladder))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("freq") >= F.col("threshold"))
+    )
+    return j.groupBy("threshold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum("freq").cast("long").alias("n_occurrences"),
+        (F.sum("freq").cast("double") / F.max("total")).alias("coverage"),
+        (F.count(F.lit(1)).cast("double") / F.max("n_types")).alias(
+            "type_fraction"
+        ),
+    )
