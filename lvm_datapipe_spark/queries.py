@@ -15283,3 +15283,214 @@ def vocab_coverage_by_freq_class(spark: SparkSession, sf_dir: str) -> DataFrame:
             "type_fraction"
         ),
     )
+
+
+@_q(
+    "daily_peak_concurrency",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts > LAG(ts) OVER w + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS BIGINT) AS session_id,
+             ts
+      FROM flagged),
+    iv AS (
+      SELECT CAST(floor(epoch(MIN(ts))) AS BIGINT) AS s_start,
+             CAST(floor(epoch(MAX(ts))) AS BIGINT) + 1 AS s_end
+      FROM sessions GROUP BY user_id, session_id),
+    b AS (
+      SELECT s_start AS sec, 1 AS delta FROM iv
+      UNION ALL
+      SELECT s_end AS sec, -1 AS delta FROM iv),
+    persec AS (
+      SELECT sec // 86400 AS day, sec, CAST(SUM(delta) AS BIGINT) AS d
+      FROM b GROUP BY sec // 86400, sec),
+    intraday AS (
+      SELECT day, sec,
+             SUM(d) OVER (PARTITION BY day ORDER BY sec
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS run
+      FROM persec),
+    daysum AS (SELECT day, CAST(SUM(d) AS BIGINT) AS day_total
+               FROM persec GROUP BY day),
+    dayoff AS (
+      SELECT a.day, COALESCE(CAST(SUM(b.day_total) AS BIGINT), 0) AS off
+      FROM daysum a LEFT JOIN daysum b ON b.day < a.day
+      GROUP BY a.day),
+    peaks AS (
+      SELECT i.day, MAX(o.off + i.run) AS peak
+      FROM intraday i JOIN dayoff o ON o.day = i.day
+      GROUP BY i.day)
+    SELECT CAST(day AS BIGINT) AS day_id,
+           CAST(peak AS BIGINT) AS peak_concurrency
+    FROM peaks
+    """,
+)
+def daily_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PEAK CONCURRENT SESSIONS per day -- the capacity-planning number
+    (license seats, connection pools, serving replicas).  Interval
+    stabbing via the boundary-delta trick: +1 at session start, -1 one
+    second after session end; concurrency at time t is the prefix sum
+    of deltas.  The global prefix sum is computed WITHOUT a global
+    window by the classic two-level decomposition (the same offsets
+    pattern as relational.contiguous_ids): an intra-day running sum
+    PARTITIONED by day, plus per-day offsets from a days x days
+    triangular self-join (|days| is bounded -- ten years is 3,653 rows
+    -- so the join is broadcast-tiny at any corpus size).  All-integer.
+
+    Scale shape: sessionize windows (user-partitioned), keyed boundary
+    aggregate, day-partitioned window, bounded day-level join.  No
+    SinglePartition window anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    is_new = F.when(
+        prev_ts.isNull() | (F.col("ts") > prev_ts + F.expr("INTERVAL 30 MINUTES")), 1
+    ).otherwise(0)
+    sessions = ev.withColumn("is_new", is_new).withColumn(
+        "session_id", F.sum(F.col("is_new").cast("long")).over(w)
+    )
+    iv = sessions.groupBy("user_id", "session_id").agg(
+        F.unix_seconds(F.min("ts").cast("timestamp")).alias("s_start"),
+        (F.unix_seconds(F.max("ts").cast("timestamp")) + 1).alias("s_end"),
+    )
+    b = iv.select(F.col("s_start").alias("sec"), F.lit(1).alias("delta")).unionAll(
+        iv.select(F.col("s_end").alias("sec"), F.lit(-1).alias("delta"))
+    )
+    persec = b.groupBy(
+        F.expr("sec div 86400").alias("day"), "sec"
+    ).agg(F.sum("delta").cast("long").alias("d"))
+    wd = (
+        Window.partitionBy("day")
+        .orderBy("sec")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    intraday = persec.select("day", "sec", F.sum("d").over(wd).alias("run"))
+    daysum = persec.groupBy("day").agg(
+        F.sum("d").cast("long").alias("day_total")
+    )
+    a = daysum.select(F.col("day"))
+    prior = daysum.select(
+        F.col("day").alias("b_day"), F.col("day_total").alias("b_total")
+    )
+    dayoff = (
+        a.join(F.broadcast(prior), F.col("b_day") < F.col("day"), "left")
+        .groupBy("day")
+        .agg(
+            F.coalesce(F.sum("b_total").cast("long"), F.lit(0).cast("long")).alias(
+                "off"
+            )
+        )
+    )
+    peaks = (
+        intraday.join(F.broadcast(dayoff), "day")
+        .groupBy("day")
+        .agg(F.max(F.col("off") + F.col("run")).alias("peak"))
+    )
+    return peaks.select(
+        F.col("day").cast("long").alias("day_id"),
+        F.col("peak").cast("long").alias("peak_concurrency"),
+    )
+
+
+@_q(
+    "association_type_hour_cramers_v",
+    """
+    WITH d AS (
+      SELECT event_type,
+             CAST(strftime(ts, '%H') AS INTEGER) AS hour_of_day
+      FROM events),
+    c AS (SELECT event_type, hour_of_day, CAST(count(*) AS BIGINT) AS o
+          FROM d GROUP BY event_type, hour_of_day),
+    rt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS row_n
+           FROM d GROUP BY event_type),
+    ct AS (SELECT hour_of_day, CAST(count(*) AS BIGINT) AS col_n
+           FROM d GROUP BY hour_of_day),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+    g AS (SELECT rt.event_type, ct.hour_of_day, rt.row_n, ct.col_n,
+                 COALESCE(c.o, CAST(0 AS BIGINT)) AS o
+          FROM rt CROSS JOIN ct
+          LEFT JOIN c ON c.event_type = rt.event_type
+                     AND c.hour_of_day = ct.hour_of_day),
+    terms AS (
+      SELECT CAST(
+               ((CAST(g.o AS DOUBLE) - CAST(g.row_n * g.col_n AS DOUBLE) / t.n)
+                * (CAST(g.o AS DOUBLE) - CAST(g.row_n * g.col_n AS DOUBLE) / t.n))
+               / (CAST(g.row_n * g.col_n AS DOUBLE) / t.n)
+               AS DECIMAL(27,12)) AS term
+      FROM g CROSS JOIN t),
+    dims AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM rt),
+    dimc AS (SELECT CAST(count(*) AS BIGINT) AS n_cols FROM ct)
+    SELECT CAST(SUM(terms.term) AS DOUBLE) AS chi2,
+           dims.n_rows, dimc.n_cols, t.n AS n_events,
+           sqrt(CAST(SUM(terms.term) AS DOUBLE)
+                / (t.n * (least(dims.n_rows, dimc.n_cols) - 1))) AS cramers_v
+    FROM terms CROSS JOIN dims CROSS JOIN dimc CROSS JOIN t
+    GROUP BY dims.n_rows, dimc.n_cols, t.n
+    """,
+)
+def association_type_hour_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRAMER'S V between event type and hour-of-day: one bounded number
+    (0 = independent, 1 = fully determined) for "is behavior
+    time-of-day dependent?" -- the single-scalar companion to the
+    per-cell [[chisq_source_lang]] drill-down.  Per-cell chi-square
+    terms use the proven integer-marginal recipe; the CROSS-CELL sum --
+    where naive float addition diverges between engines -- quantizes
+    each identically-computed term to DECIMAL(27,12) so the sum is
+    order-free and exact; sqrt and the final division are
+    correctly-rounded IEEE.
+
+    Scale shape: one keyed aggregate + marginal broadcasts; the cell
+    grid is |types| x 24."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "event_type", F.date_format("ts", "HH").cast("int").alias("hour_of_day")
+    )
+    c = d.groupBy("event_type", "hour_of_day").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    rt = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("row_n")
+    )
+    ct = d.groupBy("hour_of_day").agg(
+        F.count(F.lit(1)).cast("long").alias("col_n")
+    )
+    t = d.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    g = (
+        rt.crossJoin(ct)
+        .join(c, ["event_type", "hour_of_day"], "left")
+        .select(
+            "event_type",
+            "hour_of_day",
+            "row_n",
+            "col_n",
+            F.coalesce(F.col("o"), F.lit(0).cast("long")).alias("o"),
+        )
+    )
+    expected = F.col("row_n") * F.col("col_n")
+    dev = F.col("o").cast("double") - expected.cast("double") / F.col("n")
+    term = (dev * dev / (expected.cast("double") / F.col("n"))).cast(
+        "decimal(27,12)"
+    )
+    terms = g.crossJoin(F.broadcast(t)).select(term.alias("term"), "n")
+    dims = rt.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    dimc = ct.agg(F.count(F.lit(1)).cast("long").alias("n_cols"))
+    s = terms.groupBy("n").agg(F.sum("term").alias("chi2_dec"))
+    out = s.crossJoin(F.broadcast(dims)).crossJoin(F.broadcast(dimc))
+    chi2 = F.col("chi2_dec").cast("double")
+    return out.select(
+        chi2.alias("chi2"),
+        "n_rows",
+        "n_cols",
+        F.col("n").alias("n_events"),
+        F.sqrt(
+            chi2 / (F.col("n") * (F.least(F.col("n_rows"), F.col("n_cols")) - 1))
+        ).alias("cramers_v"),
+    )

@@ -387,3 +387,35 @@ def test_top_pc_matches_numpy_power_iteration(spark):
     top = np.linalg.eigvalsh(np.cov(X.T, bias=True))[-1]
     eig = out[0].eigenvalue
     assert 0.5 * top < eig <= top * (1 + 1e-9)  # from below, right scale
+
+
+def test_daily_peak_concurrency_matches_sweep_line(spark, events_pd):
+    got = {
+        int(r.day_id): int(r.peak_concurrency)
+        for r in QUERIES["daily_peak_concurrency"](spark, SF).collect()
+    }
+    # independent sweep-line model over the same 30-min sessionization
+    deltas = {}
+    for _, g in events_pd.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        start = prev = None
+        spans = []
+        for t in g.ts:
+            if prev is None or (t - prev).total_seconds() > 1800:
+                if start is not None:
+                    spans.append((start, prev))
+                start = t
+            prev = t
+        spans.append((start, prev))
+        for s, e in spans:
+            s_sec = int(s.timestamp())
+            e_sec = int(e.timestamp()) + 1
+            deltas[s_sec] = deltas.get(s_sec, 0) + 1
+            deltas[e_sec] = deltas.get(e_sec, 0) - 1
+    run = 0
+    peaks = {}
+    for sec in sorted(deltas):
+        run += deltas[sec]
+        day = sec // 86400
+        peaks[day] = max(peaks.get(day, run), run)
+    assert got == peaks
