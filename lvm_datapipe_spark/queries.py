@@ -15494,3 +15494,183 @@ def association_type_hour_cramers_v(spark: SparkSession, sf_dir: str) -> DataFra
             chi2 / (F.col("n") * (F.least(F.col("n_rows"), F.col("n_cols")) - 1))
         ).alias("cramers_v"),
     )
+
+
+@_q(
+    "join_coverage_report",
+    """
+    SELECT 'customer_has_order' AS relationship,
+           (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_left,
+           (SELECT CAST(count(*) AS BIGINT) FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey)) AS n_matched,
+           (SELECT CAST(count(*) AS DOUBLE) FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey))
+             / (SELECT count(*) FROM customer) AS coverage
+    UNION ALL
+    SELECT 'supplier_has_lineitem',
+           (SELECT CAST(count(*) AS BIGINT) FROM supplier),
+           (SELECT CAST(count(*) AS BIGINT) FROM supplier s
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_suppkey = s.s_suppkey)),
+           (SELECT CAST(count(*) AS DOUBLE) FROM supplier s
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_suppkey = s.s_suppkey))
+             / (SELECT count(*) FROM supplier)
+    UNION ALL
+    SELECT 'part_ever_ordered',
+           (SELECT CAST(count(*) AS BIGINT) FROM part),
+           (SELECT CAST(count(*) AS BIGINT) FROM part p
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_partkey = p.p_partkey)),
+           (SELECT CAST(count(*) AS DOUBLE) FROM part p
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_partkey = p.p_partkey))
+             / (SELECT count(*) FROM part)
+    """,
+)
+def join_coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN COVERAGE report: for each dimension->fact relationship, what
+    fraction of dimension rows actually participates (customers with an
+    order, suppliers with a shipment, parts ever ordered) -- the
+    before-you-join DQ readout that catches silently-empty joins and
+    orphaned dimensions (complement of [[referential_integrity_audit]],
+    which checks the fact side).  Counts via semi-joins; rates are
+    single divisions of exact counts.
+
+    Scale shape: three key-distinct semi-joins (the fact side reduces
+    to its distinct keys before the join), three dimension counts."""
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def row(name, left, left_key, fact, fact_key):
+        n_left = left.count()
+        n_matched = left.join(
+            fact.select(F.col(fact_key).alias(left_key)).distinct(),
+            left_key,
+            "left_semi",
+        ).count()
+        return spark.createDataFrame(
+            [(name, n_left, n_matched, n_matched / n_left)],
+            "relationship string, n_left long, n_matched long,"
+            " coverage double",
+        )
+
+    return (
+        row("customer_has_order", c, "c_custkey", o, "o_custkey")
+        .unionAll(row("supplier_has_lineitem", s, "s_suppkey", li, "l_suppkey"))
+        .unionAll(row("part_ever_ordered", p, "p_partkey", li, "l_partkey"))
+    )
+
+
+@_q(
+    "dedup_transitivity_inflation",
+    f"""
+    WITH pairs AS ({_lsh_near_dup_sql(n_tables=12)}),
+    clusters AS (
+      WITH RECURSIVE p2 AS (SELECT id_a, id_b FROM pairs),
+      edges AS (SELECT id_a AS u, id_b AS w FROM p2
+                UNION SELECT id_b AS u, id_a AS w FROM p2),
+      reach AS (SELECT u, w FROM edges
+                UNION SELECT r.u AS u, e2.w AS w
+                FROM reach r JOIN edges e2 ON r.w = e2.u)
+      SELECT u AS id, least(u, min(w)) AS cluster_id FROM reach GROUP BY u),
+    sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS s
+              FROM clusters GROUP BY cluster_id)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM sizes) AS n_clusters,
+           (SELECT CAST(MAX(s) AS BIGINT) FROM sizes) AS max_cluster_size,
+           (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_direct_pairs,
+           (SELECT CAST(SUM(s * (s - 1) // 2) AS BIGINT) FROM sizes)
+             AS n_implied_pairs,
+           (SELECT CAST(SUM(s * (s - 1) // 2) AS DOUBLE) FROM sizes)
+             / (SELECT count(*) FROM pairs) AS inflation_ratio
+    """,
+)
+def dedup_transitivity_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRANSITIVITY INFLATION audit for connected-component dedup: the
+    clusters imply sum(s choose 2) duplicate pairs, but only
+    n_direct_pairs were actually measured similar -- a ratio far above 1
+    means chains are merging documents that were never compared (the
+    classic over-merge failure of CC dedup, usually one boilerplate hub
+    away).  Run it BEFORE trusting keep-one-per-cluster.  Implied pairs
+    come from cluster SIZES (integer arithmetic), never materialized;
+    the pair source is the deterministic 12-table LSH path.
+
+    Scale shape: the LSH pair plan + label propagation, then
+    cluster-sized aggregates; one division at the end."""
+    from lvm_datapipe_spark.operators import similarity as V
+    from lvm_datapipe_spark.operators.graph import connected_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = V.lsh_near_dup_pairs(emb, threshold=0.4, n_tables=12).persist()
+    clusters = connected_components(pairs)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("s")
+    )
+    stats = sizes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.max("s").cast("long").alias("max_cluster_size"),
+        F.sum(F.expr("s * (s - 1) div 2")).cast("long").alias("n_implied_pairs"),
+    )
+    n_direct = pairs.count()
+    out = stats.select(
+        "n_clusters",
+        "max_cluster_size",
+        F.lit(n_direct).cast("long").alias("n_direct_pairs"),
+        "n_implied_pairs",
+        (F.col("n_implied_pairs").cast("double") / F.lit(n_direct)).alias(
+            "inflation_ratio"
+        ),
+    )
+    from lvm_datapipe_spark.operators.dedup import _with_cached_deps
+
+    return _with_cached_deps(out, [pairs])
+
+
+@_q(
+    "corpus_stopword_candidates",
+    f"""
+    WITH dt AS (
+      SELECT DISTINCT doc_id, tok
+      FROM (SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents)),
+    nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+           FROM documents WHERE len({_SQL_TOKS}) > 0),
+    df AS (SELECT tok, CAST(count(*) AS BIGINT) AS doc_freq
+           FROM dt GROUP BY tok)
+    SELECT tok, doc_freq,
+           CAST(doc_freq AS DOUBLE) / nd.n_docs AS df_fraction
+    FROM df CROSS JOIN nd
+    WHERE CAST(doc_freq AS DOUBLE) / nd.n_docs >= CAST(0.3 AS DOUBLE)
+    """,
+)
+def corpus_stopword_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS-SPECIFIC STOPWORD mining: tokens whose DOCUMENT frequency
+    (fraction of docs containing them, not occurrence count) is >= 0.3
+    -- the list to feed the quality scorers and BM25 instead of a
+    frozen English stopword file, which is wrong for every other
+    language and every specialized corpus.  DF, not TF, is the right
+    statistic: a token repeated 1000x in one doc is topical; a token in
+    30% of ALL docs is glue.
+
+    Scale shape: distinct (doc, token) -- one keyed dedup -- then a
+    token-keyed count against a scalar doc count."""
+    docs = load_table(spark, sf_dir, "documents")
+    from lvm_datapipe_spark.operators.text import tokens
+
+    dt = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("tok")
+    ).distinct()
+    nd = docs.filter(F.size(tokens("text")) > 0).agg(
+        F.count_distinct("doc_id").cast("long").alias("n_docs")
+    )
+    df = dt.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("doc_freq"))
+    frac = F.col("doc_freq").cast("double") / F.col("n_docs")
+    return (
+        df.crossJoin(F.broadcast(nd))
+        .filter(frac >= 0.3)
+        .select("tok", "doc_freq", frac.alias("df_fraction"))
+    )
