@@ -15420,17 +15420,17 @@ def daily_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
           LEFT JOIN c ON c.event_type = rt.event_type
                      AND c.hour_of_day = ct.hour_of_day),
     terms AS (
-      SELECT CAST(
+      SELECT CAST(floor(
                ((CAST(g.o AS DOUBLE) - CAST(g.row_n * g.col_n AS DOUBLE) / t.n)
                 * (CAST(g.o AS DOUBLE) - CAST(g.row_n * g.col_n AS DOUBLE) / t.n))
                / (CAST(g.row_n * g.col_n AS DOUBLE) / t.n)
-               AS DECIMAL(27,12)) AS term
+               * 1000000.0) AS BIGINT) AS term
       FROM g CROSS JOIN t),
     dims AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM rt),
     dimc AS (SELECT CAST(count(*) AS BIGINT) AS n_cols FROM ct)
-    SELECT CAST(SUM(terms.term) AS DOUBLE) AS chi2,
+    SELECT CAST(SUM(terms.term) AS DOUBLE) / 1000000.0 AS chi2,
            dims.n_rows, dimc.n_cols, t.n AS n_events,
-           sqrt(CAST(SUM(terms.term) AS DOUBLE)
+           sqrt(CAST(SUM(terms.term) AS DOUBLE) / 1000000.0
                 / (t.n * (least(dims.n_rows, dimc.n_cols) - 1))) AS cramers_v
     FROM terms CROSS JOIN dims CROSS JOIN dimc CROSS JOIN t
     GROUP BY dims.n_rows, dimc.n_cols, t.n
@@ -15476,15 +15476,18 @@ def association_type_hour_cramers_v(spark: SparkSession, sf_dir: str) -> DataFra
     )
     expected = F.col("row_n") * F.col("col_n")
     dev = F.col("o").cast("double") - expected.cast("double") / F.col("n")
-    term = (dev * dev / (expected.cast("double") / F.col("n"))).cast(
-        "decimal(27,12)"
-    )
+    # floor-to-micro BIGINT: CAST(double AS DECIMAL) is NOT portable
+    # (Spark rounds half-up, DuckDB truncates) -- floor(x*1e6) in double
+    # is the same IEEE op sequence on both engines
+    term = F.floor(
+        dev * dev / (expected.cast("double") / F.col("n")) * 1000000.0
+    ).cast("long")
     terms = g.crossJoin(F.broadcast(t)).select(term.alias("term"), "n")
     dims = rt.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
     dimc = ct.agg(F.count(F.lit(1)).cast("long").alias("n_cols"))
-    s = terms.groupBy("n").agg(F.sum("term").alias("chi2_dec"))
+    s = terms.groupBy("n").agg(F.sum("term").alias("chi2_micro"))
     out = s.crossJoin(F.broadcast(dims)).crossJoin(F.broadcast(dimc))
-    chi2 = F.col("chi2_dec").cast("double")
+    chi2 = F.col("chi2_micro").cast("double") / 1000000.0
     return out.select(
         chi2.alias("chi2"),
         "n_rows",
@@ -15673,4 +15676,238 @@ def corpus_stopword_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         df.crossJoin(F.broadcast(nd))
         .filter(frac >= 0.3)
         .select("tok", "doc_freq", frac.alias("df_fraction"))
+    )
+
+
+@_q(
+    "order_concentration_hhi_by_nation",
+    """
+    WITH oc AS (
+      SELECT n.n_name, o.o_custkey, CAST(count(*) AS BIGINT) AS c
+      FROM orders o
+      JOIN customer cu ON cu.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = cu.c_nationkey
+      GROUP BY n.n_name, o.o_custkey)
+    SELECT n_name,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(SUM(c) AS BIGINT) AS total_orders,
+           CAST(SUM(c * c) AS DOUBLE) / (SUM(c) * SUM(c)) AS hhi,
+           CAST(1 AS DOUBLE) / count(*) AS hhi_floor
+    FROM oc GROUP BY n_name
+    """,
+)
+def order_concentration_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HERFINDAHL-HIRSCHMAN concentration of order volume within each
+    nation: HHI = sum of squared customer shares = sum(c^2)/(sum c)^2 --
+    near its floor 1/n means orders spread evenly, near 1 means one
+    whale customer IS the market (a skew-risk readout for both business
+    and shuffle planning: the HHI of a join key is exactly its hot-key
+    skew).  All integer sums; two final divisions.
+
+    Scale shape: custkey-keyed aggregate, broadcastable nation/customer
+    dims, |nations|-sized final aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    oc = (
+        o.join(cu, o.o_custkey == cu.c_custkey)
+        .join(F.broadcast(n), cu.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", "o_custkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    return oc.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("c").cast("long").alias("total_orders"),
+        (
+            F.sum(F.col("c") * F.col("c")).cast("double")
+            / (F.sum("c") * F.sum("c"))
+        ).alias("hhi"),
+        (F.lit(1).cast("double") / F.count(F.lit(1))).alias("hhi_floor"),
+    )
+
+
+@_q(
+    "seasonality_strength_by_type",
+    """
+    WITH h AS (
+      SELECT event_type, CAST(strftime(ts, '%H') AS INTEGER) AS hr,
+             CAST(count(*) AS BIGINT) AS n_g,
+             SUM(CAST(value AS DECIMAL(9,6))) AS sd1,
+             SUM(CAST(value AS DECIMAL(9,6)) * CAST(value AS DECIMAL(9,6)))
+               AS sd2
+      FROM events WHERE abs(value) < CAST(1000.0 AS DOUBLE)
+      GROUP BY event_type, hr),
+    terms AS (
+      SELECT event_type, n_g, sd1, sd2,
+             CAST(floor((CAST(CAST(sd1 AS VARCHAR) AS DOUBLE)
+                   * CAST(CAST(sd1 AS VARCHAR) AS DOUBLE)) / n_g
+                  * 1000000.0) AS BIGINT) AS bterm
+      FROM h),
+    agg AS (
+      SELECT event_type,
+             CAST(SUM(n_g) AS BIGINT) AS n,
+             CAST(CAST(SUM(sd1) AS VARCHAR) AS DOUBLE) AS s1,
+             CAST(CAST(SUM(sd2) AS VARCHAR) AS DOUBLE) AS s2,
+             CAST(SUM(bterm) AS DOUBLE) / 1000000.0 AS bsum,
+             CAST(count(*) AS BIGINT) AS n_hours
+      FROM terms GROUP BY event_type)
+    SELECT event_type, n, n_hours,
+           bsum - s1 * s1 / n AS between_ss,
+           s2 - s1 * s1 / n AS total_ss,
+           CASE WHEN s2 - s1 * s1 / n > CAST(0.0 AS DOUBLE)
+                THEN (bsum - s1 * s1 / n) / (s2 - s1 * s1 / n)
+                ELSE NULL END AS eta_squared
+    FROM agg
+    """,
+)
+def seasonality_strength_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEASONALITY STRENGTH as one-way ANOVA eta-squared: the fraction
+    of each metric's variance explained by hour-of-day (between-group
+    sum of squares / total sum of squares over the 24 hour bins).
+    eta^2 near 0 = no daily rhythm, near 1 = the hour IS the value --
+    the quantitative "should I model seasonality" gate upstream of
+    [[events_seasonal_residuals]].  Engine-exact: per-hour decimal
+    power sums, the VARCHAR->double bridge at fixed points, and the
+    24-term between-SS sum quantized to DECIMAL(27,12) (the
+    [[association_type_hour_cramers_v]] order-free-sum recipe).
+
+    Scale shape: one (type, hour) keyed aggregate; everything after is
+    24 rows per type."""
+    ev = load_table(spark, sf_dir, "events").filter(F.abs(F.col("value")) < 1000.0)
+    d6 = F.col("value").cast("decimal(9,6)")
+    h = ev.groupBy(
+        "event_type", F.date_format("ts", "HH").cast("int").alias("hr")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum(d6).alias("sd1"),
+        F.sum(d6 * d6).alias("sd2"),
+    )
+    s1g = F.col("sd1").cast("string").cast("double")
+    terms = h.select(
+        "event_type",
+        "n_g",
+        "sd1",
+        "sd2",
+        F.floor((s1g * s1g) / F.col("n_g") * 1000000.0)
+        .cast("long")
+        .alias("bterm"),
+    )
+    agg = terms.groupBy("event_type").agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("sd1").cast("string").cast("double").alias("s1"),
+        F.sum("sd2").cast("string").cast("double").alias("s2"),
+        (F.sum("bterm").cast("double") / 1000000.0).alias("bsum"),
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+    )
+    bss = F.col("bsum") - F.col("s1") * F.col("s1") / F.col("n")
+    tss = F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")
+    return agg.select(
+        "event_type",
+        "n",
+        "n_hours",
+        bss.alias("between_ss"),
+        tss.alias("total_ss"),
+        F.when(tss > 0.0, bss / tss).alias("eta_squared"),
+    )
+
+
+@_q(
+    "events_runs_test_randomness",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY event_type, hour),
+    med AS (
+      SELECT event_type, quantile_cont(c, 0.5) AS m
+      FROM hourly GROUP BY event_type),
+    signed AS (
+      SELECT h.event_type, h.hour,
+             CASE WHEN h.c > med.m THEN 1 ELSE -1 END AS sgn
+      FROM hourly h JOIN med ON med.event_type = h.event_type
+      WHERE h.c <> med.m),
+    runs AS (
+      SELECT event_type, sgn,
+             CASE WHEN LAG(sgn) OVER w IS NULL
+                       OR LAG(sgn) OVER w <> sgn THEN 1 ELSE 0 END AS is_new
+      FROM signed
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour)),
+    st AS (
+      SELECT event_type,
+             CAST(SUM(is_new) AS BIGINT) AS r,
+             CAST(count(*) FILTER (WHERE sgn = 1) AS BIGINT) AS n1,
+             CAST(count(*) FILTER (WHERE sgn = -1) AS BIGINT) AS n2
+      FROM runs GROUP BY event_type)
+    SELECT event_type, r AS n_runs, n1 AS n_above, n2 AS n_below,
+           CAST(2 * n1 * n2 AS DOUBLE) / (n1 + n2) + 1.0 AS expected_runs,
+           CASE WHEN n1 > 0 AND n2 > 0 AND n1 + n2 > 1
+                     AND 2 * n1 * n2 * (2 * n1 * n2 - n1 - n2) > 0
+                THEN (r - (CAST(2 * n1 * n2 AS DOUBLE) / (n1 + n2) + 1.0))
+                     / sqrt(CAST(2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+                                 AS DOUBLE)
+                            / (CAST((n1 + n2) AS DOUBLE) * (n1 + n2)
+                               * (n1 + n2 - 1)))
+                ELSE NULL END AS z
+    FROM st
+    WHERE n1 + n2 >= 2
+    """,
+)
+def events_runs_test_randomness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WALD-WOLFOWITZ RUNS TEST on the hourly count series per type: is
+    the above/below-median sequence random, or does it clump (|z| > 2
+    means momentum/regimes -- autocorrelated load -- which breaks the
+    iid assumptions behind naive alerting thresholds)?  Ties at the
+    median are excluded (standard).  Runs counted by a lag window;
+    n1/n2/r stay integers, the expected-runs and variance formulas are
+    single float expressions over them.
+
+    Scale shape: (type, hour) aggregate, a per-type median, one
+    type-partitioned lag window over hour counts."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    med = hourly.groupBy("event_type").agg(
+        F.expr("percentile(c, 0.5)").alias("m")
+    )
+    signed = (
+        hourly.join(med, "event_type")
+        .filter(F.col("c") != F.col("m"))
+        .select(
+            "event_type",
+            "hour",
+            F.when(F.col("c") > F.col("m"), 1).otherwise(-1).alias("sgn"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("hour")
+    prev = F.lag("sgn").over(w)
+    runs = signed.select(
+        "event_type",
+        "sgn",
+        F.when(prev.isNull() | (prev != F.col("sgn")), 1).otherwise(0).alias(
+            "is_new"
+        ),
+    )
+    st = runs.groupBy("event_type").agg(
+        F.sum("is_new").cast("long").alias("r"),
+        F.count_if(F.col("sgn") == 1).cast("long").alias("n1"),
+        F.count_if(F.col("sgn") == -1).cast("long").alias("n2"),
+    )
+    n1, n2, r = F.col("n1"), F.col("n2"), F.col("r")
+    ntot = n1 + n2
+    er = (2 * n1 * n2).cast("double") / ntot + 1.0
+    var = (2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)).cast("double") / (
+        ntot.cast("double") * ntot * (ntot - 1)
+    )
+    return st.filter(ntot >= 2).select(
+        "event_type",
+        r.alias("n_runs"),
+        n1.alias("n_above"),
+        n2.alias("n_below"),
+        er.alias("expected_runs"),
+        F.when(
+            (n1 > 0) & (n2 > 0) & (ntot > 1)
+            & (2 * n1 * n2 * (2 * n1 * n2 - n1 - n2) > 0),
+            (r - er) / F.sqrt(var),
+        ).alias("z"),
     )
