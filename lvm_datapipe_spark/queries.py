@@ -15911,3 +15911,144 @@ def events_runs_test_randomness(spark: SparkSession, sf_dir: str) -> DataFrame:
             (r - er) / F.sqrt(var),
         ).alias("z"),
     )
+
+
+@_q(
+    "session_protocol_violations",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts > LAG(ts) OVER w + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts, event_id, event_type,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS BIGINT) AS session_id
+      FROM flagged),
+    checked AS (
+      SELECT event_type,
+             COALESCE(MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id, session_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS saw_view
+      FROM sessions)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(*) FILTER (WHERE saw_view = 0) AS BIGINT) AS n_orphans,
+           CAST(count(*) FILTER (WHERE saw_view = 0) AS DOUBLE) / count(*)
+             AS orphan_rate
+    FROM checked
+    WHERE event_type IN ('click', 'purchase')
+    GROUP BY event_type
+    """,
+)
+def session_protocol_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENCE-PROTOCOL audit: clicks and purchases with NO earlier
+    'view' in the same session -- events that violate the expected
+    instrumentation order (bot traffic, lost events, deep links firing
+    conversion without exposure).  An orphan_rate that jumps is usually
+    a tracking regression, not a behavior change; gate attribution and
+    funnel dashboards on it.  The prior-view flag is a running max over
+    the session-partitioned window (rows to 1 preceding, so an event
+    never vouches for itself).
+
+    Scale shape: the shared sessionize window plus one more
+    session-partitioned window; a |types|-sized aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    is_new = F.when(
+        prev_ts.isNull() | (F.col("ts") > prev_ts + F.expr("INTERVAL 30 MINUTES")), 1
+    ).otherwise(0)
+    sessions = ev.withColumn("is_new", is_new).withColumn(
+        "session_id", F.sum(F.col("is_new").cast("long")).over(w)
+    )
+    ws = (
+        Window.partitionBy("user_id", "session_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    checked = sessions.select(
+        "event_type",
+        F.coalesce(
+            F.max(
+                F.when(F.col("event_type") == "view", 1).otherwise(0)
+            ).over(ws),
+            F.lit(0),
+        ).alias("saw_view"),
+    )
+    orphan = F.count_if(F.col("saw_view") == 0)
+    return (
+        checked.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            orphan.cast("long").alias("n_orphans"),
+            (orphan.cast("double") / F.count(F.lit(1))).alias("orphan_rate"),
+        )
+    )
+
+
+@_q(
+    "vocab_growth_by_arrival",
+    f"""
+    WITH mx AS (SELECT CAST(MAX(doc_id) AS BIGINT) + 1 AS m FROM documents),
+    toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+    dt AS (
+      SELECT (doc_id * 20) // mx.m AS bucket, unnest({_SQL_SHINGLES}) AS tok
+      FROM toks CROSS JOIN mx),
+    fb AS (SELECT tok, CAST(MIN(bucket) AS BIGINT) AS first_bucket
+           FROM dt GROUP BY tok),
+    nw AS (SELECT first_bucket AS bucket,
+                  CAST(count(*) AS BIGINT) AS n_new_types
+           FROM fb GROUP BY first_bucket),
+    cum AS (
+      SELECT a.bucket,
+             CAST(SUM(b.n_new_types) AS BIGINT) AS cum_types
+      FROM nw a JOIN nw b ON b.bucket <= a.bucket
+      GROUP BY a.bucket)
+    SELECT nw.bucket, nw.n_new_types, cum.cum_types
+    FROM nw JOIN cum ON cum.bucket = nw.bucket
+    """,
+)
+def vocab_growth_by_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VOCABULARY GROWTH CURVE (Heaps' law readout): the corpus in 20
+    arrival-order slices (by doc_id), counting 3-gram shingle types first
+    seen in each slice and the cumulative shingle vocabulary (shingles,
+    not unigrams: the unigram vocab of any corpus saturates in the first
+    slice, so the curve would be a degenerate single row) -- still-steep growth at
+    the end means the corpus hasn't saturated its domain and a tokenizer
+    trained today will be stale; a flat tail says vocab is converged.
+    First-seen = MIN(bucket) per token; the cumulative curve is a
+    20x20 triangular self-join (bounded), not a global window.
+
+    Scale shape: one token-keyed MIN aggregate, a 20-row bucket
+    aggregate + tiny self-join."""
+    docs = load_table(spark, sf_dir, "documents")
+    from lvm_datapipe_spark.operators.text import tokens
+
+    from lvm_datapipe_spark.operators.dedup import word_ngrams
+
+    mx = docs.agg((F.max("doc_id").cast("long") + 1).alias("m"))
+    dt = (
+        docs.select(
+            "doc_id", F.explode(word_ngrams(tokens("text"), 3)).alias("tok")
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(F.expr("(doc_id * 20) div m").alias("bucket"), "tok")
+    )
+    fb = dt.groupBy("tok").agg(F.min("bucket").cast("long").alias("first_bucket"))
+    nw = fb.groupBy(F.col("first_bucket").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_new_types")
+    )
+    b = nw.select(F.col("bucket").alias("b_bucket"), F.col("n_new_types").alias("b_new"))
+    cum = (
+        nw.select("bucket")
+        .join(F.broadcast(b), F.col("b_bucket") <= F.col("bucket"))
+        .groupBy("bucket")
+        .agg(F.sum("b_new").cast("long").alias("cum_types"))
+    )
+    return nw.join(cum, "bucket").select("bucket", "n_new_types", "cum_types")
