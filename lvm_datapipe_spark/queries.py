@@ -16052,3 +16052,229 @@ def vocab_growth_by_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("b_new").cast("long").alias("cum_types"))
     )
     return nw.join(cum, "bucket").select("bucket", "n_new_types", "cum_types")
+
+
+_Z_ALPHA_975 = 1.959963984540054  # Phi^-1(0.975), shared literal
+_Z_POWER_80 = 0.8416212335729143  # Phi^-1(0.80), shared literal
+
+
+@_q(
+    "ab_test_mde_readout",
+    f"""
+    WITH a AS (
+      SELECT event_type,
+             ('0x' || substr(md5('ab' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+               % 2 AS arm,
+             value
+      FROM events WHERE abs(value) < CAST(1000.0 AS DOUBLE)),
+    m AS (
+      SELECT event_type, arm,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(9,6))) AS VARCHAR) AS DOUBLE) AS s1,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(9,6)) * CAST(value AS DECIMAL(9,6)))
+                  AS VARCHAR) AS DOUBLE) AS s2
+      FROM a GROUP BY event_type, arm),
+    p AS (
+      SELECT t.event_type, t.n AS n_treat, c.n AS n_ctrl,
+             c.s1 / c.n AS mean_ctrl,
+             ((t.s2 - t.s1 * t.s1 / t.n) + (c.s2 - c.s1 * c.s1 / c.n))
+               / (t.n + c.n - 2) AS pooled_var
+      FROM m t JOIN m c ON t.event_type = c.event_type
+            AND t.arm = 1 AND c.arm = 0
+      WHERE t.n >= 2 AND c.n >= 2)
+    SELECT event_type, n_treat, n_ctrl, pooled_var,
+           ('{_Z_ALPHA_975!r}'::DOUBLE + '{_Z_POWER_80!r}'::DOUBLE)
+             * sqrt(pooled_var * (CAST(1.0 AS DOUBLE) / n_treat
+                                  + CAST(1.0 AS DOUBLE) / n_ctrl)) AS mde_abs,
+           CASE WHEN mean_ctrl > CAST(0.0 AS DOUBLE)
+                THEN ('{_Z_ALPHA_975!r}'::DOUBLE + '{_Z_POWER_80!r}'::DOUBLE)
+                     * sqrt(pooled_var * (CAST(1.0 AS DOUBLE) / n_treat
+                                          + CAST(1.0 AS DOUBLE) / n_ctrl))
+                     / mean_ctrl
+                ELSE NULL END AS mde_rel
+    FROM p
+    """,
+)
+def ab_test_mde_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MINIMUM DETECTABLE EFFECT at the CURRENT sample size (80% power,
+    two-sided alpha 0.05) for each metric under the standing md5 user
+    split -- the pre-experiment honesty check ("with this traffic you
+    can only detect a 4% lift; don't bother running a 1% test").
+    Pooled variance from exact decimal power sums (the
+    [[ab_test_welch_z]] recipe); the two z constants are SHARED Python
+    literals injected into both engines, so the whole expression tree is
+    bit-identical.
+
+    Scale shape: one (metric, arm) keyed aggregate, then a 2-arm pivot
+    join on tiny rows."""
+    from lvm_datapipe_spark.operators.sampling import hash_bucket
+
+    ev = load_table(spark, sf_dir, "events").filter(F.abs(F.col("value")) < 1000.0)
+    d6 = F.col("value").cast("decimal(9,6)")
+    m = (
+        ev.withColumn("arm", hash_bucket("user_id", 2, "ab"))
+        .groupBy("event_type", "arm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(d6).cast("string").cast("double").alias("s1"),
+            F.sum(d6 * d6).cast("string").cast("double").alias("s2"),
+        )
+    )
+    t = m.filter(F.col("arm") == 1).select(
+        "event_type",
+        F.col("n").alias("n_treat"),
+        F.col("s1").alias("t1"),
+        F.col("s2").alias("t2"),
+    )
+    c = m.filter(F.col("arm") == 0).select(
+        "event_type",
+        F.col("n").alias("n_ctrl"),
+        F.col("s1").alias("c1"),
+        F.col("s2").alias("c2"),
+    )
+    p = (
+        t.join(c, "event_type")
+        .filter((F.col("n_treat") >= 2) & (F.col("n_ctrl") >= 2))
+        .select(
+            "event_type",
+            "n_treat",
+            "n_ctrl",
+            (F.col("c1") / F.col("n_ctrl")).alias("mean_ctrl"),
+            (
+                (
+                    (F.col("t2") - F.col("t1") * F.col("t1") / F.col("n_treat"))
+                    + (F.col("c2") - F.col("c1") * F.col("c1") / F.col("n_ctrl"))
+                )
+                / (F.col("n_treat") + F.col("n_ctrl") - 2)
+            ).alias("pooled_var"),
+        )
+    )
+    z = F.lit(_Z_ALPHA_975) + F.lit(_Z_POWER_80)
+    mde = z * F.sqrt(
+        F.col("pooled_var")
+        * (
+            F.lit(1.0) / F.col("n_treat")
+            + F.lit(1.0) / F.col("n_ctrl")
+        )
+    )
+    return p.select(
+        "event_type",
+        "n_treat",
+        "n_ctrl",
+        "pooled_var",
+        mde.alias("mde_abs"),
+        F.when(F.col("mean_ctrl") > 0.0, mde / F.col("mean_ctrl")).alias(
+            "mde_rel"
+        ),
+    )
+
+
+@_q(
+    "ratio_metric_ci_delta",
+    f"""
+    WITH u AS (
+      SELECT ('0x' || substr(md5('ab' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+               % 2 AS arm,
+             CAST(count(*) AS BIGINT) AS x,
+             SUM(CAST(value AS DECIMAL(9,6))) AS y
+      FROM events WHERE abs(value) < CAST(1000.0 AS DOUBLE)
+      GROUP BY arm, user_id),
+    s AS (
+      SELECT arm,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(CAST(SUM(y) AS VARCHAR) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(y * y) AS VARCHAR) AS DOUBLE) AS syy,
+             CAST(CAST(SUM(y * x) AS VARCHAR) AS DOUBLE) AS sxy
+      FROM u GROUP BY arm),
+    d AS (
+      SELECT arm, n, sx, sy,
+             sy / sx AS ratio,
+             (syy - sy * sy / n) / (n - 1) AS var_y,
+             (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) / (n - 1)
+               AS var_x,
+             (sxy - sy * CAST(sx AS DOUBLE) / n) / (n - 1) AS cov_xy,
+             CAST(sx AS DOUBLE) / n AS xbar
+      FROM s WHERE n >= 2 AND sx > 0)
+    SELECT arm, n AS n_users, sx AS total_events, sy AS total_value, ratio,
+           sqrt((var_y + ratio * ratio * var_x
+                 - CAST(2.0 AS DOUBLE) * ratio * cov_xy)
+                / (n * xbar * xbar)) AS se,
+           ratio - '{_Z_ALPHA_975!r}'::DOUBLE
+             * sqrt((var_y + ratio * ratio * var_x
+                     - CAST(2.0 AS DOUBLE) * ratio * cov_xy)
+                    / (n * xbar * xbar)) AS ci_lo,
+           ratio + '{_Z_ALPHA_975!r}'::DOUBLE
+             * sqrt((var_y + ratio * ratio * var_x
+                     - CAST(2.0 AS DOUBLE) * ratio * cov_xy)
+                    / (n * xbar * xbar)) AS ci_hi
+    FROM d
+    """,
+)
+def ratio_metric_ci_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RATIO-METRIC confidence interval by the DELTA METHOD: value per
+    event (sum y / sum x over users) with the correct user-clustered
+    standard error -- naive per-event SEs are wrong for ratio metrics
+    because the denominator is random too; the delta-method variance
+    (var_y + R^2 var_x - 2R cov_xy) / (n xbar^2) is the standard fix.
+    Every moment (x, x^2 integer; y, y^2, xy decimal) is an exact sum;
+    the z constant is the shared Python literal.
+
+    Scale shape: one user-keyed aggregate, one 2-row arm aggregate."""
+    from lvm_datapipe_spark.operators.sampling import hash_bucket
+
+    ev = load_table(spark, sf_dir, "events").filter(F.abs(F.col("value")) < 1000.0)
+    d6 = F.col("value").cast("decimal(9,6)")
+    u = (
+        ev.withColumn("arm", hash_bucket("user_id", 2, "ab"))
+        .groupBy("arm", "user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("x"),
+            F.sum(d6).alias("y"),
+        )
+    )
+    s = u.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum("y").cast("string").cast("double").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).cast("string").cast("double").alias("syy"),
+        F.sum(F.col("y") * F.col("x")).cast("string").cast("double").alias("sxy"),
+    )
+    n, sx = F.col("n"), F.col("sx")
+    ratio = F.col("sy") / sx
+    var_y = (F.col("syy") - F.col("sy") * F.col("sy") / n) / (n - 1)
+    var_x = (F.col("sxx").cast("double") - sx.cast("double") * sx / n) / (n - 1)
+    cov_xy = (F.col("sxy") - F.col("sy") * sx.cast("double") / n) / (n - 1)
+    xbar = sx.cast("double") / n
+    d = s.filter((n >= 2) & (sx > 0)).select(
+        "arm",
+        n.alias("n_users"),
+        sx.alias("total_events"),
+        F.col("sy").alias("total_value"),
+        ratio.alias("ratio"),
+        var_y.alias("var_y"),
+        var_x.alias("var_x"),
+        cov_xy.alias("cov_xy"),
+        xbar.alias("xbar"),
+    )
+    se = F.sqrt(
+        (
+            F.col("var_y")
+            + F.col("ratio") * F.col("ratio") * F.col("var_x")
+            - F.lit(2.0) * F.col("ratio") * F.col("cov_xy")
+        )
+        / (F.col("n_users") * F.col("xbar") * F.col("xbar"))
+    )
+    z = F.lit(_Z_ALPHA_975)
+    return d.select(
+        "arm",
+        "n_users",
+        "total_events",
+        "total_value",
+        "ratio",
+        se.alias("se"),
+        (F.col("ratio") - z * se).alias("ci_lo"),
+        (F.col("ratio") + z * se).alias("ci_hi"),
+    )
