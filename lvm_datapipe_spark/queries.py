@@ -16278,3 +16278,173 @@ def ratio_metric_ci_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ratio") - z * se).alias("ci_lo"),
         (F.col("ratio") + z * se).alias("ci_hi"),
     )
+
+
+@_q(
+    "revenue_seasonal_indices",
+    """
+    WITH m AS (
+      SELECT CAST(strftime(o_orderdate, '%Y') AS BIGINT) * 12
+               + CAST(strftime(o_orderdate, '%m') AS BIGINT) - 1 AS month_id,
+             CAST(strftime(o_orderdate, '%m') AS INTEGER) AS month_of_year,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DECIMAL(27,6))
+               AS rev
+      FROM orders GROUP BY month_id, month_of_year),
+    ma AS (
+      SELECT a.month_id, a.month_of_year, a.rev,
+             CAST(count(*) AS BIGINT) AS n_window,
+             CAST(SUM(b.rev) AS DECIMAL(27,6)) AS w_rev
+      FROM m a JOIN m b ON b.month_id BETWEEN a.month_id - 6
+                                          AND a.month_id + 6
+      GROUP BY a.month_id, a.month_of_year, a.rev
+      HAVING count(*) = 13),
+    ratio AS (
+      SELECT month_of_year,
+             CAST(rev AS DOUBLE)
+               / (CAST(w_rev AS DOUBLE) / n_window) AS r
+      FROM ma),
+    q AS (
+      SELECT month_of_year,
+             CAST(count(*) AS BIGINT) AS n_years,
+             CAST(SUM(CAST(floor(r * 1000000.0) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 / count(*) AS seasonal_index
+      FROM ratio GROUP BY month_of_year)
+    SELECT month_of_year, n_years, seasonal_index
+    FROM q
+    """,
+)
+def revenue_seasonal_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLASSICAL SEASONAL DECOMPOSITION indices: each month's revenue
+    over its centered 13-month moving average, averaged per
+    month-of-year -- index 1.1 means that calendar month runs 10% above
+    trend (the multiplicative X-11-style seasonal factor, the input to
+    deseasonalized targets and honest YoY comparisons).  The moving
+    average is a BOUNDED month-table self-join (BETWEEN +/-6), not a
+    window; edge months without a full 13-month window are excluded
+    (HAVING = 13), as the textbook method requires.  Revenue stays
+    decimal into the ratio; the cross-year mean of ratios uses the
+    floor-micro order-free sum.
+
+    Scale shape: one month-keyed aggregate over orders, then
+    |months|-sized joins and 12-row output."""
+    o = load_table(spark, sf_dir, "orders")
+    dec = "decimal(27,6)"
+    m = o.groupBy(
+        (
+            F.year("o_orderdate").cast("long") * 12
+            + F.month("o_orderdate").cast("long")
+            - 1
+        ).alias("month_id"),
+        F.month("o_orderdate").cast("int").alias("month_of_year"),
+    ).agg(F.sum(F.col("o_totalprice").cast(dec)).cast(dec).alias("rev"))
+    b = m.select(
+        F.col("month_id").alias("b_id"), F.col("rev").alias("b_rev")
+    )
+    ma = (
+        m.join(
+            F.broadcast(b),
+            (F.col("b_id") >= F.col("month_id") - 6)
+            & (F.col("b_id") <= F.col("month_id") + 6),
+        )
+        .groupBy("month_id", "month_of_year", "rev")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_window"),
+            F.sum("b_rev").cast(dec).alias("w_rev"),
+        )
+        .filter(F.col("n_window") == 13)
+    )
+    ratio = ma.select(
+        "month_of_year",
+        (
+            F.col("rev").cast("double")
+            / (F.col("w_rev").cast("double") / F.col("n_window"))
+        ).alias("r"),
+    )
+    return ratio.groupBy("month_of_year").agg(
+        F.count(F.lit(1)).cast("long").alias("n_years"),
+        (
+            F.sum(F.floor(F.col("r") * 1000000.0).cast("long")).cast("double")
+            / 1000000.0
+            / F.count(F.lit(1))
+        ).alias("seasonal_index"),
+    )
+
+
+@_q(
+    "nation_catalog_jaccard",
+    """
+    WITH np AS (
+      SELECT DISTINCT n.n_name, l.l_partkey
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey),
+    sz AS (SELECT n_name, CAST(count(*) AS BIGINT) AS n_parts
+           FROM np GROUP BY n_name),
+    inter AS (
+      SELECT a.n_name AS nation_a, b.n_name AS nation_b,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM np a JOIN np b ON a.l_partkey = b.l_partkey
+                         AND a.n_name < b.n_name
+      GROUP BY a.n_name, b.n_name)
+    SELECT nation_a, nation_b, n_common,
+           sa.n_parts AS n_parts_a, sb.n_parts AS n_parts_b,
+           CAST(n_common AS DOUBLE)
+             / (sa.n_parts + sb.n_parts - n_common) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.n_name = nation_a
+    JOIN sz sb ON sb.n_name = nation_b
+    """,
+)
+def nation_catalog_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUPPLY-CHAIN CATALOG OVERLAP: Jaccard similarity between the part
+    catalogs shipped by each pair of nations -- high overlap marks
+    substitutable sourcing regions (resilience), low overlap marks
+    single-region exposure.  The same posting-list intersection kernel
+    as the document dedup family, on relational data: distinct
+    (nation, part) rows meet on the PART key, so pair counts come from
+    a keyed join -- never a nation x nation x parts product.
+
+    Scale shape: distinct (nation, part) -- one keyed dedup -- then a
+    part-keyed self-join whose fan-out per part is bounded by
+    |nations|, and a |nations|^2 output."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    np_ = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("n_name", "l_partkey")
+        .distinct()
+    )
+    sz = np_.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts")
+    )
+    a = np_.select(F.col("n_name").alias("nation_a"), "l_partkey")
+    bb = np_.select(F.col("n_name").alias("nation_b"), "l_partkey")
+    inter = (
+        a.join(bb, "l_partkey")
+        .filter(F.col("nation_a") < F.col("nation_b"))
+        .groupBy("nation_a", "nation_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    sa = sz.select(
+        F.col("n_name").alias("nation_a"), F.col("n_parts").alias("n_parts_a")
+    )
+    sb = sz.select(
+        F.col("n_name").alias("nation_b"), F.col("n_parts").alias("n_parts_b")
+    )
+    return (
+        inter.join(F.broadcast(sa), "nation_a")
+        .join(F.broadcast(sb), "nation_b")
+        .select(
+            "nation_a",
+            "nation_b",
+            "n_common",
+            "n_parts_a",
+            "n_parts_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_parts_a") + F.col("n_parts_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
