@@ -16448,3 +16448,140 @@ def nation_catalog_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@_q(
+    "knn_label_consistency",
+    f"""
+    WITH pairs AS ({_lsh_near_dup_sql(n_tables=12)}),
+    lab AS (SELECT vec_id, label FROM embeddings
+            WHERE label IS NOT NULL),
+    sym AS (
+      SELECT id_a AS id, id_b AS nb FROM pairs
+      UNION ALL
+      SELECT id_b AS id, id_a AS nb FROM pairs),
+    j AS (
+      SELECT la.label AS label,
+             CASE WHEN la.label = lb.label THEN 1 ELSE 0 END AS same
+      FROM sym
+      JOIN lab la ON la.vec_id = sym.id
+      JOIN lab lb ON lb.vec_id = sym.nb)
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_neighbor_edges,
+           CAST(SUM(same) AS BIGINT) AS n_same_label,
+           CAST(SUM(same) AS DOUBLE) / count(*) AS consistency
+    FROM j GROUP BY label
+    """,
+)
+def knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LABEL NOISE estimate via neighborhood consistency: for each
+    class, the fraction of near-neighbor edges (the deterministic LSH
+    cosine>=0.4 pair graph) whose endpoints share the label.  A class
+    far below the others is either mislabeled at scale or genuinely
+    overlaps another -- triage before training, since label noise caps
+    attainable accuracy.  All-integer counts over the pair graph; one
+    division.
+
+    Scale shape: the LSH pair plan, two vec-keyed label joins, a
+    |labels|-sized aggregate."""
+    from lvm_datapipe_spark.operators import similarity as V
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    lab = emb.filter(F.col("label").isNotNull()).select("vec_id", "label")
+    pairs = V.lsh_near_dup_pairs(emb, threshold=0.4, n_tables=12)
+    sym = pairs.select(
+        F.col("id_a").alias("id"), F.col("id_b").alias("nb")
+    ).unionAll(pairs.select(F.col("id_b").alias("id"), F.col("id_a").alias("nb")))
+    la = lab.select(F.col("vec_id").alias("id"), F.col("label").alias("label"))
+    lb = lab.select(F.col("vec_id").alias("nb"), F.col("label").alias("nb_label"))
+    j = sym.join(la, "id").join(lb, "nb")
+    same = F.when(F.col("label") == F.col("nb_label"), 1).otherwise(0)
+    return (
+        j.select("label", same.alias("same"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_neighbor_edges"),
+            F.sum("same").cast("long").alias("n_same_label"),
+            (F.sum("same").cast("double") / F.count(F.lit(1))).alias(
+                "consistency"
+            ),
+        )
+    )
+
+
+@_q(
+    "retrieval_mrr_eval",
+    f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, label AS q_label, v AS qv
+          FROM e WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, q.q_label, e.vec_id AS neighbor_id, e.label,
+             {_cos_sql('qv', 'v')} AS cos_sim
+      FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+    ranked AS (
+      SELECT query_id, q_label, label,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rk
+      FROM scored QUALIFY rk <= 10),
+    firsthit AS (
+      SELECT query_id, MIN(rk) AS first_rel
+      FROM ranked WHERE label = q_label GROUP BY query_id),
+    rr AS (
+      SELECT q.query_id,
+             COALESCE(CAST(1.0 AS DOUBLE) / f.first_rel, CAST(0.0 AS DOUBLE))
+               AS reciprocal_rank
+      FROM (SELECT DISTINCT query_id FROM ranked) q
+      LEFT JOIN firsthit f ON f.query_id = q.query_id)
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(SUM(CAST(floor(reciprocal_rank * 1000000.0) AS BIGINT))
+                AS DOUBLE) / 1000000.0 / count(*) AS mrr
+    FROM rr
+    """,
+)
+def retrieval_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEAN RECIPROCAL RANK of the dense-retrieval leg at k=10, with
+    same-label as the relevance judgment -- the first-relevant-result
+    metric that recall@k can't see (recall treats rank 1 and rank 10
+    the same; MRR is what navigation-style use cases feel).  Per-query
+    reciprocal ranks are exact rationals 1/rk (0 when no relevant doc in
+    the top 10); the cross-query mean uses the floor-micro order-free
+    sum.
+
+    Scale shape: the broadcast-queries brute-force scan (10 fixed
+    queries), per-query top-10 windows over a GlobalLimit-bounded
+    candidate set, then a 10-row aggregate."""
+    from lvm_datapipe_spark.operators.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    topk = brute_force_topk(emb, queries, k=10)
+    lab = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
+    )
+    qlab = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
+    )
+    ranked = topk.join(lab, "neighbor_id").join(F.broadcast(qlab), "query_id")
+    firsthit = (
+        ranked.filter(F.col("n_label") == F.col("q_label"))
+        .groupBy("query_id")
+        .agg(F.min("rank").cast("long").alias("first_rel"))
+    )
+    allq = ranked.select("query_id").distinct()
+    rr = allq.join(firsthit, "query_id", "left").select(
+        F.coalesce(
+            F.lit(1.0) / F.col("first_rel"), F.lit(0.0)
+        ).alias("reciprocal_rank")
+    )
+    return rr.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        (
+            F.sum(
+                F.floor(F.col("reciprocal_rank") * 1000000.0).cast("long")
+            ).cast("double")
+            / 1000000.0
+            / F.count(F.lit(1))
+        ).alias("mrr"),
+    )
