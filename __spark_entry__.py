@@ -128,7 +128,30 @@ _CHECK_FIRST = [
     #       dispersion_lineitems_per_order, parts_in_all_regions,
     #       conversion_wilson_ci, events_peak_hours_nms,
     #       set_intersect_all, grpo_group_advantages,
-    #       split_leakage_measure) LEAD the r7 queue; all are green in
+    #       split_leakage_measure, and the session-9 additions
+    #       dedup_threshold_sweep, source_distinctive_terms,
+    #       embedding_centroid_drift, events_cusum_shift,
+    #       user_streak_histogram, session_bounce_stats,
+    #       funnel_first_touch_counts (un-shadowed this session),
+    #       orders_pareto_skyline, funnel_within_hour,
+    #       dup_graph_degree_hist, forecast_seasonal_naive_backtest,
+    #       customer_order_regularity, session_handoff_matrix,
+    #       user_lifecycle_accounting, revenue_bridge_by_month,
+    #       attribution_position_based, ab_diff_in_diff,
+    #       conversion_latency_quantiles, embedding_top_pc_power_iteration,
+    #       source_venn_overlap, range_partition_boundaries,
+    #       session_top_paths, ship_latency_by_priority,
+    #       skyline_dominance_counts, events_debounce_collapse,
+    #       dedup_method_agreement, cohort_ltv_curve,
+    #       vocab_coverage_by_freq_class, daily_peak_concurrency,
+    #       association_type_hour_cramers_v, join_coverage_report,
+    #       dedup_transitivity_inflation, corpus_stopword_candidates,
+    #       order_concentration_hhi_by_nation, seasonality_strength_by_type,
+    #       events_runs_test_randomness, session_protocol_violations,
+    #       vocab_growth_by_arrival, ab_test_mde_readout,
+    #       ratio_metric_ci_delta, revenue_seasonal_indices,
+    #       nation_catalog_jaccard, knn_label_consistency,
+    #       retrieval_mrr_eval) LEAD the r7 queue; all are green in
     #       this round's local full sweep (tools/check_correctness.py).
     "sample_neyman_allocation",     # new: variance-optimal strata budgets
     "sample_priority_topk",         # new: Duffield priority sampling
