@@ -13740,6 +13740,32 @@ def session_bounce_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pctile_mirror_sql(arr: str, n: str, f: float) -> str:
+    """DuckDB expression replicating Spark's ``percentile`` interpolation
+    BIT-EXACTLY: with pos = f*(n-1), lower = floor(pos), higher =
+    ceil(pos), Spark computes ``lo*(higher - pos) + hi*(pos - lower)``
+    (sql/catalyst Percentile.getPercentile).  DuckDB's ``quantile_cont``
+    rounds differently (measured: f=0.7 over the events values gives
+    58.87 vs 58.86999999999999), and the third textbook form
+    ``lo + d*(hi - lo)`` differs from BOTH on other rows -- the only
+    safe oracle is this verbatim mirror -- INCLUDING Spark's
+    duplicate-run short-circuit (when the two bracketing values are
+    equal it returns the value directly instead of computing
+    v*(a) + v*(b) with a+b only approximately 1).  Medians (d = 0, or d = 0.5
+    over integer-valued data) agree under every form, which is why the
+    legacy median oracles hold.  ``arr`` must be a sorted list
+    expression, ``n`` its length."""
+    pos = f"(('{f!r}'::DOUBLE) * ({n} - 1))"
+    ki = f"CAST(floor({pos}) AS BIGINT)"
+    kd = f"floor({pos})"
+    lo = f"CAST({arr}[{ki} + 1] AS DOUBLE)"
+    hi = f"CAST({arr}[{ki} + 2] AS DOUBLE)"
+    return (
+        f"(CASE WHEN {pos} = {kd} OR {lo} = {hi} THEN {lo} "
+        f"ELSE {lo} * (({kd} + 1.0) - {pos}) + {hi} * ({pos} - {kd}) END)"
+    )
+
+
 @_q(
     "orders_pareto_skyline",
     """
@@ -14568,11 +14594,13 @@ def ab_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT (CAST(floor(epoch(pts)) AS BIGINT)
               - CAST(floor(epoch(vts)) AS BIGINT)) // 60 AS latency_min
       FROM m)
-    SELECT CAST(count(*) AS BIGINT) AS n_conversions,
-           quantile_cont(latency_min, 0.5) AS p50_min,
-           quantile_cont(latency_min, 0.9) AS p90_min,
-           quantile_cont(latency_min, 0.99) AS p99_min
-    FROM lat
+    , s AS (SELECT list(latency_min ORDER BY latency_min) AS arr,
+                 CAST(count(*) AS BIGINT) AS n FROM lat)
+    SELECT n AS n_conversions,
+           (CASE WHEN (('0.5'::DOUBLE) * (n - 1)) = floor((('0.5'::DOUBLE) * (n - 1))) THEN CAST(arr[CAST(floor((('0.5'::DOUBLE) * (n - 1))) AS BIGINT) + 1] AS DOUBLE) ELSE CAST(arr[CAST(floor((('0.5'::DOUBLE) * (n - 1))) AS BIGINT) + 1] AS DOUBLE) * ((floor((('0.5'::DOUBLE) * (n - 1))) + 1.0) - (('0.5'::DOUBLE) * (n - 1))) + CAST(arr[CAST(floor((('0.5'::DOUBLE) * (n - 1))) AS BIGINT) + 2] AS DOUBLE) * ((('0.5'::DOUBLE) * (n - 1)) - floor((('0.5'::DOUBLE) * (n - 1)))) END) AS p50_min,
+           (CASE WHEN (('0.9'::DOUBLE) * (n - 1)) = floor((('0.9'::DOUBLE) * (n - 1))) THEN CAST(arr[CAST(floor((('0.9'::DOUBLE) * (n - 1))) AS BIGINT) + 1] AS DOUBLE) ELSE CAST(arr[CAST(floor((('0.9'::DOUBLE) * (n - 1))) AS BIGINT) + 1] AS DOUBLE) * ((floor((('0.9'::DOUBLE) * (n - 1))) + 1.0) - (('0.9'::DOUBLE) * (n - 1))) + CAST(arr[CAST(floor((('0.9'::DOUBLE) * (n - 1))) AS BIGINT) + 2] AS DOUBLE) * ((('0.9'::DOUBLE) * (n - 1)) - floor((('0.9'::DOUBLE) * (n - 1)))) END) AS p90_min,
+           (CASE WHEN (('0.99'::DOUBLE) * (n - 1)) = floor((('0.99'::DOUBLE) * (n - 1))) THEN CAST(arr[CAST(floor((('0.99'::DOUBLE) * (n - 1))) AS BIGINT) + 1] AS DOUBLE) ELSE CAST(arr[CAST(floor((('0.99'::DOUBLE) * (n - 1))) AS BIGINT) + 1] AS DOUBLE) * ((floor((('0.99'::DOUBLE) * (n - 1))) + 1.0) - (('0.99'::DOUBLE) * (n - 1))) + CAST(arr[CAST(floor((('0.99'::DOUBLE) * (n - 1))) AS BIGINT) + 2] AS DOUBLE) * ((('0.99'::DOUBLE) * (n - 1)) - floor((('0.99'::DOUBLE) * (n - 1)))) END) AS p99_min
+    FROM s
     """,
 )
 def conversion_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -14803,13 +14831,45 @@ def source_venn_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "range_partition_boundaries",
     """
-    WITH q AS (
-      SELECT quantile_cont(l_extendedprice,
-               [x / 32.0 FOR x IN range(1, 32)]) AS bounds
+    WITH s AS (
+      SELECT list(l_extendedprice ORDER BY l_extendedprice) AS arr,
+             CAST(count(*) AS BIGINT) AS n
       FROM lineitem)
     SELECT CAST(u.i AS INTEGER) AS boundary_idx,
-           bounds[u.i] AS boundary_value
-    FROM q CROSS JOIN (SELECT unnest(range(1, 32)) AS i) u
+           CASE u.i
+             WHEN 1 THEN (CASE WHEN (('0.03125'::DOUBLE) * (n - 1)) = floor((('0.03125'::DOUBLE) * (n - 1))) THEN CAST(arr[CAST(floor((('0.03125'::DOUBLE) * (n - 1))) AS BIGINT) + 1] AS DOUBLE) ELSE CAST(arr[CAST(floor((('0.03125'::DOUBLE) * (n - 1))) AS BIGINT) + 1] AS DOUBLE) * ((floor((('0.03125'::DOUBLE) * (n - 1))) + 1.0) - (('0.03125'::DOUBLE) * (n - 1))) + CAST(arr[CAST(floor((('0.03125'::DOUBLE) * (n - 1))) AS BIGINT) + 2] AS DOUBLE) * ((('0.03125'::DOUBLE) * (n - 1)) - floor((('0.03125'::DOUBLE) * (n - 1)))) END)
+             WHEN 2 THEN (CASE WHEN (('0.0625'::DOUBLE) * (n - 1)) = floor((('0.0625'::DOUBLE) * (n - 1))) THEN CAST(arr[CAST(floor((('0.0625'::DOUBLE) * (n - 1))) AS BIGINT) + 1] AS DOUBLE) ELSE CAST(arr[CAST(floor((('0.0625'::DOUBLE) * (n - 1))) AS BIGINT) + 1] AS DOUBLE) * ((floor((('0.0625'::DOUBLE) * (n - 1))) + 1.0) - (('0.0625'::DOUBLE) * (n - 1))) + CAST(arr[CAST(floor((('0.0625'::DOUBLE) * (n - 1))) AS BIGINT) + 2] AS DOUBLE) * ((('0.0625'::DOUBLE) * (n - 1)) - floor((('0.0625'::DOUBLE) * (n - 1)))) END)
+             WHEN 3 THEN (CASE WHEN (('0.09375'::DOUBLE) * (n - 1)) = floor((('0.09375'::DOUBLE) * (n - 1))) THEN CAST(arr[CAST(floor((('0.09375'::DOUBLE) * (n - 1))) AS BIGINT) + 1] AS DOUBLE) ELSE CAST(arr[CAST(floor((('0.09375'::DOUBLE) * (n - 1))) AS BIGINT) + 1] AS DOUBLE) * ((floor((('0.09375'::DOUBLE) * (n - 1))) + 1.0) - (('0.09375'::DOUBLE) * (n - 1))) + CAST(arr[CAST(floor((('0.09375'::DOUBLE) * (n - 1))) AS BIGINT) + 2] AS DOUBLE) * ((('0.09375'::DOUBLE) * (n - 1)) - floor((('0.09375'::DOUBLE) * (n - 1)))) END)
+             WHEN 4 THEN (CASE WHEN (('0.125'::DOUBLE) * (n - 1)) = floor((('0.125'::DOUBLE) * (n - 1))) THEN CAST(arr[CAST(floor((('0.125'::DOUBLE) * (n - 1))) AS BIGINT) + 1] AS DOUBLE) ELSE CAST(arr[CAST(floor((('0.125'::DOUBLE) * (n - 1))) AS BIGINT) + 1] AS DOUBLE) * ((floor((('0.125'::DOUBLE) * (n - 1))) + 1.0) - (('0.125'::DOUBLE) * (n - 1))) + CAST(arr[CAST(floor((('0.125'::DOUBLE) * (n - 1))) AS BIGINT) + 2] AS DOUBLE) * ((('0.125'::DOUBLE) * (n - 1)) - floor((('0.125'::DOUBLE) * (n - 1)))) END)
+             WHEN 5 THEN (CASE WHEN (('0.15625'::DOUBLE) * (n - 1)) = floor((('0.15625'::DOUBLE) * (n - 1))) THEN CAST(arr[CAST(floor((('0.15625'::DOUBLE) * (n - 1))) AS BIGINT) + 1] AS DOUBLE) ELSE CAST(arr[CAST(floor((('0.15625'::DOUBLE) * (n - 1))) AS BIGINT) + 1] AS DOUBLE) * ((floor((('0.15625'::DOUBLE) * (n - 1))) + 1.0) - (('0.15625'::DOUBLE) * (n - 1))) + CAST(arr[CAST(floor((('0.15625'::DOUBLE) * (n - 1))) AS BIGINT) + 2] AS DOUBLE) * ((('0.15625'::DOUBLE) * (n - 1)) - floor((('0.15625'::DOUBLE) * (n - 1)))) END)
+             WHEN 6 THEN (CASE WHEN (('0.1875'::DOUBLE) * (n - 1)) = floor((('0.1875'::DOUBLE) * (n - 1))) THEN CAST(arr[CAST(floor((('0.1875'::DOUBLE) * (n - 1))) AS BIGINT) + 1] AS DOUBLE) ELSE CAST(arr[CAST(floor((('0.1875'::DOUBLE) * (n - 1))) AS BIGINT) + 1] AS DOUBLE) * ((floor((('0.1875'::DOUBLE) * (n - 1))) + 1.0) - (('0.1875'::DOUBLE) * (n - 1))) + CAST(arr[CAST(floor((('0.1875'::DOUBLE) * (n - 1))) AS BIGINT) + 2] AS DOUBLE) * ((('0.1875'::DOUBLE) * (n - 1)) - floor((('0.1875'::DOUBLE) * (n - 1)))) END)
+             WHEN 7 THEN (CASE WHEN (('0.21875'::DOUBLE) * (n - 1)) = floor((('0.21875'::DOUBLE) * (n - 1))) THEN CAST(arr[CAST(floor((('0.21875'::DOUBLE) * (n - 1))) AS BIGINT) + 1] AS DOUBLE) ELSE CAST(arr[CAST(floor((('0.21875'::DOUBLE) * (n - 1))) AS BIGINT) + 1] AS DOUBLE) * ((floor((('0.21875'::DOUBLE) * (n - 1))) + 1.0) - (('0.21875'::DOUBLE) * (n - 1))) + CAST(arr[CAST(floor((('0.21875'::DOUBLE) * (n - 1))) AS BIGINT) + 2] AS DOUBLE) * ((('0.21875'::DOUBLE) * (n - 1)) - floor((('0.21875'::DOUBLE) * (n - 1)))) END)
+             WHEN 8 THEN (CASE WHEN (('0.25'::DOUBLE) * (n - 1)) = floor((('0.25'::DOUBLE) * (n - 1))) THEN CAST(arr[CAST(floor((('0.25'::DOUBLE) * (n - 1))) AS BIGINT) + 1] AS DOUBLE) ELSE CAST(arr[CAST(floor((('0.25'::DOUBLE) * (n - 1))) AS BIGINT) + 1] AS DOUBLE) * ((floor((('0.25'::DOUBLE) * (n - 1))) + 1.0) - (('0.25'::DOUBLE) * (n - 1))) + CAST(arr[CAST(floor((('0.25'::DOUBLE) * (n - 1))) AS BIGINT) + 2] AS DOUBLE) * ((('0.25'::DOUBLE) * (n - 1)) - floor((('0.25'::DOUBLE) * (n - 1)))) END)
+             WHEN 9 THEN (CASE WHEN (('0.28125'::DOUBLE) * (n - 1)) = floor((('0.28125'::DOUBLE) * (n - 1))) THEN CAST(arr[CAST(floor((('0.28125'::DOUBLE) * (n - 1))) AS BIGINT) + 1] AS DOUBLE) ELSE CAST(arr[CAST(floor((('0.28125'::DOUBLE) * (n - 1))) AS BIGINT) + 1] AS DOUBLE) * ((floor((('0.28125'::DOUBLE) * (n - 1))) + 1.0) - (('0.28125'::DOUBLE) * (n - 1))) + CAST(arr[CAST(floor((('0.28125'::DOUBLE) * (n - 1))) AS BIGINT) + 2] AS DOUBLE) * ((('0.28125'::DOUBLE) * (n - 1)) - floor((('0.28125'::DOUBLE) * (n - 1)))) END)
+             WHEN 10 THEN (CASE WHEN (('0.3125'::DOUBLE) * (n - 1)) = floor((('0.3125'::DOUBLE) * (n - 1))) THEN CAST(arr[CAST(floor((('0.3125'::DOUBLE) * (n - 1))) AS BIGINT) + 1] AS DOUBLE) ELSE CAST(arr[CAST(floor((('0.3125'::DOUBLE) * (n - 1))) AS BIGINT) + 1] AS DOUBLE) * ((floor((('0.3125'::DOUBLE) * (n - 1))) + 1.0) - (('0.3125'::DOUBLE) * (n - 1))) + CAST(arr[CAST(floor((('0.3125'::DOUBLE) * (n - 1))) AS BIGINT) + 2] AS DOUBLE) * ((('0.3125'::DOUBLE) * (n - 1)) - floor((('0.3125'::DOUBLE) * (n - 1)))) END)
+             WHEN 11 THEN (CASE WHEN (('0.34375'::DOUBLE) * (n - 1)) = floor((('0.34375'::DOUBLE) * (n - 1))) THEN CAST(arr[CAST(floor((('0.34375'::DOUBLE) * (n - 1))) AS BIGINT) + 1] AS DOUBLE) ELSE CAST(arr[CAST(floor((('0.34375'::DOUBLE) * (n - 1))) AS BIGINT) + 1] AS DOUBLE) * ((floor((('0.34375'::DOUBLE) * (n - 1))) + 1.0) - (('0.34375'::DOUBLE) * (n - 1))) + CAST(arr[CAST(floor((('0.34375'::DOUBLE) * (n - 1))) AS BIGINT) + 2] AS DOUBLE) * ((('0.34375'::DOUBLE) * (n - 1)) - floor((('0.34375'::DOUBLE) * (n - 1)))) END)
+             WHEN 12 THEN (CASE WHEN (('0.375'::DOUBLE) * (n - 1)) = floor((('0.375'::DOUBLE) * (n - 1))) THEN CAST(arr[CAST(floor((('0.375'::DOUBLE) * (n - 1))) AS BIGINT) + 1] AS DOUBLE) ELSE CAST(arr[CAST(floor((('0.375'::DOUBLE) * (n - 1))) AS BIGINT) + 1] AS DOUBLE) * ((floor((('0.375'::DOUBLE) * (n - 1))) + 1.0) - (('0.375'::DOUBLE) * (n - 1))) + CAST(arr[CAST(floor((('0.375'::DOUBLE) * (n - 1))) AS BIGINT) + 2] AS DOUBLE) * ((('0.375'::DOUBLE) * (n - 1)) - floor((('0.375'::DOUBLE) * (n - 1)))) END)
+             WHEN 13 THEN (CASE WHEN (('0.40625'::DOUBLE) * (n - 1)) = floor((('0.40625'::DOUBLE) * (n - 1))) THEN CAST(arr[CAST(floor((('0.40625'::DOUBLE) * (n - 1))) AS BIGINT) + 1] AS DOUBLE) ELSE CAST(arr[CAST(floor((('0.40625'::DOUBLE) * (n - 1))) AS BIGINT) + 1] AS DOUBLE) * ((floor((('0.40625'::DOUBLE) * (n - 1))) + 1.0) - (('0.40625'::DOUBLE) * (n - 1))) + CAST(arr[CAST(floor((('0.40625'::DOUBLE) * (n - 1))) AS BIGINT) + 2] AS DOUBLE) * ((('0.40625'::DOUBLE) * (n - 1)) - floor((('0.40625'::DOUBLE) * (n - 1)))) END)
+             WHEN 14 THEN (CASE WHEN (('0.4375'::DOUBLE) * (n - 1)) = floor((('0.4375'::DOUBLE) * (n - 1))) THEN CAST(arr[CAST(floor((('0.4375'::DOUBLE) * (n - 1))) AS BIGINT) + 1] AS DOUBLE) ELSE CAST(arr[CAST(floor((('0.4375'::DOUBLE) * (n - 1))) AS BIGINT) + 1] AS DOUBLE) * ((floor((('0.4375'::DOUBLE) * (n - 1))) + 1.0) - (('0.4375'::DOUBLE) * (n - 1))) + CAST(arr[CAST(floor((('0.4375'::DOUBLE) * (n - 1))) AS BIGINT) + 2] AS DOUBLE) * ((('0.4375'::DOUBLE) * (n - 1)) - floor((('0.4375'::DOUBLE) * (n - 1)))) END)
+             WHEN 15 THEN (CASE WHEN (('0.46875'::DOUBLE) * (n - 1)) = floor((('0.46875'::DOUBLE) * (n - 1))) THEN CAST(arr[CAST(floor((('0.46875'::DOUBLE) * (n - 1))) AS BIGINT) + 1] AS DOUBLE) ELSE CAST(arr[CAST(floor((('0.46875'::DOUBLE) * (n - 1))) AS BIGINT) + 1] AS DOUBLE) * ((floor((('0.46875'::DOUBLE) * (n - 1))) + 1.0) - (('0.46875'::DOUBLE) * (n - 1))) + CAST(arr[CAST(floor((('0.46875'::DOUBLE) * (n - 1))) AS BIGINT) + 2] AS DOUBLE) * ((('0.46875'::DOUBLE) * (n - 1)) - floor((('0.46875'::DOUBLE) * (n - 1)))) END)
+             WHEN 16 THEN (CASE WHEN (('0.5'::DOUBLE) * (n - 1)) = floor((('0.5'::DOUBLE) * (n - 1))) THEN CAST(arr[CAST(floor((('0.5'::DOUBLE) * (n - 1))) AS BIGINT) + 1] AS DOUBLE) ELSE CAST(arr[CAST(floor((('0.5'::DOUBLE) * (n - 1))) AS BIGINT) + 1] AS DOUBLE) * ((floor((('0.5'::DOUBLE) * (n - 1))) + 1.0) - (('0.5'::DOUBLE) * (n - 1))) + CAST(arr[CAST(floor((('0.5'::DOUBLE) * (n - 1))) AS BIGINT) + 2] AS DOUBLE) * ((('0.5'::DOUBLE) * (n - 1)) - floor((('0.5'::DOUBLE) * (n - 1)))) END)
+             WHEN 17 THEN (CASE WHEN (('0.53125'::DOUBLE) * (n - 1)) = floor((('0.53125'::DOUBLE) * (n - 1))) THEN CAST(arr[CAST(floor((('0.53125'::DOUBLE) * (n - 1))) AS BIGINT) + 1] AS DOUBLE) ELSE CAST(arr[CAST(floor((('0.53125'::DOUBLE) * (n - 1))) AS BIGINT) + 1] AS DOUBLE) * ((floor((('0.53125'::DOUBLE) * (n - 1))) + 1.0) - (('0.53125'::DOUBLE) * (n - 1))) + CAST(arr[CAST(floor((('0.53125'::DOUBLE) * (n - 1))) AS BIGINT) + 2] AS DOUBLE) * ((('0.53125'::DOUBLE) * (n - 1)) - floor((('0.53125'::DOUBLE) * (n - 1)))) END)
+             WHEN 18 THEN (CASE WHEN (('0.5625'::DOUBLE) * (n - 1)) = floor((('0.5625'::DOUBLE) * (n - 1))) THEN CAST(arr[CAST(floor((('0.5625'::DOUBLE) * (n - 1))) AS BIGINT) + 1] AS DOUBLE) ELSE CAST(arr[CAST(floor((('0.5625'::DOUBLE) * (n - 1))) AS BIGINT) + 1] AS DOUBLE) * ((floor((('0.5625'::DOUBLE) * (n - 1))) + 1.0) - (('0.5625'::DOUBLE) * (n - 1))) + CAST(arr[CAST(floor((('0.5625'::DOUBLE) * (n - 1))) AS BIGINT) + 2] AS DOUBLE) * ((('0.5625'::DOUBLE) * (n - 1)) - floor((('0.5625'::DOUBLE) * (n - 1)))) END)
+             WHEN 19 THEN (CASE WHEN (('0.59375'::DOUBLE) * (n - 1)) = floor((('0.59375'::DOUBLE) * (n - 1))) THEN CAST(arr[CAST(floor((('0.59375'::DOUBLE) * (n - 1))) AS BIGINT) + 1] AS DOUBLE) ELSE CAST(arr[CAST(floor((('0.59375'::DOUBLE) * (n - 1))) AS BIGINT) + 1] AS DOUBLE) * ((floor((('0.59375'::DOUBLE) * (n - 1))) + 1.0) - (('0.59375'::DOUBLE) * (n - 1))) + CAST(arr[CAST(floor((('0.59375'::DOUBLE) * (n - 1))) AS BIGINT) + 2] AS DOUBLE) * ((('0.59375'::DOUBLE) * (n - 1)) - floor((('0.59375'::DOUBLE) * (n - 1)))) END)
+             WHEN 20 THEN (CASE WHEN (('0.625'::DOUBLE) * (n - 1)) = floor((('0.625'::DOUBLE) * (n - 1))) THEN CAST(arr[CAST(floor((('0.625'::DOUBLE) * (n - 1))) AS BIGINT) + 1] AS DOUBLE) ELSE CAST(arr[CAST(floor((('0.625'::DOUBLE) * (n - 1))) AS BIGINT) + 1] AS DOUBLE) * ((floor((('0.625'::DOUBLE) * (n - 1))) + 1.0) - (('0.625'::DOUBLE) * (n - 1))) + CAST(arr[CAST(floor((('0.625'::DOUBLE) * (n - 1))) AS BIGINT) + 2] AS DOUBLE) * ((('0.625'::DOUBLE) * (n - 1)) - floor((('0.625'::DOUBLE) * (n - 1)))) END)
+             WHEN 21 THEN (CASE WHEN (('0.65625'::DOUBLE) * (n - 1)) = floor((('0.65625'::DOUBLE) * (n - 1))) THEN CAST(arr[CAST(floor((('0.65625'::DOUBLE) * (n - 1))) AS BIGINT) + 1] AS DOUBLE) ELSE CAST(arr[CAST(floor((('0.65625'::DOUBLE) * (n - 1))) AS BIGINT) + 1] AS DOUBLE) * ((floor((('0.65625'::DOUBLE) * (n - 1))) + 1.0) - (('0.65625'::DOUBLE) * (n - 1))) + CAST(arr[CAST(floor((('0.65625'::DOUBLE) * (n - 1))) AS BIGINT) + 2] AS DOUBLE) * ((('0.65625'::DOUBLE) * (n - 1)) - floor((('0.65625'::DOUBLE) * (n - 1)))) END)
+             WHEN 22 THEN (CASE WHEN (('0.6875'::DOUBLE) * (n - 1)) = floor((('0.6875'::DOUBLE) * (n - 1))) THEN CAST(arr[CAST(floor((('0.6875'::DOUBLE) * (n - 1))) AS BIGINT) + 1] AS DOUBLE) ELSE CAST(arr[CAST(floor((('0.6875'::DOUBLE) * (n - 1))) AS BIGINT) + 1] AS DOUBLE) * ((floor((('0.6875'::DOUBLE) * (n - 1))) + 1.0) - (('0.6875'::DOUBLE) * (n - 1))) + CAST(arr[CAST(floor((('0.6875'::DOUBLE) * (n - 1))) AS BIGINT) + 2] AS DOUBLE) * ((('0.6875'::DOUBLE) * (n - 1)) - floor((('0.6875'::DOUBLE) * (n - 1)))) END)
+             WHEN 23 THEN (CASE WHEN (('0.71875'::DOUBLE) * (n - 1)) = floor((('0.71875'::DOUBLE) * (n - 1))) THEN CAST(arr[CAST(floor((('0.71875'::DOUBLE) * (n - 1))) AS BIGINT) + 1] AS DOUBLE) ELSE CAST(arr[CAST(floor((('0.71875'::DOUBLE) * (n - 1))) AS BIGINT) + 1] AS DOUBLE) * ((floor((('0.71875'::DOUBLE) * (n - 1))) + 1.0) - (('0.71875'::DOUBLE) * (n - 1))) + CAST(arr[CAST(floor((('0.71875'::DOUBLE) * (n - 1))) AS BIGINT) + 2] AS DOUBLE) * ((('0.71875'::DOUBLE) * (n - 1)) - floor((('0.71875'::DOUBLE) * (n - 1)))) END)
+             WHEN 24 THEN (CASE WHEN (('0.75'::DOUBLE) * (n - 1)) = floor((('0.75'::DOUBLE) * (n - 1))) THEN CAST(arr[CAST(floor((('0.75'::DOUBLE) * (n - 1))) AS BIGINT) + 1] AS DOUBLE) ELSE CAST(arr[CAST(floor((('0.75'::DOUBLE) * (n - 1))) AS BIGINT) + 1] AS DOUBLE) * ((floor((('0.75'::DOUBLE) * (n - 1))) + 1.0) - (('0.75'::DOUBLE) * (n - 1))) + CAST(arr[CAST(floor((('0.75'::DOUBLE) * (n - 1))) AS BIGINT) + 2] AS DOUBLE) * ((('0.75'::DOUBLE) * (n - 1)) - floor((('0.75'::DOUBLE) * (n - 1)))) END)
+             WHEN 25 THEN (CASE WHEN (('0.78125'::DOUBLE) * (n - 1)) = floor((('0.78125'::DOUBLE) * (n - 1))) THEN CAST(arr[CAST(floor((('0.78125'::DOUBLE) * (n - 1))) AS BIGINT) + 1] AS DOUBLE) ELSE CAST(arr[CAST(floor((('0.78125'::DOUBLE) * (n - 1))) AS BIGINT) + 1] AS DOUBLE) * ((floor((('0.78125'::DOUBLE) * (n - 1))) + 1.0) - (('0.78125'::DOUBLE) * (n - 1))) + CAST(arr[CAST(floor((('0.78125'::DOUBLE) * (n - 1))) AS BIGINT) + 2] AS DOUBLE) * ((('0.78125'::DOUBLE) * (n - 1)) - floor((('0.78125'::DOUBLE) * (n - 1)))) END)
+             WHEN 26 THEN (CASE WHEN (('0.8125'::DOUBLE) * (n - 1)) = floor((('0.8125'::DOUBLE) * (n - 1))) THEN CAST(arr[CAST(floor((('0.8125'::DOUBLE) * (n - 1))) AS BIGINT) + 1] AS DOUBLE) ELSE CAST(arr[CAST(floor((('0.8125'::DOUBLE) * (n - 1))) AS BIGINT) + 1] AS DOUBLE) * ((floor((('0.8125'::DOUBLE) * (n - 1))) + 1.0) - (('0.8125'::DOUBLE) * (n - 1))) + CAST(arr[CAST(floor((('0.8125'::DOUBLE) * (n - 1))) AS BIGINT) + 2] AS DOUBLE) * ((('0.8125'::DOUBLE) * (n - 1)) - floor((('0.8125'::DOUBLE) * (n - 1)))) END)
+             WHEN 27 THEN (CASE WHEN (('0.84375'::DOUBLE) * (n - 1)) = floor((('0.84375'::DOUBLE) * (n - 1))) THEN CAST(arr[CAST(floor((('0.84375'::DOUBLE) * (n - 1))) AS BIGINT) + 1] AS DOUBLE) ELSE CAST(arr[CAST(floor((('0.84375'::DOUBLE) * (n - 1))) AS BIGINT) + 1] AS DOUBLE) * ((floor((('0.84375'::DOUBLE) * (n - 1))) + 1.0) - (('0.84375'::DOUBLE) * (n - 1))) + CAST(arr[CAST(floor((('0.84375'::DOUBLE) * (n - 1))) AS BIGINT) + 2] AS DOUBLE) * ((('0.84375'::DOUBLE) * (n - 1)) - floor((('0.84375'::DOUBLE) * (n - 1)))) END)
+             WHEN 28 THEN (CASE WHEN (('0.875'::DOUBLE) * (n - 1)) = floor((('0.875'::DOUBLE) * (n - 1))) THEN CAST(arr[CAST(floor((('0.875'::DOUBLE) * (n - 1))) AS BIGINT) + 1] AS DOUBLE) ELSE CAST(arr[CAST(floor((('0.875'::DOUBLE) * (n - 1))) AS BIGINT) + 1] AS DOUBLE) * ((floor((('0.875'::DOUBLE) * (n - 1))) + 1.0) - (('0.875'::DOUBLE) * (n - 1))) + CAST(arr[CAST(floor((('0.875'::DOUBLE) * (n - 1))) AS BIGINT) + 2] AS DOUBLE) * ((('0.875'::DOUBLE) * (n - 1)) - floor((('0.875'::DOUBLE) * (n - 1)))) END)
+             WHEN 29 THEN (CASE WHEN (('0.90625'::DOUBLE) * (n - 1)) = floor((('0.90625'::DOUBLE) * (n - 1))) THEN CAST(arr[CAST(floor((('0.90625'::DOUBLE) * (n - 1))) AS BIGINT) + 1] AS DOUBLE) ELSE CAST(arr[CAST(floor((('0.90625'::DOUBLE) * (n - 1))) AS BIGINT) + 1] AS DOUBLE) * ((floor((('0.90625'::DOUBLE) * (n - 1))) + 1.0) - (('0.90625'::DOUBLE) * (n - 1))) + CAST(arr[CAST(floor((('0.90625'::DOUBLE) * (n - 1))) AS BIGINT) + 2] AS DOUBLE) * ((('0.90625'::DOUBLE) * (n - 1)) - floor((('0.90625'::DOUBLE) * (n - 1)))) END)
+             WHEN 30 THEN (CASE WHEN (('0.9375'::DOUBLE) * (n - 1)) = floor((('0.9375'::DOUBLE) * (n - 1))) THEN CAST(arr[CAST(floor((('0.9375'::DOUBLE) * (n - 1))) AS BIGINT) + 1] AS DOUBLE) ELSE CAST(arr[CAST(floor((('0.9375'::DOUBLE) * (n - 1))) AS BIGINT) + 1] AS DOUBLE) * ((floor((('0.9375'::DOUBLE) * (n - 1))) + 1.0) - (('0.9375'::DOUBLE) * (n - 1))) + CAST(arr[CAST(floor((('0.9375'::DOUBLE) * (n - 1))) AS BIGINT) + 2] AS DOUBLE) * ((('0.9375'::DOUBLE) * (n - 1)) - floor((('0.9375'::DOUBLE) * (n - 1)))) END)
+             WHEN 31 THEN (CASE WHEN (('0.96875'::DOUBLE) * (n - 1)) = floor((('0.96875'::DOUBLE) * (n - 1))) THEN CAST(arr[CAST(floor((('0.96875'::DOUBLE) * (n - 1))) AS BIGINT) + 1] AS DOUBLE) ELSE CAST(arr[CAST(floor((('0.96875'::DOUBLE) * (n - 1))) AS BIGINT) + 1] AS DOUBLE) * ((floor((('0.96875'::DOUBLE) * (n - 1))) + 1.0) - (('0.96875'::DOUBLE) * (n - 1))) + CAST(arr[CAST(floor((('0.96875'::DOUBLE) * (n - 1))) AS BIGINT) + 2] AS DOUBLE) * ((('0.96875'::DOUBLE) * (n - 1)) - floor((('0.96875'::DOUBLE) * (n - 1)))) END)
+           END AS boundary_value
+    FROM s CROSS JOIN (SELECT unnest(range(1, 32)) AS i) u
     """,
 )
 def range_partition_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -14919,13 +14979,18 @@ def session_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
                            CAST(l.l_shipdate AS DATE)) AS BIGINT)
                AS latency_days
       FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey)
+    , s AS (SELECT o_orderpriority,
+                 list(latency_days ORDER BY latency_days) AS arr,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(MAX(latency_days) AS BIGINT) AS max_days
+          FROM lat GROUP BY o_orderpriority)
     SELECT o_orderpriority,
-           CAST(count(*) AS BIGINT) AS n_lineitems,
-           quantile_cont(latency_days, 0.5) AS p50_days,
-           quantile_cont(latency_days, 0.9) AS p90_days,
-           quantile_cont(latency_days, 0.99) AS p99_days,
-           CAST(MAX(latency_days) AS BIGINT) AS max_days
-    FROM lat GROUP BY o_orderpriority
+           n AS n_lineitems,
+           (CASE WHEN (('0.5'::DOUBLE) * (n - 1)) = floor((('0.5'::DOUBLE) * (n - 1))) THEN CAST(arr[CAST(floor((('0.5'::DOUBLE) * (n - 1))) AS BIGINT) + 1] AS DOUBLE) ELSE CAST(arr[CAST(floor((('0.5'::DOUBLE) * (n - 1))) AS BIGINT) + 1] AS DOUBLE) * ((floor((('0.5'::DOUBLE) * (n - 1))) + 1.0) - (('0.5'::DOUBLE) * (n - 1))) + CAST(arr[CAST(floor((('0.5'::DOUBLE) * (n - 1))) AS BIGINT) + 2] AS DOUBLE) * ((('0.5'::DOUBLE) * (n - 1)) - floor((('0.5'::DOUBLE) * (n - 1)))) END) AS p50_days,
+           (CASE WHEN (('0.9'::DOUBLE) * (n - 1)) = floor((('0.9'::DOUBLE) * (n - 1))) THEN CAST(arr[CAST(floor((('0.9'::DOUBLE) * (n - 1))) AS BIGINT) + 1] AS DOUBLE) ELSE CAST(arr[CAST(floor((('0.9'::DOUBLE) * (n - 1))) AS BIGINT) + 1] AS DOUBLE) * ((floor((('0.9'::DOUBLE) * (n - 1))) + 1.0) - (('0.9'::DOUBLE) * (n - 1))) + CAST(arr[CAST(floor((('0.9'::DOUBLE) * (n - 1))) AS BIGINT) + 2] AS DOUBLE) * ((('0.9'::DOUBLE) * (n - 1)) - floor((('0.9'::DOUBLE) * (n - 1)))) END) AS p90_days,
+           (CASE WHEN (('0.99'::DOUBLE) * (n - 1)) = floor((('0.99'::DOUBLE) * (n - 1))) THEN CAST(arr[CAST(floor((('0.99'::DOUBLE) * (n - 1))) AS BIGINT) + 1] AS DOUBLE) ELSE CAST(arr[CAST(floor((('0.99'::DOUBLE) * (n - 1))) AS BIGINT) + 1] AS DOUBLE) * ((floor((('0.99'::DOUBLE) * (n - 1))) + 1.0) - (('0.99'::DOUBLE) * (n - 1))) + CAST(arr[CAST(floor((('0.99'::DOUBLE) * (n - 1))) AS BIGINT) + 2] AS DOUBLE) * ((('0.99'::DOUBLE) * (n - 1)) - floor((('0.99'::DOUBLE) * (n - 1)))) END) AS p99_days,
+           max_days
+    FROM s
     """,
 )
 def ship_latency_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -16584,4 +16649,194 @@ def retrieval_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
             / F.count(F.lit(1))
         ).alias("mrr"),
+    )
+
+
+@_q(
+    "ab_test_cuped_adjusted",
+    """
+    WITH u AS (
+      SELECT ('0x' || substr(md5('ab' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+               % 2 AS arm,
+             CAST(CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-20 00:00:00'
+                        THEN CAST(value AS DECIMAL(9,6))
+                        ELSE CAST(0 AS DECIMAL(9,6)) END) AS VARCHAR)
+                  AS DOUBLE) AS x,
+             CAST(CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-20 00:00:00'
+                        THEN CAST(value AS DECIMAL(9,6))
+                        ELSE CAST(0 AS DECIMAL(9,6)) END) AS VARCHAR)
+                  AS DOUBLE) AS y
+      FROM events WHERE abs(value) < CAST(1000.0 AS DOUBLE)
+      GROUP BY arm, user_id),
+    pool AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(floor(x * 1000000.0) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 AS sx,
+             CAST(SUM(CAST(floor(y * 1000000.0) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 AS sy,
+             CAST(SUM(CAST(floor(x * x * 1000000.0) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 AS sxx,
+             CAST(SUM(CAST(floor(x * y * 1000000.0) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 AS sxy
+      FROM u),
+    th AS (
+      SELECT n, sx / n AS xbar_pool,
+             CASE WHEN sxx - sx * sx / n > CAST(0.0 AS DOUBLE)
+                  THEN (sxy - sx * sy / n) / (sxx - sx * sx / n)
+                  ELSE CAST(0.0 AS DOUBLE) END AS theta
+      FROM pool),
+    arms AS (
+      SELECT arm,
+             CAST(count(*) AS BIGINT) AS n_users,
+             CAST(SUM(CAST(floor(x * 1000000.0) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 AS sx,
+             CAST(SUM(CAST(floor(y * 1000000.0) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 AS sy
+      FROM u GROUP BY arm)
+    SELECT a.arm, a.n_users,
+           a.sy / a.n_users AS mean_post,
+           th.theta,
+           a.sy / a.n_users
+             - th.theta * (a.sx / a.n_users - th.xbar_pool)
+             AS mean_cuped
+    FROM arms a CROSS JOIN th
+    """,
+)
+def ab_test_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-ADJUSTED experiment means: each arm's post-period metric
+    corrected by the pre-period covariate (y_adj = y - theta(x - x_pool),
+    theta = cov(x,y)/var(x) pooled) -- the industry-standard variance
+    reduction that makes the same traffic detect smaller effects; the
+    pre-period is the standing Jan-20 cut, arms the stable md5 split
+    (an A/A frame: adjusted means should tighten toward each other).
+    Per-user (x, y) are exact decimal sums bridged to identical doubles;
+    every cross-user moment uses the floor-micro order-free sum; theta
+    and the adjustment are single shared float expressions.
+
+    Scale shape: one user-keyed aggregate, then scalar pooled moments
+    and a 2-row arm aggregate."""
+    from lvm_datapipe_spark.operators.sampling import hash_bucket
+
+    ev = load_table(spark, sf_dir, "events").filter(F.abs(F.col("value")) < 1000.0)
+    cut = F.to_timestamp(F.lit("2024-01-20 00:00:00"))
+    d6 = F.col("value").cast("decimal(9,6)")
+    z6 = F.lit(0).cast("decimal(9,6)")
+    u = (
+        ev.withColumn("arm", hash_bucket("user_id", 2, "ab"))
+        .groupBy("arm", "user_id")
+        .agg(
+            F.sum(F.when(F.col("ts") < cut, d6).otherwise(z6))
+            .cast("string")
+            .cast("double")
+            .alias("x"),
+            F.sum(F.when(F.col("ts") >= cut, d6).otherwise(z6))
+            .cast("string")
+            .cast("double")
+            .alias("y"),
+        )
+    )
+
+    def fsum(expr):
+        return (
+            F.sum(F.floor(expr * 1000000.0).cast("long")).cast("double")
+            / 1000000.0
+        )
+
+    pool = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        fsum(F.col("x")).alias("sx"),
+        fsum(F.col("y")).alias("sy"),
+        fsum(F.col("x") * F.col("x")).alias("sxx"),
+        fsum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    varx = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    th = pool.select(
+        "n",
+        (F.col("sx") / F.col("n")).alias("xbar_pool"),
+        F.when(
+            varx > 0.0,
+            (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / varx,
+        )
+        .otherwise(F.lit(0.0))
+        .alias("theta"),
+    )
+    arms = u.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        fsum(F.col("x")).alias("sx"),
+        fsum(F.col("y")).alias("sy"),
+    )
+    return arms.crossJoin(F.broadcast(th)).select(
+        "arm",
+        "n_users",
+        (F.col("sy") / F.col("n_users")).alias("mean_post"),
+        "theta",
+        (
+            F.col("sy") / F.col("n_users")
+            - F.col("theta")
+            * (F.col("sx") / F.col("n_users") - F.col("xbar_pool"))
+        ).alias("mean_cuped"),
+    )
+
+
+_QTE_LADDER = "\n               ".join(
+    f"WHEN {i} THEN {_pctile_mirror_sql('arr', 'n', i / 10.0)}"
+    for i in range(1, 10)
+)
+
+
+@_q(
+    "ab_test_quantile_effects",
+    f"""
+    WITH a AS (
+      SELECT ('0x' || substr(md5('ab' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+               % 2 AS arm,
+             value
+      FROM events WHERE abs(value) < CAST(1000.0 AS DOUBLE)),
+    q AS (
+      SELECT arm, list(value ORDER BY value) AS arr,
+             CAST(count(*) AS BIGINT) AS n
+      FROM a GROUP BY arm),
+    e AS (
+      SELECT arm, u.i AS decile,
+             CASE u.i
+               {_QTE_LADDER}
+             END AS q
+      FROM q CROSS JOIN (SELECT unnest(range(1, 10)) AS i) u)
+    SELECT CAST(t.decile AS INTEGER) AS decile,
+           t.q AS q_treat, c.q AS q_ctrl,
+           t.q - c.q AS qte
+    FROM (SELECT * FROM e WHERE arm = 1) t
+    JOIN (SELECT * FROM e WHERE arm = 0) c ON c.decile = t.decile
+    """,
+)
+def ab_test_quantile_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTILE TREATMENT EFFECTS: the treated-minus-control difference
+    at each decile of the metric distribution -- means hide it when an
+    effect lives only in the tail (p90 moves, median doesn't), and QTE
+    is the standard distributional readout.  Decile fractions i/10 are
+    the same Python-exact literals on both engines; the oracle replays
+    Spark's interpolation verbatim via ``_pctile_mirror_sql`` (DuckDB's
+    quantile_cont rounds differently -- measured, see the helper).
+
+    Scale shape: two percentile aggregates (partial-merged) + a 9-row
+    join."""
+    from lvm_datapipe_spark.operators.sampling import hash_bucket
+
+    ev = load_table(spark, sf_dir, "events").filter(F.abs(F.col("value")) < 1000.0)
+    fracs = ", ".join(repr(x / 10.0) for x in range(1, 10))
+    q = (
+        ev.withColumn("arm", hash_bucket("user_id", 2, "ab"))
+        .groupBy("arm")
+        .agg(F.expr(f"percentile(value, array({fracs}))").alias("qs"))
+    )
+    e = q.select(
+        "arm", F.posexplode(F.col("qs")).alias("pos0", "q")
+    ).select("arm", (F.col("pos0") + 1).alias("decile"), "q")
+    t = e.filter(F.col("arm") == 1).select("decile", F.col("q").alias("q_treat"))
+    c = e.filter(F.col("arm") == 0).select("decile", F.col("q").alias("q_ctrl"))
+    return t.join(c, "decile").select(
+        F.col("decile").cast("int").alias("decile"),
+        "q_treat",
+        "q_ctrl",
+        (F.col("q_treat") - F.col("q_ctrl")).alias("qte"),
     )
