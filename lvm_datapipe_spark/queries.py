@@ -16840,3 +16840,124 @@ def ab_test_quantile_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_ctrl",
         (F.col("q_treat") - F.col("q_ctrl")).alias("qte"),
     )
+
+
+@_q(
+    "iqr_outlier_fences_by_type",
+    f"""
+    WITH a AS (SELECT event_type, value FROM events
+               WHERE value IS NOT NULL),
+    s AS (SELECT event_type, list(value ORDER BY value) AS arr,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM a GROUP BY event_type),
+    f AS (SELECT event_type, n,
+                 {{p25}} AS p25,
+                 {{p75}} AS p75
+          FROM s),
+    fence AS (SELECT event_type, n, p25, p75,
+                     p25 - CAST(1.5 AS DOUBLE) * (p75 - p25) AS lo_fence,
+                     p75 + CAST(1.5 AS DOUBLE) * (p75 - p25) AS hi_fence
+              FROM f)
+    SELECT fe.event_type, fe.n AS n_events, fe.p25, fe.p75,
+           fe.lo_fence, fe.hi_fence,
+           CAST(count(*) FILTER (WHERE a.value < fe.lo_fence
+                                    OR a.value > fe.hi_fence) AS BIGINT)
+             AS n_outliers,
+           CAST(count(*) FILTER (WHERE a.value < fe.lo_fence
+                                    OR a.value > fe.hi_fence) AS DOUBLE)
+             / fe.n AS outlier_rate
+    FROM a JOIN fence fe ON fe.event_type = a.event_type
+    GROUP BY fe.event_type, fe.n, fe.p25, fe.p75, fe.lo_fence, fe.hi_fence
+    """.format(
+        p25=_pctile_mirror_sql("arr", "n", 0.25),
+        p75=_pctile_mirror_sql("arr", "n", 0.75),
+    ),
+)
+def iqr_outlier_fences_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TUKEY-FENCE outlier readout per metric: p25/p75, the 1.5xIQR
+    fences, and how many events fall outside them -- the boxplot
+    numbers, robust where z-scores break (the [[events_zscore_outliers]]
+    sibling for heavy-tailed metrics whose sigma is itself polluted by
+    the outliers).  Fractional quantiles are safe cross-engine ONLY via
+    the _pctile_mirror_sql replay of Spark's interpolation.
+
+    Scale shape: one percentile aggregate per type + one broadcast-join
+    count pass; no windows."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    q = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("percentile(value, 0.25)").alias("p25"),
+        F.expr("percentile(value, 0.75)").alias("p75"),
+    )
+    iqr = F.col("p75") - F.col("p25")
+    fence = q.select(
+        "event_type",
+        "n",
+        "p25",
+        "p75",
+        (F.col("p25") - 1.5 * iqr).alias("lo_fence"),
+        (F.col("p75") + 1.5 * iqr).alias("hi_fence"),
+    )
+    j = ev.join(F.broadcast(fence), "event_type")
+    out = F.count_if(
+        (F.col("value") < F.col("lo_fence"))
+        | (F.col("value") > F.col("hi_fence"))
+    )
+    return j.groupBy(
+        "event_type", "n", "p25", "p75", "lo_fence", "hi_fence"
+    ).agg(
+        out.cast("long").alias("n_outliers"),
+        (out.cast("double") / F.col("n")).alias("outlier_rate"),
+    ).select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        "p25",
+        "p75",
+        "lo_fence",
+        "hi_fence",
+        "n_outliers",
+        "outlier_rate",
+    )
+
+
+@_q(
+    "daily_value_percentile_trend",
+    f"""
+    WITH a AS (SELECT CAST(ts AS DATE) AS day, value FROM events
+               WHERE value IS NOT NULL),
+    s AS (SELECT day, list(value ORDER BY value) AS arr,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM a GROUP BY day)
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           n AS n_events,
+           {{p50}} AS p50,
+           {{p90}} AS p90,
+           {{p99}} AS p99
+    FROM s
+    """.format(
+        p50=_pctile_mirror_sql("arr", "n", 0.5),
+        p90=_pctile_mirror_sql("arr", "n", 0.9),
+        p99=_pctile_mirror_sql("arr", "n", 0.99),
+    ),
+)
+def daily_value_percentile_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAILY p50/p90/p99 TREND of the metric -- the SLO dashboard query
+    (means hide tail regressions; a p99 that doubles while p50 is flat
+    is the classic incident signature).  One percentile aggregate per
+    day; the oracle replays Spark's interpolation via
+    _pctile_mirror_sql.
+
+    Scale shape: day-keyed percentile aggregate (partial-merged); day
+    projected to ISO string for cross-engine date typing."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return (
+        ev.groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.9)").alias("p90"),
+            F.expr("percentile(value, 0.99)").alias("p99"),
+        )
+        .withColumn("day", F.date_format("day", "yyyy-MM-dd"))
+        .select("day", "n_events", "p50", "p90", "p99")
+    )
