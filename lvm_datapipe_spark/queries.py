@@ -16961,3 +16961,161 @@ def daily_value_percentile_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("day", F.date_format("day", "yyyy-MM-dd"))
         .select("day", "n_events", "p50", "p90", "p99")
     )
+
+
+def _pq_distortion_sql(
+    m: int = 32, ksub: int = 8, dim: int = _EMB_DIM, seed: int = 7
+) -> str:
+    """DuckDB replay of PQ reconstruction distortion: per-subspace min
+    squared distance to the seeded codebook (same literals and fold
+    order as _pq_adc_sql), averaged with the floor-micro order-free
+    sum."""
+    from lvm_datapipe_spark.operators.similarity import pq_codebooks
+
+    dsub = dim // m
+    cbs = pq_codebooks(m, ksub, dsub, seed)
+
+    def dist(vec: str, j: int, cent) -> str:
+        s = j * dsub
+        terms = " + ".join(
+            f"(({vec}[{s + i + 1}] - CAST('{float(cent[i])!r}' AS DOUBLE))"
+            f" * ({vec}[{s + i + 1}] - CAST('{float(cent[i])!r}' AS DOUBLE)))"
+            for i in range(dsub)
+        )
+        return f"(0.0 + {terms})"
+
+    def dmin(vec: str, j: int) -> str:
+        return (
+            "list_min(["
+            + ", ".join(dist(vec, j, cbs[j][c]) for c in range(ksub))
+            + "])"
+        )
+
+    ladder = "\n               ".join(
+        f"WHEN {j} THEN {dmin('v', j)}" for j in range(m)
+    )
+    return f"""
+    WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings
+               WHERE embedding IS NOT NULL),
+    d AS (
+      SELECT u.j AS subspace,
+             CASE u.j
+               {ladder}
+             END AS dmin
+      FROM e CROSS JOIN (SELECT unnest(range(0, {m})) AS j) u)
+    SELECT CAST(subspace AS INTEGER) AS subspace,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(CAST(floor(dmin * 1000000.0) AS BIGINT)) AS DOUBLE)
+             / 1000000.0 / count(*) AS mse
+    FROM d GROUP BY subspace
+    """
+
+
+@_q("pq_distortion_by_subspace", _pq_distortion_sql())
+def pq_distortion_by_subspace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ QUANTIZATION DISTORTION per subspace: the mean squared
+    reconstruction error of each subvector under its best code -- the
+    index-quality readout that says WHERE the compressed representation
+    loses signal (a subspace with 3x the distortion of its peers is
+    where ADC ranking errors come from; retrain or re-split there).
+    Distances reuse the exact seeded-codebook fold of the ADC path;
+    means use the floor-micro order-free sum.
+
+    Scale shape: one corpus scan (the same no-shuffle encode shape as
+    pq_encode), a 32x explode, one 32-row aggregate."""
+    from lvm_datapipe_spark.operators.similarity import (
+        _pq_dists_sql,
+        as_double,
+        pq_codebooks,
+    )
+
+    m, ksub, dim, seed = 32, 8, _EMB_DIM, 7
+    dsub = dim // m
+    cbs = pq_codebooks(m, ksub, dsub, seed)
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    e = emb.select(as_double("embedding").alias("nv"))
+    cols = [
+        F.struct(
+            F.lit(j).alias("subspace"),
+            F.expr(
+                f"array_min({_pq_dists_sql('nv', j, cbs[j], dsub)})"
+            ).alias("dmin"),
+        )
+        for j in range(m)
+    ]
+    d = e.select(F.explode(F.array(*cols)).alias("s")).select(
+        F.col("s.subspace").cast("int").alias("subspace"),
+        F.col("s.dmin").alias("dmin"),
+    )
+    return d.groupBy("subspace").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        (
+            F.sum(F.floor(F.col("dmin") * 1000000.0).cast("long")).cast(
+                "double"
+            )
+            / 1000000.0
+            / F.count(F.lit(1))
+        ).alias("mse"),
+    )
+
+
+def _ivf_occupancy_sql(n_cells: int = 16, seed: int = 42, dim: int = _EMB_DIM) -> str:
+    """DuckDB replay of the IVF cell-assignment histogram (same centroid
+    literals and first-index argmax as _ivf_fixed_sql)."""
+    from lvm_datapipe_spark.operators.similarity import ivf_fixed_centroids
+
+    cents = ivf_fixed_centroids(n_cells, dim, seed)
+
+    def cos_lit(v: str, c) -> str:
+        dot_vc = " + ".join(
+            f"{v}[{i + 1}]*('{float(c[i])!r}'::DOUBLE)" for i in range(dim)
+        )
+        dot_cc = sum(float(x) * float(x) for x in c)
+        return f"(({dot_vc}) / (sqrt({_dot_sql(v, v)}) * sqrt('{dot_cc!r}'::DOUBLE)))"
+
+    sims = "[" + ", ".join(cos_lit("v", c) for c in cents) + "]"
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT CAST(list_indexof({sims}, list_max({sims})) - 1 AS INTEGER)
+            AS cell
+          FROM e),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM c)
+    SELECT c.cell, CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(count(*) AS DOUBLE) / t.total AS share,
+           CAST(count(*) AS DOUBLE) * {n_cells} / t.total AS load_factor
+    FROM c CROSS JOIN t
+    GROUP BY c.cell, t.total
+    """
+
+
+@_q("ivf_cell_occupancy", _ivf_occupancy_sql())
+def ivf_cell_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF CELL OCCUPANCY histogram: vectors per quantizer cell, share,
+    and load factor (1.0 = perfectly balanced) -- the partition-skew
+    readout for the ANN index itself: a cell with load_factor 5 makes
+    every probe that touches it 5x the work, and at 100 TB cell
+    imbalance IS the query-latency tail.  Same seeded centroids and
+    first-index argmax as the search path.
+
+    Scale shape: one corpus scan for assignment (no shuffle), a 16-row
+    aggregate against a scalar total."""
+    from lvm_datapipe_spark.operators.similarity import ivf_fixed_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    c = ivf_fixed_assign(emb).select("cell")
+    t = c.agg(F.count(F.lit(1)).cast("long").alias("total"))
+    return (
+        c.groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+        .crossJoin(F.broadcast(t))
+        .select(
+            "cell",
+            "n_vectors",
+            (F.col("n_vectors").cast("double") / F.col("total")).alias("share"),
+            (
+                F.col("n_vectors").cast("double") * 16 / F.col("total")
+            ).alias("load_factor"),
+        )
+    )
