@@ -17119,3 +17119,172 @@ def ivf_cell_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("load_factor"),
         )
     )
+
+
+def _lsh_buckets_sql(
+    n_planes: int = 4, n_tables: int = 8, seed: int = 42, dim: int = _EMB_DIM
+) -> str:
+    """Bucket-assignment CTE body shared with _lsh_near_dup_sql (same
+    seeded plane literals)."""
+    from lvm_datapipe_spark.operators.similarity import lsh_table_planes
+
+    selects = []
+    for t, planes in enumerate(lsh_table_planes(n_planes, n_tables, dim, seed)):
+        bits = " || ".join(
+            "(CASE WHEN ("
+            + " + ".join(
+                f"v[{i + 1}]*('{float(planes[b][i])!r}'::DOUBLE)"
+                for i in range(dim)
+            )
+            + ") >= 0 THEN '1' ELSE '0' END)"
+            for b in range(n_planes)
+        )
+        selects.append(f"SELECT vec_id, {t} AS tbl, {bits} AS bucket FROM e")
+    return "\nUNION ALL\n".join(selects)
+
+
+@_q(
+    "lsh_bucket_cost_readout",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    buckets AS ({_lsh_buckets_sql(n_tables=12)}),
+    bs AS (SELECT tbl, bucket, CAST(count(*) AS BIGINT) AS s
+           FROM buckets GROUP BY tbl, bucket)
+    SELECT tbl AS lsh_table,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(MAX(s) AS BIGINT) AS max_bucket,
+           CAST(SUM(s * (s - 1) // 2) AS BIGINT) AS n_candidate_pairs
+    FROM bs GROUP BY tbl
+    """,
+)
+def lsh_bucket_cost_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH TUNING COST readout: per hash table, the number of occupied
+    buckets, the largest bucket, and the candidate-pair bill
+    sum(s choose 2) the verify stage will pay -- the number that decides
+    whether to add planes (buckets too fat -> candidates ~ n^2/2^planes)
+    or tables (recall too low).  The companion to [[ivf_cell_occupancy]]
+    for the LSH index; the SCALE_BENCH plane-sizing rule
+    (planes ~ log2(n/100)) exists precisely to keep this readout flat.
+    Integer arithmetic from the same seeded plane literals as the search
+    path.
+
+    Scale shape: one scan computes all 12 tables' buckets, one
+    (table, bucket)-keyed aggregate, a 12-row summary."""
+    from lvm_datapipe_spark.operators.similarity import (
+        _sql_sign_bit,
+        as_double,
+        lsh_table_planes,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    entries = []
+    for t, planes in enumerate(lsh_table_planes(4, 12, _EMB_DIM, 42)):
+        bits = ", ".join(_sql_sign_bit(pl) for pl in planes)
+        entries.append(f"struct({t} AS tbl, concat({bits}) AS bucket)")
+    buckets = (
+        emb.select(as_double("embedding").alias("_v"))
+        .select(F.explode(F.expr("array(" + ",".join(entries) + ")")).alias("tb"))
+        .select("tb.tbl", "tb.bucket")
+    )
+    bs = buckets.groupBy("tbl", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("s")
+    )
+    return bs.groupBy(F.col("tbl").alias("lsh_table")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.max("s").cast("long").alias("max_bucket"),
+        F.sum(F.expr("s * (s - 1) div 2")).cast("long").alias(
+            "n_candidate_pairs"
+        ),
+    )
+
+
+@_q(
+    "minhash_s_curve_calibration",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+    sh AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM toks WHERE len({_SQL_SHINGLES}) > 0),
+    ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    keep AS (SELECT shingle FROM ex GROUP BY shingle HAVING COUNT(*) <= 1000),
+    exk AS (SELECT ex.doc_id, ex.shingle FROM ex JOIN keep USING (shingle)),
+    sz AS (SELECT doc_id, CAST(len(s) AS INTEGER) AS n FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM exk a JOIN exk b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    jac AS (SELECT id_a, id_b,
+                   n_common / (sa.n + sb.n - n_common) AS j
+            FROM inter
+            JOIN sz sa ON sa.doc_id = id_a
+            JOIN sz sb ON sb.doc_id = id_b),
+    mh AS ({_minhash_pairs_sql()}),
+    lab AS (
+      SELECT CASE WHEN j >= 0.8 THEN '0.8-1.0'
+                  WHEN j >= 0.6 THEN '0.6-0.8'
+                  WHEN j >= 0.4 THEN '0.4-0.6'
+                  WHEN j >= 0.2 THEN '0.2-0.4'
+                  ELSE '0.0-0.2' END AS jaccard_band,
+             CASE WHEN mh.id_a IS NOT NULL THEN 1 ELSE 0 END AS collided
+      FROM jac LEFT JOIN mh ON mh.id_a = jac.id_a AND mh.id_b = jac.id_b)
+    SELECT jaccard_band,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(collided) AS BIGINT) AS n_collided,
+           CAST(SUM(collided) AS DOUBLE) / count(*) AS collision_rate
+    FROM lab GROUP BY jaccard_band
+    """,
+)
+def minhash_s_curve_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MINHASH S-CURVE CALIBRATION: the empirical banding collision rate
+    at each true-Jaccard band -- the measured version of the textbook
+    P(collide) = 1-(1-s^r)^b curve, on THIS corpus with THIS (b=4, r=4)
+    configuration.  High collision below the dedup threshold means
+    wasted verify work; low collision above it means missed duplicates
+    -- this table says which, without trusting the idealized formula
+    (which assumes perfect minwise hashes).  Candidate pairs and their
+    exact Jaccard come from the capped intersection kernel; the
+    collision flag is a keyed left join against the banded pair set.
+
+    Scale shape: the capped posting-list intersection (bounded), the
+    banded MinHash plan, one (id_a, id_b)-keyed join, a 5-row
+    aggregate."""
+    from lvm_datapipe_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    cached = D.shingle_rows(docs).persist()
+    sizes = cached.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = D.shingle_intersections(cached, "doc_id", 1000)
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
+    j = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("j"),
+        )
+    )
+    mh = D.minhash_lsh_pairs(docs).select(
+        "id_a", "id_b", F.lit(1).alias("collided")
+    )
+    lab = j.join(mh, ["id_a", "id_b"], "left").select(
+        F.when(F.col("j") >= 0.8, "0.8-1.0")
+        .when(F.col("j") >= 0.6, "0.6-0.8")
+        .when(F.col("j") >= 0.4, "0.4-0.6")
+        .when(F.col("j") >= 0.2, "0.2-0.4")
+        .otherwise("0.0-0.2")
+        .alias("jaccard_band"),
+        F.coalesce(F.col("collided"), F.lit(0)).alias("collided"),
+    )
+    out = lab.groupBy("jaccard_band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("collided").cast("long").alias("n_collided"),
+        (F.sum("collided").cast("double") / F.count(F.lit(1))).alias(
+            "collision_rate"
+        ),
+    )
+    from lvm_datapipe_spark.operators.dedup import _with_cached_deps
+
+    return _with_cached_deps(out, [cached])
