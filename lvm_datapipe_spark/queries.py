@@ -15622,8 +15622,9 @@ def join_coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             left_key,
             "left_semi",
         ).count()
+        coverage = n_matched / n_left if n_left else None
         return spark.createDataFrame(
-            [(name, n_left, n_matched, n_matched / n_left)],
+            [(name, n_left, n_matched, coverage)],
             "relationship string, n_left long, n_matched long,"
             " coverage double",
         )

@@ -419,3 +419,16 @@ def test_daily_peak_concurrency_matches_sweep_line(spark, events_pd):
         day = sec // 86400
         peaks[day] = max(peaks.get(day, run), run)
     assert got == peaks
+
+
+def test_join_coverage_survives_empty_input(spark, tmp_path):
+    # empty dimensions: coverage must be NULL, not a ZeroDivisionError
+    src = "/root/testdata/sf0.001"
+    d = tmp_path / "sf_empty"
+    for t in ("customer", "supplier", "part", "orders", "lineitem"):
+        spark.read.parquet(f"{src}/{t}.parquet").limit(0).write.parquet(
+            str(d / f"{t}.parquet")
+        )
+    rows = QUERIES["join_coverage_report"](spark, str(d)).collect()
+    assert len(rows) == 3
+    assert all(r.n_left == 0 and r.coverage is None for r in rows)
