@@ -17289,3 +17289,278 @@ def minhash_s_curve_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lvm_datapipe_spark.operators.dedup import _with_cached_deps
 
     return _with_cached_deps(out, [cached])
+
+
+@_q(
+    "discount_qty_ols_by_brand",
+    """
+    WITH j AS (
+      SELECT p.p_brand,
+             CAST(l.l_quantity AS DECIMAL(9,4)) AS y,
+             CAST(l.l_discount AS DECIMAL(9,4)) AS x
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+    s AS (
+      SELECT p_brand,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(y) AS VARCHAR) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(x * x) AS VARCHAR) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(x * y) AS VARCHAR) AS DOUBLE) AS sxy,
+             CAST(CAST(SUM(y * y) AS VARCHAR) AS DOUBLE) AS syy
+      FROM j GROUP BY p_brand HAVING count(*) >= 3),
+    f AS (
+      SELECT p_brand, n, sx, sy, sxx, sxy, syy,
+             sxx - sx * sx / n AS ssx,
+             syy - sy * sy / n AS ssy,
+             sxy - sx * sy / n AS spxy
+      FROM s)
+    SELECT p_brand, n AS n_lineitems,
+           CASE WHEN ssx > CAST(0.0 AS DOUBLE)
+                THEN spxy / ssx ELSE NULL END AS slope,
+           CASE WHEN ssx > CAST(0.0 AS DOUBLE)
+                THEN sy / n - (spxy / ssx) * (sx / n) ELSE NULL END
+             AS intercept,
+           CASE WHEN ssx > CAST(0.0 AS DOUBLE)
+                     AND ssy > CAST(0.0 AS DOUBLE)
+                THEN (spxy / ssx) * spxy / ssy ELSE NULL END AS r_squared
+    FROM f
+    """,
+)
+def discount_qty_ols_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT OLS per brand: quantity regressed on discount (does a
+    deeper discount actually move volume, and for which brands?) --
+    slope, intercept, R^2 from exact decimal moment sums (quantity and
+    discount both quantize losslessly at 4 decimals), the
+    VARCHAR->double bridge at fixed points, guarded against
+    zero-variance groups.  The parametric sibling of
+    [[theil_sen_slope_by_user]].
+
+    Scale shape: one partkey-keyed join, one brand-keyed moment
+    aggregate; everything after is |brands| rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    x = F.col("l_discount").cast("decimal(9,4)")
+    y = F.col("l_quantity").cast("decimal(9,4)")
+    j = li.join(p, li.l_partkey == p.p_partkey).select(
+        "p_brand", y.alias("y"), x.alias("x")
+    )
+    s = (
+        j.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("string").cast("double").alias("sx"),
+            F.sum("y").cast("string").cast("double").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).cast("string").cast("double").alias("sxx"),
+            F.sum(F.col("x") * F.col("y")).cast("string").cast("double").alias("sxy"),
+            F.sum(F.col("y") * F.col("y")).cast("string").cast("double").alias("syy"),
+        )
+        .filter(F.col("n") >= 3)
+    )
+    n = F.col("n")
+    ssx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    ssy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    spxy = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    f = s.select(
+        "p_brand", n.alias("n_lineitems"), F.col("sx").alias("sx"),
+        F.col("sy").alias("sy"), ssx.alias("ssx"), ssy.alias("ssy"),
+        spxy.alias("spxy"), n.alias("n"),
+    )
+    slope = F.col("spxy") / F.col("ssx")
+    return f.select(
+        "p_brand",
+        "n_lineitems",
+        F.when(F.col("ssx") > 0.0, slope).alias("slope"),
+        F.when(
+            F.col("ssx") > 0.0,
+            F.col("sy") / F.col("n") - slope * (F.col("sx") / F.col("n")),
+        ).alias("intercept"),
+        F.when(
+            (F.col("ssx") > 0.0) & (F.col("ssy") > 0.0),
+            slope * F.col("spxy") / F.col("ssy"),
+        ).alias("r_squared"),
+    )
+
+
+@_q(
+    "cluster_design_effect",
+    """
+    WITH u AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS m,
+             SUM(CAST(value AS DECIMAL(9,6))) AS sd1
+      FROM events WHERE abs(value) < CAST(1000.0 AS DOUBLE)
+      GROUP BY user_id),
+    g AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(SUM(m) AS BIGINT) AS n,
+             CAST(SUM(m * m) AS BIGINT) AS smm,
+             CAST(SUM(CAST(floor(
+               (CAST(CAST(sd1 AS VARCHAR) AS DOUBLE)
+                * CAST(CAST(sd1 AS VARCHAR) AS DOUBLE)) / m
+               * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS bsum
+      FROM u),
+    tot AS (
+      SELECT CAST(CAST(SUM(CAST(value AS DECIMAL(9,6))) AS VARCHAR) AS DOUBLE)
+               AS s1,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(9,6))
+                           * CAST(value AS DECIMAL(9,6))) AS VARCHAR)
+                  AS DOUBLE) AS s2
+      FROM events WHERE abs(value) < CAST(1000.0 AS DOUBLE)),
+    comp AS (
+      SELECT g.k, g.n, g.smm,
+             (g.bsum - tot.s1 * tot.s1 / g.n) / (g.k - 1) AS ms_between,
+             (tot.s2 - g.bsum) / (g.n - g.k) AS ms_within,
+             (CAST(g.n AS DOUBLE) - CAST(g.smm AS DOUBLE) / g.n) / (g.k - 1)
+               AS m0
+      FROM g CROSS JOIN tot
+      WHERE g.k >= 2 AND g.n > g.k)
+    SELECT k AS n_clusters, n AS n_events, ms_between, ms_within, m0,
+           (ms_between - ms_within)
+             / (ms_between + (m0 - CAST(1.0 AS DOUBLE)) * ms_within) AS icc,
+           CAST(1.0 AS DOUBLE) + (m0 - CAST(1.0 AS DOUBLE))
+             * ((ms_between - ms_within)
+                / (ms_between + (m0 - CAST(1.0 AS DOUBLE)) * ms_within))
+             AS design_effect
+    FROM comp
+    """,
+)
+def cluster_design_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLUSTER DESIGN EFFECT (DEFF) for user-clustered metrics: the
+    ANOVA-estimated intraclass correlation (one-way random effects,
+    unequal cluster sizes via the m0 correction) and
+    DEFF = 1 + (m0-1)*ICC -- the factor by which user-level clustering
+    inflates the variance of event-level means, i.e. how much your
+    effective sample size shrinks when you analyze events but randomize
+    users (the quantitative justification for the delta-method /
+    user-level analyses in this family).  All moments are exact decimal
+    sums; the between-cluster sum uses the floor-micro order-free
+    recipe.
+
+    Scale shape: one user-keyed aggregate, one corpus power-sum
+    aggregate, scalar math after."""
+    ev = load_table(spark, sf_dir, "events").filter(F.abs(F.col("value")) < 1000.0)
+    d6 = F.col("value").cast("decimal(9,6)")
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum(d6).alias("sd1"),
+    )
+    s1g = F.col("sd1").cast("string").cast("double")
+    g = u.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("m").cast("long").alias("n"),
+        F.sum(F.col("m") * F.col("m")).cast("long").alias("smm"),
+        (
+            F.sum(
+                F.floor((s1g * s1g) / F.col("m") * 1000000.0).cast("long")
+            ).cast("double")
+            / 1000000.0
+        ).alias("bsum"),
+    )
+    tot = ev.agg(
+        F.sum(d6).cast("string").cast("double").alias("s1"),
+        F.sum(d6 * d6).cast("string").cast("double").alias("s2"),
+    )
+    c = g.crossJoin(F.broadcast(tot)).filter(
+        (F.col("k") >= 2) & (F.col("n") > F.col("k"))
+    )
+    msb = (F.col("bsum") - F.col("s1") * F.col("s1") / F.col("n")) / (
+        F.col("k") - 1
+    )
+    msw = (F.col("s2") - F.col("bsum")) / (F.col("n") - F.col("k"))
+    m0 = (
+        F.col("n").cast("double")
+        - F.col("smm").cast("double") / F.col("n")
+    ) / (F.col("k") - 1)
+    comp = c.select(
+        F.col("k").alias("n_clusters"),
+        F.col("n").alias("n_events"),
+        msb.alias("ms_between"),
+        msw.alias("ms_within"),
+        m0.alias("m0"),
+    )
+    icc = (F.col("ms_between") - F.col("ms_within")) / (
+        F.col("ms_between") + (F.col("m0") - 1.0) * F.col("ms_within")
+    )
+    return comp.select(
+        "n_clusters",
+        "n_events",
+        "ms_between",
+        "ms_within",
+        "m0",
+        icc.alias("icc"),
+        (F.lit(1.0) + (F.col("m0") - 1.0) * icc).alias("design_effect"),
+    )
+
+
+@_q(
+    "mcnemar_pre_post_conversion",
+    """
+    WITH u AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'purchase'
+                       AND ts < TIMESTAMP '2024-01-20 00:00:00'
+                 THEN 1 ELSE 0 END) AS pre,
+             MAX(CASE WHEN event_type = 'purchase'
+                       AND ts >= TIMESTAMP '2024-01-20 00:00:00'
+                 THEN 1 ELSE 0 END) AS post
+      FROM events GROUP BY user_id),
+    c AS (
+      SELECT CAST(count(*) FILTER (WHERE pre = 1 AND post = 1) AS BIGINT) AS n11,
+             CAST(count(*) FILTER (WHERE pre = 1 AND post = 0) AS BIGINT) AS n10,
+             CAST(count(*) FILTER (WHERE pre = 0 AND post = 1) AS BIGINT) AS n01,
+             CAST(count(*) FILTER (WHERE pre = 0 AND post = 0) AS BIGINT) AS n00
+      FROM u)
+    SELECT n11, n10, n01, n00,
+           CASE WHEN n10 + n01 > 0
+                THEN CAST((n10 - n01) * (n10 - n01) AS DOUBLE) / (n10 + n01)
+                ELSE NULL END AS mcnemar_chi2
+    FROM c
+    """,
+)
+def mcnemar_pre_post_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNEMAR'S TEST on paired pre/post conversion: each user is their
+    own control (converted before the Jan-20 cut? after?), and only the
+    DISCORDANT cells matter -- chi2 = (n10-n01)^2/(n10+n01), the correct
+    paired-binary test where a two-proportion z on the same users would
+    be wrong (it ignores the pairing).  All-integer cells, one guarded
+    float expression.
+
+    Scale shape: one user-keyed conditional-max aggregate, then a
+    single-row 2x2 readout."""
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.to_timestamp(F.lit("2024-01-20 00:00:00"))
+    is_p = F.col("event_type") == "purchase"
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(is_p & (F.col("ts") < cut), 1).otherwise(0)
+        ).alias("pre"),
+        F.max(
+            F.when(is_p & (F.col("ts") >= cut), 1).otherwise(0)
+        ).alias("post"),
+    )
+
+    def cell(a, b):
+        return F.count_if((F.col("pre") == a) & (F.col("post") == b)).cast(
+            "long"
+        )
+
+    c = u.agg(
+        cell(1, 1).alias("n11"),
+        cell(1, 0).alias("n10"),
+        cell(0, 1).alias("n01"),
+        cell(0, 0).alias("n00"),
+    )
+    disc = F.col("n10") + F.col("n01")
+    return c.select(
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.when(
+            disc > 0,
+            ((F.col("n10") - F.col("n01")) * (F.col("n10") - F.col("n01"))).cast(
+                "double"
+            )
+            / disc,
+        ).alias("mcnemar_chi2"),
+    )
