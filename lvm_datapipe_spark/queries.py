@@ -17564,3 +17564,162 @@ def mcnemar_pre_post_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             / disc,
         ).alias("mcnemar_chi2"),
     )
+
+
+@_q(
+    "cmh_stratified_conversion",
+    """
+    WITH u AS (
+      SELECT user_id,
+             ('0x' || substr(md5('ab' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+               % 2 AS arm,
+             CAST(count(*) AS BIGINT) AS activity,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY user_id),
+    s AS (
+      SELECT CASE WHEN activity <= 2 THEN '01_low'
+                  WHEN activity <= 5 THEN '02_mid'
+                  WHEN activity <= 10 THEN '03_high'
+                  ELSE '04_power' END AS stratum,
+             arm, converted
+      FROM u),
+    cells AS (
+      SELECT stratum,
+             CAST(count(*) FILTER (WHERE arm = 1) AS BIGINT) AS n1,
+             CAST(count(*) FILTER (WHERE arm = 0) AS BIGINT) AS n0,
+             CAST(SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT)
+               AS x1,
+             CAST(SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT)
+               AS x0
+      FROM s GROUP BY stratum),
+    terms AS (
+      SELECT stratum, n1, n0, x1, x0,
+             CAST(floor((CAST(x1 AS DOUBLE)
+                  - CAST(n1 AS DOUBLE) * (x1 + x0) / (n1 + n0))
+                  * 1000000.0) AS BIGINT) AS t_micro,
+             CAST(floor((CAST(n1 AS DOUBLE) * n0 * (x1 + x0)
+                         * ((n1 + n0) - (x1 + x0)))
+                        / (CAST((n1 + n0) AS DOUBLE) * (n1 + n0)
+                           * ((n1 + n0) - 1))
+                  * 1000000.0) AS BIGINT) AS v_micro
+      FROM cells
+      WHERE n1 + n0 >= 2)
+    SELECT CAST(count(*) AS BIGINT) AS n_strata,
+           CAST(SUM(t_micro) AS DOUBLE) / 1000000.0 AS t_stat,
+           CAST(SUM(v_micro) AS DOUBLE) / 1000000.0 AS v_stat,
+           CASE WHEN SUM(v_micro) > 0
+                THEN (CAST(SUM(t_micro) AS DOUBLE) / 1000000.0)
+                     * (CAST(SUM(t_micro) AS DOUBLE) / 1000000.0)
+                     / (CAST(SUM(v_micro) AS DOUBLE) / 1000000.0)
+                ELSE NULL END AS cmh_chi2
+    FROM terms
+    """,
+)
+def cmh_stratified_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COCHRAN-MANTEL-HAENSZEL test of arm vs conversion STRATIFIED by
+    user activity tier -- the correct pooled test when conversion and
+    assignment balance both vary across strata (pooling the raw 2x2
+    invites Simpson's paradox; CMH sums per-stratum evidence
+    T = x1 - E[x1|margins] against its hypergeometric variance).
+    Per-stratum terms are single float expressions over integer cells;
+    cross-stratum sums use the floor-micro order-free recipe.
+
+    Scale shape: one user-keyed aggregate, a 4-stratum cell aggregate,
+    scalar math."""
+    from lvm_datapipe_spark.operators.sampling import hash_bucket
+
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("activity"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    ).withColumn("arm", hash_bucket("user_id", 2, "ab"))
+    stratum = (
+        F.when(F.col("activity") <= 2, "01_low")
+        .when(F.col("activity") <= 5, "02_mid")
+        .when(F.col("activity") <= 10, "03_high")
+        .otherwise("04_power")
+    )
+    cells = u.select(stratum.alias("stratum"), "arm", "converted").groupBy(
+        "stratum"
+    ).agg(
+        F.count_if(F.col("arm") == 1).cast("long").alias("n1"),
+        F.count_if(F.col("arm") == 0).cast("long").alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("x1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("x0"),
+    )
+    n1, n0, x1, x0 = (F.col(c) for c in ("n1", "n0", "x1", "x0"))
+    ns = n1 + n0
+    ms = x1 + x0
+    t = x1.cast("double") - n1.cast("double") * ms / ns
+    v = (n1.cast("double") * n0 * ms * (ns - ms)) / (
+        ns.cast("double") * ns * (ns - 1)
+    )
+    terms = cells.filter(ns >= 2).select(
+        F.floor(t * 1000000.0).cast("long").alias("t_micro"),
+        F.floor(v * 1000000.0).cast("long").alias("v_micro"),
+    )
+    ts = F.sum("t_micro").cast("double") / 1000000.0
+    vs = F.sum("v_micro").cast("double") / 1000000.0
+    return terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        ts.alias("t_stat"),
+        vs.alias("v_stat"),
+        F.when(F.sum("v_micro") > 0, ts * ts / vs).alias("cmh_chi2"),
+    )
+
+
+@_q(
+    "embedding_norm_histogram",
+    f"""
+    WITH e AS (
+      SELECT sqrt({_dot_sql('v', 'v')}) AS nrm
+      FROM (SELECT embedding::DOUBLE[] AS v FROM embeddings
+            WHERE embedding IS NOT NULL)),
+    b AS (
+      SELECT CASE WHEN nrm < CAST(0.5 AS DOUBLE) THEN '0.0-0.5'
+                  WHEN nrm < CAST(0.9 AS DOUBLE) THEN '0.5-0.9'
+                  WHEN nrm < CAST(1.1 AS DOUBLE) THEN '0.9-1.1'
+                  WHEN nrm < CAST(2.0 AS DOUBLE) THEN '1.1-2.0'
+                  ELSE '2.0+' END AS norm_band
+      FROM e)
+    SELECT norm_band, CAST(count(*) AS BIGINT) AS n_vectors
+    FROM b GROUP BY norm_band
+    """,
+)
+def embedding_norm_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING NORM sanity histogram: vectors bucketed by L2 norm
+    around the expected unit shell -- zero-norm rows are dead encoder
+    outputs, far-out norms are scale bugs or mixed checkpoint versions;
+    either silently poisons cosine math downstream (this is the check
+    that runs BEFORE the similarity family).  The norm is one
+    left-associated dot fold + sqrt; the banding is a literal CASE
+    ladder; counts exact.
+
+    Scale shape: one scan, one 5-row aggregate."""
+    from lvm_datapipe_spark.operators.similarity import as_double, dot_flat
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    nrm = F.sqrt(
+        dot_flat(as_double("embedding"), as_double("embedding"), _EMB_DIM)
+    )
+    band = (
+        F.when(nrm < 0.5, "0.0-0.5")
+        .when(nrm < 0.9, "0.5-0.9")
+        .when(nrm < 1.1, "0.9-1.1")
+        .when(nrm < 2.0, "1.1-2.0")
+        .otherwise("2.0+")
+    )
+    return (
+        emb.select(band.alias("norm_band"))
+        .groupBy("norm_band")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+    )
