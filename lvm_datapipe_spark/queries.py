@@ -17723,3 +17723,191 @@ def embedding_norm_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("norm_band")
         .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
     )
+
+
+@_q(
+    "user_recency_weighted_value",
+    """
+    WITH mx AS (SELECT CAST(MAX(CAST(ts AS DATE)) - DATE '1970-01-01'
+                            AS BIGINT) AS max_day
+                FROM events),
+    ev AS (
+      SELECT user_id,
+             (mx.max_day
+              - CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)) // 7
+               AS age_weeks,
+             CAST(value AS DECIMAL(9,6)) AS v
+      FROM events CROSS JOIN mx
+      WHERE value > CAST(0.0 AS DOUBLE) AND abs(value) < CAST(1000.0 AS DOUBLE)),
+    w AS (
+      SELECT user_id,
+             CAST(CAST(v AS VARCHAR) AS DOUBLE)
+               * (CASE age_weeks WHEN 0 THEN 1.0 WHEN 1 THEN 0.5
+                                 WHEN 2 THEN 0.25 WHEN 3 THEN 0.125
+                                 WHEN 4 THEN 0.0625 WHEN 5 THEN 0.03125
+                                 WHEN 6 THEN 0.015625 WHEN 7 THEN 0.0078125
+                                 ELSE 0.0 END) AS wv
+      FROM ev),
+    score AS (
+      SELECT user_id,
+             CAST(SUM(CAST(floor(wv * 1000000.0) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 AS s
+      FROM w GROUP BY user_id),
+    med AS (
+      SELECT (CASE WHEN (('0.5'::DOUBLE) * (n - 1)) = floor(('0.5'::DOUBLE) * (n - 1)) OR CAST(arr[CAST(floor(('0.5'::DOUBLE) * (n - 1)) AS BIGINT) + 1] AS DOUBLE) = CAST(arr[CAST(floor(('0.5'::DOUBLE) * (n - 1)) AS BIGINT) + 2] AS DOUBLE) THEN CAST(arr[CAST(floor(('0.5'::DOUBLE) * (n - 1)) AS BIGINT) + 1] AS DOUBLE) ELSE CAST(arr[CAST(floor(('0.5'::DOUBLE) * (n - 1)) AS BIGINT) + 1] AS DOUBLE) * ((floor(('0.5'::DOUBLE) * (n - 1)) + 1.0) - (('0.5'::DOUBLE) * (n - 1))) + CAST(arr[CAST(floor(('0.5'::DOUBLE) * (n - 1)) AS BIGINT) + 2] AS DOUBLE) * ((('0.5'::DOUBLE) * (n - 1)) - floor(('0.5'::DOUBLE) * (n - 1))) END) AS m
+      FROM (SELECT list(s ORDER BY s) AS arr, CAST(count(*) AS BIGINT) AS n
+            FROM score)),
+    b AS (
+      SELECT CASE WHEN s >= CAST(2.0 AS DOUBLE) * med.m THEN '4_hot'
+                  WHEN s >= med.m THEN '3_warm'
+                  WHEN s >= CAST(0.5 AS DOUBLE) * med.m THEN '2_cool'
+                  ELSE '1_cold' END AS band,
+             s
+      FROM score CROSS JOIN med)
+    SELECT band,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(floor(s * 1000000.0) AS BIGINT)) AS DOUBLE)
+             / 1000000.0 AS total_score
+    FROM b GROUP BY band
+    """,
+)
+def user_recency_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECENCY-DECAYED user value with a one-week half-life: each
+    purchase-week's value is halved per week of age (weights are EXACT
+    powers of two -- a literal CASE ladder, truncated at 8 weeks -- so
+    no cross-engine pow()), and users band into hot/warm/cool/cold
+    RELATIVE to the corpus median score (>=2x, >=1x, >=0.5x -- absolute
+    cutoffs would re-degenerate at every scale factor); the
+    feature-engineering sibling of [[rfm_segments]] that a re-engagement
+    campaign actually keys on.  Value quantized to decimal, weighted
+    values summed with the floor-micro order-free recipe at user and
+    band level.
+
+    Scale shape: scalar max-day broadcast, one user-keyed aggregate,
+    one 4-row band aggregate."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("value") > 0.0) & (F.abs(F.col("value")) < 1000.0)
+    )
+    mx = ev.agg(
+        F.datediff(
+            F.max(F.col("ts").cast("date")), F.lit("1970-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("max_day")
+    )
+    age = F.expr(
+        "(max_day - datediff(cast(ts as date), date '1970-01-01')) div 7"
+    )
+    decay = (
+        F.when(age == 0, 1.0)
+        .when(age == 1, 0.5)
+        .when(age == 2, 0.25)
+        .when(age == 3, 0.125)
+        .when(age == 4, 0.0625)
+        .when(age == 5, 0.03125)
+        .when(age == 6, 0.015625)
+        .when(age == 7, 0.0078125)
+        .otherwise(0.0)
+    )
+    wv = F.col("value").cast("decimal(9,6)").cast("string").cast(
+        "double"
+    ) * decay
+    w = ev.crossJoin(F.broadcast(mx)).select("user_id", wv.alias("wv"))
+    score = w.groupBy("user_id").agg(
+        (
+            F.sum(F.floor(F.col("wv") * 1000000.0).cast("long")).cast("double")
+            / 1000000.0
+        ).alias("s")
+    )
+    med = score.agg(F.expr("percentile(s, 0.5)").alias("m"))
+    band = (
+        F.when(F.col("s") >= 2.0 * F.col("m"), "4_hot")
+        .when(F.col("s") >= F.col("m"), "3_warm")
+        .when(F.col("s") >= 0.5 * F.col("m"), "2_cool")
+        .otherwise("1_cold")
+    )
+    return score.crossJoin(F.broadcast(med)).select(
+        band.alias("band"), "s"
+    ).groupBy("band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        (
+            F.sum(F.floor(F.col("s") * 1000000.0).cast("long")).cast("double")
+            / 1000000.0
+        ).alias("total_score"),
+    )
+
+
+@_q(
+    "sample_size_rate_table",
+    f"""
+    WITH u AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY user_id),
+    base AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_users,
+             CAST(SUM(converted) AS BIGINT) AS n_converted,
+             CAST(SUM(converted) AS DOUBLE) / count(*) AS p
+      FROM u),
+    grid AS (SELECT unnest([CAST(0.01 AS DOUBLE), CAST(0.02 AS DOUBLE),
+                            CAST(0.05 AS DOUBLE)]) AS delta)
+    SELECT g.delta AS abs_effect,
+           b.n_users AS current_n, b.p AS base_rate,
+           ceil((('{_Z_ALPHA_975!r}'::DOUBLE + '{_Z_POWER_80!r}'::DOUBLE)
+                 * ('{_Z_ALPHA_975!r}'::DOUBLE + '{_Z_POWER_80!r}'::DOUBLE))
+                * (CAST(2.0 AS DOUBLE) * b.p * (CAST(1.0 AS DOUBLE) - b.p))
+                / (g.delta * g.delta)) AS n_per_arm_needed,
+           CASE WHEN b.n_users > 0 THEN
+             ceil((('{_Z_ALPHA_975!r}'::DOUBLE + '{_Z_POWER_80!r}'::DOUBLE)
+                   * ('{_Z_ALPHA_975!r}'::DOUBLE + '{_Z_POWER_80!r}'::DOUBLE))
+                  * (CAST(2.0 AS DOUBLE) * b.p * (CAST(1.0 AS DOUBLE) - b.p))
+                  / (g.delta * g.delta))
+             / (CAST(b.n_users AS DOUBLE) / 2) ELSE NULL END
+             AS multiple_of_current
+    FROM base b CROSS JOIN grid g
+    """,
+)
+def sample_size_rate_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLE-SIZE PLANNING table for the conversion rate: users per arm
+    needed to detect an absolute lift of 1/2/5 points at 80% power
+    (n = (z_a+z_b)^2 * 2p(1-p) / delta^2 with p the measured base rate)
+    and how that compares to current traffic -- the
+    [[ab_test_mde_readout]] inverse, answered in the planning direction
+    ("how long must this test run").  z constants are the shared Python
+    literals; base rate is one division of exact counts; ceil is exact.
+
+    Scale shape: one user-keyed aggregate, scalar math against a 3-row
+    grid."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    )
+    base = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+        (F.sum("converted").cast("double") / F.count(F.lit(1))).alias("p"),
+    )
+    grid = spark.createDataFrame(
+        [(0.01,), (0.02,), (0.05,)], "delta double"
+    )
+    z2 = (F.lit(_Z_ALPHA_975) + F.lit(_Z_POWER_80)) * (
+        F.lit(_Z_ALPHA_975) + F.lit(_Z_POWER_80)
+    )
+    need = F.ceil(
+        z2
+        * (F.lit(2.0) * F.col("p") * (F.lit(1.0) - F.col("p")))
+        / (F.col("delta") * F.col("delta"))
+    )
+    return base.crossJoin(F.broadcast(grid)).select(
+        F.col("delta").alias("abs_effect"),
+        F.col("n_users").alias("current_n"),
+        F.col("p").alias("base_rate"),
+        need.alias("n_per_arm_needed"),
+        F.when(
+            F.col("n_users") > 0,
+            need / (F.col("n_users").cast("double") / 2),
+        ).alias("multiple_of_current"),
+    )
