@@ -17911,3 +17911,79 @@ def sample_size_rate_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             need / (F.col("n_users").cast("double") / 2),
         ).alias("multiple_of_current"),
     )
+
+
+@_q(
+    "abc_classification_by_nation",
+    """
+    WITH t AS (
+      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS tot
+      FROM orders GROUP BY o_custkey),
+    r AS (
+      SELECT c.c_nationkey, t.tot,
+             SUM(t.tot) OVER (PARTITION BY c.c_nationkey
+                              ORDER BY t.tot DESC, t.o_custkey) AS cum,
+             SUM(t.tot) OVER (PARTITION BY c.c_nationkey) AS total
+      FROM t JOIN customer c ON t.o_custkey = c.c_custkey),
+    cls AS (
+      SELECT c_nationkey, tot, total,
+             CASE WHEN 5 * cum <= 4 * total THEN 'A'
+                  WHEN 20 * cum <= 19 * total THEN 'B'
+                  ELSE 'C' END AS abc_class
+      FROM r)
+    SELECT n.n_name, cls.abc_class,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(SUM(cls.tot) AS DOUBLE) / CAST(MAX(cls.total) AS DOUBLE)
+             AS revenue_share
+    FROM cls JOIN nation n ON n.n_nationkey = cls.c_nationkey
+    GROUP BY n.n_name, cls.abc_class
+    """,
+)
+def abc_classification_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (80/15/5) CUSTOMER CLASSIFICATION per nation: A-class
+    customers cover the first 80% of cumulative revenue, B the next 15%,
+    C the tail -- the inventory-analysis workhorse applied to accounts
+    (A gets a key-account manager, C gets self-serve).  The class
+    thresholds are INTEGER-scaled decimal comparisons (5*cum <= 4*total,
+    20*cum <= 19*total -- no division, no doubles until the final
+    share); revenue stays decimal through both windows.
+
+    Scale shape: the [[pareto_half_revenue_customers]] plan -- custkey
+    aggregate, nation-partitioned cumulative windows, broadcast nation
+    join, |nations|x3 output."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    t = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("tot")
+    )
+    j = t.join(cust, t.o_custkey == cust.c_custkey)
+    wc = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("tot"), F.asc("o_custkey")
+    )
+    wp = Window.partitionBy("c_nationkey")
+    r = j.select(
+        "c_nationkey",
+        "tot",
+        F.sum("tot").over(wc).alias("cum"),
+        F.sum("tot").over(wp).alias("total"),
+    )
+    cls = r.select(
+        "c_nationkey",
+        "tot",
+        "total",
+        F.when(5 * F.col("cum") <= 4 * F.col("total"), "A")
+        .when(20 * F.col("cum") <= 19 * F.col("total"), "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return (
+        cls.join(F.broadcast(nation), cls.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            (
+                F.sum("tot").cast("double") / F.max("total").cast("double")
+            ).alias("revenue_share"),
+        )
+    )
