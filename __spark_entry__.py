@@ -151,8 +151,17 @@ _CHECK_FIRST = [
     #       vocab_growth_by_arrival, ab_test_mde_readout,
     #       ratio_metric_ci_delta, revenue_seasonal_indices,
     #       nation_catalog_jaccard, knn_label_consistency,
-    #       retrieval_mrr_eval) LEAD the r7 queue; all are green in
-    #       this round's local full sweep (tools/check_correctness.py).
+    #       retrieval_mrr_eval, ab_test_cuped_adjusted,
+    #       ab_test_quantile_effects, iqr_outlier_fences_by_type,
+    #       daily_value_percentile_trend, pq_distortion_by_subspace,
+    #       ivf_cell_occupancy, lsh_bucket_cost_readout,
+    #       minhash_s_curve_calibration, discount_qty_ols_by_brand,
+    #       cluster_design_effect, mcnemar_pre_post_conversion,
+    #       cmh_stratified_conversion, embedding_norm_histogram,
+    #       user_recency_weighted_value, sample_size_rate_table,
+    #       abc_classification_by_nation) LEAD the r7 queue; all are
+    #       green in this round's local full sweep
+    #       (tools/check_correctness.py).
     "sample_neyman_allocation",     # new: variance-optimal strata budgets
     "sample_priority_topk",         # new: Duffield priority sampling
     "drift_ks_statistic",           # new: exact two-sample KS per stratum
