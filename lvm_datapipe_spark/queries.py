@@ -17987,3 +17987,119 @@ def abc_classification_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue_share"),
         )
     )
+
+
+@_q(
+    "events_ewma_residual_anomaly",
+    """
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY event_type, h),
+    j AS (
+      SELECT a.event_type, a.h, a.c,
+             b.c AS cb, a.h - b.h AS lag_h
+      FROM hourly a JOIN hourly b
+        ON b.event_type = a.event_type
+       AND b.h < a.h AND a.h - b.h <= 50),
+    w AS (
+      SELECT event_type, h, c,
+             CAST(cb AS DOUBLE) / CAST(1::BIGINT << lag_h AS DOUBLE) AS wx,
+             CAST(1.0 AS DOUBLE) / CAST(1::BIGINT << lag_h AS DOUBLE) AS ww
+      FROM j),
+    p AS (
+      SELECT event_type, h, c,
+             CAST(SUM(CAST(floor(wx * 1000000.0) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 AS num,
+             CAST(SUM(CAST(floor(ww * 1000000.0) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 AS den
+      FROM w GROUP BY event_type, h, c),
+    r AS (
+      SELECT event_type, h, c,
+             num / den AS predicted,
+             abs(CAST(c AS DOUBLE) - num / den) AS resid
+      FROM p WHERE den > CAST(0.0 AS DOUBLE)),
+    top AS (
+      SELECT event_type, h, c, predicted, resid,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY resid DESC, h ASC) AS rk
+      FROM r)
+    SELECT event_type,
+           h AS anomaly_epoch_hour,
+           c AS observed,
+           predicted,
+           resid AS abs_residual
+    FROM top WHERE rk = 1
+    """,
+)
+def events_ewma_residual_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA-RESIDUAL anomaly detection with EXACT geometric weights: the
+    hour where each type's count deviates most from its exponentially
+    weighted history (half-life = 1 hour, i.e. alpha = 0.5).  The
+    recursion s_t = (x_t + s_{t-1})/2 is normally un-oracle-able
+    (cross-engine pow() differs in ULPs) -- here the weights 2^-lag are
+    computed as ``1.0 / (1 << lag)``: an integer SHIFT and a
+    division-by-power-of-two, both EXACT IEEE operations on any engine;
+    history truncates at lag 50 (2^-50 is below measurement noise,
+    identically on both sides).  Weighted sums quantize with the
+    floor-micro recipe; the prediction is one division.
+
+    Scale shape: (type, hour) aggregate, a type-keyed self-join BOUNDED
+    at 50 lags per row, one keyed aggregate, one type-partitioned
+    argmax window."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.expr("unix_seconds(cast(ts as timestamp)) div 3600").alias("h"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    a = hourly.select("event_type", "h", "c")
+    b = hourly.select(
+        F.col("event_type").alias("event_type"),
+        F.col("h").alias("bh"),
+        F.col("c").alias("cb"),
+    )
+    j = a.join(b, "event_type").filter(
+        (F.col("bh") < F.col("h")) & (F.col("h") - F.col("bh") <= 50)
+    )
+    pow2 = F.expr("cast(shiftleft(1L, cast(h - bh as int)) as double)")
+    w = j.select(
+        "event_type",
+        "h",
+        "c",
+        (F.col("cb").cast("double") / pow2).alias("wx"),
+        (F.lit(1.0) / pow2).alias("ww"),
+    )
+
+    def fsum(c):
+        return (
+            F.sum(F.floor(F.col(c) * 1000000.0).cast("long")).cast("double")
+            / 1000000.0
+        )
+
+    p = w.groupBy("event_type", "h", "c").agg(
+        fsum("wx").alias("num"), fsum("ww").alias("den")
+    )
+    pred = F.col("num") / F.col("den")
+    r = p.filter(F.col("den") > 0.0).select(
+        "event_type",
+        "h",
+        "c",
+        pred.alias("predicted"),
+        F.abs(F.col("c").cast("double") - pred).alias("resid"),
+    )
+    top = r.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(
+                F.desc("resid"), F.asc("h")
+            )
+        ),
+    )
+    return top.filter(F.col("rk") == 1).select(
+        "event_type",
+        F.col("h").alias("anomaly_epoch_hour"),
+        F.col("c").alias("observed"),
+        "predicted",
+        F.col("resid").alias("abs_residual"),
+    )

@@ -432,3 +432,39 @@ def test_join_coverage_survives_empty_input(spark, tmp_path):
     rows = QUERIES["join_coverage_report"](spark, str(d)).collect()
     assert len(rows) == 3
     assert all(r.n_left == 0 and r.coverage is None for r in rows)
+
+
+def test_ewma_anomaly_matches_recursive_model(spark, events_pd):
+    # the truncated dyadic-weight form must agree with the textbook
+    # alpha=0.5 recursion (truncation error 2^-50 is far below fp noise)
+    got = {
+        r.event_type: r
+        for r in QUERIES["events_ewma_residual_anomaly"](spark, SF).collect()
+    }
+    ev = events_pd.copy()
+    ev["h"] = ev.ts.map(lambda t: int(t.timestamp())) // 3600
+    for etype, g in ev.groupby("event_type"):
+        counts = g.groupby("h").size().sort_index()
+        hs = list(counts.index)
+        best = None
+        import math
+
+        for t in range(1, len(hs)):
+            # normalized geometric-weight prediction over prior hours,
+            # replicating the query's floor-micro term quantization
+            num_u = den_u = 0
+            for b in range(t):
+                lag = hs[t] - hs[b]
+                if lag <= 50:
+                    num_u += math.floor(counts.iloc[b] / (1 << lag) * 1e6)
+                    den_u += math.floor(1.0 / (1 << lag) * 1e6)
+            if den_u == 0:
+                continue
+            num, den = num_u / 1e6, den_u / 1e6
+            resid = abs(counts.iloc[t] - num / den)
+            if best is None or resid > best[0] + 1e-9:
+                best = (resid, hs[t], counts.iloc[t])
+        r = got[etype]
+        assert r.anomaly_epoch_hour == best[1], etype
+        assert r.observed == best[2], etype
+        assert abs(r.abs_residual - best[0]) < 1e-9, etype
