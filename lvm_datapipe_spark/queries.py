@@ -18103,3 +18103,164 @@ def events_ewma_residual_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "predicted",
         F.col("resid").alias("abs_residual"),
     )
+
+
+@_q(
+    "events_acf_table",
+    """
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY event_type, h),
+    lags AS (SELECT unnest([1, 2, 3, 6, 12, 24]) AS lag_h),
+    j AS (
+      SELECT a.event_type, l.lag_h, a.c AS x, b.c AS y
+      FROM hourly a
+      CROSS JOIN lags l
+      JOIN hourly b ON b.event_type = a.event_type
+                   AND b.h = a.h - l.lag_h),
+    s AS (
+      SELECT event_type, lag_h,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM j GROUP BY event_type, lag_h HAVING count(*) >= 3)
+    SELECT event_type, CAST(lag_h AS INTEGER) AS lag_hours, n AS n_pairs,
+           CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                THEN (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                     / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                ELSE NULL END AS acf
+    FROM s
+    """,
+)
+def events_acf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUTOCORRELATION FUNCTION table: Pearson correlation of the hourly
+    count series with itself at lags 1/2/3/6/12/24 hours, per type --
+    the model-selection readout (a spike at 24 = daily seasonality,
+    slow decay = momentum, nothing = Poisson-like; it decides between
+    the seasonal-naive, EWMA, and flat baselines in this family).
+    Counts are integers, so EVERY moment (sx, sxx, sxy, ...) is an
+    exact BIGINT and the correlation is one float expression over them
+    -- no quantization needed anywhere.
+
+    Scale shape: (type, hour) aggregate, a 6-lag keyed self-join on the
+    shifted hour, a (type, lag)-sized moment aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.expr("unix_seconds(cast(ts as timestamp)) div 3600").alias("h"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    lags = spark.createDataFrame([(1,), (2,), (3,), (6,), (12,), (24,)], "lag_h int")
+    a = hourly.crossJoin(F.broadcast(lags))
+    b = hourly.select(
+        "event_type", F.col("h").alias("bh"), F.col("c").alias("y")
+    )
+    j = a.join(b, "event_type").filter(
+        F.col("bh") == F.col("h") - F.col("lag_h")
+    ).select("event_type", "lag_h", F.col("c").alias("x"), "y")
+    s = (
+        j.groupBy("event_type", "lag_h")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        )
+        .filter(F.col("n") >= 3)
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    vx = n * F.col("sxx") - sx * sx
+    vy = n * F.col("syy") - sy * sy
+    return s.select(
+        "event_type",
+        F.col("lag_h").cast("int").alias("lag_hours"),
+        n.alias("n_pairs"),
+        F.when(
+            (vx > 0) & (vy > 0),
+            (n.cast("double") * F.col("sxy") - sx.cast("double") * sy)
+            / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
+        ).alias("acf"),
+    )
+
+
+_DWELL_P50 = _pctile_mirror_sql("arr", "n", 0.5)
+_DWELL_P90 = _pctile_mirror_sql("arr", "n", 0.9)
+
+
+@_q(
+    "session_dwell_time_quantiles",
+    f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts > LAG(ts) OVER w + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS BIGINT) AS session_id,
+             ts
+      FROM flagged),
+    dur AS (
+      SELECT (CAST(floor(epoch(MAX(ts))) AS BIGINT)
+              - CAST(floor(epoch(MIN(ts))) AS BIGINT)) AS dwell_s,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM sessions GROUP BY user_id, session_id),
+    s AS (SELECT list(dwell_s ORDER BY dwell_s) AS arr,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(dwell_s) AS BIGINT) AS total_s,
+                 CAST(count(*) FILTER (WHERE n_events = 1) AS BIGINT)
+                   AS n_single
+          FROM dur)
+    SELECT n AS n_sessions,
+           n_single AS n_single_event,
+           {_DWELL_P50} AS p50_dwell_s,
+           {_DWELL_P90} AS p90_dwell_s,
+           CAST(total_s AS DOUBLE) / n AS mean_dwell_s
+    FROM s
+    """,
+)
+def session_dwell_time_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION DWELL TIME distribution: p50/p90/mean session duration
+    over the 30-minute-gap sessions (plus the single-event count whose
+    zero duration drags the median -- reported so the reader can see the
+    mix) -- the engagement-depth readout next to
+    [[session_bounce_stats]]'s breadth.  Durations are integer epoch
+    seconds; the fractional quantiles use the _pctile_mirror_sql replay.
+
+    Scale shape: the shared sessionize window, one (user, session)
+    aggregate, one global percentile aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    is_new = F.when(
+        prev_ts.isNull() | (F.col("ts") > prev_ts + F.expr("INTERVAL 30 MINUTES")), 1
+    ).otherwise(0)
+    sessions = ev.withColumn("is_new", is_new).withColumn(
+        "session_id", F.sum(F.col("is_new").cast("long")).over(w)
+    )
+    dur = sessions.groupBy("user_id", "session_id").agg(
+        (
+            F.unix_seconds(F.max("ts").cast("timestamp"))
+            - F.unix_seconds(F.min("ts").cast("timestamp"))
+        ).alias("dwell_s"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    return dur.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.count_if(F.col("n_events") == 1).cast("long").alias("n_single_event"),
+        F.expr("percentile(dwell_s, 0.5)").alias("p50_dwell_s"),
+        F.expr("percentile(dwell_s, 0.9)").alias("p90_dwell_s"),
+        (F.sum("dwell_s").cast("double") / F.count(F.lit(1))).alias(
+            "mean_dwell_s"
+        ),
+    )
