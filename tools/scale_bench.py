@@ -787,9 +787,139 @@ def render_md(res: dict) -> str:
     return "\n".join(lines)
 
 
+def gen_points(path: str, n: int, anti: bool = False) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(SEED)
+    x = rng.uniform(0, 1e6, n)
+    if anti:
+        # anti-correlated: x + y ~ const band -> a huge Pareto frontier,
+        # the classic skyline worst case (no point dominates many others)
+        y = 1e6 - x + rng.uniform(0, 1e4, n)
+    else:
+        y = rng.uniform(0, 1e6, n)
+    tbl = pa.table(
+        {
+            "id": pa.array(np.arange(n, dtype=np.int64)),
+            "x": pa.array(x),
+            "y": pa.array(y),
+        }
+    )
+    pq.write_table(tbl, path)
+
+
+def bench_skyline(spark, quick: bool) -> dict:
+    """Bucketed distributed skyline (relational.pareto_skyline_2d) vs the
+    textbook pair-based form (exists-a-dominator anti-join, a
+    BroadcastNestedLoopJoin).  Measured on TWO distributions because the
+    naive form's cost is data-dependent: on uniform-random points the
+    anti-join early-exits (a dominator is found almost immediately, so
+    wall time looks linear); on ANTI-CORRELATED points (x + y ~ const,
+    the classic worst case) the frontier is huge, early exit never
+    fires, and the n^2 comparison count is the wall time.  The bucketed
+    plan is distribution-insensitive.  The structural limit is measured
+    either way: the naive plan BROADCASTS THE CORPUS (its build side is
+    every row), which no executor holds at 100 TB."""
+    from pyspark.sql import functions as F
+    from lvm_datapipe_spark.operators.relational import pareto_skyline_2d
+
+    out = {"distributions": {}}
+    plans = {
+        "uniform": ([5_000, 20_000, 100_000, 1_000_000, 5_000_000], 1_000_000),
+        "anti_correlated": ([5_000, 20_000, 100_000, 1_000_000], 100_000),
+    }
+    if quick:
+        plans = {
+            "uniform": ([5_000, 100_000, 1_000_000], 100_000),
+            "anti_correlated": ([5_000, 20_000, 100_000], 20_000),
+        }
+    for dist, (sizes, naive_cap) in plans.items():
+        anti = dist == "anti_correlated"
+        pts = {}
+        for n in sizes:
+            path = os.path.join(SCRATCH, f"points_{dist}_{n}.parquet")
+            if not os.path.exists(path):
+                gen_points(path, n, anti=anti)
+            df = spark.read.parquet(path)
+            t0 = time.time()
+            frontier = pareto_skyline_2d(df, "x", "y")
+            n_frontier = frontier.count()
+            entry = {
+                "bucketed_sec": round(time.time() - t0, 2),
+                "frontier_rows": n_frontier,
+            }
+            if n <= naive_cap:
+                d = df.select(
+                    F.col("x").alias("dx"), F.col("y").alias("dy")
+                )
+                t0 = time.time()
+                naive = df.join(
+                    d,
+                    (F.col("dx") >= F.col("x"))
+                    & (F.col("dy") >= F.col("y"))
+                    & (
+                        (F.col("dx") > F.col("x"))
+                        | (F.col("dy") > F.col("y"))
+                    ),
+                    "left_anti",
+                )
+                n_naive = naive.count()
+                entry["naive_sec"] = round(time.time() - t0, 2)
+                assert n_naive == n_frontier, (n_naive, n_frontier)
+                entry["naive_matches"] = True
+            pts[n] = entry
+        out["distributions"][dist] = {"naive_cap": naive_cap, "points": pts}
+    return out
+
+
+def render_skyline_md(res: dict) -> list[str]:
+    t = res["skyline"]
+    lines = [
+        "## 8. Bucketed skyline vs pair-based dominance (operators/relational.py)",
+        "",
+        "`bucketed` is `pareto_skyline_2d` (256 order-preserving buckets,",
+        "cross-bucket prune, bucket-partitioned exact pass); `naive` is",
+        "the textbook no-dominator anti-join (the NOT EXISTS oracle",
+        "semantics as a Spark plan: a BroadcastNestedLoopJoin whose BUILD",
+        "SIDE IS THE WHOLE CORPUS).  Frontiers asserted identical wherever",
+        "both run.",
+        "",
+    ]
+    for dist, block in t["distributions"].items():
+        pts = {int(k): v for k, v in block["points"].items()}
+        lines += [
+            f"**{dist}** (naive capped at {block['naive_cap']:,} rows):",
+            "",
+            "| n points | frontier | bucketed sec | naive sec |",
+            "|---|---|---|---|",
+        ]
+        for n in sorted(pts):
+            p = pts[n]
+            lines.append(
+                f"| {n:,} | {p['frontier_rows']:,} | {p['bucketed_sec']} "
+                f"| {p.get('naive_sec', chr(8212))} |"
+            )
+        lines.append("")
+    lines += [
+        "- The naive form's wall time is DATA-DEPENDENT: on uniform",
+        "  points the anti-join early-exits (a dominator turns up within",
+        "  a few probes) and looks linear; on the anti-correlated worst",
+        "  case the frontier is ~sqrt-of-n-band sized, early exit never",
+        "  fires, and runtime follows the n^2 comparison count.",
+        "- The bucketed plan is distribution-insensitive AND",
+        "  structure-safe: it broadcasts a 256-row summary, not the",
+        "  corpus.  The naive plan's build side is every row — at 100 TB",
+        "  it cannot even start, regardless of distribution.",
+        "",
+    ]
+    return lines
+
+
 def main() -> None:
     quick = "--quick" in sys.argv
     only_txlog = "--only-txlog" in sys.argv
+    only_skyline = "--only-skyline" in sys.argv
     os.makedirs(SCRATCH, exist_ok=True)
     from lvm_datapipe_spark.session import get_spark
 
@@ -800,7 +930,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count()))
 
-    if only_txlog:
+    if only_txlog or only_skyline:
         # incremental mode: merge the new section into the committed
         # results instead of re-running the (long) full matrix
         with open(os.path.join(REPO, "SCALE_BENCH.json")) as f:
@@ -815,6 +945,22 @@ def main() -> None:
         res["skew"] = bench_skew(spark, quick)
         print("== LM scoring: DSIR vs CCNet ==", flush=True)
         res["lm_scoring"] = bench_lm_scoring(spark, quick)
+    if only_skyline:
+        print("== skyline ==", flush=True)
+        res["skyline"] = bench_skyline(spark, quick)
+        with open(os.path.join(REPO, "SCALE_BENCH.json"), "w") as f:
+            json.dump(res, f, indent=2, sort_keys=True)
+        md_path = os.path.join(REPO, "SCALE_BENCH.md")
+        with open(md_path) as f:
+            md = f.read()
+        marker = "## 8. Bucketed skyline"
+        if marker in md:
+            md = md[: md.index(marker)]
+        with open(md_path, "w") as f:
+            f.write(md.rstrip("\n") + "\n\n" + "\n".join(render_skyline_md(res)))
+        print("wrote SCALE_BENCH.json + SCALE_BENCH.md (skyline)", flush=True)
+        shutil.rmtree("/dev/shm/spark-scale-local", ignore_errors=True)
+        return
     print("== txlog incremental reads ==", flush=True)
     res["txlog_incremental"] = bench_txlog_incremental(spark, quick)
     print("== txlog file-granular merge ==", flush=True)
