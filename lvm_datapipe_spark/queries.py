@@ -18264,3 +18264,94 @@ def session_dwell_time_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_dwell_s"
         ),
     )
+
+
+@_q(
+    "graph_reachability_3hop",
+    """
+    WITH e AS (
+      SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey),
+    seeds AS (
+      SELECT s1 AS seed FROM e GROUP BY s1
+      ORDER BY count(*) DESC, s1 ASC LIMIT 5),
+    h1 AS (SELECT DISTINCT s.seed, e.s2 AS node
+           FROM seeds s JOIN e ON e.s1 = s.seed),
+    h2 AS (SELECT DISTINCT h1.seed, e.s2 AS node
+           FROM h1 JOIN e ON e.s1 = h1.node),
+    h3 AS (SELECT DISTINCT h2.seed, e.s2 AS node
+           FROM h2 JOIN e ON e.s1 = h2.node),
+    r AS (
+      SELECT seed, node, 1 AS hops FROM h1
+      UNION ALL SELECT seed, node, 2 FROM h2
+      UNION ALL SELECT seed, node, 3 FROM h3),
+    best AS (
+      SELECT seed, node, CAST(MIN(hops) AS INTEGER) AS min_hops
+      FROM r WHERE node <> seed GROUP BY seed, node)
+    SELECT seed, min_hops, CAST(count(*) AS BIGINT) AS n_reachable
+    FROM best GROUP BY seed, min_hops
+    """,
+)
+def graph_reachability_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOUNDED-DEPTH BFS: from the 5 highest-degree suppliers in the
+    co-fulfillment graph (shared orders), how many suppliers are first
+    reachable at 1, 2, and 3 hops -- the blast-radius readout
+    (a disruption at a hub supplier propagates to the 1-hop ring
+    immediately, the 2-hop ring next).  Exactly the k-step frontier
+    expansion pattern that underlies distributed BFS: each hop is one
+    keyed join of the CURRENT frontier (not the whole reachable set)
+    against the edge list; min-hop dedup happens once at the end.
+
+    Scale shape: the edge list aggregates once from the fact table;
+    each hop is a frontier-sized keyed join; seeds are a broadcast-tiny
+    TakeOrdered.  Depth is fixed -- no iterate-to-convergence driver
+    loop."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s1"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s2"))
+    e = (
+        a.join(b, "o")
+        .filter(F.col("s1") != F.col("s2"))
+        .select("s1", "s2")
+        .distinct()
+    )
+    e = e.persist()
+    seeds = (
+        e.groupBy("s1")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .orderBy(F.desc("deg"), F.asc("s1"))
+        .limit(5)
+        .select(F.col("s1").alias("seed"))
+    )
+    h1 = (
+        seeds.join(e, seeds.seed == e.s1)
+        .select("seed", F.col("s2").alias("node"))
+        .distinct()
+    )
+    h2 = (
+        h1.join(e, h1.node == e.s1)
+        .select("seed", F.col("s2").alias("node"))
+        .distinct()
+    )
+    h3 = (
+        h2.join(e, h2.node == e.s1)
+        .select("seed", F.col("s2").alias("node"))
+        .distinct()
+    )
+    r = (
+        h1.withColumn("hops", F.lit(1))
+        .unionAll(h2.withColumn("hops", F.lit(2)))
+        .unionAll(h3.withColumn("hops", F.lit(3)))
+    )
+    best = (
+        r.filter(F.col("node") != F.col("seed"))
+        .groupBy("seed", "node")
+        .agg(F.min("hops").cast("int").alias("min_hops"))
+    )
+    out = best.groupBy("seed", "min_hops").agg(
+        F.count(F.lit(1)).cast("long").alias("n_reachable")
+    )
+    from lvm_datapipe_spark.operators.dedup import _with_cached_deps
+
+    return _with_cached_deps(out, [e])

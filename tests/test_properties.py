@@ -438,3 +438,38 @@ def test_txlog_merge_matches_dict_model(spark, tmp_path_factory, ops):
     # every historical version is still readable (time travel intact)
     for v in range(1, txlog.latest_version(t) + 1):
         assert txlog.read(spark, t, version=v).count() >= 0
+
+
+@settings(
+    deadline=None, max_examples=15,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_pareto_skyline_matches_bruteforce(spark, pts):
+    # small coordinate alphabet forces heavy tie/duplicate coverage; the
+    # bucketed distributed skyline must equal the O(n^2) definition on
+    # every input
+    from lvm_datapipe_spark.operators.relational import pareto_skyline_2d
+
+    rows = [(i, float(x), float(y)) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    got = sorted(r.id for r in pareto_skyline_2d(df, "x", "y").collect())
+    want = sorted(
+        i
+        for i, x, y in rows
+        if not any(
+            xj >= x and yj >= y and (xj > x or yj > y)
+            for jj, xj, yj in rows
+            if jj != i
+        )
+    )
+    assert got == want
