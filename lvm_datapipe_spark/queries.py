@@ -18355,3 +18355,166 @@ def graph_reachability_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lvm_datapipe_spark.operators.dedup import _with_cached_deps
 
     return _with_cached_deps(out, [e])
+
+
+@_q(
+    "label_centroid_separation",
+    """
+    WITH ex AS (
+      SELECT label, u.pos AS pos,
+             CAST(embedding[u.pos]::DOUBLE AS DECIMAL(9,6)) AS x
+      FROM embeddings
+      CROSS JOIN (SELECT unnest(range(1, 65)) AS pos) u
+      WHERE embedding IS NOT NULL AND label IS NOT NULL),
+    g AS (SELECT label, pos,
+                 CAST(SUM(x) AS DECIMAL(18,6)) AS s
+          FROM ex GROUP BY label, pos),
+    p AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             SUM(a.s * b.s) AS dot,
+             SUM(a.s * a.s) AS sqa,
+             SUM(b.s * b.s) AS sqb
+      FROM g a JOIN g b ON b.pos = a.pos AND a.label < b.label
+      GROUP BY a.label, b.label)
+    SELECT label_a, label_b,
+           CASE WHEN CAST(sqa AS DOUBLE) > 0 AND CAST(sqb AS DOUBLE) > 0
+                THEN CAST(dot AS DOUBLE)
+                     / (sqrt(CAST(sqa AS DOUBLE)) * sqrt(CAST(sqb AS DOUBLE)))
+                ELSE NULL END AS centroid_cosine
+    FROM p
+    """,
+)
+def label_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLASS SEPARABILITY matrix: pairwise cosine between label
+    centroids -- two labels whose centroids sit at cosine 0.95 are the
+    classes the downstream classifier will confuse (merge them, or go
+    find harder negatives; the [[knn_label_consistency]] drill-down at
+    class level).  The [[embedding_centroid_drift]] trick again: cosine
+    is scale-invariant, so it is computed on UN-normalized per-dimension
+    DECIMAL sums -- exact through every aggregation, floats only in the
+    final three casts/sqrt/divide.
+
+    Scale shape: posexplode to (label, pos), one keyed aggregate to a
+    |labels| x 64 table, then a pos-keyed self-join over that tiny
+    table."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = (
+        emb.filter(F.col("embedding").isNotNull() & F.col("label").isNotNull())
+        .select(
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "pos0", "xd"
+            ),
+        )
+        .select(
+            "label",
+            (F.col("pos0") + 1).alias("pos"),
+            F.col("xd").cast("decimal(9,6)").alias("x"),
+        )
+    )
+    g = ex.groupBy("label", "pos").agg(
+        F.sum("x").cast("decimal(18,6)").alias("s")
+    )
+    a = g.select(
+        F.col("label").alias("label_a"), "pos", F.col("s").alias("sa")
+    )
+    b = g.select(
+        F.col("label").alias("label_b"), "pos", F.col("s").alias("sb")
+    )
+    p = (
+        a.join(b, "pos")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(F.col("sa") * F.col("sb")).alias("dot"),
+            F.sum(F.col("sa") * F.col("sa")).alias("sqa"),
+            F.sum(F.col("sb") * F.col("sb")).alias("sqb"),
+        )
+    )
+    sqa = F.col("sqa").cast("double")
+    sqb = F.col("sqb").cast("double")
+    return p.select(
+        "label_a",
+        "label_b",
+        F.when(
+            (sqa > 0) & (sqb > 0),
+            F.col("dot").cast("double") / (F.sqrt(sqa) * F.sqrt(sqb)),
+        ).alias("centroid_cosine"),
+    )
+
+
+@_q(
+    "repeat_rate_by_first_basket",
+    """
+    WITH firsts AS (
+      SELECT o_custkey, MIN(o_orderdate) AS first_dt
+      FROM orders GROUP BY o_custkey),
+    firstkey AS (
+      SELECT o.o_custkey, MIN(o.o_orderkey) AS first_key
+      FROM orders o JOIN firsts f
+        ON f.o_custkey = o.o_custkey AND o.o_orderdate = f.first_dt
+      GROUP BY o.o_custkey),
+    basket AS (
+      SELECT fk.o_custkey,
+             CAST(count(*) AS BIGINT) AS first_basket_lines
+      FROM firstkey fk JOIN lineitem l ON l.l_orderkey = fk.first_key
+      GROUP BY fk.o_custkey),
+    repeat AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY o_custkey),
+    j AS (
+      SELECT CASE WHEN b.first_basket_lines <= 2 THEN '1-2'
+                  WHEN b.first_basket_lines <= 4 THEN '3-4'
+                  ELSE '5+' END AS basket_band,
+             CASE WHEN r.n_orders > 1 THEN 1 ELSE 0 END AS repeated
+      FROM basket b JOIN repeat r ON r.o_custkey = b.o_custkey)
+    SELECT basket_band,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(SUM(repeated) AS BIGINT) AS n_repeat,
+           CAST(SUM(repeated) AS DOUBLE) / count(*) AS repeat_rate
+    FROM j GROUP BY basket_band
+    """,
+)
+def repeat_rate_by_first_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REPEAT-PURCHASE rate by FIRST-ORDER basket size: do customers
+    whose first order had more line items come back more often?  The
+    onboarding-quality signal that decides whether to push basket
+    builders at acquisition.  First order = earliest date with min
+    orderkey as the deterministic tie-break; bands keep the readout
+    3 rows.  Counts exact, one division.
+
+    Scale shape: two custkey-keyed aggregates, one orderkey-keyed join
+    to lineitem for the first basket only, a 3-row band aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    firsts = o.groupBy("o_custkey").agg(F.min("o_orderdate").alias("first_dt"))
+    firstkey = (
+        o.join(firsts, "o_custkey")
+        .filter(F.col("o_orderdate") == F.col("first_dt"))
+        .groupBy("o_custkey")
+        .agg(F.min("o_orderkey").alias("first_key"))
+    )
+    basket = (
+        firstkey.join(li, firstkey.first_key == li.l_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("first_basket_lines"))
+    )
+    rep = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    band = (
+        F.when(F.col("first_basket_lines") <= 2, "1-2")
+        .when(F.col("first_basket_lines") <= 4, "3-4")
+        .otherwise("5+")
+    )
+    j = basket.join(rep, "o_custkey").select(
+        band.alias("basket_band"),
+        F.when(F.col("n_orders") > 1, 1).otherwise(0).alias("repeated"),
+    )
+    return j.groupBy("basket_band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("repeated").cast("long").alias("n_repeat"),
+        (F.sum("repeated").cast("double") / F.count(F.lit(1))).alias(
+            "repeat_rate"
+        ),
+    )
