@@ -18518,3 +18518,133 @@ def repeat_rate_by_first_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
             "repeat_rate"
         ),
     )
+
+
+@_q(
+    "price_realization_by_brand",
+    """
+    WITH j AS (
+      SELECT p.p_brand,
+             CAST(l.l_extendedprice AS DECIMAL(14,2)) AS ext,
+             CAST(l.l_quantity AS DECIMAL(9,2))
+               * CAST(p.p_retailprice AS DECIMAL(12,2)) AS list_value
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey)
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n_lineitems,
+           CAST(SUM(ext) AS DOUBLE) AS realized_value,
+           CAST(SUM(list_value) AS DOUBLE) AS list_value,
+           CAST(SUM(ext) AS DOUBLE) / CAST(SUM(list_value) AS DOUBLE)
+             AS realization_rate
+    FROM j GROUP BY p_brand
+    HAVING CAST(SUM(list_value) AS DOUBLE) > 0
+    """,
+)
+def price_realization_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRICE REALIZATION per brand: transacted revenue over list-price
+    value (quantity x retail price) -- the leakage readout that catches
+    discounting beyond the discount column (misapplied list prices,
+    channel erosion).  A realization rate of 0.93 means the brand
+    banks 93 cents per list dollar.  Both sides of the ratio are exact
+    decimal sums (2-decimal money, products exact); one division.
+
+    Scale shape: one partkey-keyed join, one brand-keyed aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    ext = F.col("l_extendedprice").cast("decimal(14,2)")
+    listv = F.col("l_quantity").cast("decimal(9,2)") * F.col(
+        "p_retailprice"
+    ).cast("decimal(12,2)")
+    j = li.join(p, li.l_partkey == p.p_partkey).select(
+        "p_brand", ext.alias("ext"), listv.alias("list_value")
+    )
+    return (
+        j.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+            F.sum("ext").cast("double").alias("realized_value"),
+            F.sum("list_value").cast("double").alias("list_value"),
+            (
+                F.sum("ext").cast("double")
+                / F.sum("list_value").cast("double")
+            ).alias("realization_rate"),
+        )
+        .filter(F.col("list_value") > 0)
+    )
+
+
+@_q(
+    "session_position_bias",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts > LAG(ts) OVER w + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts, event_id, event_type,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS BIGINT) AS session_id
+      FROM flagged),
+    ranked AS (
+      SELECT event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                                ORDER BY ts, event_id) AS rk,
+             COUNT(*) OVER (PARTITION BY user_id, session_id) AS n
+      FROM sessions),
+    pos AS (
+      SELECT event_type,
+             CASE WHEN n > 1
+                  THEN CAST(rk - 1 AS DOUBLE) / (n - 1)
+                  ELSE CAST(0.5 AS DOUBLE) END AS npos
+      FROM ranked)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(floor(npos * 1000000.0) AS BIGINT)) AS DOUBLE)
+             / 1000000.0 / count(*) AS mean_position
+    FROM pos GROUP BY event_type
+    """,
+)
+def session_position_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTRA-SESSION POSITION BIAS: where in the session each event type
+    tends to occur (0 = always session-opening, 1 = always closing,
+    0.5 = uniform) -- purchases skewing late and errors skewing early
+    are the expected shapes; deviations flag instrumentation or flow
+    changes.  Normalized position (rk-1)/(n-1) is an exact rational per
+    event (single-event sessions pin to 0.5); the cross-event mean uses
+    the floor-micro order-free sum.
+
+    Scale shape: the shared sessionize window plus one
+    session-partitioned rank window, then a |types|-sized aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    is_new = F.when(
+        prev_ts.isNull() | (F.col("ts") > prev_ts + F.expr("INTERVAL 30 MINUTES")), 1
+    ).otherwise(0)
+    sessions = ev.withColumn("is_new", is_new).withColumn(
+        "session_id", F.sum(F.col("is_new").cast("long")).over(w)
+    )
+    ws = Window.partitionBy("user_id", "session_id")
+    ranked = sessions.select(
+        "event_type",
+        F.row_number().over(ws.orderBy("ts", "event_id")).alias("rk"),
+        F.count(F.lit(1)).over(ws).alias("n"),
+    )
+    npos = F.when(
+        F.col("n") > 1,
+        (F.col("rk") - 1).cast("double") / (F.col("n") - 1),
+    ).otherwise(F.lit(0.5))
+    return ranked.select("event_type", npos.alias("npos")).groupBy(
+        "event_type"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (
+            F.sum(F.floor(F.col("npos") * 1000000.0).cast("long")).cast(
+                "double"
+            )
+            / 1000000.0
+            / F.count(F.lit(1))
+        ).alias("mean_position"),
+    )
