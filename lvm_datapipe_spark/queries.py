@@ -18648,3 +18648,120 @@ def session_position_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("mean_position"),
     )
+
+
+@_q(
+    "text_mattr_diversity",
+    f"""
+    WITH toks AS (SELECT doc_id, lang, {_SQL_TOKS} AS t FROM documents),
+    ex AS (
+      SELECT doc_id, lang, u.pos AS pos, t[u.pos] AS tok,
+             CAST(len(t) AS BIGINT) AS n_toks
+      FROM toks
+      CROSS JOIN (SELECT unnest(range(1, 2001)) AS pos) u
+      WHERE u.pos <= len(t)),
+    win AS (
+      SELECT a.doc_id, a.lang, a.pos AS w_start,
+             CAST(count(DISTINCT b.tok) AS BIGINT) AS n_distinct
+      FROM ex a JOIN ex b
+        ON b.doc_id = a.doc_id
+       AND b.pos >= a.pos AND b.pos < a.pos + 25
+      WHERE a.pos + 24 <= a.n_toks
+      GROUP BY a.doc_id, a.lang, a.pos),
+    per_doc AS (
+      SELECT doc_id, lang,
+             CAST(SUM(n_distinct) AS DOUBLE) / (25 * count(*)) AS mattr
+      FROM win GROUP BY doc_id, lang)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(floor(mattr * 1000000.0) AS BIGINT)) AS DOUBLE)
+             / 1000000.0 / count(*) AS mean_mattr
+    FROM per_doc GROUP BY lang
+    """,
+)
+def text_mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATTR lexical diversity (Moving-Average Type-Token Ratio, window
+    25): mean distinct-token fraction over every 25-token sliding window
+    per document, averaged by language -- the length-robust diversity
+    metric (raw TTR collapses as documents grow, so corpus mixes with
+    different length profiles can't be compared on it; MATTR can).
+    Docs shorter than the window contribute nothing, as the metric
+    requires.  Window distinct counts are exact integers; the per-doc
+    MATTR is one rational; cross-doc means use the floor-micro sum.
+
+    Scale shape: position explode (capped at 2000 tokens/doc), a
+    doc-keyed bounded self-join (25 positions per row), keyed
+    aggregates."""
+    from lvm_datapipe_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    ex = docs.select(
+        "doc_id",
+        "lang",
+        F.size(tokens("text")).cast("long").alias("n_toks"),
+        F.posexplode(F.slice(tokens("text"), 1, 2000)).alias("pos0", "tok"),
+    ).select(
+        "doc_id", "lang", "n_toks", (F.col("pos0") + 1).alias("pos"), "tok"
+    )
+    a = ex.select("doc_id", "lang", F.col("pos").alias("w_start"), "n_toks")
+    b = ex.select("doc_id", F.col("pos").alias("bpos"), F.col("tok").alias("btok"))
+    win = (
+        a.join(b, "doc_id")
+        .filter(
+            (F.col("bpos") >= F.col("w_start"))
+            & (F.col("bpos") < F.col("w_start") + 25)
+            & (F.col("w_start") + 24 <= F.col("n_toks"))
+        )
+        .groupBy("doc_id", "lang", "w_start")
+        .agg(F.count_distinct("btok").cast("long").alias("n_distinct"))
+    )
+    per_doc = win.groupBy("doc_id", "lang").agg(
+        (
+            F.sum("n_distinct").cast("double")
+            / (25 * F.count(F.lit(1)))
+        ).alias("mattr")
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (
+            F.sum(F.floor(F.col("mattr") * 1000000.0).cast("long")).cast(
+                "double"
+            )
+            / 1000000.0
+            / F.count(F.lit(1))
+        ).alias("mean_mattr"),
+    )
+
+
+@_q(
+    "dedup_cluster_size_hist",
+    f"""
+    WITH clusters AS ({_lsh_clusters_sql(n_tables=12)}),
+    sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS s
+              FROM clusters GROUP BY cluster_id)
+    SELECT s AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+    FROM sizes GROUP BY s
+    """,
+)
+def dedup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLUSTER-SIZE distribution of the near-dup components: how many
+    clusters of 2, 3, ... members -- with [[dup_graph_degree_hist]]
+    (edge view) and [[dedup_transitivity_inflation]] (over-merge
+    ratio), the third leg of the dedup-graph QA: a heavy tail here is
+    template content, a flat wall of pairs is genuine near-dups.
+    All-integer over the deterministic LSH pair graph.
+
+    Scale shape: LSH pairs -> label propagation -> two tiny keyed
+    aggregates."""
+    from lvm_datapipe_spark.operators import similarity as V
+    from lvm_datapipe_spark.operators.graph import connected_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = V.lsh_near_dup_pairs(emb, threshold=0.4, n_tables=12)
+    clusters = connected_components(pairs)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("s")
+    )
+    return sizes.groupBy(F.col("s").alias("cluster_size")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters")
+    )
