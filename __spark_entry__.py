@@ -159,7 +159,12 @@ _CHECK_FIRST = [
     #       cluster_design_effect, mcnemar_pre_post_conversion,
     #       cmh_stratified_conversion, embedding_norm_histogram,
     #       user_recency_weighted_value, sample_size_rate_table,
-    #       abc_classification_by_nation) LEAD the r7 queue; all are
+    #       abc_classification_by_nation, events_ewma_residual_anomaly,
+    #       events_acf_table, session_dwell_time_quantiles,
+    #       graph_reachability_3hop, label_centroid_separation,
+    #       repeat_rate_by_first_basket, price_realization_by_brand,
+    #       session_position_bias, text_mattr_diversity,
+    #       dedup_cluster_size_hist) LEAD the r7 queue; all are
     #       green in this round's local full sweep
     #       (tools/check_correctness.py).
     "sample_neyman_allocation",     # new: variance-optimal strata budgets
