@@ -399,6 +399,18 @@ def build_parser() -> argparse.ArgumentParser:
     tk.add_argument("--table", required=True, help="versioned table dir")
     tk.add_argument("--small-file-mb", type=int, default=32)
     tk.add_argument("--target-file-mb", type=int, default=128)
+    q = sub.add_parser(
+        "query",
+        help="run any declared analytics query by name (see QUERY_INDEX.md)",
+    )
+    q.add_argument("--name", help="query name from queries()")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.001",
+                   help="directory of input parquet tables")
+    q.add_argument("--out", help="write result parquet here (else print rows)")
+    q.add_argument("--limit", type=int, default=20,
+                   help="max rows to print when --out is not given")
+    q.add_argument("--list", action="store_true",
+                   help="list available query names and exit")
     return p
 
 
@@ -519,6 +531,41 @@ def _cmd_tx_vacuum(spark, args) -> None:
     print(json.dumps({"stage": "tx-vacuum", **result}))
 
 
+def _cmd_query(spark, args) -> None:
+    """Run one declared query from the registry against any table dir —
+    the command-line door to the whole queries() surface (every operator
+    a driver-side user can reach programmatically, reachable from a
+    shell; names in QUERY_INDEX.md)."""
+    from lvm_datapipe_spark.queries import QUERIES
+
+    if args.list:
+        for name in sorted(QUERIES):
+            print(name)
+        return
+    if not args.name:
+        raise SystemExit("query: --name is required (or use --list)")
+    if args.name not in QUERIES:
+        import difflib
+
+        hint = difflib.get_close_matches(args.name, QUERIES, n=3)
+        raise SystemExit(
+            f"unknown query {args.name!r}; close matches: {hint};"
+            " see QUERY_INDEX.md or --list"
+        )
+    df = QUERIES[args.name](spark, args.sf_dir)
+    if args.out:
+        df.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+        print(json.dumps({"stage": "query", "name": args.name,
+                          "rows": n, "out": args.out}))
+    else:
+        rows = df.limit(args.limit).collect()
+        print(json.dumps({"stage": "query", "name": args.name,
+                          "rows_shown": len(rows),
+                          "rows": [r.asDict() for r in rows]},
+                         default=str))
+
+
 def main(argv: list[str] | None = None, spark=None) -> int:
     args = build_parser().parse_args(argv)
     owns_session = spark is None
@@ -546,6 +593,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             "tx-vacuum": _cmd_tx_vacuum,
             "analyze": _cmd_analyze,
             "export-flat": _cmd_export_flat,
+            "query": _cmd_query,
         }[args.cmd](spark, args)
     finally:
         if owns_session:

@@ -241,3 +241,33 @@ def test_cli_wds_export(spark, tmp_path, capsys):
     from lvm_datapipe_spark.sources.webdataset import read_webdataset
 
     assert read_webdataset(spark, out).count() == 12
+
+
+def test_cli_query_stage(spark, tmp_path, capsys):
+    from lvm_datapipe_spark.cli import main
+
+    # parquet output mode
+    out = str(tmp_path / "q6")
+    main(
+        ["query", "--name", "q6_forecast_revenue",
+         "--sf-dir", "/root/testdata/sf0.001", "--out", out],
+        spark=spark,
+    )
+    import json as _json
+
+    line = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["stage"] == "query" and line["rows"] == 1
+    assert spark.read.parquet(out).columns == ["revenue", "n_items"]
+    # print mode
+    main(
+        ["query", "--name", "a7_value_counts",
+         "--sf-dir", "/root/testdata/sf0.001", "--limit", "3"],
+        spark=spark,
+    )
+    line = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["rows_shown"] == 3
+    # unknown name fails loudly with suggestions
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        main(["query", "--name", "q6_forecast_revenu"], spark=spark)
