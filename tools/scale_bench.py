@@ -916,10 +916,147 @@ def render_skyline_md(res: dict) -> list[str]:
     return lines
 
 
+def gen_intervals(path: str, n: int) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(SEED)
+    start = rng.integers(0, 90 * 86400, n)  # 90 days of seconds
+    dur = rng.integers(60, 7200, n)
+    tbl = pa.table(
+        {
+            "s_start": pa.array(start.astype(np.int64)),
+            "s_end": pa.array((start + dur).astype(np.int64)),
+        }
+    )
+    pq.write_table(tbl, path)
+
+
+def bench_concurrency(spark, quick: bool) -> dict:
+    """Two-level prefix-sum peak concurrency (the daily_peak_concurrency
+    kernel) on synthetic session intervals: per-day partitioned running
+    sums + a bounded day x day offset join.  Verified against a numpy
+    sweep-line at the smallest size; the naive alternative (one global
+    ORDER BY window) is not raced -- its plan IS an Exchange
+    SinglePartition (asserted below), the shape the plan-quality suite
+    bans."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    sizes = [1_000_000, 10_000_000] if quick else [1_000_000, 10_000_000, 50_000_000]
+    out = {"points": {}}
+
+    def two_level(df):
+        b = df.select(F.col("s_start").alias("sec"), F.lit(1).alias("delta")).unionAll(
+            df.select((F.col("s_end") + 1).alias("sec"), F.lit(-1).alias("delta"))
+        )
+        persec = b.groupBy(
+            F.expr("sec div 86400").alias("day"), "sec"
+        ).agg(F.sum("delta").cast("long").alias("d"))
+        wd = (
+            Window.partitionBy("day")
+            .orderBy("sec")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        intraday = persec.select("day", F.sum("d").over(wd).alias("run"))
+        daysum = persec.groupBy("day").agg(F.sum("d").cast("long").alias("t"))
+        prior = daysum.select(
+            F.col("day").alias("b_day"), F.col("t").alias("b_t")
+        )
+        dayoff = (
+            daysum.select("day")
+            .join(F.broadcast(prior), F.col("b_day") < F.col("day"), "left")
+            .groupBy("day")
+            .agg(F.coalesce(F.sum("b_t"), F.lit(0)).cast("long").alias("off"))
+        )
+        return (
+            intraday.join(F.broadcast(dayoff), "day")
+            .agg(F.max(F.col("off") + F.col("run")).alias("peak"))
+        )
+
+    for n in sizes:
+        path = os.path.join(SCRATCH, f"intervals_{n}.parquet")
+        if not os.path.exists(path):
+            gen_intervals(path, n)
+        df = spark.read.parquet(path)
+        t0 = time.time()
+        peak = two_level(df).collect()[0]["peak"]
+        sec = round(time.time() - t0, 2)
+        entry = {"two_level_sec": sec, "peak": int(peak)}
+        if n == sizes[0]:
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(path)
+            starts = t["s_start"].to_numpy()
+            ends = t["s_end"].to_numpy() + 1
+            secs = np.concatenate([starts, ends])
+            deltas = np.concatenate(
+                [np.ones_like(starts), -np.ones_like(ends)]
+            )
+            order = np.argsort(secs, kind="stable")
+            # sum deltas per distinct second, then running max
+            import pandas as pd
+
+            s = pd.Series(deltas[order]).groupby(secs[order]).sum()
+            entry["sweepline_peak"] = int(s.cumsum().max())
+            entry["matches_sweepline"] = entry["peak"] == entry["sweepline_peak"]
+        out["points"][n] = entry
+
+    # the naive single-window form: assert its plan funnels through ONE
+    # partition (why it is banned, no need to race it)
+    df = spark.read.parquet(os.path.join(SCRATCH, f"intervals_{sizes[0]}.parquet"))
+    b = df.select(F.col("s_start").alias("sec"), F.lit(1).alias("delta")).unionAll(
+        df.select((F.col("s_end") + 1).alias("sec"), F.lit(-1).alias("delta"))
+    )
+    w = Window.orderBy("sec").rowsBetween(Window.unboundedPreceding, 0)
+    naive = b.select(F.sum("delta").over(w).alias("run")).agg(F.max("run"))
+    plan = naive._jdf.queryExecution().executedPlan().toString()
+    out["naive_global_window_is_single_partition"] = (
+        "SinglePartition" in plan
+    )
+    return out
+
+
+def render_concurrency_md(res: dict) -> list[str]:
+    t = res["concurrency"]
+    pts = {int(k): v for k, v in t["points"].items()}
+    lines = [
+        "## 9. Two-level prefix-sum peak concurrency (daily_peak_concurrency kernel)",
+        "",
+        "Synthetic session intervals over 90 days; peak concurrent",
+        "sessions via the boundary-delta + two-level decomposition",
+        "(day-partitioned running sums + bounded day x day offsets).",
+        "Smallest size verified against a numpy sweep-line.",
+        "",
+        "| n intervals | two-level sec | peak | sweep-line check |",
+        "|---|---|---|---|",
+    ]
+    for n in sorted(pts):
+        p = pts[n]
+        chk = "match" if p.get("matches_sweepline") else "—"
+        lines.append(
+            f"| {n:,} | {p['two_level_sec']} | {p['peak']:,} | {chk} |"
+        )
+    lines += [
+        "",
+        "- Near-linear: every stage is keyed (second, day) except the",
+        "  |days|^2 offset join (90 days -> 8,100 rows, broadcast).",
+        "- The naive form — one global ORDER BY running-sum window — is",
+        "  not raced because its physical plan funnels every boundary",
+        "  through ONE reducer: `SinglePartition` in the executed plan =",
+        f"  **{t['naive_global_window_is_single_partition']}** (the exact",
+        "  shape tests/test_plan_quality.py bans from the declared",
+        "  surface).",
+        "",
+    ]
+    return lines
+
+
 def main() -> None:
     quick = "--quick" in sys.argv
     only_txlog = "--only-txlog" in sys.argv
     only_skyline = "--only-skyline" in sys.argv
+    only_concurrency = "--only-concurrency" in sys.argv
     os.makedirs(SCRATCH, exist_ok=True)
     from lvm_datapipe_spark.session import get_spark
 
@@ -930,7 +1067,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count()))
 
-    if only_txlog or only_skyline:
+    if only_txlog or only_skyline or only_concurrency:
         # incremental mode: merge the new section into the committed
         # results instead of re-running the (long) full matrix
         with open(os.path.join(REPO, "SCALE_BENCH.json")) as f:
@@ -945,6 +1082,22 @@ def main() -> None:
         res["skew"] = bench_skew(spark, quick)
         print("== LM scoring: DSIR vs CCNet ==", flush=True)
         res["lm_scoring"] = bench_lm_scoring(spark, quick)
+    if only_concurrency:
+        print("== concurrency ==", flush=True)
+        res["concurrency"] = bench_concurrency(spark, quick)
+        with open(os.path.join(REPO, "SCALE_BENCH.json"), "w") as f:
+            json.dump(res, f, indent=2, sort_keys=True)
+        md_path = os.path.join(REPO, "SCALE_BENCH.md")
+        with open(md_path) as f:
+            md = f.read()
+        marker = "## 9. Two-level prefix-sum"
+        if marker in md:
+            md = md[: md.index(marker)]
+        with open(md_path, "w") as f:
+            f.write(md.rstrip("\n") + "\n\n" + "\n".join(render_concurrency_md(res)))
+        print("wrote SCALE_BENCH.json + SCALE_BENCH.md (concurrency)", flush=True)
+        shutil.rmtree("/dev/shm/spark-scale-local", ignore_errors=True)
+        return
     if only_skyline:
         print("== skyline ==", flush=True)
         res["skyline"] = bench_skyline(spark, quick)
