@@ -18765,3 +18765,121 @@ def dedup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sizes.groupBy(F.col("s").alias("cluster_size")).agg(
         F.count(F.lit(1)).cast("long").alias("n_clusters")
     )
+
+
+@_q(
+    "session_threshold_sensitivity",
+    """
+    WITH gaps AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT)
+               - CAST(floor(epoch(LAG(ts) OVER w)) AS BIGINT) AS gap_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    n AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                 CAST(count(*) AS BIGINT) AS n_events
+          FROM events),
+    grid AS (SELECT unnest([600, 1800, 3600, 7200]) AS thr_s),
+    cuts AS (
+      SELECT g.thr_s,
+             CAST(count(*) FILTER (WHERE gaps.gap_s > g.thr_s) AS BIGINT)
+               AS n_breaks
+      FROM grid g CROSS JOIN gaps
+      WHERE gaps.gap_s IS NOT NULL
+      GROUP BY g.thr_s)
+    SELECT CAST(c.thr_s AS INTEGER) AS threshold_s,
+           n.n_users + c.n_breaks AS n_sessions,
+           CAST(n.n_events AS DOUBLE) / (n.n_users + c.n_breaks)
+             AS events_per_session
+    FROM cuts c CROSS JOIN n
+    """,
+)
+def session_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSIONIZATION THRESHOLD sensitivity: session counts under gap
+    thresholds of 10/30/60/120 minutes from ONE window pass -- the
+    calibration table that justifies (or indicts) the conventional
+    30-minute gap before every session metric inherits it.  The trick:
+    a session count is n_users + #(gaps > threshold), so the whole
+    threshold grid is conditional counts over the SAME inter-event gap
+    stream -- no re-sessionization per candidate.  A plateau between
+    thresholds means robust sessions; counts still falling fast at 120
+    min mean the gap cut is arbitrary for this traffic.  All-integer.
+
+    Scale shape: one user-partitioned lag window, a 4x grid fan-out of
+    the gap stream (broadcast grid), a 4-row aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        (
+            F.unix_seconds(F.col("ts").cast("timestamp"))
+            - F.unix_seconds(F.lag("ts").over(w).cast("timestamp"))
+        ).alias("gap_s")
+    ).filter(F.col("gap_s").isNotNull())
+    n = ev.agg(
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    grid = spark.createDataFrame(
+        [(600,), (1800,), (3600,), (7200,)], "thr_s int"
+    )
+    cuts = (
+        gaps.crossJoin(F.broadcast(grid))
+        .groupBy("thr_s")
+        .agg(
+            F.count_if(F.col("gap_s") > F.col("thr_s"))
+            .cast("long")
+            .alias("n_breaks")
+        )
+    )
+    return cuts.crossJoin(F.broadcast(n)).select(
+        F.col("thr_s").cast("int").alias("threshold_s"),
+        (F.col("n_users") + F.col("n_breaks")).alias("n_sessions"),
+        (
+            F.col("n_events").cast("double")
+            / (F.col("n_users") + F.col("n_breaks"))
+        ).alias("events_per_session"),
+    )
+
+
+@_q(
+    "embedding_similarity_bands",
+    f"""
+    WITH pairs AS ({_lsh_near_dup_sql(n_tables=12, threshold=0.0)}),
+    b AS (
+      SELECT CASE WHEN cos_sim >= 0.9 THEN '0.9-1.0'
+                  WHEN cos_sim >= 0.8 THEN '0.8-0.9'
+                  WHEN cos_sim >= 0.6 THEN '0.6-0.8'
+                  WHEN cos_sim >= 0.4 THEN '0.4-0.6'
+                  WHEN cos_sim >= 0.0 THEN '0.0-0.4'
+                  ELSE 'negative' END AS cos_band
+      FROM pairs)
+    SELECT cos_band, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM b GROUP BY cos_band
+    """,
+)
+def embedding_similarity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COSINE-BAND histogram over the LSH candidate pairs (verify
+    threshold dropped to 0 so every collision is scored): the
+    dedup-threshold decision table for the EMBEDDING path -- a cliff
+    between bands marks where near-dups end and topical similarity
+    begins (the vector sibling of [[dedup_threshold_sweep]]).  One run
+    of the candidates+verify kernel scores every candidate once; the
+    banding is a CASE ladder.
+
+    Scale shape: the banded LSH plan with the exact-cosine verify; a
+    6-row aggregate."""
+    from lvm_datapipe_spark.operators import similarity as V
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = V.lsh_near_dup_pairs(emb, threshold=0.0, n_tables=12)
+    band = (
+        F.when(F.col("cos_sim") >= 0.9, "0.9-1.0")
+        .when(F.col("cos_sim") >= 0.8, "0.8-0.9")
+        .when(F.col("cos_sim") >= 0.6, "0.6-0.8")
+        .when(F.col("cos_sim") >= 0.4, "0.4-0.6")
+        .when(F.col("cos_sim") >= 0.0, "0.0-0.4")
+        .otherwise("negative")
+    )
+    return pairs.select(band.alias("cos_band")).groupBy("cos_band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
