@@ -18883,3 +18883,115 @@ def embedding_similarity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(band.alias("cos_band")).groupBy("cos_band").agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs")
     )
+
+
+@_q(
+    "catalog_table_counts",
+    """
+    SELECT 'region' AS table_name, CAST(count(*) AS BIGINT) AS n_rows FROM region
+    UNION ALL SELECT 'nation', CAST(count(*) AS BIGINT) FROM nation
+    UNION ALL SELECT 'customer', CAST(count(*) AS BIGINT) FROM customer
+    UNION ALL SELECT 'supplier', CAST(count(*) AS BIGINT) FROM supplier
+    UNION ALL SELECT 'part', CAST(count(*) AS BIGINT) FROM part
+    UNION ALL SELECT 'orders', CAST(count(*) AS BIGINT) FROM orders
+    UNION ALL SELECT 'lineitem', CAST(count(*) AS BIGINT) FROM lineitem
+    UNION ALL SELECT 'events', CAST(count(*) AS BIGINT) FROM events
+    UNION ALL SELECT 'documents', CAST(count(*) AS BIGINT) FROM documents
+    UNION ALL SELECT 'embeddings', CAST(count(*) AS BIGINT) FROM embeddings
+    """,
+)
+def catalog_table_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CATALOG OVERVIEW: row counts for every table in the warehouse
+    directory -- the first query anyone runs against an unfamiliar
+    dataset, and the cheapest smoke test that a snapshot copied
+    completely (pair with [[a8_count_consistency]] for the semantic
+    check).  Counts come from parquet metadata-level scans.
+
+    Scale shape: ten metadata-cheap count aggregates unioned."""
+    rows = []
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        rows.append((t, load_table(spark, sf_dir, t).count()))
+    return spark.createDataFrame(rows, "table_name string, n_rows long")
+
+
+@_q(
+    "label_scatter_trace",
+    """
+    WITH ex AS (
+      SELECT vec_id, label, u.pos AS pos,
+             CAST(embedding[u.pos]::DOUBLE AS DECIMAL(9,6)) AS x
+      FROM embeddings
+      CROSS JOIN (SELECT unnest(range(1, 65)) AS pos) u
+      WHERE embedding IS NOT NULL AND label IS NOT NULL),
+    g AS (
+      SELECT label, pos,
+             CAST(SUM(x) AS DECIMAL(18,6)) AS s,
+             CAST(SUM(x * x) AS DECIMAL(18,12)) AS sq,
+             CAST(count(*) AS BIGINT) AS n
+      FROM ex GROUP BY label, pos),
+    per AS (
+      SELECT label, CAST(MIN(n) AS BIGINT) AS n,
+             CAST(SUM(sq) AS DOUBLE) AS total_sq,
+             SUM(s * s) AS centroid_sq_scaled
+      FROM g GROUP BY label)
+    SELECT label, n AS n_vectors,
+           (total_sq - CAST(centroid_sq_scaled AS DOUBLE) / n) / n
+             AS within_trace,
+           sqrt(CAST(centroid_sq_scaled AS DOUBLE)) / n AS centroid_norm
+    FROM per WHERE n > 0
+    """,
+)
+def label_scatter_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-CLASS SCATTER per label: the trace of each class's
+    covariance (mean squared distance from its centroid) and the
+    centroid's norm -- with [[label_centroid_separation]] this gives
+    the Fisher-style separability picture (classes whose centroid gap
+    is small RELATIVE to their scatter are the inseparable ones).
+    Identity used: sum ||x - mu||^2 = sum ||x||^2 - n*||mu||^2, with
+    every sum an exact decimal (the n*||mu||^2 term is computed scaled
+    as ||sum x||^2 / n -- no per-row float subtraction anywhere).
+
+    Scale shape: posexplode to (label, pos), one keyed aggregate to
+    |labels| x 64, a |labels|-sized rollup."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = (
+        emb.filter(F.col("embedding").isNotNull() & F.col("label").isNotNull())
+        .select(
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "pos0", "xd"
+            ),
+        )
+        .select(
+            "label",
+            (F.col("pos0") + 1).alias("pos"),
+            F.col("xd").cast("decimal(9,6)").alias("x"),
+        )
+    )
+    g = ex.groupBy("label", "pos").agg(
+        F.sum("x").cast("decimal(18,6)").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(18,12)").alias("sq"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    per = g.groupBy("label").agg(
+        F.min("n").cast("long").alias("n"),
+        F.sum("sq").cast("double").alias("total_sq"),
+        F.sum(F.col("s") * F.col("s")).alias("centroid_sq_scaled"),
+    )
+    return per.filter(F.col("n") > 0).select(
+        "label",
+        F.col("n").alias("n_vectors"),
+        (
+            (
+                F.col("total_sq")
+                - F.col("centroid_sq_scaled").cast("double") / F.col("n")
+            )
+            / F.col("n")
+        ).alias("within_trace"),
+        (
+            F.sqrt(F.col("centroid_sq_scaled").cast("double")) / F.col("n")
+        ).alias("centroid_norm"),
+    )
