@@ -18995,3 +18995,88 @@ def label_scatter_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.col("centroid_sq_scaled").cast("double")) / F.col("n")
         ).alias("centroid_norm"),
     )
+
+
+_LATE_P99 = _pctile_mirror_sql("arr", "n", 0.99)
+
+
+@_q(
+    "out_of_order_event_rate",
+    f"""
+    WITH r AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS t_s,
+             MAX(CAST(floor(epoch(ts)) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS max_prior_s
+      FROM events),
+    lab AS (
+      SELECT event_type,
+             CASE WHEN max_prior_s IS NOT NULL AND t_s < max_prior_s
+                  THEN max_prior_s - t_s ELSE 0 END AS lateness_s,
+             CASE WHEN max_prior_s IS NOT NULL AND t_s < max_prior_s
+                  THEN 1 ELSE 0 END AS late
+      FROM r),
+    agg AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(SUM(late) AS BIGINT) AS n_late,
+             CAST(MAX(lateness_s) AS BIGINT) AS max_lateness_s,
+             list(lateness_s ORDER BY lateness_s) AS arr,
+             CAST(count(*) AS BIGINT) AS n
+      FROM lab GROUP BY event_type)
+    SELECT event_type, n_events, n_late,
+           CAST(n_late AS DOUBLE) / n_events AS late_rate,
+           max_lateness_s,
+           {_LATE_P99} AS p99_lateness_s
+    FROM agg
+    """,
+)
+def out_of_order_event_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OUT-OF-ORDERNESS audit: per event type, how often an event's
+    timestamp precedes the max timestamp of earlier-ARRIVING events from
+    the same user (event_id as arrival order), how late the stragglers
+    run, and the p99 lateness -- THE number that sets a streaming
+    watermark (withWatermark(p99) drops <1% of events; the max says
+    what a zero-loss watermark would cost in state).  Lateness is
+    integer seconds from a user-partitioned running max; p99 uses the
+    Spark-percentile mirror.
+
+    Scale shape: one user-partitioned window, one per-type aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    t_s = F.unix_seconds(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = ev.select(
+        "event_type",
+        t_s.alias("t_s"),
+        F.max(t_s).over(w).alias("max_prior_s"),
+    )
+    is_late = F.col("max_prior_s").isNotNull() & (
+        F.col("t_s") < F.col("max_prior_s")
+    )
+    lab = r.select(
+        "event_type",
+        F.when(is_late, F.col("max_prior_s") - F.col("t_s"))
+        .otherwise(0)
+        .alias("lateness_s"),
+        F.when(is_late, 1).otherwise(0).alias("late"),
+    )
+    return lab.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("late").cast("long").alias("n_late"),
+        (F.sum("late").cast("double") / F.count(F.lit(1))).alias("late_rate"),
+        F.max("lateness_s").cast("long").alias("max_lateness_s"),
+        F.expr("percentile(lateness_s, 0.99)").alias("p99_lateness_s"),
+    ).select(
+        "event_type",
+        "n_events",
+        "n_late",
+        "late_rate",
+        "max_lateness_s",
+        "p99_lateness_s",
+    )
