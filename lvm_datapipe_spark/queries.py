@@ -19080,3 +19080,75 @@ def out_of_order_event_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_lateness_s",
         "p99_lateness_s",
     )
+
+
+@_q(
+    "dedup_review_queue",
+    f"""
+    WITH j AS (SELECT id_a, id_b, jaccard FROM ({_jaccard_pairs_sql()})),
+    toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+    sh AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM toks WHERE len({_SQL_SHINGLES}) > 0),
+    ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    keep AS (SELECT shingle FROM ex GROUP BY shingle HAVING COUNT(*) <= 1000),
+    exk AS (SELECT ex.doc_id, ex.shingle FROM ex JOIN keep USING (shingle)),
+    sz AS (SELECT doc_id, CAST(len(s) AS INTEGER) AS n FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM exk a JOIN exk b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    allj AS (
+      SELECT id_a, id_b,
+             n_common / (sa.n + sb.n - n_common) AS jaccard
+      FROM inter
+      JOIN sz sa ON sa.doc_id = id_a
+      JOIN sz sb ON sb.doc_id = id_b)
+    SELECT id_a, id_b, jaccard,
+           abs(jaccard - CAST(0.6 AS DOUBLE)) AS threshold_distance
+    FROM allj
+    ORDER BY abs(jaccard - CAST(0.6 AS DOUBLE)) ASC, id_a ASC, id_b ASC
+    LIMIT 20
+    """,
+)
+def dedup_review_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HUMAN-REVIEW QUEUE for the dedup threshold: the 20 candidate
+    pairs whose exact Jaccard sits CLOSEST to the 0.6 cut -- the
+    ambiguous zone where the automated decision is most likely wrong in
+    either direction, and exactly the sample a reviewer should label
+    before anyone re-tunes the threshold (complement of
+    [[dedup_threshold_sweep]], which shows the distribution this queue
+    samples the boundary of).  Deterministic: distance, then pair-id
+    tie-breaks; TakeOrdered, no global sort materialized.
+
+    Scale shape: the capped posting-list intersection, then top-k."""
+    from lvm_datapipe_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    cached = D.shingle_rows(docs).persist()
+    sizes = cached.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = D.shingle_intersections(cached, "doc_id", 1000)
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
+    allj = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+    out = (
+        allj.withColumn(
+            "threshold_distance", F.abs(F.col("jaccard") - 0.6)
+        )
+        .orderBy(
+            F.asc("threshold_distance"), F.asc("id_a"), F.asc("id_b")
+        )
+        .limit(20)
+    )
+    from lvm_datapipe_spark.operators.dedup import _with_cached_deps
+
+    return _with_cached_deps(out, [cached])
