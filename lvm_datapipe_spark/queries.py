@@ -19152,3 +19152,92 @@ def dedup_review_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lvm_datapipe_spark.operators.dedup import _with_cached_deps
 
     return _with_cached_deps(out, [cached])
+
+
+@_q(
+    "forecast_residual_acf",
+    """
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY event_type, h),
+    resid AS (
+      SELECT a.event_type, a.h, a.c - b.c AS r
+      FROM hourly a
+      JOIN hourly b ON b.event_type = a.event_type AND b.h = a.h - 24),
+    lagged AS (
+      SELECT a.event_type, a.r AS x, b.r AS y
+      FROM resid a
+      JOIN resid b ON b.event_type = a.event_type AND b.h = a.h - 1),
+    s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM lagged GROUP BY event_type HAVING count(*) >= 3)
+    SELECT event_type, n AS n_pairs,
+           CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                THEN (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                     / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                ELSE NULL END AS residual_acf1
+    FROM s
+    """,
+)
+def forecast_residual_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODEL-ADEQUACY check for the seasonal-naive forecaster: lag-1
+    autocorrelation of its residuals (actual - 24h-ago prediction).
+    Residuals from an adequate model are white noise (acf ~ 0);
+    residual_acf1 far from zero says structure remains that the
+    [[forecast_seasonal_naive_backtest]] MAE is silently paying for --
+    the classic Box-Jenkins diagnostic, run before trusting any
+    forecast-based alert.  Residuals are integer count differences, so
+    every moment is an exact BIGINT; one float expression per type.
+
+    Scale shape: (type, hour) aggregate, two shifted-key equi-joins,
+    a per-type moment aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.expr("unix_seconds(cast(ts as timestamp)) div 3600").alias("h"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    b24 = hourly.select(
+        "event_type", (F.col("h") + 24).alias("h"), F.col("c").alias("pred")
+    )
+    resid = hourly.join(b24, ["event_type", "h"]).select(
+        "event_type", "h", (F.col("c") - F.col("pred")).alias("r")
+    )
+    prev = resid.select(
+        "event_type", (F.col("h") + 1).alias("h"), F.col("r").alias("y")
+    )
+    lagged = resid.join(prev, ["event_type", "h"]).select(
+        "event_type", F.col("r").alias("x"), "y"
+    )
+    s = (
+        lagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        )
+        .filter(F.col("n") >= 3)
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    vx = n * F.col("sxx") - sx * sx
+    vy = n * F.col("syy") - sy * sy
+    return s.select(
+        "event_type",
+        n.alias("n_pairs"),
+        F.when(
+            (vx > 0) & (vy > 0),
+            (n.cast("double") * F.col("sxy") - sx.cast("double") * sy)
+            / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
+        ).alias("residual_acf1"),
+    )
