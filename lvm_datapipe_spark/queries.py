@@ -19241,3 +19241,63 @@ def forecast_residual_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
         ).alias("residual_acf1"),
     )
+
+
+@_q(
+    "order_linenumber_gaps",
+    """
+    WITH per AS (
+      SELECT l_orderkey,
+             CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(MAX(l_linenumber) AS BIGINT) AS max_ln,
+             CAST(MIN(l_linenumber) AS BIGINT) AS min_ln,
+             CAST(count(DISTINCT l_linenumber) AS BIGINT) AS n_distinct
+      FROM lineitem GROUP BY l_orderkey)
+    SELECT CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(*) FILTER (WHERE min_ln <> 1) AS BIGINT)
+             AS n_bad_start,
+           CAST(count(*) FILTER (WHERE max_ln <> n_lines) AS BIGINT)
+             AS n_gapped,
+           CAST(count(*) FILTER (WHERE n_distinct <> n_lines) AS BIGINT)
+             AS n_duplicated,
+           CAST(count(*) FILTER (WHERE min_ln = 1 AND max_ln = n_lines
+                                   AND n_distinct = n_lines) AS DOUBLE)
+             / count(*) AS contiguous_rate
+    FROM per
+    """,
+)
+def order_linenumber_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENCE-INTEGRITY DQ: line numbers within each order must be
+    exactly 1..n (min=1, max=n, all distinct) -- a gap means lost line
+    items, a duplicate means a double-write; either silently corrupts
+    any per-line reconciliation downstream.  Three integer invariants
+    checked in one orderkey aggregate; the violation counts localize
+    WHICH failure mode (the generic [[dq_report]] can't see positional
+    contracts).
+
+    Scale shape: one orderkey-keyed aggregate, single-row readout."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.max("l_linenumber").cast("long").alias("max_ln"),
+        F.min("l_linenumber").cast("long").alias("min_ln"),
+        F.count_distinct("l_linenumber").cast("long").alias("n_distinct"),
+    )
+    ok = (
+        (F.col("min_ln") == 1)
+        & (F.col("max_ln") == F.col("n_lines"))
+        & (F.col("n_distinct") == F.col("n_lines"))
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.count_if(F.col("min_ln") != 1).cast("long").alias("n_bad_start"),
+        F.count_if(F.col("max_ln") != F.col("n_lines"))
+        .cast("long")
+        .alias("n_gapped"),
+        F.count_if(F.col("n_distinct") != F.col("n_lines"))
+        .cast("long")
+        .alias("n_duplicated"),
+        (F.count_if(ok).cast("double") / F.count(F.lit(1))).alias(
+            "contiguous_rate"
+        ),
+    )
