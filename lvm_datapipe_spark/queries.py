@@ -19301,3 +19301,178 @@ def order_linenumber_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             "contiguous_rate"
         ),
     )
+
+
+_GAINS_THRESHOLDS = [0.9, 0.8, 0.7, 0.6, 0.5, 0.4, 0.3, 0.2, 0.1]
+_GAINS_T_SQL = ", ".join(
+    _pctile_mirror_sql("arr", "n", f) for f in _GAINS_THRESHOLDS
+)
+
+
+@_q(
+    "classifier_gains_table",
+    rf"""
+    WITH f AS (
+      SELECT doc_id, length(text) AS n_chars,
+             CAST(len(list_filter(string_split_regex(text, '\s+'),
+                  x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM documents),
+    s AS (SELECT doc_id,
+                 (-2.0 + 0.004 * CAST(n_tokens AS DOUBLE))
+                   + 0.35 * (CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+                   AS logit,
+                 CASE WHEN n_tokens BETWEEN 50 AND 100000 THEN 1 ELSE 0 END
+                   AS label
+          FROM f WHERE n_tokens > 0),
+    q AS (SELECT [{_GAINS_T_SQL}] AS t
+          FROM (SELECT list(logit ORDER BY logit) AS arr,
+                       CAST(count(*) AS BIGINT) AS n FROM s)),
+    b AS (SELECT s.label,
+                 1 + {' + '.join(f'(CASE WHEN s.logit < q.t[{i + 1}] THEN 1 ELSE 0 END)' for i in range(9))}
+                   AS decile
+          FROM s CROSS JOIN q),
+    tot AS (SELECT CAST(SUM(label) AS BIGINT) AS total_pos,
+                   CAST(count(*) AS BIGINT) AS total_n
+            FROM b),
+    d AS (SELECT decile,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(label) AS BIGINT) AS n_pos
+          FROM b GROUP BY decile),
+    cum AS (SELECT a.decile, CAST(SUM(c.n_pos) AS BIGINT) AS cum_pos
+            FROM d a JOIN d c ON c.decile <= a.decile
+            GROUP BY a.decile)
+    SELECT d.decile, d.n_docs, d.n_pos,
+           CAST(d.n_pos AS DOUBLE) / d.n_docs AS pos_rate,
+           (CAST(d.n_pos AS DOUBLE) / d.n_docs)
+             / (CAST(tot.total_pos AS DOUBLE) / tot.total_n) AS lift,
+           CAST(cum.cum_pos AS DOUBLE) / tot.total_pos AS cum_capture
+    FROM d JOIN cum ON cum.decile = d.decile CROSS JOIN tot
+    WHERE tot.total_pos > 0
+    """,
+)
+def classifier_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GAINS/LIFT table for the quality classifier: documents bucketed
+    into score deciles (decile 1 = highest logit) with per-decile
+    positive rate, lift over the base rate, and cumulative capture --
+    the slide every model review asks for ("the top 30% of scores
+    capture 60% of the good docs").  Decile boundaries come from ONE
+    percentile aggregate broadcast back as a comparison ladder (the
+    scale-safe w5 twin pattern -- no NTILE); the fractional thresholds
+    over double scores use the _pctile_mirror_sql replay.
+
+    Scale shape: one scan + scalar thresholds + ladder assignment, a
+    10-row decile aggregate, a 10x10 cumulative join."""
+    from lvm_datapipe_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    nt = F.size(tokens("text")).cast("long")
+    s = docs.select(
+        (
+            (F.lit(-2.0) + 0.004 * nt.cast("double"))
+            + 0.35 * (F.length("text").cast("double") / nt.cast("double"))
+        ).alias("logit"),
+        F.when(nt.between(50, 100000), 1).otherwise(0).alias("label"),
+        nt.alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0).drop("n_tokens")
+    fr = ", ".join(repr(f) for f in _GAINS_THRESHOLDS)
+    q = s.agg(F.expr(f"percentile(logit, array({fr}))").alias("t"))
+    decile = F.lit(1)
+    for i in range(9):
+        decile = decile + F.when(
+            F.col("logit") < F.col("t").getItem(i), 1
+        ).otherwise(0)
+    b = s.crossJoin(F.broadcast(q)).select(
+        "label", decile.alias("decile")
+    )
+    tot = b.agg(
+        F.sum("label").cast("long").alias("total_pos"),
+        F.count(F.lit(1)).cast("long").alias("total_n"),
+    )
+    d = b.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("label").cast("long").alias("n_pos"),
+    )
+    c = d.select(F.col("decile").alias("c_decile"), F.col("n_pos").alias("c_pos"))
+    cum = (
+        d.select("decile")
+        .join(F.broadcast(c), F.col("c_decile") <= F.col("decile"))
+        .groupBy("decile")
+        .agg(F.sum("c_pos").cast("long").alias("cum_pos"))
+    )
+    out = (
+        d.join(cum, "decile")
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("total_pos") > 0)
+    )
+    rate = F.col("n_pos").cast("double") / F.col("n_docs")
+    base = F.col("total_pos").cast("double") / F.col("total_n")
+    return out.select(
+        "decile",
+        "n_docs",
+        "n_pos",
+        rate.alias("pos_rate"),
+        (rate / base).alias("lift"),
+        (F.col("cum_pos").cast("double") / F.col("total_pos")).alias(
+            "cum_capture"
+        ),
+    )
+
+
+@_q(
+    "vocab_rank_frequency_ratios",
+    f"""
+    WITH tf AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest({_SQL_TOKS}) AS tok FROM documents)
+      GROUP BY tok),
+    top AS (
+      SELECT tok, freq,
+             CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, tok ASC) AS BIGINT)
+               AS rnk
+      FROM tf ORDER BY freq DESC, tok ASC LIMIT 10),
+    one AS (SELECT freq AS f1 FROM top WHERE rnk = 1)
+    SELECT top.rnk AS rank, top.tok, top.freq,
+           CAST(one.f1 AS DOUBLE) / top.freq AS top_over_freq,
+           CAST(one.f1 AS DOUBLE) / (top.freq * top.rnk) AS zipf_deviation
+    FROM top CROSS JOIN one
+    """,
+)
+def vocab_rank_frequency_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIPF RANK-FREQUENCY check without logs: for the top-10 tokens,
+    freq(1)/freq(r) and its deviation from the ideal Zipf value r
+    (zipf_deviation = f1/(f_r * r), 1.0 = perfect unit-exponent Zipf) --
+    a distribution whose deviations drift far from 1 is not natural-
+    language-like (template or generated content), all from exact
+    integer ratios (the log-log slope fit is non-portable; the fixed-
+    rank ratio ladder carries the same signal for monitoring).
+
+    Scale shape: one token aggregate, TakeOrdered top-10, rank window
+    over the GlobalLimit-bounded list."""
+    from lvm_datapipe_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    top = (
+        tf.orderBy(F.desc("freq"), F.asc("tok"))
+        .limit(10)
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.desc("freq"), F.asc("tok")))
+            .cast("long"),
+        )
+    )
+    one = top.filter(F.col("rank") == 1).select(F.col("freq").alias("f1"))
+    return top.crossJoin(F.broadcast(one)).select(
+        "rank",
+        "tok",
+        "freq",
+        (F.col("f1").cast("double") / F.col("freq")).alias("top_over_freq"),
+        (
+            F.col("f1").cast("double") / (F.col("freq") * F.col("rank"))
+        ).alias("zipf_deviation"),
+    )
