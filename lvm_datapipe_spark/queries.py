@@ -19476,3 +19476,89 @@ def vocab_rank_frequency_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("f1").cast("double") / (F.col("freq") * F.col("rank"))
         ).alias("zipf_deviation"),
     )
+
+
+_TTV_P50 = _pctile_mirror_sql("arr", "n", 0.5)
+_TTV_P90 = _pctile_mirror_sql("arr", "n", 0.9)
+
+
+@_q(
+    "time_to_value_quantiles",
+    f"""
+    WITH c AS (
+      SELECT user_id, ts,
+             SUM(CAST(value AS DECIMAL(9,6)))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_v,
+             MIN(ts) OVER (PARTITION BY user_id) AS first_ts
+      FROM events WHERE value > CAST(0.0 AS DOUBLE)),
+    hit AS (
+      SELECT user_id,
+             MIN(CAST(floor(epoch(ts)) AS BIGINT)
+                 - CAST(floor(epoch(first_ts)) AS BIGINT)) AS ttv_s
+      FROM c WHERE cum_v >= CAST(100 AS DECIMAL(9,6))
+      GROUP BY user_id),
+    base AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+             FROM events WHERE value > CAST(0.0 AS DOUBLE)),
+    s AS (SELECT list(ttv_s ORDER BY ttv_s) AS arr,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM hit)
+    SELECT base.n_users,
+           s.n AS n_reached,
+           CAST(s.n AS DOUBLE) / base.n_users AS reach_rate,
+           {_TTV_P50} AS p50_ttv_s,
+           {_TTV_P90} AS p90_ttv_s
+    FROM s CROSS JOIN base
+    """,
+)
+def time_to_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-TO-VALUE (first-passage) distribution: seconds from each
+    user's first positive-value event until their CUMULATIVE value
+    crosses 100 -- the activation metric ("how long until a user is
+    worth X"), with the share of users who ever get there.  The
+    first-passage time is the MIN event time where the user-partitioned
+    decimal running sum crosses the threshold (exact decimal cumsum, so
+    the crossing row is engine-identical); quantiles over the integer
+    second latencies use the Spark-percentile mirror.
+
+    Scale shape: one user-partitioned window pass, one user-keyed MIN,
+    one global percentile aggregate."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0.0)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wu = Window.partitionBy("user_id")
+    c = ev.select(
+        "user_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(9,6)")).over(w).alias("cum_v"),
+        F.min("ts").over(wu).alias("first_ts"),
+    )
+    hit = (
+        c.filter(F.col("cum_v") >= F.lit(100).cast("decimal(9,6)"))
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.unix_seconds(F.col("ts").cast("timestamp"))
+                - F.unix_seconds(F.col("first_ts").cast("timestamp"))
+            ).alias("ttv_s")
+        )
+    )
+    base = ev.agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+    s = hit.agg(
+        F.count(F.lit(1)).cast("long").alias("n_reached"),
+        F.expr("percentile(ttv_s, 0.5)").alias("p50_ttv_s"),
+        F.expr("percentile(ttv_s, 0.9)").alias("p90_ttv_s"),
+    )
+    return s.crossJoin(F.broadcast(base)).select(
+        "n_users",
+        "n_reached",
+        (F.col("n_reached").cast("double") / F.col("n_users")).alias(
+            "reach_rate"
+        ),
+        "p50_ttv_s",
+        "p90_ttv_s",
+    )
