@@ -164,9 +164,14 @@ _CHECK_FIRST = [
     #       graph_reachability_3hop, label_centroid_separation,
     #       repeat_rate_by_first_basket, price_realization_by_brand,
     #       session_position_bias, text_mattr_diversity,
-    #       dedup_cluster_size_hist) LEAD the r7 queue; all are
-    #       green in this round's local full sweep
-    #       (tools/check_correctness.py).
+    #       dedup_cluster_size_hist, session_threshold_sensitivity,
+    #       embedding_similarity_bands, catalog_table_counts,
+    #       label_scatter_trace, out_of_order_event_rate,
+    #       dedup_review_queue, forecast_residual_acf,
+    #       order_linenumber_gaps, classifier_gains_table,
+    #       vocab_rank_frequency_ratios, time_to_value_quantiles)
+    #       LEAD the r7 queue; all are green in this round's local full
+    #       sweep (tools/check_correctness.py).
     "sample_neyman_allocation",     # new: variance-optimal strata budgets
     "sample_priority_topk",         # new: Duffield priority sampling
     "drift_ks_statistic",           # new: exact two-sample KS per stratum
