@@ -19562,3 +19562,402 @@ def time_to_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p50_ttv_s",
         "p90_ttv_s",
     )
+
+
+# NDCG@10 integer micro-discount ladder: floor(1e6 / log2(rank+1)) computed
+# ONCE in Python (the shared-literal recipe — cross-engine log2 is not
+# guaranteed bit-identical, integer literals are), plus its prefix sums for
+# the ideal DCG.  Quantizing the discounts to integers makes per-query DCG an
+# EXACT integer sum — no float-order sensitivity at all.
+_NDCG_D = [1000000, 630929, 500000, 430676, 386852, 356207, 333333, 315464,
+           301029, 289064]
+_NDCG_P = [1000000, 1630929, 2130929, 2561605, 2948457, 3304664, 3637997,
+           3953461, 4254490, 4543554]
+_NDCG_D_SQL = "[" + ", ".join(str(d) for d in _NDCG_D) + "]"
+_NDCG_P_SQL = "[" + ", ".join(str(p) for p in _NDCG_P) + "]"
+
+
+@_q(
+    "retrieval_ndcg_eval",
+    f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, label AS q_label, v AS qv
+          FROM e WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, q.q_label, e.vec_id AS neighbor_id, e.label,
+             {_cos_sql('qv', 'v')} AS cos_sim
+      FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+    ranked AS (
+      SELECT query_id, q_label, label,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rk
+      FROM scored QUALIFY rk <= 10),
+    dcg AS (
+      SELECT query_id, q_label,
+             CAST(SUM(CASE WHEN label = q_label
+                           THEN ({_NDCG_D_SQL})[CAST(rk AS INTEGER)]
+                           ELSE 0 END) AS BIGINT) AS dcg_micro
+      FROM ranked GROUP BY query_id, q_label),
+    labc AS (SELECT label, CAST(count(*) AS BIGINT) AS cnt
+             FROM e GROUP BY label)
+    SELECT d.query_id,
+           CAST(labc.cnt - 1 AS BIGINT) AS n_relevant,
+           d.dcg_micro,
+           CAST(CASE WHEN labc.cnt - 1 >= 1
+                     THEN ({_NDCG_P_SQL})[CAST(LEAST(labc.cnt - 1, 10) AS INTEGER)]
+                     ELSE 0 END AS BIGINT) AS idcg_micro,
+           CASE WHEN labc.cnt - 1 >= 1
+                THEN CAST(d.dcg_micro AS DOUBLE)
+                     / ({_NDCG_P_SQL})[CAST(LEAST(labc.cnt - 1, 10) AS INTEGER)]
+                ELSE CAST(0.0 AS DOUBLE) END AS ndcg
+    FROM dcg d JOIN labc ON labc.label = d.q_label
+    """,
+)
+def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the dense-retrieval leg, same-label relevance — the
+    position-discounted ranking metric that [[retrieval_mrr_eval]] (first
+    hit only) and [[ann_recall_eval]] (set overlap only) both miss: it
+    rewards putting EVERY relevant result high, not just the first one.
+    The log2 discounts are pre-quantized to integer micro-units (shared-
+    literal recipe), so per-query DCG is an exact integer sum and the
+    ideal DCG is a prefix-sum table lookup at min(#relevant, 10); NDCG
+    itself is ONE float division.
+
+    Scale shape: the broadcast-queries brute-force scan (10 fixed
+    queries), per-query top-10 windows over the bounded candidate set, a
+    label-cardinality aggregate (|labels| rows, broadcast back), then a
+    10-row join — no corpus-sized shuffle beyond the scan."""
+    from lvm_datapipe_spark.operators.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    topk = brute_force_topk(emb, queries, k=10)
+    lab = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
+    )
+    qlab = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
+    )
+    ranked = topk.join(lab, "neighbor_id").join(F.broadcast(qlab), "query_id")
+    darr = F.array(*[F.lit(d) for d in _NDCG_D])
+    parr = F.array(*[F.lit(p) for p in _NDCG_P])
+    dcg = ranked.groupBy("query_id", "q_label").agg(
+        F.sum(
+            F.when(
+                F.col("n_label") == F.col("q_label"),
+                F.element_at(darr, F.col("rank").cast("int")),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("dcg_micro")
+    )
+    labc = emb.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    j = dcg.join(
+        F.broadcast(labc), F.col("label") == F.col("q_label")
+    ).withColumn("n_relevant", (F.col("cnt") - 1).cast("long"))
+    idcg = (
+        F.when(
+            F.col("n_relevant") >= 1,
+            F.element_at(
+                parr, F.least(F.col("n_relevant"), F.lit(10)).cast("int")
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    return j.select(
+        "query_id",
+        "n_relevant",
+        "dcg_micro",
+        idcg.alias("idcg_micro"),
+        F.when(
+            F.col("n_relevant") >= 1,
+            F.col("dcg_micro").cast("double") / idcg,
+        )
+        .otherwise(F.lit(0.0))
+        .alias("ndcg"),
+    )
+
+
+@_q(
+    "revenue_max_drawdown",
+    f"""
+    WITH m AS (
+      SELECT n_name,
+             CAST(strftime(o_orderdate, '%Y') AS BIGINT) * 12
+               + CAST(strftime(o_orderdate, '%m') AS BIGINT) - 1 AS month_id,
+             strftime(o_orderdate, '%Y-%m') AS month,
+             {_DEC_SUM.format(x='o_totalprice')} AS revenue
+      FROM orders
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation ON n_nationkey = c_nationkey
+      GROUP BY n_name, month_id, month),
+    d AS (
+      SELECT n_name, month_id, month, revenue,
+             MAX(revenue) OVER (PARTITION BY n_name ORDER BY month_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - revenue
+               AS drawdown
+      FROM m),
+    mx AS (SELECT n_name, MAX(drawdown) AS max_drawdown
+           FROM d GROUP BY n_name)
+    SELECT d.n_name, mx.max_drawdown, MIN(d.month) AS trough_month
+    FROM d JOIN mx ON mx.n_name = d.n_name AND d.drawdown = mx.max_drawdown
+    GROUP BY d.n_name, mx.max_drawdown
+    """,
+)
+def revenue_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMUM DRAWDOWN of each nation's monthly revenue — the largest
+    peak-to-current decline of the series (the risk readout finance runs
+    on equity curves, applied to the KPI trend): for every month, the
+    running peak minus the month's revenue; the per-nation max of that
+    gap, with the EARLIEST trough month as the deterministic argmax.
+    Complements [[revenue_mom_growth]] (one-step deltas can look mild
+    while the cumulative slide from peak is severe) and
+    [[events_cusum_shift]] (drawdown is the scale-free business-facing
+    cousin of the CUSUM excursion).  Monthly revenue is the exact
+    decimal sum, the running peak is an order-free MAX, and the
+    drawdown is ONE float subtraction — so the argmax equality join is
+    bit-safe cross-engine.
+
+    Scale shape: one keyed aggregate over orders (nation x month), then
+    nation-partitioned windows and joins over the months-sized table
+    (bounded by calendar x |nations|, never by order volume)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    m = (
+        o.join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy(
+            "n_name",
+            (
+                F.year("o_orderdate").cast("long") * 12
+                + F.month("o_orderdate").cast("long")
+                - 1
+            ).alias("month_id"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        )
+        .agg(A.decimal_sum("o_totalprice").alias("revenue"))
+    )
+    w = (
+        Window.partitionBy("n_name")
+        .orderBy("month_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = m.select(
+        "n_name",
+        "month",
+        (F.max("revenue").over(w) - F.col("revenue")).alias("drawdown"),
+    )
+    mx = d.groupBy("n_name").agg(F.max("drawdown").alias("max_drawdown"))
+    return (
+        d.join(
+            F.broadcast(mx.withColumnRenamed("n_name", "_n")),
+            (F.col("n_name") == F.col("_n"))
+            & (F.col("drawdown") == F.col("max_drawdown")),
+        )
+        .groupBy("n_name", "max_drawdown")
+        .agg(F.min("month").alias("trough_month"))
+    )
+
+
+@_q(
+    "events_mann_kendall_trend",
+    """
+    WITH h AS (
+      SELECT event_type, CAST(strftime(ts, '%Y%m%d%H') AS BIGINT) AS hr,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY event_type, hr),
+    n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours
+          FROM h GROUP BY event_type),
+    s AS (
+      SELECT a.event_type,
+             CAST(SUM(CASE WHEN b.c > a.c THEN 1
+                           WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT) AS s
+      FROM h a JOIN h b ON b.event_type = a.event_type AND b.hr > a.hr
+      GROUP BY a.event_type),
+    t AS (
+      SELECT event_type,
+             CAST(SUM(tc * (tc - 1) * (2 * tc + 5)) AS BIGINT) AS tie_term
+      FROM (SELECT event_type, c, CAST(count(*) AS BIGINT) AS tc
+            FROM h GROUP BY event_type, c)
+      GROUP BY event_type),
+    v AS (
+      SELECT n.event_type, n.n_hours,
+             COALESCE(s.s, 0) AS s,
+             n.n_hours * (n.n_hours - 1) * (2 * n.n_hours + 5) - t.tie_term
+               AS var18
+      FROM n LEFT JOIN s ON s.event_type = n.event_type
+             JOIN t ON t.event_type = n.event_type)
+    SELECT event_type, n_hours, s,
+           CAST(var18 AS DOUBLE) / 18.0 AS var_s,
+           CASE WHEN var18 <= 0 THEN CAST(0.0 AS DOUBLE)
+                WHEN s > 0
+                  THEN CAST(s - 1 AS DOUBLE)
+                       / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+                WHEN s < 0
+                  THEN CAST(s + 1 AS DOUBLE)
+                       / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+                ELSE CAST(0.0 AS DOUBLE) END AS z
+    FROM v
+    """,
+)
+def events_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN-KENDALL trend test per event type over the hourly-count
+    series — the NONPARAMETRIC "is activity trending?" answer that
+    [[events_trend_slope]]'s least-squares line can't give robustly
+    (a single spike hour drags OLS; MK only sees pairwise ORDER).  The
+    statistic S = sum of sign(c_j - c_i) over all hour pairs i<j is an
+    exact INTEGER, the tie-corrected variance
+    (n(n-1)(2n+5) - sum t(t-1)(2t+5))/18 is exact integer arithmetic up
+    to one shared division, and the continuity-corrected z is one
+    sqrt+divide over those integers — fully bit-portable, no logs.
+    Kendall-family sibling of [[kendall_tau_source_size]] (same S-shape,
+    applied to a time index) and the hypothesis-test companion to
+    [[theil_sen_slope_by_user]] (MK decides IF a trend exists, Theil-Sen
+    estimates its size).
+
+    Scale shape: one keyed aggregate to hourly counts, then a per-type
+    pair join over the HOURS table — O(H^2) per type where H is bounded
+    by the calendar (24*days), NOT by event volume; at 100 TB the hourly
+    rollup still has the same row count.  Equi-join on event_type with
+    an hr range predicate — no cartesian."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type",
+        F.date_format(F.col("ts").cast("timestamp"), "yyyyMMddHH")
+        .cast("long")
+        .alias("hr"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    n = h.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours")
+    )
+    b = h.select(
+        F.col("event_type").alias("_t"),
+        F.col("hr").alias("_hr"),
+        F.col("c").alias("_c"),
+    )
+    s = (
+        h.join(
+            b,
+            (F.col("_t") == F.col("event_type")) & (F.col("_hr") > F.col("hr")),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("_c") > F.col("c"), F.lit(1))
+                .when(F.col("_c") < F.col("c"), F.lit(-1))
+                .otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("s")
+        )
+    )
+    tc = h.groupBy("event_type", "c").agg(
+        F.count(F.lit(1)).cast("long").alias("tc")
+    )
+    t = tc.groupBy("event_type").agg(
+        F.sum(
+            F.col("tc") * (F.col("tc") - 1) * (2 * F.col("tc") + 5)
+        )
+        .cast("long")
+        .alias("tie_term")
+    )
+    v = (
+        n.join(s.withColumnRenamed("event_type", "_st"),
+               F.col("_st") == F.col("event_type"), "left")
+        .join(t.withColumnRenamed("event_type", "_tt"),
+              F.col("_tt") == F.col("event_type"))
+        .select(
+            "event_type",
+            "n_hours",
+            F.coalesce(F.col("s"), F.lit(0).cast("long")).alias("s"),
+            (
+                F.col("n_hours")
+                * (F.col("n_hours") - 1)
+                * (2 * F.col("n_hours") + 5)
+                - F.col("tie_term")
+            ).alias("var18"),
+        )
+    )
+    sq = F.sqrt(F.col("var18").cast("double") / F.lit(18.0))
+    return v.select(
+        "event_type",
+        "n_hours",
+        "s",
+        (F.col("var18").cast("double") / F.lit(18.0)).alias("var_s"),
+        F.when(F.col("var18") <= 0, F.lit(0.0))
+        .when(F.col("s") > 0, (F.col("s") - 1).cast("double") / sq)
+        .when(F.col("s") < 0, (F.col("s") + 1).cast("double") / sq)
+        .otherwise(F.lit(0.0))
+        .alias("z"),
+    )
+
+
+@_q(
+    "weighted_ess_by_type",
+    f"""
+    WITH g AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             {_DEC_SUM.format(x='value')} AS sum_w,
+             CAST(SUM(CAST(floor(value * value * 1000000.0) AS BIGINT))
+                  AS BIGINT) AS sww_micro
+      FROM events GROUP BY event_type),
+    e AS (
+      SELECT event_type, n, sum_w,
+             CASE WHEN sww_micro > 0
+                  THEN (sum_w * sum_w)
+                       / (CAST(sww_micro AS DOUBLE) / 1000000.0)
+                  ELSE CAST(0.0 AS DOUBLE) END AS ess
+      FROM g)
+    SELECT event_type, n, sum_w, ess, ess / n AS ess_efficiency
+    FROM e
+    """,
+)
+def weighted_ess_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kish EFFECTIVE SAMPLE SIZE of `value`-weighted estimates per event
+    type: ESS = (sum w)^2 / sum w^2 — how many EQUAL-weight samples the
+    weighted set is worth, and ess/n, the design efficiency (1 = uniform
+    weights; 0.2 means weighting threw away 80% of the data's power).
+    The diagnostic a curation pipeline runs AFTER importance-weighting
+    ([[sample_weighted]], [[dsir_target_selection]],
+    [[sample_temperature_mix]]) to check the weights didn't collapse
+    onto a few heavy rows; survey-statistics sibling of
+    [[cluster_design_effect]].  sum(w) is the exact decimal sum; sum(w^2)
+    uses the floor-micro integer quantization (w^2 computed in identical
+    IEEE ops both engines); ESS is float math over those two exact sums.
+
+    Scale shape: ONE keyed aggregate with map-side partials — scan-shaped,
+    |event types| output rows."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        A.decimal_sum("value").alias("sum_w"),
+        F.sum(
+            F.floor(F.col("value") * F.col("value") * F.lit(1000000.0)).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("sww_micro"),
+    )
+    ess = (
+        F.when(
+            F.col("sww_micro") > 0,
+            (F.col("sum_w") * F.col("sum_w"))
+            / (F.col("sww_micro").cast("double") / F.lit(1000000.0)),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    e = g.select("event_type", "n", "sum_w", ess.alias("ess"))
+    return e.select(
+        "event_type",
+        "n",
+        "sum_w",
+        "ess",
+        (F.col("ess") / F.col("n")).alias("ess_efficiency"),
+    )
