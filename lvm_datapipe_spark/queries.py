@@ -19961,3 +19961,168 @@ def weighted_ess_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ess",
         (F.col("ess") / F.col("n")).alias("ess_efficiency"),
     )
+
+
+@_q(
+    "spc_individuals_chart",
+    f"""
+    WITH s AS (
+      SELECT event_type, value,
+             abs(value - lag(value) OVER (PARTITION BY event_type
+                                          ORDER BY ts, event_id)) AS mr
+      FROM events),
+    g AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             {_dsum('value')} / count(*) AS center,
+             CAST(SUM(CAST(floor(mr * 1000000.0) AS BIGINT)) AS BIGINT)
+               AS mr_micro,
+             CAST(count(mr) AS BIGINT) AS n_mr
+      FROM s GROUP BY event_type),
+    lim AS (
+      SELECT event_type, n, center,
+             CASE WHEN n_mr > 0
+                  THEN CAST(mr_micro AS DOUBLE) / 1000000.0 / n_mr
+                  ELSE CAST(0.0 AS DOUBLE) END AS mr_bar
+      FROM g),
+    lim2 AS (
+      SELECT event_type, n, center, mr_bar,
+             center + ({2.66!r})::DOUBLE * mr_bar AS ucl,
+             center - ({2.66!r})::DOUBLE * mr_bar AS lcl
+      FROM lim)
+    SELECT lim2.event_type, lim2.n, lim2.center, lim2.mr_bar,
+           lim2.ucl, lim2.lcl,
+           CAST(SUM(CASE WHEN e.value > lim2.ucl OR e.value < lim2.lcl
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+    FROM events e JOIN lim2 ON lim2.event_type = e.event_type
+    GROUP BY lim2.event_type, lim2.n, lim2.center, lim2.mr_bar,
+             lim2.ucl, lim2.lcl
+    """,
+)
+def spc_individuals_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPC INDIVIDUALS (I-MR) CONTROL CHART limits per event type: center
+    = exact decimal mean of `value`, average moving range MR-bar from
+    consecutive |x_i - x_{i-1}| gaps (the Shewhart short-term noise
+    estimate — immune to slow drift inflating a plain stddev), control
+    limits center +/- 2.66*MR-bar (the d2-derived constant for n=2
+    subgroups, injected as a shared literal), and the count of points
+    outside the limits.  The manufacturing-QC reading of what
+    [[events_zscore_outliers]] does with global sigma and
+    [[events_ewma_residual_anomaly]] does with smoothed residuals; SPC
+    limits are the version ops teams alert on.  MR gaps are identical
+    one-op doubles, their mean uses the floor-micro order-free sum, and
+    the violation comparison evaluates identical doubles on both
+    engines.
+
+    Scale shape: one type-partitioned window pass for the moving
+    ranges, one keyed aggregate to |types| rows, then a broadcast join
+    back over one more scan for the violation count — two scans total,
+    no corpus-sized shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    wlag = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type",
+        "value",
+        F.abs(F.col("value") - F.lag("value").over(wlag)).alias("mr"),
+    )
+    g = s.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (A.decimal_sum("value") / F.count(F.lit(1))).alias("center"),
+        F.sum(F.floor(F.col("mr") * F.lit(1000000.0)).cast("long"))
+        .cast("long")
+        .alias("mr_micro"),
+        F.count("mr").cast("long").alias("n_mr"),
+    )
+    mr_bar = (
+        F.when(
+            F.col("n_mr") > 0,
+            F.col("mr_micro").cast("double") / F.lit(1000000.0) / F.col("n_mr"),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    lim = g.select(
+        F.col("event_type").alias("_t"),
+        "n",
+        "center",
+        mr_bar.alias("mr_bar"),
+    ).select(
+        "_t",
+        "n",
+        "center",
+        "mr_bar",
+        (F.col("center") + F.lit(2.66) * F.col("mr_bar")).alias("ucl"),
+        (F.col("center") - F.lit(2.66) * F.col("mr_bar")).alias("lcl"),
+    )
+    return (
+        ev.join(F.broadcast(lim), F.col("event_type") == F.col("_t"))
+        .groupBy("event_type", "n", "center", "mr_bar", "ucl", "lcl")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("value") > F.col("ucl"))
+                    | (F.col("value") < F.col("lcl")),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_violations")
+        )
+    )
+
+
+@_q(
+    "tokenizer_fertility_by_lang",
+    rf"""
+    WITH f AS (
+      SELECT lang,
+             CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS BIGINT)
+               AS n_bpe,
+             CAST(len(list_filter(string_split_regex(text, '\s+'),
+                  x -> x <> '')) AS BIGINT) AS n_words
+      FROM documents)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_bpe) AS BIGINT) AS total_bpe_tokens,
+           CAST(SUM(n_words) AS BIGINT) AS total_words,
+           CASE WHEN SUM(n_words) > 0
+                THEN CAST(SUM(n_bpe) AS DOUBLE) / SUM(n_words)
+                ELSE CAST(0.0 AS DOUBLE) END AS fertility
+    FROM f GROUP BY lang
+    """,
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER FERTILITY per language: BPE-ish tokens per whitespace
+    word — THE tokenizer-equity diagnostic for multilingual training
+    mixes (a language with fertility 3 pays 3x the context budget per
+    word; mix weights and per-lang token budgets — [[mix_token_budget]],
+    [[sample_temperature_mix]] — are wrong if computed in words).
+    Numerator = the GPT-2-style pre-tokenizer count
+    ([[text_bpe_token_count]]); denominator = whitespace words
+    ([[text_token_count]]); the ratio is ONE float division over two
+    exact integer sums.
+
+    Scale shape: pure scan-shaped projection + ONE keyed aggregate to
+    |langs| rows; both token counts come from the same row pass."""
+    from lvm_datapipe_spark.operators import text as X
+
+    docs = load_table(spark, sf_dir, "documents")
+    f = docs.select(
+        "lang",
+        F.size(
+            F.regexp_extract_all("text", F.lit(_BPE_PATTERN), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_bpe"),
+        X.token_count("text").cast("long").alias("n_words"),
+    )
+    return f.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_bpe").cast("long").alias("total_bpe_tokens"),
+        F.sum("n_words").cast("long").alias("total_words"),
+        F.when(
+            F.sum("n_words") > 0,
+            F.sum("n_bpe").cast("double") / F.sum("n_words"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("fertility"),
+    )
