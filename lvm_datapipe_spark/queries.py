@@ -20126,3 +20126,273 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("fertility"),
     )
+
+
+@_q(
+    "stickiness_dau_mau",
+    """
+    WITH d AS (
+      SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+             strftime(CAST(ts AS DATE), '%Y-%m') AS month,
+             user_id
+      FROM events WHERE ts IS NOT NULL),
+    dau AS (
+      SELECT day, month, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+      FROM d GROUP BY day, month),
+    mau AS (
+      SELECT month, CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+      FROM d GROUP BY month)
+    SELECT dau.day, dau.dau, mau.mau,
+           CAST(dau.dau AS DOUBLE) / mau.mau AS stickiness
+    FROM dau JOIN mau ON mau.month = dau.month
+    """,
+)
+def stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU STICKINESS per day: daily active users over the calendar
+    month's active users — the engagement-frequency KPI (a 0.5 product
+    is used every other day; a 0.05 one is monthly).  The numerator
+    and denominator are exact distinct counts; the ratio is ONE float
+    division.  Complements [[user_lifecycle_accounting]] (which explains
+    WHY actives moved via new/retained/resurrected flows; stickiness
+    measures how OFTEN the stock engages) and
+    [[events_hourly_distinct_users]] (finer grain, no normalization).
+
+    Scale shape: two distinct-aggregates keyed by day/month (map-side
+    partial dedup on (day, user)), then a broadcast join of the
+    months-sized table onto the days-sized table.  For the
+    one-pass-at-100TB variant of the distinct counts, the HLL-sketch
+    twin is [[approx_distinct_users]]."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    d = ev.select(
+        F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day"),
+        F.date_format(F.col("ts").cast("date"), "yyyy-MM").alias("month"),
+        "user_id",
+    )
+    dau = d.groupBy("day", "month").agg(
+        F.count_distinct("user_id").cast("long").alias("dau")
+    )
+    mau = d.groupBy("month").agg(
+        F.count_distinct("user_id").cast("long").alias("mau")
+    ).withColumnRenamed("month", "_m")
+    return (
+        dau.join(F.broadcast(mau), F.col("month") == F.col("_m"))
+        .select(
+            "day",
+            "dau",
+            "mau",
+            (F.col("dau").cast("double") / F.col("mau")).alias("stickiness"),
+        )
+    )
+
+
+@_q(
+    "graph_degree_assortativity",
+    """
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT x.l_partkey AS p1, y.l_partkey AS p2
+      FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey
+                       AND x.l_partkey < y.l_partkey
+      GROUP BY x.l_partkey, y.l_partkey
+      HAVING count(*) >= 2),
+    d AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS deg
+      FROM (SELECT p1 AS node FROM e UNION ALL SELECT p2 FROM e)
+      GROUP BY node),
+    o AS (SELECT p1 AS u, p2 AS v FROM e
+          UNION ALL SELECT p2, p1 FROM e),
+    j AS (
+      SELECT du.deg AS dx, dv.deg AS dy
+      FROM o JOIN d du ON du.node = o.u JOIN d dv ON dv.node = o.v),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS np,
+             CAST(SUM(dx) AS BIGINT) AS sx,
+             CAST(SUM(dy) AS BIGINT) AS sy,
+             CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+             CAST(SUM(dy * dy) AS BIGINT) AS syy,
+             CAST(SUM(dx * dy) AS BIGINT) AS sxy
+      FROM j)
+    SELECT CAST(np // 2 AS BIGINT) AS n_edges, sx AS sum_deg, sxx AS sum_deg_sq, sxy AS sum_dxdy,
+           CASE WHEN (np * sxx - sx * sx) > 0 AND (np * syy - sy * sy) > 0
+                THEN CAST(np * sxy - sx * sy AS DOUBLE)
+                     / sqrt(CAST(np * sxx - sx * sx AS DOUBLE)
+                            * CAST(np * syy - sy * sy AS DOUBLE))
+                ELSE CAST(0.0 AS DOUBLE) END AS assortativity
+    FROM m
+    """,
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEGREE ASSORTATIVITY (Newman 2002) of the co-purchase part graph:
+    the Pearson correlation of endpoint degrees over all edge ends —
+    positive means hubs link to hubs (social-network shape), negative
+    means hubs link to leaves (dependency/star shape); it predicts how
+    the graph fragments under node loss and how dup-clusters percolate.
+    Network-science sibling of [[graph_triangle_counts]] (same edge
+    set) and [[dup_graph_degree_hist]] (marginal degree distribution;
+    assortativity is the joint-distribution summary).  Degrees are
+    exact integers, every moment is an exact BIGINT sum, and the
+    coefficient is ONE float expression over six integers — fully
+    bit-portable.
+
+    Scale shape: the bounded co-purchase edge build (keyed self-join on
+    order), a node-keyed degree count, two degree lookups keyed by
+    endpoint, and a single scalar aggregate with map-side partials."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    e = (
+        b.join(
+            b.select(
+                F.col("l_orderkey").alias("_o"),
+                F.col("l_partkey").alias("p2"),
+            ),
+            (F.col("l_orderkey") == F.col("_o"))
+            & (F.col("l_partkey") < F.col("p2")),
+        )
+        .groupBy(F.col("l_partkey").alias("p1"), "p2")
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= 2)
+        .select("p1", "p2")
+    )
+    d = (
+        e.select(F.col("p1").alias("node"))
+        .unionAll(e.select(F.col("p2").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    o = e.select(F.col("p1").alias("u"), F.col("p2").alias("v")).unionAll(
+        e.select(F.col("p2").alias("u"), F.col("p1").alias("v"))
+    )
+    j = (
+        o.join(
+            d.select(F.col("node").alias("_u"), F.col("deg").alias("dx")),
+            F.col("u") == F.col("_u"),
+        )
+        .join(
+            d.select(F.col("node").alias("_v"), F.col("deg").alias("dy")),
+            F.col("v") == F.col("_v"),
+        )
+        .select("dx", "dy")
+    )
+    m = j.agg(
+        F.count(F.lit(1)).cast("long").alias("np"),
+        F.sum("dx").cast("long").alias("sx"),
+        F.sum("dy").cast("long").alias("sy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("long").alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast("long").alias("syy"),
+        F.sum(F.col("dx") * F.col("dy")).cast("long").alias("sxy"),
+    )
+    vx = F.col("np") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("np") * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.select(
+        (F.col("np") / 2).cast("long").alias("n_edges"),
+        F.col("sx").alias("sum_deg"),
+        F.col("sxx").alias("sum_deg_sq"),
+        F.col("sxy").alias("sum_dxdy"),
+        F.when(
+            (vx > 0) & (vy > 0),
+            (F.col("np") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / F.sqrt(vx.cast("double") * vy.cast("double")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("assortativity"),
+    )
+
+
+@_q(
+    "supplier_ontime_wilson_rank",
+    f"""
+    WITH lat AS (
+      SELECT l.l_suppkey,
+             CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                                 CAST(l.l_shipdate AS DATE)) <= 60
+                  THEN 1 ELSE 0 END AS ontime
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+    g AS (
+      SELECT l_suppkey,
+             CAST(count(*) AS BIGINT) AS n_ships,
+             CAST(SUM(ontime) AS BIGINT) AS n_ontime
+      FROM lat GROUP BY l_suppkey),
+    p AS (
+      SELECT l_suppkey, n_ships, n_ontime,
+             CAST(n_ontime AS DOUBLE) / n_ships AS phat,
+             CAST(n_ships AS DOUBLE) AS nd
+      FROM g WHERE n_ships > 0),
+    w AS (
+      SELECT l_suppkey, n_ships, n_ontime, phat,
+             ((phat + '{_WILSON_Z2!r}'::DOUBLE / (2 * nd))
+              - '{_WILSON_Z!r}'::DOUBLE
+                * sqrt((phat * (1.0 - phat)) / nd
+                       + '{_WILSON_Z2!r}'::DOUBLE / (4 * nd * nd)))
+             / (1.0 + '{_WILSON_Z2!r}'::DOUBLE / nd) AS wilson_low
+      FROM p)
+    SELECT l_suppkey, n_ships, n_ontime, phat, wilson_low
+    FROM w
+    ORDER BY wilson_low DESC, l_suppkey
+    LIMIT 20
+    """,
+)
+def supplier_ontime_wilson_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier leaderboard by the WILSON LOWER BOUND of the on-time-ship
+    rate (shipped within 60 days of order) — the "how not to sort by
+    average rating" fix: ranking by raw rate lets a 2-for-2 supplier
+    beat a 980-for-1000 one; the lower confidence bound ranks by the
+    rate the EVIDENCE supports.  Shares the shared-literal Wilson
+    z=1.96 recipe with [[conversion_wilson_ci]]; supply-chain sibling
+    of [[ship_latency_by_priority]].  The latency flag and counts are
+    exact integers; the bound is float math over identical inputs, and
+    the top-20 carries the full deterministic ordering (bound, then
+    suppkey).
+
+    Scale shape: one keyed join (lineitem-orders on orderkey), one
+    supplier-keyed aggregate, then a global top-20 over the
+    suppliers-sized table (TakeOrderedAndProject — no global sort
+    materialization)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    lat = li.join(
+        o.select("o_orderkey", "o_orderdate"),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    ).select(
+        "l_suppkey",
+        F.when(
+            F.datediff(
+                F.col("l_shipdate").cast("date"),
+                F.col("o_orderdate").cast("date"),
+            )
+            <= 60,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("ontime"),
+    )
+    g = lat.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ships"),
+        F.sum("ontime").cast("long").alias("n_ontime"),
+    )
+    p = g.filter(F.col("n_ships") > 0).select(
+        "l_suppkey",
+        "n_ships",
+        "n_ontime",
+        (F.col("n_ontime").cast("double") / F.col("n_ships")).alias("phat"),
+        F.col("n_ships").cast("double").alias("nd"),
+    )
+    z = F.lit(_WILSON_Z)
+    z2 = F.lit(_WILSON_Z2)
+    wilson_low = (
+        (F.col("phat") + z2 / (2 * F.col("nd")))
+        - z
+        * F.sqrt(
+            (F.col("phat") * (1.0 - F.col("phat"))) / F.col("nd")
+            + z2 / (4 * F.col("nd") * F.col("nd"))
+        )
+    ) / (1.0 + z2 / F.col("nd"))
+    return (
+        p.select(
+            "l_suppkey", "n_ships", "n_ontime", "phat",
+            wilson_low.alias("wilson_low"),
+        )
+        .orderBy(F.desc("wilson_low"), F.asc("l_suppkey"))
+        .limit(20)
+    )
