@@ -20396,3 +20396,241 @@ def supplier_ontime_wilson_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("wilson_low"), F.asc("l_suppkey"))
         .limit(20)
     )
+
+
+@_q(
+    "price_index_fisher",
+    f"""
+    WITH pp AS (
+      SELECT l.l_partkey,
+             CAST(strftime(o.o_orderdate, '%Y') AS BIGINT) AS yr,
+             {_dsum('l.l_extendedprice')} AS sp,
+             {_dsum('l.l_quantity')} AS sq
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE CAST(strftime(o.o_orderdate, '%Y') AS BIGINT) IN (1995, 2000)
+      GROUP BY l.l_partkey, yr),
+    px AS (
+      SELECT l_partkey, yr, sp / sq AS price, sq AS qty
+      FROM pp WHERE sq > 0),
+    m AS (
+      SELECT b.l_partkey,
+             b.price AS p0, b.qty AS q0,
+             c.price AS p1, c.qty AS q1
+      FROM px b JOIN px c ON c.l_partkey = b.l_partkey
+      WHERE b.yr = 1995 AND c.yr = 2000),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_parts,
+             CAST(SUM(CAST(floor(p1 * q0 * 1000000.0) AS BIGINT)) AS BIGINT)
+               AS l_num,
+             CAST(SUM(CAST(floor(p0 * q0 * 1000000.0) AS BIGINT)) AS BIGINT)
+               AS l_den,
+             CAST(SUM(CAST(floor(p1 * q1 * 1000000.0) AS BIGINT)) AS BIGINT)
+               AS p_num,
+             CAST(SUM(CAST(floor(p0 * q1 * 1000000.0) AS BIGINT)) AS BIGINT)
+               AS p_den
+      FROM m)
+    SELECT n_parts,
+           CAST(l_num AS DOUBLE) / l_den AS laspeyres,
+           CAST(p_num AS DOUBLE) / p_den AS paasche,
+           sqrt((CAST(l_num AS DOUBLE) / l_den)
+                * (CAST(p_num AS DOUBLE) / p_den)) AS fisher
+    FROM s WHERE l_den > 0 AND p_den > 0
+    """,
+)
+def price_index_fisher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LASPEYRES / PAASCHE / FISHER price indices between 1995 and 2000
+    over parts traded in BOTH years — index-number theory's answer to
+    "how much did prices move, holding the basket fixed?" (Laspeyres
+    fixes the base-year basket and overstates inflation; Paasche fixes
+    the current basket and understates it; Fisher is their geometric
+    mean and the superlative index national statistics publish).
+    Complements [[revenue_bridge_by_month]] (which decomposes revenue
+    into price/volume/mix effects month-to-month; the index family
+    aggregates the price component into one comparable number).
+    Per-part year prices are ratios of exact decimal sums; every
+    basket-weighted sum uses the floor-micro integer quantization, so
+    the three indices are float math over exact integers.
+
+    Scale shape: one keyed join + (part, year)-keyed aggregate, a
+    parts-sized self-join to align the two years, and one scalar
+    aggregate with map-side partials."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate").cast("long")
+    pp = (
+        li.join(
+            o.select("o_orderkey", "o_orderdate"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .filter(yr.isin(1995, 2000))
+        .groupBy("l_partkey", yr.alias("yr"))
+        .agg(
+            A.decimal_sum("l_extendedprice").alias("sp"),
+            A.decimal_sum("l_quantity").alias("sq"),
+        )
+    )
+    px = pp.filter(F.col("sq") > 0).select(
+        "l_partkey",
+        "yr",
+        (F.col("sp") / F.col("sq")).alias("price"),
+        F.col("sq").alias("qty"),
+    )
+    b = px.filter(F.col("yr") == 1995).select(
+        "l_partkey", F.col("price").alias("p0"), F.col("qty").alias("q0")
+    )
+    c = px.filter(F.col("yr") == 2000).select(
+        F.col("l_partkey").alias("_pk"),
+        F.col("price").alias("p1"),
+        F.col("qty").alias("q1"),
+    )
+    m = b.join(c, F.col("l_partkey") == F.col("_pk"))
+
+    def _micro(x):
+        return F.sum(F.floor(x * F.lit(1000000.0)).cast("long")).cast("long")
+
+    s = m.agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        _micro(F.col("p1") * F.col("q0")).alias("l_num"),
+        _micro(F.col("p0") * F.col("q0")).alias("l_den"),
+        _micro(F.col("p1") * F.col("q1")).alias("p_num"),
+        _micro(F.col("p0") * F.col("q1")).alias("p_den"),
+    )
+    lasp = F.col("l_num").cast("double") / F.col("l_den")
+    paas = F.col("p_num").cast("double") / F.col("p_den")
+    return s.filter((F.col("l_den") > 0) & (F.col("p_den") > 0)).select(
+        "n_parts",
+        lasp.alias("laspeyres"),
+        paas.alias("paasche"),
+        F.sqrt(lasp * paas).alias("fisher"),
+    )
+
+
+@_q(
+    "capture_recapture_users",
+    """
+    WITH d1 AS (SELECT DISTINCT user_id FROM events
+                WHERE strftime(CAST(ts AS DATE), '%Y-%m-%d') = '2024-01-05'),
+    d2 AS (SELECT DISTINCT user_id FROM events
+           WHERE strftime(CAST(ts AS DATE), '%Y-%m-%d') = '2024-01-20'),
+    s AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM d1) AS n1,
+             (SELECT CAST(count(*) AS BIGINT) FROM d2) AS n2,
+             (SELECT CAST(count(*) AS BIGINT)
+              FROM d1 JOIN d2 ON d2.user_id = d1.user_id) AS m)
+    SELECT n1, n2, m,
+           CASE WHEN m > 0
+                THEN CAST(n1 * n2 AS DOUBLE) / m
+                ELSE CAST(0.0 AS DOUBLE) END AS lincoln_petersen,
+           CAST((n1 + 1) * (n2 + 1) AS DOUBLE) / (m + 1) - 1.0 AS chapman
+    FROM s
+    """,
+)
+def capture_recapture_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPTURE-RECAPTURE estimate of the total user population from two
+    single-day samples (Jan 5 = capture, Jan 20 = recapture): the
+    Lincoln-Petersen estimator n1*n2/m and the small-sample-safe
+    Chapman form (n1+1)(n2+1)/(m+1) - 1 — the ecology method that
+    estimates how many users EXIST from how often two samples overlap,
+    the same mark-recapture logic used to size hidden duplicate
+    populations and un-crawled corpora from two independent crawls
+    (companion to [[minhash_estimate_error]]'s sketch-vs-truth framing).
+    All three inputs are exact distinct counts; the estimators are one
+    float expression each.
+
+    Scale shape: two day-filtered distinct sets (partition-prunable on
+    a date-partitioned layout), one keyed semi-join for the overlap,
+    three scalar counts broadcast into a single output row."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd")
+    d1 = ev.filter(day == "2024-01-05").select("user_id").distinct()
+    d2 = ev.filter(day == "2024-01-20").select("user_id").distinct()
+    n1 = d1.agg(F.count(F.lit(1)).cast("long").alias("n1"))
+    n2 = d2.agg(F.count(F.lit(1)).cast("long").alias("n2"))
+    m = (
+        d1.join(d2.withColumnRenamed("user_id", "_u"),
+                F.col("user_id") == F.col("_u"))
+        .agg(F.count(F.lit(1)).cast("long").alias("m"))
+    )
+    s = n1.crossJoin(F.broadcast(n2)).crossJoin(F.broadcast(m))
+    return s.select(
+        "n1",
+        "n2",
+        "m",
+        F.when(
+            F.col("m") > 0,
+            (F.col("n1") * F.col("n2")).cast("double") / F.col("m"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("lincoln_petersen"),
+        (
+            ((F.col("n1") + 1) * (F.col("n2") + 1)).cast("double")
+            / (F.col("m") + 1)
+            - F.lit(1.0)
+        ).alias("chapman"),
+    )
+
+
+@_q(
+    "ab_test_srm_check",
+    """
+    WITH a AS (
+      SELECT DISTINCT user_id,
+             ('0x' || substr(md5('ab' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+               % 2 AS arm
+      FROM events),
+    g AS (
+      SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+      FROM a)
+    SELECT n0, n1,
+           CAST(n0 - n1 AS DOUBLE) * (n0 - n1) / (n0 + n1) AS chisq,
+           CAST(n0 - n1 AS DOUBLE) * (n0 - n1) / (n0 + n1) > 3.841 AS srm_flag
+    FROM g WHERE n0 + n1 > 0
+    """,
+)
+def ab_test_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLE-RATIO-MISMATCH check for the standing md5 50/50 user split
+    (the same assignment hash as [[ab_test_welch_z]]): the 1-df
+    chi-square statistic (n0-n1)^2/(n0+n1) against the expected equal
+    split, flagged at the 3.841 critical value (alpha=0.05) — the FIRST
+    gate every experiment readout must pass, because a lopsided
+    assignment invalidates every downstream effect estimate (SRM usually
+    means bot filtering, logging loss, or redirect bias, not chance).
+    Counts are exact integers; the statistic is one float expression;
+    the critical value is a shared literal, so the flag is bit-safe.
+
+    Scale shape: one distinct-user pass (map-side partial dedup), one
+    scalar aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ab"), F.col("user_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    a = ev.select("user_id").distinct().select(arm.alias("arm"))
+    g = a.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+    )
+    chisq = (
+        (F.col("n0") - F.col("n1")).cast("double")
+        * (F.col("n0") - F.col("n1"))
+        / (F.col("n0") + F.col("n1"))
+    )
+    return g.filter((F.col("n0") + F.col("n1")) > 0).select(
+        "n0",
+        "n1",
+        chisq.alias("chisq"),
+        (chisq > F.lit(3.841)).alias("srm_flag"),
+    )
