@@ -20634,3 +20634,238 @@ def ab_test_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         chisq.alias("chisq"),
         (chisq > F.lit(3.841)).alias("srm_flag"),
     )
+
+
+@_q(
+    "phi_coefficient_pairs",
+    """
+    WITH b AS (SELECT DISTINCT user_id, event_type FROM events),
+    tot AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n FROM b),
+    n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_users
+          FROM b GROUP BY event_type),
+    p AS (SELECT x.event_type AS type_a, y.event_type AS type_b,
+                 CAST(count(*) AS BIGINT) AS n11
+          FROM b x JOIN b y ON x.user_id = y.user_id
+                AND x.event_type < y.event_type
+          GROUP BY x.event_type, y.event_type),
+    cells AS (
+      SELECT p.type_a, p.type_b, p.n11,
+             na.n_users - p.n11 AS n10,
+             nb.n_users - p.n11 AS n01,
+             tot.n - na.n_users - nb.n_users + p.n11 AS n00,
+             na.n_users AS n_a, nb.n_users AS n_b, tot.n AS n
+      FROM p JOIN n na ON na.event_type = p.type_a
+             JOIN n nb ON nb.event_type = p.type_b
+             CROSS JOIN tot)
+    SELECT type_a, type_b, n11, n10, n01, n00,
+           CASE WHEN n_a > 0 AND n_a < n AND n_b > 0 AND n_b < n
+                THEN CAST(n11 * n00 - n10 * n01 AS DOUBLE)
+                     / sqrt(CAST(n_a AS DOUBLE) * (n - n_a)
+                            * n_b * (n - n_b))
+                ELSE CAST(0.0 AS DOUBLE) END AS phi
+    FROM cells
+    """,
+)
+def phi_coefficient_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PHI COEFFICIENT (Matthews correlation) between every pair of
+    event-type audiences: the 2x2 contingency correlation over "did the
+    user ever do A" x "did the user ever do B" — the SIGNED complement
+    to [[audience_overlap_pairs]]' Jaccard (overlap can look mild while
+    phi reveals strong NEGATIVE association: audiences that avoid each
+    other, the cross-sell dead ends) and the per-pair granular form of
+    [[association_type_hour_cramers_v]].  All four contingency cells
+    are exact integers derived from three distinct-counts; phi is ONE
+    float expression (the sqrt of an integer product), so it is
+    bit-portable.
+
+    Scale shape: one distinct pass, a user-keyed pair join bounded by
+    |types|^2 output, a types-sized join, one broadcast scalar — the
+    corpus shuffles once on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select("user_id", "event_type").distinct()
+    tot = b.agg(F.count_distinct("user_id").cast("long").alias("n"))
+    n = b.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    y = b.select(
+        F.col("user_id").alias("_u"), F.col("event_type").alias("type_b")
+    )
+    p = (
+        b.join(
+            y,
+            (F.col("user_id") == F.col("_u"))
+            & (F.col("event_type") < F.col("type_b")),
+        )
+        .groupBy(F.col("event_type").alias("type_a"), "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n11"))
+    )
+    na = n.select(F.col("event_type").alias("_a"), F.col("n_users").alias("n_a"))
+    nb = n.select(F.col("event_type").alias("_b"), F.col("n_users").alias("n_b"))
+    cells = (
+        p.join(F.broadcast(na), F.col("type_a") == F.col("_a"))
+        .join(F.broadcast(nb), F.col("type_b") == F.col("_b"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "type_a",
+            "type_b",
+            "n11",
+            (F.col("n_a") - F.col("n11")).alias("n10"),
+            (F.col("n_b") - F.col("n11")).alias("n01"),
+            (F.col("n") - F.col("n_a") - F.col("n_b") + F.col("n11")).alias(
+                "n00"
+            ),
+            "n_a",
+            "n_b",
+            "n",
+        )
+    )
+    ok = (
+        (F.col("n_a") > 0)
+        & (F.col("n_a") < F.col("n"))
+        & (F.col("n_b") > 0)
+        & (F.col("n_b") < F.col("n"))
+    )
+    return cells.select(
+        "type_a",
+        "type_b",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.when(
+            ok,
+            (
+                F.col("n11") * F.col("n00") - F.col("n10") * F.col("n01")
+            ).cast("double")
+            / F.sqrt(
+                F.col("n_a").cast("double")
+                * (F.col("n") - F.col("n_a"))
+                * F.col("n_b")
+                * (F.col("n") - F.col("n_b"))
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("phi"),
+    )
+
+
+@_q(
+    "cohens_d_by_type",
+    f"""
+    WITH a AS (
+      SELECT event_type, value,
+             ('0x' || substr(md5('ab' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+               % 2 AS arm
+      FROM events),
+    g AS (
+      SELECT event_type, arm,
+             CAST(count(*) AS BIGINT) AS n,
+             {_dsum('value')} AS s,
+             CAST(SUM(CAST(floor(value * value * 1000000.0) AS BIGINT))
+                  AS BIGINT) AS ss_micro
+      FROM a GROUP BY event_type, arm),
+    w AS (
+      SELECT g0.event_type,
+             g0.n AS n0, g1.n AS n1,
+             g0.s / g0.n AS m0, g1.s / g1.n AS m1,
+             (CAST(g0.ss_micro AS DOUBLE) / 1000000.0 - g0.s * g0.s / g0.n)
+               AS ssd0,
+             (CAST(g1.ss_micro AS DOUBLE) / 1000000.0 - g1.s * g1.s / g1.n)
+               AS ssd1
+      FROM g g0 JOIN g g1 ON g1.event_type = g0.event_type
+      WHERE g0.arm = 0 AND g1.arm = 1 AND g0.n > 0 AND g1.n > 0)
+    SELECT event_type, n0, n1, m0, m1,
+           CASE WHEN n0 + n1 > 2 AND (ssd0 + ssd1) > 0
+                THEN (m1 - m0) / sqrt((ssd0 + ssd1) / (n0 + n1 - 2))
+                ELSE CAST(0.0 AS DOUBLE) END AS cohens_d
+    FROM w
+    """,
+)
+def cohens_d_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHEN'S D standardized effect size per event type under the
+    standing md5 A/B split: (mean1 - mean0) / pooled SD — the
+    scale-free number that makes effects comparable across metrics and
+    feeds power planning ([[ab_test_mde_readout]] inverts it;
+    [[ab_test_welch_z]] answers "significant?", d answers "how BIG?").
+    Arm means are exact decimal sums over counts; the pooled
+    sum-of-squared-deviations uses the floor-micro quantized sum of
+    squares minus the exact-mean correction — every input to the final
+    sqrt+divide is bit-identical cross-engine.
+
+    Scale shape: ONE keyed aggregate (type x arm partials, map-side),
+    then a |types|-sized self-join — scan-shaped."""
+    ev = load_table(spark, sf_dir, "events")
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ab"), F.col("user_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    g = ev.select("event_type", "value", arm.alias("arm")).groupBy(
+        "event_type", "arm"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        A.decimal_sum("value").alias("s"),
+        F.sum(
+            F.floor(F.col("value") * F.col("value") * F.lit(1000000.0)).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("ss_micro"),
+    )
+    g0 = g.filter(F.col("arm") == 0).select(
+        "event_type",
+        F.col("n").alias("n0"),
+        F.col("s").alias("s0"),
+        F.col("ss_micro").alias("ssm0"),
+    )
+    g1 = g.filter(F.col("arm") == 1).select(
+        F.col("event_type").alias("_t"),
+        F.col("n").alias("n1"),
+        F.col("s").alias("s1"),
+        F.col("ss_micro").alias("ssm1"),
+    )
+    w = (
+        g0.join(g1, F.col("event_type") == F.col("_t"))
+        .filter((F.col("n0") > 0) & (F.col("n1") > 0))
+        .select(
+            "event_type",
+            "n0",
+            "n1",
+            (F.col("s0") / F.col("n0")).alias("m0"),
+            (F.col("s1") / F.col("n1")).alias("m1"),
+            (
+                F.col("ssm0").cast("double") / F.lit(1000000.0)
+                - F.col("s0") * F.col("s0") / F.col("n0")
+            ).alias("ssd0"),
+            (
+                F.col("ssm1").cast("double") / F.lit(1000000.0)
+                - F.col("s1") * F.col("s1") / F.col("n1")
+            ).alias("ssd1"),
+        )
+    )
+    return w.select(
+        "event_type",
+        "n0",
+        "n1",
+        "m0",
+        "m1",
+        F.when(
+            ((F.col("n0") + F.col("n1")) > 2)
+            & ((F.col("ssd0") + F.col("ssd1")) > 0),
+            (F.col("m1") - F.col("m0"))
+            / F.sqrt(
+                (F.col("ssd0") + F.col("ssd1"))
+                / (F.col("n0") + F.col("n1") - 2)
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("cohens_d"),
+    )
