@@ -20869,3 +20869,201 @@ def cohens_d_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("cohens_d"),
     )
+
+
+@_q(
+    "cochran_armitage_hourly_trend",
+    """
+    WITH h AS (
+      SELECT CAST(hour(ts) AS BIGINT) AS w,
+             CAST(count(*) AS BIGINT) AS n_i,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS r_i
+      FROM events GROUP BY hour(ts)),
+    s AS (
+      SELECT CAST(SUM(n_i) AS BIGINT) AS n,
+             CAST(SUM(r_i) AS BIGINT) AS r,
+             CAST(SUM(w * r_i) AS BIGINT) AS swr,
+             CAST(SUM(w * n_i) AS BIGINT) AS swn,
+             CAST(SUM(w * w * n_i) AS BIGINT) AS sw2n
+      FROM h),
+    t AS (
+      SELECT n, r, swr, swn, sw2n,
+             CAST(swr AS DOUBLE)
+               - CAST(swn AS DOUBLE) * r / n AS t_stat,
+             (CAST(r AS DOUBLE) / n) * (1.0 - CAST(r AS DOUBLE) / n)
+               * (CAST(sw2n AS DOUBLE)
+                  - CAST(swn AS DOUBLE) * swn / n) AS var_t
+      FROM s WHERE n > 0)
+    SELECT n, r, t_stat, var_t,
+           CASE WHEN var_t > 0 THEN t_stat / sqrt(var_t)
+                ELSE CAST(0.0 AS DOUBLE) END AS z
+    FROM t
+    """,
+)
+def cochran_armitage_hourly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COCHRAN-ARMITAGE trend test: does the purchase RATE trend
+    monotonically across hour-of-day? — the test for proportions over
+    ORDERED categories that a plain chi-square
+    ([[association_type_hour_cramers_v]]) cannot answer (chi-square
+    sees any deviation; CA specifically tests a linear trend in the
+    ordered scores, buying power when the alternative is monotone).
+    Scores w = hour (0-23); every moment (Swr, Swn, Sw2n, R, N) is an
+    exact BIGINT; T, its variance, and z are float expressions over
+    those integers — bit-portable, no logs, no CDFs.
+
+    Scale shape: one keyed aggregate to 24 rows, one scalar aggregate.
+    Time-of-day sibling of [[events_mann_kendall_trend]] (MK tests a
+    trend over TIME; CA tests a rate trend over an ordered covariate)."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(F.hour("ts").cast("long").alias("w")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_i"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("r_i"),
+    )
+    s = h.agg(
+        F.sum("n_i").cast("long").alias("n"),
+        F.sum("r_i").cast("long").alias("r"),
+        F.sum(F.col("w") * F.col("r_i")).cast("long").alias("swr"),
+        F.sum(F.col("w") * F.col("n_i")).cast("long").alias("swn"),
+        F.sum(F.col("w") * F.col("w") * F.col("n_i"))
+        .cast("long")
+        .alias("sw2n"),
+    )
+    pbar = F.col("r").cast("double") / F.col("n")
+    t = s.filter(F.col("n") > 0).select(
+        "n",
+        "r",
+        (
+            F.col("swr").cast("double")
+            - F.col("swn").cast("double") * F.col("r") / F.col("n")
+        ).alias("t_stat"),
+        (
+            pbar
+            * (F.lit(1.0) - pbar)
+            * (
+                F.col("sw2n").cast("double")
+                - F.col("swn").cast("double") * F.col("swn") / F.col("n")
+            )
+        ).alias("var_t"),
+    )
+    return t.select(
+        "n",
+        "r",
+        "t_stat",
+        "var_t",
+        F.when(F.col("var_t") > 0, F.col("t_stat") / F.sqrt(F.col("var_t")))
+        .otherwise(F.lit(0.0))
+        .alias("z"),
+    )
+
+
+@_q(
+    "leaderboard_churn_monthly",
+    f"""
+    WITH m AS (
+      SELECT l_partkey,
+             CAST(strftime(l_shipdate, '%Y') AS BIGINT) * 12
+               + CAST(strftime(l_shipdate, '%m') AS BIGINT) - 1 AS month_id,
+             strftime(l_shipdate, '%Y-%m') AS month,
+             {_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+      FROM lineitem GROUP BY l_partkey, month_id, month),
+    r AS (
+      SELECT month_id, month, l_partkey,
+             ROW_NUMBER() OVER (PARTITION BY month_id
+               ORDER BY revenue DESC, l_partkey) AS rk
+      FROM m QUALIFY rk <= 20),
+    counts AS (
+      SELECT month_id, month, CAST(count(*) AS BIGINT) AS n_top
+      FROM r GROUP BY month_id, month),
+    o AS (
+      SELECT c.month_id, CAST(count(*) AS BIGINT) AS n_common
+      FROM r c JOIN r p ON p.month_id = c.month_id - 1
+                       AND p.l_partkey = c.l_partkey
+      GROUP BY c.month_id),
+    pairs AS (
+      SELECT cc.month_id, cc.month, cc.n_top AS n_curr, cp.n_top AS n_prev
+      FROM counts cc JOIN counts cp ON cp.month_id = cc.month_id - 1)
+    SELECT pairs.month, pairs.n_curr, pairs.n_prev,
+           COALESCE(o.n_common, 0) AS n_common,
+           CAST(COALESCE(o.n_common, 0) AS DOUBLE)
+             / (pairs.n_curr + pairs.n_prev - COALESCE(o.n_common, 0))
+             AS jaccard_topk
+    FROM pairs LEFT JOIN o ON o.month_id = pairs.month_id
+    """,
+)
+def leaderboard_churn_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEADERBOARD CHURN: month-over-month Jaccard overlap of the top-20
+    parts by revenue — how stable the "best sellers" list is (a churning
+    leaderboard means trend-driven demand or noisy rankings; a frozen
+    one means entrenched winners).  The rank-stability KPI behind
+    merchandising dashboards, and the exact set-overlap cousin of
+    [[rbo_lex_vs_vector]] (RBO weights by rank; this measures raw
+    membership churn).  Revenue is the exact decimal sum, top-20 carries
+    the full deterministic ordering (revenue, then partkey), overlap
+    and Jaccard are exact integers and ONE division; month pairs whose
+    top-20 sets are fully disjoint are KEPT with n_common = 0 (total
+    churn is the loudest signal, not a row to drop).
+
+    Scale shape: one (part, month)-keyed aggregate, a month-partitioned
+    top-k window over the parts-sized rollup, then self-joins of the
+    20-rows-per-month table — everything after the first aggregate is
+    months-sized."""
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.groupBy(
+        "l_partkey",
+        (
+            F.year("l_shipdate").cast("long") * 12
+            + F.month("l_shipdate").cast("long")
+            - 1
+        ).alias("month_id"),
+        F.date_format("l_shipdate", "yyyy-MM").alias("month"),
+    ).agg(
+        A.decimal_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .alias("revenue")
+    )
+    w = Window.partitionBy("month_id").orderBy(
+        F.desc("revenue"), F.asc("l_partkey")
+    )
+    r = (
+        m.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("month_id", "month", "l_partkey")
+    )
+    counts = r.groupBy("month_id", "month").agg(
+        F.count(F.lit(1)).cast("long").alias("n_top")
+    )
+    p = r.select(
+        (F.col("month_id") + 1).alias("_mid"), F.col("l_partkey").alias("_pk")
+    )
+    o = (
+        r.join(
+            p,
+            (F.col("month_id") == F.col("_mid"))
+            & (F.col("l_partkey") == F.col("_pk")),
+        )
+        .groupBy("month_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+        .withColumnRenamed("month_id", "_omid")
+    )
+    cp = counts.select(
+        (F.col("month_id") + 1).alias("_p"), F.col("n_top").alias("n_prev")
+    )
+    pairs = counts.join(F.broadcast(cp), F.col("month_id") == F.col("_p")).select(
+        "month_id", "month", F.col("n_top").alias("n_curr"), "n_prev"
+    )
+    nc = F.coalesce(F.col("n_common"), F.lit(0).cast("long"))
+    return (
+        pairs.join(F.broadcast(o), F.col("month_id") == F.col("_omid"), "left")
+        .select(
+            "month",
+            "n_curr",
+            "n_prev",
+            nc.alias("n_common"),
+            (
+                nc.cast("double")
+                / (F.col("n_curr") + F.col("n_prev") - nc)
+            ).alias("jaccard_topk"),
+        )
+    )
