@@ -21067,3 +21067,94 @@ def leaderboard_churn_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard_topk"),
         )
     )
+
+
+@_q(
+    "stream_sink_session_window",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts >= LAG(ts) OVER w + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS BIGINT) AS sid
+      FROM flagged)
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sessions GROUP BY user_id, sid
+    """,
+)
+def stream_sink_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the NATIVE session_window aggregation as an ACTUAL streaming
+    job (watermark + append mode + checkpointed parquet sink), then
+    returns the sink contents — the live-stream proof that dynamic-gap
+    session windows emit exactly the batch gaps-and-islands result
+    ([[events_native_session_window]] is the batch twin; this is the
+    micro-batched, stateful, watermark-closed run of the same
+    expression).  A far-future sentinel user lands as a second
+    micro-batch so the watermark passes every real session's end and
+    append mode flushes them; the sentinel's own (never-closed) session
+    stays in state and is filtered by user_id.
+
+    Scale shape: streaming state is one open session per active user
+    (keyed by user_id), closed sessions stream out append-only —
+    the constant-memory production sessionizer."""
+    import datetime as _dt
+    import tempfile
+
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    from lvm_datapipe_spark.streaming import events as EV
+
+    ev = load_table(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="stream_sess_q_")
+    landing, sink, ckpt = f"{base}/landing", f"{base}/sink", f"{base}/ckpt"
+    ev.write.mode("overwrite").parquet(landing)
+
+    stream = spark.readStream.schema(ev.schema).parquet(landing)
+    agg = (
+        EV.ensure_event_time(stream)
+        .withWatermark("ts", "2 hours")
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    q = EV.start_to_parquet(agg, sink, ckpt)
+    q.processAllAvailable()
+
+    sentinel = {f.name: None for f in ev.schema.fields}
+    sentinel.update(
+        event_id=-1,
+        ts=_dt.datetime(2100, 1, 1),
+        user_id=-1,
+        event_type="flush_sentinel",
+        value=0.0,
+    )
+    spark.createDataFrame(
+        [Row(**{f.name: sentinel[f.name] for f in ev.schema.fields})], ev.schema
+    ).write.mode("append").parquet(landing)
+    q.processAllAvailable()
+    q.stop()
+
+    out = spark.read.parquet(sink).filter(F.col("user_id") != -1)
+    # ensure_event_time casts an NTZ event-time to TIMESTAMP for the
+    # watermark; cast the session bounds back so the result schema matches
+    # the oracle regardless of the source flavor (UTC session: value-exact).
+    if isinstance(ev.schema["ts"].dataType, T.TimestampNTZType):
+        out = out.withColumn(
+            "session_start", F.col("session_start").cast("timestamp_ntz")
+        ).withColumn("session_end", F.col("session_end").cast("timestamp_ntz"))
+    return out
