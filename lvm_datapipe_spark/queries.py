@@ -864,10 +864,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(docs)
 
 
-def _simhash_sql() -> str:
-    """Brute-force SQL mirror of the banded SimHash pipeline (banding is an
-    exact optimization for hamming <= bands-1, so results are identical)."""
-    return """
+_SIMHASH_FP_CTES = """
     WITH tok AS (
       SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS tok
       FROM documents),
@@ -881,6 +878,13 @@ def _simhash_sql() -> str:
       SELECT doc_id,
              string_agg(CASE WHEN vote > 0 THEN '1' ELSE '0' END, '' ORDER BY bit) AS simhash
       FROM bits GROUP BY doc_id)
+"""
+
+
+def _simhash_sql() -> str:
+    """Brute-force SQL mirror of the banded SimHash pipeline (banding is an
+    exact optimization for hamming <= bands-1, so results are identical)."""
+    return _SIMHASH_FP_CTES + """
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(len(list_filter(generate_series(1, 32),
                 i -> substr(a.simhash, i, 1) <> substr(b.simhash, i, 1))) AS INTEGER) AS hamming
@@ -21158,3 +21162,65 @@ def stream_sink_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "session_start", F.col("session_start").cast("timestamp_ntz")
         ).withColumn("session_end", F.col("session_end").cast("timestamp_ntz"))
     return out
+
+
+@_q(
+    "dedup_simhash_bit_bias",
+    _SIMHASH_FP_CTES
+    + """
+    SELECT b.b AS bit,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN substr(simhash, b.b + 1, 1) = '1'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_ones,
+           CAST(SUM(CASE WHEN substr(simhash, b.b + 1, 1) = '1'
+                         THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS p_one,
+           abs(CAST(SUM(CASE WHEN substr(simhash, b.b + 1, 1) = '1'
+                             THEN 1 ELSE 0 END) AS DOUBLE) / count(*) - 0.5)
+             AS bias,
+           abs(CAST(SUM(CASE WHEN substr(simhash, b.b + 1, 1) = '1'
+                             THEN 1 ELSE 0 END) AS DOUBLE) / count(*) - 0.5)
+             > 0.2 AS degenerate_bit
+    FROM fp CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) b
+    GROUP BY b.b
+    """,
+)
+def dedup_simhash_bit_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIMHASH BIT-BALANCE diagnostic: the fraction of documents with
+    each of the 32 fingerprint bits set, and its deviation from the
+    ideal 0.5 — the health check for the banding index behind
+    [[dedup_simhash]] / [[dedup_levenshtein]]: a bit stuck near 0 or 1
+    (degenerate: |p - 0.5| > 0.2) contributes no partitioning power, so
+    its band's buckets grow and candidate generation degrades toward a
+    hot-bucket scan (the same failure mode [[lsh_bucket_cost_readout]]
+    measures from the bucket side; this finds WHICH bits cause it —
+    stuck bits mean a dominant token distribution, e.g. boilerplate).
+    Counts are exact integers; p and bias are one division each; the
+    degenerate flag compares identically computed doubles to a shared
+    literal.
+
+    Scale shape: the scan-shaped SimHash signature build (one doc-keyed
+    shuffle with map-side partial votes), then a bounded 32x fan-out of
+    the fingerprint table and a 32-row aggregate."""
+    from lvm_datapipe_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = D.simhash_docs(docs)
+    e = fp.select(
+        "simhash", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit")
+    )
+    one = F.when(
+        F.substring(F.col("simhash"), F.col("bit") + 1, 1) == "1", 1
+    ).otherwise(0)
+    g = e.groupBy("bit").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(one).cast("long").alias("n_ones"),
+    )
+    p = F.col("n_ones").cast("double") / F.col("n_docs")
+    return g.select(
+        F.col("bit").cast("long").alias("bit"),
+        "n_docs",
+        "n_ones",
+        p.alias("p_one"),
+        F.abs(p - F.lit(0.5)).alias("bias"),
+        (F.abs(p - F.lit(0.5)) > F.lit(0.2)).alias("degenerate_bit"),
+    )
