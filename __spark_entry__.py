@@ -35,8 +35,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #      row is OLDEST, so every query periodically re-enters the window and
 #      a silent regression cannot hide outside it indefinitely.
 # Everything rotated out stays verified locally every round via
-# ``tools/check_correctness.py`` (335/335 oracle-paired queries green in
-# the latest full local sweep; 337 declared).
+# ``tools/check_correctness.py`` (353/353 oracle-paired queries green in
+# the latest full local sweep; 355 declared).
 _CHECK_FIRST = [
     # -- 1. changed or added in r6 (their prior rows, if any, no longer
     #       describe the shipped code)
@@ -169,9 +169,18 @@ _CHECK_FIRST = [
     #       label_scatter_trace, out_of_order_event_rate,
     #       dedup_review_queue, forecast_residual_acf,
     #       order_linenumber_gaps, classifier_gains_table,
-    #       vocab_rank_frequency_ratios, time_to_value_quantiles)
+    #       vocab_rank_frequency_ratios, time_to_value_quantiles,
+    #       retrieval_ndcg_eval, revenue_max_drawdown,
+    #       events_mann_kendall_trend, weighted_ess_by_type,
+    #       spc_individuals_chart, tokenizer_fertility_by_lang,
+    #       stickiness_dau_mau, graph_degree_assortativity,
+    #       supplier_ontime_wilson_rank, price_index_fisher,
+    #       capture_recapture_users, ab_test_srm_check,
+    #       phi_coefficient_pairs, cohens_d_by_type,
+    #       cochran_armitage_hourly_trend, leaderboard_churn_monthly,
+    #       stream_sink_session_window, dedup_simhash_bit_bias)
     #       LEAD the r7 queue; all are green in this round's local full
-    #       sweep (tools/check_correctness.py).
+    #       sweep (tools/check_correctness.py) at sf0.001 AND sf0.01.
     "sample_neyman_allocation",     # new: variance-optimal strata budgets
     "sample_priority_topk",         # new: Duffield priority sampling
     "drift_ks_statistic",           # new: exact two-sample KS per stratum
@@ -229,7 +238,7 @@ _CHECK_FIRST = [
     # ann_cosine_topk (unit-test-pinned; shares its ranking oracle shape
     # with ann_ivf_fixed_topk).  Every rotated-out veteran held an official
     # green row in r1-r5 AND stays green in the per-round local full sweep
-    # (tools/check_correctness.py, 335/335 oracle-paired).
+    # (tools/check_correctness.py, 353/353 oracle-paired).
 ]
 
 
