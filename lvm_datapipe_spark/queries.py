@@ -21224,3 +21224,101 @@ def dedup_simhash_bit_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(p - F.lit(0.5)).alias("bias"),
         (F.abs(p - F.lit(0.5)) > F.lit(0.2)).alias("degenerate_bit"),
     )
+
+
+@_q(
+    "drift_cvm_statistic",
+    """
+    WITH t AS (
+      SELECT event_type, value,
+             SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS cb
+      FROM events GROUP BY event_type, value),
+    c AS (
+      SELECT event_type, ca + cb AS cnt,
+             SUM(ca) OVER (PARTITION BY event_type ORDER BY value) AS cuma,
+             SUM(cb) OVER (PARTITION BY event_type ORDER BY value) AS cumb,
+             SUM(ca) OVER (PARTITION BY event_type) AS na,
+             SUM(cb) OVER (PARTITION BY event_type) AS nb
+      FROM t),
+    s AS (
+      SELECT event_type,
+             CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+             CAST(SUM(cnt * CAST(floor(
+                    (CAST(cuma AS DOUBLE) / na - CAST(cumb AS DOUBLE) / nb)
+                    * (CAST(cuma AS DOUBLE) / na - CAST(cumb AS DOUBLE) / nb)
+                    * 1000000000000.0) AS BIGINT)) AS BIGINT) AS s_pico
+      FROM c WHERE na > 0 AND nb > 0
+      GROUP BY event_type, na, nb)
+    SELECT event_type, n_a, n_b,
+           CAST(n_a AS DOUBLE) * n_b / (n_a + n_b) / (n_a + n_b)
+             * (CAST(s_pico AS DOUBLE) / 1000000000000.0) AS cvm_t
+    FROM s
+    """,
+)
+def drift_cvm_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample CRAMER-VON MISES statistic per stratum over the
+    same user-parity cohorts as [[drift_ks_statistic]]:
+    T = nm/N^2 * sum_k (F_A(x_k) - F_B(x_k))^2 over all N pooled
+    observations (Anderson 1962's computing form on grouped distinct
+    values, each weighted by its multiplicity).  KS sees only the WORST
+    single gap — a drift spread as many small ECDF gaps (mean shift in
+    a heavy middle) moves CvM first; the two together say whether drift
+    is localized or distributed.  Per-value ECDF gaps are identical
+    one-divide doubles; each squared gap is pico-quantized
+    (floor(d^2 * 1e12), documented spec) so the cross-value sum is an
+    exact weighted BIGINT sum; T is one float expression at the end.
+
+    Scale shape: identical to the KS plan — one (type, value) keyed
+    aggregate, type-partitioned cumulative windows over the
+    distinct-values table, one |types|-row output."""
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.groupBy("event_type", "value").agg(
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0)).alias("cb"),
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    c = t.select(
+        "event_type",
+        (F.col("ca") + F.col("cb")).alias("cnt"),
+        F.sum("ca").over(wcum).alias("cuma"),
+        F.sum("cb").over(wcum).alias("cumb"),
+        F.sum("ca").over(wall).alias("na"),
+        F.sum("cb").over(wall).alias("nb"),
+    )
+    diff = F.col("cuma").cast("double") / F.col("na") - F.col(
+        "cumb"
+    ).cast("double") / F.col("nb")
+    s = (
+        c.filter((F.col("na") > 0) & (F.col("nb") > 0))
+        .groupBy(
+            "event_type",
+            F.col("na").cast("long").alias("n_a"),
+            F.col("nb").cast("long").alias("n_b"),
+        )
+        .agg(
+            F.sum(
+                F.col("cnt")
+                * F.floor(diff * diff * F.lit(1000000000000.0)).cast("long")
+            )
+            .cast("long")
+            .alias("s_pico")
+        )
+    )
+    return s.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        (
+            F.col("n_a").cast("double")
+            * F.col("n_b")
+            / (F.col("n_a") + F.col("n_b"))
+            / (F.col("n_a") + F.col("n_b"))
+            * (F.col("s_pico").cast("double") / F.lit(1000000000000.0))
+        ).alias("cvm_t"),
+    )

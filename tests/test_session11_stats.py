@@ -434,3 +434,30 @@ def test_leaderboard_churn_matches_set_overlap(spark):
             len(cur & prev) / len(cur | prev), rel=1e-12
         )
     assert len(out) == n_pairs
+
+
+def test_cvm_matches_bruteforce_ecdf(spark, events_pd):
+    out = {
+        r["event_type"]: r
+        for r in QUERIES["drift_cvm_statistic"](spark, SF).collect()
+    }
+    for et, g in events_pd.groupby("event_type"):
+        a = np.sort(g[g.user_id % 2 == 0].value.to_numpy())
+        b = np.sort(g[g.user_id % 2 == 1].value.to_numpy())
+        if len(a) == 0 or len(b) == 0:
+            assert et not in out
+            continue
+        pooled = np.sort(np.concatenate([a, b]))
+        fa = np.searchsorted(a, pooled, side="right") / len(a)
+        fb = np.searchsorted(b, pooled, side="right") / len(b)
+        t = (
+            len(a)
+            * len(b)
+            / (len(a) + len(b)) ** 2
+            * float(((fa - fb) ** 2).sum())
+        )
+        row = out[et]
+        assert row["n_a"] == len(a) and row["n_b"] == len(b)
+        # pico-quantized squared gaps: absolute error <= N * 1e-12 * nm/N^2
+        assert row["cvm_t"] == pytest.approx(t, rel=1e-5, abs=1e-6)
+        assert row["cvm_t"] >= 0.0
