@@ -21322,3 +21322,151 @@ def drift_cvm_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.col("s_pico").cast("double") / F.lit(1000000000000.0))
         ).alias("cvm_t"),
     )
+
+
+#: Bloom FPR calibration design point: small m so the empirical FPR is
+#: measurably nonzero at oracle scales (the production default in
+#: operators/bloom.py is 64 Kbit; FPR depends only on (m, k, n_keys), so the
+#: measurement transfers to any same-ratio configuration).
+_BLOOM_CAL_M = 1024
+_BLOOM_CAL_K = 3
+
+
+def _bloom_pos_sql(key_sql: str, i: int) -> str:
+    """Portable md5 bit position (the oracle twin of bloom.py's xxhash64
+    positions — same (m, k) geometry, engine-portable hash)."""
+    # the 8-hex-digit value is always non-negative, so plain % == pmod
+    return (
+        f"(('0x' || substr(md5(CAST({key_sql} AS VARCHAR) || '#{i}'), 1, 8))"
+        f"::BIGINT % {_BLOOM_CAL_M})"
+    )
+
+
+@_q(
+    "bloom_fpr_calibration",
+    f"""
+    WITH mem AS (SELECT c_custkey FROM customer WHERE c_acctbal > 9000),
+    bits AS (
+      SELECT DISTINCT p FROM mem
+      CROSS JOIN (SELECT unnest(range(0, {_BLOOM_CAL_K})) AS i) h
+      CROSS JOIN LATERAL (SELECT CASE h.i
+        {" ".join(f"WHEN {i} THEN {_bloom_pos_sql('c_custkey', i)}" for i in range(_BLOOM_CAL_K))}
+        END AS p) q),
+    probe AS (SELECT c_custkey FROM customer WHERE c_acctbal <= 9000),
+    probed AS (
+      SELECT pr.c_custkey,
+             CAST(SUM(CASE WHEN b.p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hit
+      FROM probe pr
+      CROSS JOIN (SELECT unnest(range(0, {_BLOOM_CAL_K})) AS i) h
+      CROSS JOIN LATERAL (SELECT CASE h.i
+        {" ".join(f"WHEN {i} THEN {_bloom_pos_sql('pr.c_custkey', i)}" for i in range(_BLOOM_CAL_K))}
+        END AS p) q
+      LEFT JOIN bits b ON b.p = q.p
+      GROUP BY pr.c_custkey)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM mem) AS n_members,
+           (SELECT CAST(count(*) AS BIGINT) FROM bits) AS n_bits_set,
+           CAST(count(*) AS BIGINT) AS n_probes,
+           CAST(SUM(CASE WHEN n_hit = {_BLOOM_CAL_K} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_positives,
+           CASE WHEN count(*) > 0
+                THEN CAST(SUM(CASE WHEN n_hit = {_BLOOM_CAL_K} THEN 1 ELSE 0
+                              END) AS DOUBLE) / count(*)
+                ELSE CAST(0.0 AS DOUBLE) END AS empirical_fpr
+    FROM probed
+    """,
+)
+def bloom_fpr_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMPIRICAL FALSE-POSITIVE RATE of the Bloom join-pruning filter
+    ([[bloom_pruned_semi_join]]'s primitive) measured on real keys: build
+    a (m=1024, k=3) bitmap over the qualifying dim keys, probe it with
+    every NON-qualifying key, and count probes whose k positions are all
+    set — the number the "Bloom pruning saves shuffle" claim rests on
+    (FPs are rows that survive the pre-filter and still shuffle for
+    nothing; FPR near 1 means the bitmap is saturated and the pruning is
+    a no-op).  Uses the engine-portable md5 position twin of bloom.py's
+    xxhash64 positions — FPR is a property of the (m, k, n_keys)
+    geometry, not of which well-mixed hash fills it, so the measurement
+    transfers.  Every count is an exact integer; FPR is one division.
+
+    Scale shape: the bit set is bounded by m (1024) regardless of key
+    count — broadcastable by construction; probes fan out k rows each
+    (narrow), one broadcast join against the bit set, one keyed
+    aggregate.  The production build in operators/bloom.py aggregates
+    the same geometry into m/64 words with map-side bit_or partials."""
+    c = load_table(spark, sf_dir, "customer")
+
+    def pos(key: F.Column, i: int) -> F.Column:
+        return F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col(key) if isinstance(key, str) else key,
+                            F.lit(f"#{i}"),
+                        ).cast("binary")
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(_BLOOM_CAL_M),
+        )
+
+    mem = c.filter(F.col("c_acctbal") > 9000).select(
+        F.col("c_custkey").cast("string").alias("k")
+    )
+    bits = (
+        mem.select(
+            F.explode(
+                F.array(*[pos(F.col("k"), i) for i in range(_BLOOM_CAL_K)])
+            ).alias("p")
+        )
+        .distinct()
+    )
+    probe = c.filter(F.col("c_acctbal") <= 9000).select(
+        F.col("c_custkey").alias("key"), F.col("c_custkey").cast("string").alias("k")
+    )
+    probed = (
+        probe.select(
+            "key",
+            F.explode(
+                F.array(*[pos(F.col("k"), i) for i in range(_BLOOM_CAL_K)])
+            ).alias("p"),
+        )
+        .join(F.broadcast(bits.withColumnRenamed("p", "_bp")),
+              F.col("p") == F.col("_bp"), "left")
+        .groupBy("key")
+        .agg(
+            F.sum(F.when(F.col("_bp").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_hit")
+        )
+    )
+    n_mem = mem.agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+    n_bits = bits.agg(F.count(F.lit(1)).cast("long").alias("n_bits_set"))
+    fp = F.sum(
+        F.when(F.col("n_hit") == _BLOOM_CAL_K, 1).otherwise(0)
+    ).cast("long")
+    s = probed.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probes"),
+        fp.alias("n_false_positives"),
+    )
+    return (
+        n_mem.crossJoin(F.broadcast(n_bits))
+        .crossJoin(F.broadcast(s))
+        .select(
+            "n_members",
+            "n_bits_set",
+            "n_probes",
+            "n_false_positives",
+            F.when(
+                F.col("n_probes") > 0,
+                F.col("n_false_positives").cast("double") / F.col("n_probes"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("empirical_fpr"),
+        )
+    )
