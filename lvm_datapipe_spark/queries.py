@@ -21470,3 +21470,156 @@ def bloom_fpr_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("empirical_fpr"),
         )
     )
+
+
+_QSIG_PHI = """
+           CASE WHEN (n11 + n10) > 0 AND (n01 + n00) > 0
+                 AND (n11 + n01) > 0 AND (n10 + n00) > 0
+                THEN CAST(n11 * n00 - n10 * n01 AS DOUBLE)
+                     / sqrt(CAST((n11 + n10) AS DOUBLE) * (n01 + n00)
+                            * (n11 + n01) * (n10 + n00))
+                ELSE CAST(0.0 AS DOUBLE) END AS phi
+"""
+
+
+@_q(
+    "quality_signal_phi_matrix",
+    rf"""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(text, '\s+'),
+                  x -> x <> '')) AS BIGINT) AS s_tokens,
+             CAST(length(text) AS BIGINT) AS s_chars,
+             CAST(len(list_distinct(list_filter(string_split_regex(text, '\s+'),
+                  x -> x <> ''))) AS BIGINT) AS s_vocab,
+             CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS BIGINT)
+               AS s_bpe
+      FROM documents),
+    med AS (
+      SELECT quantile_cont(CAST(s_tokens AS DOUBLE), 0.5) AS m_tokens,
+             quantile_cont(CAST(s_chars AS DOUBLE), 0.5) AS m_chars,
+             quantile_cont(CAST(s_vocab AS DOUBLE), 0.5) AS m_vocab,
+             quantile_cont(CAST(s_bpe AS DOUBLE), 0.5) AS m_bpe
+      FROM f),
+    b AS (
+      SELECT CASE WHEN s_tokens > m_tokens THEN 1 ELSE 0 END AS b1,
+             CASE WHEN s_chars > m_chars THEN 1 ELSE 0 END AS b2,
+             CASE WHEN s_vocab > m_vocab THEN 1 ELSE 0 END AS b3,
+             CASE WHEN s_bpe > m_bpe THEN 1 ELSE 0 END AS b4
+      FROM f CROSS JOIN med),
+    g AS (
+      SELECT
+        CAST(SUM(b1*b2) AS BIGINT) AS p12_11, CAST(SUM(b1*(1-b2)) AS BIGINT) AS p12_10,
+        CAST(SUM((1-b1)*b2) AS BIGINT) AS p12_01, CAST(SUM((1-b1)*(1-b2)) AS BIGINT) AS p12_00,
+        CAST(SUM(b1*b3) AS BIGINT) AS p13_11, CAST(SUM(b1*(1-b3)) AS BIGINT) AS p13_10,
+        CAST(SUM((1-b1)*b3) AS BIGINT) AS p13_01, CAST(SUM((1-b1)*(1-b3)) AS BIGINT) AS p13_00,
+        CAST(SUM(b1*b4) AS BIGINT) AS p14_11, CAST(SUM(b1*(1-b4)) AS BIGINT) AS p14_10,
+        CAST(SUM((1-b1)*b4) AS BIGINT) AS p14_01, CAST(SUM((1-b1)*(1-b4)) AS BIGINT) AS p14_00,
+        CAST(SUM(b2*b3) AS BIGINT) AS p23_11, CAST(SUM(b2*(1-b3)) AS BIGINT) AS p23_10,
+        CAST(SUM((1-b2)*b3) AS BIGINT) AS p23_01, CAST(SUM((1-b2)*(1-b3)) AS BIGINT) AS p23_00,
+        CAST(SUM(b2*b4) AS BIGINT) AS p24_11, CAST(SUM(b2*(1-b4)) AS BIGINT) AS p24_10,
+        CAST(SUM((1-b2)*b4) AS BIGINT) AS p24_01, CAST(SUM((1-b2)*(1-b4)) AS BIGINT) AS p24_00,
+        CAST(SUM(b3*b4) AS BIGINT) AS p34_11, CAST(SUM(b3*(1-b4)) AS BIGINT) AS p34_10,
+        CAST(SUM((1-b3)*b4) AS BIGINT) AS p34_01, CAST(SUM((1-b3)*(1-b4)) AS BIGINT) AS p34_00
+      FROM b),
+    rows_ AS (
+      SELECT 'tokens' AS sig_a, 'chars' AS sig_b, p12_11 AS n11, p12_10 AS n10, p12_01 AS n01, p12_00 AS n00 FROM g
+      UNION ALL SELECT 'tokens', 'vocab', p13_11, p13_10, p13_01, p13_00 FROM g
+      UNION ALL SELECT 'tokens', 'bpe', p14_11, p14_10, p14_01, p14_00 FROM g
+      UNION ALL SELECT 'chars', 'vocab', p23_11, p23_10, p23_01, p23_00 FROM g
+      UNION ALL SELECT 'chars', 'bpe', p24_11, p24_10, p24_01, p24_00 FROM g
+      UNION ALL SELECT 'vocab', 'bpe', p34_11, p34_10, p34_01, p34_00 FROM g)
+    SELECT sig_a, sig_b, n11, n10, n01, n00,
+           {_QSIG_PHI}
+    FROM rows_
+    """,
+)
+def quality_signal_phi_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY-SIGNAL REDUNDANCY matrix: pairwise phi correlation between
+    four median-binarized document quality signals (whitespace tokens,
+    chars, distinct vocabulary, BPE-ish tokens) — the methodology check a
+    curation pipeline runs BEFORE weighting signals into a gate
+    ([[curation_scorecard]], [[quality_logit]]): two signals with phi
+    near 1 are one signal counted twice (double-weighting it biases the
+    gate), and a signal with phi near 0 against everything carries
+    genuinely new information.  Binarizing at the median makes the
+    contingency cells exact integers (integer-median agreement is an
+    engine-shared property); phi is one float expression per pair.
+    Same statistic as [[phi_coefficient_pairs]], applied to the
+    curation feature space.
+
+    Scale shape: one scan for the signals, one 4-value median aggregate
+    broadcast back, one scalar aggregate of 24 boolean-product sums, a
+    6-row unpivot — two scans, no joins keyed on doc."""
+    from lvm_datapipe_spark.operators import text as X
+
+    docs = load_table(spark, sf_dir, "documents")
+    f = docs.select(
+        X.token_count("text").cast("long").alias("s_tokens"),
+        F.length("text").cast("long").alias("s_chars"),
+        F.size(F.array_distinct(X.tokens("text"))).cast("long").alias("s_vocab"),
+        F.size(
+            F.regexp_extract_all("text", F.lit(_BPE_PATTERN), F.lit(0))
+        ).cast("long").alias("s_bpe"),
+    )
+    med = f.agg(
+        F.expr("percentile(CAST(s_tokens AS DOUBLE), 0.5)").alias("m_tokens"),
+        F.expr("percentile(CAST(s_chars AS DOUBLE), 0.5)").alias("m_chars"),
+        F.expr("percentile(CAST(s_vocab AS DOUBLE), 0.5)").alias("m_vocab"),
+        F.expr("percentile(CAST(s_bpe AS DOUBLE), 0.5)").alias("m_bpe"),
+    )
+    b = f.crossJoin(F.broadcast(med)).select(
+        F.when(F.col("s_tokens") > F.col("m_tokens"), 1).otherwise(0).alias("b1"),
+        F.when(F.col("s_chars") > F.col("m_chars"), 1).otherwise(0).alias("b2"),
+        F.when(F.col("s_vocab") > F.col("m_vocab"), 1).otherwise(0).alias("b3"),
+        F.when(F.col("s_bpe") > F.col("m_bpe"), 1).otherwise(0).alias("b4"),
+    )
+    names = {1: "tokens", 2: "chars", 3: "vocab", 4: "bpe"}
+    aggs = []
+    for i in range(1, 5):
+        for j in range(i + 1, 5):
+            bi, bj = F.col(f"b{i}"), F.col(f"b{j}")
+            aggs += [
+                F.sum(bi * bj).cast("long").alias(f"p{i}{j}_11"),
+                F.sum(bi * (1 - bj)).cast("long").alias(f"p{i}{j}_10"),
+                F.sum((1 - bi) * bj).cast("long").alias(f"p{i}{j}_01"),
+                F.sum((1 - bi) * (1 - bj)).cast("long").alias(f"p{i}{j}_00"),
+            ]
+    g = b.agg(*aggs)
+    parts = []
+    for i in range(1, 5):
+        for j in range(i + 1, 5):
+            parts.append(
+                g.select(
+                    F.lit(names[i]).alias("sig_a"),
+                    F.lit(names[j]).alias("sig_b"),
+                    F.col(f"p{i}{j}_11").alias("n11"),
+                    F.col(f"p{i}{j}_10").alias("n10"),
+                    F.col(f"p{i}{j}_01").alias("n01"),
+                    F.col(f"p{i}{j}_00").alias("n00"),
+                )
+            )
+    rows = parts[0]
+    for x in parts[1:]:
+        rows = rows.unionAll(x)
+    na = F.col("n11") + F.col("n10")
+    nnota = F.col("n01") + F.col("n00")
+    nb = F.col("n11") + F.col("n01")
+    nnotb = F.col("n10") + F.col("n00")
+    return rows.select(
+        "sig_a",
+        "sig_b",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.when(
+            (na > 0) & (nnota > 0) & (nb > 0) & (nnotb > 0),
+            (F.col("n11") * F.col("n00") - F.col("n10") * F.col("n01")).cast(
+                "double"
+            )
+            / F.sqrt(na.cast("double") * nnota * nb * nnotb),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("phi"),
+    )
