@@ -21586,22 +21586,18 @@ def quality_signal_phi_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum((1 - bi) * (1 - bj)).cast("long").alias(f"p{i}{j}_00"),
             ]
     g = b.agg(*aggs)
-    parts = []
-    for i in range(1, 5):
-        for j in range(i + 1, 5):
-            parts.append(
-                g.select(
-                    F.lit(names[i]).alias("sig_a"),
-                    F.lit(names[j]).alias("sig_b"),
-                    F.col(f"p{i}{j}_11").alias("n11"),
-                    F.col(f"p{i}{j}_10").alias("n10"),
-                    F.col(f"p{i}{j}_01").alias("n01"),
-                    F.col(f"p{i}{j}_00").alias("n00"),
-                )
-            )
-    rows = parts[0]
-    for x in parts[1:]:
-        rows = rows.unionAll(x)
+    # ONE stack() unpivot instead of a 6-way unionAll of selects over g —
+    # a union re-plans (and re-computes) the scalar aggregate per branch.
+    stack_args = ", ".join(
+        f"'{names[i]}', '{names[j]}', p{i}{j}_11, p{i}{j}_10, p{i}{j}_01, p{i}{j}_00"
+        for i in range(1, 5)
+        for j in range(i + 1, 5)
+    )
+    rows = g.select(
+        F.expr(
+            f"stack(6, {stack_args}) AS (sig_a, sig_b, n11, n10, n01, n00)"
+        )
+    )
     na = F.col("n11") + F.col("n10")
     nnota = F.col("n01") + F.col("n00")
     nb = F.col("n11") + F.col("n01")
