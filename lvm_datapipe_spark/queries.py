@@ -21619,3 +21619,100 @@ def quality_signal_phi_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("phi"),
     )
+
+
+def _pass_at_k_sql(k: int) -> str:
+    """1 - C(f, k)/C(n, k) as the explicit left-associated k-term product
+    (f = failures): exact in IEEE doubles given integer inputs, and the
+    GREATEST clamp makes f < k yield probability-of-all-failures 0."""
+    prod = " * ".join(
+        f"(CAST(GREATEST(f - {i}, 0) AS DOUBLE) / (n - {i}))" for i in range(k)
+    )
+    return f"(1.0 - {prod})"
+
+
+@_q(
+    "eval_pass_at_k",
+    f"""
+    WITH a AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT)
+               - CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS f
+      FROM events GROUP BY user_id),
+    q AS (SELECT user_id, n, f FROM a WHERE n >= 10),
+    p AS (
+      SELECT user_id,
+             {_pass_at_k_sql(1)} AS p1,
+             {_pass_at_k_sql(5)} AS p5,
+             {_pass_at_k_sql(10)} AS p10
+      FROM q)
+    SELECT CAST(count(*) AS BIGINT) AS n_tasks,
+           CAST(SUM(CAST(floor(p1 * 1000000000.0) AS BIGINT)) AS DOUBLE)
+             / 1000000000.0 / count(*) AS pass_at_1,
+           CAST(SUM(CAST(floor(p5 * 1000000000.0) AS BIGINT)) AS DOUBLE)
+             / 1000000000.0 / count(*) AS pass_at_5,
+           CAST(SUM(CAST(floor(p10 * 1000000000.0) AS BIGINT)) AS DOUBLE)
+             / 1000000000.0 / count(*) AS pass_at_10
+    FROM p
+    """,
+)
+def eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PASS@K unbiased estimator (Chen et al. 2021, the HumanEval
+    statistic): per task, with n sampled attempts of which c succeed,
+    pass@k = 1 - C(n-c, k)/C(n, k) — the probability that at least one
+    of k drawn attempts succeeds, computed WITHOUT the naive 1-(1-c/n)^k
+    bias.  Mapped onto the events tables as a demonstration corpus
+    (task = user, attempt = event, success = purchase; the operator is
+    the point — swap in an eval-attempts table with the same three
+    columns).  The binomial ratio is the explicit k-term product of
+    integer-valued ratios (exact inputs, fixed association order), the
+    GREATEST clamp handles fewer-than-k failures (pass@k = 1), and task
+    means use the floor-nano order-free sum.
+
+    Scale shape: one user-keyed aggregate, one scan-shaped projection
+    (the k-term products are pure codegen arithmetic), one scalar
+    aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (
+            F.count(F.lit(1))
+            - F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        )
+        .cast("long")
+        .alias("f"),
+    )
+    q = a.filter(F.col("n") >= 10)
+
+    def pass_at_k(k: int):
+        prod = None
+        for i in range(k):
+            term = F.greatest(F.col("f") - i, F.lit(0)).cast("double") / (
+                F.col("n") - i
+            )
+            prod = term if prod is None else prod * term
+        return F.lit(1.0) - prod
+
+    p = q.select(
+        pass_at_k(1).alias("p1"),
+        pass_at_k(5).alias("p5"),
+        pass_at_k(10).alias("p10"),
+    )
+
+    def nano_mean(c: str):
+        return (
+            F.sum(F.floor(F.col(c) * F.lit(1000000000.0)).cast("long")).cast(
+                "double"
+            )
+            / F.lit(1000000000.0)
+            / F.count(F.lit(1))
+        )
+
+    return p.agg(
+        F.count(F.lit(1)).cast("long").alias("n_tasks"),
+        nano_mean("p1").alias("pass_at_1"),
+        nano_mean("p5").alias("pass_at_5"),
+        nano_mean("p10").alias("pass_at_10"),
+    )

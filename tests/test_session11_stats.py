@@ -461,3 +461,23 @@ def test_cvm_matches_bruteforce_ecdf(spark, events_pd):
         # pico-quantized squared gaps: absolute error <= N * 1e-12 * nm/N^2
         assert row["cvm_t"] == pytest.approx(t, rel=1e-5, abs=1e-6)
         assert row["cvm_t"] >= 0.0
+
+
+def test_pass_at_k_matches_comb(spark, events_pd):
+    g = events_pd.groupby("user_id").agg(
+        n=("event_type", "size"),
+        c=("event_type", lambda s: int((s == "purchase").sum())),
+    )
+    g = g[g.n >= 10]
+
+    def pak(n: int, c: int, k: int) -> float:
+        if n - c < k:
+            return 1.0
+        return 1.0 - math.comb(n - c, k) / math.comb(n, k)
+
+    row = QUERIES["eval_pass_at_k"](spark, SF).collect()[0]
+    assert row["n_tasks"] == len(g)
+    for k, col in [(1, "pass_at_1"), (5, "pass_at_5"), (10, "pass_at_10")]:
+        expect = float(np.mean([pak(n, c, k) for n, c in zip(g.n, g.c)]))
+        assert row[col] == pytest.approx(expect, rel=1e-7)
+        assert 0.0 <= row[col] <= 1.0
