@@ -21716,3 +21716,84 @@ def eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         nano_mean("p5").alias("pass_at_5"),
         nano_mean("p10").alias("pass_at_10"),
     )
+
+
+@_q(
+    "dq_functional_dependencies",
+    """
+    WITH checks AS (
+      SELECT 'nation' AS table_name, 'n_nationkey' AS lhs, 'n_regionkey' AS rhs,
+             CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating_groups
+      FROM (SELECT n_nationkey, count(DISTINCT n_regionkey) AS nd
+            FROM nation GROUP BY n_nationkey)
+      UNION ALL
+      SELECT 'part', 'p_brand', 'p_type',
+             CAST(count(*) AS BIGINT),
+             CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      FROM (SELECT p_brand, count(DISTINCT p_type) AS nd
+            FROM part GROUP BY p_brand)
+      UNION ALL
+      SELECT 'customer', 'c_nationkey', 'c_mktsegment',
+             CAST(count(*) AS BIGINT),
+             CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      FROM (SELECT c_nationkey, count(DISTINCT c_mktsegment) AS nd
+            FROM customer GROUP BY c_nationkey)
+      UNION ALL
+      SELECT 'orders', 'o_orderstatus', 'o_orderpriority',
+             CAST(count(*) AS BIGINT),
+             CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      FROM (SELECT o_orderstatus, count(DISTINCT o_orderpriority) AS nd
+            FROM orders GROUP BY o_orderstatus))
+    SELECT table_name, lhs, rhs, n_groups, n_violating_groups,
+           n_violating_groups = 0 AS holds
+    FROM checks
+    """,
+)
+def dq_functional_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUNCTIONAL-DEPENDENCY audit: for each candidate rule lhs -> rhs,
+    the number of lhs groups carrying MORE than one distinct rhs value —
+    the schema-constraint discovery/verification primitive behind data
+    profilers (a violated "obvious" FD means a dirty dimension or a
+    wrong join key; a holding one is a free normalization/encoding
+    opportunity).  Extends [[dq_report]] (not-null/unique are the
+    degenerate FDs key -> * ) and [[referential_integrity_audit]]
+    (inclusion dependencies; FDs are their in-table sibling).  All
+    counts are exact integers.
+
+    Scale shape: one keyed count-distinct aggregate per candidate FD
+    (each over its own table), each reduced to one summary row before
+    the 4-row union — violations never leave the executors."""
+    out = []
+    specs = [
+        ("nation", "n_nationkey", "n_regionkey"),
+        ("part", "p_brand", "p_type"),
+        ("customer", "c_nationkey", "c_mktsegment"),
+        ("orders", "o_orderstatus", "o_orderpriority"),
+    ]
+    for table, lhs, rhs in specs:
+        t = load_table(spark, sf_dir, table)
+        g = t.groupBy(lhs).agg(F.count_distinct(rhs).alias("nd"))
+        out.append(
+            g.agg(
+                F.lit(table).alias("table_name"),
+                F.lit(lhs).alias("lhs"),
+                F.lit(rhs).alias("rhs"),
+                F.count(F.lit(1)).cast("long").alias("n_groups"),
+                F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+                .cast("long")
+                .alias("n_violating_groups"),
+            )
+        )
+    rows = out[0]
+    for x in out[1:]:
+        rows = rows.unionAll(x)
+    return rows.select(
+        "table_name",
+        "lhs",
+        "rhs",
+        "n_groups",
+        "n_violating_groups",
+        (F.col("n_violating_groups") == 0).alias("holds"),
+    )
