@@ -35,8 +35,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #      row is OLDEST, so every query periodically re-enters the window and
 #      a silent regression cannot hide outside it indefinitely.
 # Everything rotated out stays verified locally every round via
-# ``tools/check_correctness.py`` (353/353 oracle-paired queries green in
-# the latest full local sweep; 355 declared).
+# ``tools/check_correctness.py`` (358/358 oracle-paired queries green in
+# the latest full local sweep; 360 declared).
 _CHECK_FIRST = [
     # -- 1. changed or added in r6 (their prior rows, if any, no longer
     #       describe the shipped code)
@@ -178,7 +178,10 @@ _CHECK_FIRST = [
     #       capture_recapture_users, ab_test_srm_check,
     #       phi_coefficient_pairs, cohens_d_by_type,
     #       cochran_armitage_hourly_trend, leaderboard_churn_monthly,
-    #       stream_sink_session_window, dedup_simhash_bit_bias)
+    #       stream_sink_session_window, dedup_simhash_bit_bias,
+    #       drift_cvm_statistic, bloom_fpr_calibration,
+    #       quality_signal_phi_matrix, eval_pass_at_k,
+    #       dq_functional_dependencies)
     #       LEAD the r7 queue; all are green in this round's local full
     #       sweep (tools/check_correctness.py) at sf0.001 AND sf0.01.
     "sample_neyman_allocation",     # new: variance-optimal strata budgets
@@ -238,7 +241,7 @@ _CHECK_FIRST = [
     # ann_cosine_topk (unit-test-pinned; shares its ranking oracle shape
     # with ann_ivf_fixed_topk).  Every rotated-out veteran held an official
     # green row in r1-r5 AND stays green in the per-round local full sweep
-    # (tools/check_correctness.py, 353/353 oracle-paired).
+    # (tools/check_correctness.py, 358/358 oracle-paired).
 ]
 
 
