@@ -165,3 +165,69 @@ def test_time_to_value_matches_pandas(spark, events_pd):
             float(np.percentile(ttvs, 50)), rel=1e-9
         )
         assert min(ttvs) <= row["p90_ttv_s"] <= max(ttvs)
+
+
+def test_ltv_curve_matches_pandas(spark):
+    o = duckdb.sql(
+        f"""SELECT o_custkey,
+                   CAST(strftime(o_orderdate, '%Y') AS INT) * 12
+                     + CAST(strftime(o_orderdate, '%m') AS INT) - 1 AS month_id,
+                   o_totalprice FROM '{SF}/orders.parquet'"""
+    ).df()
+    cm = o.groupby(["o_custkey", "month_id"]).o_totalprice.sum().reset_index()
+    cohort = cm.groupby("o_custkey").month_id.min().rename("cohort_id")
+    cm = cm.join(cohort, on="o_custkey")
+    cm["offset_months"] = cm.month_id - cm.cohort_id
+    sz = cohort.reset_index().groupby("cohort_id").size()
+    co = (
+        cm.groupby(["cohort_id", "offset_months"])
+        .o_totalprice.sum()
+        .groupby(level=0)
+        .cumsum()
+    )
+    out = {
+        (r["cohort_id"], r["offset_months"]): r
+        for r in QUERIES["cohort_ltv_curve"](spark, SF).collect()
+    }
+    assert len(out) == len(co)
+    for (cid, off), cum in co.items():
+        row = out[(cid, off)]
+        assert row["n_customers"] == sz[cid]
+        assert row["cum_revenue"] == pytest.approx(float(cum), rel=1e-9)
+        assert row["ltv_per_customer"] == pytest.approx(
+            float(cum) / sz[cid], rel=1e-9
+        )
+    # LTV must be nondecreasing in offset within every cohort
+    for cid in sz.index:
+        vals = [out[k]["ltv_per_customer"] for k in sorted(out) if k[0] == cid]
+        assert vals == sorted(vals)
+
+
+def test_seasonal_indices_match_pandas(spark):
+    o = duckdb.sql(
+        f"""SELECT CAST(strftime(o_orderdate, '%Y') AS INT) * 12
+                     + CAST(strftime(o_orderdate, '%m') AS INT) - 1 AS month_id,
+                   CAST(strftime(o_orderdate, '%m') AS INT) AS moy,
+                   o_totalprice FROM '{SF}/orders.parquet'"""
+    ).df()
+    m = o.groupby(["month_id", "moy"]).o_totalprice.sum().reset_index()
+    rev = dict(zip(m.month_id, m.o_totalprice))
+    ratios: dict[int, list[float]] = {}
+    for _, r in m.iterrows():
+        window = [rev.get(r.month_id + d) for d in range(-6, 7)]
+        if any(v is None for v in window):
+            continue
+        ratios.setdefault(int(r.moy), []).append(
+            r.o_totalprice / (sum(window) / 13.0)
+        )
+    out = {
+        r["month_of_year"]: r
+        for r in QUERIES["revenue_seasonal_indices"](spark, SF).collect()
+    }
+    assert set(out) == set(ratios)
+    for moy, rs in ratios.items():
+        row = out[moy]
+        assert row["n_years"] == len(rs)
+        assert row["seasonal_index"] == pytest.approx(
+            sum(rs) / len(rs), rel=1e-5
+        )
