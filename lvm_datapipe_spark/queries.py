@@ -21797,3 +21797,153 @@ def dq_functional_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_violating_groups",
         (F.col("n_violating_groups") == 0).alias("holds"),
     )
+
+
+@_q(
+    "orders_duplicate_payment_audit",
+    """
+    WITH p AS (
+      SELECT a.o_orderkey AS key_a, b.o_orderkey AS key_b
+      FROM orders a JOIN orders b
+        ON b.o_custkey = a.o_custkey
+       AND b.o_totalprice = a.o_totalprice
+       AND b.o_orderkey > a.o_orderkey
+       AND abs(date_diff('day', CAST(a.o_orderdate AS DATE),
+                         CAST(b.o_orderdate AS DATE))) <= 7),
+    f AS (SELECT key_a AS k FROM p UNION SELECT key_b FROM p)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_orders,
+           (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_candidate_pairs,
+           CAST(count(*) AS BIGINT) AS n_flagged_orders,
+           CAST(count(*) AS DOUBLE)
+             / (SELECT count(*) FROM orders) AS flagged_rate
+    FROM f
+    """,
+)
+def orders_duplicate_payment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DUPLICATE-PAYMENT audit: order pairs from the SAME customer with
+    the SAME total amount within 7 days — the double-charge/double-write
+    detector every billing reconciliation runs (the fuzzy sibling of
+    exact-key dedup: the key fields differ, the MONEY repeats).  The
+    blocking key is (custkey, exact amount) — a keyed equi-join whose
+    groups are naturally tiny (repeating an exact float amount is the
+    signal), with the day-window as a residual predicate; counts are
+    exact integers.  Transactional cousin of [[dedup_exact]] and the
+    DQ complement of [[benford_first_digit]] (Benford finds fabricated
+    amounts; this finds repeated ones).
+
+    Scale shape: one self-equi-join keyed on (custkey, amount) — no
+    range join, no cartesian; pair fan-out bounded by per-key group
+    size; three scalar aggregates."""
+    o = load_table(spark, sf_dir, "orders")
+    b = o.select(
+        F.col("o_custkey").alias("_c"),
+        F.col("o_totalprice").alias("_p"),
+        F.col("o_orderkey").alias("key_b"),
+        F.col("o_orderdate").alias("_d"),
+    )
+    p = o.join(
+        b,
+        (F.col("_c") == F.col("o_custkey"))
+        & (F.col("_p") == F.col("o_totalprice"))
+        & (F.col("key_b") > F.col("o_orderkey"))
+        & (
+            F.abs(
+                F.datediff(F.col("_d").cast("date"), F.col("o_orderdate").cast("date"))
+            )
+            <= 7
+        ),
+    ).select(F.col("o_orderkey").alias("key_a"), "key_b")
+    f = (
+        p.select(F.col("key_a").alias("k"))
+        .union(p.select(F.col("key_b").alias("k")))
+        .distinct()
+    )
+    n_orders = o.agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    n_pairs = p.agg(F.count(F.lit(1)).cast("long").alias("n_candidate_pairs"))
+    n_flag = f.agg(F.count(F.lit(1)).cast("long").alias("n_flagged_orders"))
+    return (
+        n_orders.crossJoin(F.broadcast(n_pairs))
+        .crossJoin(F.broadcast(n_flag))
+        .select(
+            "n_orders",
+            "n_candidate_pairs",
+            "n_flagged_orders",
+            (
+                F.col("n_flagged_orders").cast("double") / F.col("n_orders")
+            ).alias("flagged_rate"),
+        )
+    )
+
+
+@_q(
+    "price_round_number_bias",
+    """
+    WITH c AS (
+      SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) % 100 AS cents
+      FROM orders),
+    g AS (
+      SELECT CASE WHEN cents = 0 THEN 'dollar_exact'
+                  WHEN cents = 50 THEN 'half_dollar'
+                  WHEN cents % 10 = 0 THEN 'dime_exact'
+                  ELSE 'other' END AS cents_class,
+             CAST(count(*) AS BIGINT) AS n
+      FROM c GROUP BY 1),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM g)
+    SELECT g.cents_class, g.n,
+           CAST(g.n AS DOUBLE) / t.total AS observed_share,
+           CASE g.cents_class WHEN 'dollar_exact' THEN CAST(0.01 AS DOUBLE)
+                              WHEN 'half_dollar' THEN CAST(0.01 AS DOUBLE)
+                              WHEN 'dime_exact' THEN CAST(0.08 AS DOUBLE)
+                              ELSE CAST(0.90 AS DOUBLE) END AS uniform_share,
+           CAST(g.n AS DOUBLE) / t.total
+             / CASE g.cents_class WHEN 'dollar_exact' THEN CAST(0.01 AS DOUBLE)
+                                  WHEN 'half_dollar' THEN CAST(0.01 AS DOUBLE)
+                                  WHEN 'dime_exact' THEN CAST(0.08 AS DOUBLE)
+                                  ELSE CAST(0.90 AS DOUBLE) END AS excess_ratio
+    FROM g CROSS JOIN t
+    """,
+)
+def price_round_number_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUND-NUMBER BIAS forensics over order amounts: the share of
+    totals landing on exact dollars, half-dollars, and dimes versus the
+    uniform-cents expectation — human-entered or fabricated amounts
+    over-select round numbers, organically computed ledgers don't; the
+    last-digits complement to [[benford_first_digit]]'s leading-digit
+    law (fraud screens run both).  The cents digit comes from
+    floor(x*100 + 0.5) — identical IEEE ops both engines (engine round()
+    half-up vs half-even conventions differ; the explicit floor form
+    does not); classes and counts are exact integers, shares are one
+    division against literal expectations.
+
+    Scale shape: one scan + one 4-row keyed aggregate + a broadcast
+    scalar."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = (
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast("long")
+        % 100
+    )
+    cls = (
+        F.when(cents == 0, "dollar_exact")
+        .when(cents == 50, "half_dollar")
+        .when(cents % 10 == 0, "dime_exact")
+        .otherwise("other")
+    )
+    g = o.select(cls.alias("cents_class")).groupBy("cents_class").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    t = g.agg(F.sum("n").cast("long").alias("total"))
+    uniform = (
+        F.when(F.col("cents_class") == "dollar_exact", F.lit(0.01))
+        .when(F.col("cents_class") == "half_dollar", F.lit(0.01))
+        .when(F.col("cents_class") == "dime_exact", F.lit(0.08))
+        .otherwise(F.lit(0.90))
+    )
+    return g.crossJoin(F.broadcast(t)).select(
+        "cents_class",
+        "n",
+        (F.col("n").cast("double") / F.col("total")).alias("observed_share"),
+        uniform.alias("uniform_share"),
+        (F.col("n").cast("double") / F.col("total") / uniform).alias(
+            "excess_ratio"
+        ),
+    )
