@@ -21947,3 +21947,162 @@ def price_round_number_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
             "excess_ratio"
         ),
     )
+
+
+@_q(
+    "split_balance_chisq",
+    """
+    WITH b AS (
+      SELECT CASE WHEN ('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)),
+                        1, 8))::BIGINT % 10000 < 8000 THEN 'train'
+                  WHEN ('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)),
+                        1, 8))::BIGINT % 10000 < 9000 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents),
+    g AS (SELECT split, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY split),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM g),
+    e AS (
+      SELECT g.split, g.n, t.total,
+             t.total * CASE g.split WHEN 'train' THEN CAST(0.8 AS DOUBLE)
+                                    WHEN 'val' THEN CAST(0.1 AS DOUBLE)
+                                    ELSE CAST(0.1 AS DOUBLE) END AS expected
+      FROM g CROSS JOIN t)
+    SELECT split, n, expected,
+           CAST(n AS DOUBLE) / total AS observed_frac,
+           (n - expected) * (n - expected) / expected AS chisq_term
+    FROM e
+    """,
+)
+def split_balance_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPLIT-BALANCE audit of the standing md5 80/10/10 split
+    ([[split_train_val_test]]): per-split observed count vs expected,
+    with each split's chi-square term — the dataset-release check that
+    the hash split actually delivered its advertised proportions (a
+    skewed hash or a correlated key silently starves the eval splits;
+    the analog of [[ab_test_srm_check]] for dataset splits rather than
+    experiment arms).  Counts exact, expectations literal-fraction
+    products, terms one float expression each (sum them against
+    chi-square(2) off-engine).
+
+    Scale shape: one scan + 3-row keyed aggregate + broadcast scalar."""
+    from lvm_datapipe_spark.operators.sampling import split_assign
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = split_assign(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    g = s.groupBy("split").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    t = g.agg(F.sum("n").cast("long").alias("total"))
+    frac = (
+        F.when(F.col("split") == "train", F.lit(0.8))
+        .when(F.col("split") == "val", F.lit(0.1))
+        .otherwise(F.lit(0.1))
+    )
+    e = g.crossJoin(F.broadcast(t)).select(
+        "split",
+        "n",
+        (F.col("total") * frac).alias("expected"),
+        (F.col("n").cast("double") / F.col("total")).alias("observed_frac"),
+        F.col("total").alias("_total"),
+    )
+    return e.select(
+        "split",
+        "n",
+        "expected",
+        "observed_frac",
+        (
+            (F.col("n") - F.col("expected"))
+            * (F.col("n") - F.col("expected"))
+            / F.col("expected")
+        ).alias("chisq_term"),
+    )
+
+
+@_q(
+    "bandit_successive_elimination",
+    f"""
+    WITH a AS (
+      SELECT event_type,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+             CAST(count(DISTINCT CASE WHEN value > 100.0 THEN user_id END)
+                  AS BIGINT) AS n_conv
+      FROM events GROUP BY event_type),
+    w AS (
+      SELECT event_type, n_users, n_conv,
+             CAST(n_conv AS DOUBLE) / n_users AS phat,
+             CAST(n_users AS DOUBLE) AS nd
+      FROM a WHERE n_users > 0),
+    ci AS (
+      SELECT event_type, n_users, n_conv, phat,
+             ((phat + '{_WILSON_Z2!r}'::DOUBLE / (2 * nd))
+              - '{_WILSON_Z!r}'::DOUBLE
+                * sqrt((phat * (1.0 - phat)) / nd
+                       + '{_WILSON_Z2!r}'::DOUBLE / (4 * nd * nd)))
+             / (1.0 + '{_WILSON_Z2!r}'::DOUBLE / nd) AS lb,
+             ((phat + '{_WILSON_Z2!r}'::DOUBLE / (2 * nd))
+              + '{_WILSON_Z!r}'::DOUBLE
+                * sqrt((phat * (1.0 - phat)) / nd
+                       + '{_WILSON_Z2!r}'::DOUBLE / (4 * nd * nd)))
+             / (1.0 + '{_WILSON_Z2!r}'::DOUBLE / nd) AS ub
+      FROM w),
+    best AS (SELECT MAX(lb) AS best_lb FROM ci)
+    SELECT ci.event_type, ci.n_users, ci.n_conv, ci.phat, ci.lb, ci.ub,
+           ci.ub < best.best_lb AS eliminated
+    FROM ci CROSS JOIN best
+    """,
+)
+def bandit_successive_elimination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUCCESSIVE-ELIMINATION readout (the deterministic best-arm
+    identification rule): each arm (event type, "converting" = any
+    event with value > 100 per user) carries its Wilson interval; an arm
+    whose UPPER bound falls below the best arm's LOWER bound is
+    eliminated — racing/Hoeffding-style sequential testing without the
+    random draws of Thompson sampling or the log terms of UCB (both
+    non-portable here), the production shape for killing losing
+    variants early.  Shares the shared-literal Wilson z with
+    [[conversion_wilson_ci]] / [[supplier_ontime_wilson_rank]];
+    intervals are float math over exact distinct counts, and the
+    elimination flag compares identically computed doubles.
+
+    Scale shape: one distinct-keyed aggregate to |arms| rows, one
+    broadcast scalar max, one comparison."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+        F.count_distinct(
+            F.when(F.col("value") > 100.0, F.col("user_id"))
+        )
+        .cast("long")
+        .alias("n_conv"),
+    )
+    w = a.filter(F.col("n_users") > 0).select(
+        "event_type",
+        "n_users",
+        "n_conv",
+        (F.col("n_conv").cast("double") / F.col("n_users")).alias("phat"),
+        F.col("n_users").cast("double").alias("nd"),
+    )
+    z = F.lit(_WILSON_Z)
+    z2 = F.lit(_WILSON_Z2)
+    centre = F.col("phat") + z2 / (2 * F.col("nd"))
+    spread = z * F.sqrt(
+        (F.col("phat") * (1.0 - F.col("phat"))) / F.col("nd")
+        + z2 / (4 * F.col("nd") * F.col("nd"))
+    )
+    denom = 1.0 + z2 / F.col("nd")
+    ci = w.select(
+        "event_type",
+        "n_users",
+        "n_conv",
+        "phat",
+        ((centre - spread) / denom).alias("lb"),
+        ((centre + spread) / denom).alias("ub"),
+    )
+    best = ci.agg(F.max("lb").alias("best_lb"))
+    return ci.crossJoin(F.broadcast(best)).select(
+        "event_type",
+        "n_users",
+        "n_conv",
+        "phat",
+        "lb",
+        "ub",
+        (F.col("ub") < F.col("best_lb")).alias("eliminated"),
+    )
