@@ -22106,3 +22106,86 @@ def bandit_successive_elimination(spark: SparkSession, sf_dir: str) -> DataFrame
         "ub",
         (F.col("ub") < F.col("best_lb")).alias("eliminated"),
     )
+
+
+@_q(
+    "dedup_lines_ccnet",
+    """
+    WITH seg AS (
+      SELECT doc_id,
+             md5(array_to_string(
+               list_slice(string_split(text, ' '), s * 8 + 1, s * 8 + 8),
+               ' ')) AS h
+      FROM documents
+      CROSS JOIN (SELECT unnest(range(0, 1000)) AS s)
+      WHERE (s + 1) * 8 <= len(string_split(text, ' '))),
+    st AS (
+      SELECT h, CAST(count(DISTINCT doc_id) AS BIGINT) AS nd,
+             MIN(doc_id) AS first_doc
+      FROM seg GROUP BY h)
+    SELECT seg.doc_id,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(SUM(CASE WHEN st.nd = 1 OR st.first_doc = seg.doc_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN st.nd = 1 OR st.first_doc = seg.doc_id
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS kept_frac
+    FROM seg JOIN st ON st.h = seg.h
+    GROUP BY seg.doc_id
+    """,
+)
+def dedup_lines_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINE-LEVEL corpus deduplication summary — the CCNet recipe
+    (Wenzek et al. 2020: hash every line, drop a line when its hash was
+    already emitted by an earlier document), adapted to the synthetic
+    word-stream corpus by defining a "line" as each complete
+    non-overlapping 8-word segment.  A segment instance is KEPT iff it
+    is corpus-unique or its document is the FIRST (min doc_id — the
+    deterministic stand-in for arrival order) to contain that segment;
+    the per-doc readout (segments, kept, kept fraction) is exactly the
+    removal accounting CCNet publishes per shard.  Segments are
+    SPEC-CAPPED at 1000 per doc (same per-doc work bound as
+    [[dedup_substring_spans]]).
+
+    Scale shape: scan-shaped posexplode to segment hashes, ONE keyed
+    aggregate to the |distinct segments| stats table (nd + first_doc —
+    no posting-list blowup: the stats table has one row per distinct
+    hash no matter how hot the segment), an equi-join back on the hash
+    (AQE handles hot-hash skew), and a per-doc aggregate.  This is the
+    production shape of fastText/CC-scale line dedup: no pairwise
+    anything, memory bounded by distinct-segment cardinality."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(F.col("text"), " ")
+    n_seg = F.least(F.floor(F.size(words) / F.lit(8)), F.lit(1000))
+    seg = (
+        docs.filter(F.size(words) >= 8)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), n_seg.cast("int") - 1)).alias("s"),
+            words.alias("w"),
+        )
+        .select(
+            "doc_id",
+            F.md5(
+                F.concat_ws(
+                    " ", F.slice(F.col("w"), F.col("s") * 8 + 1, 8)
+                ).cast("binary")
+            ).alias("h"),
+        )
+    )
+    st = seg.groupBy("h").agg(
+        F.count_distinct("doc_id").cast("long").alias("nd"),
+        F.min("doc_id").alias("first_doc"),
+    )
+    kept = F.when(
+        (F.col("nd") == 1) | (F.col("first_doc") == F.col("doc_id")), 1
+    ).otherwise(0)
+    return (
+        seg.join(st, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_segments"),
+            F.sum(kept).cast("long").alias("n_kept"),
+            (F.sum(kept).cast("double") / F.count(F.lit(1))).alias("kept_frac"),
+        )
+    )
