@@ -22189,3 +22189,123 @@ def dedup_lines_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(kept).cast("double") / F.count(F.lit(1))).alias("kept_frac"),
         )
     )
+
+
+@_q(
+    "dedup_winnowing_pairs",
+    """
+    WITH g AS (
+      SELECT doc_id, p,
+             md5(substr(text, p + 1, 16)) AS h,
+             least(len(text) - 15, 1000) AS n_grams
+      FROM documents
+      CROSS JOIN (SELECT unnest(range(0, 1000)) AS p)
+      WHERE p + 16 <= len(text) AND p < 1000),
+    st AS (
+      SELECT doc_id, p AS s,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY p
+                          ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wmin
+      FROM g
+      QUALIFY s <= n_grams - 8),
+    sel AS (
+      SELECT st.doc_id, st.s, st.wmin, MAX(g.p) AS sel_p
+      FROM st JOIN g ON g.doc_id = st.doc_id
+                    AND g.p BETWEEN st.s AND st.s + 7
+                    AND g.h = st.wmin
+      GROUP BY st.doc_id, st.s, st.wmin),
+    fp AS (SELECT DISTINCT doc_id, wmin AS h FROM sel),
+    ok AS (
+      SELECT h FROM (SELECT h, count(*) AS nd FROM fp GROUP BY h)
+      WHERE nd BETWEEN 2 AND 8)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS n_shared_fp
+    FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+    WHERE a.h IN (SELECT h FROM ok)
+    GROUP BY a.doc_id, b.doc_id
+    """,
+)
+def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINNOWING fingerprint near-dup pairs — the MOSS local fingerprinting
+    algorithm (Schleimer, Wilkerson & Aiken, SIGMOD 2003): hash every
+    16-char gram, slide a window of 8 consecutive gram hashes, and in each
+    window SELECT the minimum hash (rightmost position on ties — resolved
+    by an exact bounded join, not engine-specific argmin semantics); the
+    selected hashes are the document's fingerprint set.  Guarantee: any
+    literal run of >= w + k - 1 = 23 shared chars yields at least one
+    shared fingerprint, while only ~2/(w+1) of grams are stored — the
+    principled sampling that makes substring dedup affordable where
+    [[dedup_substring_spans]]'s strided windows trade recall blindly.
+    Fingerprints seen in >8 docs are dropped as stop-fingerprints
+    (boilerplate cap, mirrored in the oracle), then the fingerprint table
+    self-joins on the hash.  Grams are SPEC-CAPPED at 1000 positions/doc.
+
+    Scale shape: scan-shaped gram hashing, ONE per-doc window pass (the
+    partition is a single bounded document — never corpus-wide), a
+    per-doc bounded range join (each gram meets <= 8 window starts), a
+    keyed distinct, and the capped hash self-join: pair cardinality
+    bounded by cap^2 x n_fingerprints, all shuffles keyed."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_grams = F.least(F.length("text") - 15, F.lit(1000))
+    g = (
+        docs.filter(F.length("text") >= 16)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0), n_grams.cast("int") - 1)
+            ).alias("p"),
+            "text",
+            n_grams.alias("n_grams"),
+        )
+        .select(
+            "doc_id",
+            "p",
+            F.md5(
+                F.substring(F.col("text"), F.col("p") + 1, 16).cast("binary")
+            ).alias("h"),
+            "n_grams",
+        )
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.currentRow, 7)
+    )
+    st = (
+        g.select(
+            "doc_id",
+            F.col("p").alias("s"),
+            F.min("h").over(win).alias("wmin"),
+            "n_grams",
+        )
+        .filter(F.col("s") <= F.col("n_grams") - 8)
+        .drop("n_grams")
+    )
+    g2 = g.select(
+        F.col("doc_id").alias("_d"), F.col("p").alias("_p"), F.col("h").alias("_h")
+    )
+    sel = (
+        st.join(
+            g2,
+            (F.col("_d") == F.col("doc_id"))
+            & (F.col("_p") >= F.col("s"))
+            & (F.col("_p") <= F.col("s") + 7)
+            & (F.col("_h") == F.col("wmin")),
+        )
+        .groupBy("doc_id", "s", "wmin")
+        .agg(F.max("_p").alias("sel_p"))
+    )
+    fp = sel.select("doc_id", F.col("wmin").alias("h")).distinct()
+    ok = (
+        fp.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter((F.col("nd") >= 2) & (F.col("nd") <= 8))
+        .select("h")
+    )
+    fpk = fp.join(ok, "h", "left_semi")
+    a = fpk.select(F.col("doc_id").alias("id_a"), "h")
+    b = fpk.select(F.col("doc_id").alias("id_b"), F.col("h").alias("h2"))
+    return (
+        a.join(b, (F.col("h") == F.col("h2")) & (F.col("id_a") < F.col("id_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_fp"))
+    )

@@ -92,3 +92,79 @@ def test_lines_ccnet_first_seen_wins_fixture(spark, tmp_path):
         for r in QUERIES["dedup_lines_ccnet"](spark, str(tmp_path)).collect()
     }
     assert out == {0: (1, 1), 7: (1, 0), 3: (1, 1)}
+
+
+# ---------------------------------------------------------------------------
+# Winnowing: brute-force python model + the w+k-1 detection guarantee
+# ---------------------------------------------------------------------------
+
+
+def _winnow_fps(text: str, k: int = 16, w: int = 8, cap: int = 1000) -> set[str]:
+    """Independent model: Schleimer et al. 2003 plain winnowing — per
+    window of w consecutive k-gram hashes select the min hash, rightmost
+    position on ties; return the distinct selected hash set."""
+    n = min(len(text) - k + 1, cap)
+    if n < w:
+        return set()
+    hs = [_md5(text[p : p + k]) for p in range(n)]
+    out = set()
+    for s in range(n - w + 1):
+        win = hs[s : s + w]
+        m = min(win)
+        out.add(m)  # rightmost-tie choice selects the same VALUE
+    return out
+
+
+def _winnow_pairs_model(docs):
+    fps = {
+        int(r.doc_id): _winnow_fps(r.text)
+        for _, r in docs.iterrows()
+        if len(r.text) >= 16
+    }
+    # stop-fingerprint cap: hashes held by 2..8 docs participate
+    from collections import Counter
+
+    nd = Counter(h for s in fps.values() for h in s)
+    pairs = {}
+    ids = sorted(fps)
+    for h, c in nd.items():
+        if not (2 <= c <= 8):
+            continue
+        holders = sorted(d for d in ids if h in fps[d])
+        for i, a in enumerate(holders):
+            for b in holders[i + 1 :]:
+                pairs[(a, b)] = pairs.get((a, b), 0) + 1
+    return pairs
+
+
+def test_winnowing_matches_python_model(spark, docs_pd):
+    expected = _winnow_pairs_model(docs_pd)
+    rows = QUERIES["dedup_winnowing_pairs"](spark, SF).collect()
+    got = {(r.id_a, r.id_b): r.n_shared_fp for r in rows}
+    assert got == expected
+    assert len(got) > 0  # the query must actually find pairs on real data
+
+
+def test_winnowing_detection_guarantee_fixture(spark, tmp_path):
+    """Two docs sharing a literal run of w + k - 1 = 23 chars MUST share a
+    fingerprint (the paper's guarantee); two docs with no 16-char overlap
+    must not pair."""
+    shared = "zqxjkvbnmwertyuioplkhgf"  # 23 chars, unique alphabet soup
+    assert len(shared) == 23
+    d0 = "aaaa bbbb cccc dddd " + shared + " eeee ffff gggg hhhh"
+    d1 = "iiii jjjj kkkk llll " + shared + " mmmm nnnn oooo pppp"
+    d2 = "0123456789 0123456789 0123456789 0123456789"
+    rows = [
+        (0, d0, "en", "srcA", len(d0)),
+        (1, d1, "en", "srcA", len(d1)),
+        (2, d2, "en", "srcB", len(d2)),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        (r.id_a, r.id_b): r.n_shared_fp
+        for r in QUERIES["dedup_winnowing_pairs"](spark, str(tmp_path)).collect()
+    }
+    assert (0, 1) in got and got[(0, 1)] >= 1
+    assert all(2 not in p for p in got)
