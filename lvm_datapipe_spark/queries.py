@@ -22309,3 +22309,168 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared_fp"))
     )
+
+
+def _bt_sql(n_iters: int = 8) -> str:
+    """DuckDB replay of the Bradley-Terry minorize-maximize fit.
+
+    The heavy part (the per-user preference grid and the k x k win
+    matrix) is plain grouped aggregation; the MM iterations over the
+    tiny type set are replayed as a fixed chain of CTEs.  Cross-row
+    float sums inside an iteration go through floor-micro BIGINT
+    quantization (the established portability device: CAST-to-DECIMAL
+    rounds differently across engines, floor(x*1e6) does not), so the
+    oracle's SUM order cannot change bits and the Spark driver replay
+    is exact."""
+    parts = [
+        """WITH u AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id, event_type),
+    us AS (SELECT DISTINCT user_id FROM events),
+    ty AS (SELECT DISTINCT event_type FROM events),
+    grid AS MATERIALIZED (
+      SELECT us.user_id, ty.event_type, COALESCE(u.n, 0) AS n
+      FROM us CROSS JOIN ty
+      LEFT JOIN u ON u.user_id = us.user_id AND u.event_type = ty.event_type),
+    w AS MATERIALIZED (
+      SELECT a.event_type AS ta, b.event_type AS tb,
+             CAST(SUM(CASE WHEN a.n > b.n THEN 1 ELSE 0 END) AS BIGINT) AS wr
+      FROM grid a JOIN grid b
+        ON a.user_id = b.user_id AND a.event_type <> b.event_type
+      GROUP BY a.event_type, b.event_type),
+    ws AS MATERIALIZED (
+      SELECT w1.ta, w1.tb, w1.wr + 1 AS w_ab,
+             (w1.wr + 1) + (w2.wr + 1) AS n_ab
+      FROM w w1 JOIN w w2 ON w1.ta = w2.tb AND w1.tb = w2.ta),
+    tots AS (SELECT ta AS tp, CAST(SUM(w_ab) AS BIGINT) AS wts
+             FROM ws GROUP BY ta),
+    traw AS (SELECT ta AS tp, CAST(SUM(wr) AS BIGINT) AS wins FROM w GROUP BY ta),
+    lraw AS (SELECT tb AS tp, CAST(SUM(wr) AS BIGINT) AS losses FROM w GROUP BY tb),
+    cnt AS (SELECT CAST(count(*) AS BIGINT) AS k FROM ty),
+    p0 AS MATERIALIZED (SELECT ty.event_type AS tp,
+                               1.0 / CAST(cnt.k AS DOUBLE) AS p
+           FROM ty CROSS JOIN cnt)"""
+    ]
+    for it in range(1, n_iters + 1):
+        parts.append(
+            f"""den{it} AS (
+      SELECT ws.ta AS tp,
+             CAST(SUM(CAST(floor(CAST(ws.n_ab AS DOUBLE) / (pa.p + pb.p)
+                                 * 1000000.0) AS BIGINT)) AS BIGINT) AS dmic
+      FROM ws JOIN p{it - 1} pa ON pa.tp = ws.ta
+              JOIN p{it - 1} pb ON pb.tp = ws.tb
+      GROUP BY ws.ta),
+    r{it} AS (
+      SELECT tots.tp,
+             CAST(tots.wts AS DOUBLE) / (CAST(d.dmic AS DOUBLE) / 1000000.0) AS p
+      FROM tots JOIN den{it} d ON d.tp = tots.tp),
+    s{it} AS (SELECT CAST(SUM(CAST(floor(p * 1000000000.0) AS BIGINT))
+                          AS BIGINT) AS s FROM r{it}),
+    p{it} AS MATERIALIZED (SELECT tp, p / (CAST(s AS DOUBLE) / 1000000000.0) AS p
+              FROM r{it} CROSS JOIN s{it})"""
+        )
+    body = ",\n    ".join(parts)
+    return f"""
+    {body}
+    SELECT p{n_iters}.tp AS event_type, traw.wins, lraw.losses,
+           p{n_iters}.p AS bt_strength,
+           CAST(ROW_NUMBER() OVER (ORDER BY p{n_iters}.p DESC, p{n_iters}.tp)
+                AS BIGINT) AS rank
+    FROM p{n_iters}
+    JOIN traw ON traw.tp = p{n_iters}.tp
+    JOIN lraw ON lraw.tp = p{n_iters}.tp
+    """
+
+
+@_q("bt_event_type_strength", _bt_sql())
+def bt_event_type_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BRADLEY-TERRY strength estimation from pairwise preferences — the
+    statistical engine behind RLHF reward-model data curation and
+    Chatbot-Arena-style rankings.  Preferences are derived
+    deterministically: for every user and every ordered pair of event
+    types, the type the user did MORE of wins (zero-count types lose to
+    any engaged type; exact ties abstain).  The win matrix gets Laplace
+    +1 smoothing (guarantees a finite MLE even for never-winning arms),
+    then 8 fixed minorize-maximize iterations (Hunter 2004:
+    p_i <- W_i / sum_j n_ij / (p_i + p_j), renormalized each round).
+
+    The distributed work is the per-user preference grid (one keyed
+    shuffle, |users| x k rows, self-join bounded by k^2 per user) and
+    the k x k win-matrix aggregate; the MM iterations run on the driver
+    over the collected k x k matrix (metadata-sized, same treatment as
+    [[embedding_top_pc_power_iteration]]'s eigensolve) with every float
+    expression sequenced EXACTLY as the oracle's CTE chain — cross-row
+    sums are floor-micro BIGINT quantized, so both engines produce
+    bit-identical strengths.  Micro terms stay exact below ~9e15, i.e.
+    n_ij/(p_i+p_j) < 9e9 — beyond that corpus size, rescale wins before
+    fitting (documented bound).
+
+    Scale shape: one users x k grid (broadcast type dim), one keyed
+    self-join on user_id, one k^2-row aggregate; driver math is O(k^2)
+    per iteration, independent of corpus size."""
+    import math
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    u = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    us = ev.select("user_id").distinct()
+    ty = ev.select("event_type").distinct()
+    grid = (
+        us.crossJoin(F.broadcast(ty))
+        .join(u, ["user_id", "event_type"], "left")
+        .fillna(0, subset=["n"])
+    )
+    b = grid.select(
+        F.col("user_id").alias("_u"),
+        F.col("event_type").alias("tb"),
+        F.col("n").alias("_nb"),
+    )
+    w_rows = (
+        grid.join(
+            b,
+            (F.col("user_id") == F.col("_u"))
+            & (F.col("event_type") != F.col("tb")),
+        )
+        .groupBy(F.col("event_type").alias("ta"), "tb")
+        .agg(
+            F.sum(F.when(F.col("n") > F.col("_nb"), 1).otherwise(0))
+            .cast("long")
+            .alias("wr")
+        )
+        .collect()
+    )
+    schema = (
+        "event_type string, wins bigint, losses bigint,"
+        " bt_strength double, rank bigint"
+    )
+    if not w_rows:
+        return spark.createDataFrame([], schema)
+    wr = {(r.ta, r.tb): r.wr for r in w_rows}
+    types = sorted({t for pair in wr for t in pair})
+    k = len(types)
+    ws = {(a, bb): wr[(a, bb)] + 1 for (a, bb) in wr}
+    n_ab = {(a, bb): ws[(a, bb)] + ws[(bb, a)] for (a, bb) in ws}
+    wts = {t: sum(v for (a, _), v in ws.items() if a == t) for t in types}
+    wins = {t: sum(v for (a, _), v in wr.items() if a == t) for t in types}
+    losses = {t: sum(v for (_, bb), v in wr.items() if bb == t) for t in types}
+    p = {t: 1.0 / float(k) for t in types}
+    for _ in range(8):
+        dmic = {
+            t: sum(
+                math.floor(
+                    float(n_ab[(t, o)]) / (p[t] + p[o]) * 1000000.0
+                )
+                for o in types
+                if o != t
+            )
+            for t in types
+        }
+        praw = {t: float(wts[t]) / (float(dmic[t]) / 1000000.0) for t in types}
+        s = sum(math.floor(praw[t] * 1000000000.0) for t in types)
+        p = {t: praw[t] / (float(s) / 1000000000.0) for t in types}
+    order = sorted(types, key=lambda t: (-p[t], t))
+    rows = [
+        (t, wins[t], losses[t], p[t], order.index(t) + 1) for t in types
+    ]
+    return spark.createDataFrame(rows, schema)

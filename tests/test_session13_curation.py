@@ -10,6 +10,7 @@ for edges the real data cannot hit.
 
 from __future__ import annotations
 
+import datetime as dt
 import hashlib
 
 import duckdb
@@ -168,3 +169,99 @@ def test_winnowing_detection_guarantee_fixture(spark, tmp_path):
     }
     assert (0, 1) in got and got[(0, 1)] >= 1
     assert all(2 not in p for p in got)
+
+
+# ---------------------------------------------------------------------------
+# Bradley-Terry: independent converged MM fit + dominance fixture
+# ---------------------------------------------------------------------------
+
+
+def _bt_converged(wr: dict, types: list[str], iters: int = 400) -> dict:
+    """Independent model: textbook Hunter-2004 MM on the +1-smoothed win
+    matrix, full float precision, run to convergence — no micro
+    quantization, no fixed 8-step schedule."""
+    ws = {(a, b): wr[(a, b)] + 1 for (a, b) in wr}
+    n_ab = {(a, b): ws[(a, b)] + ws[(b, a)] for (a, b) in ws}
+    wts = {t: sum(v for (a, _), v in ws.items() if a == t) for t in types}
+    p = {t: 1.0 / len(types) for t in types}
+    for _ in range(iters):
+        den = {
+            t: sum(n_ab[(t, o)] / (p[t] + p[o]) for o in types if o != t)
+            for t in types
+        }
+        p = {t: wts[t] / den[t] for t in types}
+        s = sum(p.values())
+        p = {t: v / s for t, v in p.items()}
+    return p
+
+
+def _win_matrix(events):
+    """Per-user per-type counts (zeros included), pairwise more-is-a-win."""
+    counts = events.groupby(["user_id", "event_type"]).size()
+    types = sorted(events.event_type.unique())
+    users = events.user_id.unique()
+    wr = {(a, b): 0 for a in types for b in types if a != b}
+    for u in users:
+        n = {t: int(counts.get((u, t), 0)) for t in types}
+        for a in types:
+            for b in types:
+                if a != b and n[a] > n[b]:
+                    wr[(a, b)] += 1
+    return wr, types
+
+
+@pytest.fixture(scope="module")
+def events_pd():
+    return duckdb.sql(
+        f"SELECT user_id, event_type FROM '{SF}/events.parquet'"
+    ).df()
+
+
+def test_bt_strength_matches_converged_reference(spark, events_pd):
+    wr, types = _win_matrix(events_pd)
+    ref = _bt_converged(wr, types)
+    rows = QUERIES["bt_event_type_strength"](spark, SF).collect()
+    got = {r.event_type: r for r in rows}
+    assert set(got) == set(types)
+    # raw win/loss totals are exact integers
+    for t in types:
+        assert got[t].wins == sum(v for (a, _), v in wr.items() if a == t)
+        assert got[t].losses == sum(v for (_, b), v in wr.items() if b == t)
+    # the 8-step micro-quantized strengths agree with the converged
+    # full-precision fit to well under a tenth of a percent...
+    for t in types:
+        assert got[t].bt_strength == pytest.approx(ref[t], rel=1e-3)
+    # ...and the implied ranking is identical
+    ref_order = sorted(types, key=lambda t: (-ref[t], t))
+    got_order = sorted(types, key=lambda t: (got[t].rank))
+    assert got_order == ref_order
+    # strengths are a normalized distribution (floor-micro renormalization
+    # carries ~1e-9 granularity per arm)
+    assert sum(r.bt_strength for r in rows) == pytest.approx(1.0, abs=1e-7)
+
+
+def test_bt_dominance_fixture(spark, tmp_path):
+    """3 users, strict activity ordering purchase > view > click for every
+    user => BT strengths must be strictly ordered the same way."""
+    rows = []
+    eid = 0
+    for u in range(3):
+        for t, k in (("purchase", 6), ("view", 3), ("click", 1)):
+            for i in range(k):
+                rows.append(
+                    (eid, dt.datetime(2024, 1, 1, u, i), u, t, 1.0, "{}")
+                )
+                eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r.event_type: r
+        for r in QUERIES["bt_event_type_strength"](spark, str(tmp_path)).collect()
+    }
+    assert out["purchase"].bt_strength > out["view"].bt_strength
+    assert out["view"].bt_strength > out["click"].bt_strength
+    assert [out[t].rank for t in ("purchase", "view", "click")] == [1, 2, 3]
+    assert out["purchase"].wins == 6 and out["purchase"].losses == 0
