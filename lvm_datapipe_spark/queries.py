@@ -22474,3 +22474,101 @@ def bt_event_type_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         (t, wins[t], losses[t], p[t], order.index(t) + 1) for t in types
     ]
     return spark.createDataFrame(rows, schema)
+
+
+@_q(
+    "source_loo_contribution",
+    """
+    WITH per AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM documents GROUP BY source),
+    tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS tn,
+                   CAST(SUM(sum_chars) AS BIGINT) AS ts FROM per),
+    fp AS (SELECT md5(text) AS h, count(DISTINCT source) AS nd,
+                  MIN(source) AS only_src
+           FROM documents GROUP BY md5(text)),
+    td AS (SELECT CAST(count(*) AS BIGINT) AS total_distinct FROM fp),
+    ex AS (SELECT only_src AS source, CAST(count(*) AS BIGINT) AS excl
+           FROM fp WHERE nd = 1 GROUP BY only_src)
+    SELECT per.source, per.n_docs,
+           CASE WHEN tot.tn > per.n_docs
+                THEN CAST(tot.ts - per.sum_chars AS DOUBLE)
+                     / (tot.tn - per.n_docs) END AS loo_mean_chars,
+           CASE WHEN tot.tn > per.n_docs
+                THEN CAST(tot.ts - per.sum_chars AS DOUBLE)
+                     / (tot.tn - per.n_docs)
+                     - CAST(tot.ts AS DOUBLE) / tot.tn END AS delta_mean_chars,
+           CAST(COALESCE(ex.excl, 0) AS BIGINT) AS exclusive_distinct,
+           CAST(td.total_distinct - COALESCE(ex.excl, 0) AS BIGINT)
+             AS loo_distinct_texts
+    FROM per CROSS JOIN tot CROSS JOIN td
+    LEFT JOIN ex ON ex.source = per.source
+    """,
+)
+def source_loo_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAVE-ONE-OUT data valuation by source — the cheap exact member of
+    the Shapley family (the per-source marginal effect on corpus-level
+    statistics), the first readout a curation team pulls when deciding
+    which feed to cut: for each source, the corpus mean doc length
+    WITHOUT that source (and its delta vs the full mean — negative delta
+    means the source was propping the mean up), plus the count of
+    exact-distinct texts that would survive its removal
+    (exclusive_distinct = fingerprints living ONLY in that source; a
+    source whose docs all exist elsewhere contributes nothing and is
+    pure dedup burden).  Complement identities make every per-source
+    figure derivable from ONE pass: loo_mean = (total - src) / (n -
+    n_src), loo_distinct = total_distinct - exclusive(src) — no
+    re-aggregation per source, the trick that makes k-fold source
+    ablation O(corpus), not O(k x corpus).
+
+    Scale shape: one per-source aggregate (k rows), one keyed
+    fingerprint aggregate (|distinct texts| rows) + k-row rollup, two
+    broadcast scalars; integer-exact until the final divisions."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "n_chars", "text"
+    )
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+    tot = per.agg(
+        F.sum("n_docs").cast("long").alias("tn"),
+        F.sum("sum_chars").cast("long").alias("ts"),
+    )
+    fp = docs.groupBy(F.md5(F.col("text").cast("binary")).alias("h")).agg(
+        F.count_distinct("source").alias("nd"),
+        F.min("source").alias("only_src"),
+    )
+    td = fp.agg(F.count(F.lit(1)).cast("long").alias("total_distinct"))
+    ex = (
+        fp.filter(F.col("nd") == 1)
+        .groupBy(F.col("only_src").alias("_src"))
+        .agg(F.count(F.lit(1)).cast("long").alias("excl"))
+    )
+    loo_mean = F.when(
+        F.col("tn") > F.col("n_docs"),
+        (F.col("ts") - F.col("sum_chars")).cast("double")
+        / (F.col("tn") - F.col("n_docs")),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(td))
+        .join(ex, F.col("_src") == F.col("source"), "left")
+        .select(
+            "source",
+            "n_docs",
+            loo_mean.alias("loo_mean_chars"),
+            (loo_mean - F.col("ts").cast("double") / F.col("tn")).alias(
+                "delta_mean_chars"
+            ),
+            F.coalesce(F.col("excl"), F.lit(0)).cast("long").alias(
+                "exclusive_distinct"
+            ),
+            (
+                F.col("total_distinct") - F.coalesce(F.col("excl"), F.lit(0))
+            )
+            .cast("long")
+            .alias("loo_distinct_texts"),
+        )
+    )

@@ -265,3 +265,50 @@ def test_bt_dominance_fixture(spark, tmp_path):
     assert out["view"].bt_strength > out["click"].bt_strength
     assert [out[t].rank for t in ("purchase", "view", "click")] == [1, 2, 3]
     assert out["purchase"].wins == 6 and out["purchase"].losses == 0
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-out source valuation: identities vs brute-force re-aggregation
+# ---------------------------------------------------------------------------
+
+
+def test_source_loo_matches_brute_force(spark, docs_pd):
+    """The complement-identity query must equal literally re-aggregating
+    the corpus with each source removed (the O(k x corpus) definition)."""
+    rows = QUERIES["source_loo_contribution"](spark, SF).collect()
+    got = {r.source: r for r in rows}
+    sources = sorted(docs_pd.source.unique())
+    assert set(got) == set(sources)
+    all_fp = docs_pd.assign(h=docs_pd.text.map(_md5))
+    total_distinct = all_fp.h.nunique()
+    for s in sources:
+        rest = docs_pd[docs_pd.source != s]
+        mine = docs_pd[docs_pd.source == s]
+        assert got[s].n_docs == len(mine)
+        if len(rest):
+            assert got[s].loo_mean_chars == pytest.approx(
+                rest.n_chars.mean(), rel=1e-12
+            )
+            assert got[s].delta_mean_chars == pytest.approx(
+                rest.n_chars.mean() - docs_pd.n_chars.mean(), rel=1e-9
+            )
+        # distinct texts surviving s's removal == nunique over the rest
+        # PLUS duplicates of s's texts held elsewhere (already in rest)
+        assert got[s].loo_distinct_texts == rest.text.map(_md5).nunique()
+        # exclusive + loo partitions the distinct universe
+        assert got[s].exclusive_distinct + got[s].loo_distinct_texts == total_distinct
+
+
+def test_source_loo_single_source_fixture(spark, tmp_path):
+    """One source only: loo mean is NULL (no corpus left), everything
+    is exclusive."""
+    rows = [(i, f"text number {i}", "en", "only", 13) for i in range(4)]
+    rows.append((4, "text number 0", "en", "only", 13))  # in-source dup
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    out = QUERIES["source_loo_contribution"](spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.loo_mean_chars is None and r.delta_mean_chars is None
+    assert r.exclusive_distinct == 4 and r.loo_distinct_texts == 0
