@@ -22572,3 +22572,89 @@ def source_loo_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("loo_distinct_texts"),
         )
     )
+
+
+@_q(
+    "sketch_cms_user_counts",
+    """
+    WITH d4 AS (SELECT unnest(range(0, 4)) AS d),
+    upd AS (
+      SELECT d4.d,
+             ('0x' || substr(md5('cms' || CAST(d4.d AS VARCHAR) || '|'
+                                 || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+               % 256 AS bucket
+      FROM events CROSS JOIN d4),
+    cms AS (
+      SELECT d, bucket, CAST(count(*) AS BIGINT) AS c
+      FROM upd GROUP BY d, bucket),
+    tru AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS true_count
+      FROM events GROUP BY user_id),
+    top AS (
+      SELECT user_id, true_count FROM tru
+      ORDER BY true_count DESC, user_id LIMIT 20),
+    probes AS (
+      SELECT top.user_id, top.true_count, d4.d,
+             ('0x' || substr(md5('cms' || CAST(d4.d AS VARCHAR) || '|'
+                                 || CAST(top.user_id AS VARCHAR)), 1, 8))::BIGINT
+               % 256 AS bucket
+      FROM top CROSS JOIN d4)
+    SELECT p.user_id, p.true_count,
+           CAST(MIN(cms.c) AS BIGINT) AS cms_estimate,
+           CAST(MIN(cms.c) - p.true_count AS BIGINT) AS overestimate
+    FROM probes p JOIN cms ON cms.d = p.d AND cms.bucket = p.bucket
+    GROUP BY p.user_id, p.true_count
+    """,
+)
+def sketch_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT-MIN SKETCH point queries (Cormode & Muthukrishnan 2005) —
+    the mergeable fixed-memory frequency sketch that answers "how many
+    events did user X have" from 4 x 256 counters instead of a
+    |users|-sized table: each event increments one counter per depth
+    (md5-salted row hashing, the repo's standard replayable bucket
+    idiom), and a point estimate is the MIN over its 4 counters —
+    provably >= the true count (one-sided error), with overestimate
+    <= 2N/256 at 98% per the paper's (e, delta) bound.  The readout
+    estimates the TRUE top-20 users so the one-sided guarantee is
+    checkable row by row (overestimate is never negative).
+
+    [[approx_distinct_users]] (HLL) answers "how many distinct";
+    [[agg_heavy_hitters]] (Misra-Gries) answers "who is frequent";
+    CMS completes the sketch family with "how often, for anyone".
+
+    Scale shape: the 4x fan-out collapses map-side to <= 1024 counter
+    cells before the shuffle (the whole sketch is partial-aggregatable
+    BY CONSTRUCTION — that is the point of CMS: per-partition sketches
+    sum cell-wise), one exact per-user aggregate for ground truth, a
+    top-k TakeOrdered, and a 80-row probe join against the 1024-cell
+    counter table."""
+    from lvm_datapipe_spark.operators.sampling import hash_bucket
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    d4 = spark.range(4).select(F.col("id").cast("int").alias("d"))
+
+    def _bucket(user_col: str) -> F.Column:
+        salt = F.concat(
+            F.lit("cms"), F.col("d").cast("string"), F.lit("|"),
+            F.col(user_col).cast("string"),
+        )
+        h = F.md5(salt.cast("binary"))
+        return (F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % 256)
+
+    upd = ev.crossJoin(F.broadcast(d4)).select("d", _bucket("user_id").alias("bucket"))
+    cms = upd.groupBy("d", "bucket").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tru = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("true_count")
+    )
+    top = tru.orderBy(F.col("true_count").desc(), "user_id").limit(20)
+    probes = top.crossJoin(F.broadcast(d4)).select(
+        "user_id", "true_count", "d", _bucket("user_id").alias("bucket")
+    )
+    return (
+        probes.join(cms, ["d", "bucket"])
+        .groupBy("user_id", "true_count")
+        .agg(
+            F.min("c").cast("long").alias("cms_estimate"),
+            (F.min("c") - F.col("true_count")).cast("long").alias("overestimate"),
+        )
+    )

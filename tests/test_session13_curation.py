@@ -312,3 +312,56 @@ def test_source_loo_single_source_fixture(spark, tmp_path):
     r = out[0]
     assert r.loo_mean_chars is None and r.delta_mean_chars is None
     assert r.exclusive_distinct == 4 and r.loo_distinct_texts == 0
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: one-sided error, paper bound, mergeability
+# ---------------------------------------------------------------------------
+
+
+def _cms_bucket(d: int, key) -> int:
+    return int(_md5(f"cms{d}|{key}")[:8], 16) % 256
+
+
+def test_cms_one_sided_and_exact_model(spark):
+    """The estimate must equal the python CMS model exactly, never be
+    below the true count, and respect the paper's eN/w expectation
+    loosely (x8 slack — it is a tail bound, not a promise per key)."""
+    events = duckdb.sql(f"SELECT user_id FROM '{SF}/events.parquet'").df()
+    n = len(events)
+    counters: dict[tuple[int, int], int] = {}
+    for u in events.user_id:
+        for d in range(4):
+            b = _cms_bucket(d, u)
+            counters[(d, b)] = counters.get((d, b), 0) + 1
+    true = events.user_id.value_counts()
+    rows = QUERIES["sketch_cms_user_counts"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        expect = min(counters[(d, _cms_bucket(d, r.user_id))] for d in range(4))
+        assert r.cms_estimate == expect
+        assert r.true_count == int(true[r.user_id])
+        assert r.overestimate >= 0  # CMS never underestimates
+        assert r.overestimate <= 8 * (2 * n / 256)
+
+
+def test_cms_counters_merge_like_partials(spark):
+    """Cell-wise SUM of per-half sketches == the whole-corpus sketch (the
+    property that makes CMS a distributed partial aggregate)."""
+    events = duckdb.sql(f"SELECT event_id, user_id FROM '{SF}/events.parquet'").df()
+    halves = [events[events.event_id % 2 == 0], events[events.event_id % 2 == 1]]
+    merged: dict[tuple[int, int], int] = {}
+    for h in halves:
+        part: dict[tuple[int, int], int] = {}
+        for u in h.user_id:
+            for d in range(4):
+                b = _cms_bucket(d, u)
+                part[(d, b)] = part.get((d, b), 0) + 1
+        for k, v in part.items():
+            merged[k] = merged.get(k, 0) + v
+    whole: dict[tuple[int, int], int] = {}
+    for u in events.user_id:
+        for d in range(4):
+            b = _cms_bucket(d, u)
+            whole[(d, b)] = whole.get((d, b), 0) + 1
+    assert merged == whole
