@@ -22658,3 +22658,182 @@ def sketch_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.min("c") - F.col("true_count")).cast("long").alias("overestimate"),
         )
     )
+
+
+@_q(
+    "ab_permutation_fdr_bh",
+    """
+    WITH reps AS (SELECT unnest(range(0, 50)) AS r),
+    base AS (
+      SELECT e.event_type, reps.r,
+             CASE WHEN reps.r = 0
+                  THEN CASE WHEN isodow(e.ts) - 1 >= 5 THEN 1 ELSE 0 END
+                  ELSE CAST(('0x' || substr(md5('perm' || CAST(reps.r AS VARCHAR)
+                             || '|' || CAST(e.event_id AS VARCHAR)), 1, 8))::BIGINT
+                            % 2 AS INTEGER)
+             END AS side,
+             e.value
+      FROM events e CROSS JOIN reps),
+    cell AS (
+      SELECT event_type, r,
+             CAST(SUM(CASE WHEN side = 1
+                           THEN CAST(value AS DECIMAL(27,6)) END) AS DOUBLE) AS s1,
+             CAST(SUM(CASE WHEN side = 0
+                           THEN CAST(value AS DECIMAL(27,6)) END) AS DOUBLE) AS s0,
+             CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0
+      FROM base GROUP BY event_type, r),
+    stat AS (
+      SELECT event_type, r,
+             CASE WHEN n0 > 0 AND n1 > 0 THEN abs(s1 / n1 - s0 / n0) END AS stat
+      FROM cell),
+    obs AS (SELECT event_type, stat AS stat_obs
+            FROM stat WHERE r = 0 AND stat IS NOT NULL),
+    pv AS (
+      SELECT o.event_type, o.stat_obs,
+             CAST(1 + SUM(CASE WHEN s.stat IS NOT NULL AND s.stat >= o.stat_obs
+                               THEN 1 ELSE 0 END) AS DOUBLE) / 50.0 AS p_value
+      FROM obs o JOIN stat s ON s.event_type = o.event_type AND s.r >= 1
+      GROUP BY o.event_type, o.stat_obs),
+    mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pv),
+    rk AS (
+      SELECT pv.event_type, pv.stat_obs, pv.p_value, mm.m,
+             CAST(ROW_NUMBER() OVER (ORDER BY pv.p_value, pv.event_type)
+                  AS BIGINT) AS rank
+      FROM pv CROSS JOIN mm),
+    fl AS (
+      SELECT event_type, stat_obs, p_value, rank,
+             CAST(rank AS DOUBLE) * 0.10 / CAST(m AS DOUBLE) AS bh_threshold,
+             p_value <= CAST(rank AS DOUBLE) * 0.10 / CAST(m AS DOUBLE) AS passes
+      FROM rk),
+    ks AS (SELECT COALESCE(MAX(CASE WHEN passes THEN rank END), 0) AS kstar
+           FROM fl)
+    SELECT fl.event_type, fl.stat_obs, fl.p_value, fl.rank, fl.bh_threshold,
+           fl.rank <= ks.kstar AS rejected
+    FROM fl CROSS JOIN ks
+    """,
+)
+def ab_permutation_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT permutation test per event type + BENJAMINI-HOCHBERG FDR
+    control across the family — the multiple-testing discipline every
+    experimentation platform needs once it tests many metrics at once.
+    Per type, the statistic is |weekend mean value - weekday mean value|;
+    its null distribution comes from 49 DETERMINISTIC pseudo-splits
+    (md5-salted per replicate — the engine-portable stand-in for random
+    permutations), giving the textbook exact rational p-value
+    (1 + #{null >= observed}) / 50 with NO erf/exp/inverse-CDF anywhere
+    (those functions are not bit-portable across engines; integer
+    comparisons of identically-derived doubles are).  BH then ranks the
+    m p-values and rejects ranks <= k* = max{i : p_(i) <= i*q/m} at
+    q = 0.10 — the step-up rule, including the subtlety that a
+    non-passing rank BELOW k* is still rejected.
+
+    Scale shape: the 50x replicate fan-out collapses map-side to
+    |types| x 50 x 2 cells before the shuffle (conditional decimal
+    partials — same argument as [[sketch_cms_user_counts]]); everything
+    after the cell table is metadata-sized (the ROW_NUMBER window ranks
+    m ~ 6 aggregate rows, not corpus rows)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    reps = spark.range(50).select(F.col("id").alias("r"))
+    perm_side = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("perm"),
+                        F.col("r").cast("string"),
+                        F.lit("|"),
+                        F.col("event_id").cast("string"),
+                    ).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    ).cast("int")
+    side = F.when(
+        F.col("r") == 0,
+        F.when(F.weekday("ts") >= 5, 1).otherwise(0),
+    ).otherwise(perm_side)
+    base = ev.crossJoin(F.broadcast(reps)).select(
+        "event_type", "r", side.alias("side"), "value"
+    )
+    dec = F.col("value").cast("decimal(27,6)")
+    cell = base.groupBy("event_type", "r").agg(
+        F.sum(F.when(F.col("side") == 1, dec)).cast("double").alias("s1"),
+        F.sum(F.when(F.col("side") == 0, dec)).cast("double").alias("s0"),
+        F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).cast("long").alias("n0"),
+    )
+    stat = cell.select(
+        "event_type",
+        "r",
+        F.when(
+            (F.col("n0") > 0) & (F.col("n1") > 0),
+            F.abs(F.col("s1") / F.col("n1") - F.col("s0") / F.col("n0")),
+        ).alias("stat"),
+    )
+    obs = (
+        stat.filter((F.col("r") == 0) & F.col("stat").isNotNull())
+        .select("event_type", F.col("stat").alias("stat_obs"))
+    )
+    nulls = stat.filter(F.col("r") >= 1).select(
+        F.col("event_type").alias("_t"), F.col("stat").alias("_s")
+    )
+    pv = (
+        obs.join(nulls, F.col("_t") == F.col("event_type"))
+        .groupBy("event_type", "stat_obs")
+        .agg(
+            (
+                (
+                    F.lit(1)
+                    + F.sum(
+                        F.when(
+                            F.col("_s").isNotNull()
+                            & (F.col("_s") >= F.col("stat_obs")),
+                            1,
+                        ).otherwise(0)
+                    )
+                ).cast("double")
+                / F.lit(50.0)
+            ).alias("p_value")
+        )
+    )
+    mm = pv.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    rk = pv.crossJoin(F.broadcast(mm)).withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy("p_value", "event_type"))
+        .cast("long"),
+    )
+    fl = rk.select(
+        "event_type",
+        "stat_obs",
+        "p_value",
+        "rank",
+        (F.col("rank").cast("double") * 0.10 / F.col("m").cast("double")).alias(
+            "bh_threshold"
+        ),
+        (
+            F.col("p_value")
+            <= F.col("rank").cast("double") * 0.10 / F.col("m").cast("double")
+        ).alias("passes"),
+    )
+    ks = fl.agg(
+        F.coalesce(
+            F.max(F.when(F.col("passes"), F.col("rank"))), F.lit(0)
+        ).alias("kstar")
+    )
+    return fl.crossJoin(F.broadcast(ks)).select(
+        "event_type",
+        "stat_obs",
+        "p_value",
+        "rank",
+        "bh_threshold",
+        (F.col("rank") <= F.col("kstar")).alias("rejected"),
+    )

@@ -365,3 +365,102 @@ def test_cms_counters_merge_like_partials(spark):
             b = _cms_bucket(d, u)
             whole[(d, b)] = whole.get((d, b), 0) + 1
     assert merged == whole
+
+
+# ---------------------------------------------------------------------------
+# Permutation test + Benjamini-Hochberg: python mirror + effect fixture
+# ---------------------------------------------------------------------------
+
+
+def _perm_side(r: int, event_id) -> int:
+    return int(_md5(f"perm{r}|{event_id}")[:8], 16) % 2
+
+
+def test_permutation_bh_matches_python_mirror(spark):
+    ev = duckdb.sql(
+        f"SELECT event_id, event_type, ts, value FROM '{SF}/events.parquet'"
+    ).df()
+    ev["weekend"] = ev.ts.map(lambda t: t.weekday() >= 5)
+    stats: dict[str, list] = {}
+    for t, g in ev.groupby("event_type"):
+        row = []
+        for r in range(50):
+            if r == 0:
+                side = g.weekend
+            else:
+                side = g.event_id.map(lambda e: _perm_side(r, e) == 1)
+            a, b = g.value[side], g.value[~side]
+            row.append(
+                abs(a.mean() - b.mean()) if len(a) and len(b) else None
+            )
+        stats[t] = row
+    pvals = {
+        t: (1 + sum(1 for s in row[1:] if s is not None and s >= row[0])) / 50.0
+        for t, row in stats.items()
+        if row[0] is not None
+    }
+    m = len(pvals)
+    order = sorted(pvals, key=lambda t: (pvals[t], t))
+    kstar = max(
+        (i + 1 for i, t in enumerate(order) if pvals[t] <= (i + 1) * 0.10 / m),
+        default=0,
+    )
+    rows = QUERIES["ab_permutation_fdr_bh"](spark, SF).collect()
+    got = {r.event_type: r for r in rows}
+    assert set(got) == set(pvals)
+    for i, t in enumerate(order):
+        assert got[t].rank == i + 1
+        assert got[t].p_value == pytest.approx(pvals[t], abs=1e-12)
+        assert got[t].rejected == (i + 1 <= kstar)
+    # step-up property holds on the output itself
+    max_pass = max(
+        (r.rank for r in rows if r.p_value <= r.bh_threshold), default=0
+    )
+    for r in rows:
+        assert r.rejected == (r.rank <= max_pass)
+
+
+def test_permutation_bh_planted_effect_fixture(spark, tmp_path):
+    """One type with a massive weekend lift must be rejected (p = the
+    minimum 1/50 = 0.02 <= q/m); a constant-value type (every split
+    difference exactly 0, observed included) must not out-rank it."""
+    rows = []
+    eid = 0
+    # 2024-01-06 is a Saturday; 2024-01-03 a Wednesday
+    for day, weekend in ((6, True), (3, False)):
+        for i in range(60):
+            rows.append(
+                (
+                    eid,
+                    dt.datetime(2024, 1, day, 10, 0, i),
+                    eid % 7,
+                    "lifted",
+                    1000.0 if weekend else 1.0,
+                    "{}",
+                )
+            )
+            eid += 1
+            rows.append(
+                (
+                    eid,
+                    dt.datetime(2024, 1, day, 11, 0, i),
+                    eid % 7,
+                    "flat",
+                    5.0,
+                    "{}",
+                )
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r.event_type: r
+        for r in QUERIES["ab_permutation_fdr_bh"](spark, str(tmp_path)).collect()
+    }
+    assert out["lifted"].p_value == pytest.approx(0.02)  # beats all 49 nulls
+    assert out["lifted"].rejected
+    assert out["flat"].stat_obs == 0.0
+    assert not out["flat"].rejected
