@@ -22837,3 +22837,169 @@ def ab_permutation_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bh_threshold",
         (F.col("rank") <= F.col("kstar")).alias("rejected"),
     )
+
+
+def _hll32_sql() -> str:
+    """DuckDB replay of the 32-register md5 HyperLogLog intersection.
+
+    Every float the estimator touches is EXACT in IEEE doubles: register
+    weights are dyadic rationals 2^-r (emitted as literals generated from
+    the same python loop that builds the Spark CASE chain), and the
+    32-term register sums span ~40 bits of precision — well inside the
+    53-bit mantissa — so summation order cannot change bits and the
+    whole estimate is FULL-oracle portable, unlike the engine-native
+    Datasketches path ([[approx_distinct_users]], rows-only by design).
+    """
+    rank_arms = " ".join(
+        f"WHEN rem >= {1 << (26 - i)} THEN {i + 1}" for i in range(27)
+    )
+    w_arms = {
+        f"m{side}": " ".join(
+            f"WHEN {col} = {r} THEN CAST({2.0 ** -r!r} AS DOUBLE)"
+            for r in range(29)
+        )
+        for side, col in (("a", "ma"), ("b", "mb"), ("u", "mu"))
+        for col in (f"m{side}",)
+    }
+    return f"""
+    WITH h AS (
+      SELECT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|'
+                 || CAST(CAST(ts AS DATE) AS VARCHAR)), 1, 8))::BIGINT AS h32
+      FROM events),
+    hr AS (
+      SELECT event_type, h32 % 32 AS bucket,
+             CAST(floor(CAST(h32 AS DOUBLE) / 32.0) AS BIGINT) AS rem
+      FROM h),
+    regs AS (
+      SELECT event_type, bucket,
+             MAX(CASE {rank_arms} ELSE 28 END) AS mx
+      FROM hr GROUP BY event_type, bucket),
+    ty AS (SELECT DISTINCT event_type FROM events),
+    pairs AS (
+      SELECT a.event_type AS ta, b.event_type AS tb
+      FROM ty a JOIN ty b ON a.event_type < b.event_type),
+    dense AS (
+      SELECT pairs.ta, pairs.tb, g.bucket,
+             COALESCE(ra.mx, 0) AS ma, COALESCE(rb.mx, 0) AS mb,
+             GREATEST(COALESCE(ra.mx, 0), COALESCE(rb.mx, 0)) AS mu
+      FROM pairs CROSS JOIN (SELECT unnest(range(0, 32)) AS bucket) g
+      LEFT JOIN regs ra ON ra.event_type = pairs.ta AND ra.bucket = g.bucket
+      LEFT JOIN regs rb ON rb.event_type = pairs.tb AND rb.bucket = g.bucket),
+    sums AS (
+      SELECT ta, tb,
+             SUM(CASE {w_arms["ma"]} END) AS sa,
+             SUM(CASE {w_arms["mb"]} END) AS sb,
+             SUM(CASE {w_arms["mu"]} END) AS su
+      FROM dense GROUP BY ta, tb)
+    SELECT ta, tb,
+           0.697 * 1024.0 / sa AS est_a,
+           0.697 * 1024.0 / sb AS est_b,
+           0.697 * 1024.0 / su AS est_union,
+           (0.697 * 1024.0 / sa + 0.697 * 1024.0 / sb)
+             - 0.697 * 1024.0 / su AS est_intersection
+    FROM sums
+    """
+
+
+@_q("sketch_hll_audience_intersection", _hll32_sql())
+def sketch_hll_audience_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIENCE-OVERLAP estimation from mergeable HyperLogLog sketches
+    (Flajolet et al. 2007): per event-type pair, the estimated distinct
+    active user-days of each type, of their UNION (registers merge by
+    element-wise MAX — the property that makes HLL a distributed partial
+    aggregate), and of their INTERSECTION via inclusion-exclusion — the
+    one set operation HLL cannot answer natively, and exactly how
+    audience-overlap dashboards do it at scale (store one sketch per
+    segment, never re-scan).  This is a hand-rolled 32-register md5 HLL,
+    NOT the engine's Datasketches aggregate, precisely so the estimator
+    is bit-replayable in the DuckDB oracle (see [[approx_distinct_users]]
+    for the native rows-only twin).  Raw estimator only — 32 registers
+    keep every tested cardinality above the 2.5m small-range cutoff, and
+    the linear-counting correction needs ln(), which is not bit-portable
+    across engines (documented limit).
+
+    Scale shape: one scan to (type, bucket) max-rank registers (a 32-row
+    sketch per type, partial-aggregatable map-side), then all pair math
+    on |types|^2 x 32 metadata rows; no distinct, no pairwise user join
+    anywhere."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id", "ts")
+    key = F.concat(
+        F.col("user_id").cast("string"),
+        F.lit("|"),
+        F.col("ts").cast("date").cast("string"),
+    )
+    h32 = F.conv(F.substring(F.md5(key.cast("binary")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    rem = F.floor(h32.cast("double") / 32.0).cast("bigint")
+    rank: F.Column = F.lit(28)
+    for i in reversed(range(27)):  # build the CASE ladder bottom-up
+        rank = F.when(rem >= (1 << (26 - i)), i + 1).otherwise(rank)
+    hr = ev.select(
+        "event_type", (h32 % 32).alias("bucket"), rank.alias("rank")
+    )
+    regs = hr.groupBy("event_type", "bucket").agg(F.max("rank").alias("mx"))
+    ty = ev.select("event_type").distinct()
+    pairs = (
+        ty.select(F.col("event_type").alias("ta"))
+        .join(
+            ty.select(F.col("event_type").alias("tb")),
+            F.col("ta") < F.col("tb"),
+        )
+    )
+    g = spark.range(32).select(F.col("id").cast("bigint").alias("bucket"))
+    ra = regs.select(
+        F.col("event_type").alias("_ta"),
+        F.col("bucket").alias("_ba"),
+        F.col("mx").alias("_mxa"),
+    )
+    rb = regs.select(
+        F.col("event_type").alias("_tb"),
+        F.col("bucket").alias("_bb"),
+        F.col("mx").alias("_mxb"),
+    )
+    dense = (
+        pairs.crossJoin(F.broadcast(g))
+        .join(
+            ra,
+            (F.col("_ta") == F.col("ta")) & (F.col("_ba") == F.col("bucket")),
+            "left",
+        )
+        .join(
+            rb,
+            (F.col("_tb") == F.col("tb")) & (F.col("_bb") == F.col("bucket")),
+            "left",
+        )
+        .select(
+            "ta",
+            "tb",
+            F.coalesce(F.col("_mxa"), F.lit(0)).alias("ma"),
+            F.coalesce(F.col("_mxb"), F.lit(0)).alias("mb"),
+            F.greatest(
+                F.coalesce(F.col("_mxa"), F.lit(0)),
+                F.coalesce(F.col("_mxb"), F.lit(0)),
+            ).alias("mu"),
+        )
+    )
+
+    def _w(col: str) -> F.Column:
+        expr = F.lit(None).cast("double")
+        for r in reversed(range(29)):
+            expr = F.when(F.col(col) == r, F.lit(2.0 ** -r)).otherwise(expr)
+        return expr
+
+    sums = dense.groupBy("ta", "tb").agg(
+        F.sum(_w("ma")).alias("sa"),
+        F.sum(_w("mb")).alias("sb"),
+        F.sum(_w("mu")).alias("su"),
+    )
+    est = lambda s: F.lit(0.697) * F.lit(1024.0) / F.col(s)  # noqa: E731
+    return sums.select(
+        "ta",
+        "tb",
+        est("sa").alias("est_a"),
+        est("sb").alias("est_b"),
+        est("su").alias("est_union"),
+        ((est("sa") + est("sb")) - est("su")).alias("est_intersection"),
+    )

@@ -464,3 +464,56 @@ def test_permutation_bh_planted_effect_fixture(spark, tmp_path):
     assert out["lifted"].rejected
     assert out["flat"].stat_obs == 0.0
     assert not out["flat"].rejected
+
+
+# ---------------------------------------------------------------------------
+# HLL intersection: python mirror, merge property, accuracy envelope
+# ---------------------------------------------------------------------------
+
+
+def _hll_regs(keys) -> list[int]:
+    regs = [0] * 32
+    for k in keys:
+        h = int(_md5(k)[:8], 16)
+        b, rem = h % 32, h // 32
+        rank = 28
+        for i in range(27):
+            if rem >= 1 << (26 - i):
+                rank = i + 1
+                break
+        regs[b] = max(regs[b], rank)
+    return regs
+
+
+def _hll_est(regs) -> float:
+    s = sum(2.0 ** -r for r in regs)
+    return 0.697 * 1024.0 / s
+
+
+def test_hll_intersection_mirror_merge_and_accuracy(spark):
+    ev = duckdb.sql(
+        f"SELECT event_type, user_id || '|' || CAST(CAST(ts AS DATE) AS VARCHAR)"
+        f" AS key FROM '/root/testdata/sf0.001/events.parquet'"
+    ).df()
+    sets = {t: set(g.key) for t, g in ev.groupby("event_type")}
+    regs = {t: _hll_regs(s) for t, s in sets.items()}
+    rows = QUERIES["sketch_hll_audience_intersection"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == len(sets) * (len(sets) - 1) // 2
+    for r in rows:
+        a, b = sets[r.ta], sets[r.tb]
+        # (1) python mirror: identical registers => identical estimates
+        assert r.est_a == _hll_est(regs[r.ta])
+        assert r.est_b == _hll_est(regs[r.tb])
+        # (2) union registers are the element-wise max (mergeability):
+        # sketch(A ∪ B) == max-merge of the two sketches, exactly
+        merged = [max(x, y) for x, y in zip(regs[r.ta], regs[r.tb])]
+        assert merged == _hll_regs(a | b)
+        assert r.est_union == _hll_est(merged)
+        # (3) accuracy: raw 32-register HLL has sigma ~ 1.04/sqrt(32) = 18%;
+        # allow 3 sigma per estimate, compounded for the intersection
+        assert r.est_a == pytest.approx(len(a), rel=0.55)
+        assert r.est_union == pytest.approx(len(a | b), rel=0.55)
+        inter = len(a & b)
+        assert abs(r.est_intersection - inter) <= 0.6 * len(a | b)
