@@ -23003,3 +23003,128 @@ def sketch_hll_audience_intersection(spark: SparkSession, sf_dir: str) -> DataFr
         est("su").alias("est_union"),
         ((est("sa") + est("sb")) - est("su")).alias("est_intersection"),
     )
+
+
+@_q(
+    "uplift_qini_by_decile",
+    f"""
+    WITH u AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS score,
+             CAST(MAX(CASE WHEN event_type = 'purchase' AND value > 100.0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS converted,
+             CASE WHEN ('0x' || substr(md5('exp1'
+                        || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 10000 < 5000 THEN 1 ELSE 0 END AS treated
+      FROM events GROUP BY user_id),
+    q AS (SELECT quantile_cont(score, {_DECILE_PS}) AS t FROM u),
+    b AS (SELECT u.*,
+                 1 + {' + '.join(f'(CASE WHEN u.score < t[{i + 1}] THEN 1 ELSE 0 END)' for i in range(9))} AS decile
+          FROM u CROSS JOIN q),
+    d AS (
+      SELECT decile,
+             CAST(SUM(treated) AS BIGINT) AS n_treat,
+             CAST(SUM(1 - treated) AS BIGINT) AS n_ctrl,
+             CAST(SUM(treated * converted) AS BIGINT) AS conv_treat,
+             CAST(SUM((1 - treated) * converted) AS BIGINT) AS conv_ctrl
+      FROM b GROUP BY decile),
+    c AS (
+      SELECT d.*,
+             SUM(n_treat) OVER w AS cum_nt, SUM(n_ctrl) OVER w AS cum_nc,
+             SUM(conv_treat) OVER w AS cum_ct, SUM(conv_ctrl) OVER w AS cum_cc
+      FROM d
+      WINDOW w AS (ORDER BY decile ROWS UNBOUNDED PRECEDING))
+    SELECT decile, n_treat, n_ctrl, conv_treat, conv_ctrl,
+           CASE WHEN n_treat > 0 AND n_ctrl > 0
+                THEN CAST(conv_treat AS DOUBLE) / n_treat
+                     - CAST(conv_ctrl AS DOUBLE) / n_ctrl END AS uplift_rate,
+           CASE WHEN cum_nc > 0
+                THEN CAST(cum_ct AS DOUBLE)
+                     - CAST(cum_cc AS DOUBLE)
+                       * (CAST(cum_nt AS DOUBLE) / CAST(cum_nc AS DOUBLE))
+           END AS qini
+    FROM c
+    """,
+)
+def uplift_qini_by_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QINI curve by score decile — the standard uplift-model evaluation
+    (Radcliffe 2007): users ranked by a deterministic targeting score
+    (view count), split into the md5 experiment arms ([[ab_test_welch_z]]
+    family), and per cumulative top-k the Qini statistic
+    Q(k) = cum_conv_T(k) - cum_conv_C(k) * N_T(k)/N_C(k) — "how many
+    EXTRA conversions did treating the top k deciles buy over treating
+    no one", the incremental-value analog of
+    [[classifier_gains_table]]'s pure-response gains.  Decile 1 is the
+    TOP of the score distribution (the ladder counts thresholds above),
+    so the window cumulates in targeting order.
+
+    Scale shape: one user-keyed aggregate, ONE percentile aggregate
+    broadcast back as a 9-literal comparison ladder (the
+    [[w5_deciles_bucketed]] scale-safe pattern — no global NTILE), a
+    10-row decile aggregate, and cumulative windows over those 10
+    metadata rows only."""
+    from lvm_datapipe_spark.operators.sampling import hash_bucket
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value"
+    )
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("score"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 100.0),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("converted"),
+    ).withColumn(
+        "treated",
+        F.when(hash_bucket("user_id", 10_000, "exp1") < 5000, 1).otherwise(0),
+    )
+    th = u.agg(F.percentile("score", F.lit(_DECILE_PS)).alias("t"))
+    decile = F.lit(1)
+    for i in range(9):
+        decile = decile + (F.col("score") < F.element_at("t", i + 1)).cast("int")
+    b = u.crossJoin(F.broadcast(th)).select(
+        "score", "converted", "treated", decile.alias("decile")
+    )
+    d = b.groupBy("decile").agg(
+        F.sum("treated").cast("long").alias("n_treat"),
+        F.sum(1 - F.col("treated")).cast("long").alias("n_ctrl"),
+        F.sum(F.col("treated") * F.col("converted"))
+        .cast("long")
+        .alias("conv_treat"),
+        F.sum((1 - F.col("treated")) * F.col("converted"))
+        .cast("long")
+        .alias("conv_ctrl"),
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    c = d.select(
+        "*",
+        F.sum("n_treat").over(w).alias("cum_nt"),
+        F.sum("n_ctrl").over(w).alias("cum_nc"),
+        F.sum("conv_treat").over(w).alias("cum_ct"),
+        F.sum("conv_ctrl").over(w).alias("cum_cc"),
+    )
+    return c.select(
+        "decile",
+        "n_treat",
+        "n_ctrl",
+        "conv_treat",
+        "conv_ctrl",
+        F.when(
+            (F.col("n_treat") > 0) & (F.col("n_ctrl") > 0),
+            F.col("conv_treat").cast("double") / F.col("n_treat")
+            - F.col("conv_ctrl").cast("double") / F.col("n_ctrl"),
+        ).alias("uplift_rate"),
+        F.when(
+            F.col("cum_nc") > 0,
+            F.col("cum_ct").cast("double")
+            - F.col("cum_cc").cast("double")
+            * (F.col("cum_nt").cast("double") / F.col("cum_nc").cast("double")),
+        ).alias("qini"),
+    )

@@ -517,3 +517,90 @@ def test_hll_intersection_mirror_merge_and_accuracy(spark):
         assert r.est_union == pytest.approx(len(a | b), rel=0.55)
         inter = len(a & b)
         assert abs(r.est_intersection - inter) <= 0.6 * len(a | b)
+
+
+# ---------------------------------------------------------------------------
+# Qini curve: python mirror + planted-uplift fixture
+# ---------------------------------------------------------------------------
+
+
+def _treated(user_id) -> bool:
+    return int(_md5(f"exp1{user_id}")[:8], 16) % 10000 < 5000
+
+
+def test_qini_matches_python_mirror(spark):
+    ev = duckdb.sql(
+        f"SELECT user_id, event_type, value FROM '{SF}/events.parquet'"
+    ).df()
+    users = {}
+    for uid, g in ev.groupby("user_id"):
+        score = int((g.event_type == "view").sum())
+        conv = int(
+            ((g.event_type == "purchase") & (g.value > 100.0)).any()
+        )
+        users[uid] = (score, conv, _treated(uid))
+    import numpy as np
+
+    scores = np.array([v[0] for v in users.values()], dtype=float)
+    # numpy 'linear' == quantile_cont == Spark percentile
+    ts = [np.quantile(scores, p, method="linear") for p in
+          (0.9, 0.8, 0.7, 0.6, 0.5, 0.4, 0.3, 0.2, 0.1)]
+    agg = {}
+    for score, conv, treated in users.values():
+        dec = 1 + sum(1 for t in ts if score < t)
+        nt, nc, ct, cc = agg.get(dec, (0, 0, 0, 0))
+        agg[dec] = (
+            nt + treated,
+            nc + (not treated),
+            ct + conv * treated,
+            cc + conv * (not treated),
+        )
+    rows = sorted(
+        QUERIES["uplift_qini_by_decile"](spark, SF).collect(),
+        key=lambda r: r.decile,
+    )
+    assert {r.decile for r in rows} == set(agg)
+    cum = [0, 0, 0, 0]
+    for r in rows:
+        assert (r.n_treat, r.n_ctrl, r.conv_treat, r.conv_ctrl) == agg[r.decile]
+        cum = [c + x for c, x in zip(cum, agg[r.decile])]
+        if cum[1] > 0:
+            assert r.qini == pytest.approx(
+                cum[2] - cum[3] * (cum[0] / cum[1]), abs=1e-9
+            )
+
+
+def test_qini_planted_uplift_fixture(spark, tmp_path):
+    """Treated high-score users convert, control never does: Qini at the
+    full population equals the total treated conversions."""
+    rows, eid = [], 0
+    uids = list(range(40))
+    for uid in uids:
+        nviews = 10 if uid % 2 == 0 else 1  # even users are high-score
+        for i in range(nviews):
+            rows.append(
+                (eid, dt.datetime(2024, 1, 2, 8, 0, i), uid, "view", 1.0, "{}")
+            )
+            eid += 1
+        if _treated(uid):  # only treated users ever convert
+            rows.append(
+                (eid, dt.datetime(2024, 1, 2, 9, 0, 0), uid, "purchase", 500.0, "{}")
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    out = sorted(
+        QUERIES["uplift_qini_by_decile"](spark, str(tmp_path)).collect(),
+        key=lambda r: r.decile,
+    )
+    n_treated = sum(1 for u in uids if _treated(u))
+    last = out[-1]
+    # the final cumulative cell covers everyone: qini == all treated convs
+    # (control contributes 0), and per-decile uplift is never negative
+    assert last.qini == pytest.approx(n_treated, abs=1e-9)
+    for r in out:
+        if r.uplift_rate is not None:
+            assert r.uplift_rate >= 0.0
