@@ -23128,3 +23128,202 @@ def uplift_qini_by_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.col("cum_nt").cast("double") / F.col("cum_nc").cast("double")),
         ).alias("qini"),
     )
+
+
+@_q(
+    "eval_langid_confusion",
+    """
+    WITH t AS (SELECT doc_id, lang,
+                      list_filter(string_split_regex(text, '\\s+'),
+                                  x -> x <> '') toks
+               FROM documents),
+    h AS (
+      SELECT doc_id, lang,
+        CAST(len(list_filter(toks, x -> list_contains(['the','a','and','of','is'], lower(x)))) AS INTEGER) AS hits_en,
+        CAST(len(list_filter(toks, x -> list_contains(['le','la','les','et','une'], lower(x)))) AS INTEGER) AS hits_fr,
+        CAST(len(list_filter(toks, x -> list_contains(['el','los','y','que','una'], lower(x)))) AS INTEGER) AS hits_es,
+        CAST(len(list_filter(toks, x -> list_contains(['der','die','das','und','ist'], lower(x)))) AS INTEGER) AS hits_de
+      FROM t),
+    p AS (
+      SELECT lang AS declared_lang,
+             CASE WHEN greatest(hits_en, hits_fr, hits_es, hits_de) = 0 THEN 'und'
+                  WHEN hits_en = greatest(hits_en, hits_fr, hits_es, hits_de) THEN 'en'
+                  WHEN hits_fr = greatest(hits_en, hits_fr, hits_es, hits_de) THEN 'fr'
+                  WHEN hits_es = greatest(hits_en, hits_fr, hits_es, hits_de) THEN 'es'
+                  ELSE 'de' END AS predicted_lang
+      FROM h),
+    cell AS (
+      SELECT declared_lang, predicted_lang, CAST(count(*) AS BIGINT) AS n
+      FROM p GROUP BY declared_lang, predicted_lang),
+    tot AS (
+      SELECT declared_lang, CAST(SUM(n) AS BIGINT) AS n_declared
+      FROM cell GROUP BY declared_lang)
+    SELECT cell.declared_lang, cell.predicted_lang, cell.n,
+           CAST(cell.n AS DOUBLE) / tot.n_declared AS frac_of_declared
+    FROM cell JOIN tot ON tot.declared_lang = cell.declared_lang
+    """,
+)
+def eval_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONFUSION MATRIX of the n-gram language identifier against the
+    corpus's declared language labels — the QA readout every curation
+    team runs before trusting a langid gate (CCNet publishes exactly
+    this per-shard): each (declared, predicted) cell with its count and
+    its share of the declared language's documents (row-normalized
+    recall).  Composes the [[text_langid]] stopword-hit kernel
+    (operators/text.language_id) with the label column; disagreement
+    cells are where the gate would mis-route documents.
+
+    Scale shape: the langid scan (per-doc token-list filters, no
+    shuffle), one keyed cell aggregate bounded by |langs|^2, one
+    |langs|-row rollup joined back — all post-scan work is
+    metadata-sized."""
+    from lvm_datapipe_spark.operators import text as X
+
+    docs = load_table(spark, sf_dir, "documents")
+    p = X.language_id(docs).join(
+        docs.select("doc_id", F.col("lang").alias("declared_lang")), "doc_id"
+    )
+    cell = p.groupBy("declared_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = cell.groupBy(F.col("declared_lang").alias("_d")).agg(
+        F.sum("n").cast("long").alias("n_declared")
+    )
+    return (
+        cell.join(F.broadcast(tot), F.col("_d") == F.col("declared_lang"))
+        .select(
+            "declared_lang",
+            "predicted_lang",
+            "n",
+            (F.col("n").cast("double") / F.col("n_declared")).alias(
+                "frac_of_declared"
+            ),
+        )
+    )
+
+
+@_q(
+    "source_pair_ablation",
+    """
+    WITH per AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM documents GROUP BY source),
+    tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS tn,
+                   CAST(SUM(sum_chars) AS BIGINT) AS ts FROM per),
+    fp AS (SELECT md5(text) AS h, count(DISTINCT source) AS nd,
+                  MIN(source) AS smin, MAX(source) AS smax
+           FROM documents GROUP BY md5(text)),
+    td AS (SELECT CAST(count(*) AS BIGINT) AS total_distinct FROM fp),
+    ex1 AS (SELECT smin AS s, CAST(count(*) AS BIGINT) AS c
+            FROM fp WHERE nd = 1 GROUP BY smin),
+    ex2 AS (SELECT smin AS pa, smax AS pb, CAST(count(*) AS BIGINT) AS c
+            FROM fp WHERE nd = 2 GROUP BY smin, smax),
+    pairs AS (
+      SELECT a.source AS sa, b.source AS sb,
+             a.n_docs AS na, b.n_docs AS nb,
+             a.sum_chars AS ca, b.sum_chars AS cb
+      FROM per a JOIN per b ON a.source < b.source)
+    SELECT pairs.sa, pairs.sb,
+           CASE WHEN tot.tn > pairs.na + pairs.nb
+                THEN CAST(tot.ts - pairs.ca - pairs.cb AS DOUBLE)
+                     / (tot.tn - pairs.na - pairs.nb) END AS loo2_mean_chars,
+           CAST(td.total_distinct - COALESCE(e1a.c, 0) - COALESCE(e1b.c, 0)
+                - COALESCE(e2.c, 0) AS BIGINT) AS loo2_distinct_texts,
+           CAST(COALESCE(e2.c, 0) AS BIGINT) AS pair_interaction_distinct
+    FROM pairs CROSS JOIN tot CROSS JOIN td
+    LEFT JOIN ex1 e1a ON e1a.s = pairs.sa
+    LEFT JOIN ex1 e1b ON e1b.s = pairs.sb
+    LEFT JOIN ex2 e2 ON e2.pa = pairs.sa AND e2.pb = pairs.sb
+    """,
+)
+def source_pair_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-SOURCE ablation — the pairwise Shapley-style interaction term
+    on top of [[source_loo_contribution]]: for every source pair, the
+    corpus mean length and distinct-text count with BOTH removed, plus
+    the INTERACTION (distinct texts living in exactly that pair and
+    nowhere else — the loss removing them together causes BEYOND the sum
+    of the two solo removals).  A high interaction means the two feeds
+    back each other up (mirrors, re-crawls of the same site): cutting
+    one is survivable, cutting both is not — the question one-at-a-time
+    LOO structurally cannot answer.
+
+    Everything still comes from ONE fingerprint pass: a fingerprint with
+    nd=1 holders vanishes for any pair containing its source, nd=2 only
+    for exactly its holder pair (min/max source IS the pair since nd=2),
+    nd>=3 never — so the k(k-1)/2 ablations cost one keyed aggregate +
+    metadata joins, not O(k^2) corpus re-scans.
+
+    Scale shape: the same fingerprint aggregate as the solo LOO, two
+    k-row / k^2-row rollups, all pair math on |sources|^2 rows."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "n_chars", "text"
+    )
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+    tot = per.agg(
+        F.sum("n_docs").cast("long").alias("tn"),
+        F.sum("sum_chars").cast("long").alias("ts"),
+    )
+    fp = docs.groupBy(F.md5(F.col("text").cast("binary")).alias("h")).agg(
+        F.count_distinct("source").alias("nd"),
+        F.min("source").alias("smin"),
+        F.max("source").alias("smax"),
+    )
+    td = fp.agg(F.count(F.lit(1)).cast("long").alias("total_distinct"))
+    ex1 = (
+        fp.filter(F.col("nd") == 1)
+        .groupBy(F.col("smin").alias("s"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    )
+    ex2 = (
+        fp.filter(F.col("nd") == 2)
+        .groupBy(F.col("smin").alias("pa"), F.col("smax").alias("pb"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c2"))
+    )
+    a = per.select(
+        F.col("source").alias("sa"),
+        F.col("n_docs").alias("na"),
+        F.col("sum_chars").alias("ca"),
+    )
+    b = per.select(
+        F.col("source").alias("sb"),
+        F.col("n_docs").alias("nb"),
+        F.col("sum_chars").alias("cb"),
+    )
+    pairs = a.join(b, F.col("sa") < F.col("sb"))
+    e1a = ex1.select(F.col("s").alias("_s1a"), F.col("c1").alias("_c1a"))
+    e1b = ex1.select(F.col("s").alias("_s1b"), F.col("c1").alias("_c1b"))
+    return (
+        pairs.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(td))
+        .join(F.broadcast(e1a), F.col("_s1a") == F.col("sa"), "left")
+        .join(F.broadcast(e1b), F.col("_s1b") == F.col("sb"), "left")
+        .join(
+            F.broadcast(ex2),
+            (F.col("pa") == F.col("sa")) & (F.col("pb") == F.col("sb")),
+            "left",
+        )
+        .select(
+            "sa",
+            "sb",
+            F.when(
+                F.col("tn") > F.col("na") + F.col("nb"),
+                (F.col("ts") - F.col("ca") - F.col("cb")).cast("double")
+                / (F.col("tn") - F.col("na") - F.col("nb")),
+            ).alias("loo2_mean_chars"),
+            (
+                F.col("total_distinct")
+                - F.coalesce(F.col("_c1a"), F.lit(0))
+                - F.coalesce(F.col("_c1b"), F.lit(0))
+                - F.coalesce(F.col("c2"), F.lit(0))
+            )
+            .cast("long")
+            .alias("loo2_distinct_texts"),
+            F.coalesce(F.col("c2"), F.lit(0))
+            .cast("long")
+            .alias("pair_interaction_distinct"),
+        )
+    )

@@ -604,3 +604,82 @@ def test_qini_planted_uplift_fixture(spark, tmp_path):
     for r in out:
         if r.uplift_rate is not None:
             assert r.uplift_rate >= 0.0
+
+
+# ---------------------------------------------------------------------------
+# Langid confusion matrix + two-source ablation
+# ---------------------------------------------------------------------------
+
+
+def test_langid_confusion_row_normalizes(spark, docs_pd):
+    rows = QUERIES["eval_langid_confusion"](spark, SF).collect()
+    assert sum(r.n for r in rows) == len(docs_pd)
+    by_decl: dict[str, float] = {}
+    for r in rows:
+        by_decl[r.declared_lang] = by_decl.get(r.declared_lang, 0.0) + r.frac_of_declared
+    for lang, s in by_decl.items():
+        assert s == pytest.approx(1.0, abs=1e-9), lang
+    # cells agree with composing the declared langid query with labels
+    pred = {
+        r.doc_id: r.predicted_lang
+        for r in QUERIES["text_langid"](spark, SF).collect()
+    }
+    import collections
+
+    langs = duckdb.sql(
+        f"SELECT doc_id, lang FROM '{SF}/documents.parquet'"
+    ).df()
+    cells = collections.Counter(
+        (row.lang, pred[row.doc_id]) for _, row in langs.iterrows()
+    )
+    assert {(r.declared_lang, r.predicted_lang): r.n for r in rows} == dict(cells)
+
+
+def test_source_pair_ablation_matches_brute_force(spark, docs_pd):
+    """loo2_distinct must equal literally re-counting distinct texts with
+    both sources dropped; the interaction term must equal the extra loss
+    beyond the two solo ablations."""
+    rows = QUERIES["source_pair_ablation"](spark, SF).collect()
+    sources = sorted(docs_pd.source.unique())
+    assert len(rows) == len(sources) * (len(sources) - 1) // 2
+    fp = docs_pd.assign(h=docs_pd.text.map(_md5))
+    total_distinct = fp.h.nunique()
+    solo = {
+        s: fp[fp.source != s].h.nunique() for s in sources
+    }
+    for r in rows:
+        rest = fp[(fp.source != r.sa) & (fp.source != r.sb)]
+        assert r.loo2_distinct_texts == rest.h.nunique()
+        if len(rest):
+            assert r.loo2_mean_chars == pytest.approx(
+                rest.n_chars.mean(), rel=1e-12
+            )
+        # interaction = joint loss - sum of solo losses
+        joint_loss = total_distinct - r.loo2_distinct_texts
+        solo_losses = (total_distinct - solo[r.sa]) + (total_distinct - solo[r.sb])
+        assert r.pair_interaction_distinct == joint_loss - solo_losses
+
+
+def test_source_pair_ablation_interaction_fixture(spark, tmp_path):
+    """Planted cross-source duplicate: a text living in EXACTLY {A, B}
+    survives either solo removal but dies when both go — interaction 1
+    for (A, B), 0 for every other pair."""
+    rows = [
+        (0, "mirrored text", "en", "srcA", 13),
+        (1, "mirrored text", "en", "srcB", 13),
+        (2, "only in a", "en", "srcA", 9),
+        (3, "only in c", "en", "srcC", 9),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        (r.sa, r.sb): r
+        for r in QUERIES["source_pair_ablation"](spark, str(tmp_path)).collect()
+    }
+    assert out[("srcA", "srcB")].pair_interaction_distinct == 1
+    assert out[("srcA", "srcB")].loo2_distinct_texts == 1  # only 'only in c'
+    assert out[("srcA", "srcC")].pair_interaction_distinct == 0
+    # mirrored text survives removing A and C (B still holds it)
+    assert out[("srcA", "srcC")].loo2_distinct_texts == 1
+    assert out[("srcB", "srcC")].pair_interaction_distinct == 0
