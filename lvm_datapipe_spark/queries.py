@@ -23327,3 +23327,157 @@ def source_pair_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("pair_interaction_distinct"),
         )
     )
+
+
+@_q(
+    "eb_shrunk_supplier_rates",
+    """
+    WITH lat AS (
+      SELECT l.l_suppkey,
+             CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                                 CAST(l.l_shipdate AS DATE)) <= 60
+                  THEN 1 ELSE 0 END AS ontime
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+    g AS (
+      SELECT l_suppkey,
+             CAST(count(*) AS BIGINT) AS n_ships,
+             CAST(SUM(ontime) AS BIGINT) AS n_ontime
+      FROM lat GROUP BY l_suppkey),
+    p AS (
+      SELECT l_suppkey, n_ships, n_ontime,
+             CAST(n_ontime AS DOUBLE) / n_ships AS raw_rate
+      FROM g WHERE n_ships > 0),
+    m1 AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(SUM(CAST(floor(raw_rate * 1000000000.0) AS BIGINT))
+                  AS BIGINT) AS pm
+      FROM p),
+    m AS (SELECT k, CAST(pm AS DOUBLE) / 1000000000.0 / CAST(k AS DOUBLE)
+                 AS mu FROM m1),
+    v1 AS (
+      SELECT CAST(SUM(CAST(floor((p.raw_rate - m.mu) * (p.raw_rate - m.mu)
+                                 * 1000000000000.0) AS BIGINT)) AS BIGINT) AS vm
+      FROM p CROSS JOIN m),
+    ab AS (
+      SELECT m.k, m.mu,
+             CASE WHEN m.k >= 2 AND v1.vm > 0
+                  THEN CAST(v1.vm AS DOUBLE) / 1000000000000.0
+                       / CAST(m.k - 1 AS DOUBLE) END AS var,
+             CASE WHEN m.k >= 2 AND v1.vm > 0
+                  THEN m.mu * (1.0 - m.mu)
+                       / (CAST(v1.vm AS DOUBLE) / 1000000000000.0
+                          / CAST(m.k - 1 AS DOUBLE)) - 1.0 END AS nu
+      FROM m CROSS JOIN v1)
+    SELECT p.l_suppkey, p.n_ships, p.n_ontime, p.raw_rate,
+           CASE WHEN ab.nu IS NOT NULL AND ab.nu > 0.0
+                THEN (CAST(p.n_ontime AS DOUBLE) + ab.mu * ab.nu)
+                     / (CAST(p.n_ships AS DOUBLE) + ab.nu)
+                ELSE p.raw_rate END AS shrunk_rate,
+           CASE WHEN ab.nu IS NOT NULL AND ab.nu > 0.0
+                THEN ab.mu * ab.nu END AS alpha,
+           CASE WHEN ab.nu IS NOT NULL AND ab.nu > 0.0
+                THEN ab.nu - ab.mu * ab.nu END AS beta
+    FROM p CROSS JOIN ab
+    """,
+)
+def eb_shrunk_supplier_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMPIRICAL-BAYES shrinkage of per-supplier on-time rates (the
+    Efron-Morris / beta-binomial method-of-moments recipe): fit a Beta
+    prior to the ACROSS-supplier rate distribution (mean mu, prior
+    strength nu = mu(1-mu)/var - 1), then shrink each supplier to
+    (x + mu*nu) / (n + nu) — small-n suppliers pull hard toward the
+    grand mean, big-n suppliers keep their data.  The OTHER standard fix
+    for "don't sort by raw average" ([[supplier_ontime_wilson_rank]]
+    ranks by a confidence bound; EB replaces the ESTIMATE itself, which
+    is what a downstream join or model feature wants).  Degenerate
+    priors (one supplier, zero variance, nu <= 0) fall back to the raw
+    rate, flagged by NULL alpha/beta.
+
+    Cross-group moment sums go through the floor-micro BIGINT
+    quantization (rates * 1e9, squared deviations * 1e12) so the
+    across-supplier aggregation order cannot change bits in either
+    engine.
+
+    Scale shape: one fact-dim equi-join, one supplier-keyed aggregate,
+    two scalar moment aggregates broadcast back — the prior costs two
+    metadata rows, not a second corpus pass."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    lat = li.join(o, F.col("o_orderkey") == F.col("l_orderkey")).select(
+        "l_suppkey",
+        F.when(
+            F.datediff(
+                F.col("l_shipdate").cast("date"),
+                F.col("o_orderdate").cast("date"),
+            )
+            <= 60,
+            1,
+        )
+        .otherwise(0)
+        .alias("ontime"),
+    )
+    g = lat.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ships"),
+        F.sum("ontime").cast("long").alias("n_ontime"),
+    )
+    p = g.filter(F.col("n_ships") > 0).withColumn(
+        "raw_rate", F.col("n_ontime").cast("double") / F.col("n_ships")
+    )
+    m1 = p.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(F.floor(F.col("raw_rate") * 1000000000.0).cast("long"))
+        .cast("long")
+        .alias("pm"),
+    )
+    m = m1.select(
+        "k",
+        (
+            F.col("pm").cast("double") / 1000000000.0 / F.col("k").cast("double")
+        ).alias("mu"),
+    )
+    v1 = (
+        p.crossJoin(F.broadcast(m))
+        .agg(
+            F.sum(
+                F.floor(
+                    (F.col("raw_rate") - F.col("mu"))
+                    * (F.col("raw_rate") - F.col("mu"))
+                    * 1000000000000.0
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("vm")
+        )
+    )
+    var = F.when(
+        (F.col("k") >= 2) & (F.col("vm") > 0),
+        F.col("vm").cast("double") / 1000000000000.0
+        / (F.col("k") - 1).cast("double"),
+    )
+    ab = m.crossJoin(F.broadcast(v1)).select(
+        "k",
+        "mu",
+        var.alias("var"),
+        F.when(
+            (F.col("k") >= 2) & (F.col("vm") > 0),
+            F.col("mu") * (1.0 - F.col("mu")) / var - 1.0,
+        ).alias("nu"),
+    )
+    ok = F.col("nu").isNotNull() & (F.col("nu") > 0.0)
+    return p.crossJoin(F.broadcast(ab)).select(
+        "l_suppkey",
+        "n_ships",
+        "n_ontime",
+        "raw_rate",
+        F.when(
+            ok,
+            (F.col("n_ontime").cast("double") + F.col("mu") * F.col("nu"))
+            / (F.col("n_ships").cast("double") + F.col("nu")),
+        )
+        .otherwise(F.col("raw_rate"))
+        .alias("shrunk_rate"),
+        F.when(ok, F.col("mu") * F.col("nu")).alias("alpha"),
+        F.when(ok, F.col("nu") - F.col("mu") * F.col("nu")).alias("beta"),
+    )

@@ -683,3 +683,64 @@ def test_source_pair_ablation_interaction_fixture(spark, tmp_path):
     # mirrored text survives removing A and C (B still holds it)
     assert out[("srcA", "srcC")].loo2_distinct_texts == 1
     assert out[("srcB", "srcC")].pair_interaction_distinct == 0
+
+
+# ---------------------------------------------------------------------------
+# Empirical-Bayes shrinkage: independent MoM reference + properties
+# ---------------------------------------------------------------------------
+
+
+def test_eb_shrinkage_matches_textbook_mom(spark):
+    import numpy as np
+
+    g = duckdb.sql(
+        """
+        SELECT l.l_suppkey AS s, count(*) AS n,
+               SUM(CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                                       CAST(l.l_shipdate AS DATE)) <= 60
+                        THEN 1 ELSE 0 END) AS x
+        FROM '/root/testdata/sf0.001/lineitem.parquet' l
+        JOIN '/root/testdata/sf0.001/orders.parquet' o
+          ON o.o_orderkey = l.l_orderkey
+        GROUP BY l.l_suppkey
+        """
+    ).df()
+    rates = (g.x / g.n).to_numpy(dtype=float)
+    mu, var = rates.mean(), rates.var(ddof=1)
+    nu = mu * (1 - mu) / var - 1
+    rows = QUERIES["eb_shrunk_supplier_rates"](spark, SF).collect()
+    got = {r.l_suppkey: r for r in rows}
+    assert len(got) == len(g)
+    for _, row in g.iterrows():
+        r = got[row.s]
+        raw = row.x / row.n
+        assert r.raw_rate == pytest.approx(raw, abs=1e-15)
+        # full-precision textbook MoM vs the micro-quantized engine value:
+        # quantization error is ~1e-9 on the moments
+        expect = (row.x + mu * nu) / (row.n + nu)
+        assert r.shrunk_rate == pytest.approx(expect, rel=1e-6)
+        # shrinkage moves every estimate TOWARD the grand mean, never past
+        assert min(raw, mu) - 1e-12 <= r.shrunk_rate <= max(raw, mu) + 1e-12
+    assert got[g.s.iloc[0]].alpha == pytest.approx(mu * nu, rel=1e-6)
+
+
+def test_eb_shrinkage_degenerate_single_supplier(spark, tmp_path):
+    """One supplier: no across-group variance, prior unfit, raw rate kept."""
+    li = [(1, 1, 100, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", dt.date(2024, 1, 10)),
+          (1, 2, 100, 2, 1.0, 10.0, 0.0, 0.0, "N", "O", dt.date(2024, 6, 1))]
+    spark.createDataFrame(
+        li,
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint,"
+        " l_linenumber bigint, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate date",
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    spark.createDataFrame(
+        [(1, dt.date(2024, 1, 1))], "o_orderkey bigint, o_orderdate date"
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    out = QUERIES["eb_shrunk_supplier_rates"](spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_ships == 2 and r.n_ontime == 1
+    assert r.shrunk_rate == r.raw_rate == 0.5
+    assert r.alpha is None and r.beta is None
