@@ -22689,7 +22689,7 @@ def sketch_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cell),
     obs AS (SELECT event_type, stat AS stat_obs
             FROM stat WHERE r = 0 AND stat IS NOT NULL),
-    pv AS (
+    pv AS MATERIALIZED (
       SELECT o.event_type, o.stat_obs,
              CAST(1 + SUM(CASE WHEN s.stat IS NOT NULL AND s.stat >= o.stat_obs
                                THEN 1 ELSE 0 END) AS DOUBLE) / 50.0 AS p_value
@@ -22697,10 +22697,13 @@ def sketch_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY o.event_type, o.stat_obs),
     mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pv),
     rk AS (
-      SELECT pv.event_type, pv.stat_obs, pv.p_value, mm.m,
-             CAST(ROW_NUMBER() OVER (ORDER BY pv.p_value, pv.event_type)
-                  AS BIGINT) AS rank
-      FROM pv CROSS JOIN mm),
+      SELECT a.event_type, a.stat_obs, a.p_value, mm.m,
+             CAST(1 + SUM(CASE WHEN b.p_value < a.p_value
+                               OR (b.p_value = a.p_value
+                                   AND b.event_type < a.event_type)
+                          THEN 1 ELSE 0 END) AS BIGINT) AS rank
+      FROM pv a CROSS JOIN pv b CROSS JOIN mm
+      GROUP BY a.event_type, a.stat_obs, a.p_value, mm.m),
     fl AS (
       SELECT event_type, stat_obs, p_value, rank,
              CAST(rank AS DOUBLE) * 0.10 / CAST(m AS DOUBLE) AS bh_threshold,
@@ -22731,8 +22734,9 @@ def ab_permutation_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the 50x replicate fan-out collapses map-side to
     |types| x 50 x 2 cells before the shuffle (conditional decimal
     partials — same argument as [[sketch_cms_user_counts]]); everything
-    after the cell table is metadata-sized (the ROW_NUMBER window ranks
-    m ~ 6 aggregate rows, not corpus rows)."""
+    after the cell table is metadata-sized (ranks come from a broadcast
+    triangular count over the m ~ 6 aggregate rows — no global window
+    anywhere, so the SinglePartition plan ban holds)."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "ts", "value"
     )
@@ -22805,11 +22809,26 @@ def ab_permutation_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     mm = pv.agg(F.count(F.lit(1)).cast("long").alias("m"))
-    rk = pv.crossJoin(F.broadcast(mm)).withColumn(
-        "rank",
-        F.row_number()
-        .over(Window.orderBy("p_value", "event_type"))
-        .cast("long"),
+    # rank WITHOUT a global window (Exchange-SinglePartition ban): the
+    # rank of a row in the (p_value, event_type) total order is 1 + the
+    # count of strictly-smaller rows — a broadcast triangular count over
+    # the m-row aggregate output
+    pvb = pv.select(
+        F.col("event_type").alias("_bt"), F.col("p_value").alias("_bp")
+    )
+    smaller = F.when(
+        (F.col("_bp") < F.col("p_value"))
+        | (
+            (F.col("_bp") == F.col("p_value"))
+            & (F.col("_bt") < F.col("event_type"))
+        ),
+        1,
+    ).otherwise(0)
+    rk = (
+        pv.crossJoin(F.broadcast(pvb))
+        .crossJoin(F.broadcast(mm))
+        .groupBy("event_type", "stat_obs", "p_value", "m")
+        .agg((F.lit(1) + F.sum(smaller)).cast("long").alias("rank"))
     )
     fl = rk.select(
         "event_type",
@@ -23022,7 +23041,7 @@ def sketch_hll_audience_intersection(spark: SparkSession, sf_dir: str) -> DataFr
     b AS (SELECT u.*,
                  1 + {' + '.join(f'(CASE WHEN u.score < t[{i + 1}] THEN 1 ELSE 0 END)' for i in range(9))} AS decile
           FROM u CROSS JOIN q),
-    d AS (
+    d AS MATERIALIZED (
       SELECT decile,
              CAST(SUM(treated) AS BIGINT) AS n_treat,
              CAST(SUM(1 - treated) AS BIGINT) AS n_ctrl,
@@ -23030,11 +23049,13 @@ def sketch_hll_audience_intersection(spark: SparkSession, sf_dir: str) -> DataFr
              CAST(SUM((1 - treated) * converted) AS BIGINT) AS conv_ctrl
       FROM b GROUP BY decile),
     c AS (
-      SELECT d.*,
-             SUM(n_treat) OVER w AS cum_nt, SUM(n_ctrl) OVER w AS cum_nc,
-             SUM(conv_treat) OVER w AS cum_ct, SUM(conv_ctrl) OVER w AS cum_cc
-      FROM d
-      WINDOW w AS (ORDER BY decile ROWS UNBOUNDED PRECEDING))
+      SELECT a.decile, a.n_treat, a.n_ctrl, a.conv_treat, a.conv_ctrl,
+             CAST(SUM(d2.n_treat) AS BIGINT) AS cum_nt,
+             CAST(SUM(d2.n_ctrl) AS BIGINT) AS cum_nc,
+             CAST(SUM(d2.conv_treat) AS BIGINT) AS cum_ct,
+             CAST(SUM(d2.conv_ctrl) AS BIGINT) AS cum_cc
+      FROM d a JOIN d d2 ON d2.decile <= a.decile
+      GROUP BY a.decile, a.n_treat, a.n_ctrl, a.conv_treat, a.conv_ctrl)
     SELECT decile, n_treat, n_ctrl, conv_treat, conv_ctrl,
            CASE WHEN n_treat > 0 AND n_ctrl > 0
                 THEN CAST(conv_treat AS DOUBLE) / n_treat
@@ -23062,8 +23083,8 @@ def uplift_qini_by_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one user-keyed aggregate, ONE percentile aggregate
     broadcast back as a 9-literal comparison ladder (the
     [[w5_deciles_bucketed]] scale-safe pattern — no global NTILE), a
-    10-row decile aggregate, and cumulative windows over those 10
-    metadata rows only."""
+    10-row decile aggregate, and cumulation via a broadcast triangular
+    self-join over those 10 metadata rows — no global window anywhere."""
     from lvm_datapipe_spark.operators.sampling import hash_bucket
 
     ev = load_table(spark, sf_dir, "events").select(
@@ -23102,13 +23123,24 @@ def uplift_qini_by_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("conv_ctrl"),
     )
-    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
-    c = d.select(
-        "*",
-        F.sum("n_treat").over(w).alias("cum_nt"),
-        F.sum("n_ctrl").over(w).alias("cum_nc"),
-        F.sum("conv_treat").over(w).alias("cum_ct"),
-        F.sum("conv_ctrl").over(w).alias("cum_cc"),
+    # cumulative over the 10 decile rows WITHOUT a global window
+    # (Exchange-SinglePartition ban): broadcast triangular self-join
+    d2 = d.select(
+        F.col("decile").alias("_d2"),
+        F.col("n_treat").alias("_nt"),
+        F.col("n_ctrl").alias("_nc"),
+        F.col("conv_treat").alias("_ct"),
+        F.col("conv_ctrl").alias("_cc"),
+    )
+    c = (
+        d.join(F.broadcast(d2), F.col("_d2") <= F.col("decile"))
+        .groupBy("decile", "n_treat", "n_ctrl", "conv_treat", "conv_ctrl")
+        .agg(
+            F.sum("_nt").cast("long").alias("cum_nt"),
+            F.sum("_nc").cast("long").alias("cum_nc"),
+            F.sum("_ct").cast("long").alias("cum_ct"),
+            F.sum("_cc").cast("long").alias("cum_cc"),
+        )
     )
     return c.select(
         "decile",
@@ -23480,4 +23512,88 @@ def eb_shrunk_supplier_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("shrunk_rate"),
         F.when(ok, F.col("mu") * F.col("nu")).alias("alpha"),
         F.when(ok, F.col("nu") - F.col("mu") * F.col("nu")).alias("beta"),
+    )
+
+
+def _kcore_sql(k: int = 3, n_rounds: int = 8) -> str:
+    """DuckDB replay of the fixed-round k-core peel.  Each round's
+    alive-set is MATERIALIZED (it is referenced twice per degree
+    computation; inlined CTEs would expand the scan chain
+    exponentially — same device as the Bradley-Terry oracle)."""
+    parts = [
+        """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS (
+      SELECT x.l_partkey AS p1, y.l_partkey AS p2
+      FROM b x JOIN b y
+        ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+      GROUP BY x.l_partkey, y.l_partkey),
+    sym AS MATERIALIZED (
+      SELECT p1 AS u, p2 AS v FROM e0
+      UNION ALL SELECT p2 AS u, p1 AS v FROM e0),
+    alive0 AS MATERIALIZED (SELECT DISTINCT u AS p FROM sym)"""
+    ]
+    for r in range(1, n_rounds + 1):
+        parts.append(
+            f"""deg{r} AS (
+      SELECT sym.u AS p, CAST(count(*) AS BIGINT) AS deg
+      FROM sym
+      JOIN alive{r - 1} a ON a.p = sym.u
+      JOIN alive{r - 1} c ON c.p = sym.v
+      GROUP BY sym.u),
+    alive{r} AS MATERIALIZED (SELECT p FROM deg{r} WHERE deg >= {k})"""
+        )
+    body = ",\n    ".join(parts)
+    return f"""
+    {body}
+    SELECT d.p AS p_partkey, d.deg AS core_degree
+    FROM deg{n_rounds} d JOIN alive{n_rounds} a ON a.p = d.p
+    """
+
+
+@_q("graph_kcore_parts", _kcore_sql())
+def graph_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-CORE of the part co-purchase graph (Seidman 1983 k-core
+    decomposition, the standard graph-cohesion screen): repeatedly
+    delete parts with fewer than 3 surviving co-purchase partners until
+    the remainder stabilizes — what survives is the densely
+    cross-purchased "core catalog" (for a dedup graph, the same peel
+    isolates the pathological near-dup cliques worth human review;
+    cf. [[dup_graph_degree_hist]]).  Peeling runs a FIXED 8 rounds —
+    deterministic plan depth instead of a data-dependent driver loop;
+    the pytest reference peels to the true fixpoint and agrees on this
+    corpus, and the round-count bound is the documented knob.
+
+    Scale shape: one distinct basket aggregate, one order-keyed pair
+    self-join (bounded by basket size squared), then 8 rounds of
+    node-keyed semi-join + degree aggregate on a MONOTONICALLY
+    SHRINKING alive-set — every shuffle is keyed on part ids, no
+    cartesian, no driver-side materialization."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    b = li.distinct()
+    x = b.select("l_orderkey", F.col("l_partkey").alias("p1"))
+    y = b.select("l_orderkey", F.col("l_partkey").alias("p2"))
+    e0 = (
+        x.join(y, "l_orderkey")
+        .filter(F.col("p1") < F.col("p2"))
+        .select("p1", "p2")
+        .distinct()
+    )
+    sym = e0.select(F.col("p1").alias("u"), F.col("p2").alias("v")).unionAll(
+        e0.select(F.col("p2").alias("u"), F.col("p1").alias("v"))
+    )
+    alive = sym.select(F.col("u").alias("p")).distinct()
+    deg = None
+    for _ in range(8):
+        au = alive.select(F.col("p").alias("_au"))
+        av = alive.select(F.col("p").alias("_av"))
+        deg = (
+            sym.join(au, F.col("_au") == F.col("u"))
+            .join(av, F.col("_av") == F.col("v"))
+            .groupBy(F.col("u").alias("p"))
+            .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        )
+        alive = deg.filter(F.col("deg") >= 3).select("p")
+    return deg.join(alive.withColumnRenamed("p", "_p"),
+                    F.col("_p") == F.col("p")).select(
+        F.col("p").alias("p_partkey"), F.col("deg").alias("core_degree")
     )

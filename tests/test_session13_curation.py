@@ -744,3 +744,80 @@ def test_eb_shrinkage_degenerate_single_supplier(spark, tmp_path):
     assert r.n_ships == 2 and r.n_ontime == 1
     assert r.shrunk_rate == r.raw_rate == 0.5
     assert r.alpha is None and r.beta is None
+
+
+# ---------------------------------------------------------------------------
+# k-core: true-fixpoint python peel + cascade fixture
+# ---------------------------------------------------------------------------
+
+
+def _kcore_fixpoint(edges: set[tuple], k: int = 3) -> dict:
+    """Independent model: peel to the TRUE fixpoint (no round bound),
+    return surviving node -> degree in the core subgraph."""
+    adj: dict = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    alive = set(adj)
+    while True:
+        doomed = {n for n in alive if len(adj[n] & alive) < k}
+        if not doomed:
+            break
+        alive -= doomed
+    return {n: len(adj[n] & alive) for n in alive}
+
+
+def test_kcore_matches_true_fixpoint(spark):
+    b = duckdb.sql(
+        f"SELECT DISTINCT l_orderkey, l_partkey FROM '{SF}/lineitem.parquet'"
+    ).df()
+    edges = set()
+    for _, g in b.groupby("l_orderkey"):
+        ps = sorted(g.l_partkey)
+        for i, p1 in enumerate(ps):
+            for p2 in ps[i + 1 :]:
+                edges.add((p1, p2))
+    expect = _kcore_fixpoint(edges)
+    got = {
+        r.p_partkey: r.core_degree
+        for r in QUERIES["graph_kcore_parts"](spark, SF).collect()
+    }
+    assert got == expect
+
+
+def test_kcore_cascade_fixture(spark, tmp_path):
+    """A clique of 4 parts (every pair co-purchased) survives the 3-core;
+    a pendant chain hanging off it cascades away round by round —
+    the multi-round peel the dense real data never exercises."""
+    orders = []
+    clique = [1, 2, 3, 4]
+    ok = 100
+    for i, p1 in enumerate(clique):
+        for p2 in clique[i + 1 :]:
+            orders.append((ok, p1))
+            orders.append((ok, p2))
+            ok += 1
+    # chain 4-5-6-7: each link one shared order; degree 1-2 everywhere
+    for a, b2 in ((4, 5), (5, 6), (6, 7)):
+        orders.append((ok, a))
+        orders.append((ok, b2))
+        ok += 1
+    rows = [
+        (o, p, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", dt.date(2024, 1, 2))
+        for o, p in orders
+    ]
+    spark.createDataFrame(
+        rows,
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint,"
+        " l_linenumber bigint, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate date",
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    got = {
+        r.p_partkey: r.core_degree
+        for r in QUERIES["graph_kcore_parts"](spark, str(tmp_path)).collect()
+    }
+    # the clique survives with in-core degree 3 each; the chain is gone
+    # (5 and 6 start at degree 2 < 3; 4 loses its chain edge and keeps
+    # its 3 clique partners)
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
