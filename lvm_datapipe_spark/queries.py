@@ -23597,3 +23597,233 @@ def graph_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("_p") == F.col("p")).select(
         F.col("p").alias("p_partkey"), F.col("deg").alias("core_degree")
     )
+
+
+@_q(
+    "vocab_chao1_richness",
+    f"""
+    WITH tok AS (SELECT lang, unnest({_SQL_LTOKS}) AS token FROM documents),
+    tf AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS n
+           FROM tok GROUP BY lang, token)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS s_obs,
+           CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+           CAST(SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+           CAST(count(*) AS DOUBLE)
+             + CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+                    * (SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) - 1) AS DOUBLE)
+               / (2.0 * (SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) + 1))
+             AS chao1_estimate
+    FROM tf GROUP BY lang
+    """,
+)
+def vocab_chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAO1 vocabulary-richness estimation per language (Chao 1984, the
+    bias-corrected form S_obs + F1(F1-1)/(2(F2+1))): how many word types
+    the corpus WOULD have if sampling continued, from just the singleton
+    (F1) and doubleton (F2) counts — the ecology species estimator that
+    corpus linguistics adopted for "how much vocabulary are we missing".
+    A slice whose Chao1 far exceeds its S_obs is under-sampled (its
+    hapax mass keeps promising new types — cf. [[vocab_hapax_ratio]] for
+    the raw ratio and [[vocab_growth_by_arrival]] for the Heaps curve);
+    one whose estimate ~= S_obs has been scraped to saturation.
+    Bias-corrected denominator (F2 + 1) keeps the estimator finite when
+    no doubletons exist — every term is an exact integer until the one
+    closing division.
+
+    Scale shape: scan-shaped tokenization, one (lang, token)-keyed
+    count, one |langs|-row rollup — the frequency-of-frequencies never
+    leaves the aggregate."""
+    from lvm_datapipe_spark.operators import text as X
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang", F.explode(X.tokens(F.lower(F.col("text")))).alias("token")
+    )
+    tf = tok.groupBy("lang", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    f1 = F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+    f2 = F.sum(F.when(F.col("n") == 2, 1).otherwise(0))
+    return tf.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("s_obs"),
+        f1.cast("long").alias("f1"),
+        f2.cast("long").alias("f2"),
+        (
+            F.count(F.lit(1)).cast("double")
+            + (f1 * (f1 - 1)).cast("double") / (2.0 * (f2 + 1))
+        ).alias("chao1_estimate"),
+    )
+
+
+@_q(
+    "stylometry_burrows_delta",
+    f"""
+    WITH tok AS (SELECT source, unnest({_SQL_LTOKS}) AS token FROM documents),
+    cnt AS (SELECT source, token, CAST(count(*) AS BIGINT) AS n
+            FROM tok GROUP BY source, token),
+    totals AS (SELECT source, CAST(SUM(n) AS BIGINT) AS total
+               FROM cnt GROUP BY source),
+    markers AS MATERIALIZED (
+      SELECT token FROM (
+        SELECT token, CAST(SUM(n) AS BIGINT) AS cn FROM cnt GROUP BY token)
+      ORDER BY cn DESC, token LIMIT 20),
+    grid AS MATERIALIZED (
+      SELECT t.source, m.token, t.total, COALESCE(c.n, 0) AS n,
+             CAST(COALESCE(c.n, 0) AS DOUBLE) / t.total AS f
+      FROM totals t CROSS JOIN markers m
+      LEFT JOIN cnt c ON c.source = t.source AND c.token = m.token),
+    k AS (SELECT CAST(count(*) AS BIGINT) AS ns FROM totals),
+    mstat AS MATERIALIZED (
+      SELECT grid.token,
+             CAST(SUM(CAST(floor(grid.f * 1000000000000.0) AS BIGINT))
+                  AS BIGINT) AS fsum
+      FROM grid GROUP BY grid.token),
+    mu AS MATERIALIZED (
+      SELECT mstat.token,
+             CAST(mstat.fsum AS DOUBLE) / 1000000000000.0
+               / CAST(k.ns AS DOUBLE) AS mu
+      FROM mstat CROSS JOIN k),
+    sig AS MATERIALIZED (
+      SELECT grid.token,
+             sqrt(CAST(SUM(CAST(floor((grid.f - mu.mu) * (grid.f - mu.mu)
+                                      * 1000000000000.0) AS BIGINT))
+                       AS DOUBLE) / 1000000000000.0
+                  / CAST(k.ns - 1 AS DOUBLE)) AS sigma
+      FROM grid JOIN mu ON mu.token = grid.token CROSS JOIN k
+      WHERE k.ns >= 2
+      GROUP BY grid.token, k.ns),
+    z AS MATERIALIZED (
+      SELECT grid.source, grid.token,
+             CASE WHEN sig.sigma > 0.0
+                  THEN (grid.f - mu.mu) / sig.sigma ELSE 0.0 END AS z
+      FROM grid JOIN mu ON mu.token = grid.token
+      JOIN sig ON sig.token = grid.token)
+    SELECT a.source AS sa, b.source AS sb,
+           CAST(CAST(SUM(CAST(floor(abs(a.z - b.z) * 1000000000.0) AS BIGINT))
+                     AS DOUBLE) / 1000000000.0 / 20.0 AS DOUBLE) AS delta
+    FROM z a JOIN z b ON a.token = b.token AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+)
+def stylometry_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BURROWS' DELTA between sources (Burrows 2002, the standard
+    stylometric / authorship-attribution distance): z-score each
+    source's relative frequency of the corpus's 20 most-frequent marker
+    words against the across-source distribution, then Delta(a, b) =
+    mean |z_a - z_b| over the markers.  In a curation pipeline this is
+    the duplicate-FEED detector — two sources with near-zero Delta are
+    stylistically the same upstream (mirror, re-crawl, same template
+    farm) even when no single document is a literal duplicate, the case
+    [[source_pair_ablation]]'s exact-fingerprint interaction cannot see.
+    Marker selection is deterministic (count desc, token asc); every
+    cross-source sum is floor-micro BIGINT quantized; sqrt is the one
+    transcendental and it is IEEE-exact.
+
+    Scale shape: one (source, token) keyed count, a |sources| x 20
+    broadcast grid, 20-row marker stats, and a marker-keyed pair join
+    whose cardinality is |sources|^2 x 20 metadata rows — the corpus is
+    touched once."""
+    from lvm_datapipe_spark.operators import text as X
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(X.tokens(F.lower(F.col("text")))).alias("token")
+    )
+    cnt = tok.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    totals = cnt.groupBy("source").agg(F.sum("n").cast("long").alias("total"))
+    markers = (
+        cnt.groupBy("token")
+        .agg(F.sum("n").cast("long").alias("cn"))
+        .orderBy(F.col("cn").desc(), "token")
+        .limit(20)
+        .select("token")
+    )
+    c2 = cnt.select(
+        F.col("source").alias("_cs"), F.col("token").alias("_ct"), "n"
+    )
+    grid = (
+        totals.crossJoin(F.broadcast(markers))
+        .join(
+            c2,
+            (F.col("_cs") == F.col("source")) & (F.col("_ct") == F.col("token")),
+            "left",
+        )
+        .select(
+            "source",
+            "token",
+            "total",
+            (
+                F.coalesce(F.col("n"), F.lit(0)).cast("double") / F.col("total")
+            ).alias("f"),
+        )
+    )
+    k = totals.agg(F.count(F.lit(1)).cast("long").alias("ns"))
+    mstat = grid.groupBy("token").agg(
+        F.sum(F.floor(F.col("f") * 1000000000000.0).cast("long"))
+        .cast("long")
+        .alias("fsum")
+    )
+    mu = mstat.crossJoin(F.broadcast(k)).select(
+        "token",
+        (
+            F.col("fsum").cast("double") / 1000000000000.0
+            / F.col("ns").cast("double")
+        ).alias("mu"),
+    )
+    mu2 = mu.select(F.col("token").alias("_mt"), "mu")
+    sig = (
+        grid.join(F.broadcast(mu2), F.col("_mt") == F.col("token"))
+        .crossJoin(F.broadcast(k))
+        .filter(F.col("ns") >= 2)
+        .groupBy("token", "ns")
+        .agg(
+            F.sqrt(
+                F.sum(
+                    F.floor(
+                        (F.col("f") - F.col("mu"))
+                        * (F.col("f") - F.col("mu"))
+                        * 1000000000000.0
+                    ).cast("long")
+                ).cast("double")
+                / 1000000000000.0
+                / (F.col("ns") - 1).cast("double")
+            ).alias("sigma")
+        )
+        .select(F.col("token").alias("_st"), "sigma")
+    )
+    z = (
+        grid.join(F.broadcast(mu2), F.col("_mt") == F.col("token"))
+        .join(F.broadcast(sig), F.col("_st") == F.col("token"))
+        .select(
+            "source",
+            "token",
+            F.when(
+                F.col("sigma") > 0.0,
+                (F.col("f") - F.col("mu")) / F.col("sigma"),
+            )
+            .otherwise(0.0)
+            .alias("z"),
+        )
+    )
+    zb = z.select(
+        F.col("source").alias("sb"),
+        F.col("token").alias("_zt"),
+        F.col("z").alias("_zb"),
+    )
+    return (
+        z.join(zb, (F.col("_zt") == F.col("token")) & (F.col("source") < F.col("sb")))
+        .groupBy(F.col("source").alias("sa"), "sb")
+        .agg(
+            (
+                F.sum(
+                    F.floor(F.abs(F.col("z") - F.col("_zb")) * 1000000000.0)
+                    .cast("long")
+                ).cast("double")
+                / 1000000000.0
+                / 20.0
+            ).alias("delta")
+        )
+    )

@@ -821,3 +821,99 @@ def test_kcore_cascade_fixture(spark, tmp_path):
     # (5 and 6 start at degree 2 < 3; 4 loses its chain edge and keeps
     # its 3 clique partners)
     assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+# ---------------------------------------------------------------------------
+# Chao1 + Burrows' Delta: textbook references
+# ---------------------------------------------------------------------------
+
+
+def test_chao1_matches_textbook(spark, docs_pd):
+    from collections import Counter
+
+    langs = duckdb.sql(
+        f"SELECT doc_id, lang, text FROM '{SF}/documents.parquet'"
+    ).df()
+    rows = {r.lang: r for r in QUERIES["vocab_chao1_richness"](spark, SF).collect()}
+    for lang, g in langs.groupby("lang"):
+        tf = Counter(w for t in g.text for w in t.lower().split() if w)
+        s_obs = len(tf)
+        f1 = sum(1 for v in tf.values() if v == 1)
+        f2 = sum(1 for v in tf.values() if v == 2)
+        r = rows[lang]
+        assert (r.s_obs, r.f1, r.f2) == (s_obs, f1, f2)
+        assert r.chao1_estimate == pytest.approx(
+            s_obs + f1 * (f1 - 1) / (2 * (f2 + 1)), rel=1e-12
+        )
+        assert r.chao1_estimate >= r.s_obs  # richness never below observed
+
+
+def _burrows_delta_model(docs, topk: int = 20):
+    """Independent full-precision Burrows 2002: top-k corpus markers,
+    per-source relative frequencies, across-source z-scores (sample
+    std), mean |z_a - z_b|."""
+    from collections import Counter
+
+    import numpy as np
+
+    cnt: dict[str, Counter] = {}
+    for _, r in docs.iterrows():
+        cnt.setdefault(r.source, Counter()).update(
+            w for w in r.text.lower().split() if w
+        )
+    corpus = Counter()
+    for c in cnt.values():
+        corpus.update(c)
+    markers = sorted(corpus, key=lambda w: (-corpus[w], w))[:topk]
+    sources = sorted(cnt)
+    f = np.array(
+        [
+            [cnt[s][w] / sum(cnt[s].values()) for w in markers]
+            for s in sources
+        ]
+    )
+    mu, sd = f.mean(axis=0), f.std(axis=0, ddof=1)
+    z = (f - mu) / np.where(sd > 0, sd, np.inf)
+    out = {}
+    for i, a in enumerate(sources):
+        for j in range(i + 1, len(sources)):
+            out[(a, sources[j])] = float(np.abs(z[i] - z[j]).mean())
+    return out
+
+
+def test_burrows_delta_matches_textbook(spark, docs_pd):
+    expected = _burrows_delta_model(docs_pd)
+    rows = QUERIES["stylometry_burrows_delta"](spark, SF).collect()
+    got = {(r.sa, r.sb): r.delta for r in rows}
+    assert set(got) == set(expected)
+    for pair, d in expected.items():
+        # floor-micro quantization leaves ~1e-9-scale differences
+        assert got[pair] == pytest.approx(d, abs=1e-6), pair
+    # delta is a metric-ish distance: nonnegative everywhere, and the
+    # synthetic sources are near-identically distributed so deltas are
+    # small but NONZERO (sampling noise)
+    assert all(v >= 0 for v in got.values())
+    assert any(v > 0 for v in got.values())
+
+
+def test_burrows_delta_clone_vs_divergent_fixture(spark, tmp_path):
+    """Source B is a verbatim style-clone of A (same word distribution);
+    source C skews to different words.  Delta(A,B) must be far below
+    Delta(A,C) and Delta(B,C)."""
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 8
+    skew = "omega omega omega psi psi chi phi upsilon " * 8
+    rows = []
+    for i in range(10):
+        rows.append((i, base, "en", "srcA", len(base)))
+        rows.append((100 + i, base, "en", "srcB", len(base)))
+        rows.append((200 + i, skew, "en", "srcC", len(skew)))
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        (r.sa, r.sb): r.delta
+        for r in QUERIES["stylometry_burrows_delta"](spark, str(tmp_path)).collect()
+    }
+    assert got[("srcA", "srcB")] == pytest.approx(0.0, abs=1e-9)
+    assert got[("srcA", "srcC")] > 10 * max(got[("srcA", "srcB")], 0.01)
+    assert got[("srcB", "srcC")] > 10 * max(got[("srcA", "srcB")], 0.01)
