@@ -999,3 +999,92 @@ def test_bradley_terry_properties(partial):
         wr2[("a", o)] = wr2[("a", o)] + 10
     p2 = _bt_converged(wr2, types)
     assert p2["a"] >= p["a"] - 1e-9
+
+
+# ---------------------------------------------------------------------------
+# t-closeness, next-event eval, Horvitz-Thompson: references
+# ---------------------------------------------------------------------------
+
+
+def test_tcloseness_matches_pandas_model(spark):
+    cust = duckdb.sql(
+        f"SELECT c_nationkey, CAST(FLOOR(c_acctbal/1000.0) AS BIGINT) AS bal_band,"
+        f" c_mktsegment FROM '{SF}/customer.parquet'"
+    ).df()
+    gp = cust.c_mktsegment.value_counts(normalize=True)
+    rows = QUERIES["tcloseness_audit"](spark, SF).collect()
+    assert len(rows) == len(cust.groupby(["c_nationkey", "bal_band"]))
+    for r in rows:
+        g = cust[
+            (cust.c_nationkey == r.c_nationkey) & (cust.bal_band == r.bal_band)
+        ]
+        q = g.c_mktsegment.value_counts(normalize=True)
+        tv = sum(abs(q.get(s, 0.0) - gp[s]) for s in gp.index) / 2
+        assert r.k == len(g)
+        assert r.t_distance == pytest.approx(tv, abs=1e-9)
+        assert 0.0 <= r.t_distance <= 1.0
+        assert r.violates_t02 == (r.t_distance > 0.2)
+
+
+def test_next_event_predictor_matches_mirror(spark):
+    ev = duckdb.sql(
+        f"SELECT event_id, user_id, ts, event_type FROM '{SF}/events.parquet'"
+        f" ORDER BY user_id, ts, event_id"
+    ).df()
+    trans = []
+    for _, g in ev.groupby("user_id"):
+        ts = list(g.itertuples())
+        for a, b in zip(ts, ts[1:]):
+            train = int(_md5(f"nxteval{a.event_id}")[:8], 16) % 10000 < 8000
+            trans.append((a.event_type, b.event_type, train))
+    from collections import Counter
+
+    pred = {}
+    by_prev: dict[str, Counter] = {}
+    for p, n, tr in trans:
+        if tr:
+            by_prev.setdefault(p, Counter())[n] += 1
+    for p, c in by_prev.items():
+        mx = max(c.values())
+        pred[p] = min(n for n, v in c.items() if v == mx)
+    rows = {r.prev_type: r for r in
+            QUERIES["next_event_predictor_accuracy"](spark, SF).collect()}
+    for p, r in rows.items():
+        assert r.predicted_next == pred[p]
+        ev_trans = [(pp, nn) for pp, nn, tr in trans if not tr and pp == p]
+        assert r.n_eval == len(ev_trans)
+        assert r.n_correct == sum(1 for _, nn in ev_trans if nn == pred[p])
+        assert r.accuracy == r.n_correct / r.n_eval
+        # a 5-type marginal predictor should beat 1/25 and lose to 1.0
+        assert 0.0 <= r.accuracy < 1.0
+
+
+def test_ht_estimator_mirror_and_design_properties(spark):
+    li = duckdb.sql(
+        f"SELECT l_orderkey, l_linenumber, l_extendedprice"
+        f" FROM '{SF}/lineitem.parquet'"
+    ).df()
+    import math
+
+    ht_mic = 0
+    n_sampled = 0
+    # itertuples, NOT iterrows: iterrows coerces the int key columns to
+    # float64 and the md5 key would render "ht5.0|1.0"
+    for r in li.itertuples():
+        pmic = math.floor(
+            min(1.0, max(0.01, r.l_extendedprice / 100000.0)) * 1000000.0
+        )
+        b = int(_md5(f"ht{r.l_orderkey}|{r.l_linenumber}")[:8], 16) % 1000000
+        if b < pmic:
+            n_sampled += 1
+            ht_mic += math.floor(r.l_extendedprice / (pmic / 1000000.0) * 1000.0)
+    out = QUERIES["ht_sampled_revenue_estimate"](spark, SF).collect()[0]
+    assert out.n_population == len(li)
+    assert out.n_sampled == n_sampled
+    assert out.ht_estimate == ht_mic / 1000.0
+    # design soundness: the estimate lands within 5 design-SEs of truth
+    # (deterministic given the fixed hash, but SHOULD hold if the hash
+    # behaves like the uniform randomness the design assumes)
+    assert abs(out.ht_estimate - out.true_total) <= 5 * out.ht_se
+    # sampling actually subsampled (pi floor is 1%, prices are ~1e3-1e5)
+    assert 0 < out.n_sampled < out.n_population
