@@ -1088,3 +1088,52 @@ def test_ht_estimator_mirror_and_design_properties(spark):
     assert abs(out.ht_estimate - out.true_total) <= 5 * out.ht_se
     # sampling actually subsampled (pi floor is 1%, prices are ~1e3-1e5)
     assert 0 < out.n_sampled < out.n_population
+
+
+# ---------------------------------------------------------------------------
+# Anderson-Darling: full-precision Scholz-Stephens reference
+# ---------------------------------------------------------------------------
+
+
+def test_ad_statistic_matches_scholz_stephens(spark):
+    """Full-precision python implementation of Scholz & Stephens 1987
+    eq. 6 (k=2, right-continuous, ties exact) vs the quantized engine
+    value; on a NULL split (parity cohorts of the same distribution)
+    A^2 should sit near its null mean of ~1, far below the 5% critical
+    value ~2.49."""
+    ev = duckdb.sql(
+        f"SELECT event_type, user_id, value FROM '{SF}/events.parquet'"
+        f" WHERE abs(value) < 1000.0"
+    ).df()
+    rows = {r.event_type: r for r in
+            QUERIES["drift_ad_statistic"](spark, SF).collect()}
+    for t, g in ev.groupby("event_type"):
+        a = sorted(g.value[g.user_id % 2 == 0])
+        b = sorted(g.value[g.user_id % 2 == 1])
+        n, m = len(a), len(b)
+        if not (n and m):
+            assert t not in rows
+            continue
+        pooled = sorted(set(a) | set(b))
+        N = n + m
+        from collections import Counter
+
+        ca, cb = Counter(a), Counter(b)
+        Ma = Mb = Bj = 0
+        sa = sb = 0.0
+        for v in pooled:
+            la, lb = ca.get(v, 0), cb.get(v, 0)
+            Ma, Mb, Bj = Ma + la, Mb + lb, Bj + la + lb
+            if Bj >= N:
+                continue
+            l = la + lb
+            sa += l * (N * Ma - n * Bj) ** 2 / (Bj * (N - Bj))
+            sb += l * (N * Mb - m * Bj) ** 2 / (Bj * (N - Bj))
+        expect = (sa / n + sb / m) / N
+        r = rows[t]
+        assert (r.n_a, r.n_b) == (n, m)
+        # floor-milli term quantization leaves ~1e-5-scale slack on the
+        # O(1)-magnitude statistic
+        assert r.ad_stat == pytest.approx(expect, abs=5e-5)
+        # parity cohorts of one distribution: no drift signal
+        assert r.ad_stat < 2.49
