@@ -1137,3 +1137,48 @@ def test_ad_statistic_matches_scholz_stephens(spark):
         assert r.ad_stat == pytest.approx(expect, abs=5e-5)
         # A^2 is a sum of nonnegative weighted squares
         assert r.ad_stat >= 0.0
+
+
+# ---------------------------------------------------------------------------
+# Recommendation coverage / novelty: pandas mirror
+# ---------------------------------------------------------------------------
+
+
+def test_reco_coverage_novelty_matches_mirror(spark):
+    import itertools
+    from collections import Counter
+
+    b = duckdb.sql(
+        f"SELECT DISTINCT l_orderkey, l_partkey FROM '{SF}/lineitem.parquet'"
+    ).df()
+    n_catalog = duckdb.sql(
+        f"SELECT count(*) FROM '{SF}/part.parquet'"
+    ).fetchone()[0]
+    n_baskets = b.l_orderkey.nunique()
+    item = Counter(b.l_partkey)
+    co: Counter = Counter()
+    for _, g in b.groupby("l_orderkey"):
+        for p1, p2 in itertools.permutations(sorted(g.l_partkey), 2):
+            co[(p1, p2)] += 1
+    import math
+
+    scored: dict = {}
+    for (p1, p2), c in co.items():
+        if c >= 3:
+            cos = c / (math.sqrt(item[p1]) * math.sqrt(item[p2]))
+            scored.setdefault(p1, []).append((-cos, -c, p2))
+    recs = []
+    for p1, cands in scored.items():
+        for _, _, p2 in sorted(cands)[:3]:
+            recs.append(p2)
+    out = QUERIES["reco_coverage_novelty"](spark, SF).collect()[0]
+    assert out.n_catalog == n_catalog
+    assert out.n_recs == len(recs)
+    assert out.n_rec_distinct == len(set(recs))
+    assert out.coverage_at_3 == len(set(recs)) / n_catalog
+    expect_pop = sum(item[p] / n_baskets for p in recs) / len(recs)
+    assert out.avg_rec_popularity == pytest.approx(expect_pop, rel=1e-6)
+    # the popularity-bias direction is visible: recommended items are at
+    # least as popular on average as the catalog baseline (co-occurrence
+    # needs support, which correlates with popularity)
+    assert out.avg_rec_popularity >= out.avg_catalog_popularity
