@@ -1182,3 +1182,64 @@ def test_reco_coverage_novelty_matches_mirror(spark):
     # least as popular on average as the catalog baseline (co-occurrence
     # needs support, which correlates with popularity)
     assert out.avg_rec_popularity >= out.avg_catalog_popularity
+
+
+# ---------------------------------------------------------------------------
+# Truncation curve + post-stratified ATE: pandas mirrors
+# ---------------------------------------------------------------------------
+
+
+def test_truncation_curve_matches_mirror(spark, docs_pd):
+    toks = docs_pd.text.map(lambda t: len([w for w in t.lower().split() if w]))
+    rows = {r.max_len: r for r in
+            QUERIES["truncation_budget_curve"](spark, SF).collect()}
+    assert set(rows) == {16, 32, 64, 128}
+    prev_kept = -1.0
+    for L in (16, 32, 64, 128):
+        r = rows[L]
+        assert r.n_docs == len(toks)
+        assert r.total_tokens == int(toks.sum())
+        assert r.kept_tokens == int(toks.map(lambda n: min(n, L)).sum())
+        assert r.n_truncated == int((toks > L).sum())
+        assert r.kept_frac == r.kept_tokens / r.total_tokens
+        # the curve is monotone in the cap
+        assert r.kept_frac > prev_kept
+        prev_kept = r.kept_frac
+
+
+def test_post_stratified_ate_matches_mirror(spark):
+    ev = duckdb.sql(
+        f"SELECT user_id, event_type, value FROM '{SF}/events.parquet'"
+    ).df()
+    users = {}
+    for uid, g in ev.groupby("user_id"):
+        n = len(g)
+        spend = float(g.value[g.event_type == "purchase"].sum())
+        stratum = "low" if n < 50 else ("mid" if n < 80 else "high")
+        users[uid] = (stratum, _treated(uid), spend)
+    import math
+
+    strata: dict = {}
+    for stratum, tr, y in users.values():
+        c = strata.setdefault(stratum, [0, 0, 0.0, 0, 0.0])
+        c[0] += 1
+        if tr:
+            c[1] += 1
+            c[2] += y
+        else:
+            c[3] += 1
+            c[4] += y
+    N = len(users)
+    rows = {r.stratum: r for r in
+            QUERIES["ab_post_stratified_ate"](spark, SF).collect()}
+    assert set(rows) == set(strata)
+    ate = 0.0
+    for stname, (n_s, n_t, sy_t, n_c, sy_c) in strata.items():
+        r = rows[stname]
+        assert (r.n_s, r.n_t, r.n_c) == (n_s, n_t, n_c)
+        if n_t and n_c:
+            diff = sy_t / n_t - sy_c / n_c
+            assert r.diff == pytest.approx(diff, rel=1e-9)
+            ate += math.floor(n_s / N * diff * 1e6) / 1e6
+    for r in rows.values():
+        assert r.ate_post_stratified == pytest.approx(ate, abs=1e-6)
