@@ -35,8 +35,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #      row is OLDEST, so every query periodically re-enters the window and
 #      a silent regression cannot hide outside it indefinitely.
 # Everything rotated out stays verified locally every round via
-# ``tools/check_correctness.py`` (381/381 oracle-paired queries green in
-# the latest full local sweep; 383 declared).
+# ``tools/check_correctness.py`` (383/383 oracle-paired queries green in
+# the latest full local sweep; 385 declared).
 _CHECK_FIRST = [
     # -- 1. changed or added in r6 (their prior rows, if any, no longer
     #       describe the shipped code)
@@ -234,8 +234,8 @@ _CHECK_FIRST = [
     # eb_shrunk_supplier_rates, graph_kcore_parts, vocab_chao1_richness,
     # stylometry_burrows_delta, tcloseness_audit,
     # next_event_predictor_accuracy, ht_sampled_revenue_estimate,
-    # drift_ad_statistic, reco_coverage_novelty) land AFTER the r6
-    # window filled;
+    # drift_ad_statistic, reco_coverage_novelty, truncation_budget_curve,
+    # ab_post_stratified_ate) land AFTER the r6 window filled;
     # like the 2b overflow they join the FRONT of the r7 queue, and each
     # was verified green at sf0.001 AND sf0.01 in this session's local
     # oracle runs (the documented compensating control).
@@ -254,7 +254,7 @@ _CHECK_FIRST = [
     # ann_cosine_topk (unit-test-pinned; shares its ranking oracle shape
     # with ann_ivf_fixed_topk).  Every rotated-out veteran held an official
     # green row in r1-r5 AND stays green in the per-round local full sweep
-    # (tools/check_correctness.py, 381/381 oracle-paired).
+    # (tools/check_correctness.py, 383/383 oracle-paired).
 ]
 
 
