@@ -243,14 +243,24 @@ def lsh_table_planes(n_planes: int, n_tables: int, dim: int, seed: int) -> list:
     ]
 
 
-def auto_n_planes(n_rows: int, target_occupancy: int = 100) -> int:
-    """The measured sizing rule (SCALE_BENCH.md §1): planes ≈ log2(n /
-    target_occupancy), floored at the fixture-tuned 4.  Keeps per-table
-    bucket occupancy ~constant so the candidate join stays near-linear
-    instead of degrading toward n²/2^planes."""
-    import math
+def auto_n_planes(n_rows: int, target_occupancy: int = 100, p_max: int = 16) -> int:
+    """The measured sizing rule (SCALE_BENCH.md §1): smallest ``p ≥ 4`` with
+    ``2^p * target_occupancy ≥ n`` (i.e. ceil(log2(n/target)), floored at the
+    fixture-tuned 4 and capped at ``p_max``).  Keeps per-table bucket
+    occupancy ~constant so the candidate join stays near-linear instead of
+    degrading toward n²/2^planes.
 
-    return max(4, math.ceil(math.log2(max(n_rows, 1) / target_occupancy)))
+    Deliberately INTEGER math (no log2): the DuckDB oracle replays the same
+    decision from COUNT(*) via ``(1 << p) * target >= n`` over a tiny range
+    scan, which is bit-portable where float log2 near exact powers of two is
+    not.  numpy's per-table plane draws are PREFIX-STABLE in ``p``
+    (standard_normal fills C-order), so a ``p``-bit bucket is exactly the
+    first ``p`` bits of the ``p_max``-bit bucket — the oracle embeds
+    ``p_max`` planes as literals and takes a substring prefix."""
+    p = 4
+    while p < p_max and (1 << p) * target_occupancy < n_rows:
+        p += 1
+    return p
 
 
 def lsh_ann_candidates(

@@ -473,7 +473,35 @@ def test_auto_n_planes_sizing_rule():
     assert auto_n_planes(20_000) == 8
     assert auto_n_planes(50_000) == 9
     assert auto_n_planes(100_000) == 10
-    assert auto_n_planes(100_000_000) == 20
+    # capped at p_max (16 by default — the oracle embeds p_max plane
+    # literals, so the cap bounds the SQL size); override to go higher
+    assert auto_n_planes(100_000_000) == 16
+    assert auto_n_planes(100_000_000, p_max=24) == 20
+    # boundary exactness of the integer rule: 2^p * 100 >= n
+    assert auto_n_planes(1_600) == 4
+    assert auto_n_planes(1_601) == 5
+
+
+def test_adaptive_plane_rule_sql_matches_python():
+    """The DuckDB np CTE in _lsh_near_dup_adaptive_sql replays
+    similarity.auto_n_planes bit-for-bit: same integer rule
+    (min p>=4 with (1<<p)*100 >= n, capped at p_max=16), including the
+    floor, every power-of-two boundary, and the cap fallback."""
+    import duckdb
+
+    from lvm_datapipe_spark.operators.similarity import auto_n_planes
+
+    con = duckdb.connect()
+    boundary = [0, 1, 100, 1599, 1600, 1601, 3200, 3201]
+    big = [10**k for k in range(2, 10)] + [(1 << p) * 100 for p in range(4, 18)]
+    for n in sorted(set(boundary + big + [v + d for v in big for d in (-1, 1)])):
+        if n < 0:
+            continue
+        got = con.execute(
+            f"""SELECT COALESCE(MIN(p), 16) FROM range(4, 17) t(p)
+                WHERE (1::BIGINT << p) * 100 >= {n}"""
+        ).fetchone()[0]
+        assert got == auto_n_planes(n), f"n={n}: sql={got} py={auto_n_planes(n)}"
 
 
 def test_lsh_candidates_auto_planes_match_explicit(spark):

@@ -199,6 +199,71 @@ def bench_lsh_crossover(spark, quick: bool) -> dict:
     return out
 
 
+def bench_lsh_auto(spark, quick: bool) -> dict:
+    """The r7 closing of SCALE_BENCH §1's loop: the DECLARED dedup queries
+    now pass ``n_planes=None`` (one metadata count → auto_n_planes), so a
+    user copying them verbatim gets the sized plan with NO hand-tuning.
+    This measures that default through n=100k next to the fixed-plane wall
+    already recorded in §1."""
+    from lvm_datapipe_spark.operators import dedup as D
+    from lvm_datapipe_spark.operators import similarity as V
+    from lvm_datapipe_spark.operators.similarity import auto_n_planes
+
+    sizes = [5_000, 20_000, 50_000] if quick else [5_000, 20_000, 50_000, 100_000]
+    out: dict = {"auto_default": {}, "pairs_auto": {}, "auto_planes": {}}
+    for n in sizes:
+        p = os.path.join(SCRATCH, f"emb_{n}.parquet")
+        if not os.path.exists(p):
+            gen_embeddings(p, n, max(n // 50, 10))
+        emb = spark.read.parquet(p).repartition(32).persist()
+        emb.count()
+        df = V.lsh_near_dup_pairs(emb, threshold=0.9, n_planes=None, n_tables=12)
+        out["auto_default"][n] = _noop(df)
+        out["pairs_auto"][n] = df.count()
+        out["auto_planes"][n] = auto_n_planes(n)
+        D.release(df)
+        emb.unpersist()
+        print(
+            f"  lsh-auto n={n}: planes={out['auto_planes'][n]} "
+            f"wall={out['auto_default'][n]}s pairs={out['pairs_auto'][n]}",
+            flush=True,
+        )
+    return out
+
+
+def render_lsh_auto_md(res: dict) -> list:
+    x = {k: _intkeys(v) for k, v in res["lsh_auto"].items()}
+    sizes = sorted(x["auto_default"])
+    lines = [
+        "## 12. Adaptive LSH plane default (no hand-tuning)",
+        "",
+        "`lsh_near_dup_pairs(..., n_planes=None)` — the form the declared",
+        "dedup queries (`dedup_embedding_cosine`, `dedup_clusters`,",
+        "`dedup_representatives`, `split_leakage_safe`) ship since r7 — derives",
+        "the plane budget from ONE metadata-sized `count()` via the integer",
+        "rule `min p>=4 with 2^p*100 >= n` (similarity.auto_n_planes), so the",
+        "copied-verbatim query stays near-linear instead of hitting §1's",
+        "fixed-plane wall.  The oracle replays the same rule from `COUNT(*)`",
+        "over prefix-stable plane literals.",
+        "",
+        "| corpus n | auto planes | wall (s) | verified pairs | sec / 10k rows |",
+        "|---|---|---|---|---|",
+    ]
+    for n in sizes:
+        w = x["auto_default"][n]
+        lines.append(
+            f"| {n:,} | {x['auto_planes'][n]} | {w} | {x['pairs_auto'][n]:,} "
+            f"| {round(w / (n / 10_000), 2)} |"
+        )
+    lines += [
+        "",
+        "Compare §1: fixed 4-plane at n=50k took 204.7 s; the untuned",
+        "adaptive default holds per-row cost roughly flat through n=100k.",
+        "",
+    ]
+    return lines
+
+
 def bench_connected_components(spark, quick: bool) -> dict:
     from lvm_datapipe_spark.operators.graph import connected_components
 
@@ -343,6 +408,29 @@ def bench_lm_scoring(spark, quick: bool) -> dict:
             flush=True,
         )
     return {"rows": rows}
+
+
+def _update_md_section(marker: str, lines: list) -> None:
+    """Replace (or append) exactly ONE section of SCALE_BENCH.md: the text
+    from ``marker`` up to the next ``## `` heading.  Earlier AND later
+    sections are preserved byte-identical — the previous truncate-at-marker
+    approach silently deleted every section AFTER the one being refreshed
+    (e.g. ``--only-linededup`` dropped §11 winnowing from the markdown)."""
+    md_path = os.path.join(REPO, "SCALE_BENCH.md")
+    with open(md_path) as f:
+        md = f.read()
+    new = "\n".join(lines).rstrip("\n") + "\n"
+    if marker in md:
+        start = md.index(marker)
+        nxt = md.find("\n## ", start + len(marker))
+        if nxt == -1:
+            md = md[:start] + new
+        else:
+            md = md[:start] + new + md[nxt + 1 :]
+    else:
+        md = md.rstrip("\n") + "\n\n" + new
+    with open(md_path, "w") as f:
+        f.write(md)
 
 
 def _intkeys(d: dict) -> dict:
@@ -1241,6 +1329,7 @@ def main() -> None:
     only_concurrency = "--only-concurrency" in sys.argv
     only_linededup = "--only-linededup" in sys.argv
     only_winnowing = "--only-winnowing" in sys.argv
+    only_lshauto = "--only-lshauto" in sys.argv
     os.makedirs(SCRATCH, exist_ok=True)
     from lvm_datapipe_spark.session import get_spark
 
@@ -1252,7 +1341,7 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count()))
 
     if (only_txlog or only_skyline or only_concurrency or only_linededup
-            or only_winnowing):
+            or only_winnowing or only_lshauto):
         # incremental mode: merge the new section into the committed
         # results instead of re-running the (long) full matrix
         with open(os.path.join(REPO, "SCALE_BENCH.json")) as f:
@@ -1267,19 +1356,25 @@ def main() -> None:
         res["skew"] = bench_skew(spark, quick)
         print("== LM scoring: DSIR vs CCNet ==", flush=True)
         res["lm_scoring"] = bench_lm_scoring(spark, quick)
+    if only_lshauto:
+        print("== adaptive LSH plane default ==", flush=True)
+        res["lsh_auto"] = bench_lsh_auto(spark, quick)
+        with open(os.path.join(REPO, "SCALE_BENCH.json"), "w") as f:
+            json.dump(res, f, indent=2, sort_keys=True)
+        _update_md_section(
+            "## 12. Adaptive LSH plane default", render_lsh_auto_md(res)
+        )
+        print("wrote SCALE_BENCH.json + SCALE_BENCH.md (lsh auto)", flush=True)
+        shutil.rmtree("/dev/shm/spark-scale-local", ignore_errors=True)
+        return
     if only_winnowing:
         print("== winnowing ==", flush=True)
         res["winnowing"] = bench_winnowing(spark, quick)
         with open(os.path.join(REPO, "SCALE_BENCH.json"), "w") as f:
             json.dump(res, f, indent=2, sort_keys=True)
-        md_path = os.path.join(REPO, "SCALE_BENCH.md")
-        with open(md_path) as f:
-            md = f.read()
-        marker = "## 11. Winnowing fingerprint selection"
-        if marker in md:
-            md = md[: md.index(marker)]
-        with open(md_path, "w") as f:
-            f.write(md.rstrip("\n") + "\n\n" + "\n".join(render_winnowing_md(res)) + "\n")
+        _update_md_section(
+            "## 11. Winnowing fingerprint selection", render_winnowing_md(res)
+        )
         print("wrote SCALE_BENCH.json + SCALE_BENCH.md (winnowing)", flush=True)
         shutil.rmtree("/dev/shm/spark-scale-local", ignore_errors=True)
         return
@@ -1288,14 +1383,7 @@ def main() -> None:
         res["line_dedup"] = bench_line_dedup(spark, quick)
         with open(os.path.join(REPO, "SCALE_BENCH.json"), "w") as f:
             json.dump(res, f, indent=2, sort_keys=True)
-        md_path = os.path.join(REPO, "SCALE_BENCH.md")
-        with open(md_path) as f:
-            md = f.read()
-        marker = "## 10. CCNet line dedup"
-        if marker in md:
-            md = md[: md.index(marker)]
-        with open(md_path, "w") as f:
-            f.write(md.rstrip("\n") + "\n\n" + "\n".join(render_linededup_md(res)) + "\n")
+        _update_md_section("## 10. CCNet line dedup", render_linededup_md(res))
         print("wrote SCALE_BENCH.json + SCALE_BENCH.md (line dedup)", flush=True)
         shutil.rmtree("/dev/shm/spark-scale-local", ignore_errors=True)
         return
@@ -1304,14 +1392,7 @@ def main() -> None:
         res["concurrency"] = bench_concurrency(spark, quick)
         with open(os.path.join(REPO, "SCALE_BENCH.json"), "w") as f:
             json.dump(res, f, indent=2, sort_keys=True)
-        md_path = os.path.join(REPO, "SCALE_BENCH.md")
-        with open(md_path) as f:
-            md = f.read()
-        marker = "## 9. Two-level prefix-sum"
-        if marker in md:
-            md = md[: md.index(marker)]
-        with open(md_path, "w") as f:
-            f.write(md.rstrip("\n") + "\n\n" + "\n".join(render_concurrency_md(res)))
+        _update_md_section("## 9. Two-level prefix-sum", render_concurrency_md(res))
         print("wrote SCALE_BENCH.json + SCALE_BENCH.md (concurrency)", flush=True)
         shutil.rmtree("/dev/shm/spark-scale-local", ignore_errors=True)
         return
@@ -1320,14 +1401,7 @@ def main() -> None:
         res["skyline"] = bench_skyline(spark, quick)
         with open(os.path.join(REPO, "SCALE_BENCH.json"), "w") as f:
             json.dump(res, f, indent=2, sort_keys=True)
-        md_path = os.path.join(REPO, "SCALE_BENCH.md")
-        with open(md_path) as f:
-            md = f.read()
-        marker = "## 8. Bucketed skyline"
-        if marker in md:
-            md = md[: md.index(marker)]
-        with open(md_path, "w") as f:
-            f.write(md.rstrip("\n") + "\n\n" + "\n".join(render_skyline_md(res)))
+        _update_md_section("## 8. Bucketed skyline", render_skyline_md(res))
         print("wrote SCALE_BENCH.json + SCALE_BENCH.md (skyline)", flush=True)
         shutil.rmtree("/dev/shm/spark-scale-local", ignore_errors=True)
         return
@@ -1341,24 +1415,16 @@ def main() -> None:
     with open(os.path.join(REPO, "SCALE_BENCH.json"), "w") as f:
         json.dump(res, f, indent=2, sort_keys=True)
     if only_txlog:
-        # append/replace just the new section; earlier sections' text is
-        # left byte-identical to the committed full-run render
-        md_path = os.path.join(REPO, "SCALE_BENCH.md")
-        with open(md_path) as f:
-            md = f.read()
-        marker = "## 5. Versioned-table incremental reads"
-        if marker in md:
-            md = md[: md.index(marker)]
-        with open(md_path, "w") as f:
-            f.write(
-                md.rstrip("\n")
-                + "\n\n"
-                + "\n".join(
-                    render_txlog_md(res)
-                    + render_txlog_merge_md(res)
-                    + render_bm25_md(res)
-                )
-            )
+        # refresh just the three re-run sections; every other section's
+        # text is left byte-identical to the committed render
+        _update_md_section(
+            "## 5. Versioned-table incremental reads", render_txlog_md(res)
+        )
+        _update_md_section(
+            "## 6. File-granular MERGE vs full-table rewrite",
+            render_txlog_merge_md(res),
+        )
+        _update_md_section("## 7. BM25 posting-list scoring", render_bm25_md(res))
     else:
         with open(os.path.join(REPO, "SCALE_BENCH.md"), "w") as f:
             f.write(render_md(res))
