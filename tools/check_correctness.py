@@ -4,11 +4,19 @@ For every query in __spark_entry__.queries(): run the Spark DataFrame and the
 DuckDB oracle SQL on the same sf dir, then compare row count, column names,
 and order-insensitive values (columns sorted by name, rows sorted).
 
-Usage: python tools/check_correctness.py [sf_dir] [query ...]
+Usage: python tools/check_correctness.py [sf_dir] [query ...] [--json PATH]
+
+``--json PATH`` additionally writes a machine-readable per-query record in
+the driver's CORRECTNESS_r{N}.json shape ({name: {rows_match, schema_match,
+hash_match, spark_rows, oracle_rows, err}}), so each round can commit a FULL
+local sweep artifact (CORRECTNESS_LOCAL_r{N}.json) next to the driver's
+50-query window — with ~385 queries and a 50-slot window, this file is the
+only complete correctness record a round produces (r6 verdict item 2).
 """
 
 from __future__ import annotations
 
+import json
 import math
 import sys
 
@@ -73,8 +81,14 @@ def main() -> int:
     import __spark_entry__ as E
     from lvm_datapipe_spark.session import get_spark
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_path = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_path = args[i + 1]
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     spark = get_spark("check-correctness")
     con = duckdb.connect()
@@ -84,30 +98,50 @@ def main() -> int:
 
     qs, oracles = E.queries(), E.oracle_sql()
     failed = []
+    records: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        rec = {"rows_match": False, "schema_match": False, "hash_match": False,
+               "spark_rows": None, "oracle_rows": None, "err": None}
+        records[name] = rec
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error {type(e).__name__}: {e}")
+            rec["err"] = f"spark {type(e).__name__}: {e}"
             failed.append(name)
             continue
+        rec["spark_rows"] = len(sdf)
         if name not in oracles:
             print(f"ROWS-ONLY {name}: {len(sdf)} rows")
+            # mirrors the driver's weaker rows-only record: the query ran
+            # and produced a frame, but no oracle comparison exists
+            rec.update(rows_match=True, schema_match=None, hash_match=None)
             continue
         try:
             ddf = con.execute(oracles[name]).df()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error {type(e).__name__}: {e}")
+            rec["err"] = f"duckdb {type(e).__name__}: {e}"
             failed.append(name)
             continue
+        rec["oracle_rows"] = len(ddf)
         problems = compare(name, sdf, ddf)
+        rec["rows_match"] = len(sdf) == len(ddf)
+        rec["schema_match"] = sorted(sdf.columns) == sorted(ddf.columns)
+        rec["hash_match"] = not problems
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
+            rec["err"] = "; ".join(problems)
             failed.append(name)
         else:
             print(f"OK   {name}: {len(sdf)} rows")
+    if json_path:
+        with open(json_path, "w") as f:
+            json.dump({"sf_dir": sf_dir, "queries": records}, f, indent=2,
+                      sort_keys=True)
+        print(f"wrote {json_path} ({len(records)} queries)")
     print(f"\n{len(failed)} failures" + (f": {failed}" if failed else ""))
     return 1 if failed else 0
 
