@@ -76,64 +76,99 @@ def _gray_to_rgb(frame: np.ndarray) -> np.ndarray:
 
 
 #: path to the public LAION aesthetic checkpoint
-#: (sac+logos+ava1-l14-linearMSE.pth); when set, AestheticAdapter loads the
-#: real weights (aesthetic_score.py:100-102 does the same via torch.load)
+#: (sac+logos+ava1-l14-linearMSE.pth); the head is REQUIRED — the reference
+#: always torch.load()s it (aesthetic_score.py:100-102).  Loaded here via the
+#: torch-free checkpoints.load_state_dict, so the head runs identically with
+#: or without torch on the worker.
 AESTHETIC_WEIGHTS_ENV = "LVM_AESTHETIC_WEIGHTS"
+
+#: optional embedding-stage override: "pkg.module:attr" or "/abs/file.py:attr"
+#: naming a callable (frames: list[(H,W) uint8], h, w) -> (n, 768) float
+#: CLIP-space image features, NOT yet L2-normalized (the adapter applies the
+#: reference's normalized() itself).  Lets a worker without torch (or with an
+#: ONNX/TensorRT CLIP export) still run the REAL validated head; also how the
+#: test suite drives a golden forward through the registry torch-free.
+AESTHETIC_EMBEDDER_ENV = "LVM_AESTHETIC_EMBEDDER"
+
+
+def _resolve_embedder_spec(spec: str):
+    """Import the embedder callable named by AESTHETIC_EMBEDDER_ENV."""
+    import importlib
+    import importlib.util
+
+    path, attr = spec.rsplit(":", 1)
+    if path.endswith(".py"):
+        mspec = importlib.util.spec_from_file_location("_lvm_aesthetic_embedder", path)
+        mod = importlib.util.module_from_spec(mspec)
+        mspec.loader.exec_module(mod)
+    else:
+        mod = importlib.import_module(path)
+    return getattr(mod, attr)
 
 
 class AestheticAdapter(ScorerAdapter):
     """M3 — CLIP+MLP aesthetic predictor; output matches the stub: one float
     per frame (the reference's ``optimal_score`` array,
-    aesthetic_score.py:130-132).  The MLP head's numeric fidelity is proven
-    torch-free against the shipped public checkpoint in
-    tests/test_model_adapters.py via operators/checkpoints.AestheticMLP
-    (same five affine maps this torch path runs)."""
+    aesthetic_score.py:130-132).
+
+    The head is ALWAYS :class:`~lvm_datapipe_spark.operators.checkpoints.
+    AestheticMLP` — the single numpy implementation whose numeric fidelity is
+    golden-forward-validated against the shipped public checkpoint in
+    tests/test_model_adapters.py (no parallel torch Sequential to drift).
+    The embedding stage is torch CLIP ViT-L/14 by default, or any callable
+    named by AESTHETIC_EMBEDDER_ENV; either way the adapter itself applies
+    the reference's normalized() (aesthetic_score.py:69-75, L2 along the
+    feature axis) before the head."""
 
     requires = ("torch", "clip")
 
     @classmethod
-    def _load(cls):  # pragma: no cover — needs torch+clip
+    def available(cls) -> bool:
         import os
 
-        import clip
-        import torch
-
-        device = "cuda" if torch.cuda.is_available() else "cpu"
-        clip_model, preprocess = clip.load("ViT-L/14", device=device)
-        # the LAION aesthetic head: 768 -> 1024 -> 128 -> 64 -> 16 -> 1
-        # (aesthetic_score.py:30-45) — NO activations (the published model
-        # comments out every ReLU), so eval inference is 5 affine maps
-        mlp = torch.nn.Sequential(
-            torch.nn.Linear(768, 1024), torch.nn.Dropout(0.2),
-            torch.nn.Linear(1024, 128), torch.nn.Dropout(0.2),
-            torch.nn.Linear(128, 64), torch.nn.Dropout(0.1),
-            torch.nn.Linear(64, 16), torch.nn.Linear(16, 1),
-        )
         wpath = os.environ.get(AESTHETIC_WEIGHTS_ENV)
-        if wpath:
-            state = torch.load(wpath, map_location="cpu")
-            # checkpoint keys are 'layers.N.*' (the reference wraps the
-            # Sequential in an attr named `layers`); this bare Sequential
-            # wants 'N.*'
-            mlp.load_state_dict(
-                {k.removeprefix("layers."): v for k, v in state.items()}
-            )
-        mlp = mlp.to(device).eval()
-        return device, clip_model, preprocess, mlp
+        if not wpath or not os.path.exists(wpath):
+            return False  # no head weights -> stub (never random-init scores)
+        if os.environ.get(AESTHETIC_EMBEDDER_ENV):
+            return True  # custom embedding stage + torch-free head
+        return super().available()
 
-    def score(self, frames, h, w):  # pragma: no cover — needs torch+clip
+    @classmethod
+    def _load(cls):
+        import os
+
+        from lvm_datapipe_spark.operators.checkpoints import AestheticMLP
+
+        head = AestheticMLP.load(os.environ[AESTHETIC_WEIGHTS_ENV])
+        spec = os.environ.get(AESTHETIC_EMBEDDER_ENV)
+        if spec:
+            return _resolve_embedder_spec(spec), head
+        return cls._torch_clip_embedder(), head
+
+    @staticmethod
+    def _torch_clip_embedder():  # pragma: no cover — needs torch+clip
+        import clip
         import torch
         from PIL import Image
 
-        device, clip_model, preprocess, mlp = self.model()
-        out = []
-        with torch.no_grad():
-            for f in frames:
-                img = preprocess(Image.fromarray(_gray_to_rgb(f))).unsqueeze(0).to(device)
-                emb = clip_model.encode_image(img)
-                emb = emb / emb.norm(dim=-1, keepdim=True)  # normalized(), :69-75
-                out.append(float(mlp(emb.float()).item()))
-        return out
+        device = "cuda" if torch.cuda.is_available() else "cpu"
+        clip_model, preprocess = clip.load("ViT-L/14", device=device)
+
+        def embed(frames, h, w):
+            with torch.no_grad():
+                imgs = torch.stack(
+                    [preprocess(Image.fromarray(_gray_to_rgb(f))) for f in frames]
+                ).to(device)
+                return clip_model.encode_image(imgs).cpu().numpy()
+
+        return embed
+
+    def score(self, frames, h, w):
+        embedder, head = self.model()
+        feats = np.asarray(embedder(frames, h, w), dtype=np.float32)
+        # the reference's normalized() (aesthetic_score.py:69-75)
+        feats = feats / np.linalg.norm(feats, axis=-1, keepdims=True)
+        return [float(s) for s in head.forward(feats)]
 
 
 class ImagingQualityAdapter(ScorerAdapter):

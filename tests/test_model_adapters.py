@@ -434,3 +434,170 @@ def test_state_dict_unpickler_rejects_arbitrary_globals(tmp_path):
 
     with pytest.raises(pickle.UnpicklingError, match="disallowed"):
         load_state_dict(str(p))
+
+
+# --- M3 through the REGISTRY, torch-free (r7: one head, pluggable embedder) --
+
+GOLDEN_EMBEDDER = (
+    __import__("os").path.join(__import__("os").path.dirname(__file__),
+                               "golden_clip_embedder.py") + ":embed"
+)
+
+
+@_has_weights
+def test_aesthetic_adapter_available_only_with_head_weights(monkeypatch):
+    # no weights env -> unavailable even with an embedder (never score with
+    # a random-init head); weights + embedder -> available with NO torch
+    monkeypatch.delenv(MA.AESTHETIC_WEIGHTS_ENV, raising=False)
+    monkeypatch.setenv(MA.AESTHETIC_EMBEDDER_ENV, GOLDEN_EMBEDDER)
+    assert MA.AestheticAdapter.available() is False
+    monkeypatch.setenv(MA.AESTHETIC_WEIGHTS_ENV, AESTHETIC_PTH)
+    assert MA.AestheticAdapter.available() is True
+    assert "torch" not in sys.modules
+
+
+@_has_weights
+def test_aesthetic_adapter_golden_forward_driver_side(monkeypatch):
+    # resolve_kernel must hand back the REAL adapter, and its score() —
+    # embedder -> the reference's normalized() -> the validated numpy head —
+    # must reproduce the pinned goldens even though the fake embedder
+    # returns 3x-scaled features (normalization is the adapter's job)
+    monkeypatch.setenv(MA.AESTHETIC_WEIGHTS_ENV, AESTHETIC_PTH)
+    monkeypatch.setenv(MA.AESTHETIC_EMBEDDER_ENV, GOLDEN_EMBEDDER)
+    MA.AestheticAdapter._loaded = False
+    MA.AestheticAdapter._model = None
+    try:
+        kernel = MA.resolve_kernel("aesthetic", lambda f, h, w: None)
+        assert isinstance(kernel, MA.AestheticAdapter)
+        f_even = np.full((8, 8), 2, dtype=np.uint8)
+        f_odd = np.full((8, 8), 3, dtype=np.uint8)
+        scores = kernel([f_even, f_odd], 8, 8)
+        assert abs(scores[0] - 5.240217) < 1e-3
+        assert abs(scores[1] - 4.883285) < 1e-3
+        assert "torch" not in sys.modules
+    finally:
+        MA.AestheticAdapter._loaded = False
+        MA.AestheticAdapter._model = None
+
+
+@_has_weights
+def test_aesthetic_registry_golden_forward_e2e_without_torch(spark):
+    # the full M3 path the driver contract exercises: binary frames ->
+    # media.apply_scorer(df, "aesthetic") -> executor-side resolve_kernel
+    # picks the REAL adapter (env shipped to the python workers via
+    # sc.environment, captured at UDF wrap time) -> real public LAION head
+    # -> the pinned golden scores come back through Arrow.  No torch
+    # anywhere; a null frames row still yields null.
+    sc = spark.sparkContext
+    sc.environment[MA.AESTHETIC_WEIGHTS_ENV] = AESTHETIC_PTH
+    sc.environment[MA.AESTHETIC_EMBEDDER_ENV] = GOLDEN_EMBEDDER
+    try:
+        f_even = np.full((8, 8), 2, dtype=np.uint8)
+        f_odd = np.full((8, 8), 3, dtype=np.uint8)
+        df = spark.createDataFrame(
+            [
+                ("clip0",
+                 [bytearray(f_even.tobytes()), bytearray(f_odd.tobytes())],
+                 8, 8),
+                ("failed", None, None, None),
+            ],
+            "clip_id string, frames array<binary>, height int, width int",
+        )
+        rows = {r.clip_id: r.optimal_score
+                for r in media.apply_scorer(df, "aesthetic").collect()}
+        assert abs(rows["clip0"][0] - 5.240217) < 1e-3
+        assert abs(rows["clip0"][1] - 4.883285) < 1e-3
+        assert rows["failed"] is None
+    finally:
+        del sc.environment[MA.AESTHETIC_WEIGHTS_ENV]
+        del sc.environment[MA.AESTHETIC_EMBEDDER_ENV]
+
+
+# --- CLIP preprocessing contract (M3's input side, torch-free) --------------
+
+
+def test_clip_preprocess_constants_are_the_published_ones():
+    from lvm_datapipe_spark.operators import checkpoints as C
+
+    assert C.CLIP_SIZE == 224
+    np.testing.assert_array_equal(
+        C.CLIP_MEAN, np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+    )
+    np.testing.assert_array_equal(
+        C.CLIP_STD, np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+    )
+
+
+def test_clip_preprocess_identity_size_is_pure_normalize():
+    # 224x224 input: no resize, no crop — output must be EXACTLY
+    # (px/255 - mean)/std, channels-first
+    from lvm_datapipe_spark.operators import checkpoints as C
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(224, 224, 3), dtype=np.uint8)
+    out = C.clip_preprocess(img)
+    assert out.shape == (3, 224, 224) and out.dtype == np.float32
+    want = (img.astype(np.float32) / 255.0 - C.CLIP_MEAN) / C.CLIP_STD
+    np.testing.assert_allclose(out, want.transpose(2, 0, 1), atol=1e-6)
+
+
+def test_clip_preprocess_shapes_and_constant_images():
+    # any input geometry lands at (3,224,224); constant image -> exactly
+    # the normalized constant (bicubic rows are normalized, crop can't
+    # change a constant)
+    from lvm_datapipe_spark.operators import checkpoints as C
+
+    for h, w in [(448, 300), (300, 448), (100, 100), (224, 448), (500, 224)]:
+        img = np.full((h, w), 128, dtype=np.uint8)
+        out = C.clip_preprocess(img)
+        assert out.shape == (3, 224, 224), (h, w)
+        want = (128.0 / 255.0 - C.CLIP_MEAN) / C.CLIP_STD
+        for c in range(3):
+            np.testing.assert_allclose(out[c], np.full((224, 224), want[c]),
+                                       atol=1e-5)
+
+
+def test_clip_preprocess_center_crop_geometry():
+    # 224x448 needs no resize (shorter side already 224), so the crop is a
+    # pure slice of columns 112:336 — paint exactly that region and assert
+    # the output sees only it
+    from lvm_datapipe_spark.operators import checkpoints as C
+
+    img = np.full((224, 448), 10, dtype=np.uint8)
+    img[:, 112:336] = 200
+    out = C.clip_preprocess(img)
+    want = (200.0 / 255.0 - C.CLIP_MEAN[0]) / C.CLIP_STD[0]
+    np.testing.assert_allclose(out[0], np.full((224, 224), want), atol=1e-6)
+
+
+def test_clip_preprocess_grayscale_equals_stacked_rgb():
+    from lvm_datapipe_spark.operators import checkpoints as C
+
+    rng = np.random.default_rng(5)
+    g = rng.integers(0, 256, size=(300, 260), dtype=np.uint8)
+    rgb = np.stack([g, g, g], axis=-1)
+    np.testing.assert_allclose(C.clip_preprocess(g), C.clip_preprocess(rgb))
+
+
+def test_clip_preprocess_bicubic_reproduces_linear_ramps():
+    # cubic convolution is exact on affine signals (away from the clamped
+    # border): an upscaled horizontal ramp must stay the same ramp
+    from lvm_datapipe_spark.operators import checkpoints as C
+
+    w = C._resize_weights(112, 224)
+    ramp = np.arange(112, dtype=np.float64)
+    up = w.astype(np.float64) @ ramp
+    centers = (np.arange(224) + 0.5) * (112 / 224) - 0.5
+    np.testing.assert_allclose(up[4:-4], centers[4:-4], atol=1e-6)
+
+
+def test_clip_preprocess_downscale_antialiases():
+    # a period-2 checkerboard downscaled 2x must land near the mean (the
+    # stretched-kernel antialias); naive point sampling would alias to one
+    # of the two values
+    from lvm_datapipe_spark.operators import checkpoints as C
+
+    w = C._resize_weights(448, 224)
+    cb = np.tile([0.0, 1.0], 224)
+    down = w.astype(np.float64) @ cb
+    assert np.abs(down[2:-2] - 0.5).max() < 0.15
