@@ -818,3 +818,147 @@ def test_versioned_upsert_sink_merges_per_epoch(spark, tmp_path):
     assert txlog.latest_version(tbl) == 2
     got = {r["user_id"]: r["val"] for r in txlog.read(spark, tbl).collect()}
     assert got == {1: "b", 2: "z", 3: "n"}
+
+
+# --- failure injection: crash AFTER the table write, BEFORE the checkpoint
+# commit (the exact at-least-once gap the sinks claim to close), then
+# restart on the SAME checkpoint and require the table to equal the batch
+# oracle (r7 VERDICT item 6).  The crash is injected by wrapping the sink's
+# write layer (foreachBatch runs on the driver, so a test-process
+# monkeypatch reaches it) — no product-code hooks.
+
+
+def _await_failure(query, timeout_s=60):
+    deadline = time.time() + timeout_s
+    while query.isActive and time.time() < deadline:
+        time.sleep(0.3)
+    assert not query.isActive, "query should have died on the injected crash"
+    exc = query.exception()
+    assert exc is not None and "injected crash" in str(exc)
+
+
+def test_partitioned_parquet_sink_survives_midbatch_kill(spark, tmp_path, monkeypatch):
+    """Dynamic-partition-overwrite parquet sink: the batch's partitions are
+    fully written, then the query dies before Spark commits the epoch; the
+    restarted query REPLAYS the batch and must converge (overwrite the same
+    partitions with the same rows), not double them."""
+    from lvm_datapipe_spark.sources import sinks as S
+
+    d = tmp_path / "landing"
+    d.mkdir()
+    out, ckpt = str(tmp_path / "pq"), str(tmp_path / "ckpt")
+    rows = [(1, "a", 1), (2, "b", 1), (3, "c", 2), (4, "d", 2)]
+    with open(d / "f1.json", "w") as f:
+        for eid, v, day in rows:
+            f.write(json.dumps({"event_id": eid, "val": v, "day": day}) + "\n")
+
+    real = S.write_partitioned
+    def crashing(batch_df, path, partition_by):
+        real(batch_df, path, partition_by)
+        raise RuntimeError("injected crash after table write")
+
+    monkeypatch.setattr(S, "write_partitioned", crashing)
+
+    def _stream():
+        return spark.readStream.schema("event_id long, val string, day int").json(str(d))
+
+    q = ev.start_foreach_batch_partitioned(_stream(), out, ckpt, ["day"])
+    _await_failure(q)
+    # the write DID land before the crash — this is the dangerous window
+    assert spark.read.parquet(out).count() == len(rows)
+
+    monkeypatch.setattr(S, "write_partitioned", real)
+    q2 = ev.start_foreach_batch_partitioned(_stream(), out, ckpt, ["day"])
+    _await(q2)
+    got = {(r.event_id, r.val, r.day) for r in spark.read.parquet(out).collect()}
+    assert got == set(rows)  # replay overwrote, never appended
+    assert spark.read.parquet(out).count() == len(rows)
+
+    # and the restarted query keeps making progress: a new file arrives as
+    # the next epoch and lands exactly once
+    with open(d / "f2.json", "w") as f:
+        f.write(json.dumps({"event_id": 5, "val": "e", "day": 3}) + "\n")
+    q3 = ev.start_foreach_batch_partitioned(_stream(), out, ckpt, ["day"])
+    _await(q3)
+    assert spark.read.parquet(out).count() == len(rows) + 1
+
+
+def test_versioned_upsert_sink_survives_midbatch_kill(spark, tmp_path, monkeypatch):
+    """txlog streaming-upsert sink: the MERGE commits durably, then the query
+    dies before the checkpoint write; the restarted query replays the epoch
+    and the epoch guard must SKIP it (no second version), after which new
+    batches keep merging normally."""
+    from lvm_datapipe_spark.sources import txlog
+
+    d = tmp_path / "landing"
+    d.mkdir()
+    tbl, ckpt = str(tmp_path / "utbl"), str(tmp_path / "uckpt")
+    with open(d / "f1.json", "w") as f:
+        for uid, v in [(1, "a"), (2, "x")]:
+            f.write(json.dumps({"user_id": uid, "val": v}) + "\n")
+
+    real_merge = txlog.merge
+    def crashing_merge(spark_, df_, table_dir_, **kw):
+        real_merge(spark_, df_, table_dir_, **kw)
+        raise RuntimeError("injected crash after table write")
+
+    monkeypatch.setattr(txlog, "merge", crashing_merge)
+
+    def _stream():
+        return spark.readStream.schema("user_id long, val string").json(str(d))
+
+    q = ev.start_versioned_upsert_sink(_stream(), tbl, ckpt, ["user_id"])
+    _await_failure(q)
+    # the merge DID commit before the crash
+    assert txlog.latest_version(tbl) == 1
+    assert {r.user_id: r.val for r in txlog.read(spark, tbl).collect()} == {1: "a", 2: "x"}
+
+    monkeypatch.setattr(txlog, "merge", real_merge)
+    q2 = ev.start_versioned_upsert_sink(_stream(), tbl, ckpt, ["user_id"])
+    _await(q2)
+    # replayed epoch 0 was skipped: still exactly one version, same rows
+    assert txlog.latest_version(tbl) == 1
+    assert {r.user_id: r.val for r in txlog.read(spark, tbl).collect()} == {1: "a", 2: "x"}
+
+    # the pipeline is not wedged: epoch 1 merges (update key 2, insert 3)
+    with open(d / "f2.json", "w") as f:
+        for uid, v in [(2, "z"), (3, "n")]:
+            f.write(json.dumps({"user_id": uid, "val": v}) + "\n")
+    q3 = ev.start_versioned_upsert_sink(_stream(), tbl, ckpt, ["user_id"])
+    _await(q3)
+    assert txlog.latest_version(tbl) == 2
+    assert {r.user_id: r.val for r in txlog.read(spark, tbl).collect()} == {
+        1: "a", 2: "z", 3: "n"}
+
+
+def test_versioned_append_sink_survives_midbatch_kill(spark, tmp_path, monkeypatch):
+    """Same window for the append-mode versioned sink: commit lands, crash,
+    replay must be epoch-skipped rather than double-appended."""
+    from lvm_datapipe_spark.sources import txlog
+
+    d = tmp_path / "landing"
+    d.mkdir()
+    tbl, ckpt = str(tmp_path / "vtbl"), str(tmp_path / "vckpt")
+    with open(d / "f1.json", "w") as f:
+        for eid in range(5):
+            f.write(json.dumps({"event_id": eid, "event_type": "view"}) + "\n")
+
+    real_commit = txlog.commit
+    def crashing_commit(spark_, df_, table_dir_, **kw):
+        real_commit(spark_, df_, table_dir_, **kw)
+        raise RuntimeError("injected crash after table write")
+
+    monkeypatch.setattr(txlog, "commit", crashing_commit)
+
+    def _stream():
+        return spark.readStream.schema("event_id long, event_type string").json(str(d))
+
+    q = ev.start_versioned_sink(_stream(), tbl, ckpt)
+    _await_failure(q)
+    assert txlog.latest_version(tbl) == 1
+
+    monkeypatch.setattr(txlog, "commit", real_commit)
+    q2 = ev.start_versioned_sink(_stream(), tbl, ckpt)
+    _await(q2)
+    assert txlog.latest_version(tbl) == 1  # replay skipped
+    assert txlog.read(spark, tbl).count() == 5
