@@ -71,6 +71,26 @@ BENCH_QUERIES = [
 #: regressions (VERDICT r5 item 7).
 COMMON_16 = BENCH_QUERIES[:16]
 
+#: second frozen list (r7, VERDICT r6 item 8): the frozen-19 predates the
+#: r5/r6 families, so none of them were regression-gated.  One heavy
+#: representative per NEW family, frozen as of r7 (BENCH_r07.json is their
+#: baseline row); published as "scale12_sec" and gated per-query by
+#: tools/bench_compare.py exactly like the frozen-19.
+SCALE_12 = [
+    "dedup_winnowing_pairs",      # MOSS winnowing fingerprints
+    "dedup_lines_ccnet",          # CCNet per-line dedup (line explode)
+    "ccnet_perplexity_buckets",   # bigram-LM surprisal bucketing
+    "bm25_topk",                  # retrieval: inverted-index BM25
+    "scd2_docs_merge",            # merge/SCD2 lifecycle shape
+    "dedup_semantic_semdedup",    # embedding-cluster semantic dedup
+    "dedup_ppjoin_pairs",         # prefix-filter set-similarity join
+    "dsir_target_selection",      # importance-resampling data selection
+    "sketch_cms_user_counts",     # count-min sketch family
+    "dedup_representatives",      # connected-components representatives
+    "bt_event_type_strength",     # iterative MM fit (stats family)
+    "pipeline_pretrain_full",     # composed end-to-end curation pipeline
+]
+
 
 def main() -> None:
     from lvm_datapipe_spark.queries import QUERIES
@@ -104,7 +124,7 @@ def main() -> None:
             # match), turning min-of-2 into a cached-read measurement.
             # Within-pass behavior stays identical to the r1-r3 methodology.
             spark.catalog.clearCache()
-        for name in BENCH_QUERIES:
+        for name in BENCH_QUERIES + SCALE_12:
             if name not in QUERIES:
                 continue
             t0 = time.perf_counter()
@@ -121,10 +141,18 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "headline_queries_total_time",
-                "value": round(sum(times.values()), 4),
+                # the headline total stays the frozen-19 sum (comparable to
+                # every prior round); scale-12 times live in scale12_sec +
+                # the per-query map
+                "value": round(
+                    sum(t for n, t in times.items() if n in BENCH_QUERIES), 4
+                ),
                 "unit": "sec",
                 "common16_sec": round(
                     sum(t for n, t in times.items() if n in COMMON_16), 4
+                ),
+                "scale12_sec": round(
+                    sum(t for n, t in times.items() if n in SCALE_12), 4
                 ),
                 "queries": times,
                 "sf": sf_val,
