@@ -1322,6 +1322,199 @@ def render_concurrency_md(res: dict) -> list[str]:
     return lines
 
 
+def gen_dedup_embeddings(path: str, n: int) -> None:
+    """Embeddings with DEDUP-SHAPED duplicate structure: mostly unique
+    random vectors, with every 5th vector a small-noise near-copy of its
+    predecessor (dup groups of size ~2) — pair cardinality O(n), like a real
+    crawl.  gen_embeddings' tight 10-cluster soup makes every within-cluster
+    pair a near-dup (pairs ~ n x cluster_size), which models a degenerate
+    corpus, not deduplication."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(SEED + 11)
+    vecs = rng.standard_normal((n, DIM)).astype(np.float32)
+    dup = np.arange(n) % 5 == 4
+    vecs[dup] = vecs[np.flatnonzero(dup) - 1] + 0.05 * rng.standard_normal(
+        (int(dup.sum()), DIM)
+    ).astype(np.float32)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                "embedding": pa.array(list(vecs), type=pa.list_(pa.float32())),
+                "label": pa.array(dup.astype(np.int32)),
+            }
+        ),
+        path,
+    )
+
+
+def _stage_metrics_snapshot(spark) -> dict[int, dict]:
+    """Completed-stage metrics via the REST status API ({} when the UI is
+    off).  Per-stage fields used: shuffleReadBytes / shuffleWriteBytes /
+    peakExecutionMemory (stage-accumulated task peaks) / memoryBytesSpilled."""
+    import urllib.request
+
+    ui = spark.sparkContext.uiWebUrl
+    if not ui:
+        return {}
+    apps = json.load(urllib.request.urlopen(f"{ui}/api/v1/applications"))
+    app_id = apps[0]["id"]
+    stages = json.load(
+        urllib.request.urlopen(
+            f"{ui}/api/v1/applications/{app_id}/stages?status=complete"
+        )
+    )
+    return {s["stageId"]: s for s in stages}
+
+
+def bench_composed_pipeline(spark, quick: bool) -> dict:
+    """The end-to-end scale story (r6 VERDICT item 5): the isolated-component
+    measurements composed the way a real curation round runs them —
+    ``pipeline_pretrain_full`` (exact dedup → decontaminate → quality gate →
+    split over documents), ``dedup_representatives`` (adaptive-plane LSH →
+    connected components → keep-one over embeddings), and a txlog MERGE round
+    (10% updates + 2% inserts into a committed table) — at sf2/sf5-equivalent
+    scratch scale (the driver's sf0.1 = 5k docs / 5k vectors; here 100k and
+    250k), with per-component Spark listener metrics (wall, shuffle
+    read/write, stage-peak execution memory, spill) from the REST status API,
+    not just wall clock.  Completing the sf5 point under the session's
+    default driver memory is the no-driver-OOM check."""
+    from pyspark.sql import functions as F
+
+    from lvm_datapipe_spark.queries import QUERIES
+    from lvm_datapipe_spark.sources import txlog
+
+    def run(label: str, thunk) -> dict:
+        before = set(_stage_metrics_snapshot(spark))
+        t0 = time.perf_counter()
+        rows = thunk()
+        wall = round(time.perf_counter() - t0, 2)
+        new = [
+            s for sid, s in _stage_metrics_snapshot(spark).items()
+            if sid not in before
+        ]
+        rec = {
+            "wall_s": wall,
+            "rows": rows,
+            "stages": len(new),
+            "shuffle_read_mb": round(
+                sum(s["shuffleReadBytes"] for s in new) / 1e6, 1
+            ),
+            "shuffle_write_mb": round(
+                sum(s["shuffleWriteBytes"] for s in new) / 1e6, 1
+            ),
+            "peak_exec_memory_mb": round(
+                max((s["peakExecutionMemory"] for s in new), default=0) / 1e6, 1
+            ),
+            "spill_mb": round(
+                sum(s["memoryBytesSpilled"] for s in new) / 1e6, 1
+            ),
+        }
+        print(f"  {label}: {rec}", flush=True)
+        return rec
+
+    sizes = [20_000] if quick else [100_000, 250_000]
+    out: dict = {"points": {}, "driver_mem": spark.conf.get("spark.driver.memory", "")}
+    for n in sizes:
+        d = os.path.join(SCRATCH, f"composed_{n}")
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d)
+        gen_docs(os.path.join(d, "documents.parquet"), n, words_per_doc=30)
+        gen_dedup_embeddings(os.path.join(d, "embeddings.parquet"), n)
+        point: dict = {}
+        spark.catalog.clearCache()
+
+        point["pipeline_pretrain_full"] = run(
+            f"pretrain n={n}",
+            lambda: QUERIES["pipeline_pretrain_full"](spark, d).count(),
+        )
+        point["dedup_representatives"] = run(
+            f"representatives n={n}",
+            lambda: QUERIES["dedup_representatives"](spark, d).count(),
+        )
+
+        tbl = os.path.join(d, "txtbl")
+        base = spark.read.parquet(os.path.join(d, "documents.parquet"))
+        txlog.commit(spark, base, tbl, op="overwrite")
+
+        def _merge_round():
+            upd = base.filter(F.col("doc_id") % 10 == 0).withColumn(
+                "text", F.concat(F.col("text"), F.lit(" updated"))
+            )
+            ins = base.filter(F.col("doc_id") % 50 == 0).withColumn(
+                "doc_id", F.col("doc_id") + F.lit(10 * n)
+            )
+            txlog.merge(spark, upd.unionByName(ins), tbl, key_cols=["doc_id"])
+            return txlog.read(spark, tbl).count()
+
+        point["txlog_merge_round"] = run(f"txlog merge n={n}", _merge_round)
+        out["points"][n] = point
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+def render_composed_md(res: dict) -> list[str]:
+    t = res["composed_pipeline"]
+    pts = {int(k): v for k, v in t["points"].items()}
+    lines = [
+        "## 13. Composed pipeline at sf2-sf5 scratch scale",
+        "",
+        "The three stages a real curation round chains, run back-to-back on",
+        "one session (driver memory "
+        + str(t.get("driver_mem", "")) + ", no OOM at any point):",
+        "pipeline_pretrain_full (exact dedup -> decontaminate -> gate ->",
+        "split), dedup_representatives (adaptive-plane LSH -> connected",
+        "components -> keep-one), and one txlog MERGE round (10% updates +",
+        "2% inserts).  Listener metrics per component from the REST status",
+        "API; peak memory is the max stage-accumulated task peak.",
+        "",
+        "| n docs/vecs | component | wall s | shuf read MB | shuf write MB"
+        " | peak exec MB | spill MB | stages | rows out |",
+        "|---|---|---|---|---|---|---|---|---|",
+    ]
+    for n in sorted(pts):
+        for comp in (
+            "pipeline_pretrain_full", "dedup_representatives",
+            "txlog_merge_round",
+        ):
+            c = pts[n][comp]
+            lines.append(
+                f"| {n:,} | {comp} | {c['wall_s']} | {c['shuffle_read_mb']}"
+                f" | {c['shuffle_write_mb']} | {c['peak_exec_memory_mb']}"
+                f" | {c['spill_mb']} | {c['stages']} | {c['rows']:,} |"
+            )
+    lines += [
+        "",
+        "- The 2.5x size step (100k -> 250k) moves wall and shuffle",
+        "  near-linearly (pretrain ~2.0x wall / 2.5x shuffle,",
+        "  representatives ~1.6x / 1.8x, merge flat) — no superlinear",
+        "  break, no driver OOM.",
+        "- spill MB is memoryBytesSpilled (the DESERIALIZED size of rows",
+        "  that crossed the execution-memory watermark, not disk bytes);",
+        "  the pretrain leg's spill comes from the decontamination 5-gram",
+        "  shingle explode, whose row fan-out is words-per-doc x 5 before",
+        "  the broadcast anti-join collapses it.",
+        "- Pretrain rows out (~600) undershoot n for a data reason, not a",
+        "  plan reason: the zipfian word soup makes sharing SOME 5-gram",
+        "  with the held-out benchmark slice near-certain, so the",
+        "  decontamination anti-join drops ~99% of docs AFTER the full",
+        "  shingle explode + broadcast probe ran — the measured cost is",
+        "  the full pipeline's; a real crawl retains far more.",
+        "- Caveat on the representatives row counts: the synthetic 64-dim",
+        "  unique vectors have a fat cosine tail (P(cos >= 0.4) ~ 5e-4), so",
+        "  an O(n^2 p) random edge tail forms one giant component and the",
+        "  representative count undershoots n; real CLIP-style embeddings",
+        "  (768-dim) put 0.4 far out in the tail.  The COST path measured",
+        "  here (bucketed candidates -> exact verify -> label propagation)",
+        "  is the one that matters; its inputs scale with the measured",
+        "  shuffle columns.",
+        "",
+    ]
+    return lines
+
+
 def main() -> None:
     quick = "--quick" in sys.argv
     only_txlog = "--only-txlog" in sys.argv
@@ -1330,18 +1523,23 @@ def main() -> None:
     only_linededup = "--only-linededup" in sys.argv
     only_winnowing = "--only-winnowing" in sys.argv
     only_lshauto = "--only-lshauto" in sys.argv
+    only_composed = "--only-composed" in sys.argv
     os.makedirs(SCRATCH, exist_ok=True)
     from lvm_datapipe_spark.session import get_spark
 
     extra = {}
     if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
         extra["spark.local.dir"] = "/dev/shm/spark-scale-local"
+    if only_composed:
+        # the composed-pipeline section reads per-stage listener metrics
+        # through the REST status API, which needs the UI server
+        extra["spark.ui.enabled"] = "true"
     spark = get_spark("lvm-datapipe-scale-bench", extra_conf=extra)
     spark.sparkContext.setLogLevel("ERROR")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count()))
 
     if (only_txlog or only_skyline or only_concurrency or only_linededup
-            or only_winnowing or only_lshauto):
+            or only_winnowing or only_lshauto or only_composed):
         # incremental mode: merge the new section into the committed
         # results instead of re-running the (long) full matrix
         with open(os.path.join(REPO, "SCALE_BENCH.json")) as f:
@@ -1356,6 +1554,17 @@ def main() -> None:
         res["skew"] = bench_skew(spark, quick)
         print("== LM scoring: DSIR vs CCNet ==", flush=True)
         res["lm_scoring"] = bench_lm_scoring(spark, quick)
+    if only_composed:
+        print("== composed pipeline ==", flush=True)
+        res["composed_pipeline"] = bench_composed_pipeline(spark, quick)
+        with open(os.path.join(REPO, "SCALE_BENCH.json"), "w") as f:
+            json.dump(res, f, indent=2, sort_keys=True)
+        _update_md_section(
+            "## 13. Composed pipeline", render_composed_md(res)
+        )
+        print("wrote SCALE_BENCH.json + SCALE_BENCH.md (composed)", flush=True)
+        shutil.rmtree("/dev/shm/spark-scale-local", ignore_errors=True)
+        return
     if only_lshauto:
         print("== adaptive LSH plane default ==", flush=True)
         res["lsh_auto"] = bench_lsh_auto(spark, quick)
