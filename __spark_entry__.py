@@ -38,223 +38,70 @@ def entry(spark: SparkSession) -> DataFrame:
 # ``tools/check_correctness.py`` (383/383 oracle-paired queries green in
 # the latest full local sweep; 385 declared).
 _CHECK_FIRST = [
-    # -- 1. changed or added in r6 (their prior rows, if any, no longer
-    #       describe the shipped code)
-    "ccnet_perplexity_buckets",     # new: CCNet-style bigram-LM tertiles
-    "dedup_semantic_semdedup",      # new: SemDeDup over the fixed quantizer
-    "dsir_target_selection",        # new: DSIR hashed-n-gram selection
-    "gopher_quality_rules",         # new: Gopher rule battery
-    "mix_token_budget",             # new: exact per-source token budgets
-    "curation_scorecard",           # new: parallel quality-signal join
-    "adaptive_sessionize",          # new: per-user tuned gap thresholds
-    "sketch_median_value",          # new: mergeable quantile sketch
-    "funnel_view_click_purchase",   # new: ordered funnel
-    "retention_cohorts",            # new: cohort retention matrix
-    "ab_test_welch_z",              # new: engine-exact experiment readout
-    "erasure_cascade_audit",        # new: GDPR cascade purge audit
-    "drift_tv_distance",            # new: exact TV drift monitor
-    "events_seasonal_residuals",    # thin-cell floor 20 -> 10 (ADVICE r5)
-    "events_hourly_distinct_users",  # new: declared no-fan-out sibling of
-    #                                 the demoted sliding-distinct form
-    "text_bpe_token_count",         # bpe.py driver-loop bound (r5 item 5)
-    # -- 2. never-officially-checked late-r5 additions (all green in the
-    #       r5 local full sweep; leading per the codified rotation)
-    "profile_lineitem_numeric",
-    "text_novelty_score",
-    "dedup_soft_weights",
-    "events_native_session_window",
-    "dedup_ppjoin_pairs",
-    "q2_min_cost_supplier",
-    "q9_nation_profit",
-    "q11_important_parts",
-    "q12_priority_by_returnflag",
-    "q15_top_supplier",
-    "q16_supplier_part_count",
-    "q20_excess_share_suppliers",
-    "range_join_active_spans",
-    "doc_contiguous_ids",
-    "graph_nation_pagerank",
-    "scd2_temporal_join",
-    "agg_incremental_merge",
-    "negatives_ring_by_lang",
-    "curriculum_schedule",
-    "dedup_substring_spans",
-    "agg_mode_brand_per_type",
-    "events_props_variant",
-    "user_value_profiles",
-    "events_autocorrelation",
-    "events_changepoint",
-    "events_winsorized",
-    "events_trend_slope",
-    "agg_skewness_by_type",
-    "pipeline_pretrain_full",
-    "events_interarrival_stats",
-    # -- 2b. added late in r6 (no prior rows).  The window is oversubscribed
-    #       this round (25 new-r6 + 30 never-checked late-r5 > 50 slots), and
-    #       VERDICT r5 item 2 names the late-r5 set as the r6 target — so the
-    #       late-r5 queries keep their slots, the first 4 late-r6 additions
-    #       take the remaining slots 47-50, and the other 10
-    #       (events_gapfill_hourly, label_agreement_kappa,
-    #       gini_engagement_by_type, user_type_diversity,
-    #       pareto_half_revenue_customers, ann_recall_eval,
-    #       events_wma_hourly, partition_skew_report,
-    #       weighted_median_price_by_brand, vocab_churn_halves,
-    #       attribution_linear_exact, next_event_training_pairs,
-    #       pipeline_sft_examples, and the session-6 retrieval family
-    #       bm25_topk, hybrid_rank_fusion, skipgram_pairs,
-    #       postings_topk_by_term, pmi_skipgram_lift,
-    #       doc_hashed_features, sparse_cosine_topk,
-    #       kanonymity_audit, item_item_cosine,
-    #       bootstrap_mean_replicates, graph_triangle_counts, and the
-    #       session-7 additions audience_overlap_pairs,
-    #       text_rank_normalize, text_readability, mix_budget_spillover,
-    #       hard_negative_mining, bitext_margin_pairs, shard_manifest,
-    #       theil_sen_slope_by_user, icl_similarity_chain,
-    #       preference_pairs_dpo, attribution_time_decay,
-    #       bootstrap_ci_mean, survival_risk_table, length_bucket_batches,
-    #       calibration_table, events_burst_detection,
-    #       join_size_estimate_cm, kcenter_coreset, and the session-8
-    #       additions quantile_normalize_sources, revenue_mom_growth,
-    #       benford_first_digit, auc_purchase_value, chisq_source_lang,
-    #       dp_release_counts, dedup_containment_pairs,
-    #       source_shingle_overlap, kendall_tau_source_size,
-    #       events_lead_lag_xcorr, churn_labels_weekly,
-    #       vocab_hapax_ratio, target_encode_loo,
-    #       minhash_estimate_error, mmr_diverse_selection,
-    #       spearman_len_vs_spaces, interval_union_coverage,
-    #       dedup_rate_by_source, referential_integrity_audit,
-    #       share_hierarchy_revenue, rbo_lex_vs_vector,
-    #       events_poisson_rate_alarm, rfm_segments,
-    #       dispersion_lineitems_per_order, parts_in_all_regions,
-    #       conversion_wilson_ci, events_peak_hours_nms,
-    #       set_intersect_all, grpo_group_advantages,
-    #       split_leakage_measure, and the session-9 additions
-    #       dedup_threshold_sweep, source_distinctive_terms,
-    #       embedding_centroid_drift, events_cusum_shift,
-    #       user_streak_histogram, session_bounce_stats,
-    #       funnel_first_touch_counts (un-shadowed this session),
-    #       orders_pareto_skyline, funnel_within_hour,
-    #       dup_graph_degree_hist, forecast_seasonal_naive_backtest,
-    #       customer_order_regularity, session_handoff_matrix,
-    #       user_lifecycle_accounting, revenue_bridge_by_month,
-    #       attribution_position_based, ab_diff_in_diff,
-    #       conversion_latency_quantiles, embedding_top_pc_power_iteration,
-    #       source_venn_overlap, range_partition_boundaries,
-    #       session_top_paths, ship_latency_by_priority,
-    #       skyline_dominance_counts, events_debounce_collapse,
-    #       dedup_method_agreement, cohort_ltv_curve,
-    #       vocab_coverage_by_freq_class, daily_peak_concurrency,
-    #       association_type_hour_cramers_v, join_coverage_report,
-    #       dedup_transitivity_inflation, corpus_stopword_candidates,
-    #       order_concentration_hhi_by_nation, seasonality_strength_by_type,
-    #       events_runs_test_randomness, session_protocol_violations,
-    #       vocab_growth_by_arrival, ab_test_mde_readout,
-    #       ratio_metric_ci_delta, revenue_seasonal_indices,
-    #       nation_catalog_jaccard, knn_label_consistency,
-    #       retrieval_mrr_eval, ab_test_cuped_adjusted,
-    #       ab_test_quantile_effects, iqr_outlier_fences_by_type,
-    #       daily_value_percentile_trend, pq_distortion_by_subspace,
-    #       ivf_cell_occupancy, lsh_bucket_cost_readout,
-    #       minhash_s_curve_calibration, discount_qty_ols_by_brand,
-    #       cluster_design_effect, mcnemar_pre_post_conversion,
-    #       cmh_stratified_conversion, embedding_norm_histogram,
-    #       user_recency_weighted_value, sample_size_rate_table,
-    #       abc_classification_by_nation, events_ewma_residual_anomaly,
-    #       events_acf_table, session_dwell_time_quantiles,
-    #       graph_reachability_3hop, label_centroid_separation,
-    #       repeat_rate_by_first_basket, price_realization_by_brand,
-    #       session_position_bias, text_mattr_diversity,
-    #       dedup_cluster_size_hist, session_threshold_sensitivity,
-    #       embedding_similarity_bands, catalog_table_counts,
-    #       label_scatter_trace, out_of_order_event_rate,
-    #       dedup_review_queue, forecast_residual_acf,
-    #       order_linenumber_gaps, classifier_gains_table,
-    #       vocab_rank_frequency_ratios, time_to_value_quantiles,
-    #       retrieval_ndcg_eval, revenue_max_drawdown,
-    #       events_mann_kendall_trend, weighted_ess_by_type,
-    #       spc_individuals_chart, tokenizer_fertility_by_lang,
-    #       stickiness_dau_mau, graph_degree_assortativity,
-    #       supplier_ontime_wilson_rank, price_index_fisher,
-    #       capture_recapture_users, ab_test_srm_check,
-    #       phi_coefficient_pairs, cohens_d_by_type,
-    #       cochran_armitage_hourly_trend, leaderboard_churn_monthly,
-    #       stream_sink_session_window, dedup_simhash_bit_bias,
-    #       drift_cvm_statistic, bloom_fpr_calibration,
-    #       quality_signal_phi_matrix, eval_pass_at_k,
-    #       dq_functional_dependencies)
-    #       LEAD the r7 queue; all are green in this round's local full
-    #       sweep (tools/check_correctness.py) at sf0.001 AND sf0.01.
-    "sample_neyman_allocation",     # new: variance-optimal strata budgets
-    "sample_priority_topk",         # new: Duffield priority sampling
-    "drift_ks_statistic",           # new: exact two-sample KS per stratum
-    "user_day_event_sequence",      # new: ordered trajectory assembly
-    "events_gapfill_hourly",        # new: dense hourly grid w/ zero-fill
-    "label_agreement_kappa",        # new: chance-corrected labeler QA
-    "gini_engagement_by_type",      # new: exact Lorenz/Gini concentration
-    "user_type_diversity",          # new: rational Gini-Simpson diversity
-    "pareto_half_revenue_customers",  # new: decimal-exact coverage curve
-    "ann_recall_eval",              # new: in-engine IVF recall@10 readout
-    "events_wma_hourly",            # new: finite-kernel dense-grid WMA
-    "partition_skew_report",        # new: shuffle-imbalance diagnostic
-    "weighted_median_price_by_brand",  # new: exact weighted quantile
-    "vocab_churn_halves",           # new: named-token drift monitor
-    "attribution_linear_exact",     # new: integer multi-touch attribution
-    "next_event_training_pairs",    # new: autoregressive example shaping
-    "pipeline_sft_examples",        # new: pairs -> gate -> user-level split
-    # -- 3. oldest-row veterans (last official green row r3; every other
-    #       veteran holds an r4/r5 row).  Core operator families first per
-    #       policy; the 20 remaining r3-row veterans (agg_cube, agg_rollup,
-    #       asof_last_view_before_purchase, c2/c5/c7/c9/c14,
-    #       dedup_levenshtein, events_tumbling_window, hypertable_rollup,
-    #       range_join_first_day_events, semi_join_high_value_orders,
-    #       text_bpe-family/fingerprints, a9, w4, ann_cosine_topk,
-    #       ann_lsh_near_dup) lead the r7 veteran queue.
-    "a5_corpus_stats",
-    "a6_histogram",
-    "a7_value_counts",
-    "a8_count_consistency",
-    "w1_clip_numbering",
-    "w2_best_per_group",
-    "w3_sessionize",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "text_quality",
-    "text_langid",
-    "set_union_shards",
-    "set_except_finished",
-    "sort_limit_topk",
-    "q3_shipping_priority",
-    # Session-13 additions (dedup_lines_ccnet, dedup_winnowing_pairs,
-    # bt_event_type_strength, source_loo_contribution,
-    # sketch_cms_user_counts, ab_permutation_fdr_bh,
-    # sketch_hll_audience_intersection, uplift_qini_by_decile,
-    # eval_langid_confusion, source_pair_ablation,
-    # eb_shrunk_supplier_rates, graph_kcore_parts, vocab_chao1_richness,
-    # stylometry_burrows_delta, tcloseness_audit,
-    # next_event_predictor_accuracy, ht_sampled_revenue_estimate,
-    # drift_ad_statistic, reco_coverage_novelty, truncation_budget_curve,
-    # ab_post_stratified_ate) land AFTER the r6 window filled;
-    # like the 2b overflow they join the FRONT of the r7 queue, and each
-    # was verified green at sf0.001 AND sf0.01 in this session's local
-    # oracle runs (the documented compensating control).
-    # r6 window accounting (final): sections 1+2 (16 + 30) plus the first 4
-    # of section 2b fill all 50 slots, so EVERY section-3 veteran sits past
-    # slot 50 this round — each keeps its r1-r5 official rows, stays green
-    # in the local full sweep, and joins the r7 veteran queue behind the 13
-    # out-of-window 2b additions.
-    # NOTE on departures from the r5 list: events_sliding_distinct_users
-    # was DEMOTED to queries.PYTEST_ORACLES this round (VERDICT r5 item 4
-    # — its 6x fan-out plan left the declared surface together with
-    # w5_quality_deciles's SinglePartition NTILE; both keep full DuckDB
-    # oracles in tests/test_oracle_queries.py).  Permanently out-of-window:
-    # approx_distinct_users + ann_ivf_topk (rows-only by design; exact
-    # twins agg_distinct_count / ann_ivf_fixed_topk hold r5 rows) and
-    # ann_cosine_topk (unit-test-pinned; shares its ranking oracle shape
-    # with ann_ivf_fixed_topk).  Every rotated-out veteran held an official
-    # green row in r1-r5 AND stays green in the per-round local full sweep
-    # (tools/check_correctness.py, 383/383 oracle-paired).
+    # -- 1. changed in r7 (their prior rows no longer describe the shipped
+    #       code): the adaptive-LSH re-point (plane count derived from a
+    #       corpus count, stamped as a literal and mirrored in the oracle)
+    #       and this round's PPJoin verify rewrite + qini quantile mirror +
+    #       winnowing dead-join drop
+    "dedup_winnowing_pairs",        # dead tie-break join dropped (13.8->4s)
+    "dedup_ppjoin_pairs",           # verify via token-set array_intersect
+    "uplift_qini_by_decile",        # oracle now replays Spark percentile
+    "dedup_embedding_cosine",       # adaptive plane count (SCALE_BENCH 12)
+    "dedup_clusters",               # adaptive plane count
+    "dedup_representatives",        # adaptive plane count
+    "split_leakage_safe",           # adaptive plane count
+    # -- 2. never-officially-checked additions, oldest first (the r5/r6
+    #       overflow — 201 queries have never held a driver row with a
+    #       50-slot window; CORRECTNESS_LOCAL_r{N}.json is the complete
+    #       per-round record, this window retires the backlog ~43/round)
+    "funnel_first_touch_counts",
+    "events_gapfill_hourly",
+    "label_agreement_kappa",
+    "gini_engagement_by_type",
+    "user_type_diversity",
+    "pareto_half_revenue_customers",
+    "ann_recall_eval",
+    "events_wma_hourly",
+    "partition_skew_report",
+    "weighted_median_price_by_brand",
+    "vocab_churn_halves",
+    "attribution_linear_exact",
+    "next_event_training_pairs",
+    "pipeline_sft_examples",
+    "bm25_topk",
+    "hybrid_rank_fusion",
+    "skipgram_pairs",
+    "postings_topk_by_term",
+    "pmi_skipgram_lift",
+    "doc_hashed_features",
+    "sparse_cosine_topk",
+    "kanonymity_audit",
+    "item_item_cosine",
+    "bootstrap_mean_replicates",
+    "graph_triangle_counts",
+    "audience_overlap_pairs",
+    "text_rank_normalize",
+    "text_readability",
+    "mix_budget_spillover",
+    "hard_negative_mining",
+    "bitext_margin_pairs",
+    "shard_manifest",
+    "theil_sen_slope_by_user",
+    "icl_similarity_chain",
+    "preference_pairs_dpo",
+    "attribution_time_decay",
+    "bootstrap_ci_mean",
+    "survival_risk_table",
+    "length_bucket_batches",
+    "calibration_table",
+    "events_burst_detection",
+    "join_size_estimate_cm",
+    "kcenter_coreset",
+    # (slots 1-50 above fill the driver window; the remaining never-checked
+    #  backlog continues in declaration order next round:
+    #  quantile_normalize_sources, revenue_mom_growth, benford_first_digit,
+    #  ... through the session-13 additions — all green in this round's
+    #  committed full sf0.01 sweep, CORRECTNESS_LOCAL_r7.json)
 ]
 
 
