@@ -591,7 +591,7 @@ def ppjoin_pairs(
     keep = F.lit(t_den) * F.col("inter") >= F.lit(t_num) * (
         F.col("n_a") + F.col("n_b") - F.col("inter")
     )
-    return inter.filter(keep).select(
+    out = inter.filter(keep).select(
         "id_a",
         "id_b",
         (
@@ -599,3 +599,4 @@ def ppjoin_pairs(
             / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double")
         ).alias("jaccard"),
     )
+    return _with_cached_deps(out, [cand])
