@@ -161,6 +161,67 @@ def _resize_weights(in_size: int, out_size: int) -> np.ndarray:
     return (w / w.sum(axis=1, keepdims=True)).astype(np.float32)
 
 
+def _resize_weights_linear(in_size: int, out_size: int) -> np.ndarray:
+    """(out, in) BILINEAR resampling matrix WITHOUT antialiasing — the
+    behavior of torchvision's tensor-path Resize in the torchvision the
+    reference runs (antialias defaults off for tensor inputs), i.e.
+    fixed triangle kernel at (j+0.5)*scale-0.5 sample points with edge
+    clamping (renormalization over in-bounds taps is equivalent)."""
+    scale = in_size / out_size
+    centers = (np.arange(out_size, dtype=np.float64) + 0.5) * scale - 0.5
+    x = np.abs(np.arange(in_size, dtype=np.float64)[None, :] - centers[:, None])
+    w = np.clip(1.0 - x, 0.0, None)
+    return (w / w.sum(axis=1, keepdims=True)).astype(np.float32)
+
+
+#: the reference's MUSIQ input cap (imaging_quality.py:48-68 ``transform``)
+MUSIQ_MAX_SIDE = 512
+
+
+def musiq_preprocess(frame: np.ndarray, mode: str = "shorter") -> np.ndarray:
+    """The M4 input contract, torch-free: the reference's ``transform()``
+    (imaging_quality.py:48-68) on one frame.  uint8 (H, W) grayscale or
+    (H, W, 3) RGB → float32 CHW in [0, 1]:
+
+    - ``shorter`` (the reference default): if min(h, w) > 512, bilinear
+      resize by 512/min(h, w) to (int(scale*h), int(scale*w)) — note the
+      reference's truncating ``int()``, not round;
+    - ``shorter_centercrop``: ``shorter`` then CenterCrop(512);
+    - ``longer``: if max(h, w) > 512, scale by 512/max(h, w);
+    - ``None`` (the string): no resize;
+
+    then divide by 255 exactly once, like the reference (which resizes the
+    0..255-valued tensor and divides at the end)."""
+    a = np.asarray(frame)
+    if a.ndim == 2:
+        a = np.stack([a, a, a], axis=-1)
+    a = a.astype(np.float32)
+    h, w = a.shape[:2]
+    s = MUSIQ_MAX_SIDE
+    if mode.startswith("shorter"):
+        if min(h, w) > s:
+            scale = s / min(h, w)
+            nh, nw = int(scale * h), int(scale * w)
+            a = np.einsum("oi,ijc->ojc", _resize_weights_linear(h, nh), a)
+            a = np.einsum("oj,ijc->ioc", _resize_weights_linear(w, nw), a)
+            h, w = nh, nw
+        if mode == "shorter_centercrop":
+            top = int(round((h - s) / 2.0))
+            left = int(round((w - s) / 2.0))
+            a = a[max(top, 0) : top + s, max(left, 0) : left + s]
+    elif mode == "longer":
+        if max(h, w) > s:
+            scale = s / max(h, w)
+            nh, nw = int(scale * h), int(scale * w)
+            a = np.einsum("oi,ijc->ojc", _resize_weights_linear(h, nh), a)
+            a = np.einsum("oj,ijc->ioc", _resize_weights_linear(w, nw), a)
+    elif mode == "None":
+        pass
+    else:
+        raise ValueError(f"unknown preprocess_mode {mode!r}")
+    return np.ascontiguousarray((a / 255.0).transpose(2, 0, 1)).astype(np.float32)
+
+
 def clip_preprocess(frame: np.ndarray, size: int = CLIP_SIZE) -> np.ndarray:
     """The M3 input contract, torch-free: grayscale (H, W) or RGB (H, W, 3)
     uint8 frame → float32 CHW (3, size, size) tensor, exactly the stages of

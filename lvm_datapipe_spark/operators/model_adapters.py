@@ -173,9 +173,15 @@ class AestheticAdapter(ScorerAdapter):
 
 class ImagingQualityAdapter(ScorerAdapter):
     """M4 — MUSIQ mean-over-frames (imaging_quality.py:85-90); output
-    matches the stub: one double per clip."""
+    matches the stub: one double per clip.  The INPUT side runs the
+    torch-free :func:`~lvm_datapipe_spark.operators.checkpoints.
+    musiq_preprocess` (the reference's ``transform()``, contract-tested in
+    tests/test_model_adapters.py), so preprocessing fidelity does not
+    depend on the unexecutable model forward; ``preprocess_mode`` mirrors
+    the reference CLI's and defaults to its ``shorter``."""
 
     requires = ("torch", "pyiqa")
+    preprocess_mode: ClassVar[str] = "shorter"
 
     @classmethod
     def _load(cls):  # pragma: no cover — needs torch+pyiqa
@@ -188,16 +194,16 @@ class ImagingQualityAdapter(ScorerAdapter):
     def score(self, frames, h, w):  # pragma: no cover — needs torch+pyiqa
         import torch
 
+        from lvm_datapipe_spark.operators.checkpoints import musiq_preprocess
+
         metric = self.model()
         if not frames:
             return 0.0
         acc = 0.0
         with torch.no_grad():
             for f in frames:
-                t = (
-                    torch.from_numpy(_gray_to_rgb(f)).permute(2, 0, 1).unsqueeze(0)
-                    .float() / 255.0
-                )
+                arr = musiq_preprocess(f, self.preprocess_mode)
+                t = torch.from_numpy(arr).unsqueeze(0)
                 acc += float(metric(t))  # per-frame forward, :86-88
         return acc / len(frames)
 

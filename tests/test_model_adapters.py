@@ -601,3 +601,76 @@ def test_clip_preprocess_downscale_antialiases():
     cb = np.tile([0.0, 1.0], 224)
     down = w.astype(np.float64) @ cb
     assert np.abs(down[2:-2] - 0.5).max() < 0.15
+
+
+# --- MUSIQ preprocessing contract (M4's input side, torch-free) --------------
+
+
+def test_musiq_preprocess_none_mode_is_exactly_div255():
+    from lvm_datapipe_spark.operators import checkpoints as C
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(100, 140, 3), dtype=np.uint8)
+    out = C.musiq_preprocess(img, "None")
+    assert out.shape == (3, 100, 140) and out.dtype == np.float32
+    np.testing.assert_allclose(
+        out, (img.astype(np.float32) / 255.0).transpose(2, 0, 1), atol=1e-7
+    )
+
+
+def test_musiq_preprocess_shorter_is_noop_at_or_below_512():
+    # the reference resizes ONLY when min(h,w) > 512
+    from lvm_datapipe_spark.operators import checkpoints as C
+
+    img = np.full((512, 700), 77, dtype=np.uint8)
+    out = C.musiq_preprocess(img, "shorter")
+    assert out.shape == (3, 512, 700)
+    np.testing.assert_allclose(out, np.full((3, 512, 700), 77 / 255.0), atol=1e-6)
+
+
+def test_musiq_preprocess_size_math_matches_reference_int_truncation():
+    # 600x800: scale = 512/600; new size = (int(scale*600), int(scale*800))
+    # = (512, 682) — truncating int() like imaging_quality.py:52, not round
+    from lvm_datapipe_spark.operators import checkpoints as C
+
+    img = np.zeros((600, 800), dtype=np.uint8)
+    assert C.musiq_preprocess(img, "shorter").shape == (3, 512, 682)
+    assert C.musiq_preprocess(img, "shorter_centercrop").shape == (3, 512, 512)
+    # longer: scale = 512/800 -> (int(0.64*600), 512) = (384, 512)
+    assert C.musiq_preprocess(img, "longer").shape == (3, 384, 512)
+    # longer is a no-op when max side <= 512
+    assert C.musiq_preprocess(np.zeros((300, 512), np.uint8), "longer").shape \
+        == (3, 300, 512)
+
+
+def test_musiq_preprocess_constant_and_ramp_through_bilinear():
+    from lvm_datapipe_spark.operators import checkpoints as C
+
+    # constants survive any resize exactly
+    img = np.full((600, 900), 200, dtype=np.uint8)
+    out = C.musiq_preprocess(img, "shorter")
+    np.testing.assert_allclose(out, np.full_like(out, 200 / 255.0), atol=1e-5)
+
+    # bilinear reproduces affine signals away from the clamped border
+    w = C._resize_weights_linear(600, 512)
+    ramp = np.arange(600, dtype=np.float64)
+    down = w.astype(np.float64) @ ramp
+    centers = (np.arange(512) + 0.5) * (600 / 512) - 0.5
+    np.testing.assert_allclose(down[2:-2], centers[2:-2], atol=1e-6)
+
+    # identity size -> identity matrix
+    np.testing.assert_allclose(
+        C._resize_weights_linear(64, 64), np.eye(64, dtype=np.float32), atol=0
+    )
+
+
+def test_musiq_preprocess_rejects_unknown_mode_and_stacks_grayscale():
+    from lvm_datapipe_spark.operators import checkpoints as C
+
+    with pytest.raises(ValueError, match="preprocess_mode"):
+        C.musiq_preprocess(np.zeros((8, 8), np.uint8), "bogus")
+    g = np.random.default_rng(1).integers(0, 256, size=(550, 620), dtype=np.uint8)
+    rgb = np.stack([g, g, g], axis=-1)
+    np.testing.assert_allclose(
+        C.musiq_preprocess(g, "shorter"), C.musiq_preprocess(rgb, "shorter")
+    )
