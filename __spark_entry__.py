@@ -101,7 +101,8 @@ _CHECK_FIRST = [
     #  backlog continues in declaration order next round:
     #  quantile_normalize_sources, revenue_mom_growth, benford_first_digit,
     #  ... through the session-13 additions — all green in this round's
-    #  committed full sf0.01 sweep, CORRECTNESS_LOCAL_r7.json)
+    #  committed full sf0.01 sweep, CORRECTNESS_LOCAL_r7.json
+    #  (tools/check_correctness.py, 383/383 oracle-paired))
 ]
 
 
