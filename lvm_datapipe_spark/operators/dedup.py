@@ -521,7 +521,9 @@ def ppjoin_pairs(
     Determinism discipline: the threshold is the RATIONAL t_num/t_den and
     every bound uses integer arithmetic — prefix length
     n − ⌈t·n⌉ + 1 = n − (t_num·n + t_den − 1) div t_den + 1, length filter
-    t_den·n_b ≥ t_num·n_a (symmetric), final test
+    t_den·n_b ≥ t_num·n_a (symmetric), positional bound
+    min(p_a, p_b) + min(n_a − p_a, n_b − p_b) ≥ ⌈t_num·(n_a+n_b) /
+    (t_num+t_den)⌉ (the "PP" — exactness-proven in tests), final test
     t_den·inter ≥ t_num·(n_a + n_b − inter) — no float ever decides
     membership, so the result is bit-portable by construction.  The
     global order is the (frequency, token) tuple itself: per-doc ranks
@@ -547,12 +549,25 @@ def ppjoin_pairs(
         <= F.col("_n")
         - F.expr(f"({t_num} * _n + {t_den - 1}) DIV {t_den}")
         + 1
-    ).select(id_col, "tok", "_n")
+    ).select(id_col, "tok", "_n", F.col("_r").alias("_p"))
     a = prefix.select(
-        F.col(id_col).alias("id_a"), F.col("tok"), F.col("_n").alias("n_a")
+        F.col(id_col).alias("id_a"), F.col("tok"),
+        F.col("_n").alias("n_a"), F.col("_p").alias("p_a"),
     )
     b = prefix.select(
-        F.col(id_col).alias("id_b"), F.col("tok"), F.col("_n").alias("n_b")
+        F.col(id_col).alias("id_b"), F.col("tok"),
+        F.col("_n").alias("n_b"), F.col("_p").alias("p_b"),
+    )
+    # positional filter (the "PP" in PPJoin; exactness-preserving): a pair
+    # with Jaccard >= t needs overlap alpha = ceil(t*(n_a+n_b)/(1+t)), and a
+    # collision at sorted ranks (p_a, p_b) bounds achievable overlap by
+    # min(p_a, p_b) + min(n_a - p_a, n_b - p_b) — tokens at or before the
+    # collision contribute at most min(p_a, p_b) (the collision included),
+    # tokens after it at most the min remainder.  A TRUE pair satisfies the
+    # bound at EVERY shared prefix token, so pruning per collision row
+    # before the distinct can never drop a qualifying pair.
+    alpha = F.expr(
+        f"({t_num} * (n_a + n_b) + {t_num + t_den - 1}) DIV {t_num + t_den}"
     )
     cand = (
         a.join(b, "tok")
@@ -560,6 +575,13 @@ def ppjoin_pairs(
             (F.col("id_a") < F.col("id_b"))
             & (F.lit(t_den) * F.col("n_b") >= F.lit(t_num) * F.col("n_a"))
             & (F.lit(t_den) * F.col("n_a") >= F.lit(t_num) * F.col("n_b"))
+            & (
+                F.least("p_a", "p_b")
+                + F.least(
+                    F.col("n_a") - F.col("p_a"), F.col("n_b") - F.col("p_b")
+                )
+                >= alpha
+            )
         )
         .select("id_a", "id_b", "n_a", "n_b")
         .distinct()

@@ -454,6 +454,45 @@ def test_ppjoin_equals_brute_force(spark):
     assert got == want
 
 
+def test_ppjoin_positional_filter_prunes_but_stays_exact(spark):
+    """The positional filter (the "PP") at a threshold where it actively
+    prunes: t = 2/3 on hand-built 6-token docs gives prefix length 3 and
+    alpha = ceil(2*(n_a+n_b)/5); a collision at ranks (1, 3) bounds overlap
+    by 1 + min(n_a-1, n_b-3) which can fall below alpha.  Results must
+    still equal brute force EXACTLY (the bound holds at every shared
+    prefix token of a qualifying pair)."""
+    import itertools
+
+    from lvm_datapipe_spark.operators.dedup import ppjoin_pairs
+
+    rng = __import__("random").Random(7)
+    vocab = [f"t{i:02d}" for i in range(40)]
+    rows = []
+    for d in range(80):
+        k = rng.choice([5, 6, 7])
+        rows.append((d, " ".join(rng.sample(vocab, k))))
+    # seed some true near-dups: copies differing by one token
+    for d in range(80, 100):
+        base = rows[d - 80][1].split()
+        base[-1] = rng.choice(vocab)
+        rows.append((d, " ".join(base)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ppjoin_pairs(docs, t_num=2, t_den=3).collect()
+    }
+    sets = {d: set(t.split()) for d, t in rows}
+    want = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        if union and 3 * inter >= 2 * union:
+            want[(a, b)] = inter / union
+    assert want, "fixture must contain qualifying pairs"
+    assert got == want
+
+
 def test_ppjoin_plan_keyed_joins_only(spark):
     from lvm_datapipe_spark.queries import QUERIES
 
