@@ -51,6 +51,7 @@ _CHECK_FIRST = [
     "dedup_representatives",        # adaptive plane count
     "split_leakage_safe",           # adaptive plane count
     "graph_supplier_triangles",     # adjacency-intersection rewrite
+    "graph_kcore_parts",            # peel-loop lineage truncation
     # -- 2. never-officially-checked additions, oldest first (the r5/r6
     #       overflow — 201 queries have never held a driver row with a
     #       50-slot window; CORRECTNESS_LOCAL_r{N}.json is the complete
@@ -96,7 +97,6 @@ _CHECK_FIRST = [
     "length_bucket_batches",
     "calibration_table",
     "events_burst_detection",
-    "join_size_estimate_cm",
     # (slots 1-50 above fill the driver window; the remaining never-checked
     #  backlog continues in declaration order next round:
     #  quantile_normalize_sources, revenue_mom_growth, benford_first_digit,
