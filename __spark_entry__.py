@@ -52,6 +52,19 @@ _CHECK_FIRST = [
     "split_leakage_safe",           # adaptive plane count
     "graph_supplier_triangles",     # adjacency-intersection rewrite
     "graph_kcore_parts",            # peel-loop lineage truncation
+    # -- 1b. ADDED this round (r7): the spatial-grid family (grid NN is
+    #        verified against a brute-force oracle), the mergeable bottom-k
+    #        quantile sample, trigram stupid-backoff LM scoring, the
+    #        entity-resolution blocking family, and the selection-parity
+    #        fairness audit — first official rows
+    "geo_grid_density",
+    "geo_grid_radius_nn",
+    "geo_colocation_quotient",
+    "sketch_bottomk_quantile_sample",
+    "text_trigram_stupid_backoff",
+    "er_customer_linkage_pairs",
+    "er_blocking_quality",
+    "fairness_selection_parity",
     # -- 2. never-officially-checked additions, oldest first (the r5/r6
     #       overflow — 201 queries have never held a driver row with a
     #       50-slot window; CORRECTNESS_LOCAL_r{N}.json is the complete
@@ -89,20 +102,15 @@ _CHECK_FIRST = [
     "bitext_margin_pairs",
     "shard_manifest",
     "theil_sen_slope_by_user",
-    "icl_similarity_chain",
-    "preference_pairs_dpo",
-    "attribution_time_decay",
-    "bootstrap_ci_mean",
-    "survival_risk_table",
-    "length_bucket_batches",
-    "calibration_table",
-    "events_burst_detection",
-    # (slots 1-50 above fill the driver window; the remaining never-checked
-    #  backlog continues in declaration order next round:
-    #  quantile_normalize_sources, revenue_mom_growth, benford_first_digit,
-    #  ... through the session-13 additions — all green in this round's
-    #  committed full sf0.01 sweep, CORRECTNESS_LOCAL_r7.json
-    #  (tools/check_correctness.py, 383/383 oracle-paired))
+    # (slots 1-50 above fill the driver window; the 8 backlog veterans the
+    #  r7 additions displaced — icl_similarity_chain, preference_pairs_dpo,
+    #  attribution_time_decay, bootstrap_ci_mean, survival_risk_table,
+    #  length_bucket_batches, calibration_table, events_burst_detection —
+    #  rejoin the never-checked backlog, which continues in declaration
+    #  order next round: quantile_normalize_sources, revenue_mom_growth,
+    #  benford_first_digit, ... through the session-13 additions — all
+    #  green in this round's committed full sf0.01 sweep,
+    #  CORRECTNESS_LOCAL_r7.json (tools/check_correctness.py))
 ]
 
 
