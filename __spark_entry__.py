@@ -65,6 +65,11 @@ _CHECK_FIRST = [
     "er_customer_linkage_pairs",
     "er_blocking_quality",
     "fairness_selection_parity",
+    "knn_loo_accuracy",
+    "curation_loo_source_impact",
+    "kmeans_lloyd_round",
+    "sketch_kmv_distinct",
+    "geo_dbscan_core_points",
     # -- 2. never-officially-checked additions, oldest first (the r5/r6
     #       overflow — 201 queries have never held a driver row with a
     #       50-slot window; CORRECTNESS_LOCAL_r{N}.json is the complete
@@ -97,20 +102,18 @@ _CHECK_FIRST = [
     "audience_overlap_pairs",
     "text_rank_normalize",
     "text_readability",
-    "mix_budget_spillover",
-    "hard_negative_mining",
-    "bitext_margin_pairs",
-    "shard_manifest",
-    "theil_sen_slope_by_user",
-    # (slots 1-50 above fill the driver window; the 8 backlog veterans the
-    #  r7 additions displaced — icl_similarity_chain, preference_pairs_dpo,
-    #  attribution_time_decay, bootstrap_ci_mean, survival_risk_table,
-    #  length_bucket_batches, calibration_table, events_burst_detection —
-    #  rejoin the never-checked backlog, which continues in declaration
-    #  order next round: quantile_normalize_sources, revenue_mom_growth,
-    #  benford_first_digit, ... through the session-13 additions — all
-    #  green in this round's committed full sf0.01 sweep,
-    #  CORRECTNESS_LOCAL_r7.json (tools/check_correctness.py))
+    # (slots 1-50 above fill the driver window; the 13 backlog veterans the
+    #  r7 additions displaced — mix_budget_spillover, hard_negative_mining,
+    #  bitext_margin_pairs,
+    #  shard_manifest, theil_sen_slope_by_user, icl_similarity_chain,
+    #  preference_pairs_dpo, attribution_time_decay, bootstrap_ci_mean,
+    #  survival_risk_table, length_bucket_batches, calibration_table,
+    #  events_burst_detection — rejoin the never-checked backlog, which
+    #  continues in declaration order next round:
+    #  quantile_normalize_sources, revenue_mom_growth, benford_first_digit,
+    #  ... through the session-13 additions — all green in this round's
+    #  committed full sf0.01 sweep, CORRECTNESS_LOCAL_r7.json
+    #  (tools/check_correctness.py))
 ]
 
 
