@@ -35,8 +35,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #      row is OLDEST, so every query periodically re-enters the window and
 #      a silent regression cannot hide outside it indefinitely.
 # Everything rotated out stays verified locally every round via
-# ``tools/check_correctness.py`` (383/383 oracle-paired queries green in
-# the latest full local sweep; 385 declared).
+# ``tools/check_correctness.py`` (396/396 oracle-paired queries green in
+# the latest full local sweep; 398 declared).
 _CHECK_FIRST = [
     # -- 1. changed in r7 (their prior rows no longer describe the shipped
     #       code): the adaptive-LSH re-point (plane count derived from a
@@ -113,7 +113,7 @@ _CHECK_FIRST = [
     #  quantile_normalize_sources, revenue_mom_growth, benford_first_digit,
     #  ... through the session-13 additions — all green in this round's
     #  committed full sf0.01 sweep, CORRECTNESS_LOCAL_r7.json
-    #  (tools/check_correctness.py))
+    #  (tools/check_correctness.py, 396/396 oracle-paired))
 ]
 
 
