@@ -29,6 +29,7 @@ the repo root.  Usage:  python tools/scale_bench.py [--quick]
 from __future__ import annotations
 
 import json
+import math
 import os
 import shutil
 import sys
@@ -1515,6 +1516,157 @@ def render_composed_md(res: dict) -> list[str]:
     return lines
 
 
+def gen_geo_points(path: str, n: int, cell: int = 50_000, per_cell: int = 40) -> None:
+    """Integer coordinates uniform over a square sized so DENSITY stays
+    constant as n grows (~per_cell points per cell-side square) — the
+    regime a geo table actually lives in at 100 TB: more data covers more
+    area, it does not pack the same city tighter."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(SEED)
+    side = int(math.ceil(math.sqrt(n / per_cell))) * cell
+    tbl = pa.table(
+        {
+            "id": pa.array(np.arange(n, dtype=np.int64)),
+            "x": pa.array(rng.integers(0, side, n, dtype=np.int64)),
+            "y": pa.array(rng.integers(0, side, n, dtype=np.int64)),
+        }
+    )
+    pq.write_table(tbl, path)
+
+
+def _grid_nn(spark, path: str, r: int = 50_000):
+    """The geo_grid_radius_nn plan generalized to a scratch point table:
+    3x3 cell-neighborhood equi-join + exact integer verify + struct-min."""
+    from pyspark.sql import functions as F
+
+    pts = spark.read.parquet(path).select(
+        "id",
+        "x",
+        "y",
+        F.expr(f"x DIV {r}").alias("cx"),
+        F.expr(f"y DIV {r}").alias("cy"),
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    probe = pts.select(
+        "id", "x", "y", F.explode(offsets).alias("o"), "cx", "cy"
+    ).select(
+        "id",
+        "x",
+        "y",
+        (F.col("cx") + F.col("o.dx")).alias("jcx"),
+        (F.col("cy") + F.col("o.dy")).alias("jcy"),
+    )
+    build = pts.select(
+        F.col("id").alias("nb"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        F.col("cx").alias("jcx"),
+        F.col("cy").alias("jcy"),
+    )
+    d2 = (F.col("x") - F.col("bx")) * (F.col("x") - F.col("bx")) + (
+        F.col("y") - F.col("by")
+    ) * (F.col("y") - F.col("by"))
+    cand = (
+        probe.join(build, ["jcx", "jcy"])
+        .filter(F.col("id") != F.col("nb"))
+        .select("id", "nb", d2.alias("d2"))
+        .filter(F.col("d2") <= r * r)
+    )
+    return cand.groupBy("id").agg(
+        F.min(F.struct(F.col("d2").alias("d2"), F.col("nb").alias("nb"))).alias("m")
+    )
+
+
+def bench_geo_grid(spark, quick: bool) -> dict:
+    """Grid-bucketed radius NN join vs the brute-force quadratic join —
+    the spatial analogue of the §1 LSH-vs-quadratic crossover.  Density is
+    held constant as n grows (the realistic regime), so the grid plan's
+    candidate volume is ~9 * per_cell * n = linear, while brute force is
+    n^2 regardless."""
+    from pyspark.sql import functions as F
+
+    sizes = [30_000, 100_000, 250_000] if not quick else [10_000, 30_000]
+    brute_n = sizes[0]
+    out: dict = {"sizes": {}, "r": 50_000}
+    for n in sizes:
+        path = os.path.join(SCRATCH, f"geo_{n}.parquet")
+        if not os.path.exists(path):
+            gen_geo_points(path, n)
+        t = _noop(_grid_nn(spark, path))
+        rows = _grid_nn(spark, path).count()
+        out["sizes"][n] = {"grid_sec": t, "nn_rows": rows}
+        print(f"  grid n={n}: {t}s, {rows} NN rows", flush=True)
+    # quadratic reference at the smallest n only (it is the point of the
+    # section that this does not survive growth)
+    path = os.path.join(SCRATCH, f"geo_{brute_n}.parquet")
+    pts = spark.read.parquet(path)
+    a = pts.select(F.col("id").alias("ia"), F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = pts.select(F.col("id").alias("ib"), F.col("x").alias("xb"), F.col("y").alias("yb"))
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("ia") != F.col("ib"))
+        .select("ia", "ib", d2.alias("d2"))
+        .filter(F.col("d2") <= 50_000 * 50_000)
+        .groupBy("ia")
+        .agg(F.min(F.struct("d2", "ib")).alias("m"))
+    )
+    tb = _noop(brute)
+    out["brute"] = {"n": brute_n, "sec": tb}
+    # equality proof at brute_n: identical NN row count AND identical
+    # (id, nb, d2) multiset hash via a checksum aggregate
+    g = _grid_nn(spark, path).select(
+        F.col("id"), F.col("m.d2").alias("d2"), F.col("m.nb").alias("nb")
+    )
+    bq = brute.select(
+        F.col("ia").alias("id"),
+        F.col("m.d2").alias("d2"),
+        F.col("m.ib").alias("nb"),
+    )
+    cks = lambda df: df.agg(  # noqa: E731
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.hash("id", "d2", "nb").cast("long")).alias("h"),
+    ).collect()[0]
+    cg, cb = cks(g), cks(bq)
+    out["equal"] = bool(cg["n"] == cb["n"] and cg["h"] == cb["h"])
+    print(f"  brute n={brute_n}: {tb}s; grid==brute: {out['equal']}", flush=True)
+    return out
+
+
+def render_geo_md(res: dict) -> list[str]:
+    r = res["geo_grid"]
+    lines = [
+        "## 14. Spatial grid NN join vs quadratic (geo family)",
+        "",
+        "Constant-density points (the 100 TB regime: more data = more area).",
+        "Grid plan: cell side = R, 3x3 neighborhood equi-join, exact integer",
+        "verify — candidate volume ~9 x per-cell x n (linear).",
+        "",
+        "| n | grid sec | NN rows |",
+        "|---|---|---|",
+    ]
+    for n, row in sorted(r["sizes"].items(), key=lambda kv: int(kv[0])):
+        lines.append(f"| {n} | {row['grid_sec']} | {row['nn_rows']} |")
+    lines += [
+        "",
+        f"Quadratic reference at n={r['brute']['n']}: **{r['brute']['sec']} s**"
+        f" (crossJoin; grows n^2 while grid grows ~n); result equality"
+        f" (count + multiset hash): **{r['equal']}**.",
+        "",
+    ]
+    return lines
+
+
 def main() -> None:
     quick = "--quick" in sys.argv
     only_txlog = "--only-txlog" in sys.argv
@@ -1524,6 +1676,7 @@ def main() -> None:
     only_winnowing = "--only-winnowing" in sys.argv
     only_lshauto = "--only-lshauto" in sys.argv
     only_composed = "--only-composed" in sys.argv
+    only_geo = "--only-geo" in sys.argv
     os.makedirs(SCRATCH, exist_ok=True)
     from lvm_datapipe_spark.session import get_spark
 
@@ -1539,7 +1692,7 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count()))
 
     if (only_txlog or only_skyline or only_concurrency or only_linededup
-            or only_winnowing or only_lshauto or only_composed):
+            or only_winnowing or only_lshauto or only_composed or only_geo):
         # incremental mode: merge the new section into the committed
         # results instead of re-running the (long) full matrix
         with open(os.path.join(REPO, "SCALE_BENCH.json")) as f:
@@ -1554,6 +1707,17 @@ def main() -> None:
         res["skew"] = bench_skew(spark, quick)
         print("== LM scoring: DSIR vs CCNet ==", flush=True)
         res["lm_scoring"] = bench_lm_scoring(spark, quick)
+    if only_geo:
+        print("== spatial grid NN ==", flush=True)
+        res["geo_grid"] = bench_geo_grid(spark, quick)
+        with open(os.path.join(REPO, "SCALE_BENCH.json"), "w") as f:
+            json.dump(res, f, indent=2, sort_keys=True)
+        _update_md_section(
+            "## 14. Spatial grid NN join", render_geo_md(res)
+        )
+        print("wrote SCALE_BENCH.json + SCALE_BENCH.md (geo)", flush=True)
+        shutil.rmtree("/dev/shm/spark-scale-local", ignore_errors=True)
+        return
     if only_composed:
         print("== composed pipeline ==", flush=True)
         res["composed_pipeline"] = bench_composed_pipeline(spark, quick)
