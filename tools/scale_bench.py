@@ -1594,7 +1594,7 @@ def bench_geo_grid(spark, quick: bool) -> dict:
     from pyspark.sql import functions as F
 
     sizes = [30_000, 100_000, 250_000] if not quick else [10_000, 30_000]
-    brute_n = sizes[0]
+    brute_ns = sizes[:2]
     out: dict = {"sizes": {}, "r": 50_000}
     for n in sizes:
         path = os.path.join(SCRATCH, f"geo_{n}.parquet")
@@ -1604,31 +1604,38 @@ def bench_geo_grid(spark, quick: bool) -> dict:
         rows = _grid_nn(spark, path).count()
         out["sizes"][n] = {"grid_sec": t, "nn_rows": rows}
         print(f"  grid n={n}: {t}s, {rows} NN rows", flush=True)
-    # quadratic reference at the smallest n only (it is the point of the
+
+    def brute_nn(path):
+        pts = spark.read.parquet(path)
+        a = pts.select(F.col("id").alias("ia"), F.col("x").alias("xa"), F.col("y").alias("ya"))
+        b = pts.select(F.col("id").alias("ib"), F.col("x").alias("xb"), F.col("y").alias("yb"))
+        d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+            F.col("ya") - F.col("yb")
+        ) * (F.col("ya") - F.col("yb"))
+        return (
+            a.crossJoin(b)
+            .filter(F.col("ia") != F.col("ib"))
+            .select("ia", "ib", d2.alias("d2"))
+            .filter(F.col("d2") <= 50_000 * 50_000)
+            .groupBy("ia")
+            .agg(F.min(F.struct("d2", "ib")).alias("m"))
+        )
+
+    # quadratic reference at the two smallest n (it is the point of the
     # section that this does not survive growth)
-    path = os.path.join(SCRATCH, f"geo_{brute_n}.parquet")
-    pts = spark.read.parquet(path)
-    a = pts.select(F.col("id").alias("ia"), F.col("x").alias("xa"), F.col("y").alias("ya"))
-    b = pts.select(F.col("id").alias("ib"), F.col("x").alias("xb"), F.col("y").alias("yb"))
-    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
-        F.col("ya") - F.col("yb")
-    ) * (F.col("ya") - F.col("yb"))
-    brute = (
-        a.crossJoin(b)
-        .filter(F.col("ia") != F.col("ib"))
-        .select("ia", "ib", d2.alias("d2"))
-        .filter(F.col("d2") <= 50_000 * 50_000)
-        .groupBy("ia")
-        .agg(F.min(F.struct("d2", "ib")).alias("m"))
-    )
-    tb = _noop(brute)
-    out["brute"] = {"n": brute_n, "sec": tb}
-    # equality proof at brute_n: identical NN row count AND identical
+    out["brute"] = {}
+    for n in brute_ns:
+        path = os.path.join(SCRATCH, f"geo_{n}.parquet")
+        tb = _noop(brute_nn(path))
+        out["brute"][n] = tb
+        print(f"  brute n={n}: {tb}s", flush=True)
+    # equality proof at the smallest n: identical NN row count AND identical
     # (id, nb, d2) multiset hash via a checksum aggregate
+    path = os.path.join(SCRATCH, f"geo_{brute_ns[0]}.parquet")
     g = _grid_nn(spark, path).select(
         F.col("id"), F.col("m.d2").alias("d2"), F.col("m.nb").alias("nb")
     )
-    bq = brute.select(
+    bq = brute_nn(path).select(
         F.col("ia").alias("id"),
         F.col("m.d2").alias("d2"),
         F.col("m.ib").alias("nb"),
@@ -1639,7 +1646,7 @@ def bench_geo_grid(spark, quick: bool) -> dict:
     ).collect()[0]
     cg, cb = cks(g), cks(bq)
     out["equal"] = bool(cg["n"] == cb["n"] and cg["h"] == cb["h"])
-    print(f"  brute n={brute_n}: {tb}s; grid==brute: {out['equal']}", flush=True)
+    print(f"  grid==brute at n={brute_ns[0]}: {out['equal']}", flush=True)
     return out
 
 
@@ -1657,10 +1664,14 @@ def render_geo_md(res: dict) -> list[str]:
     ]
     for n, row in sorted(r["sizes"].items(), key=lambda kv: int(kv[0])):
         lines.append(f"| {n} | {row['grid_sec']} | {row['nn_rows']} |")
+    brute = ", ".join(
+        f"n={n}: **{s} s**"
+        for n, s in sorted(r["brute"].items(), key=lambda kv: int(kv[0]))
+    )
     lines += [
         "",
-        f"Quadratic reference at n={r['brute']['n']}: **{r['brute']['sec']} s**"
-        f" (crossJoin; grows n^2 while grid grows ~n); result equality"
+        f"Quadratic crossJoin reference — {brute} (grows n^2 while grid"
+        f" grows ~n); result equality at the smallest n"
         f" (count + multiset hash): **{r['equal']}**.",
         "",
     ]
