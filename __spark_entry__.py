@@ -35,8 +35,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #      row is OLDEST, so every query periodically re-enters the window and
 #      a silent regression cannot hide outside it indefinitely.
 # Everything rotated out stays verified locally every round via
-# ``tools/check_correctness.py`` (400/400 oracle-paired queries green in
-# the latest full local sweep; 402 declared).
+# ``tools/check_correctness.py`` (401/401 oracle-paired queries green in
+# the latest full local sweep; 403 declared).
 _CHECK_FIRST = [
     # -- 1. changed in r7 (their prior rows no longer describe the shipped
     #       code): the adaptive-LSH re-point (plane count derived from a
@@ -74,6 +74,7 @@ _CHECK_FIRST = [
     "geo_quadkey_pyramid",
     "markov_absorption_to_purchase",
     "geo_bipartite_nearest_supplier",
+    "events_watermark_drop_audit",
     # -- 2. never-officially-checked additions, oldest first (the r5/r6
     #       overflow — 201 queries have never held a driver row with a
     #       50-slot window; CORRECTNESS_LOCAL_r{N}.json is the complete
@@ -101,9 +102,9 @@ _CHECK_FIRST = [
     "sparse_cosine_topk",
     "kanonymity_audit",
     "item_item_cosine",
-    "bootstrap_mean_replicates",
-    # (slots 1-50 above fill the driver window; the 17 backlog veterans the
-    #  r7 additions displaced — graph_triangle_counts,
+    # (slots 1-50 above fill the driver window; the 18 backlog veterans the
+    #  r7 additions displaced — bootstrap_mean_replicates,
+    #  graph_triangle_counts,
     #  audience_overlap_pairs, text_rank_normalize, text_readability,
     #  mix_budget_spillover,
     #  hard_negative_mining, bitext_margin_pairs,
@@ -115,7 +116,7 @@ _CHECK_FIRST = [
     #  quantile_normalize_sources, revenue_mom_growth, benford_first_digit,
     #  ... through the session-13 additions — all green in this round's
     #  committed full sf0.01 sweep, CORRECTNESS_LOCAL_r7.json
-    #  (tools/check_correctness.py, 400/400 oracle-paired))
+    #  (tools/check_correctness.py, 401/401 oracle-paired))
 ]
 
 
