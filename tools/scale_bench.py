@@ -1600,8 +1600,9 @@ def bench_geo_grid(spark, quick: bool) -> dict:
         path = os.path.join(SCRATCH, f"geo_{n}.parquet")
         if not os.path.exists(path):
             gen_geo_points(path, n)
-        t = _noop(_grid_nn(spark, path))
+        t0 = time.perf_counter()
         rows = _grid_nn(spark, path).count()
+        t = round(time.perf_counter() - t0, 2)
         out["sizes"][n] = {"grid_sec": t, "nn_rows": rows}
         print(f"  grid n={n}: {t}s, {rows} NN rows", flush=True)
 
