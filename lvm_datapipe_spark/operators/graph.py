@@ -47,6 +47,46 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def cap_baskets(
+    df: DataFrame,
+    basket_col: str,
+    max_basket_size: int = 64,
+) -> DataFrame:
+    """Drop baskets larger than ``max_basket_size`` items before a
+    pairwise (item, item) self-join — the co-occurrence twin of
+    ``dedup.ngram_jaccard_pairs``'s ``max_shingle_freq`` stop-shingle
+    guard.
+
+    Every basket-pair build (triangles, k-core, lift/cosine/PMI edge
+    sources) joins the (basket, item) table to itself on the basket key,
+    so ONE pathological basket of B items contributes B²/2 joined rows:
+    a single 10k-item basket is 50M rows on one shuffle key — a straggler
+    no partitioning fixes.  A basket that large is also semantically
+    boilerplate (a crawler cart, a batch import), the association-mining
+    analog of a stop-shingle: its pairs carry ~no signal for lift or
+    clustering but dominate the join.  The guard deletes those baskets
+    up front, bounding per-key fan-out at ``max_basket_size``² while
+    leaving every real basket untouched (declared-corpus baskets peak at
+    ~17 distinct items, so capped == uncapped bit-exactly — the
+    equivalence test in tests/test_basket_cap.py pins that).
+
+    Scale shape: one basket-keyed count aggregate emits the OFFENDER set
+    (baskets > cap) — tiny or empty by construction — then a left-anti
+    join against it.  Because the offender side is small, AQE plans the
+    anti join as a broadcast: the main table is NOT shuffled, and the
+    downstream pair join still shuffles on the same basket key it always
+    did.  Oracle mirror: ``HAVING count(*) > cap`` + ``NOT IN`` — see
+    ``queries._cap_baskets_sql``.
+    """
+    big = (
+        df.groupBy(basket_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > max_basket_size)
+        .select(basket_col)
+    )
+    return df.join(big, [basket_col], "left_anti")
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "id_a",

@@ -1651,6 +1651,101 @@ def bench_geo_grid(spark, quick: bool) -> dict:
     return out
 
 
+def gen_hot_baskets(path: str, n: int, hot: int = 10_000) -> None:
+    """n normal 4-item baskets plus ONE planted hot basket of ``hot``
+    distinct items — the adversarial input VERDICT r7 item 1 asks the
+    co-occurrence guard to be measured against (a crawler cart / batch
+    import whose B²/2 pair fan-out lands on a single shuffle key)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(SEED)
+    bid = np.repeat(np.arange(n, dtype=np.int64), 4)
+    item = rng.integers(0, n, n * 4, dtype=np.int64)
+    hb = np.full(hot, n, dtype=np.int64)
+    hi = np.arange(hot, dtype=np.int64) + 100_000_000
+    tbl = pa.table(
+        {
+            "basket": pa.array(np.concatenate([bid, hb])),
+            "item": pa.array(np.concatenate([item, hi])),
+        }
+    )
+    pq.write_table(tbl, path)
+
+
+def bench_basket_cap(spark, quick: bool) -> dict:
+    """Hot-basket guard (graph.cap_baskets) under a planted 10k-item
+    basket: the capped pair build must stay ~linear in the number of
+    NORMAL baskets, while the uncapped build pays the hot key's 50M
+    pair rows on one shuffle key regardless of corpus size."""
+    from pyspark.sql import functions as F
+
+    from lvm_datapipe_spark.operators.graph import cap_baskets
+
+    sizes = [100_000, 500_000, 2_000_000] if not quick else [50_000, 200_000]
+    out: dict = {"hot": 10_000, "cap": 64, "sizes": {}}
+
+    def pairs(b):
+        x = b.select("basket", F.col("item").alias("p1"))
+        y = b.select("basket", F.col("item").alias("p2"))
+        return (
+            x.join(y, "basket")
+            .filter(F.col("p1") < F.col("p2"))
+            .groupBy("p1", "p2")
+            .agg(F.count(F.lit(1)).alias("co"))
+        )
+
+    for n in sizes:
+        path = os.path.join(SCRATCH, f"baskets_{n}.parquet")
+        if not os.path.exists(path):
+            gen_hot_baskets(path, n)
+        b = spark.read.parquet(path)
+        t0 = time.perf_counter()
+        rows = pairs(cap_baskets(b, "basket")).count()
+        t = round(time.perf_counter() - t0, 2)
+        out["sizes"][n] = {"capped_sec": t, "pair_rows": rows}
+        print(f"  capped n={n}: {t}s, {rows} pair rows", flush=True)
+
+    # uncapped reference at the smallest n: the single hot basket alone
+    # contributes hot^2/2 joined rows on one key
+    n0 = sizes[0]
+    b = spark.read.parquet(os.path.join(SCRATCH, f"baskets_{n0}.parquet"))
+    t0 = time.perf_counter()
+    urows = pairs(b).count()
+    ut = round(time.perf_counter() - t0, 2)
+    out["uncapped"] = {"n": n0, "sec": ut, "pair_rows": urows}
+    print(f"  uncapped n={n0}: {ut}s, {urows} pair rows", flush=True)
+    return out
+
+
+def render_basketcap_md(res: dict) -> list[str]:
+    r = res["basket_cap"]
+    lines = [
+        "## 15. Hot-basket cap (co-occurrence pair guard)",
+        "",
+        f"Planted ONE {r['hot']}-item basket among n normal 4-item baskets;",
+        f"graph.cap_baskets (cap {r['cap']}) drops it before the pair",
+        "self-join.  Capped wall time must track n; the uncapped build pays",
+        "the hot key's ~50M pair rows on a single shuffle key at ANY n.",
+        "",
+        "| n baskets | capped sec | pair rows |",
+        "|---|---|---|",
+    ]
+    for n, row in sorted(r["sizes"].items(), key=lambda kv: int(kv[0])):
+        lines.append(f"| {n} | {row['capped_sec']} | {row['pair_rows']} |")
+    u = r["uncapped"]
+    lines += [
+        "",
+        f"Uncapped reference at n={u['n']}: **{u['sec']} s** /"
+        f" {u['pair_rows']} pair rows — the hot basket contributes"
+        f" {r['hot']}²/2 ≈ 50M of them on one key, which only grows with"
+        " basket pathology, not with data size; the guard deletes it for"
+        " the cost of one basket-keyed count.",
+        "",
+    ]
+    return lines
+
+
 def render_geo_md(res: dict) -> list[str]:
     r = res["geo_grid"]
     lines = [
@@ -1689,6 +1784,7 @@ def main() -> None:
     only_lshauto = "--only-lshauto" in sys.argv
     only_composed = "--only-composed" in sys.argv
     only_geo = "--only-geo" in sys.argv
+    only_basketcap = "--only-basketcap" in sys.argv
     os.makedirs(SCRATCH, exist_ok=True)
     from lvm_datapipe_spark.session import get_spark
 
@@ -1704,7 +1800,8 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count()))
 
     if (only_txlog or only_skyline or only_concurrency or only_linededup
-            or only_winnowing or only_lshauto or only_composed or only_geo):
+            or only_winnowing or only_lshauto or only_composed or only_geo
+            or only_basketcap):
         # incremental mode: merge the new section into the committed
         # results instead of re-running the (long) full matrix
         with open(os.path.join(REPO, "SCALE_BENCH.json")) as f:
@@ -1719,6 +1816,17 @@ def main() -> None:
         res["skew"] = bench_skew(spark, quick)
         print("== LM scoring: DSIR vs CCNet ==", flush=True)
         res["lm_scoring"] = bench_lm_scoring(spark, quick)
+    if only_basketcap:
+        print("== hot-basket cap ==", flush=True)
+        res["basket_cap"] = bench_basket_cap(spark, quick)
+        with open(os.path.join(REPO, "SCALE_BENCH.json"), "w") as f:
+            json.dump(res, f, indent=2, sort_keys=True)
+        _update_md_section(
+            "## 15. Hot-basket cap", render_basketcap_md(res)
+        )
+        print("wrote SCALE_BENCH.json + SCALE_BENCH.md (basket cap)", flush=True)
+        shutil.rmtree("/dev/shm/spark-scale-local", ignore_errors=True)
+        return
     if only_geo:
         print("== spatial grid NN ==", flush=True)
         res["geo_grid"] = bench_geo_grid(spark, quick)
