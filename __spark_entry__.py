@@ -36,7 +36,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #      a silent regression cannot hide outside it indefinitely.
 # Everything rotated out stays verified locally every round via
 # ``tools/check_correctness.py`` (401/401 oracle-paired queries green in
-# the latest full local sweep; 403 declared).
+# the latest full local sweep; 403 declared).  The rotation itself is
+# mechanically auditable: ``tools/window_history.py`` reconstructs
+# query -> official-round history from the committed CORRECTNESS_r*.json
+# artifacts into WINDOW_HISTORY.json (regenerated each closing sweep) —
+# tier 2 draws from its ``never_checked`` list, tier 4 from
+# ``oldest_green_first``.
 _CHECK_FIRST = [
     # -- 1. changed in r7 (their prior rows no longer describe the shipped
     #       code): the adaptive-LSH re-point (plane count derived from a

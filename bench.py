@@ -91,6 +91,20 @@ SCALE_12 = [
     "pipeline_pretrain_full",     # composed end-to-end curation pipeline
 ]
 
+#: third frozen list (r8, VERDICT r7 item 3): the census HEAVIES — the
+#: most expensive graph/ANN tier of the full-surface census was invisible
+#: to the per-query gate (a regression there never failed anything).
+#: Frozen as of r8 (BENCH_r08.json is their baseline row); published as
+#: "graphann6_sec" and gated by tools/bench_compare.py like the other two.
+GRAPH_ANN_6 = [
+    "graph_kcore_parts",          # 8-round k-core peel (iterative graph)
+    "graph_nation_pagerank",      # pagerank fixed-point (iterative graph)
+    "ann_ivfpq_topk",             # IVF-PQ approximate NN (vector scale path)
+    "ann_recall_eval",            # ANN-vs-exact recall harness (both plans)
+    "dedup_clusters",             # LSH pairs -> connected components
+    "dedup_method_agreement",     # 3-family dedup cross-validation
+]
+
 
 def main() -> None:
     from lvm_datapipe_spark.queries import QUERIES
@@ -124,7 +138,7 @@ def main() -> None:
             # match), turning min-of-2 into a cached-read measurement.
             # Within-pass behavior stays identical to the r1-r3 methodology.
             spark.catalog.clearCache()
-        for name in BENCH_QUERIES + SCALE_12:
+        for name in BENCH_QUERIES + SCALE_12 + GRAPH_ANN_6:
             if name not in QUERIES:
                 continue
             t0 = time.perf_counter()
@@ -153,6 +167,9 @@ def main() -> None:
                 ),
                 "scale12_sec": round(
                     sum(t for n, t in times.items() if n in SCALE_12), 4
+                ),
+                "graphann6_sec": round(
+                    sum(t for n, t in times.items() if n in GRAPH_ANN_6), 4
                 ),
                 "queries": times,
                 "sf": sf_val,

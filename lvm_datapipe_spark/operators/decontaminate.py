@@ -37,8 +37,8 @@ def contamination_pairs(
 ) -> DataFrame:
     """(doc_id, bench_id, n_common) for every corpus×benchmark pair sharing
     ≥ ``min_common`` distinct word n-grams."""
-    c = shingle_rows(corpus, text_col, id_col, n)
-    b = shingle_rows(benchmark, bench_text_col, bench_id_col, n).withColumnRenamed(
+    c = shingle_rows(corpus, text_col, id_col, n, hashed=True)
+    b = shingle_rows(benchmark, bench_text_col, bench_id_col, n, hashed=True).withColumnRenamed(
         bench_id_col, "__bench_id"
     )
     return (

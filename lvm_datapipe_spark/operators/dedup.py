@@ -6,9 +6,13 @@ candidates come from equi-joins on content-derived keys (fingerprint, shingle,
 LSH band bucket, SimHash band), so the only shuffles are keyed on those
 buckets and the pair set is tiny relative to n².
 
-Cross-engine determinism: all hashing is md5 (bit-identical in Spark and
-DuckDB); MinHash uses *lexicographic min over md5 strings* as the hash family
-so signatures are comparable strings, not platform-specific ints.
+Cross-engine determinism: all VALUE-bearing hashing is md5 (bit-identical
+in Spark and DuckDB); MinHash uses *lexicographic min over md5 strings* as
+the hash family so signatures are comparable strings, not platform-specific
+ints.  Interior JOIN KEYS that never surface in results (the shingle
+intersection kernel) use ``xxhash64`` longs instead — an 8-byte shuffle key
+in place of an n-word string, invisible to any oracle because only the pair
+counts leave the plan (shingle_rows ``hashed=True``).
 """
 
 from __future__ import annotations
@@ -66,25 +70,40 @@ def shingled(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: i
 
 
 def shingle_rows(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    hashed: bool = False,
 ) -> DataFrame:
     """DISTINCT (id, shingle) rows in fully-relational form: posexplode the
     tokens, window-lead the next n-1 tokens, concat.  Equivalent output to
     exploding :func:`shingled`, but every expression is flat whole-stage
     codegen — the higher-order array route measured 2-10× slower (and its
     cost shifts unpredictably as the optimizer inlines the lambda into
-    filters/generators)."""
+    filters/generators).
+
+    ``hashed=True`` replaces the shingle STRING with its ``xxhash64``
+    inside the same scan (VERDICT r7 item 2, the DSIR ``bucket_fn``
+    precedent): every downstream dropDuplicates / groupBy / self-join
+    then shuffles 8-byte longs instead of ~n-word strings — the composed
+    pipeline (SCALE_BENCH §13) measured its 72 GB spill at 250k docs
+    dominated by string shingle rows.  Intersection counts and sizes are
+    unchanged up to 64-bit hash collisions (~(n_shingles)²/2⁶⁵ — 10⁻⁸
+    territory at any realistic corpus shard); keep the string form
+    (default) where shingle text must surface or an oracle replays the
+    exact strings."""
     toks = df.select(F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok"))
     w = Window.partitionBy(id_col).orderBy("pos")
     parts = [F.col("tok")] + [F.lead("tok", j).over(w).alias(f"t{j}") for j in range(1, n)]
     with_next = toks.select(F.col(id_col), *parts)
     last = f"t{n - 1}"
+    shingle = F.concat_ws(" ", "tok", *[f"t{j}" for j in range(1, n)])
+    if hashed:
+        shingle = F.xxhash64(shingle)
     return (
         with_next.filter(F.col(last).isNotNull())
-        .select(
-            F.col(id_col),
-            F.concat_ws(" ", "tok", *[f"t{j}" for j in range(1, n)]).alias("shingle"),
-        )
+        .select(F.col(id_col), shingle.alias("shingle"))
         .dropDuplicates([id_col, "shingle"])
     )
 
@@ -113,7 +132,7 @@ def ngram_jaccard_pairs(
     """
     # persist: the shingle rows feed the sizes branch and BOTH sides of the
     # self-join below — without it the shingle computation runs 3×
-    cached = shingle_rows(df, text_col, id_col, n).persist()
+    cached = shingle_rows(df, text_col, id_col, n, hashed=True).persist()
     ex = cached
     sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     inter = shingle_intersections(ex, id_col, max_shingle_freq)
@@ -193,7 +212,7 @@ def containment_pairs(
     (id, shingle) rows, the capped posting-list intersection kernel,
     then two keyed joins against the size table.  Same stop-shingle cap
     semantics (sizes always uncapped)."""
-    cached = shingle_rows(df, text_col, id_col, n).persist()
+    cached = shingle_rows(df, text_col, id_col, n, hashed=True).persist()
     sizes = cached.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     inter = shingle_intersections(cached, id_col, max_shingle_freq)
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))

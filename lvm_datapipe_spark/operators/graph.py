@@ -181,6 +181,80 @@ def dedup_keep_representatives(
     )
 
 
+def kcore(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    k: int = 3,
+    max_rounds: int = 30,
+    check_every: int = 2,
+    stats: dict | None = None,
+) -> DataFrame:
+    """CONVERGED k-core peel (VERDICT r7 item 5) — the library form of the
+    declared ``graph_kcore_parts`` query's fixed-8-round plan: repeatedly
+    delete nodes with fewer than ``k`` surviving neighbors until the alive
+    set stabilizes, returning ``(node, core_degree)`` for the survivors
+    (degree counted within the final core).
+
+    The declared query keeps a FIXED round count so its oracle can replay
+    the peel as unrolled CTEs; this variant runs to the true fixpoint with
+    the :func:`connected_components` loop discipline — lineage truncated
+    every round via ``localCheckpoint`` (an unpersisted loop doubles the
+    plan per round), and the convergence action THROTTLED to every
+    ``check_every``-th round: the alive set only ever shrinks, so "count
+    unchanged since the last check" is exactly "no node dropped in that
+    whole block", one cheap ``count()`` instead of a set comparison.  On
+    any graph that converges within the declared query's 8 rounds the two
+    agree bit-exactly (tests/test_graph.py pins that on the declared
+    corpus); ``max_rounds`` bounds pathological peel chains (a path graph
+    peels one layer per round).
+
+    Scale shape per round: two alive-keyed semi-joins + one node-keyed
+    degree aggregate over a monotonically shrinking set — no cartesian,
+    no driver-side graph.  ``stats`` (a dict, optional) receives
+    ``rounds`` and ``checks`` counters for tests."""
+    check_every = max(1, check_every)
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .persist()
+    )
+    alive = sym.select(F.col("u").alias("p")).distinct().localCheckpoint()
+    prev = alive.count()
+    rounds = checks = 0
+    deg = None
+    for rnd in range(max_rounds):
+        au = alive.select(F.col("p").alias("_au"))
+        av = alive.select(F.col("p").alias("_av"))
+        deg = (
+            sym.join(au, F.col("_au") == F.col("u"))
+            .join(av, F.col("_av") == F.col("v"))
+            .groupBy(F.col("u").alias("p"))
+            .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        )
+        alive = deg.filter(F.col("deg") >= k).select("p").localCheckpoint()
+        rounds += 1
+        if (rnd + 1) % check_every == 0 or rnd == max_rounds - 1:
+            checks += 1
+            cur = alive.count()
+            if cur == prev:
+                break
+            prev = cur
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["checks"] = checks
+    out = (
+        deg.join(
+            alive.withColumnRenamed("p", "_p"), F.col("_p") == F.col("p")
+        )
+        .select(F.col("p").alias("node"), F.col("deg").alias("core_degree"))
+        .localCheckpoint()
+    )
+    sym.unpersist()
+    return out
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",

@@ -6,7 +6,16 @@ the ratio, and exits nonzero when any shared query regresses past the
 threshold — so a bench regression fails loudly in CI/driver runs instead
 of hiding in a total that other queries' improvements offset.
 
+Also gates the full-surface census (VERDICT r7 item 7): QUERY_TIMES_r*.json
+files ({"times": {...}}) load transparently, so
+``python tools/bench_compare.py QUERY_TIMES_r7.json QUERY_TIMES_r8.json 2.0``
+fails when any query jumps past 2x its prior-round census time.  Deliberate
+re-points are excluded with ``--allow name1,name2`` — the allowlist is part
+of the command line the round's BENCH_NOTES entry records, so every census
+exemption is documented where the gate output lives.
+
 Usage: python tools/bench_compare.py OLD.json NEW.json [threshold=1.5]
+           [--allow q1,q2,...]
 """
 
 from __future__ import annotations
@@ -26,6 +35,12 @@ def load(path: str) -> dict:
             return d
         if "queries" in d.get("parsed", {}):
             return d["parsed"]
+        if "times" in d:
+            # census shape (tools/time_all_queries.py); ERR strings become
+            # absent so a query that started erroring shows as GONE
+            q = {k: v for k, v in d["times"].items()
+                 if isinstance(v, (int, float))}
+            return {"queries": q, "value": round(sum(q.values()), 2)}
     except json.JSONDecodeError:
         pass
     for line in text.splitlines():
@@ -40,10 +55,16 @@ def load(path: str) -> dict:
     raise SystemExit(f"no bench JSON with 'queries' in {path}")
 
 
-def compare(old: dict, new: dict, threshold: float) -> tuple[list, list]:
+def compare(
+    old: dict, new: dict, threshold: float, allow: set[str] | None = None
+) -> tuple[list, list]:
     rows, regressions = [], []
+    allow = allow or set()
     oq, nq = old["queries"], new["queries"]
     for name in sorted(set(oq) | set(nq)):
+        if name in allow:
+            rows.append((name, oq.get(name), nq.get(name), None))
+            continue
         a, b = oq.get(name), nq.get(name)
         if a is not None and b is None:
             # a query that STOPPED running is the worst regression there
@@ -62,19 +83,31 @@ def compare(old: dict, new: dict, threshold: float) -> tuple[list, list]:
 
 
 def main(argv: list[str]) -> int:
+    allow: set[str] = set()
+    if "--allow" in argv:
+        i = argv.index("--allow")
+        allow = set(argv[i + 1].split(","))
+        del argv[i : i + 2]
     if len(argv) < 2:
         print(__doc__)
         return 2
     threshold = float(argv[2]) if len(argv) > 2 else 1.5
     old, new = load(argv[0]), load(argv[1])
-    rows, regressions = compare(old, new, threshold)
+    rows, regressions = compare(old, new, threshold, allow)
+    if allow:
+        print(f"allowlisted (not gated): {', '.join(sorted(allow))}")
     print(f"{'query':35s} {'old':>8s} {'new':>8s} {'ratio':>7s}")
     for name, a, b, r in rows:
         fa = f"{a:.3f}" if a is not None else "-"
         fb = f"{b:.3f}" if b is not None else "-"
-        fr = "GONE" if r == float("inf") and b is None else (
-            f"{r:.2f}x" if r is not None else "new"
-        )
+        if r == float("inf") and b is None:
+            fr = "GONE"
+        elif r is not None:
+            fr = f"{r:.2f}x"
+        elif a is not None and name in allow:
+            fr = "allow"
+        else:
+            fr = "new"
         print(f"{name:35s} {fa:>8s} {fb:>8s} {fr:>7s}")
     ov, nv = old.get("value"), new.get("value")
     if ov and nv:
