@@ -12,9 +12,21 @@ Plan shape: both sides reduce to DISTINCT (id, shingle) rows
 equi-join keyed on the shingle and a pair-count aggregate.  The benchmark
 side is tiny relative to the corpus (thousands of eval items vs. billions
 of docs), so its shingle table BROADCASTS: the contamination check costs
-one corpus scan + map-side hash probes — no corpus shuffle at all.  The
-``max_shingle_freq``-style stop-shingle risk doesn't apply (the join is
-bounded by benchmark size), so no cap is needed.
+one corpus scan + map-side hash probes — no corpus shuffle at all.
+
+The stop-shingle risk DOES apply here, just through the benchmark side
+(r8; the r7 composed bench traced its 72 GB spill to exactly this): the
+broadcast hash join's output is sum over shingles of corpus_freq x
+bench_freq, so one boilerplate shingle present in thousands of benchmark
+items multiplies against its corpus frequency — measured 465M joined rows
+on a 250k-doc Zipfian corpus, 14x that with the cap.  ``max_bench_freq``
+drops shingles appearing in more than N benchmark docs before the
+broadcast (computed entirely on the tiny side — the corpus still never
+shuffles), bounding join fan-out at ``max_bench_freq x |corpus shingle
+rows|``.  A shingle that common in a benchmark is instruction/template
+boilerplate ("answer the following question"), not contamination signal —
+the same judgment call as ``dedup.max_shingle_freq``, made on the side
+where it costs nothing.
 """
 
 from __future__ import annotations
@@ -34,13 +46,24 @@ def contamination_pairs(
     bench_id_col: str = "bench_id",
     n: int = 8,
     min_common: int = 1,
+    max_bench_freq: int | None = 100,
 ) -> DataFrame:
     """(doc_id, bench_id, n_common) for every corpus×benchmark pair sharing
-    ≥ ``min_common`` distinct word n-grams."""
+    ≥ ``min_common`` distinct word n-grams.  Shingles present in more than
+    ``max_bench_freq`` benchmark docs are dropped as benchmark boilerplate
+    before the broadcast (see module docstring; None disables)."""
     c = shingle_rows(corpus, text_col, id_col, n, hashed=True)
     b = shingle_rows(benchmark, bench_text_col, bench_id_col, n, hashed=True).withColumnRenamed(
         bench_id_col, "__bench_id"
     )
+    if max_bench_freq is not None:
+        hot = (
+            b.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_bench_freq)
+            .select("shingle")
+        )
+        b = b.join(hot, "shingle", "left_anti")
     return (
         c.join(F.broadcast(b), "shingle")
         .groupBy(id_col, "__bench_id")
@@ -60,11 +83,13 @@ def decontaminate(
     bench_id_col: str = "bench_id",
     n: int = 8,
     min_common: int = 1,
+    max_bench_freq: int | None = 100,
 ) -> DataFrame:
     """Drop every corpus document flagged by :func:`contamination_pairs` —
     one left-anti join against the (small) flagged-id set."""
     flagged = contamination_pairs(
-        corpus, benchmark, text_col, id_col, bench_text_col, bench_id_col, n, min_common
+        corpus, benchmark, text_col, id_col, bench_text_col, bench_id_col, n,
+        min_common, max_bench_freq
     ).select(id_col).distinct()
     return corpus.join(flagged, id_col, "left_anti")
 

@@ -295,7 +295,12 @@ class LlavaCaptionAdapter(ScorerAdapter):
         from PIL import Image
 
         device, processor, model = self.model()
-        prompt = "USER: <image>\nDescribe the image concisely. ASSISTANT:"
+        # the reference's conv-template render (llava_caption.py:111-129);
+        # assembly + stop-string + image-token splice are golden-tested
+        # torch-free in functions/prompts.py
+        from lvm_datapipe_spark.functions.prompts import llava_caption_prompt
+
+        prompt = llava_caption_prompt("llava_v1")
         out = []
         with torch.no_grad():
             for f in frames:

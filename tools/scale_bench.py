@@ -1489,18 +1489,26 @@ def render_composed_md(res: dict) -> list[str]:
     lines += [
         "",
         "- The 2.5x size step (100k -> 250k) moves wall and shuffle",
-        "  near-linearly (pretrain ~2.0x wall / 2.5x shuffle,",
-        "  representatives ~1.6x / 1.8x, merge flat) — no superlinear",
-        "  break, no driver OOM.",
+        "  near-linearly with no superlinear break and no driver OOM.",
         "- spill MB is memoryBytesSpilled (the DESERIALIZED size of rows",
-        "  that crossed the execution-memory watermark, not disk bytes);",
-        "  the pretrain leg's spill comes from the decontamination 5-gram",
-        "  shingle explode, whose row fan-out is words-per-doc x 5 before",
-        "  the broadcast anti-join collapses it.",
-        "- Pretrain rows out (~600) undershoot n for a data reason, not a",
-        "  plan reason: the zipfian word soup makes sharing SOME 5-gram",
-        "  with the held-out benchmark slice near-certain, so the",
-        "  decontamination anti-join drops ~99% of docs AFTER the full",
+        "  that crossed the execution-memory watermark, not disk bytes).",
+        "- r8: the pretrain leg's spill went 11.4 GB / 72.3 GB (100k/250k,",
+        "  r7) -> 0 at both sizes, and 250k wall 40.7 s -> ~8 s.  Profiling",
+        "  traced the whole spill to ONE stage: the contamination",
+        "  broadcast-hash join's output, sum over shingles of corpus_freq x",
+        "  bench_freq = 465M joined rows on this zipfian corpus (hottest",
+        "  5-gram in 29k corpus docs x thousands of bench docs).  Two fixes",
+        "  ship together: shingle join keys are xxhash64 longs instead of",
+        "  strings (dedup.shingle_rows hashed=True), and decontaminate",
+        "  drops shingles present in > max_bench_freq=100 benchmark docs",
+        "  before the broadcast — benchmark boilerplate, the stop-shingle",
+        "  judgment call made on the side where it costs nothing.  Both",
+        "  oracles mirror the cap; the declared corpus (50-doc bench",
+        "  slice) is structurally unaffected.",
+        "- Pretrain rows out undershoot n for a data reason, not a plan",
+        "  reason: the zipfian word soup makes sharing SOME non-boilerplate",
+        "  5-gram with the held-out benchmark slice likely, so the",
+        "  decontamination anti-join drops most docs AFTER the full",
         "  shingle explode + broadcast probe ran — the measured cost is",
         "  the full pipeline's; a real crawl retains far more.",
         "- Caveat on the representatives row counts: the synthetic 64-dim",
