@@ -43,85 +43,70 @@ def entry(spark: SparkSession) -> DataFrame:
 # tier 2 draws from its ``never_checked`` list, tier 4 from
 # ``oldest_green_first``.
 _CHECK_FIRST = [
-    # -- 1. changed in r7 (their prior rows no longer describe the shipped
-    #       code): the adaptive-LSH re-point (plane count derived from a
-    #       corpus count, stamped as a literal and mirrored in the oracle)
-    #       and this round's PPJoin verify rewrite + qini quantile mirror +
-    #       winnowing dead-join drop
-    "dedup_winnowing_pairs",        # dead tie-break join dropped (13.8->4s)
-    "dedup_ppjoin_pairs",           # verify via token-set array_intersect
-    "uplift_qini_by_decile",        # oracle now replays Spark percentile
-    "dedup_embedding_cosine",       # adaptive plane count (SCALE_BENCH 12)
-    "dedup_clusters",               # adaptive plane count
-    "dedup_representatives",        # adaptive plane count
-    "split_leakage_safe",           # adaptive plane count
-    "graph_supplier_triangles",     # adjacency-intersection rewrite
-    "graph_kcore_parts",            # peel-loop lineage truncation
-    # -- 1b. ADDED this round (r7): the spatial-grid family (grid NN is
-    #        verified against a brute-force oracle), the mergeable bottom-k
-    #        quantile sample, trigram stupid-backoff LM scoring, the
-    #        entity-resolution blocking family, and the selection-parity
-    #        fairness audit — first official rows
-    "geo_grid_density",
-    "geo_grid_radius_nn",
-    "geo_colocation_quotient",
-    "sketch_bottomk_quantile_sample",
-    "text_trigram_stupid_backoff",
-    "er_customer_linkage_pairs",
-    "er_blocking_quality",
-    "fairness_selection_parity",
-    "knn_loo_accuracy",
-    "curation_loo_source_impact",
-    "kmeans_lloyd_round",
-    "sketch_kmv_distinct",
-    "geo_dbscan_core_points",
-    "graph_jaccard_link_prediction",
-    "geo_quadkey_pyramid",
-    "markov_absorption_to_purchase",
-    "geo_bipartite_nearest_supplier",
-    "events_watermark_drop_audit",
-    # -- 2. never-officially-checked additions, oldest first (the r5/r6
-    #       overflow — 201 queries have never held a driver row with a
-    #       50-slot window; CORRECTNESS_LOCAL_r{N}.json is the complete
-    #       per-round record, this window retires the backlog ~43/round)
-    "funnel_first_touch_counts",
-    "events_gapfill_hourly",
-    "label_agreement_kappa",
-    "gini_engagement_by_type",
-    "user_type_diversity",
-    "pareto_half_revenue_customers",
-    "ann_recall_eval",
-    "events_wma_hourly",
-    "partition_skew_report",
-    "weighted_median_price_by_brand",
-    "vocab_churn_halves",
-    "attribution_linear_exact",
-    "next_event_training_pairs",
-    "pipeline_sft_examples",
-    "bm25_topk",
-    "hybrid_rank_fusion",
-    "skipgram_pairs",
-    "postings_topk_by_term",
-    "pmi_skipgram_lift",
-    "doc_hashed_features",
-    "sparse_cosine_topk",
-    "kanonymity_audit",
-    "item_item_cosine",
-    # (slots 1-50 above fill the driver window; the 18 backlog veterans the
-    #  r7 additions displaced — bootstrap_mean_replicates,
-    #  graph_triangle_counts,
-    #  audience_overlap_pairs, text_rank_normalize, text_readability,
-    #  mix_budget_spillover,
-    #  hard_negative_mining, bitext_margin_pairs,
-    #  shard_manifest, theil_sen_slope_by_user, icl_similarity_chain,
-    #  preference_pairs_dpo, attribution_time_decay, bootstrap_ci_mean,
-    #  survival_risk_table, length_bucket_batches, calibration_table,
-    #  events_burst_detection — rejoin the never-checked backlog, which
-    #  continues in declaration order next round:
-    #  quantile_normalize_sources, revenue_mom_growth, benford_first_digit,
-    #  ... through the session-13 additions — all green in this round's
-    #  committed full sf0.01 sweep, CORRECTNESS_LOCAL_r7.json
-    #  (tools/check_correctness.py, 401/401 oracle-paired))
+    # -- 1. CHANGED in r8 (their prior rows no longer describe the shipped
+    #       code): the hot-basket cap (graph.cap_baskets, mirrored into
+    #       every co-occurrence oracle), the xxhash64 shingle join keys,
+    #       the benchmark stop-shingle cap in decontamination, and the
+    #       watermark-audit arrival-jitter + floor-epoch fix
+    "events_watermark_drop_audit",  # out-of-order arrival + floor epoch
+    "decontaminate_overlap",        # max_bench_freq stop-shingle cap
+    "pipeline_pretrain_full",       # same cap (72 GB spill -> 0, §13)
+    "graph_supplier_triangles",     # hot-basket cap
+    "basket_part_lift",             # hot-basket cap
+    "item_item_cosine",             # hot-basket cap
+    "graph_triangle_counts",        # hot-basket cap
+    "graph_reachability_3hop",      # hot-basket cap
+    "graph_degree_assortativity",   # hot-basket cap
+    "graph_kcore_parts",            # hot-basket cap
+    "reco_coverage_novelty",        # hot-basket cap
+    "source_shingle_overlap",       # xxhash64 shingle keys
+    "minhash_estimate_error",       # xxhash64 shingle keys
+    "dedup_threshold_sweep",        # xxhash64 shingle keys
+    "minhash_s_curve_calibration",  # xxhash64 shingle keys
+    "dedup_review_queue",           # xxhash64 shingle keys
+    "dedup_ngram_jaccard",          # xxhash64 shingle keys
+    "dedup_containment_pairs",      # xxhash64 shingle keys
+    "markov_absorption_to_purchase",  # cached-deps release fix
+    # -- 1b. ADDED this round (r8) — first official rows
+    "events_id_islands",
+    "graph_clustering_coefficient",
+    "geo_dbscan_clusters",
+    "embedding_norm_profile",
+    "curation_guard_audit",
+    "basket_rules_confidence",
+    # -- 2. never-officially-checked backlog, declaration order (the
+    #       mechanical source is WINDOW_HISTORY.json never_checked —
+    #       tools/window_history.py; CORRECTNESS_LOCAL_r{N}.json remains
+    #       the complete per-round record)
+    "approx_distinct_users",
+    "ann_ivf_topk",
+    "bootstrap_mean_replicates",
+    "audience_overlap_pairs",
+    "text_rank_normalize",
+    "text_readability",
+    "mix_budget_spillover",
+    "hard_negative_mining",
+    "bitext_margin_pairs",
+    "shard_manifest",
+    "theil_sen_slope_by_user",
+    "icl_similarity_chain",
+    "preference_pairs_dpo",
+    "attribution_time_decay",
+    "bootstrap_ci_mean",
+    "survival_risk_table",
+    "length_bucket_batches",
+    "calibration_table",
+    "events_burst_detection",
+    "join_size_estimate_cm",
+    "kcenter_coreset",
+    "quantile_normalize_sources",
+    "revenue_mom_growth",
+    "benford_first_digit",
+    "auc_purchase_value",
+    # (slots 1-50 above fill the driver window; the remaining backlog
+    #  continues in declaration order next round — chisq_source_lang,
+    #  dp_release_counts, ... — all green in this round's committed full
+    #  sf0.01 sweep, CORRECTNESS_LOCAL_r8.json)
 ]
 
 
