@@ -35,8 +35,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #      row is OLDEST, so every query periodically re-enters the window and
 #      a silent regression cannot hide outside it indefinitely.
 # Everything rotated out stays verified locally every round via
-# ``tools/check_correctness.py`` (401/401 oracle-paired queries green in
-# the latest full local sweep; 403 declared).  The rotation itself is
+# ``tools/check_correctness.py`` (407/407 oracle-paired queries green in
+# the latest full local sweep; 409 declared).  The rotation itself is
 # mechanically auditable: ``tools/window_history.py`` reconstructs
 # query -> official-round history from the committed CORRECTNESS_r*.json
 # artifacts into WINDOW_HISTORY.json (regenerated each closing sweep) —
@@ -106,7 +106,8 @@ _CHECK_FIRST = [
     # (slots 1-50 above fill the driver window; the remaining backlog
     #  continues in declaration order next round — chisq_source_lang,
     #  dp_release_counts, ... — all green in this round's committed full
-    #  sf0.01 sweep, CORRECTNESS_LOCAL_r8.json)
+    #  sf0.01 sweep, CORRECTNESS_LOCAL_r8.json
+    #  (tools/check_correctness.py, 407/407 oracle-paired))
 ]
 
 
