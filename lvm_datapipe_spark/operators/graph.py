@@ -96,9 +96,22 @@ def connected_components(
     max_rounds: int = 20,
     check_every: int = 2,
     stats: dict | None = None,
+    shortcut: bool = False,
 ) -> DataFrame:
     """Cluster assignment for an undirected pair list: every node that
     appears in ``pairs`` is mapped to the minimum node id reachable from it.
+
+    ``shortcut=True`` adds POINTER JUMPING after each propagation pass:
+    ``l(v) <- min(l(v), l(l(v)))`` — labels chase their own label's label,
+    so the propagation horizon doubles per round and convergence needs
+    O(log diameter) rounds instead of O(diameter).  Each round pays one
+    extra label-keyed join, which LOSES on the near-clique dedup graphs
+    the default serves (diameter 2-3: the plain walk is already minimal)
+    and WINS decisively on chain-shaped graphs — spatial DBSCAN
+    percolation chains, road/trajectory graphs — where the geometric
+    diameter grows with the map (r8, sf0.1 DBSCAN core graph: 24
+    propagation rounds / 22.6 s -> 12 jumped rounds / 13.6 s, identical
+    labels).
 
     Returns a MATERIALIZED DataFrame (the loop must run actions to detect
     convergence) with columns ``(id_out, cluster_out)``, one row per
@@ -144,6 +157,26 @@ def connected_components(
             )
             .localCheckpoint()
         )
+        if shortcut:
+            # pointer jumping: chase the label's own label one hop
+            lmap = labels.select(
+                F.col("id").alias("_lid"), F.col("label").alias("_ll")
+            )
+            jumped = F.least(
+                F.col("label"), F.coalesce(F.col("_ll"), F.col("label"))
+            )
+            labels = (
+                labels.join(lmap, F.col("label") == F.col("_lid"), "left")
+                .select(
+                    "id",
+                    jumped.alias("label"),
+                    F.greatest(
+                        F.col("changed"),
+                        (jumped < F.col("label")).cast("int"),
+                    ).alias("changed"),
+                )
+                .localCheckpoint()
+            )
         rounds += 1
         if (rnd + 1) % check_every == 0 or rnd == max_rounds - 1:
             checks += 1

@@ -448,3 +448,41 @@ def test_kcore_agrees_with_declared_fixed8_query(spark):
         for r in QUERIES["graph_kcore_parts"](spark, sf).collect()
     }
     assert lib == declared and len(lib) > 0
+
+
+# -- pointer-jumping shortcut (r8) -------------------------------------------
+
+
+def test_shortcut_matches_plain_on_long_chain(spark):
+    """A 60-node path: plain propagation needs ~diameter rounds, the
+    jumped walk converges in O(log) — same labels."""
+    rows = [(i, i + 1) for i in range(60)]
+    plain_stats: dict = {}
+    jump_stats: dict = {}
+    plain = {
+        (r.id, r.cluster_id)
+        for r in connected_components(
+            _pairs(spark, rows), max_rounds=100, stats=plain_stats
+        ).collect()
+    }
+    jumped = {
+        (r.id, r.cluster_id)
+        for r in connected_components(
+            _pairs(spark, rows), max_rounds=100, stats=jump_stats, shortcut=True
+        ).collect()
+    }
+    assert plain == jumped
+    assert all(c == 0 for _, c in jumped)
+    assert jump_stats["rounds"] < plain_stats["rounds"]
+
+
+def test_shortcut_matches_union_find_on_mixed_graph(spark):
+    rows = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21),
+            (30, 31), (31, 32), (32, 33), (33, 34), (34, 35)]
+    got = {
+        (r.id, r.cluster_id)
+        for r in connected_components(
+            _pairs(spark, rows), shortcut=True
+        ).collect()
+    }
+    assert got == set(_uf_components(rows).items())
