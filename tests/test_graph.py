@@ -486,3 +486,64 @@ def test_shortcut_matches_union_find_on_mixed_graph(spark):
         ).collect()
     }
     assert got == set(_uf_components(rows).items())
+
+
+# -- large-star/small-star two-phase CC (r8) ---------------------------------
+
+
+def _assert_cc_equiv(spark, rows):
+    from lvm_datapipe_spark.operators.graph import connected_components_twophase
+
+    got = {
+        (r.id, r.cluster_id)
+        for r in connected_components_twophase(_pairs(spark, rows)).collect()
+    }
+    assert got == set(_uf_components(rows).items())
+
+
+def test_twophase_chain(spark):
+    _assert_cc_equiv(spark, [(i, i + 1) for i in range(40)])
+
+
+def test_twophase_hub_star(spark):
+    # one hub connected to 50 leaves — the shape that funnels plain
+    # propagation through a single hot reducer key
+    _assert_cc_equiv(spark, [(100, i) for i in range(50)])
+
+
+def test_twophase_clique_plus_chain_plus_singleton_edge(spark):
+    rows = (
+        [(a, b) for a in range(5) for b in range(a + 1, 5)]
+        + [(10, 11), (11, 12), (12, 13)]
+        + [(20, 21)]
+    )
+    _assert_cc_equiv(spark, rows)
+
+
+def test_twophase_random_graphs_match_union_find(spark):
+    import random
+
+    rng = random.Random(20260816)
+    for trial in range(3):
+        n = 60
+        rows = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(70)
+        ]
+        rows = [(a, b) for a, b in rows if a != b]
+        _assert_cc_equiv(spark, rows)
+
+
+def test_twophase_converges_in_log_rounds_on_chain(spark):
+    from lvm_datapipe_spark.operators.graph import connected_components_twophase
+
+    stats: dict = {}
+    out = connected_components_twophase(
+        _pairs(spark, [(i, i + 1) for i in range(100)]), stats=stats
+    )
+    assert {(r.id, r.cluster_id) for r in out.collect()} == {
+        (i, 0) for i in range(101)
+    }
+    # 100-hop chain: plain propagation needs ~100 rounds; the contraction
+    # must close it in O(log^2) — single digits in practice
+    assert stats["rounds"] <= 12
