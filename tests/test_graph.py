@@ -547,3 +547,25 @@ def test_twophase_converges_in_log_rounds_on_chain(spark):
     # 100-hop chain: plain propagation needs ~100 rounds; the contraction
     # must close it in O(log^2) — single digits in practice
     assert stats["rounds"] <= 12
+
+
+def test_twophase_agrees_with_declared_dedup_clusters(spark):
+    """Both CC algorithms label the declared LSH near-dup pair list
+    identically (the oracle-checked dedup_clusters output)."""
+    from lvm_datapipe_spark.catalog import load_table
+    from lvm_datapipe_spark.operators import similarity as V
+    from lvm_datapipe_spark.operators.graph import connected_components_twophase
+    from lvm_datapipe_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    pairs = V.lsh_near_dup_pairs(emb, threshold=0.4, n_tables=12, n_planes=None)
+    tp = {
+        (r.id, r.cluster_id)
+        for r in connected_components_twophase(pairs).collect()
+    }
+    declared = {
+        (r.id, r.cluster_id)
+        for r in QUERIES["dedup_clusters"](spark, sf).collect()
+    }
+    assert tp == declared and len(tp) > 0
