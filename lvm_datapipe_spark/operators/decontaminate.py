@@ -31,7 +31,7 @@ where it costs nothing.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from lvm_datapipe_spark.operators.dedup import shingle_rows
@@ -57,13 +57,15 @@ def contamination_pairs(
         bench_id_col, "__bench_id"
     )
     if max_bench_freq is not None:
-        hot = (
-            b.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") > max_bench_freq)
-            .select("shingle")
+        # one windowed pass over the (tiny) benchmark side — cheaper than
+        # a frequency aggregate + anti-join, which would recompute the
+        # benchmark shingle plan twice
+        wfreq = Window.partitionBy("shingle")
+        b = (
+            b.withColumn("_n", F.count(F.lit(1)).over(wfreq))
+            .filter(F.col("_n") <= max_bench_freq)
+            .drop("_n")
         )
-        b = b.join(hot, "shingle", "left_anti")
     return (
         c.join(F.broadcast(b), "shingle")
         .groupBy(id_col, "__bench_id")
