@@ -511,3 +511,25 @@ def test_novelty_hash_keyed_no_hot_paths(spark):
     plan = _plan(spark, "text_novelty_score")
     assert "CartesianProduct" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_no_unregistered_persist_in_queries():
+    """Every .persist() inside a declared query must be registered via
+    _with_cached_deps so sweep callers can release() it — an unregistered
+    cached table accumulates in executor storage across the long-lived
+    409-query sweep (the leak ADVICE r7 flagged on markov and r8 found in
+    six more queries).  localCheckpoint-based loops manage their own
+    lifetime and are exempt."""
+    import re
+
+    src = open("lvm_datapipe_spark/queries.py").read()
+    offenders = []
+    for chunk in re.split(r"\ndef ", src):
+        name = chunk.split("(")[0].strip()
+        if (
+            ".persist()" in chunk
+            and "_with_cached_deps" not in chunk
+            and "localCheckpoint" not in chunk
+        ):
+            offenders.append(name)
+    assert not offenders, f"persist() without _with_cached_deps: {offenders}"
