@@ -43,71 +43,87 @@ def entry(spark: SparkSession) -> DataFrame:
 # tier 2 draws from its ``never_checked`` list, tier 4 from
 # ``oldest_green_first``.
 _CHECK_FIRST = [
-    # -- 1. CHANGED in r8 (their prior rows no longer describe the shipped
-    #       code): the hot-basket cap (graph.cap_baskets, mirrored into
-    #       every co-occurrence oracle), the xxhash64 shingle join keys,
-    #       the benchmark stop-shingle cap in decontamination, and the
-    #       watermark-audit arrival-jitter + floor-epoch fix
-    "events_watermark_drop_audit",  # out-of-order arrival + floor epoch
-    "decontaminate_overlap",        # max_bench_freq stop-shingle cap
-    "pipeline_pretrain_full",       # same cap (72 GB spill -> 0, §13)
-    "graph_supplier_triangles",     # hot-basket cap
-    "basket_part_lift",             # hot-basket cap
-    "item_item_cosine",             # hot-basket cap
-    "graph_triangle_counts",        # hot-basket cap
-    "graph_reachability_3hop",      # hot-basket cap
-    "graph_degree_assortativity",   # hot-basket cap
-    "graph_kcore_parts",            # hot-basket cap
-    "reco_coverage_novelty",        # hot-basket cap
-    "source_shingle_overlap",       # xxhash64 shingle keys
-    "minhash_estimate_error",       # xxhash64 shingle keys
-    "dedup_threshold_sweep",        # xxhash64 shingle keys
-    "minhash_s_curve_calibration",  # xxhash64 shingle keys
-    "dedup_review_queue",           # xxhash64 shingle keys
-    "dedup_ngram_jaccard",          # xxhash64 shingle keys
-    "dedup_containment_pairs",      # xxhash64 shingle keys
-    "markov_absorption_to_purchase",  # cached-deps release fix
-    # -- 1b. ADDED this round (r8) — first official rows
-    "events_id_islands",
-    "graph_clustering_coefficient",
-    "geo_dbscan_clusters",
-    "embedding_norm_profile",
-    "curation_guard_audit",
-    "basket_rules_confidence",
+    # -- 1. CHANGED in r9 (their prior rows no longer describe the shipped
+    #       code).  Surface growth is FROZEN this round (r8 verdict item
+    #       1): only 4 changed queries, so tier 4 fires for the first time
+    #       below.
+    "graph_kcore_parts",            # converged-peel promotion (fixpoint
+                                    # oracle via list-carrying recursive
+                                    # CTE; kcore() broadcast size-gate)
+    "events_watermark_drop_audit",  # mod-first jitter (BIGINT overflow
+                                    # guard at 100 TB id ranges)
+    "graph_clustering_coefficient",  # oracle cap CTE now built from
+                                     # _cap_baskets_sql (no literal drift)
+    "split_leakage_safe",           # CC engine -> two-phase contraction
+    # -- 4. TIER-4 VETERAN RE-CHECKS (first firing since the policy was
+    #       codified): the 21 core SURVEY §2 operators whose newest
+    #       official row dated to r3-r4 — five rounds of code churn ago —
+    #       exactly the staleness the r8 verdict flagged.  Source:
+    #       WINDOW_HISTORY.json oldest_green_first filtered to
+    #       last_official <= 4, prioritizing the operators the brief's
+    #       coverage table leans on (a5-a9, w1-w4, c-functions, set ops,
+    #       the dedup family, text_quality).
+    "a5_corpus_stats",
+    "a6_histogram",
+    "a7_value_counts",
+    "a8_count_consistency",
+    "a9_derived_size",
+    "w1_clip_numbering",
+    "w2_best_per_group",
+    "w3_sessionize",
+    "w4_running_total",
+    "c2_path_functions",
+    "c5_clean_caption",
+    "c7_extract_answer",
+    "c9_frame_indices",
+    "c14_json_extract",
+    "set_union_shards",
+    "set_except_finished",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_levenshtein",
+    "text_quality",
     # -- 2. never-officially-checked backlog, declaration order (the
     #       mechanical source is WINDOW_HISTORY.json never_checked —
     #       tools/window_history.py; CORRECTNESS_LOCAL_r{N}.json remains
-    #       the complete per-round record)
-    "approx_distinct_users",
-    "ann_ivf_topk",
-    "bootstrap_mean_replicates",
-    "audience_overlap_pairs",
-    "text_rank_normalize",
-    "text_readability",
-    "mix_budget_spillover",
-    "hard_negative_mining",
-    "bitext_margin_pairs",
-    "shard_manifest",
-    "theil_sen_slope_by_user",
-    "icl_similarity_chain",
-    "preference_pairs_dpo",
-    "attribution_time_decay",
-    "bootstrap_ci_mean",
-    "survival_risk_table",
-    "length_bucket_batches",
-    "calibration_table",
-    "events_burst_detection",
-    "join_size_estimate_cm",
-    "kcenter_coreset",
-    "quantile_normalize_sources",
-    "revenue_mom_growth",
-    "benford_first_digit",
-    "auc_purchase_value",
-    # (slots 1-50 above fill the driver window; the remaining backlog
-    #  continues in declaration order next round — chisq_source_lang,
-    #  dp_release_counts, ... — all green in this round's committed full
-    #  sf0.01 sweep, CORRECTNESS_LOCAL_r8.json
-    #  (tools/check_correctness.py, 407/407 oracle-paired))
+    #       the complete per-round record).  approx_distinct_users /
+    #       ann_ivf_topk are EXCLUDED from backlog slots: rows-only by
+    #       design (approximate ops), they can never hold an oracle row —
+    #       their deterministic twins carry the full rows.
+    "chisq_source_lang",
+    "dp_release_counts",
+    "kendall_tau_source_size",
+    "events_lead_lag_xcorr",
+    "churn_labels_weekly",
+    "vocab_hapax_ratio",
+    "target_encode_loo",
+    "mmr_diverse_selection",
+    "spearman_len_vs_spaces",
+    "interval_union_coverage",
+    "dedup_rate_by_source",
+    "referential_integrity_audit",
+    "share_hierarchy_revenue",
+    "rbo_lex_vs_vector",
+    "events_poisson_rate_alarm",
+    "rfm_segments",
+    "dispersion_lineitems_per_order",
+    "parts_in_all_regions",
+    "conversion_wilson_ci",
+    "events_peak_hours_nms",
+    "set_intersect_all",
+    "grpo_group_advantages",
+    "split_leakage_measure",
+    "source_distinctive_terms",
+    "embedding_centroid_drift",
+    # (slots 1-50 above fill the driver window; the remaining r3-r4
+    #  veterans — agg_cube/agg_rollup, ann_cosine_topk, ann_lsh_near_dup,
+    #  asof/range/semi joins, events_tumbling_window, hypertable_rollup,
+    #  q3_shipping_priority, sort_limit_topk, the text_* fingerprint
+    #  family — are queued for r10 tier 4, and the backlog continues in
+    #  declaration order at events_cusum_shift; everything outside the
+    #  window is green in this round's committed full sf0.01 sweep,
+    #  CORRECTNESS_LOCAL_r9.json)
 ]
 
 

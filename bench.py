@@ -97,12 +97,27 @@ SCALE_12 = [
 #: Frozen as of r8 (BENCH_r08.json is their baseline row); published as
 #: "graphann6_sec" and gated by tools/bench_compare.py like the other two.
 GRAPH_ANN_6 = [
-    "graph_kcore_parts",          # 8-round k-core peel (iterative graph)
+    "graph_kcore_parts",          # converged k-core peel (iterative graph)
     "graph_nation_pagerank",      # pagerank fixed-point (iterative graph)
     "ann_ivfpq_topk",             # IVF-PQ approximate NN (vector scale path)
     "ann_recall_eval",            # ANN-vs-exact recall harness (both plans)
     "dedup_clusters",             # LSH pairs -> connected components
     "dedup_method_agreement",     # 3-family dedup cross-validation
+]
+
+#: fourth frozen list (r9, VERDICT r8 item 4): the remaining census top-5
+#: that no frozen list fenced — the r8 census's #1-#5 included four
+#: heavies covered only by the (noisy-prior-census-relative) 2x gate.
+#: Frozen as of r9 (BENCH_r09.json is their baseline row); published as
+#: "census5_sec" and gated by tools/bench_compare.py like the other
+#: three.  Runs inside the isolated heavy phase so the historical lists
+#: keep their r1-r8 measurement conditions.
+CENSUS_5 = [
+    "dedup_cluster_size_hist",    # CC labels -> cluster-size histogram
+    "dedup_clusters_lsh",         # fixed-8-table LSH pair clustering
+    "dedup_levenshtein",          # banded SimHash + edit-distance verify
+    "graph_supplier_triangles",   # degree-oriented triangle counting
+    "stream_sink_tumbling_window",  # real checkpointed streaming sink
 ]
 
 
@@ -137,7 +152,7 @@ def main() -> None:
     # pressure), which would break comparability with every pre-r8 round.
     # The frozen lists keep their r1-r7 measurement conditions; the
     # heavies pay their own warm-up in their own phase.
-    phases = [BENCH_QUERIES + SCALE_12, GRAPH_ANN_6]
+    phases = [BENCH_QUERIES + SCALE_12, GRAPH_ANN_6 + CENSUS_5]
     for phase_i, phase in enumerate(phases):
         for p in range(max(1, PASSES)):
             if p or phase_i:
@@ -181,6 +196,9 @@ def main() -> None:
                 ),
                 "graphann6_sec": round(
                     sum(t for n, t in times.items() if n in GRAPH_ANN_6), 4
+                ),
+                "census5_sec": round(
+                    sum(t for n, t in times.items() if n in CENSUS_5), 4
                 ),
                 "queries": times,
                 "sf": sf_val,

@@ -200,13 +200,25 @@ def dedup_keep_representatives(
     id_col: str,
     src: str = "id_a",
     dst: str = "id_b",
+    strategy: str = "minlabel",
 ) -> DataFrame:
     """The end-to-end dedup decision: keep exactly one row per near-dup
     cluster (the minimum id — deterministic) plus every row that has no
     near-dup at all.  One left join against the (small relative to the
     corpus) cluster table; rows whose id is not a cluster member are kept
-    by the null branch."""
-    cc = connected_components(pairs, src=src, dst=dst)
+    by the null branch.
+
+    ``strategy='minlabel'`` (default) suits near-dup pair graphs — their
+    clusters are near-cliques (diameter 2-3), where plain propagation
+    converges in 2-3 cheap rounds.  Pass ``'twophase'`` for
+    caller-supplied pair lists whose component shape is unknown (chains /
+    hubs): identical labels, O(log² n) rounds (SCALE_BENCH §16)."""
+    cc_fn = (
+        connected_components_twophase
+        if strategy == "twophase"
+        else connected_components
+    )
+    cc = cc_fn(pairs, src=src, dst=dst)
     return (
         df.join(cc.withColumnRenamed("id", id_col), id_col, "left")
         .filter(F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col(id_col)))
@@ -222,30 +234,46 @@ def kcore(
     max_rounds: int = 30,
     check_every: int = 2,
     stats: dict | None = None,
+    broadcast_alive: bool | None = None,
+    broadcast_max_nodes: int = 4_000_000,
 ) -> DataFrame:
-    """CONVERGED k-core peel (VERDICT r7 item 5) — the library form of the
-    declared ``graph_kcore_parts`` query's fixed-8-round plan: repeatedly
-    delete nodes with fewer than ``k`` surviving neighbors until the alive
-    set stabilizes, returning ``(node, core_degree)`` for the survivors
-    (degree counted within the final core).
+    """CONVERGED k-core peel (Seidman 1983): repeatedly delete nodes with
+    fewer than ``k`` surviving neighbors until the alive set stabilizes,
+    returning ``(node, core_degree)`` for the survivors (degree counted
+    within the FINAL core — at the fixpoint every survivor's degree is
+    ≥ k by construction).
 
-    The declared query keeps a FIXED round count so its oracle can replay
-    the peel as unrolled CTEs; this variant runs to the true fixpoint with
-    the :func:`connected_components` loop discipline — lineage truncated
+    Loop discipline is :func:`connected_components`'s — lineage truncated
     every round via ``localCheckpoint`` (an unpersisted loop doubles the
     plan per round), and the convergence action THROTTLED to every
     ``check_every``-th round: the alive set only ever shrinks, so "count
     unchanged since the last check" is exactly "no node dropped in that
-    whole block", one cheap ``count()`` instead of a set comparison.  On
-    any graph that converges within the declared query's 8 rounds the two
-    agree bit-exactly (tests/test_graph.py pins that on the declared
-    corpus); ``max_rounds`` bounds pathological peel chains (a path graph
-    peels one layer per round).
+    whole block", one cheap ``count()`` instead of a set comparison.
+
+    ``max_rounds`` bounds pathological peel chains (a path graph peels
+    one layer per round).  If the bound trips BEFORE the fixpoint the
+    result is NOT a true k-core (some survivors may still be peelable);
+    the exit is never silent: ``stats['converged']`` is set False and a
+    ``UserWarning`` is emitted, and the returned ``core_degree`` is
+    RECOMPUTED against the final alive set so it never counts
+    since-dropped neighbors (on a converged exit the last loop degree is
+    already exact — no drop happened in the closing block — so no extra
+    pass is paid).
+
+    ``broadcast_alive`` controls the per-round semi-join strategy: the
+    alive set is node-dimension-sized and only shrinks, so when the
+    INITIAL node count fits comfortably in an executor broadcast
+    (``broadcast_max_nodes``, default 4M ids ≈ 32 MB of longs) each round
+    costs one map-side filter pass over ``sym`` plus the single degree
+    shuffle instead of three exchanges (measured 13.7 s -> 9.1 s on the
+    declared part graph).  ``None`` (default) auto-gates on the initial
+    count — a billion-node graph falls back to plain shuffled semi-joins
+    with the loop structure unchanged; pass True/False to force.
 
     Scale shape per round: two alive-keyed semi-joins + one node-keyed
     degree aggregate over a monotonically shrinking set — no cartesian,
     no driver-side graph.  ``stats`` (a dict, optional) receives
-    ``rounds`` and ``checks`` counters for tests."""
+    ``rounds``, ``checks``, and ``converged``."""
     check_every = max(1, check_every)
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     sym = (
@@ -255,11 +283,18 @@ def kcore(
     )
     alive = sym.select(F.col("u").alias("p")).distinct().localCheckpoint()
     prev = alive.count()
+    if broadcast_alive is None:
+        broadcast_alive = prev <= broadcast_max_nodes
     rounds = checks = 0
     deg = None
+    converged = prev == 0
     for rnd in range(max_rounds):
+        if converged:
+            break
         au = alive.select(F.col("p").alias("_au"))
         av = alive.select(F.col("p").alias("_av"))
+        if broadcast_alive:
+            au, av = F.broadcast(au), F.broadcast(av)
         deg = (
             sym.join(au, F.col("_au") == F.col("u"))
             .join(av, F.col("_av") == F.col("v"))
@@ -272,11 +307,42 @@ def kcore(
             checks += 1
             cur = alive.count()
             if cur == prev:
+                converged = True
                 break
             prev = cur
+    if not converged and deg is not None:
+        # max_rounds exhausted mid-peel: the last loop degree was computed
+        # against the PREVIOUS alive set (it can count neighbors dropped in
+        # the closing round) — recompute against the final alive set so the
+        # returned degrees are at least internally consistent, and warn.
+        import warnings
+
+        warnings.warn(
+            f"kcore(k={k}) hit max_rounds={max_rounds} before the peel "
+            "fixpoint — the result is NOT a converged k-core (raise "
+            "max_rounds); stats['converged'] is False",
+            UserWarning,
+            stacklevel=2,
+        )
+        au = alive.select(F.col("p").alias("_au"))
+        av = alive.select(F.col("p").alias("_av"))
+        if broadcast_alive:
+            au, av = F.broadcast(au), F.broadcast(av)
+        deg = (
+            sym.join(au, F.col("_au") == F.col("u"))
+            .join(av, F.col("_av") == F.col("v"))
+            .groupBy(F.col("u").alias("p"))
+            .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        )
     if stats is not None:
         stats["rounds"] = rounds
         stats["checks"] = checks
+        stats["converged"] = converged
+    if deg is None:  # empty edge list
+        sym.unpersist()
+        return sym.sparkSession.createDataFrame(
+            [], "node long, core_degree long"
+        )
     out = (
         deg.join(
             alive.withColumnRenamed("p", "_p"), F.col("_p") == F.col("p")
@@ -478,9 +544,21 @@ def connected_components_twophase(
     near-clique dedup graphs (it converges in 2-3 cheap rounds);
     prefer this for social/web-shaped graphs where hubs and chains
     coexist."""
-    e0 = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
-        F.col("u") != F.col("v")
-    )
+    # one materialization of the raw pair list: BOTH branches below (the
+    # contraction working set and the self-loop singleton recovery) read
+    # the checkpointed form, so the upstream pair pipeline (often an LSH /
+    # grid-join build) is scanned exactly once — same source-pass count as
+    # before the self-loop fix
+    p0 = pairs.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).localCheckpoint()
+    # self-loop pairs carry no connectivity but DO declare the node: a node
+    # whose only pairs are self-loops must surface as its own singleton
+    # cluster (same contract as connected_components, which
+    # incremental_components' self-star rows rely on) — remember them and
+    # union the missing ones back after the contraction.
+    selfs = p0.filter(F.col("u") == F.col("v")).select("u").distinct()
+    e0 = p0.filter(F.col("u") != F.col("v"))
     # undirected working set, both orientations
     edges = e0.union(
         e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -545,12 +623,16 @@ def connected_components_twophase(
         .select("id", F.col("id").alias("label"))
     )
     children = par.select(F.col("u").alias("id"), F.col("v").alias("label"))
-    return (
+    labeled = (
         children.unionAll(roots)
         .groupBy("id")
         .agg(F.min("label").alias(cluster_out))
         .select(F.col("id").alias(id_out), cluster_out)
     )
+    singles = selfs.join(
+        labeled, selfs["u"] == labeled[id_out], "left_anti"
+    ).select(F.col("u").alias(id_out), F.col("u").alias(cluster_out))
+    return labeled.unionByName(singles)
 
 
 def incremental_components(
@@ -560,6 +642,7 @@ def incremental_components(
     dst: str = "id_b",
     id_out: str = "id",
     cluster_out: str = "cluster_id",
+    strategy: str = "twophase",
     **cc_kwargs,
 ) -> DataFrame:
     """Incremental re-clustering: fold NEW near-dup pairs into an existing
@@ -580,11 +663,30 @@ def incremental_components(
     ``prev_labels`` must be a (id, cluster) frame as produced by
     :func:`connected_components` (labels are member ids — true for
     min-propagation output).  Exact: the result equals a full recompute
-    over (old edges ∪ new pairs)."""
+    over (old edges ∪ new pairs).
+
+    ``strategy`` picks the propagation engine — both produce the identical
+    (node, min-reachable-id) labeling (agreement pinned in
+    tests/test_graph.py), they differ only in round count:
+
+    * ``'twophase'`` (default) — :func:`connected_components_twophase`,
+      O(log² n) rounds regardless of shape.  The default here because the
+      merge TOPOLOGY is caller-data-dependent: one new pair per adjacent
+      component chains k old components into a diameter-k path of label
+      nodes, and min-label propagation then pays diameter-many rounds
+      (SCALE_BENCH §16: 520 rounds / 80.6 s vs 10 rounds / 4.0 s on the
+      chain worst case).  Star edges keep unaffected components 1 hop
+      deep either way.
+    * ``'minlabel'`` — :func:`connected_components` (pass ``shortcut=``/
+      ``check_every=`` through ``cc_kwargs``).  Marginally cheaper per
+      round; pick it when new pairs provably merge few components
+      (near-clique dedup deltas).
+    """
     # self-star rows (a cluster min's own row, and any SINGLETON
-    # component) pass through unfiltered: connected_components handles
-    # self-loop edges, and dropping them would silently delete 1-node
-    # components from the output — breaking the full-recompute equality
+    # component) pass through unfiltered: both engines keep self-loop
+    # nodes as singleton clusters, and dropping them would silently
+    # delete 1-node components from the output — breaking the
+    # full-recompute equality
     stars = prev_labels.select(
         F.col(prev_labels.columns[0]).alias(src),
         F.col(prev_labels.columns[1]).alias(dst),
@@ -592,6 +694,13 @@ def incremental_components(
     merged = new_pairs.select(
         F.col(src), F.col(dst)
     ).unionByName(stars)
+    if strategy == "twophase":
+        return connected_components_twophase(
+            merged, src=src, dst=dst, id_out=id_out,
+            cluster_out=cluster_out, **cc_kwargs,
+        )
+    if strategy != "minlabel":
+        raise ValueError(f"unknown strategy {strategy!r}")
     return connected_components(
         merged, src=src, dst=dst, id_out=id_out, cluster_out=cluster_out,
         **cc_kwargs,

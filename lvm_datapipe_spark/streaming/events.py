@@ -748,3 +748,68 @@ def rate_limit_stream(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def watermark_drop_audit(
+    events: DataFrame,
+    key_col: str = "event_type",
+    tsec_col: str = "tsec",
+    order_cols: tuple[str, ...] = ("arr", "event_id"),
+    delays: tuple[int, ...] = (0, 60, 600, 3600),
+) -> DataFrame:
+    """Batch watermark-tuning audit (the core of the declared
+    ``events_watermark_drop_audit`` query): replay each stream partition
+    (``key_col``) in ARRIVAL order (``order_cols`` — a data-driven total
+    order, e.g. an ingest sequence number), track the running event-time
+    high-water mark, and for each candidate ``delay`` report how many
+    events arrive later than ``high_water - delay`` — i.e. would be
+    dropped by a stateful streaming operator watermarked at that delay.
+
+    Arrival order comes from DATA, not from any synthetic expression, so
+    the audit semantics are testable with shuffled-arrival fixtures
+    independent of how a caller derives the order (the declared query
+    passes a deterministic producer-jitter order; the pytest fixture
+    passes an explicitly scrambled ingest sequence).
+
+    Scale shape: one keyed running-max window (parallelism = partition
+    count, O(1) state per key — the same sequential cost the streaming
+    job itself pays), a literal delay-grid explode, one keyed aggregate.
+    All integer arithmetic (epoch seconds, ppm via integer division)."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    a = events.select(
+        key_col,
+        tsec_col,
+        F.max(tsec_col).over(w).alias("high_water"),
+    )
+    lat = a.select(
+        key_col, (F.col("high_water") - F.col(tsec_col)).alias("late_s")
+    )
+    d = lat.select(
+        key_col,
+        "late_s",
+        F.explode(F.array(*[F.lit(int(x)) for x in delays])).alias("delay_s"),
+    )
+    return (
+        d.groupBy(key_col, "delay_s")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.when(F.col("late_s") > F.col("delay_s"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dropped"),
+            F.max("late_s").cast("long").alias("max_late_s"),
+        )
+        .select(
+            key_col,
+            F.col("delay_s").cast("long").alias("delay_s"),
+            "n_events",
+            "n_dropped",
+            F.expr("n_dropped * 1000000 DIV n_events").alias("drop_ppm"),
+            "max_late_s",
+        )
+    )

@@ -420,10 +420,11 @@ def test_kcore_empty_core(spark):
     assert kcore(e, k=3).count() == 0
 
 
-def test_kcore_agrees_with_declared_fixed8_query(spark):
-    """The library fixpoint and the declared oracle-replayable fixed-8
-    query must agree on the declared corpus (the corpus converges well
-    inside 8 rounds)."""
+def test_kcore_agrees_with_declared_query(spark):
+    """The library fixpoint and the declared query (which delegates to it
+    since the r9 converged-spec promotion) must agree on the declared
+    corpus — this pins the query's edge-build (cap_baskets + distinct
+    pair join) to the library peel."""
     from lvm_datapipe_spark.catalog import load_table
     from lvm_datapipe_spark.operators.graph import cap_baskets, kcore
     from lvm_datapipe_spark.queries import MAX_BASKET_SIZE, QUERIES
@@ -569,3 +570,135 @@ def test_twophase_agrees_with_declared_dedup_clusters(spark):
         for r in QUERIES["dedup_clusters"](spark, sf).collect()
     }
     assert tp == declared and len(tp) > 0
+
+
+def test_twophase_self_loop_only_node_is_singleton(spark):
+    """A node whose ONLY pairs are self-loops must surface as its own
+    singleton cluster — same contract as connected_components, and the
+    row incremental_components' self-star compression depends on
+    (r8 ADVICE item 3)."""
+    from lvm_datapipe_spark.operators.graph import (
+        connected_components,
+        connected_components_twophase,
+    )
+
+    rows = [(9, 9), (2, 3), (3, 3)]  # 9 is self-loop-only; 3 also self-loops
+    tp = {
+        (r.id, r.cluster_id)
+        for r in connected_components_twophase(_pairs(spark, rows)).collect()
+    }
+    plain = {
+        (r.id, r.cluster_id)
+        for r in connected_components(_pairs(spark, rows)).collect()
+    }
+    assert tp == plain == {(9, 9), (2, 2), (3, 2)}
+
+
+def test_incremental_components_strategies_agree(spark):
+    from lvm_datapipe_spark.operators.graph import (
+        connected_components,
+        incremental_components,
+    )
+
+    old_edges = [(1, 2), (2, 3), (10, 11), (30, 31)]
+    new_edges = [(3, 10), (31, 50)]
+    prev = connected_components(_pairs(spark, old_edges))
+    new = _pairs(spark, new_edges)
+    a = dict(
+        (r.id, r.cluster_id)
+        for r in incremental_components(prev, new, strategy="twophase").collect()
+    )
+    b = dict(
+        (r.id, r.cluster_id)
+        for r in incremental_components(prev, new, strategy="minlabel").collect()
+    )
+    assert a == b and a[11] == 1 and a[50] == 30
+    import pytest
+
+    with pytest.raises(ValueError):
+        incremental_components(prev, new, strategy="nope")
+
+
+# -- converged k-core: non-convergence handling (r9, ADVICE item 2) ----------
+
+
+def _kcore_peel_rounds(edge_rows, k, n_rounds):
+    """Pure-python peel for EXACTLY n_rounds, degrees within the final
+    alive set (nodes with zero surviving neighbors drop out of the
+    degree table, mirroring the keyed aggregate)."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for u, v in edge_rows:
+        adj[u].add(v)
+        adj[v].add(u)
+    alive = set(adj)
+    for _ in range(n_rounds):
+        alive = {u for u in alive if len(adj[u] & alive) >= k}
+    return {
+        u: len(adj[u] & alive) for u in alive if len(adj[u] & alive) >= 1
+    }
+
+
+def test_kcore_max_rounds_exhaustion_warns_and_recomputes_degrees(spark):
+    """When max_rounds trips before the fixpoint the exit must not be
+    silent (stats['converged'] False + UserWarning) and core_degree must
+    be recomputed against the FINAL alive set — the pre-fix code returned
+    degrees against the penultimate set, counting since-dropped
+    neighbors."""
+    import pytest
+
+    from lvm_datapipe_spark.operators.graph import kcore
+
+    # a 30-node path with k=2 peels one layer (both ends) per round and
+    # needs ~15 rounds to die entirely; cap at 3
+    rows = [(i, i + 1) for i in range(29)]
+    e = spark.createDataFrame(rows, ["u", "v"])
+    stats: dict = {}
+    with pytest.warns(UserWarning, match="max_rounds"):
+        got = {
+            (r.node, r.core_degree)
+            for r in kcore(e, k=2, max_rounds=3, check_every=2, stats=stats).collect()
+        }
+    assert stats["converged"] is False
+    assert got == set(_kcore_peel_rounds(rows, 2, 3).items())
+    # sanity: the true core is empty, so the truncated result over-keeps
+    assert len(got) > 0
+
+
+def test_kcore_converged_flag_true_on_fixpoint(spark):
+    from lvm_datapipe_spark.operators.graph import kcore
+
+    rows = [(1, 2), (2, 3), (1, 3), (3, 4)]
+    e = spark.createDataFrame(rows, ["u", "v"])
+    stats: dict = {}
+    got = {
+        (r.node, r.core_degree)
+        for r in kcore(e, k=2, stats=stats).collect()
+    }
+    assert stats["converged"] is True
+    assert got == {(1, 2), (2, 2), (3, 2)}
+
+
+def test_kcore_broadcast_gate_modes_agree(spark):
+    """Forced-broadcast, forced-shuffle, and the auto gate (driven to the
+    shuffle path via broadcast_max_nodes=0) must return identical cores."""
+    from lvm_datapipe_spark.operators.graph import kcore
+
+    rows = [
+        (1, 2), (2, 3), (1, 3),
+        (3, 4), (4, 5), (5, 6), (4, 6),
+        (6, 7), (7, 8), (8, 9),
+    ]
+    e = spark.createDataFrame(rows, ["u", "v"])
+    expect = set(_kcore_reference(rows, 2).items())
+    for kwargs in (
+        {"broadcast_alive": True},
+        {"broadcast_alive": False},
+        {"broadcast_max_nodes": 0},  # auto-gate falls back to shuffled
+    ):
+        got = {
+            (r.node, r.core_degree)
+            for r in kcore(e, k=2, **kwargs).collect()
+        }
+        assert got == expect, kwargs

@@ -518,8 +518,11 @@ def test_no_unregistered_persist_in_queries():
     _with_cached_deps so sweep callers can release() it — an unregistered
     cached table accumulates in executor storage across the long-lived
     409-query sweep (the leak ADVICE r7 flagged on markov and r8 found in
-    six more queries).  localCheckpoint-based loops manage their own
-    lifetime and are exempt."""
+    six more queries).  No blanket exemptions: the former 'chunk mentions
+    localCheckpoint' carve-out let graph_kcore_parts leak its persisted
+    edge table (r8 ADVICE item 1) — loop-style queries must either
+    delegate to a library operator that unpersists internally, call
+    .unpersist() in the chunk itself, or register the frame."""
     import re
 
     src = open("lvm_datapipe_spark/queries.py").read()
@@ -529,7 +532,7 @@ def test_no_unregistered_persist_in_queries():
         if (
             ".persist()" in chunk
             and "_with_cached_deps" not in chunk
-            and "localCheckpoint" not in chunk
+            and ".unpersist(" not in chunk
         ):
             offenders.append(name)
     assert not offenders, f"persist() without _with_cached_deps: {offenders}"

@@ -1081,3 +1081,84 @@ def test_sessionize_state_bounded_after_watermark(spark, tmp_path):
     assert 1 <= final["numRowsTotal"] <= 3
     assert final["memoryUsedBytes"] > 0
     assert all(ops[0]["memoryUsedBytes"] > 0 for ops in batches)
+
+
+# -- watermark-drop audit: shuffled-arrival fixture (r9, VERDICT item 6) -----
+
+
+def _audit_reference(rows, delays):
+    """Pure-python replay: rows = [(key, tsec, seq)], arrival = seq order."""
+    from collections import defaultdict
+
+    bykey = defaultdict(list)
+    for key, tsec, seq in rows:
+        bykey[key].append((seq, tsec))
+    out = {}
+    for key, evs in bykey.items():
+        evs.sort()
+        hw, late = None, []
+        for _, tsec in evs:
+            hw = tsec if hw is None else max(hw, tsec)
+            late.append(hw - tsec)
+        for d in delays:
+            dropped = sum(1 for x in late if x > d)
+            out[(key, d)] = (
+                len(late),
+                dropped,
+                dropped * 1_000_000 // len(late),
+                max(late),
+            )
+    return out
+
+
+def test_watermark_audit_shuffled_arrival_fixture(spark):
+    """The late branch exercised by DATA: an explicitly scrambled ingest
+    sequence (not the declared query's synthetic jitter) must yield the
+    pinned non-zero drop counts — protecting the audit row if the jitter
+    expression is ever simplified into vacuous in-order arrival."""
+    delays = (0, 60, 600, 3600)
+    # hand-pinnable case: one partition, arrival order scrambles event time
+    rows = [
+        ("a", 100, 1),
+        ("a", 700, 2),
+        ("a", 40, 3),    # 660 s late
+        ("a", 820, 4),
+        ("a", 760, 5),   # 60 s late (dropped only at delay 0)
+        ("a", 30, 6),    # 790 s late
+    ]
+    df = spark.createDataFrame(rows, "event_type string, tsec long, seq long")
+    got = {
+        (r.event_type, r.delay_s): (r.n_events, r.n_dropped, r.drop_ppm, r.max_late_s)
+        for r in ev.watermark_drop_audit(
+            df, order_cols=("seq",), delays=delays
+        ).collect()
+    }
+    assert got[("a", 0)] == (6, 3, 500_000, 790)
+    assert got[("a", 60)] == (6, 2, 333_333, 790)
+    assert got[("a", 600)] == (6, 2, 333_333, 790)
+    assert got[("a", 3600)] == (6, 0, 0, 790)
+    assert got == _audit_reference(rows, delays)
+
+
+def test_watermark_audit_matches_reference_on_permuted_feed(spark):
+    """200-event two-partition fixture whose arrival order is a fixed
+    multiplicative permutation of event time — late events guaranteed in
+    both partitions; Spark must equal the python replay exactly."""
+    delays = (0, 60, 600, 3600)
+    rows = []
+    for i in range(200):
+        key = "k%d" % (i % 2)
+        tsec = 1000 + i * 37          # event time, increasing
+        seq = (i * 73) % 200          # arrival permutation (gcd(73,200)=1)
+        rows.append((key, tsec, seq))
+    df = spark.createDataFrame(rows, "event_type string, tsec long, seq long")
+    got = {
+        (r.event_type, r.delay_s): (r.n_events, r.n_dropped, r.drop_ppm, r.max_late_s)
+        for r in ev.watermark_drop_audit(
+            df, order_cols=("seq",), delays=delays
+        ).collect()
+    }
+    expect = _audit_reference(rows, delays)
+    assert got == expect
+    # the fixture genuinely exercises the late branch in every partition
+    assert all(expect[(k, 0)][1] > 0 for k in ("k0", "k1"))
