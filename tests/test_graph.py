@@ -702,3 +702,14 @@ def test_kcore_broadcast_gate_modes_agree(spark):
             for r in kcore(e, k=2, **kwargs).collect()
         }
         assert got == expect, kwargs
+
+
+def test_kcore_empty_edge_list(spark):
+    from lvm_datapipe_spark.operators.graph import kcore
+
+    e = spark.createDataFrame([], "u long, v long")
+    stats: dict = {}
+    out = kcore(e, k=2, stats=stats)
+    assert out.count() == 0
+    assert out.columns == ["node", "core_degree"]
+    assert stats["converged"] is True and stats["rounds"] == 0
