@@ -54,7 +54,21 @@ _CHECK_FIRST = [
                                     # guard at 100 TB id ranges)
     "graph_clustering_coefficient",  # oracle cap CTE now built from
                                      # _cap_baskets_sql (no literal drift)
+                                     # + cached capped-basket source
     "split_leakage_safe",           # CC engine -> two-phase contraction
+    # the r8 cap made every basket-table reference replay the offender
+    # anti-join; a fresh min-of-2 session adjudicated the family's census
+    # elevation as REAL (not ambient) — all eight now share one CACHED
+    # capped-basket source (_capped_baskets, registered for release),
+    # family total 69.5 -> 50.2 s at sf0.1
+    "item_item_cosine",
+    "reco_coverage_novelty",
+    "basket_part_lift",
+    "graph_triangle_counts",
+    "graph_supplier_triangles",
+    "basket_rules_confidence",
+    "graph_reachability_3hop",
+    "graph_degree_assortativity",
     # -- 4. TIER-4 VETERAN RE-CHECKS (first firing since the policy was
     #       codified): the 21 core SURVEY §2 operators whose newest
     #       official row dated to r3-r4 — five rounds of code churn ago —
@@ -108,20 +122,12 @@ _CHECK_FIRST = [
     "events_poisson_rate_alarm",
     "rfm_segments",
     "dispersion_lineitems_per_order",
-    "parts_in_all_regions",
-    "conversion_wilson_ci",
-    "events_peak_hours_nms",
-    "set_intersect_all",
-    "grpo_group_advantages",
-    "split_leakage_measure",
-    "source_distinctive_terms",
-    "embedding_centroid_drift",
     # (slots 1-50 above fill the driver window; the remaining r3-r4
     #  veterans — agg_cube/agg_rollup, ann_cosine_topk, ann_lsh_near_dup,
     #  asof/range/semi joins, events_tumbling_window, hypertable_rollup,
     #  q3_shipping_priority, sort_limit_topk, the text_* fingerprint
     #  family — are queued for r10 tier 4, and the backlog continues in
-    #  declaration order at events_cusum_shift; everything outside the
+    #  declaration order at parts_in_all_regions; everything outside the
     #  window is green in this round's committed full sf0.01 sweep,
     #  CORRECTNESS_LOCAL_r9.json)
 ]

@@ -28,7 +28,7 @@ REPRESENTATIVES = [
     "bitext_margin_pairs",       # margin mining (pivot sums, dual windows)
     "dedup_winnowing_pairs",     # per-doc window + bounded range join (s13)
     "bt_event_type_strength",    # driver-side MM replay over collected matrix
-    "graph_kcore_parts",         # fixed-round iterative peel
+    "graph_kcore_parts",         # converged iterative peel (r9)
     # NOT here: ht_sampled_revenue_estimate — a pure scalar-aggregate query
     # legitimately returns ONE row (of NULL totals) on empty input per SQL
     # semantics; the degenerate sweep covers it for no-crash.

@@ -529,8 +529,11 @@ def test_no_unregistered_persist_in_queries():
     offenders = []
     for chunk in re.split(r"\ndef ", src):
         name = chunk.split("(")[0].strip()
+        if name.startswith("_capped_baskets"):
+            continue  # the helper itself; callers carry the registration
+        persists = ".persist()" in chunk or "_capped_baskets(" in chunk
         if (
-            ".persist()" in chunk
+            persists
             and "_with_cached_deps" not in chunk
             and ".unpersist(" not in chunk
         ):
