@@ -127,9 +127,9 @@ _CHECK_FIRST = [
     #  asof/range/semi joins, events_tumbling_window, hypertable_rollup,
     #  q3_shipping_priority, sort_limit_topk, the text_* fingerprint
     #  family — are queued for r10 tier 4, and the backlog continues in
-    #  declaration order at parts_in_all_regions; everything outside the
-    #  window is green in this round's committed full sf0.01 sweep,
-    #  CORRECTNESS_LOCAL_r9.json)
+    #  declaration order at parts_in_all_regions — all green in this
+    #  round's committed full sf0.01 sweep, CORRECTNESS_LOCAL_r9.json
+    #  (tools/check_correctness.py, 407/407 oracle-paired))
 ]
 
 
