@@ -106,12 +106,23 @@ def main() -> int:
                "spark_rows": None, "oracle_rows": None, "err": None}
         records[name] = rec
         try:
-            sdf = fn(spark, sf_dir).toPandas()
+            df = fn(spark, sf_dir)
+            sdf = df.toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error {type(e).__name__}: {e}")
             rec["err"] = f"spark {type(e).__name__}: {e}"
             failed.append(name)
             continue
+        finally:
+            # free any _with_cached_deps-registered persists: the whole
+            # point of the registration is that the 409-query sweep does
+            # NOT accumulate cached intermediates in executor storage
+            from lvm_datapipe_spark.operators.dedup import release
+
+            try:
+                release(df)
+            except NameError:
+                pass  # fn() itself raised before df existed
         rec["spark_rows"] = len(sdf)
         if name not in oracles:
             print(f"ROWS-ONLY {name}: {len(sdf)} rows")
