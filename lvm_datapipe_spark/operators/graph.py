@@ -97,6 +97,7 @@ def connected_components(
     check_every: int = 2,
     stats: dict | None = None,
     shortcut: bool = False,
+    truncate_every: int = 1,
 ) -> DataFrame:
     """Cluster assignment for an undirected pair list: every node that
     appears in ``pairs`` is mapped to the minimum node id reachable from it.
@@ -124,9 +125,22 @@ def connected_components(
     non-increasing), so checking only every k-th round is exact and cuts
     driver job launches on large-diameter graphs at the cost of ≤ k-1
     no-op propagation rounds after convergence.  ``stats`` (when a dict is
-    passed) receives ``rounds`` and ``checks`` counters for tests.
+    passed) receives ``rounds``, ``checks``, and ``truncations`` counters
+    for tests.
+
+    ``truncate_every`` batches the lineage truncation: each eager
+    ``localCheckpoint`` is one driver-synchronized job, and on the
+    near-clique dedup graphs this loop serves (3-5 total rounds) the
+    per-round job launch — not the shuffle — dominates wall time at
+    moderate SF.  A skipped truncation lets the plan double (labels is
+    referenced twice per round), so keep it small (1, 2, or 4 — plan size
+    is 2^T between truncations); convergence-check rounds always
+    truncate first (the check is an action, and downstream reuse of an
+    unmaterialized frame would recompute the whole lazy chain).  Exact
+    for every value — only the job cadence changes.
     """
     check_every = max(1, check_every)
+    truncate_every = max(1, truncate_every)
     e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     edges = e.union(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -139,8 +153,10 @@ def connected_components(
         .localCheckpoint()
     )
 
-    rounds = checks = 0
+    rounds = checks = truncations = 0
     for rnd in range(max_rounds):
+        is_check = (rnd + 1) % check_every == 0 or rnd == max_rounds - 1
+        do_truncate = is_check or (rnd + 1) % truncate_every == 0
         # neighbor-min pass: every edge (u,v) proposes u's label to v
         prop = (
             edges.join(labels.withColumnRenamed("id", "u"), "u")
@@ -148,16 +164,21 @@ def connected_components(
             .agg(F.min("label").alias("nbr_label"))
         )
         new_label = F.least(F.col("label"), F.coalesce("nbr_label", "label"))
-        labels = (
-            labels.join(prop, "id", "left")
-            .select(
-                "id",
-                new_label.alias("label"),
-                (new_label < F.col("label")).cast("int").alias("changed"),
-            )
-            .localCheckpoint()
+        labels = labels.join(prop, "id", "left").select(
+            "id",
+            new_label.alias("label"),
+            (new_label < F.col("label")).cast("int").alias("changed"),
         )
+        if not shortcut and do_truncate:
+            labels = labels.localCheckpoint()
+            truncations += 1
         if shortcut:
+            # the jump pass references labels twice more — without a
+            # materialized frame the lazy plan triples per round, so the
+            # shortcut path always truncates the propagation result
+            # (truncate_every batches only the post-jump checkpoint here)
+            labels = labels.localCheckpoint()
+            truncations += 1
             # pointer jumping: chase the label's own label one hop
             lmap = labels.select(
                 F.col("id").alias("_lid"), F.col("label").alias("_ll")
@@ -175,10 +196,12 @@ def connected_components(
                         (jumped < F.col("label")).cast("int"),
                     ).alias("changed"),
                 )
-                .localCheckpoint()
             )
+            if do_truncate:
+                labels = labels.localCheckpoint()
+                truncations += 1
         rounds += 1
-        if (rnd + 1) % check_every == 0 or rnd == max_rounds - 1:
+        if is_check:
             checks += 1
             if (labels.agg(F.sum("changed")).collect()[0][0] or 0) == 0:
                 break
@@ -188,6 +211,7 @@ def connected_components(
     if stats is not None:
         stats["rounds"] = rounds
         stats["checks"] = checks
+        stats["truncations"] = truncations
     edges.unpersist()
     return labels.select(
         F.col("id").alias(id_out), F.col("label").alias(cluster_out)

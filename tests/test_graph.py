@@ -713,3 +713,30 @@ def test_kcore_empty_edge_list(spark):
     assert out.count() == 0
     assert out.columns == ["node", "core_degree"]
     assert stats["converged"] is True and stats["rounds"] == 0
+
+
+def test_truncate_every_is_exact_and_batches_jobs(spark):
+    """truncate_every batches the per-round localCheckpoint jobs without
+    changing any label (r10 candidate, measured in BENCH_NOTES r9): the
+    plan doubles between truncations but the fixpoint is identical, and
+    convergence-check rounds always truncate first."""
+    rows = [(i, i + 1) for i in range(10)] + [(100, 101), (101, 102),
+                                              (100, 102), (200, 200)]
+    st0: dict = {}
+    base = {
+        (r.id, r.cluster_id)
+        for r in connected_components(_pairs(spark, rows), stats=st0).collect()
+    }
+    for t in (2, 4):
+        st: dict = {}
+        got = {
+            (r.id, r.cluster_id)
+            for r in connected_components(
+                _pairs(spark, rows), truncate_every=t, stats=st
+            ).collect()
+        }
+        assert got == base
+        assert st["rounds"] == st0["rounds"]
+        # with check_every=2 every check round truncates, so the batch
+        # bound is min(truncate_every, check_every) rounds per truncation
+        assert st["truncations"] <= st0["truncations"] // 2 + 1
