@@ -473,3 +473,93 @@ def test_pareto_skyline_matches_bruteforce(spark, pts):
         )
     )
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),              # stream partition
+            st.integers(min_value=0, max_value=5000),  # event-time seconds
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.randoms(use_true_random=False),
+)
+@settings(**SETTINGS)
+def test_watermark_audit_matches_python_replay(spark, evs, rng):
+    """watermark_drop_audit == a pure-python high-water replay for ANY
+    arrival permutation (the arrival order is a data column, so the
+    property quantifies over it directly)."""
+    from lvm_datapipe_spark.streaming.events import watermark_drop_audit
+
+    seqs = list(range(len(evs)))
+    rng.shuffle(seqs)
+    rows = [(k, t, s) for (k, t), s in zip(evs, seqs)]
+    delays = (0, 60, 600)
+    df = spark.createDataFrame(rows, "event_type string, tsec long, seq long")
+    got = {
+        (r.event_type, r.delay_s): (r.n_events, r.n_dropped, r.drop_ppm, r.max_late_s)
+        for r in watermark_drop_audit(df, order_cols=("seq",), delays=delays).collect()
+    }
+    # python replay
+    from collections import defaultdict
+
+    bykey = defaultdict(list)
+    for k, t, s in rows:
+        bykey[k].append((s, t))
+    expect = {}
+    for k, e in bykey.items():
+        e.sort()
+        hw, late = None, []
+        for _, t in e:
+            hw = t if hw is None else max(hw, t)
+            late.append(hw - t)
+        for d in delays:
+            dropped = sum(1 for x in late if x > d)
+            expect[(k, d)] = (
+                len(late), dropped, dropped * 1_000_000 // len(late), max(late)
+            )
+    assert got == expect
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=14),
+            st.integers(min_value=0, max_value=14),
+        ).filter(lambda p: p[0] != p[1]),
+        min_size=1,
+        max_size=30,
+    ),
+    st.sampled_from([1, 2, 3]),
+)
+@settings(**SETTINGS)
+def test_kcore_matches_python_fixpoint_on_random_graphs(spark, edges, k):
+    """Converged kcore == the pure-python peel for arbitrary small graphs
+    and k — including graphs whose core is empty and graphs that need
+    multi-layer cascades."""
+    from collections import defaultdict
+
+    from lvm_datapipe_spark.operators.graph import kcore
+
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    alive = set(adj)
+    while True:
+        drop = {u for u in alive if len(adj[u] & alive) < k}
+        if not drop:
+            break
+        alive -= drop
+    expect = {(u, len(adj[u] & alive)) for u in alive}
+
+    df = spark.createDataFrame(edges, "u long, v long")
+    stats: dict = {}
+    got = {
+        (r.node, r.core_degree)
+        for r in kcore(df, k=k, max_rounds=40, stats=stats).collect()
+    }
+    assert stats["converged"] is True
+    assert got == expect
