@@ -24,15 +24,20 @@ import re
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _official_history() -> dict[str, list[int]]:
+def _official_history(max_round: int | None = None) -> dict[str, list[int]]:
     """Rebuild query -> green official rounds from committed artifacts
-    (same predicate as tools/window_history.py)."""
+    (same predicate as tools/window_history.py).  ``max_round`` bounds the
+    rebuild: rounds above it are ignored, so a driver artifact that lands
+    AFTER the ledger was last regenerated (the r9 sequencing failure —
+    VERDICT r9 "What's wrong" #1) cannot redden the guard."""
     history: dict[str, list[int]] = {}
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
             continue
         rnd = int(m.group(1))
+        if max_round is not None and rnd > max_round:
+            continue
         with open(path) as f:
             rows = json.load(f)
         for name, rec in rows.items():
@@ -90,10 +95,19 @@ def test_coverage_rotation_rows_match_artifacts():
 def test_window_history_json_is_mechanical_rebuild():
     """WINDOW_HISTORY.json (the file the rotation tiers draw from) must
     equal the rebuild from committed artifacts — a stale or hand-edited
-    ledger would silently misdirect tier 2/4 slot picks."""
+    ledger would silently misdirect tier 2/4 slot picks.
+
+    The rebuild is bounded at max(rounds_seen) recorded IN the ledger:
+    the driver writes CORRECTNESS_r{N}.json after the builder's final
+    commit, so an unbounded rebuild would fail at the start of every
+    round through no fault of the tree (VERDICT r9 item 1).  A ledger
+    that ignores an artifact it HAS seen is still caught (rounds_seen
+    pins which artifacts it claims to cover), and the start-of-round
+    regeneration folds new rounds in."""
     with open(os.path.join(REPO, "WINDOW_HISTORY.json")) as f:
         committed = json.load(f)
-    history = _official_history()
+    assert committed.get("rounds_seen"), "ledger missing rounds_seen"
+    history = _official_history(max_round=max(committed["rounds_seen"]))
     declared = _declared_names()
     # mirrors tools/window_history.py exactly: last_official keeps names
     # that have since left the declared surface (their history is real)
