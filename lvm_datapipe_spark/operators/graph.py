@@ -237,6 +237,11 @@ def dedup_keep_representatives(
     converges in 2-3 cheap rounds.  Pass ``'twophase'`` for
     caller-supplied pair lists whose component shape is unknown (chains /
     hubs): identical labels, O(log² n) rounds (SCALE_BENCH §16)."""
+    if strategy not in ("minlabel", "twophase"):
+        raise ValueError(
+            "strategy must be 'minlabel' or 'twophase', got "
+            f"{strategy!r}"
+        )
     cc_fn = (
         connected_components_twophase
         if strategy == "twophase"
@@ -259,7 +264,7 @@ def kcore(
     check_every: int = 2,
     stats: dict | None = None,
     broadcast_alive: bool | None = None,
-    broadcast_max_nodes: int = 4_000_000,
+    broadcast_max_nodes: int = 1_000_000,
 ) -> DataFrame:
     """CONVERGED k-core peel (Seidman 1983): repeatedly delete nodes with
     fewer than ``k`` surviving neighbors until the alive set stabilizes,
@@ -287,12 +292,22 @@ def kcore(
     ``broadcast_alive`` controls the per-round semi-join strategy: the
     alive set is node-dimension-sized and only shrinks, so when the
     INITIAL node count fits comfortably in an executor broadcast
-    (``broadcast_max_nodes``, default 4M ids ≈ 32 MB of longs) each round
-    costs one map-side filter pass over ``sym`` plus the single degree
-    shuffle instead of three exchanges (measured 13.7 s -> 9.1 s on the
-    declared part graph).  ``None`` (default) auto-gates on the initial
-    count — a billion-node graph falls back to plain shuffled semi-joins
-    with the loop structure unchanged; pass True/False to force.
+    (``broadcast_max_nodes``) each round costs one map-side filter pass
+    over ``sym`` plus the single degree shuffle instead of three
+    exchanges (measured 13.7 s -> 9.1 s on the declared part graph).
+    ``None`` (default) auto-gates on the initial count — a billion-node
+    graph falls back to plain shuffled semi-joins with the loop structure
+    unchanged; pass True/False to force.  DRIVER SIZING: a broadcast
+    build collects the alive set to the driver with per-row object
+    overhead well above the 8 raw bytes of a long — the 1M-node default
+    keeps the build in the low hundreds of MB; raise it only with
+    ``spark.driver.memory`` headroom (~1 GB per extra million rows is a
+    safe planning number).  Each round builds TWO broadcasts (one per
+    endpoint) — Spark's exchange-reuse does not kick in even when both
+    joins reference one projection object, because self-join
+    deduplication re-instances the second reference (verified on the
+    executed plan: 2 BroadcastExchange, 0 ReusedExchange) — which is why
+    the gate is sized against the DOUBLE build cost.
 
     Scale shape per round: two alive-keyed semi-joins + one node-keyed
     degree aggregate over a monotonically shrinking set — no cartesian,
@@ -364,8 +379,18 @@ def kcore(
         stats["converged"] = converged
     if deg is None:  # empty edge list
         sym.unpersist()
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        # derive the node type from the input edges so the empty frame
+        # unions cleanly with non-empty results for any id type
         return sym.sparkSession.createDataFrame(
-            [], "node long, core_degree long"
+            [],
+            StructType(
+                [
+                    StructField("node", edges.schema[src].dataType, True),
+                    StructField("core_degree", LongType(), True),
+                ]
+            ),
         )
     out = (
         deg.join(

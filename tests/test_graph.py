@@ -444,11 +444,61 @@ def test_kcore_agrees_with_declared_query(spark):
         (r.node, r.core_degree)
         for r in kcore(e, src="p1", dst="p2", k=3).collect()
     }
-    declared = {
-        (r.p_partkey, r.core_degree)
-        for r in QUERIES["graph_kcore_parts"](spark, sf).collect()
-    }
+    declared_rows = QUERIES["graph_kcore_parts"](spark, sf).collect()
+    declared = {(r.p_partkey, r.core_degree) for r in declared_rows}
     assert lib == declared and len(lib) > 0
+    # r9 verdict item 4: convergence is an output column; the declared
+    # corpus reaches the fixpoint well inside max_rounds, so every row
+    # must read True (the oracle emits a constant TRUE — a max_rounds
+    # exhaustion would diff visibly instead of hash-mismatching mutely)
+    assert all(r.converged is True for r in declared_rows)
+
+
+def test_kcore_query_surfaces_nonconvergence_as_false_column(spark, tmp_path):
+    """The declared query must plumb stats['converged'] through to the
+    output column: cap the peel at 1 round on a corpus that needs more
+    (a pendant chain cascading into a clique) and every surviving row
+    reads converged=False."""
+    import datetime as dt
+    from unittest import mock
+
+    from lvm_datapipe_spark.operators import graph as graph_mod
+    from lvm_datapipe_spark.queries import QUERIES
+
+    orders, ok = [], 100
+    clique = [1, 2, 3, 4]
+    for i, p1 in enumerate(clique):
+        for p2 in clique[i + 1:]:
+            orders += [(ok, p1), (ok, p2)]
+            ok += 1
+    for a, b2 in ((4, 5), (5, 6), (6, 7), (7, 8)):
+        orders += [(ok, a), (ok, b2)]
+        ok += 1
+    rows = [
+        (o, p, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", dt.date(2024, 1, 2))
+        for o, p in orders
+    ]
+    spark.createDataFrame(
+        rows,
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint,"
+        " l_linenumber bigint, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate date",
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+
+    real_kcore = graph_mod.kcore
+
+    def capped(*args, **kwargs):
+        kwargs["max_rounds"] = 1
+        return real_kcore(*args, **kwargs)
+
+    import pytest
+
+    with mock.patch.object(graph_mod, "kcore", capped):
+        with pytest.warns(UserWarning, match="max_rounds"):
+            got = QUERIES["graph_kcore_parts"](spark, str(tmp_path)).collect()
+    assert len(got) > 0
+    assert all(r.converged is False for r in got)
 
 
 # -- pointer-jumping shortcut (r8) -------------------------------------------
