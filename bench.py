@@ -120,6 +120,27 @@ CENSUS_5 = [
     "stream_sink_tumbling_window",  # real checkpointed streaming sink
 ]
 
+#: Deliberate plan re-points (VERDICT r9 item 2): queries whose PLAN was
+#: intentionally replaced after their first bench row, so their operative
+#: per-query baseline is the re-point round's debut row, not the r1 slot.
+#: Published in the bench JSON so every per-query 2x reading has a
+#: gate-visible baseline to consult (tools/bench_compare.py --use-repoints
+#: applies these when the old file's row predates the re-point).  Kept
+#: deliberately tiny — a re-point needs a documented scale justification,
+#: not a slow round.
+REPOINTS = {
+    "dedup_embedding_cosine": {
+        "baseline_sec": 3.0923,   # BENCH_r05.json — the LSH plan's debut row
+        "baseline_round": 5,
+        "reason": (
+            "r5 plan re-point: exact-but-quadratic all-pairs cosine "
+            "(1.16 s at sf0.1 but 342 s at n=50k, SCALE_BENCH §1) "
+            "replaced by the adaptive 12-table LSH scale path; recall "
+            "pinned by ann_recall_eval and the pytest-only exact oracle"
+        ),
+    },
+}
+
 
 def main() -> None:
     from lvm_datapipe_spark.queries import QUERIES
@@ -201,6 +222,7 @@ def main() -> None:
                     sum(t for n, t in times.items() if n in CENSUS_5), 4
                 ),
                 "queries": times,
+                "repoints": REPOINTS,
                 "sf": sf_val,
             }
         )

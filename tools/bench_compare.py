@@ -15,7 +15,14 @@ of the command line the round's BENCH_NOTES entry records, so every census
 exemption is documented where the gate output lives.
 
 Usage: python tools/bench_compare.py OLD.json NEW.json [threshold=1.5]
-           [--allow q1,q2,...]
+           [--allow q1,q2,...] [--use-repoints]
+
+``--use-repoints`` consults the NEW file's ``repoints`` map (published by
+bench.py): a query whose plan was deliberately replaced (e.g.
+dedup_embedding_cosine's r5 brute-force→LSH re-point) is compared against
+the re-point plan's debut row whenever the old file's row predates it —
+so "2x the r1 slot" readings against a since-replaced plan stop flagging
+the scale-correct design.  Inert for old files at or after the re-point.
 """
 
 from __future__ import annotations
@@ -56,11 +63,30 @@ def load(path: str) -> dict:
 
 
 def compare(
-    old: dict, new: dict, threshold: float, allow: set[str] | None = None
+    old: dict,
+    new: dict,
+    threshold: float,
+    allow: set[str] | None = None,
+    use_repoints: bool = False,
 ) -> tuple[list, list]:
     rows, regressions = [], []
     allow = allow or set()
-    oq, nq = old["queries"], new["queries"]
+    oq, nq = dict(old["queries"]), new["queries"]
+    if use_repoints:
+        # Deliberate plan re-points (bench.py REPOINTS, published in the
+        # new file): when the OLD row predates the re-point (i.e. is
+        # SMALLER than the re-point plan's debut time — it measured the
+        # since-replaced plan), the re-point row is the operative
+        # baseline.  Inert for old files at or after the re-point round.
+        for name, rp in (new.get("repoints") or {}).items():
+            base = rp.get("baseline_sec")
+            if (
+                base
+                and name in oq
+                and isinstance(oq[name], (int, float))
+                and oq[name] < base
+            ):
+                oq[name] = base
     for name in sorted(set(oq) | set(nq)):
         if name in allow:
             rows.append((name, oq.get(name), nq.get(name), None))
@@ -88,12 +114,18 @@ def main(argv: list[str]) -> int:
         i = argv.index("--allow")
         allow = set(argv[i + 1].split(","))
         del argv[i : i + 2]
+    use_repoints = "--use-repoints" in argv
+    if use_repoints:
+        argv.remove("--use-repoints")
     if len(argv) < 2:
         print(__doc__)
         return 2
     threshold = float(argv[2]) if len(argv) > 2 else 1.5
     old, new = load(argv[0]), load(argv[1])
-    rows, regressions = compare(old, new, threshold, allow)
+    rows, regressions = compare(old, new, threshold, allow, use_repoints)
+    if use_repoints and new.get("repoints"):
+        names = ", ".join(sorted(new["repoints"]))
+        print(f"re-pointed baselines applied where older: {names}")
     if allow:
         print(f"allowlisted (not gated): {', '.join(sorted(allow))}")
     print(f"{'query':35s} {'old':>8s} {'new':>8s} {'ratio':>7s}")
