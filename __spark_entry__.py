@@ -43,93 +43,88 @@ def entry(spark: SparkSession) -> DataFrame:
 # tier 2 draws from its ``never_checked`` list, tier 4 from
 # ``oldest_green_first``.
 _CHECK_FIRST = [
-    # -- 1. CHANGED in r9 (their prior rows no longer describe the shipped
-    #       code).  Surface growth is FROZEN this round (r8 verdict item
-    #       1): only 4 changed queries, so tier 4 fires for the first time
-    #       below.
-    "graph_kcore_parts",            # converged-peel promotion (fixpoint
-                                    # oracle via list-carrying recursive
-                                    # CTE; kcore() broadcast size-gate)
-    "events_watermark_drop_audit",  # mod-first jitter (BIGINT overflow
-                                    # guard at 100 TB id ranges)
-    "graph_clustering_coefficient",  # oracle cap CTE now built from
-                                     # _cap_baskets_sql (no literal drift)
-                                     # + cached capped-basket source
-    "split_leakage_safe",           # CC engine -> two-phase contraction
-    # the r8 cap made every basket-table reference replay the offender
-    # anti-join; a fresh min-of-2 session adjudicated the family's census
-    # elevation as REAL (not ambient) — all eight now share one CACHED
-    # capped-basket source (_capped_baskets, registered for release),
-    # family total 69.5 -> 50.2 s at sf0.1
-    "item_item_cosine",
-    "reco_coverage_novelty",
-    "basket_part_lift",
-    "graph_triangle_counts",
-    "graph_supplier_triangles",
-    "basket_rules_confidence",
-    "graph_reachability_3hop",
-    "graph_degree_assortativity",
-    # -- 4. TIER-4 VETERAN RE-CHECKS (first firing since the policy was
-    #       codified): the 21 core SURVEY §2 operators whose newest
-    #       official row dated to r3-r4 — five rounds of code churn ago —
-    #       exactly the staleness the r8 verdict flagged.  Source:
-    #       WINDOW_HISTORY.json oldest_green_first filtered to
-    #       last_official <= 4, prioritizing the operators the brief's
-    #       coverage table leans on (a5-a9, w1-w4, c-functions, set ops,
-    #       the dedup family, text_quality).
-    "a5_corpus_stats",
-    "a6_histogram",
-    "a7_value_counts",
-    "a8_count_consistency",
-    "a9_derived_size",
-    "w1_clip_numbering",
-    "w2_best_per_group",
-    "w3_sessionize",
-    "w4_running_total",
-    "c2_path_functions",
-    "c5_clean_caption",
-    "c7_extract_answer",
-    "c9_frame_indices",
-    "c14_json_extract",
-    "set_union_shards",
-    "set_except_finished",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_levenshtein",
-    "text_quality",
-    # -- 2. never-officially-checked backlog, declaration order (the
-    #       mechanical source is WINDOW_HISTORY.json never_checked —
-    #       tools/window_history.py; CORRECTNESS_LOCAL_r{N}.json remains
-    #       the complete per-round record).  approx_distinct_users /
+    # -- 1. CHANGED in r10 (their prior rows no longer describe the
+    #       shipped code).
+    "graph_kcore_parts",            # + converged OUTPUT COLUMN (r9
+                                    # verdict item 4; oracle emits the
+                                    # fixpoint's constant TRUE)
+    "split_leakage_measure",        # CC engine -> two-phase (A/B 1.63x,
+                                    # SCALE_BENCH §19); also clears a
+                                    # backlog slot (was never-checked)
+    "dedup_transitivity_inflation",  # CC engine -> two-phase (A/B 1.63x);
+                                     # also clears a backlog slot
+    "events_watermark_drop_audit",  # body UNCHANGED in r10 — held in
+                                    # tier 1 one extra round per r9
+                                    # verdict item 7 so the stabilized
+                                    # form logs a clean consecutive row
+    # -- 4. TIER-4 VETERAN RE-CHECKS: the remaining r3/r4 veterans the r9
+    #       window could not fit (queued there, endorsed by the verdict).
+    #       Source: WINDOW_HISTORY.json oldest_green_first filtered to
+    #       last_official <= 4 — all fifteen r3 rows plus the oldest r4
+    #       asof twin.
+    "agg_cube",
+    "agg_rollup",
+    "ann_cosine_topk",
+    "ann_lsh_near_dup",
+    "asof_last_view_before_purchase",
+    "asof_next_purchase_after_view",
+    "events_tumbling_window",
+    "hypertable_rollup",
+    "q3_shipping_priority",
+    "range_join_first_day_events",
+    "semi_join_high_value_orders",
+    "sort_limit_topk",
+    "text_fingerprint",
+    "text_langid",
+    "text_token_count",
+    "text_winnow_fingerprint",
+    # -- 2. never-officially-checked backlog, declaration order resuming
+    #       at parts_in_all_regions (mechanical source:
+    #       WINDOW_HISTORY.json never_checked ∩ ORACLE_SQL, QUERIES
+    #       declaration order; CORRECTNESS_LOCAL_r{N}.json remains the
+    #       complete per-round record).  approx_distinct_users /
     #       ann_ivf_topk are EXCLUDED from backlog slots: rows-only by
     #       design (approximate ops), they can never hold an oracle row —
     #       their deterministic twins carry the full rows.
-    "chisq_source_lang",
-    "dp_release_counts",
-    "kendall_tau_source_size",
-    "events_lead_lag_xcorr",
-    "churn_labels_weekly",
-    "vocab_hapax_ratio",
-    "target_encode_loo",
-    "mmr_diverse_selection",
-    "spearman_len_vs_spaces",
-    "interval_union_coverage",
-    "dedup_rate_by_source",
-    "referential_integrity_audit",
-    "share_hierarchy_revenue",
-    "rbo_lex_vs_vector",
-    "events_poisson_rate_alarm",
-    "rfm_segments",
-    "dispersion_lineitems_per_order",
-    # (slots 1-50 above fill the driver window; the remaining r3-r4
-    #  veterans — agg_cube/agg_rollup, ann_cosine_topk, ann_lsh_near_dup,
-    #  asof/range/semi joins, events_tumbling_window, hypertable_rollup,
-    #  q3_shipping_priority, sort_limit_topk, the text_* fingerprint
-    #  family — are queued for r10 tier 4, and the backlog continues in
-    #  declaration order at parts_in_all_regions — all green in this
-    #  round's committed full sf0.01 sweep, CORRECTNESS_LOCAL_r9.json
-    #  (tools/check_correctness.py, 407/407 oracle-paired))
+    "parts_in_all_regions",
+    "conversion_wilson_ci",
+    "events_peak_hours_nms",
+    "set_intersect_all",
+    "grpo_group_advantages",
+    "source_distinctive_terms",
+    "embedding_centroid_drift",
+    "events_cusum_shift",
+    "user_streak_histogram",
+    "session_bounce_stats",
+    "orders_pareto_skyline",
+    "funnel_within_hour",
+    "dup_graph_degree_hist",
+    "forecast_seasonal_naive_backtest",
+    "customer_order_regularity",
+    "session_handoff_matrix",
+    "user_lifecycle_accounting",
+    "revenue_bridge_by_month",
+    "attribution_position_based",
+    "ab_diff_in_diff",
+    "conversion_latency_quantiles",
+    "embedding_top_pc_power_iteration",
+    "source_venn_overlap",
+    "range_partition_boundaries",
+    "session_top_paths",
+    "ship_latency_by_priority",
+    "skyline_dominance_counts",
+    "events_debounce_collapse",
+    "dedup_method_agreement",       # first official row for a GRAPH_ANN_6
+                                    # bench-frozen heavy (min-label kept
+                                    # after the r10 A/B — SCALE_BENCH §19)
+    "cohort_ltv_curve",
+    # (slots 1-50 above fill the driver window: 4 changed + 16 veterans +
+    #  30 backlog -> never_checked 127 -> 96 (two tier-1 entries were
+    #  also never-checked).  The backlog continues in declaration order
+    #  at vocab_coverage_by_freq_class — everything outside the window is
+    #  green in the committed full sf0.01 sweep,
+    #  CORRECTNESS_LOCAL_r9.json, 407/407 oracle-paired, refreshed as
+    #  CORRECTNESS_LOCAL_r10.json in this round's closing sweep.)
 ]
 
 
