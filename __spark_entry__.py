@@ -35,16 +35,22 @@ def entry(spark: SparkSession) -> DataFrame:
 #      row is OLDEST, so every query periodically re-enters the window and
 #      a silent regression cannot hide outside it indefinitely.
 # Everything rotated out stays verified locally every round via
-# ``tools/check_correctness.py`` (407/407 oracle-paired queries green in
-# the latest full local sweep; 409 declared).  The rotation itself is
+# ``tools/check_correctness.py`` (410/410 oracle-paired queries green in
+# the latest full local sweep; 412 declared).  The rotation itself is
 # mechanically auditable: ``tools/window_history.py`` reconstructs
 # query -> official-round history from the committed CORRECTNESS_r*.json
 # artifacts into WINDOW_HISTORY.json (regenerated each closing sweep) —
 # tier 2 draws from its ``never_checked`` list, tier 4 from
 # ``oldest_green_first``.
 _CHECK_FIRST = [
-    # -- 1. CHANGED in r10 (their prior rows no longer describe the
-    #       shipped code).
+    # -- 1. CHANGED or ADDED in r10.  Three additions (the r9 verdict's
+    #       ≤5/round growth budget): estimator/layout audits debuting
+    #       with oracle rows — MinHash-estimate-vs-exact-Jaccard error,
+    #       token-weighted lang×source mixture lift, and the sequence-
+    #       packing split/fill audit.
+    "minhash_jaccard_error",
+    "mixture_lang_source_lift",
+    "pack_split_stats",
     "graph_kcore_parts",            # + converged OUTPUT COLUMN (r9
                                     # verdict item 4; oracle emits the
                                     # fixpoint's constant TRUE)
@@ -112,19 +118,17 @@ _CHECK_FIRST = [
     "range_partition_boundaries",
     "session_top_paths",
     "ship_latency_by_priority",
-    "skyline_dominance_counts",
-    "events_debounce_collapse",
     "dedup_method_agreement",       # first official row for a GRAPH_ANN_6
                                     # bench-frozen heavy (min-label kept
                                     # after the r10 A/B — SCALE_BENCH §19)
-    "cohort_ltv_curve",
-    # (slots 1-50 above fill the driver window: 4 changed + 16 veterans +
-    #  30 backlog -> never_checked 127 -> 96 (two tier-1 entries were
-    #  also never-checked).  The backlog continues in declaration order
-    #  at vocab_coverage_by_freq_class — everything outside the window is
-    #  green in the committed full sf0.01 sweep,
-    #  CORRECTNESS_LOCAL_r9.json, 407/407 oracle-paired, refreshed as
-    #  CORRECTNESS_LOCAL_r10.json in this round's closing sweep.)
+    # (slots 1-50 above fill the driver window: 3 added + 4 changed + 16
+    #  veterans + 27 backlog -> never_checked 127 -> 98 (two tier-1
+    #  entries were also never-checked).  The backlog continues in
+    #  declaration order at skyline_dominance_counts,
+    #  events_debounce_collapse, cohort_ltv_curve,
+    #  vocab_coverage_by_freq_class — everything outside the window is
+    #  green in the committed full sf0.01 sweep, CORRECTNESS_LOCAL_r10
+    #  (tools/check_correctness.py, 410/410 oracle-paired))
 ]
 
 
