@@ -47,6 +47,44 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def fresh_local_checkpoint(df: DataFrame) -> DataFrame:
+    """``localCheckpoint`` that also DROPS the carried Catalyst statistics.
+
+    ``DataFrame.localCheckpoint`` truncates RDD lineage, but the resulting
+    ``LogicalRDD`` leaf CARRIES the checkpointed plan's *estimated*
+    ``Statistics`` (its ``originStats`` field — verified against the
+    shipped spark-sql 4.1.2 jar).  In an iterative loop whose round joins
+    TWO references of the previous round's checkpoint through plain
+    boolean equi-joins, Catalyst's size-only join estimate MULTIPLIES the
+    two carried ``sizeInBytes``, so the estimate's DIGIT COUNT DOUBLES
+    per round: measured 9 → 19 → 41 → 83 → … digits (exact ×2/round) on a
+    30-node path under :func:`kcore`'s round shape.  By round ~20 the
+    driver spends its time in Toom-Cook BigInteger multiplication inside
+    ``SizeInBytesOnlyStatsPlanVisitor`` (thread-dump-verified), and a
+    long enough peel dies with ``ArithmeticException: BigInteger would
+    overflow supported range`` — a pure DRIVER-side failure at kilobyte
+    data sizes.  Single-join-per-round loops (min-label propagation, the
+    large-star/small-star contraction, pagerank) only grow the estimate
+    ~linearly (~1 digit/round, measured) and don't need this.
+
+    The fix: rebuild the frame from the checkpointed RDD WITHOUT
+    ``originStats`` — ``internalCreateDataFrame`` (the same JVM entry
+    point ``spark.createDataFrame`` uses) leaves the leaf's statistics at
+    ``defaultSizeInBytes``, holding the estimate CONSTANT at 19-20 digits
+    per round (measured; SCALE_BENCH §20).  The rebuilt frame loses
+    partitioning/ordering metadata the plain checkpoint would have kept,
+    so use it in loops that don't rely on co-partitioning of the loop
+    state — every loop here re-shuffles or broadcasts the state anyway.
+    """
+    ck = df.localCheckpoint()
+    jdf = ck._jdf
+    spark = df.sparkSession
+    fresh = spark._jsparkSession.internalCreateDataFrame(
+        jdf.queryExecution().toRdd(), jdf.schema(), False
+    )
+    return DataFrame(fresh, spark)
+
+
 def cap_baskets(
     df: DataFrame,
     basket_col: str,
@@ -176,8 +214,12 @@ def connected_components(
             # the jump pass references labels twice more — without a
             # materialized frame the lazy plan triples per round, so the
             # shortcut path always truncates the propagation result
-            # (truncate_every batches only the post-jump checkpoint here)
-            labels = labels.localCheckpoint()
+            # (truncate_every batches only the post-jump checkpoint here).
+            # fresh_local_checkpoint, not plain: the jump join below is a
+            # boolean equi-join of two references of this frame, the shape
+            # whose carried Catalyst estimate doubles its digit count per
+            # round (the r10 kcore driver bug — see fresh_local_checkpoint)
+            labels = fresh_local_checkpoint(labels)
             truncations += 1
             # pointer jumping: chase the label's own label one hop
             lmap = labels.select(
@@ -198,7 +240,7 @@ def connected_components(
                 )
             )
             if do_truncate:
-                labels = labels.localCheckpoint()
+                labels = fresh_local_checkpoint(labels)
                 truncations += 1
         rounds += 1
         if is_check:
@@ -265,6 +307,8 @@ def kcore(
     stats: dict | None = None,
     broadcast_alive: bool | None = None,
     broadcast_max_nodes: int = 1_000_000,
+    engine: str = "decremental",
+    broadcast_doomed_max: int = 2_000_000,
 ) -> DataFrame:
     """CONVERGED k-core peel (Seidman 1983): repeatedly delete nodes with
     fewer than ``k`` surviving neighbors until the alive set stabilizes,
@@ -272,12 +316,37 @@ def kcore(
     within the FINAL core — at the fixpoint every survivor's degree is
     ≥ k by construction).
 
+    Two engines, identical results (equivalence pinned over random graphs
+    and non-converged path peels in tests/test_graph.py):
+
+    - ``engine='decremental'`` (default, r10): the classic peeling
+      recurrence — maintain a ``(node, alive-degree)`` state table; each
+      round the DOOMED frontier (alive degree < k) is removed and only the
+      edges INCIDENT TO IT are re-counted (one broadcast-keyed filter pass
+      + one small aggregate), so total decrement work across ALL rounds is
+      O(E), versus the recompute engine's O(E) PER ROUND.  The doomed
+      frontier is broadcast when it fits (``broadcast_doomed_max``; it is
+      a per-round slice of the node set, almost always tiny).  Measured
+      2.17 s → 1.09 s on the declared sf0.1 part graph, and the win grows
+      with peel depth (SCALE_BENCH §20).
+    - ``engine='recompute'``: recompute every alive node's degree from the
+      full edge set each round (two alive-keyed semi-joins + degree
+      aggregate).  Kept for the §18 broadcast-gate A/B surface
+      (``broadcast_alive`` / ``broadcast_max_nodes`` apply to this engine
+      only) and as the independently-derived cross-check the equivalence
+      tests lean on.
+
     Loop discipline is :func:`connected_components`'s — lineage truncated
-    every round via ``localCheckpoint`` (an unpersisted loop doubles the
-    plan per round), and the convergence action THROTTLED to every
-    ``check_every``-th round: the alive set only ever shrinks, so "count
-    unchanged since the last check" is exactly "no node dropped in that
-    whole block", one cheap ``count()`` instead of a set comparison.
+    every round, and (recompute engine) the convergence action THROTTLED
+    to every ``check_every``-th round: the alive set only ever shrinks, so
+    "count unchanged since the last check" is exactly "no node dropped in
+    that whole block", one cheap ``count()`` instead of a set comparison.
+    The per-round truncation uses :func:`fresh_local_checkpoint`, NOT the
+    plain ``localCheckpoint``: both engines join two references of the
+    previous round's state per round, which DOUBLES the carried Catalyst
+    size estimate's digit count every round until the driver stalls in
+    BigInteger multiplication and overflows near round ~25 (the r10 latent
+    bug — see :func:`fresh_local_checkpoint` and SCALE_BENCH §20).
 
     ``max_rounds`` bounds pathological peel chains (a path graph peels
     one layer per round).  If the bound trips BEFORE the fixpoint the
@@ -313,6 +382,10 @@ def kcore(
     degree aggregate over a monotonically shrinking set — no cartesian,
     no driver-side graph.  ``stats`` (a dict, optional) receives
     ``rounds``, ``checks``, and ``converged``."""
+    if engine not in ("decremental", "recompute"):
+        raise ValueError(
+            f"engine must be 'decremental' or 'recompute', got {engine!r}"
+        )
     check_every = max(1, check_every)
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     sym = (
@@ -320,7 +393,11 @@ def kcore(
         .distinct()
         .persist()
     )
-    alive = sym.select(F.col("u").alias("p")).distinct().localCheckpoint()
+    if engine == "decremental":
+        return _kcore_decremental(sym, k, max_rounds, stats, broadcast_doomed_max)
+    alive = fresh_local_checkpoint(
+        sym.select(F.col("u").alias("p")).distinct()
+    )
     prev = alive.count()
     if broadcast_alive is None:
         broadcast_alive = prev <= broadcast_max_nodes
@@ -340,7 +417,9 @@ def kcore(
             .groupBy(F.col("u").alias("p"))
             .agg(F.count(F.lit(1)).cast("long").alias("deg"))
         )
-        alive = deg.filter(F.col("deg") >= k).select("p").localCheckpoint()
+        alive = fresh_local_checkpoint(
+            deg.filter(F.col("deg") >= k).select("p")
+        )
         rounds += 1
         if (rnd + 1) % check_every == 0 or rnd == max_rounds - 1:
             checks += 1
@@ -396,6 +475,88 @@ def kcore(
         deg.join(
             alive.withColumnRenamed("p", "_p"), F.col("_p") == F.col("p")
         )
+        .select(F.col("p").alias("node"), F.col("deg").alias("core_degree"))
+        .localCheckpoint()
+    )
+    sym.unpersist()
+    return out
+
+
+def _kcore_decremental(
+    sym: DataFrame,
+    k: int,
+    max_rounds: int,
+    stats: dict | None,
+    broadcast_doomed_max: int,
+) -> DataFrame:
+    """Decremental peel engine (see :func:`kcore` for the contract).
+
+    State is one ``(node, alive-degree)`` table, maintained exactly: each
+    round removes the doomed frontier (degree < k) and SUBTRACTS, per
+    surviving neighbor, the number of edges it lost to that frontier —
+    only edges incident to the frontier are touched, so the decrement
+    work summed over ALL rounds is O(E).  The maintained degree always
+    equals the node's degree within the current alive set (doomed sets
+    are disjoint across rounds, so no edge is subtracted twice), which
+    also makes the non-converged exit exact with NO final recompute pass:
+    on ``max_rounds`` exhaustion the table already holds degrees within
+    the final alive set — the same value the recompute engine pays an
+    extra full-graph pass to restore.
+    """
+    deg = fresh_local_checkpoint(
+        sym.groupBy(F.col("u").alias("p"))
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    rounds = checks = 0
+    converged = False
+    for _ in range(max_rounds):
+        doomed = deg.filter(F.col("deg") < k).select("p").localCheckpoint()
+        checks += 1
+        n_doomed = doomed.count()
+        if n_doomed == 0:
+            converged = True
+            break
+        d_dec = doomed.select(F.col("p").alias("_d"))
+        d_anti = doomed.select(F.col("p").alias("_dp"))
+        if n_doomed <= broadcast_doomed_max:
+            d_dec, d_anti = F.broadcast(d_dec), F.broadcast(d_anti)
+        dec = (
+            sym.join(d_dec, F.col("_d") == F.col("v"))
+            .groupBy(F.col("u").alias("p"))
+            .agg(F.count(F.lit(1)).cast("long").alias("dec"))
+        )
+        deg = fresh_local_checkpoint(
+            deg.join(d_anti, F.col("_dp") == F.col("p"), "left_anti")
+            .join(dec, "p", "left")
+            .select(
+                "p",
+                (F.col("deg") - F.coalesce(F.col("dec"), F.lit(0))).alias(
+                    "deg"
+                ),
+            )
+        )
+        rounds += 1
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"kcore(k={k}) hit max_rounds={max_rounds} before the peel "
+            "fixpoint — the result is NOT a converged k-core (raise "
+            "max_rounds); stats['converged'] is False",
+            UserWarning,
+            stacklevel=3,
+        )
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["checks"] = checks
+        stats["converged"] = converged
+    out = (
+        # deg >= 1 mirrors the recompute engine's keyed-aggregate contract
+        # on a NON-converged exit: an alive node whose last neighbor died
+        # in the closing round produces no row there (no surviving edge to
+        # aggregate), so it must not produce a zero-degree row here either.
+        # On a converged exit every degree is >= k, so this is a no-op.
+        deg.filter(F.col("deg") >= 1)
         .select(F.col("p").alias("node"), F.col("deg").alias("core_degree"))
         .localCheckpoint()
     )

@@ -790,3 +790,115 @@ def test_truncate_every_is_exact_and_batches_jobs(spark):
         # with check_every=2 every check round truncates, so the batch
         # bound is min(truncate_every, check_every) rounds per truncation
         assert st["truncations"] <= st0["truncations"] // 2 + 1
+
+
+def test_kcore_engines_agree_on_random_graphs(spark):
+    """The decremental (default) and recompute peel engines must return
+    identical (node, core_degree) sets and converged flags — the two are
+    independently-derived implementations of the same fixpoint, so their
+    agreement on random graphs is a strong cross-check."""
+    import random
+
+    from lvm_datapipe_spark.operators.graph import kcore
+
+    rng = random.Random(20261016)
+    for trial, (n, m, k) in enumerate([(60, 120, 2), (80, 240, 3), (50, 90, 4)]):
+        rows = list({(rng.randrange(n), rng.randrange(n)) for _ in range(m)})
+        rows = [(a, b) for a, b in rows if a != b]
+        e = spark.createDataFrame(rows, ["u", "v"])
+        out = {}
+        for engine in ("decremental", "recompute"):
+            st: dict = {}
+            out[engine] = (
+                {
+                    (r.node, r.core_degree)
+                    for r in kcore(e, k=k, engine=engine, stats=st).collect()
+                },
+                st["converged"],
+            )
+        assert out["decremental"] == out["recompute"], (trial, n, m, k)
+        assert out["decremental"][0] == set(_kcore_reference(rows, k).items())
+
+
+def test_kcore_engines_agree_on_exhausted_peel(spark):
+    """Non-converged exits must match too — including the contract corner
+    where a node's LAST alive neighbor dies in the closing round: the
+    recompute engine's keyed aggregate emits no row for it, and the
+    decremental engine must filter its maintained zero-degree row the
+    same way.  A star at k=2 exhausted after 1 round hits exactly that:
+    the leaves die, the center survives with alive-degree 0."""
+    from lvm_datapipe_spark.operators.graph import kcore
+
+    star = [(0, i) for i in range(1, 5)]
+    path = [(i, i + 1) for i in range(29)]
+    for rows, k, cap in ((star, 2, 1), (path, 2, 3)):
+        e = spark.createDataFrame(rows, ["u", "v"])
+        out = {}
+        for engine in ("decremental", "recompute"):
+            st: dict = {}
+            with pytest.warns(UserWarning, match="max_rounds"):
+                got = {
+                    (r.node, r.core_degree)
+                    for r in kcore(
+                        e, k=k, max_rounds=cap, engine=engine, stats=st
+                    ).collect()
+                }
+            out[engine] = (got, st["converged"])
+        assert out["decremental"] == out["recompute"], (rows[:2], k, cap)
+        assert out["decremental"][1] is False
+        assert out["decremental"][0] == set(
+            _kcore_peel_rounds(rows, k, cap).items()
+        )
+
+
+def test_kcore_rejects_unknown_engine(spark):
+    from lvm_datapipe_spark.operators.graph import kcore
+
+    e = spark.createDataFrame([(1, 2)], ["u", "v"])
+    with pytest.raises(ValueError, match="engine"):
+        kcore(e, engine="decremental ")
+
+
+def test_fresh_local_checkpoint_bounds_catalyst_stats(spark):
+    """Regression for the r10 latent driver bug: a loop that joins TWO
+    references of the previous round's checkpoint doubles the carried
+    Catalyst sizeInBytes estimate's DIGIT COUNT per round (measured
+    9 -> 19 -> 41 -> 83 ... under plain localCheckpoint), stalling the
+    driver in BigInteger multiplication around round ~20 and dying with
+    'BigInteger would overflow supported range' on long peels.
+    fresh_local_checkpoint rebuilds the frame from the checkpointed RDD
+    WITHOUT originStats, pinning the estimate at defaultSizeInBytes."""
+    from lvm_datapipe_spark.operators.graph import fresh_local_checkpoint
+
+    def digits(df):
+        s = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        return len(str(s))
+
+    e = spark.createDataFrame([(i, i + 1) for i in range(29)], ["u", "v"])
+    sym = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .persist()
+    )
+    rows_before = None
+    a = fresh_local_checkpoint(sym.select(F.col("u").alias("p")).distinct())
+    for _ in range(4):
+        au = a.select(F.col("p").alias("_au"))
+        av = a.select(F.col("p").alias("_av"))
+        deg = (
+            sym.join(au, F.col("_au") == F.col("u"))
+            .join(av, F.col("_av") == F.col("v"))
+            .groupBy(F.col("u").alias("p"))
+            .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        )
+        a = fresh_local_checkpoint(deg.filter(F.col("deg") >= 2).select("p"))
+        # plain localCheckpoint reads 41 digits by the 2nd round and 169
+        # by the 4th; the fresh rebuild must stay at defaultSizeInBytes
+        # scale (19-20 digits) every round
+        assert digits(a) <= 25
+        n = a.count()
+        assert rows_before is None or n <= rows_before
+        rows_before = n
+    sym.unpersist()
+    # and the data itself survives the rebuild: schema + row identity
+    assert a.columns == ["p"]

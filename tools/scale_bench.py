@@ -1867,7 +1867,10 @@ def bench_kcore_broadcast(spark, quick: bool) -> dict:
     count fits an executor broadcast — the auto-gate default
     (broadcast_max_nodes=4M).  Fixture: uniform random multigraphs at
     fixed mean degree 10 (k=3 peels a real fraction per round), both
-    modes asserted bit-identical."""
+    modes asserted bit-identical.  Since r10 the DEFAULT kcore engine is
+    the decremental peel (§20), which replaces the alive semi-joins with
+    a doomed-frontier broadcast — this bench pins engine='recompute',
+    the engine the gate belongs to."""
     import pandas as pd
 
     from lvm_datapipe_spark.operators.graph import kcore
@@ -1884,7 +1887,7 @@ def bench_kcore_broadcast(spark, quick: bool) -> dict:
         pd.DataFrame({"u": _u, "v": _v})
     ).filter("u <> v").localCheckpoint()
     for _mode in (True, False):
-        kcore(_w, k=3, broadcast_alive=_mode).count()
+        kcore(_w, k=3, broadcast_alive=_mode, engine="recompute").count()
     for n in sizes:
         m = n * 5
         rng = np.random.default_rng(20260816 + n)
@@ -1899,7 +1902,8 @@ def bench_kcore_broadcast(spark, quick: bool) -> dict:
         for mode in (True, False):
             st: dict = {}
             t0 = time.perf_counter()
-            got = kcore(e, k=3, broadcast_alive=mode, stats=st)
+            got = kcore(e, k=3, broadcast_alive=mode, stats=st,
+                        engine="recompute")
             cnt = got.count()
             results[mode] = cnt
             row["broadcast" if mode else "shuffled"] = {
