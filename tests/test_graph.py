@@ -902,3 +902,27 @@ def test_fresh_local_checkpoint_bounds_catalyst_stats(spark):
     sym.unpersist()
     # and the data itself survives the rebuild: schema + row identity
     assert a.columns == ["p"]
+
+
+def test_kcore_string_node_ids_both_engines(spark):
+    """kcore is type-generic in the node id (the ADVICE r9 empty-frame fix
+    derives the type from the edges); both engines must handle non-long
+    ids end to end, including the typed empty result."""
+    from lvm_datapipe_spark.operators.graph import kcore
+
+    rows = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")]
+    e = spark.createDataFrame(rows, "u string, v string")
+    expect = {("a", 2), ("b", 2), ("c", 2)}
+    for engine in ("decremental", "recompute"):
+        got = {
+            (r.node, r.core_degree)
+            for r in kcore(e, k=2, engine=engine).collect()
+        }
+        assert got == expect, engine
+    empty = spark.createDataFrame([], "u string, v long")
+    for engine in ("decremental", "recompute"):
+        out = kcore(
+            empty.select("u", F.col("v").cast("string")), k=2, engine=engine
+        )
+        assert out.count() == 0
+        assert dict(out.dtypes)["node"] == "string", engine
