@@ -1954,6 +1954,122 @@ def render_kcore_broadcast_md(res: dict) -> list[str]:
     return lines
 
 
+def bench_kcore_engines(spark, quick: bool) -> dict:
+    """§20b (r10): the decremental vs recompute kcore engines across graph
+    sizes.  Same fixture family as §18 (uniform random, mean degree 10,
+    k=3 — a converged peel) plus a deep-peel path fixture (k=2,
+    max_rounds=40, exhausts) where the recompute engine's O(E)-per-round
+    cost is maximally exposed.  Cores asserted identical per size."""
+    import warnings
+
+    import pandas as pd
+
+    from lvm_datapipe_spark.operators.graph import kcore
+
+    sizes = [50_000, 200_000] if quick else [50_000, 200_000, 500_000]
+    out: dict = {"mean_degree": 10, "k": 3, "sizes": {}, "path_peel": {}}
+    # untimed warmup (codegen/JIT for both engines' join shapes)
+    _rng = np.random.default_rng(2)
+    _u = _rng.integers(0, 10_000, size=50_000, dtype=np.int64)
+    _v = _rng.integers(0, 10_000, size=50_000, dtype=np.int64)
+    _w = spark.createDataFrame(
+        pd.DataFrame({"u": _u, "v": _v})
+    ).filter("u <> v").localCheckpoint()
+    for _eng in ("decremental", "recompute"):
+        kcore(_w, k=3, engine=_eng).count()
+    for n in sizes:
+        m = n * 5
+        rng = np.random.default_rng(20261016 + n)
+        u = rng.integers(0, n, size=m, dtype=np.int64)
+        v = rng.integers(0, n, size=m, dtype=np.int64)
+        keep = u != v
+        e = spark.createDataFrame(
+            pd.DataFrame({"u": u[keep], "v": v[keep]})
+        ).repartition(32).localCheckpoint()
+        row: dict = {"edges": int(keep.sum())}
+        counts = {}
+        for eng in ("decremental", "recompute"):
+            st: dict = {}
+            t0 = time.perf_counter()
+            cnt = kcore(e, k=3, engine=eng, stats=st).count()
+            counts[eng] = cnt
+            row[eng] = {
+                "sec": round(time.perf_counter() - t0, 2),
+                "rounds": st["rounds"],
+                "core_nodes": int(cnt),
+                "converged": bool(st["converged"]),
+            }
+        assert counts["decremental"] == counts["recompute"]
+        out["sizes"][n] = row
+        print(f"  n={n}: {row}", flush=True)
+    # deep-peel: a path dies one layer per round; cap at 40 rounds so the
+    # fixture measures per-round cost, not the (unbounded) full peel
+    pn = 50_000
+    pe = spark.createDataFrame(
+        pd.DataFrame({"u": np.arange(pn - 1), "v": np.arange(1, pn)})
+    ).repartition(32).localCheckpoint()
+    for eng in ("decremental", "recompute"):
+        st = {}
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            t0 = time.perf_counter()
+            cnt = kcore(pe, k=2, max_rounds=40, engine=eng, stats=st).count()
+        out["path_peel"][eng] = {
+            "sec": round(time.perf_counter() - t0, 2),
+            "rounds": st["rounds"],
+            "alive": int(cnt),
+        }
+        print(f"  path{pn} {eng}: {out['path_peel'][eng]}", flush=True)
+    return out
+
+
+def render_kcore_engines_md(res: dict) -> list[str]:
+    r = res["kcore_engines"]
+    lines = [
+        "## 20b. k-core engine size sweep (generated)",
+        "",
+        f"Uniform random graphs, mean degree {r['mean_degree']}, "
+        f"k={r['k']} (converged",
+        "peel, identical cores asserted), plus a 50k-node path at k=2",
+        "capped at 40 rounds (exhausts — the deep-peel shape).  Both",
+        "engines run the §20 fresh_local_checkpoint loop discipline.",
+        "",
+        "| nodes (edges) | decremental rounds/sec | recompute rounds/sec | ratio |",
+        "|---|---|---|---|",
+    ]
+    for n, row in sorted(r["sizes"].items(), key=lambda kv: int(kv[0])):
+        d, c = row["decremental"], row["recompute"]
+        ratio = c["sec"] / d["sec"] if d["sec"] else float("inf")
+        lines.append(
+            f"| {n} ({row['edges']}) | {d['rounds']} / {d['sec']} s"
+            f" | {c['rounds']} / {c['sec']} s | {ratio:.2f}x |"
+        )
+    p = r["path_peel"]
+    if p:
+        d, c = p["decremental"], p["recompute"]
+        ratio = c["sec"] / d["sec"] if d["sec"] else float("inf")
+        lines.append(
+            f"| path 50k, k=2, 40 rounds | {d['rounds']} / {d['sec']} s"
+            f" | {c['rounds']} / {c['sec']} s | {ratio:.2f}x |"
+        )
+    lines += [
+        "",
+        "- The decremental engine touches only edges incident to each",
+        "  round's doomed frontier (O(E) total across rounds) and detects",
+        "  the fixpoint the round the frontier empties (2 rounds here vs",
+        "  the recompute engine's 4 with its throttled count check) —",
+        "  1.2-1.8x on graphs that barely peel (the k=3 core keeps ~99.7%",
+        "  of a mean-degree-10 graph), where recompute's full-edge rescan",
+        "  is charged every round for near-zero deletions.  On the path",
+        "  fixture BOTH engines are bound by 40 driver-synchronized",
+        "  rounds at trivial data sizes, which caps the ratio; the",
+        "  declared-corpus win (2.17 -> 0.96 s, §20) sits between the",
+        "  two regimes.",
+        "",
+    ]
+    return lines
+
+
 def render_incremental_md(res: dict) -> list[str]:
     r = res["incremental_default"]
     lines = [
@@ -2102,6 +2218,7 @@ def main() -> None:
     only_ccvariants = "--only-ccvariants" in sys.argv
     only_incremental = "--only-incremental" in sys.argv
     only_kcorebcast = "--only-kcorebcast" in sys.argv
+    only_kcoreeng = "--only-kcoreeng" in sys.argv
     os.makedirs(SCRATCH, exist_ok=True)
     from lvm_datapipe_spark.session import get_spark
 
@@ -2119,7 +2236,7 @@ def main() -> None:
     if (only_txlog or only_skyline or only_concurrency or only_linededup
             or only_winnowing or only_lshauto or only_composed or only_geo
             or only_basketcap or only_ccvariants or only_incremental
-            or only_kcorebcast):
+            or only_kcorebcast or only_kcoreeng):
         # incremental mode: merge the new section into the committed
         # results instead of re-running the (long) full matrix
         with open(os.path.join(REPO, "SCALE_BENCH.json")) as f:
@@ -2134,6 +2251,18 @@ def main() -> None:
         res["skew"] = bench_skew(spark, quick)
         print("== LM scoring: DSIR vs CCNet ==", flush=True)
         res["lm_scoring"] = bench_lm_scoring(spark, quick)
+    if only_kcoreeng:
+        print("== kcore engines ==", flush=True)
+        res["kcore_engines"] = bench_kcore_engines(spark, quick)
+        with open(os.path.join(REPO, "SCALE_BENCH.json"), "w") as f:
+            json.dump(res, f, indent=2, sort_keys=True)
+        _update_md_section(
+            "## 20b. k-core engine size sweep",
+            render_kcore_engines_md(res),
+        )
+        print("wrote SCALE_BENCH.json + SCALE_BENCH.md (kcore engines)", flush=True)
+        shutil.rmtree("/dev/shm/spark-scale-local", ignore_errors=True)
+        return
     if only_kcorebcast:
         print("== kcore broadcast gate ==", flush=True)
         res["kcore_broadcast"] = bench_kcore_broadcast(spark, quick)
