@@ -926,3 +926,28 @@ def test_kcore_string_node_ids_both_engines(spark):
         )
         assert out.count() == 0
         assert dict(out.dtypes)["node"] == "string", engine
+
+
+def test_fresh_local_checkpoint_roundtrips_mixed_schema(spark):
+    """The rebuilt frame must be data-identical to the checkpointed one
+    for the schema shapes the engine actually uses (longs, strings,
+    doubles, arrays, nulls) — internalCreateDataFrame wraps the SAME
+    checkpointed InternalRow RDD, so this pins the plumbing, not Spark."""
+    from lvm_datapipe_spark.operators.graph import fresh_local_checkpoint
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 1.5, [1, 2], None),
+            (2, None, float("nan"), [], "x"),
+            (3, "c", -0.0, None, "y"),
+        ],
+        "id long, s string, d double, arr array<int>, t string",
+    )
+    got = fresh_local_checkpoint(df)
+    assert got.schema == df.schema
+    a = sorted(map(repr, df.collect()))
+    b = sorted(map(repr, got.collect()))
+    assert a == b
+    # and it is reusable downstream like any frame: joins + aggregates
+    assert got.join(got.select(F.col("id").alias("id2")),
+                    F.col("id") == F.col("id2")).count() == 3
