@@ -59,6 +59,14 @@ _CHECK_FIRST = [
                                     # backlog slot (was never-checked)
     "dedup_transitivity_inflation",  # CC engine -> two-phase (A/B 1.63x);
                                      # also clears a backlog slot
+    "dedup_clusters",               # CC engine -> two-phase (r10 profile:
+                                    # the LSH graph runs 12 min-label
+                                    # rounds — chains, not cliques; fresh
+                                    # min-of-2 full-query A/B 1.61x,
+                                    # SCALE_BENCH §19)
+    "dedup_cluster_size_hist",      # same switch, A/B 1.55x; also clears
+                                    # a backlog slot (never-checked; a
+                                    # CENSUS_5 bench-frozen heavy)
     "events_watermark_drop_audit",  # body UNCHANGED in r10 — held in
                                     # tier 1 one extra round per r9
                                     # verdict item 7 so the stabilized
@@ -73,7 +81,8 @@ _CHECK_FIRST = [
     "ann_cosine_topk",
     "ann_lsh_near_dup",
     "asof_last_view_before_purchase",
-    "asof_next_purchase_after_view",
+    # (asof_next_purchase_after_view — the r4 twin — yielded its slot to
+    #  the two dedup-cluster CC switches above; re-enters tier 4 in r11)
     "events_tumbling_window",
     "hypertable_rollup",
     "q3_shipping_priority",
@@ -117,17 +126,17 @@ _CHECK_FIRST = [
     "source_venn_overlap",
     "range_partition_boundaries",
     "session_top_paths",
-    "ship_latency_by_priority",
     "dedup_method_agreement",       # first official row for a GRAPH_ANN_6
                                     # bench-frozen heavy (min-label kept
                                     # after the r10 A/B — SCALE_BENCH §19)
-    # (slots 1-50 above fill the driver window: 3 added + 4 changed + 16
-    #  veterans + 27 backlog -> never_checked 127 -> 98 (two tier-1
-    #  entries were also never-checked).  The backlog continues in
-    #  declaration order at skyline_dominance_counts,
-    #  events_debounce_collapse, cohort_ltv_curve,
-    #  vocab_coverage_by_freq_class — everything outside the window is
-    #  green in the committed full sf0.01 sweep, CORRECTNESS_LOCAL_r10
+    # (slots 1-50 above fill the driver window: 3 added + 6 changed + 15
+    #  veterans + 26 backlog -> never_checked 127 -> 98 (three window
+    #  entries — the two r9-switch heavies and dedup_cluster_size_hist —
+    #  were themselves never-checked).  The backlog continues in
+    #  declaration order at ship_latency_by_priority,
+    #  skyline_dominance_counts, events_debounce_collapse,
+    #  cohort_ltv_curve — everything outside the window is green in the
+    #  committed full sf0.01 sweep, CORRECTNESS_LOCAL_r10
     #  (tools/check_correctness.py, 410/410 oracle-paired))
 ]
 
