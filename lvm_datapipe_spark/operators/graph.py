@@ -18,9 +18,14 @@ Scale shape (1000-executor reality check):
 
 - each round is one keyed shuffle (join on the edge source + groupBy on the
   destination) — no cross product, no driver-side graph;
-- rounds needed = graph diameter.  Near-dup clusters are near-cliques
-  (diameter ≤ ~2-3), so 3-5 rounds close most corpora; ``max_rounds``
-  bounds the worst case;
+- rounds needed = graph diameter.  EXACT-dup and high-threshold near-dup
+  clusters are near-cliques (diameter ≤ ~2-3; 3-5 rounds close them), but
+  the r10 census profile measured the cosine-0.4 embedding LSH graph at
+  12 rounds at sf0.1 — similarity is not transitive, so moderate-threshold
+  near-dup pairs CHAIN and the diameter grows with the corpus.  For those
+  graphs use :func:`connected_components_twophase` (O(log²) rounds; the
+  declared dedup-cluster queries switched in r10, SCALE_BENCH §19);
+  ``max_rounds`` bounds the worst case here;
 - lineage is truncated every round with ``localCheckpoint`` — without it
   the plan doubles per iteration and the job dies on optimizer time long
   before data size matters;
@@ -274,11 +279,16 @@ def dedup_keep_representatives(
     corpus) cluster table; rows whose id is not a cluster member are kept
     by the null branch.
 
-    ``strategy='minlabel'`` (default) suits near-dup pair graphs — their
-    clusters are near-cliques (diameter 2-3), where plain propagation
-    converges in 2-3 cheap rounds.  Pass ``'twophase'`` for
-    caller-supplied pair lists whose component shape is unknown (chains /
-    hubs): identical labels, O(log² n) rounds (SCALE_BENCH §16)."""
+    ``strategy='minlabel'`` (default) suits exact-dup and high-threshold
+    pair graphs, whose clusters are near-cliques (diameter 2-3, 2-3 cheap
+    propagation rounds).  Pass ``'twophase'`` for caller-supplied pair
+    lists whose component shape is unknown (chains / hubs) AND for
+    moderate-threshold similarity graphs — the r10 census profile
+    measured the cosine-0.4 LSH graph at 12 min-label rounds (similarity
+    chains; SCALE_BENCH §19 r10b) — identical labels, O(log² n) rounds
+    (SCALE_BENCH §16).  r11 queue: the declared ``dedup_representatives``
+    caller switches to ``'twophase'`` on that measurement (window-budget
+    deferred, BENCH_NOTES r10b)."""
     if strategy not in ("minlabel", "twophase"):
         raise ValueError(
             "strategy must be 'minlabel' or 'twophase', got "

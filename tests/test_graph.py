@@ -951,3 +951,32 @@ def test_fresh_local_checkpoint_roundtrips_mixed_schema(spark):
     # and it is reusable downstream like any frame: joins + aggregates
     assert got.join(got.select(F.col("id").alias("id2")),
                     F.col("id") == F.col("id2")).count() == 3
+
+
+def test_kcore_engines_agree_with_self_loops_and_duplicates(spark):
+    """Degenerate edge lists (self-loops, duplicate and reversed pairs)
+    must not split the engines: the symmetric-distinct edge build
+    canonicalizes them identically, and a self-loop contributes exactly
+    one degree on both paths (matching the python reference, whose
+    adjacency set also holds u in adj[u])."""
+    from lvm_datapipe_spark.operators.graph import kcore
+
+    rows = [
+        (1, 2), (2, 1), (1, 2),          # duplicate + reversed
+        (2, 3), (1, 3),
+        (3, 3),                          # self-loop on a core member
+        (9, 9),                          # isolated self-loop node
+    ]
+    e = spark.createDataFrame(rows, ["u", "v"])
+    out = {}
+    for engine in ("decremental", "recompute"):
+        st: dict = {}
+        out[engine] = (
+            {
+                (r.node, r.core_degree)
+                for r in kcore(e, k=2, engine=engine, stats=st).collect()
+            },
+            st["converged"],
+        )
+    assert out["decremental"] == out["recompute"]
+    assert out["decremental"][0] == set(_kcore_reference(rows, 2).items())
