@@ -350,7 +350,14 @@ def kcore(
     every round, and (recompute engine) the convergence action THROTTLED
     to every ``check_every``-th round: the alive set only ever shrinks, so
     "count unchanged since the last check" is exactly "no node dropped in
-    that whole block", one cheap ``count()`` instead of a set comparison.
+    that whole block", one cheap ``count()`` instead of a set comparison
+    (plus an empty-set short-circuit: an empty core is definitionally the
+    fixpoint).  Flag nuance pinned by the r10 agreement property: the
+    decremental engine observes the fixpoint the exact round its doomed
+    frontier empties, while recompute's throttled check can read
+    ``converged=False`` for a NONEMPTY fixpoint reached inside its final
+    ``check_every`` block under a tight ``max_rounds`` — recompute True
+    always implies decremental True, never the reverse.
     The per-round truncation uses :func:`fresh_local_checkpoint`, NOT the
     plain ``localCheckpoint``: both engines join two references of the
     previous round's state per round, which DOUBLES the carried Catalyst
@@ -434,7 +441,11 @@ def kcore(
         if (rnd + 1) % check_every == 0 or rnd == max_rounds - 1:
             checks += 1
             cur = alive.count()
-            if cur == prev:
+            # an EMPTY alive set is definitionally the fixpoint — without
+            # this short-circuit a graph whose core empties in the final
+            # check block reads converged=False (and pays wasted empty
+            # rounds); found by the r10 engine-agreement property test
+            if cur == prev or cur == 0:
                 converged = True
                 break
             prev = cur

@@ -563,3 +563,53 @@ def test_kcore_matches_python_fixpoint_on_random_graphs(spark, edges, k):
     }
     assert stats["converged"] is True
     assert got == expect
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=14),
+            st.integers(min_value=0, max_value=14),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    st.sampled_from([2, 3]),
+    st.sampled_from([2, 40]),
+)
+@settings(**SETTINGS)
+def test_kcore_engines_agree_on_random_graphs_property(spark, edges, k, cap):
+    """The decremental (r10 default) and recompute peel engines return
+    identical (node, core_degree) sets and converged flags on ARBITRARY
+    edge lists — self-loops and duplicates included — at both a
+    converging and an exhausting max_rounds.  Two independently-derived
+    implementations of the same fixpoint; their randomized agreement is
+    the engine swap's strongest safety net."""
+    import warnings
+
+    from lvm_datapipe_spark.operators.graph import kcore
+
+    df = spark.createDataFrame(edges, "u long, v long")
+    out = {}
+    for engine in ("decremental", "recompute"):
+        st_: dict = {}
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            rows = kcore(
+                df, k=k, max_rounds=cap, engine=engine, stats=st_
+            ).collect()
+        out[engine] = (
+            {(r.node, r.core_degree) for r in rows},
+            st_["converged"],
+        )
+    assert out["decremental"][0] == out["recompute"][0]
+    # converged flags: the decremental engine observes the fixpoint the
+    # exact round the doomed frontier empties; the recompute engine's
+    # throttled count can miss a fixpoint reached inside its final
+    # check_every block under a tight cap.  The guarantee is one-way:
+    # recompute True implies decremental True (never the reverse), and
+    # at a generous cap both see the true fixpoint.
+    if out["recompute"][1]:
+        assert out["decremental"][1]
+    if cap == 40:
+        assert out["decremental"][1] == out["recompute"][1]
