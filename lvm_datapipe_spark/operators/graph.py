@@ -557,6 +557,15 @@ def _kcore_decremental(
             )
         )
         rounds += 1
+    if not converged and deg.isEmpty():
+        # an EMPTY state table is definitionally the fixpoint (nothing left
+        # to peel): mirror the recompute engine's empty-core short-circuit
+        # so a core that empties in the FINAL round under a tight
+        # max_rounds reads converged — this keeps the documented one-way
+        # flag guarantee (recompute True ⇒ decremental True) exact; found
+        # by the r10 engine-agreement property test's (self-loop, k=2,
+        # cap=2) counterexample.  Only paid on the exhaustion path.
+        converged = True
     if not converged:
         import warnings
 
