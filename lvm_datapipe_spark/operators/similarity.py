@@ -709,6 +709,13 @@ def pq_codebooks(m: int, ksub: int, dsub: int, seed: int):
     return rng.standard_normal((m, ksub, dsub)) / float(np.sqrt(dim))
 
 
+def _pq_code_col(cb_j, j: int, dsub: int) -> Column:
+    """code_j = argmin-distance centroid index for subvector j (first
+    index on ties — the array_position convention), as one Column."""
+    d = _pq_dists_sql("nv", j, cb_j, dsub)
+    return (F.expr(f"array_position({d}, array_min({d}))") - 1).cast("int")
+
+
 def _pq_dists_sql(vec_sql: str, j: int, cb_j, dsub: int) -> str:
     """Per-centroid squared-L2 array for subvector j as ONE parsed
     expression: ksub compact zip_with folds over slice(vec) — the same
@@ -741,13 +748,17 @@ def pq_encode(
     dsub = dim // m
     cbs = pq_codebooks(m, ksub, dsub, seed)
     out = emb.select(F.col(id_col).alias(out_id), as_double(vec_col).alias("nv"))
-    for j in range(m):
-        d = _pq_dists_sql("nv", j, cbs[j], dsub)
-        out = out.withColumn(
-            f"code_{j}",
-            (F.expr(f"array_position({d}, array_min({d}))") - 1).cast("int"),
-        )
-    return out.drop("nv")
+    # ONE select for all m codes: m chained withColumns each re-run the
+    # analyzer over a growing plan (quadratic in m on these literal-heavy
+    # trees — measured ~2 s of pure driver time at m=32); the expressions
+    # and the optimized plan are identical (r10-opt, guide §1.2)
+    return out.select(
+        out_id,
+        *[
+            _pq_code_col(cbs[j], j, dsub).alias(f"code_{j}")
+            for j in range(m)
+        ],
+    )
 
 
 def pq_adc_topk(
@@ -776,9 +787,15 @@ def pq_adc_topk(
     cbs = pq_codebooks(m, ksub, dsub, seed)
     codes = pq_encode(emb, m, ksub, dim, seed, id_col, vec_col)
     q = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
-    for j in range(m):
-        q = q.withColumn(f"lut_{j}", F.expr(_pq_dists_sql("qv", j, cbs[j], dsub)))
-    q = q.drop("qv")
+    # single select for all m LUTs (see pq_encode — identical expressions,
+    # one analyzer pass instead of m)
+    q = q.select(
+        "query_id",
+        *[
+            F.expr(_pq_dists_sql("qv", j, cbs[j], dsub)).alias(f"lut_{j}")
+            for j in range(m)
+        ],
+    )
     dist = None
     for j in range(m):
         t = F.expr(f"element_at(lut_{j}, code_{j} + 1)")
@@ -822,13 +839,13 @@ def ivfpq_topk(
     dsub = dim // m
     cbs = pq_codebooks(m, ksub, dsub, pq_seed)
     corpus = ivf_fixed_assign(emb, n_cells, dim, ivf_seed, id_col, vec_col)
-    for j in range(m):
-        d = _pq_dists_sql("nv", j, cbs[j], dsub)
-        corpus = corpus.withColumn(
-            f"code_{j}",
-            (F.expr(f"array_position({d}, array_min({d}))") - 1).cast("int"),
-        )
-    corpus = corpus.drop("nv")
+    # single select per side for all m code/LUT columns (see pq_encode —
+    # identical expressions, one analyzer pass instead of m each)
+    corpus = corpus.select(
+        "neighbor_id",
+        "cell",
+        *[_pq_code_col(cbs[j], j, dsub).alias(f"code_{j}") for j in range(m)],
+    )
     qs = _ivf_probe_cells(queries, n_cells, dim, ivf_seed, id_col, vec_col)
     wp = Window.partitionBy("query_id").orderBy(F.desc("cell_sim"), F.asc("cell"))
     probe = (
@@ -836,11 +853,14 @@ def ivfpq_topk(
         .filter(F.col("_r") <= n_probe)
         .select("query_id", "qv", "cell")
     )
-    for j in range(m):
-        probe = probe.withColumn(
-            f"lut_{j}", F.expr(_pq_dists_sql("qv", j, cbs[j], dsub))
-        )
-    probe = probe.drop("qv")
+    probe = probe.select(
+        "query_id",
+        "cell",
+        *[
+            F.expr(_pq_dists_sql("qv", j, cbs[j], dsub)).alias(f"lut_{j}")
+            for j in range(m)
+        ],
+    )
     dist = None
     for j in range(m):
         t = F.expr(f"element_at(lut_{j}, code_{j} + 1)")
@@ -879,13 +899,12 @@ def ivfpq_write_store(
     dsub = dim // m
     cbs = pq_codebooks(m, ksub, dsub, pq_seed)
     corpus = ivf_fixed_assign(emb, n_cells, dim, ivf_seed, id_col, vec_col)
-    for j in range(m):
-        d = _pq_dists_sql("nv", j, cbs[j], dsub)
-        corpus = corpus.withColumn(
-            f"code_{j}",
-            (F.expr(f"array_position({d}, array_min({d}))") - 1).cast("int"),
-        )
-    write_partitioned(corpus.drop("nv"), path, ["cell"])
+    corpus = corpus.select(
+        "neighbor_id",
+        "cell",
+        *[_pq_code_col(cbs[j], j, dsub).alias(f"code_{j}") for j in range(m)],
+    )
+    write_partitioned(corpus, path, ["cell"])
 
 
 def ivfpq_topk_from_store(
@@ -917,11 +936,14 @@ def ivfpq_topk_from_store(
         .filter(F.col("_r") <= n_probe)
         .select("query_id", "qv", "cell")
     )
-    for j in range(m):
-        probe = probe.withColumn(
-            f"lut_{j}", F.expr(_pq_dists_sql("qv", j, cbs[j], dsub))
-        )
-    probe = probe.drop("qv")
+    probe = probe.select(
+        "query_id",
+        "cell",
+        *[
+            F.expr(_pq_dists_sql("qv", j, cbs[j], dsub)).alias(f"lut_{j}")
+            for j in range(m)
+        ],
+    )
     cells = sorted(r.cell for r in probe.select("cell").distinct().collect())
     corpus = spark.read.parquet(path).filter(F.col("cell").isin(cells))
     dist = None
