@@ -818,17 +818,17 @@ def connected_components_twophase(
         mins = edges.groupBy("u").agg(
             F.least(F.min("v"), F.first("u")).alias("m")
         )
-        ls = (
+        # large-star rows are ALREADY parent-oriented: m = min(N(u) ∪ {u})
+        # ≤ u < v strictly, so the emitted (v, m) pair has u' > v' with no
+        # reorientation and no self-pair possible — one distinct suffices
+        # (the historical reorient-then-re-distinct paid a second full
+        # shuffle per round on an identity mapping; r10 opt, guide §2.2)
+        par = (
             edges.join(mins, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .filter(F.col("u") != F.col("v"))
             .distinct()
         )
-        # keep orientation u > v (parent edges) and resymmetrize
-        par = ls.select(
-            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-        ).distinct()
         # -- small-star on parent edges: all of N(u) + {u} -> min
         smins = par.groupBy("u").agg(F.min("v").alias("m"))
         ss_children = (
@@ -845,18 +845,18 @@ def connected_components_twophase(
         rounds += 1
         sig = _sig(par)
         if sig == prev_sig:
-            edges = par.union(
-                par.select(F.col("v").alias("u"), F.col("u").alias("v"))
-            ).localCheckpoint()
             break
         prev_sig = sig
+        # resymmetrize LAZILY over the just-checkpointed parent set: the
+        # union is narrow, so the next round's two scans replay it from
+        # the checkpoint — materializing it was a third driver-
+        # synchronized job per round for no lineage benefit (r10 opt)
         edges = par.union(
             par.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        ).localCheckpoint()
+        )
     if stats is not None:
         stats["rounds"] = rounds
     # parent edges now form stars: (child, root); roots label themselves
-    par = edges.filter(F.col("u") > F.col("v"))
     roots = (
         par.select(F.col("v").alias("id"))
         .distinct()
