@@ -659,9 +659,14 @@ def pagerank(
             f"scale {scale} * max edge weight {max_w} overflows BIGINT; "
             "pass a smaller scale"
         )
+    # derive nodes from the PERSISTED ew, not the raw edge plan: ew's
+    # inner join with out_w loses no rows (every _src has an out_w row by
+    # construction), and reading the cache avoids re-executing the
+    # caller's edge build — often a multi-table fact join — a second
+    # time for the node set (r10 opt, guide §1.2)
     nodes = (
-        e.select(F.col("_src").alias("_node"))
-        .union(e.select(F.col("_dst")))
+        ew.select(F.col("_src").alias("_node"))
+        .union(ew.select(F.col("_dst")))
         .distinct()
         .persist()
     )
@@ -681,7 +686,7 @@ def pagerank(
     ranks = nodes.select(
         "_node", F.lit(scale // n_nodes).cast("long").alias("_r")
     )
-    for _ in range(n_iter):
+    for i in range(n_iter):
         contrib = (
             ew.join(ranks, ew._src == ranks._node)
             .select(
@@ -691,17 +696,23 @@ def pagerank(
             .groupBy("_dst")
             .agg(F.sum("_c").alias("_s"))
         )
-        ranks = (
-            nodes.join(contrib, nodes._node == contrib._dst, "left_outer")
-            .select(
-                "_node",
-                (
-                    F.lit(base).cast("long")
-                    + F.expr(f"({num} * coalesce(_s, 0L)) DIV {den}")
-                ).alias("_r"),
-            )
-            .localCheckpoint()
+        ranks = nodes.join(
+            contrib, nodes._node == contrib._dst, "left_outer"
+        ).select(
+            "_node",
+            (
+                F.lit(base).cast("long")
+                + F.expr(f"({num} * coalesce(_s, 0L)) DIV {den}")
+            ).alias("_r"),
         )
+        # chain iterations LAZILY — the docstring's "one job of n_iter
+        # chained keyed shuffles" contract; a localCheckpoint per round
+        # was n_iter driver-synchronized jobs on |V|-sized state.  Only
+        # truncate mid-run on long runs (plan depth 2 shuffles/iter),
+        # then once at the end so the persisted inputs can be released.
+        if (i + 1) % 8 == 0 and i + 1 < n_iter:
+            ranks = ranks.localCheckpoint()
+    ranks = ranks.localCheckpoint()
     ew.unpersist(blocking=False)
     nodes.unpersist(blocking=False)
     return ranks.select(
