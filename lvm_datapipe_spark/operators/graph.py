@@ -1016,10 +1016,15 @@ def triangle_counts(
             F.col("u").alias("x"), F.col("v1").alias("y"), F.col("v2").alias("z")
         )
     )
+    # ONE streaming pass over the triangle set: the historical 3-way
+    # unionAll of per-corner projections re-executed the wedge join (the
+    # operator's dominant cost) once per branch — tri was never
+    # materialized.  explode(array(x,y,z)) feeds the same map-side-
+    # combinable count from a single execution; counts are identical
+    # (each triangle still contributes exactly one row per corner).
+    # (r10 opt, guide §1.2/§2.2)
     return (
-        tri.select(F.col("x").alias("node"))
-        .unionAll(tri.select(F.col("y").alias("node")))
-        .unionAll(tri.select(F.col("z").alias("node")))
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("triangles"))
     )
