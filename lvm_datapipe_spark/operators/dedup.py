@@ -152,11 +152,32 @@ def ngram_jaccard_pairs(
 
 
 def shingle_intersections(
-    ex: DataFrame, id_col: str = "doc_id", max_shingle_freq: int | None = 1000
+    ex: DataFrame,
+    id_col: str = "doc_id",
+    max_shingle_freq: int | None = 1000,
+    restrict_pairs: DataFrame | None = None,
 ) -> DataFrame:
     """(id_a, id_b, n_common) for every unordered id pair sharing ≥1 shingle
     in the DISTINCT (id, shingle) table ``ex`` — the shared intersection
-    kernel under Jaccard, containment, and overlap set-similarity forms."""
+    kernel under Jaccard, containment, and overlap set-similarity forms.
+
+    ``restrict_pairs`` (columns id_a, id_b, id_a < id_b) limits the output
+    to those pairs WITHOUT changing any retained pair's count: the
+    stop-shingle cap is still counted over the whole of ``ex`` first, then
+    ids outside the pair set are dropped from the explode and non-listed
+    pairs are dropped before the aggregate.  Callers that immediately join
+    the intersections against a bounded candidate set (the MinHash
+    estimator audits) pass it to avoid computing the full co-shingle pair
+    table and discarding ~all of it (guide §1.2); the pair set and its id
+    projection are broadcast — they are bounded by design wherever this is
+    worth using."""
+    rids = None
+    if restrict_pairs is not None:
+        rids = (
+            restrict_pairs.select(F.col("id_a").alias(id_col))
+            .union(restrict_pairs.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
     if max_shingle_freq is not None:
         # Capped path, ONE shuffle: group by shingle, collect the (bounded)
         # posting list, drop over-cap shingles by list size, then emit pairs
@@ -169,23 +190,50 @@ def shingle_intersections(
             .agg(F.collect_list(id_col).alias("ids"))
             .filter((F.size("ids") >= 2) & (F.size("ids") <= max_shingle_freq))
         )
-        inter = (
-            grouped.select(F.explode("ids").alias("id_a"), "ids")
-            .select("id_a", F.explode("ids").alias("id_b"))
-            .filter(F.col("id_a") < F.col("id_b"))
-            .groupBy("id_a", "id_b")
-            .agg(F.count(F.lit(1)).alias("n_common"))
+        lhs = grouped.select(F.explode("ids").alias("id_a"), "ids")
+        if rids is not None:
+            lhs = lhs.join(
+                F.broadcast(rids.select(F.col(id_col).alias("id_a"))),
+                "id_a",
+                "semi",
+            )
+        pairs = lhs.select("id_a", F.explode("ids").alias("id_b")).filter(
+            F.col("id_a") < F.col("id_b")
+        )
+        if restrict_pairs is not None:
+            pairs = pairs.join(
+                F.broadcast(restrict_pairs.select("id_a", "id_b")),
+                ["id_a", "id_b"],
+                "semi",
+            )
+        inter = pairs.groupBy("id_a", "id_b").agg(
+            F.count(F.lit(1)).alias("n_common")
         )
     else:
         # Exact-on-every-shingle form: shingle self-equi-join (unbounded hot
         # keys possible — callers accept the skew risk by passing None).
         a = ex.select(F.col(id_col).alias("id_a"), "shingle")
         b = ex.select(F.col(id_col).alias("id_b"), "shingle")
-        inter = (
-            a.join(b, "shingle")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .groupBy("id_a", "id_b")
-            .agg(F.count(F.lit(1)).alias("n_common"))
+        if rids is not None:
+            a = a.join(
+                F.broadcast(rids.select(F.col(id_col).alias("id_a"))),
+                "id_a",
+                "semi",
+            )
+            b = b.join(
+                F.broadcast(rids.select(F.col(id_col).alias("id_b"))),
+                "id_b",
+                "semi",
+            )
+        pairs = a.join(b, "shingle").filter(F.col("id_a") < F.col("id_b"))
+        if restrict_pairs is not None:
+            pairs = pairs.join(
+                F.broadcast(restrict_pairs.select("id_a", "id_b")),
+                ["id_a", "id_b"],
+                "semi",
+            )
+        inter = pairs.groupBy("id_a", "id_b").agg(
+            F.count(F.lit(1)).alias("n_common")
         )
     return inter
 

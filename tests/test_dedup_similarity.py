@@ -52,6 +52,58 @@ def test_ngram_jaccard_stop_shingle_cap(spark):
     assert pairs.count() == 0
 
 
+def test_shingle_intersections_restrict_pairs_equivalence(spark):
+    """restrict_pairs must equal the full kernel filtered to the pair set —
+    same n_common on every retained pair, no extra pairs — on both the
+    capped and uncapped paths."""
+    ex = D.shingle_rows(_docs(spark), hashed=True).persist()
+    want = {(1, 2), (2, 4)}
+    rp = spark.createDataFrame(sorted(want), ["id_a", "id_b"])
+    for cap in (1000, None):
+        full = {
+            (r.id_a, r.id_b): r.n_common
+            for r in D.shingle_intersections(ex, "doc_id", cap).collect()
+        }
+        restricted = {
+            (r.id_a, r.id_b): r.n_common
+            for r in D.shingle_intersections(
+                ex, "doc_id", cap, restrict_pairs=rp
+            ).collect()
+        }
+        assert restricted == {
+            p: n for p, n in full.items() if p in want
+        }, f"cap={cap}"
+    ex.unpersist()
+
+
+def test_shingle_intersections_restrict_keeps_global_cap(spark):
+    """The stop-shingle cap counts over ALL docs even under restriction: a
+    shingle shared by 3 docs is dropped at cap=2 although the restricted
+    pair set only ever sees 2 of those docs."""
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma epsilon"),
+            (3, "alpha beta gamma zeta"),
+        ],
+        ["doc_id", "text"],
+    )
+    ex = D.shingle_rows(df, hashed=True).persist()
+    rp = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    full = {
+        (r.id_a, r.id_b): r.n_common
+        for r in D.shingle_intersections(ex, "doc_id", 2).collect()
+    }
+    restricted = {
+        (r.id_a, r.id_b): r.n_common
+        for r in D.shingle_intersections(ex, "doc_id", 2, restrict_pairs=rp).collect()
+    }
+    # 'alpha beta gamma' appears in all 3 docs -> dropped by cap=2 globally;
+    # the restricted run must agree with the full run on pair (1, 2).
+    assert restricted == {p: n for p, n in full.items() if p == (1, 2)}
+    ex.unpersist()
+
+
 def test_minhash_lsh_candidates(spark):
     pairs = {(r.id_a, r.id_b) for r in D.minhash_lsh_pairs(_docs(spark)).collect()}
     assert (1, 4) in pairs  # exact dup always collides (identical signature)
