@@ -50,6 +50,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def fresh_local_checkpoint(df: DataFrame) -> DataFrame:
@@ -765,6 +766,8 @@ def connected_components_twophase(
     cluster_out: str = "cluster_id",
     max_rounds: int = 40,
     stats: dict | None = None,
+    assume_symmetric: bool = False,
+    driver_finish_max_edges: int | None = 200_000,
 ) -> DataFrame:
     """Alternating LARGE-STAR / SMALL-STAR connected components (Kiveris
     et al. 2014, "Connected Components in MapReduce and Beyond") — the
@@ -794,7 +797,28 @@ def connected_components_twophase(
     pairwise old-vs-new comparison.  Prefer the plain propagation for
     near-clique dedup graphs (it converges in 2-3 cheap rounds);
     prefer this for social/web-shaped graphs where hubs and chains
-    coexist."""
+    coexist.
+
+    ``assume_symmetric=True`` asserts the caller's pair list already
+    contains BOTH orientations of every edge (e.g. a grid/band self-join
+    whose predicate is symmetric): the symmetrize union + distinct + its
+    checkpoint are skipped entirely (duplicates would only cost, never
+    corrupt — every downstream step is a min-aggregate or distinct).
+
+    ``driver_finish_max_edges`` is the SIZE-GATED driver finish (the
+    kcore broadcast-gate pattern): contraction shrinks the parent-edge
+    set geometrically, so the late rounds run 4 driver-synchronized
+    keyed shuffles over a few thousand rows — pure per-round barrier
+    cost at any cluster size.  When a round's signature count drops to
+    the gate (default 200k edges ≈ 3 MB of longs collected, bounded the
+    same way the kcore alive-set broadcast is), the remaining fixpoint
+    is computed as one union-find over the collected parent edges —
+    bit-identical labels (both sides produce (node, min-reachable-id);
+    the parent set at every round spans the same components as the
+    input, the contraction invariant the algorithm's correctness rests
+    on — pinned by tests across gate settings).  ``None`` disables the
+    gate (pure distributed loop, e.g. for the engine-equivalence
+    tests)."""
     # one materialization of the raw pair list: BOTH branches below (the
     # contraction working set and the self-loop singleton recovery) read
     # the checkpointed form, so the upstream pair pipeline (often an LSH /
@@ -810,10 +834,16 @@ def connected_components_twophase(
     # union the missing ones back after the contraction.
     selfs = p0.filter(F.col("u") == F.col("v")).select("u").distinct()
     e0 = p0.filter(F.col("u") != F.col("v"))
-    # undirected working set, both orientations
-    edges = e0.union(
-        e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).distinct().localCheckpoint()
+    if assume_symmetric:
+        # caller guarantees both orientations are present: the working
+        # set reads straight off the p0 checkpoint — no symmetrize
+        # union, no second distinct+checkpoint job over 2|E| rows
+        edges = e0
+    else:
+        # undirected working set, both orientations
+        edges = e0.union(
+            e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct().localCheckpoint()
 
     def _sig(parent_edges: DataFrame):
         r = parent_edges.agg(
@@ -824,6 +854,7 @@ def connected_components_twophase(
 
     rounds = 0
     prev_sig = None
+    finished_on_driver = False
     for _ in range(max_rounds):
         # -- large-star: v > u re-points to min(N(u) + {u})
         mins = edges.groupBy("u").agg(
@@ -857,6 +888,12 @@ def connected_components_twophase(
         sig = _sig(par)
         if sig == prev_sig:
             break
+        if (
+            driver_finish_max_edges is not None
+            and sig[0] <= driver_finish_max_edges
+        ):
+            finished_on_driver = True
+            break
         prev_sig = sig
         # resymmetrize LAZILY over the just-checkpointed parent set: the
         # union is narrow, so the next round's two scans replay it from
@@ -867,19 +904,60 @@ def connected_components_twophase(
         )
     if stats is not None:
         stats["rounds"] = rounds
-    # parent edges now form stars: (child, root); roots label themselves
-    roots = (
-        par.select(F.col("v").alias("id"))
-        .distinct()
-        .select("id", F.col("id").alias("label"))
-    )
-    children = par.select(F.col("u").alias("id"), F.col("v").alias("label"))
-    labeled = (
-        children.unionAll(roots)
-        .groupBy("id")
-        .agg(F.min("label").alias(cluster_out))
-        .select(F.col("id").alias(id_out), cluster_out)
-    )
+        stats["driver_finish"] = finished_on_driver
+    if finished_on_driver:
+        # gated finish: the parent set spans the same components as the
+        # input, so one union-find over its (bounded, just-counted) rows
+        # yields the final (node, component-min) map directly — no more
+        # distributed rounds.  Path-halving find, union by lesser root id
+        # (the label IS the min, so roots are kept as minima).
+        parent: dict = {}
+
+        def _find(x):
+            r = x
+            while parent.get(r, r) != r:
+                parent[r] = parent.get(parent[r], parent[r])
+                r = parent[r]
+            return r
+
+        for row in par.collect():
+            ra, rb = _find(row[0]), _find(row[1])
+            if ra == rb:
+                continue
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+        lab_rows = [(n, _find(n)) for n in parent] + [
+            (n, n)
+            for n in {_find(n) for n in parent}
+        ]
+        utype = p0.schema["u"].dataType
+        labeled = p0.sparkSession.createDataFrame(
+            lab_rows,
+            T.StructType(
+                [
+                    T.StructField(id_out, utype, False),
+                    T.StructField(cluster_out, utype, False),
+                ]
+            ),
+        )
+    else:
+        # parent edges now form stars: (child, root); roots label
+        # themselves
+        roots = (
+            par.select(F.col("v").alias("id"))
+            .distinct()
+            .select("id", F.col("id").alias("label"))
+        )
+        children = par.select(
+            F.col("u").alias("id"), F.col("v").alias("label")
+        )
+        labeled = (
+            children.unionAll(roots)
+            .groupBy("id")
+            .agg(F.min("label").alias(cluster_out))
+            .select(F.col("id").alias(id_out), cluster_out)
+        )
     singles = selfs.join(
         labeled, selfs["u"] == labeled[id_out], "left_anti"
     ).select(F.col("u").alias(id_out), F.col("u").alias(cluster_out))

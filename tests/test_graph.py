@@ -644,6 +644,81 @@ def test_twophase_self_loop_only_node_is_singleton(spark):
     assert tp == plain == {(9, 9), (2, 2), (3, 2)}
 
 
+def test_twophase_driver_finish_matches_distributed_fixpoint(spark):
+    """The size-gated driver union-find finish must label identically to
+    the pure distributed contraction loop (gate disabled), on shapes that
+    exercise multi-round contraction, and the stats flag must record
+    which path ran."""
+    from lvm_datapipe_spark.operators.graph import connected_components_twophase
+
+    rows = (
+        [(i, i + 1) for i in range(50)]                      # chain
+        + [(a, b) for a in range(100, 106) for b in range(a + 1, 106)]
+        + [(300, 300), (7, 7)]                               # self-loops
+    )
+    pairs = _pairs(spark, rows)
+    s_gated: dict = {}
+    s_pure: dict = {}
+    gated = {
+        (r.id, r.cluster_id)
+        for r in connected_components_twophase(pairs, stats=s_gated).collect()
+    }
+    pure = {
+        (r.id, r.cluster_id)
+        for r in connected_components_twophase(
+            pairs, stats=s_pure, driver_finish_max_edges=None
+        ).collect()
+    }
+    assert gated == pure == set(_uf_components(rows).items())
+    assert s_gated["driver_finish"] is True
+    assert s_pure["driver_finish"] is False
+    # the gate fires after fewer distributed rounds than the fixpoint
+    assert s_gated["rounds"] < s_pure["rounds"]
+
+
+def test_twophase_assume_symmetric_equivalence(spark):
+    """A pair list that already carries both orientations must label
+    identically through assume_symmetric=True (which skips the
+    symmetrize union + distinct) and the default path."""
+    from lvm_datapipe_spark.operators.graph import connected_components_twophase
+
+    rows = [(1, 2), (2, 3), (3, 3), (10, 11)]
+    sym_rows = rows + [(b, a) for a, b in rows]
+    sym = _pairs(spark, sym_rows)
+    got = {
+        (r.id, r.cluster_id)
+        for r in connected_components_twophase(
+            sym, assume_symmetric=True
+        ).collect()
+    }
+    ref = {
+        (r.id, r.cluster_id)
+        for r in connected_components_twophase(sym).collect()
+    }
+    assert got == ref == set(_uf_components(rows).items())
+
+
+def test_twophase_driver_finish_string_ids(spark):
+    """The driver finish derives its output schema from the input edge
+    type — string node ids must survive both the union-find and the
+    createDataFrame round-trip."""
+    from lvm_datapipe_spark.operators.graph import connected_components_twophase
+
+    rows = [("b", "a"), ("b", "c"), ("x", "y"), ("z", "z")]
+    stats: dict = {}
+    got = {
+        (r.id, r.cluster_id)
+        for r in connected_components_twophase(
+            _pairs(spark, rows), stats=stats
+        ).collect()
+    }
+    assert stats["driver_finish"] is True
+    assert got == {
+        ("a", "a"), ("b", "a"), ("c", "a"),
+        ("x", "x"), ("y", "x"), ("z", "z"),
+    }
+
+
 def test_incremental_components_strategies_agree(spark):
     from lvm_datapipe_spark.operators.graph import (
         connected_components,
