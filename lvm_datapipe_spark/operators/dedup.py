@@ -598,16 +598,31 @@ def ppjoin_pairs(
 
     Shuffles: token-keyed (freq join), doc-keyed (rank window), prefix-
     token-keyed (candidate join), pair-keyed (verify) — all uniform keys.
+
+    The per-doc size `_n` rides the SAME doc-keyed window pass as the
+    rank (count over the unordered partition frame) instead of a
+    separate groupBy + join — one fewer shuffle.  The candidate distinct
+    carries only (id_a, id_b): sizes are re-attached at verify time from
+    the per-doc set representation, so the widest shuffle of the plan
+    moves two ints per row instead of four.  When the corpus vocabulary
+    fits in 64 bits (a metadata-sized count over the already-needed
+    token-frequency aggregate), each doc's token SET is packed into one
+    64-bit mask and the verify becomes `bit_count(m_a & m_b)` — exact
+    (one bit per distinct token, n = bit_count(mask)) and much cheaper
+    than hashing string arrays per pair; above 64 tokens the generic
+    array_intersect verify runs unchanged.  Both paths are pinned equal
+    in tests; the final exact-Jaccard test decides membership either
+    way, so candidate generation and verify representation never change
+    the result set.
     """
     toks = df.select(
         F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
     )
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_tf"))
-    sized = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
     w = Window.partitionBy(id_col).orderBy("_tf", "tok")
     ranked = (
         toks.join(freq, "tok")
-        .join(sized, id_col)
+        .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
         .withColumn("_r", F.row_number().over(w))
     )
     # prefix length: n - ceil(t*n) + 1, all-integer (DIV, no float path)
@@ -650,9 +665,9 @@ def ppjoin_pairs(
                 >= alpha
             )
         )
-        .select("id_a", "id_b", "n_a", "n_b")
+        .select("id_a", "id_b")
         .distinct()
-        # materialize the candidate set (4 ints/row, bounded by the prefix
+        # materialize the candidate set (2 ints/row, bounded by the prefix
         # filter — the quantity PPJoin exists to bound): without it Spark
         # re-derives the whole prefix pipeline inside the verify joins and
         # the plan measured 5x slower at sf0.1 (48s vs 10s)
@@ -663,20 +678,49 @@ def ppjoin_pairs(
     # rows (measured 96M rows at sf0.1 on the small-vocab corpus, where the
     # prefix filter can't prune), while attaching each side's token SET is
     # one doc-keyed join per side — auto-broadcast when the doc table is
-    # small — and the intersection is a per-row array_intersect.
-    tsets = df.select(
-        F.col(id_col), F.array_distinct(tokens(text_col)).alias("_tset")
-    )
-    inter = (
-        cand.join(tsets.select(F.col(id_col).alias("id_a"),
-                               F.col("_tset").alias("_ta")), "id_a")
-        .join(tsets.select(F.col(id_col).alias("id_b"),
-                           F.col("_tset").alias("_tb")), "id_b")
-        .select(
-            "id_a", "id_b", "n_a", "n_b",
-            F.size(F.array_intersect("_ta", "_tb")).alias("inter"),
+    # small.  Set representation: 64-bit mask + popcount when the whole
+    # vocabulary fits in one word (vocab size is a metadata-sized count of
+    # the frequency aggregate the prefix order already needs), else the
+    # generic string-array + array_intersect.
+    n_vocab = freq.count()
+    if n_vocab <= 64:
+        bits = freq.select("tok").withColumn(
+            "_bit", F.row_number().over(Window.orderBy("tok")) - 1
         )
-    )
+        masks = (
+            toks.join(F.broadcast(bits), "tok")
+            .groupBy(id_col)
+            .agg(F.expr("bit_or(shiftleft(1L, _bit))").alias("_m"))
+        )
+        inter = (
+            cand.join(masks.select(F.col(id_col).alias("id_a"),
+                                   F.col("_m").alias("_ma")), "id_a")
+            .join(masks.select(F.col(id_col).alias("id_b"),
+                               F.col("_m").alias("_mb")), "id_b")
+            .select(
+                "id_a", "id_b",
+                F.bit_count("_ma").cast("long").alias("n_a"),
+                F.bit_count("_mb").cast("long").alias("n_b"),
+                F.bit_count(F.col("_ma").bitwiseAND(F.col("_mb")))
+                .cast("long").alias("inter"),
+            )
+        )
+    else:
+        tsets = df.select(
+            F.col(id_col), F.array_distinct(tokens(text_col)).alias("_tset")
+        )
+        inter = (
+            cand.join(tsets.select(F.col(id_col).alias("id_a"),
+                                   F.col("_tset").alias("_ta")), "id_a")
+            .join(tsets.select(F.col(id_col).alias("id_b"),
+                               F.col("_tset").alias("_tb")), "id_b")
+            .select(
+                "id_a", "id_b",
+                F.size("_ta").cast("long").alias("n_a"),
+                F.size("_tb").cast("long").alias("n_b"),
+                F.size(F.array_intersect("_ta", "_tb")).cast("long").alias("inter"),
+            )
+        )
     keep = F.lit(t_den) * F.col("inter") >= F.lit(t_num) * (
         F.col("n_a") + F.col("n_b") - F.col("inter")
     )

@@ -545,6 +545,41 @@ def test_ppjoin_positional_filter_prunes_but_stays_exact(spark):
     assert got == want
 
 
+def test_ppjoin_wide_vocab_generic_path_equals_brute_force(spark):
+    """Vocabularies wider than 64 tokens cannot pack into one bitmask, so
+    the verify falls back to the generic array_intersect path — pin that
+    path against brute force too (the small-vocab tests above exercise
+    the popcount fast path; this corpus draws from 120 tokens)."""
+    import itertools
+
+    from lvm_datapipe_spark.operators.dedup import ppjoin_pairs
+
+    rng = __import__("random").Random(11)
+    vocab = [f"w{i:03d}" for i in range(120)]
+    rows = []
+    for d in range(60):
+        rows.append((d, " ".join(rng.sample(vocab, rng.choice([8, 9, 10])))))
+    for d in range(60, 80):  # near-dups: one token swapped
+        base = rows[d - 60][1].split()
+        base[0] = rng.choice(vocab)
+        rows.append((d, " ".join(base)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ppjoin_pairs(docs, t_num=2, t_den=3).collect()
+    }
+    sets = {d: set(t.split()) for d, t in rows}
+    want = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        if union and 3 * inter >= 2 * union:
+            want[(a, b)] = inter / union
+    assert want, "fixture must contain qualifying pairs"
+    assert got == want
+
+
 def test_ppjoin_plan_keyed_joins_only(spark):
     from lvm_datapipe_spark.queries import QUERIES
 
