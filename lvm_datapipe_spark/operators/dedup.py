@@ -684,13 +684,24 @@ def ppjoin_pairs(
     # generic string-array + array_intersect.
     n_vocab = freq.count()
     if n_vocab <= 64:
-        bits = freq.select("tok").withColumn(
-            "_bit", F.row_number().over(Window.orderBy("tok")) - 1
+        # token → bit as a LITERAL map: the vocabulary is metadata-sized
+        # here by the gate itself (≤64 rows), so collecting it is the
+        # same class of driver decision as the count above — and avoids
+        # a global window for bit assignment (banned plan shape).
+        vocab_sorted = [
+            r["tok"] for r in freq.select("tok").orderBy("tok").collect()
+        ]
+        bit_map = F.create_map(
+            *[
+                lit
+                for i, t in enumerate(vocab_sorted)
+                for lit in (F.lit(t), F.lit(1 << i))
+            ]
         )
         masks = (
-            toks.join(F.broadcast(bits), "tok")
+            toks.withColumn("_b", bit_map[F.col("tok")])
             .groupBy(id_col)
-            .agg(F.expr("bit_or(shiftleft(1L, _bit))").alias("_m"))
+            .agg(F.expr("bit_or(_b)").alias("_m"))
         )
         inter = (
             cand.join(masks.select(F.col(id_col).alias("id_a"),
