@@ -273,6 +273,7 @@ def dedup_keep_representatives(
     src: str = "id_a",
     dst: str = "id_b",
     strategy: str = "minlabel",
+    **cc_kwargs,
 ) -> DataFrame:
     """The end-to-end dedup decision: keep exactly one row per near-dup
     cluster (the minimum id — deterministic) plus every row that has no
@@ -300,7 +301,7 @@ def dedup_keep_representatives(
         if strategy == "twophase"
         else connected_components
     )
-    cc = cc_fn(pairs, src=src, dst=dst)
+    cc = cc_fn(pairs, src=src, dst=dst, **cc_kwargs)
     return (
         df.join(cc.withColumnRenamed("id", id_col), id_col, "left")
         .filter(F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col(id_col)))
@@ -768,6 +769,7 @@ def connected_components_twophase(
     stats: dict | None = None,
     assume_symmetric: bool = False,
     driver_finish_max_edges: int | None = 200_000,
+    precontract: bool = False,
 ) -> DataFrame:
     """Alternating LARGE-STAR / SMALL-STAR connected components (Kiveris
     et al. 2014, "Connected Components in MapReduce and Beyond") — the
@@ -804,6 +806,23 @@ def connected_components_twophase(
     whose predicate is symmetric): the symmetrize union + distinct + its
     checkpoint are skipped entirely (duplicates would only cost, never
     corrupt — every downstream step is a min-aggregate or distinct).
+
+    ``precontract=True`` runs ONE closed-neighborhood-min contraction
+    before the loop: every node u maps to r(u) = min(N(u) ∪ {u}) (the
+    exact large-star aggregate), and the loop runs on the contracted rep
+    graph {(r(u), r(v)) : (u,v) ∈ E, r(u) ≠ r(v)}.  Labels are provably
+    identical: r(u) lies in u's component (it is u or a neighbor), the
+    contracted graph preserves connectivity (r(u)—u—v—r(v) is a path),
+    and a component's global minimum m is always its own representative
+    (m ≤ every neighbor ⇒ r(m) = m), so the contracted component's
+    minimum IS the original component's minimum; expansion is one
+    (node → rep) join with ``coalesce`` for reps whose whole component
+    contracted away (such a rep is the component min by the same
+    argument).  Worth it on DENSE graphs — a clique collapses to its
+    minimum in this single pass, and the loop's per-round shuffles then
+    move the rep graph, not the raw edge set; on sparse chain-like
+    graphs it is one extra pass for little contraction (measure — the
+    declared callers each carry an A/B).
 
     ``driver_finish_max_edges`` is the SIZE-GATED driver finish (the
     kcore broadcast-gate pattern): contraction shrinks the parent-edge
@@ -844,6 +863,30 @@ def connected_components_twophase(
         edges = e0.union(
             e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
         ).distinct().localCheckpoint()
+
+    reps = None
+    if precontract:
+        # r(u) = min(N(u) ∪ {u}) over the symmetric working set — the
+        # large-star aggregate applied once to BOTH endpoints.  `edges`
+        # carries both orientations, so mapping each endpoint through
+        # reps yields both orientations of every contracted edge and the
+        # loop's invariants (symmetric input, parent orientation) hold
+        # unchanged on the rep graph.
+        reps = edges.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("r")
+        ).localCheckpoint()
+        edges = (
+            edges.join(reps, "u")
+            .select(F.col("r").alias("cu"), "v")
+            .join(
+                reps.select(F.col("u").alias("v"), F.col("r").alias("cv")),
+                "v",
+            )
+            .filter(F.col("cu") != F.col("cv"))
+            .select(F.col("cu").alias("u"), F.col("cv").alias("v"))
+            .distinct()
+            .localCheckpoint()
+        )
 
     def _sig(parent_edges: DataFrame):
         r = parent_edges.agg(
@@ -957,6 +1000,24 @@ def connected_components_twophase(
             .groupBy("id")
             .agg(F.min("label").alias(cluster_out))
             .select(F.col("id").alias(id_out), cluster_out)
+        )
+    if reps is not None:
+        # expand rep labels back to every original node; a rep absent
+        # from `labeled` had its whole component contract onto it in the
+        # pre-pass, which makes it the component minimum — coalesce to
+        # itself
+        labeled = (
+            reps.join(
+                labeled.withColumnRenamed(id_out, "_rid"),
+                F.col("_rid") == F.col("r"),
+                "left",
+            )
+            .select(
+                F.col("u").alias(id_out),
+                F.coalesce(F.col(cluster_out), F.col("r")).alias(
+                    cluster_out
+                ),
+            )
         )
     singles = selfs.join(
         labeled, selfs["u"] == labeled[id_out], "left_anti"

@@ -1055,3 +1055,84 @@ def test_kcore_engines_agree_with_self_loops_and_duplicates(spark):
         )
     assert out["decremental"] == out["recompute"]
     assert out["decremental"][0] == set(_kcore_reference(rows, 2).items())
+
+
+def test_twophase_precontract_matches_union_find(spark):
+    """precontract=True must label chains, cliques, hubs, self-loops and
+    random graphs identically to the union-find ground truth (and hence
+    to the plain loop, pinned separately by the Hypothesis property)."""
+    import random
+
+    from lvm_datapipe_spark.operators.graph import (
+        connected_components_twophase,
+    )
+
+    rng = random.Random(20260817)
+    shapes = [
+        [(i, i + 1) for i in range(40)],
+        [(a, b) for a in range(8) for b in range(a + 1, 8)] + [(20, 21)],
+        [(100, i) for i in range(50)] + [(7, 7), (300, 300)],
+        [(rng.randrange(60), rng.randrange(60)) for _ in range(70)],
+    ]
+    for rows in shapes:
+        expect = set(_uf_components(rows).items())
+        got = {
+            (r.id, r.cluster_id)
+            for r in connected_components_twophase(
+                _pairs(spark, rows), precontract=True
+            ).collect()
+        }
+        assert got == expect
+
+
+def test_twophase_precontract_full_contraction_coalesce_path(spark):
+    """Disjoint cliques contract away ENTIRELY in the pre-pass (empty
+    contracted edge set): every rep must label itself via the expansion
+    coalesce, and the rep is provably the component minimum."""
+    from lvm_datapipe_spark.operators.graph import (
+        connected_components_twophase,
+    )
+
+    rows = [(a, b) for a in range(5) for b in range(a + 1, 5)] + [
+        (a, b) for a in range(10, 14) for b in range(a + 1, 14)
+    ]
+    stats: dict = {}
+    got = {
+        (r.id, r.cluster_id)
+        for r in connected_components_twophase(
+            _pairs(spark, rows), precontract=True, stats=stats
+        ).collect()
+    }
+    assert got == {(i, 0) for i in range(5)} | {
+        (i, 10) for i in range(10, 14)
+    }
+    # the loop saw an (empty) contracted graph and stopped immediately
+    assert stats["rounds"] == 1
+
+
+def test_twophase_precontract_string_ids_and_symmetric(spark):
+    """precontract composes with string node ids and with
+    assume_symmetric=True (the geo_dbscan calling convention)."""
+    from lvm_datapipe_spark.operators.graph import (
+        connected_components_twophase,
+    )
+
+    rows = [("b", "a"), ("b", "c"), ("x", "y"), ("z", "z")]
+    expect = set(_uf_components(rows).items())
+    got = {
+        (r.id, r.cluster_id)
+        for r in connected_components_twophase(
+            _pairs(spark, rows), precontract=True
+        ).collect()
+    }
+    assert got == expect
+    sym_rows = rows + [(b, a) for a, b in rows]
+    got_sym = {
+        (r.id, r.cluster_id)
+        for r in connected_components_twophase(
+            _pairs(spark, sym_rows),
+            precontract=True,
+            assume_symmetric=True,
+        ).collect()
+    }
+    assert got_sym == expect

@@ -613,3 +613,45 @@ def test_kcore_engines_agree_on_random_graphs_property(spark, edges, k, cap):
         assert out["decremental"][1]
     if cap == 40:
         assert out["decremental"][1] == out["recompute"][1]
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=14),
+            st.integers(min_value=0, max_value=14),
+        ),
+        min_size=0,
+        max_size=30,
+    ),
+    st.sampled_from([None, 1, 200_000]),
+)
+@settings(**SETTINGS)
+def test_twophase_precontract_agrees_on_random_graphs_property(
+    spark, edges, gate
+):
+    """precontract=True (one closed-neighborhood-min contraction before
+    the large/small-star loop, expanded back through the rep map) labels
+    ARBITRARY edge lists — self-loops and duplicates included —
+    identically to the plain loop, across driver-finish gate settings.
+    The contraction's correctness argument (the component minimum is its
+    own representative) is exercised here on every shape Hypothesis can
+    draw, including graphs that contract away entirely."""
+    from lvm_datapipe_spark.operators.graph import (
+        connected_components_twophase,
+    )
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    plain = {
+        (r.id, r.cluster_id)
+        for r in connected_components_twophase(
+            df, driver_finish_max_edges=gate
+        ).collect()
+    }
+    contracted = {
+        (r.id, r.cluster_id)
+        for r in connected_components_twophase(
+            df, driver_finish_max_edges=gate, precontract=True
+        ).collect()
+    }
+    assert contracted == plain
