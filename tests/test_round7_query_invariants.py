@@ -162,3 +162,39 @@ def test_link_prediction_excludes_existing_edges(spark, sf_dir):
     overlap = pred.join(pairs, ["id_a", "id_b"], "inner")
     assert overlap.count() == 0
     assert pred.filter(F.col("jaccard_micro") > 1_000_000).count() == 0
+
+
+def test_mattr_matches_python_replay(spark, sf_dir):
+    """The scan-local MATTR expression (r10: replaced the quadratic
+    positional self-join) must equal a character-exact pure-Python replay
+    of the spec: whitespace tokens, 2000-token cap, window-25 distinct
+    counts (windows straddling the cap count only surviving tokens),
+    mattr = sum/ (25*k) in IEEE double, floor-micro lang mean."""
+    import math
+    import re
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"])
+    per_lang: dict = {}
+    for doc_id, lang, text in zip(
+        tbl["doc_id"].to_pylist(), tbl["lang"].to_pylist(), tbl["text"].to_pylist()
+    ):
+        toks_full = [t for t in re.split(r"\s+", text or "") if t != ""]
+        n = len(toks_full)
+        if n < 25:
+            continue
+        toks = toks_full[:2000]
+        starts = range(1, min(n - 24, 2000) + 1)
+        wins = [len(set(toks[s - 1 : s + 24])) for s in starts]
+        mattr = float(sum(wins)) / (25 * len(wins))
+        per_lang.setdefault(lang, []).append(mattr)
+    expect = {
+        lang: (len(ms), float(sum(math.floor(m * 1000000.0) for m in ms)) / 1000000.0 / len(ms))
+        for lang, ms in per_lang.items()
+    }
+    got = {
+        r.lang: (r.n_docs, r.mean_mattr)
+        for r in QUERIES["text_mattr_diversity"](spark, sf_dir).collect()
+    }
+    assert got == expect and len(got) > 0
