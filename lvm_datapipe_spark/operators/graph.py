@@ -835,9 +835,12 @@ def connected_components_twophase(
     bit-identical labels (both sides produce (node, min-reachable-id);
     the parent set at every round spans the same components as the
     input, the contraction invariant the algorithm's correctness rests
-    on — pinned by tests across gate settings).  ``None`` disables the
-    gate (pure distributed loop, e.g. for the engine-equivalence
-    tests)."""
+    on — pinned by tests across gate settings).  The gate is also
+    checked at ROUND 0: an input edge list already within the bound is
+    union-found directly (one count job instead of up to two full-graph
+    shuffle rounds; at scale the gate does not fire and the loop runs
+    unchanged).  ``None`` disables the gate (pure distributed loop,
+    e.g. for the engine-equivalence tests)."""
     # one materialization of the raw pair list: BOTH branches below (the
     # contraction working set and the self-loop singleton recovery) read
     # the checkpointed form, so the upstream pair pipeline (often an LSH /
@@ -853,7 +856,25 @@ def connected_components_twophase(
     # union the missing ones back after the contraction.
     selfs = p0.filter(F.col("u") == F.col("v")).select("u").distinct()
     e0 = p0.filter(F.col("u") != F.col("v"))
-    if assume_symmetric:
+    rounds = 0
+    finished_on_driver = False
+    uf_edges = None
+    if driver_finish_max_edges is not None:
+        # ROUND-0 gate (r10 opt): when the RAW edge list is already
+        # within the driver-finish bound, every distributed round the
+        # loop would run is pure overhead — the same union-find that
+        # finishes the late rounds labels the input directly (it needs
+        # neither parent orientation nor deduplication, and the gate
+        # bounds the collect exactly as it does mid-loop).  One count
+        # over the p0 checkpoint replaces up to two full-graph shuffle
+        # rounds; at scale the count is trivial next to one round and
+        # the gate simply does not fire.
+        if e0.count() <= driver_finish_max_edges:
+            finished_on_driver = True
+            uf_edges = e0
+    if uf_edges is not None:
+        edges = e0  # loop skipped; nothing else reads this
+    elif assume_symmetric:
         # caller guarantees both orientations are present: the working
         # set reads straight off the p0 checkpoint — no symmetrize
         # union, no second distinct+checkpoint job over 2|E| rows
@@ -865,7 +886,7 @@ def connected_components_twophase(
         ).distinct().localCheckpoint()
 
     reps = None
-    if precontract:
+    if precontract and uf_edges is None:
         # r(u) = min(N(u) ∪ {u}) over the symmetric working set — the
         # large-star aggregate applied once to BOTH endpoints.  `edges`
         # carries both orientations, so mapping each endpoint through
@@ -895,10 +916,8 @@ def connected_components_twophase(
         ).collect()[0]
         return (r["n"], r["h"])
 
-    rounds = 0
     prev_sig = None
-    finished_on_driver = False
-    for _ in range(max_rounds):
+    for _ in (range(max_rounds) if uf_edges is None else ()):
         # -- large-star: v > u re-points to min(N(u) + {u})
         mins = edges.groupBy("u").agg(
             F.least(F.min("v"), F.first("u")).alias("m")
@@ -936,6 +955,7 @@ def connected_components_twophase(
             and sig[0] <= driver_finish_max_edges
         ):
             finished_on_driver = True
+            uf_edges = par
             break
         prev_sig = sig
         # resymmetrize LAZILY over the just-checkpointed parent set: the
@@ -949,11 +969,14 @@ def connected_components_twophase(
         stats["rounds"] = rounds
         stats["driver_finish"] = finished_on_driver
     if finished_on_driver:
-        # gated finish: the parent set spans the same components as the
-        # input, so one union-find over its (bounded, just-counted) rows
-        # yields the final (node, component-min) map directly — no more
-        # distributed rounds.  Path-halving find, union by lesser root id
-        # (the label IS the min, so roots are kept as minima).
+        # gated finish: the collected edge set (the raw input at round 0,
+        # or the round's parent set mid-loop) spans the same components
+        # as the input, so one union-find over its (bounded,
+        # just-counted) rows yields the final (node, component-min) map
+        # directly — no more distributed rounds.  Path-halving find,
+        # union by lesser root id (the label IS the min, so roots are
+        # kept as minima); duplicate rows and either orientation are
+        # harmless to union-find.
         parent: dict = {}
 
         def _find(x):
@@ -963,7 +986,7 @@ def connected_components_twophase(
                 r = parent[r]
             return r
 
-        for row in par.collect():
+        for row in uf_edges.collect():
             ra, rb = _find(row[0]), _find(row[1])
             if ra == rb:
                 continue

@@ -1100,7 +1100,12 @@ def test_twophase_precontract_full_contraction_coalesce_path(spark):
     got = {
         (r.id, r.cluster_id)
         for r in connected_components_twophase(
-            _pairs(spark, rows), precontract=True, stats=stats
+            # gate BELOW the 16 raw edges so the round-0 driver finish
+            # does not bypass the pre-contraction under test
+            _pairs(spark, rows),
+            precontract=True,
+            stats=stats,
+            driver_finish_max_edges=4,
         ).collect()
     }
     assert got == {(i, 0) for i in range(5)} | {
@@ -1136,3 +1141,46 @@ def test_twophase_precontract_string_ids_and_symmetric(spark):
         ).collect()
     }
     assert got_sym == expect
+
+
+def test_twophase_round0_and_midloop_gate_paths_agree(spark):
+    """The driver-finish gate has two firing points: ROUND 0 (raw edge
+    list already within the bound — skips the loop entirely) and
+    MID-LOOP (a round's parent set contracts under the bound).  Both
+    must label identically to the pure distributed fixpoint.  A
+    30-clique (435 raw edges, 29 parent edges after one round) with
+    gate=100 exercises the mid-loop path; gate=1000 exercises round 0."""
+    from lvm_datapipe_spark.operators.graph import (
+        connected_components_twophase,
+    )
+
+    rows = [(a, b) for a in range(30) for b in range(a + 1, 30)] + [
+        (100, 101), (101, 102), (200, 200)
+    ]
+    pairs = _pairs(spark, rows)
+    expect = set(_uf_components(rows).items())
+    s0: dict = {}
+    round0 = {
+        (r.id, r.cluster_id)
+        for r in connected_components_twophase(
+            pairs, driver_finish_max_edges=1000, stats=s0
+        ).collect()
+    }
+    s_mid: dict = {}
+    mid = {
+        (r.id, r.cluster_id)
+        for r in connected_components_twophase(
+            pairs, driver_finish_max_edges=100, stats=s_mid
+        ).collect()
+    }
+    s_pure: dict = {}
+    pure = {
+        (r.id, r.cluster_id)
+        for r in connected_components_twophase(
+            pairs, driver_finish_max_edges=None, stats=s_pure
+        ).collect()
+    }
+    assert round0 == mid == pure == expect
+    assert s0["driver_finish"] and s0["rounds"] == 0
+    assert s_mid["driver_finish"] and s_mid["rounds"] >= 1
+    assert not s_pure["driver_finish"]
