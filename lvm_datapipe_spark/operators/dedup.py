@@ -115,6 +115,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.6,
     max_shingle_freq: int | None = 1000,
+    shingle_rows_df: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs by word-n-gram Jaccard similarity ≥ threshold.
 
@@ -131,8 +132,24 @@ def ngram_jaccard_pairs(
     output is bit-identical to the exact form.
     """
     # persist: the shingle rows feed the sizes branch and BOTH sides of the
-    # self-join below — without it the shingle computation runs 3×
-    cached = shingle_rows(df, text_col, id_col, n, hashed=True).persist()
+    # self-join below — without it the shingle computation runs 3×.
+    # ``shingle_rows_df`` (prebuilt distinct STRING rows shared with other
+    # kernels) derives the hashed form instead of rebuilding it from the
+    # corpus: xxhash64 then dropDuplicates on the hash — semantically
+    # identical to shingle_rows(hashed=True) even under hash collisions
+    # (hashing first vs after the string distinct cannot change the
+    # (id, hash) set), and the string table's doc-keyed partitioning
+    # makes the re-dedup exchange-free.
+    if shingle_rows_df is None:
+        cached = shingle_rows(df, text_col, id_col, n, hashed=True).persist()
+    else:
+        cached = (
+            shingle_rows_df.select(
+                F.col(id_col), F.xxhash64("shingle").alias("shingle")
+            )
+            .dropDuplicates([id_col, "shingle"])
+            .persist()
+        )
     ex = cached
     sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     inter = shingle_intersections(ex, id_col, max_shingle_freq)
@@ -298,7 +315,12 @@ def minhash_signature(shingles: Column, k: int = 16) -> Column:
 
 
 def minhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3, k: int = 16
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 16,
+    shingle_rows_df: DataFrame | None = None,
 ) -> DataFrame:
     """Scan-shaped MinHash: shingle rows → k md5 columns per row (flat
     expressions stay in whole-stage codegen, unlike higher-order array
@@ -308,8 +330,16 @@ def minhash_signatures(
     faster on wide corpora."""
     # parsed SQL text instead of per-column py4j construction (k×~5 calls)
     # — same values, a fraction of the driver-side build time (see
-    # similarity.sql_fold_dot for the measurements that motivated this)
-    ex = shingle_rows(df, text_col, id_col, n)
+    # similarity.sql_fold_dot for the measurements that motivated this).
+    # ``shingle_rows_df`` lets a caller running several shingle-based
+    # kernels over one corpus (dedup_method_agreement) build the distinct
+    # (id, shingle) rows ONCE and share them — the posexplode + doc-keyed
+    # window pass is the kernels' common dominant stage.
+    ex = (
+        shingle_rows(df, text_col, id_col, n)
+        if shingle_rows_df is None
+        else shingle_rows_df
+    )
     hashed = ex.selectExpr(
         id_col,
         *[
@@ -375,11 +405,14 @@ def minhash_lsh_pairs(
     k: int = 16,
     bands: int = 4,
     rows: int = 4,
+    shingle_rows_df: DataFrame | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup candidate generation (shingle → signature →
-    band → bucket-join)."""
+    band → bucket-join).  ``shingle_rows_df`` forwards a prebuilt distinct
+    (id, shingle) table to :func:`minhash_signatures`."""
     return lsh_candidate_pairs(
-        minhash_signatures(df, text_col, id_col, n, k), id_col, bands, rows
+        minhash_signatures(df, text_col, id_col, n, k, shingle_rows_df),
+        id_col, bands, rows,
     )
 
 

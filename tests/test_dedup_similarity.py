@@ -846,3 +846,41 @@ def test_mmr_diversifies_beyond_pure_relevance(spark, sf_dir):
         if order != top_by_rel:
             departed = True
     assert departed
+
+
+def test_prebuilt_shingle_rows_paths_match_default(spark):
+    """ngram_jaccard_pairs and minhash_lsh_pairs fed a prebuilt distinct
+    (id, shingle) table (the dedup_method_agreement sharing path) must
+    emit exactly the pairs of their self-building defaults — including
+    under a stop-shingle cap, whose frequency count must see the same
+    distinct rows either way."""
+    docs = _docs(spark)
+    shingles = D.shingle_rows(docs).persist()
+    try:
+        for kw in ({}, {"max_shingle_freq": 1}):
+            a = {
+                (r.id_a, r.id_b, round(r.jaccard, 9))
+                for r in D.ngram_jaccard_pairs(
+                    docs, threshold=0.1, **kw
+                ).collect()
+            }
+            b = {
+                (r.id_a, r.id_b, round(r.jaccard, 9))
+                for r in D.ngram_jaccard_pairs(
+                    docs, threshold=0.1, shingle_rows_df=shingles, **kw
+                ).collect()
+            }
+            assert a == b and (kw or len(a) > 0)
+        mh_a = {
+            (r.id_a, r.id_b)
+            for r in D.minhash_lsh_pairs(docs).collect()
+        }
+        mh_b = {
+            (r.id_a, r.id_b)
+            for r in D.minhash_lsh_pairs(
+                docs, shingle_rows_df=shingles
+            ).collect()
+        }
+        assert mh_a == mh_b and len(mh_a) > 0
+    finally:
+        shingles.unpersist()
