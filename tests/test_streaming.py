@@ -1162,3 +1162,35 @@ def test_watermark_audit_matches_reference_on_permuted_feed(spark):
     assert got == expect
     # the fixture genuinely exercises the late branch in every partition
     assert all(expect[(k, 0)][1] > 0 for k in ("k0", "k1"))
+
+
+# --- state-partition sizing for the sink verification queries (r10 opt) ----
+
+
+def test_stream_state_partitions_pins_and_restores_conf(spark, monkeypatch):
+    from lvm_datapipe_spark.queries import _stream_state_partitions
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "3")
+    with _stream_state_partitions(spark):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "3"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == old
+    # restores even when the body raises
+    with pytest.raises(RuntimeError):
+        with _stream_state_partitions(spark):
+            raise RuntimeError("boom")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == old
+
+
+def test_stream_sink_rows_independent_of_state_partitions(spark, monkeypatch):
+    # the state-store count is a layout knob: the sink contents must be
+    # identical under any setting (exact hash aggregation per key)
+    from lvm_datapipe_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "2")
+    a = QUERIES["stream_sink_tumbling_window"](spark, sf)
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "13")
+    b = QUERIES["stream_sink_tumbling_window"](spark, sf)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
