@@ -114,16 +114,25 @@ def brute_force_topk(
     shuffle), then a per-query top-k window.  Ties broken by neighbor id so
     the result set is deterministic.
     """
+    # norms are computed ONCE per side (|queries| + |corpus| folds) instead
+    # of per candidate pair — cosine() would re-fold sqrt(dot(v,v)) for both
+    # vectors on every crossJoin row (3 interpreted HOF folds per candidate
+    # instead of 1).  Same fold, same association order ⇒ identical doubles.
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
-        )
+        ).withColumn("qn", l2_norm(F.col("qv")))
     )
-    c = emb.select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("nv"))
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("nv")
+    ).withColumn("nn", l2_norm(F.col("nv")))
     scored = (
         c.crossJoin(q)
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos_sim", cosine(F.col("qv"), F.col("nv")))
+        .withColumn(
+            "cos_sim",
+            dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -418,10 +427,16 @@ def ivf_fixed_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     out_id: str = "neighbor_id",
+    keep_norm: bool = False,
 ) -> DataFrame:
     """Corpus side of IVF: (id, vector, cell) with cell = argmax-cosine
-    centroid (first index on ties) — one scan, no shuffle."""
-    return (
+    centroid (first index on ties) — one scan, no shuffle.
+
+    ``keep_norm=True`` retains the already-computed ``vnorm`` column so a
+    downstream exact-cosine verify can divide by it instead of re-folding
+    sqrt(dot(nv, nv)) per candidate pair (dot_flat is bit-identical to the
+    fold — same association order)."""
+    out = (
         emb.select(F.col(id_col).alias(out_id), as_double(vec_col).alias("nv"))
         .withColumn("vnorm", F.sqrt(dot_flat(F.col("nv"), F.col("nv"), dim)))
         .withColumn(
@@ -430,8 +445,9 @@ def ivf_fixed_assign(
         .withColumn(
             "cell", (F.expr("array_position(sims, array_max(sims))") - 1).cast("int")
         )
-        .drop("sims", "vnorm")
+        .drop("sims")
     )
+    return out if keep_norm else out.drop("vnorm")
 
 
 def _ivf_probe_cells(
@@ -442,14 +458,17 @@ def _ivf_probe_cells(
     id_col: str,
     vec_col: str,
 ) -> DataFrame:
-    """Query side of IVF: (query_id, qv, cell, cell_sim) — one row per
-    (query, cell), ranked downstream to the n_probe best."""
+    """Query side of IVF: (query_id, qv, qn, cell, cell_sim) — one row per
+    (query, cell), ranked downstream to the n_probe best.  ``qn`` is the
+    query norm, carried so the exact verify divides by it instead of
+    re-folding it per candidate (dot_flat == the fold bit for bit)."""
     q = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
     return q.withColumn(
         "vnorm", F.sqrt(dot_flat(F.col("qv"), F.col("qv"), dim))
     ).select(
         "query_id",
         "qv",
+        F.col("vnorm").alias("qn"),
         F.posexplode(
             F.expr(_ivf_cell_sims_sql(n_cells, dim, seed, "qv", "vnorm"))
         ).alias("cell", "cell_sim"),
@@ -476,19 +495,26 @@ def ivf_fixed_topk(
     the probe join is keyed on the cell (at 100 TB, PARTITION the stored
     corpus by cell so probing is partition pruning, not a shuffle)."""
     corpus = ivf_fixed_assign(
-        emb, n_cells, dim, seed, id_col, vec_col, out_id="neighbor_id"
+        emb, n_cells, dim, seed, id_col, vec_col, out_id="neighbor_id",
+        keep_norm=True,
     )
     qs = _ivf_probe_cells(queries, n_cells, dim, seed, id_col, vec_col)
     wp = Window.partitionBy("query_id").orderBy(F.desc("cell_sim"), F.asc("cell"))
     probe = (
         qs.withColumn("_r", F.row_number().over(wp))
         .filter(F.col("_r") <= n_probe)
-        .select("query_id", "qv", "cell")
+        .select("query_id", "qv", "qn", "cell")
     )
     cand = corpus.join(probe, "cell").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
-    scored = cand.withColumn("cos_sim", cosine(F.col("qv"), F.col("nv")))
+    # norms ride the rows (computed once per vector in assign/probe) —
+    # cosine() would re-fold both sqrt(dot(v, v)) terms per candidate; the
+    # division below is the identical double arithmetic (guide §1.2)
+    scored = cand.withColumn(
+        "cos_sim",
+        dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("vnorm")),
+    )
     wr = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(wr))
@@ -649,9 +675,17 @@ def ivf_topk(
         .select("query_id", "qv", "cell")
     )
     # candidates = corpus rows in probed cells only (at scale: partition
-    # pruning on the cell column), then exact cosine rank
+    # pruning on the cell column), then exact cosine rank.  Norms are folded
+    # once per vector on each side instead of per candidate row — identical
+    # doubles (dot/l2_norm share one association order), a third of the
+    # per-candidate HOF work (guide §1.2)
+    assigned = assigned.withColumn("_vn", l2_norm(F.col("v")))
+    probe = probe.withColumn("_qn", l2_norm(F.col("qv")))
     cand = assigned.join(probe, "cell").filter(F.col(id_col) != F.col("query_id"))
-    scored = cand.withColumn("cos_sim", cosine(F.col("qv"), F.col("v")))
+    scored = cand.withColumn(
+        "cos_sim",
+        dot(F.col("qv"), F.col("v")) / (F.col("_qn") * F.col("_vn")),
+    )
     wr = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(wr))
