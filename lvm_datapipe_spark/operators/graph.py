@@ -1190,3 +1190,88 @@ def triangle_counts(
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("triangles"))
     )
+
+
+#: Gates for :func:`triangle_counts_driver_dense`.  4096 nodes keeps the
+#: float32 adjacency at 64 MB and the single BLAS matmul under ~1 s on a
+#: 32-core driver; the edge cap bounds the Arrow collect (2 int64 cols,
+#: ≤64 MB).  Both are driver-memory constants, not data-size tunables —
+#: above either gate the distributed engines (array_intersect adjacency /
+#: degree-oriented wedge join) carry the query, so the fallback is the
+#: scale plan, not an error path.
+DENSE_TRIANGLE_MAX_NODES = 4096
+DENSE_TRIANGLE_MAX_EDGES = 4_000_000
+
+
+def triangle_counts_driver_dense(
+    edges: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_nodes: int | None = None,
+    max_edges: int | None = None,
+) -> list[tuple[int, int]] | None:
+    """Per-node triangle counts for a METADATA-SIZED graph, computed on the
+    driver with one dense float32 matmul — the same size-gated driver-finish
+    pattern as the CC union-find finish and the Markov absorption iteration
+    (both ≤ a fixed collect bound, both falling back to the distributed
+    engine above it).
+
+    ``edges`` must be a distinct undirected integer edge list (each edge
+    once, no self-loops).  Returns ``[(node, n_triangles), ...]`` for every
+    node in ≥1 triangle, or ``None`` when the graph exceeds either gate
+    (the caller then runs its distributed engine; the wasted work is one
+    bounded collect).
+
+    Math: with symmetric 0/1 adjacency ``A``, ``((A @ A) * A).sum(axis=1)``
+    counts ordered wedge closures per node = 2 × triangles.  Exactness in
+    float32: each ``A @ A`` cell is a wedge count ≤ n−2 < 2²⁴, products with
+    the 0/1 mask stay integral, and the row sum accumulates in float64 —
+    integer-exact end to end, no tolerance involved.
+
+    Why a driver matmul beats every distributed engine at this size: the
+    r10 round measured the per-edge ``array_intersect`` plan at ~4 s beyond
+    the shared edge build and a packed-bitset Catalyst engine ≤1.08× with an
+    8–90 s janino cold-start; a 1k-node BLAS sgemm is ~2 GFLOP ≈ milliseconds
+    and ships ~7 MB once.  The crossover the gates encode: the dense matrix
+    is O(n²) memory and O(n³) FLOPs, so this path exists ONLY below the
+    fixed node bound where both are trivially driver-sized.
+
+    Gates default to the module constants and are env-overridable
+    (``SPARK_GRAFT_DENSE_TRI_MAX_NODES`` / ``_MAX_EDGES``) so a deploy with
+    a bigger/smaller driver can move the crossover without a code change —
+    and so tests can force the distributed fallback with a 0 gate."""
+    import os
+
+    import numpy as np
+
+    if max_nodes is None:
+        max_nodes = int(
+            os.environ.get(
+                "SPARK_GRAFT_DENSE_TRI_MAX_NODES", DENSE_TRIANGLE_MAX_NODES
+            )
+        )
+    if max_edges is None:
+        max_edges = int(
+            os.environ.get(
+                "SPARK_GRAFT_DENSE_TRI_MAX_EDGES", DENSE_TRIANGLE_MAX_EDGES
+            )
+        )
+    if edges.count() > max_edges:
+        return None
+    pdf = edges.select(
+        F.col(a_col).cast("long").alias("a"), F.col(b_col).cast("long").alias("b")
+    ).toPandas()
+    a = pdf["a"].to_numpy()
+    b = pdf["b"].to_numpy()
+    nodes = np.unique(np.concatenate([a, b]))
+    if len(nodes) > max_nodes:
+        return None
+    ia = np.searchsorted(nodes, a)
+    ib = np.searchsorted(nodes, b)
+    adj = np.zeros((len(nodes), len(nodes)), dtype=np.float32)
+    adj[ia, ib] = 1.0
+    adj[ib, ia] = 1.0
+    twice = ((adj @ adj) * adj).sum(axis=1, dtype=np.float64)
+    cnt = np.rint(twice / 2.0).astype(np.int64)
+    keep = cnt > 0
+    return list(zip(nodes[keep].tolist(), cnt[keep].tolist()))

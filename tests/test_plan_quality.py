@@ -461,7 +461,10 @@ def test_mad_outliers_broadcasts_stats(spark):
     assert "SinglePartition" not in plan
 
 
-def test_triangles_all_keyed_equi_joins(spark):
+def test_triangles_all_keyed_equi_joins(spark, monkeypatch):
+    # force the distributed scale engine (r11: below the dense-driver gate
+    # the query returns a local result whose plan would vacuously pass)
+    monkeypatch.setenv("SPARK_GRAFT_DENSE_TRI_MAX_EDGES", "0")
     plan = _plan(spark, "graph_supplier_triangles")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
