@@ -31,6 +31,63 @@ def decimal_avg(col: Column | str) -> Column:
     return F.sum(c.cast(_DEC)).cast("double") / F.count(c)
 
 
+#: Row ceiling for :func:`exact_percentiles_driver`: 8M doubles is a 64 MB
+#: Arrow collect and a ~0.5 s numpy sort on the driver — comfortably
+#: driver-sized; above it the distributed ``percentile`` aggregate carries
+#: the query.  Env-overridable (``SPARK_GRAFT_DRIVER_PCT_MAX_ROWS``).
+DRIVER_PCT_MAX_ROWS = 8_000_000
+
+
+def exact_percentiles_driver(
+    df: DataFrame,
+    col: str,
+    fractions: list[float],
+    max_rows: int | None = None,
+) -> list[float] | None:
+    """Exact linear-interpolated percentiles of a DOUBLE column computed on
+    the driver — bit-identical to Spark's ``percentile()`` aggregate (and
+    DuckDB's ``quantile_cont``): one numpy sort plus the same IEEE
+    interpolation ``(hi − pos)·arr[lo] + (pos − lo)·arr[hi]`` at
+    ``pos = p·(n−1)`` (exactly ``Percentile.getPercentile``'s float
+    expression — Python floats are the same IEEE doubles, so every
+    operation matches to the last ULP).
+
+    Why: the exact ``percentile`` aggregate holds a boxed value→count
+    OpenHashMap per partition and finishes with a single-task merge+sort of
+    every distinct value — measured ~4.5 s on 600k rows/583k distinct at
+    sf0.1 while the Arrow column collect + ``np.sort`` costs ~1 s.  Same
+    size-gated driver-finish pattern as the dense triangle kernel; returns
+    ``None`` above the row gate (or on an empty column — the caller's
+    distributed aggregate handles both)."""
+    import os
+
+    import numpy as np
+
+    if max_rows is None:
+        max_rows = int(
+            os.environ.get("SPARK_GRAFT_DRIVER_PCT_MAX_ROWS", DRIVER_PCT_MAX_ROWS)
+        )
+    n = df.where(F.col(col).isNotNull()).count()
+    if n == 0 or n > max_rows:
+        return None
+    arr = np.sort(
+        df.where(F.col(col).isNotNull())
+        .select(F.col(col).cast("double").alias("v"))
+        .toPandas()["v"]
+        .to_numpy()
+    )
+    out = []
+    for p in fractions:
+        pos = p * (n - 1)
+        lo = int(pos)
+        hi = lo if pos == lo else lo + 1
+        if lo == hi:
+            out.append(float(arr[lo]))
+        else:
+            out.append(float((hi - pos) * arr[lo] + (pos - lo) * arr[hi]))
+    return out
+
+
 def find_breakpoint(
     clips: DataFrame,
     video_col: str = "video_id",

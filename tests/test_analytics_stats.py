@@ -853,3 +853,48 @@ def test_split_leakage_measured_and_eliminated(spark):
         assert r["leak_rate"] == pytest.approx(expected_rate, abs=0)
     # the whole point: cluster-keyed splitting cannot leak
     assert rows["cluster_safe"]["n_cross"] == 0
+
+
+# -- exact driver percentile kernel (r11, range_partition_boundaries) --------
+
+
+def test_exact_percentiles_driver_matches_spark_aggregate(spark):
+    # seeded column with duplicates and integer-position edges; the driver
+    # kernel must match Spark's exact percentile() to the last ULP
+    import random
+
+    from pyspark.sql import functions as F
+
+    from lvm_datapipe_spark.operators.aggregates import exact_percentiles_driver
+
+    rng = random.Random(11)
+    vals = [round(rng.uniform(900.0, 105000.0), 2) for _ in range(3301)]
+    vals += vals[:137]  # duplicates
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    fracs = [x / 32.0 for x in range(1, 32)] + [0.0, 1.0, 0.5]
+    got = exact_percentiles_driver(df, "v", fracs)
+    fl = ", ".join(repr(f) for f in fracs)
+    want = df.agg(F.expr(f"percentile(v, array({fl}))")).collect()[0][0]
+    assert got == list(want)
+
+
+def test_exact_percentiles_driver_gates(spark):
+    from pyspark.sql import functions as F
+
+    from lvm_datapipe_spark.operators.aggregates import exact_percentiles_driver
+
+    df = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    assert exact_percentiles_driver(df, "v", [0.5], max_rows=1) is None
+    empty = df.where(F.col("v") > 5.0)
+    assert exact_percentiles_driver(empty, "v", [0.5]) is None
+
+
+def test_range_partition_boundaries_env_gate_fallback(spark, monkeypatch):
+    from lvm_datapipe_spark.queries import QUERIES as Q
+
+    fast = Q["range_partition_boundaries"](spark, SF).collect()
+    monkeypatch.setenv("SPARK_GRAFT_DRIVER_PCT_MAX_ROWS", "0")
+    slow = Q["range_partition_boundaries"](spark, SF)
+    plan = slow._jdf.queryExecution().executedPlan().toString()
+    assert "percentile" in plan
+    assert sorted(map(tuple, fast)) == sorted(map(tuple, slow.collect()))
