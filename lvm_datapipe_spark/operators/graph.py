@@ -1216,11 +1216,13 @@ def triangle_counts_driver_dense(
     (both ≤ a fixed collect bound, both falling back to the distributed
     engine above it).
 
-    ``edges`` must be a distinct undirected integer edge list (each edge
-    once, no self-loops).  Returns ``[(node, n_triangles), ...]`` for every
-    node in ≥1 triangle, or ``None`` when the graph exceeds either gate
-    (the caller then runs its distributed engine; the wasted work is one
-    bounded collect).
+    ``edges`` is an undirected integer edge list with no self-loops;
+    DUPLICATE rows are fine (the matrix assignment is idempotent), which
+    lets callers skip their edge-distinct exchange on the fast path — the
+    edge gate then bounds the raw COLLECT size, its actual job.  Returns
+    ``[(node, n_triangles), ...]`` for every node in ≥1 triangle, or
+    ``None`` when the graph exceeds either gate (the caller then runs its
+    distributed engine; the wasted work is one bounded collect).
 
     Math: with symmetric 0/1 adjacency ``A``, ``((A @ A) * A).sum(axis=1)``
     counts ordered wedge closures per node = 2 × triangles.  Exactness in

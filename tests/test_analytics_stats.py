@@ -24,6 +24,7 @@ def events_pd():
     ).df()
 
 
+@pytest.mark.slow  # >=7 s equivalence test (r11 tier split)
 def test_ks_matches_bruteforce_ecdf(spark, events_pd):
     ev = events_pd[events_pd.value.abs() < 1000.0]
     out = {

@@ -204,6 +204,7 @@ def test_declared_dedup_form_recall_vs_quadratic_oracle(spark):
     assert len(t12) / len(exact) >= 0.7  # recall floor with 4 planes x 12 tables
 
 
+@pytest.mark.slow  # >=7 s equivalence test (r11 tier split)
 def test_ivf_topk_recall(spark):
     """IVF with n_probe cells must recover most of the exact top-k, and
     full-probe IVF must equal the exact ranking."""
@@ -312,6 +313,7 @@ def test_quantized_ann_recall(spark):
     assert len(approx & exact) / len(exact) >= 0.9
 
 
+@pytest.mark.slow  # >=7 s equivalence test (r11 tier split)
 def test_ivf_store_prunes_partitions_and_matches_in_memory(spark, tmp_path):
     """Cell-partitioned IVF store: the probe reads only the probed cell
     directories (PartitionFilters at the scan, not a post-scan filter) and
@@ -415,6 +417,7 @@ def test_pq_encode_plan_is_scan_shaped(spark):
     assert "Exchange" not in plan
 
 
+@pytest.mark.slow  # >=7 s equivalence test (r11 tier split)
 def test_ivfpq_subset_of_pq_candidates_and_recall(spark):
     """IVF-PQ returns ADC ranking restricted to probed cells: every result
     pair must also appear in the probe-all variant's candidate set, and
@@ -462,6 +465,7 @@ def test_ivfpq_plan_cell_keyed_no_cartesian(spark):
     assert "BroadcastHashJoin" in plan  # probe side broadcasts on cell
 
 
+@pytest.mark.slow  # >=7 s equivalence test (r11 tier split)
 def test_ivfpq_store_prunes_partitions_and_matches_in_memory(spark, tmp_path):
     from lvm_datapipe_spark.catalog import load_table
     from lvm_datapipe_spark.operators import similarity as V

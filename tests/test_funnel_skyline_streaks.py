@@ -122,6 +122,7 @@ def test_skyline_handles_ties_and_duplicates(spark):
         assert sorted(want) == sorted(have)
 
 
+@pytest.mark.slow  # >=7 s equivalence test (r11 tier split)
 def test_skyline_degenerate_inputs(spark):
     empty = spark.createDataFrame([], "id long, x double, y double")
     assert pareto_skyline_2d(empty, "x", "y").count() == 0

@@ -19,6 +19,7 @@ def corpus(spark, tmp_path_factory):
     return str(d)
 
 
+@pytest.mark.slow  # >=7 s equivalence test (r11 tier split)
 def test_probe_source_matches_codec(spark, corpus):
     df = spark.read.format("fvid").load(corpus)
     rows = {r.path.split("/")[-1]: r for r in df.collect()}

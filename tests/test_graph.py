@@ -35,6 +35,7 @@ def _uf_components(rows):
     return {x: find(x) for x in parent}
 
 
+@pytest.mark.slow  # >=7 s equivalence test (r11 tier split)
 def test_chain_and_triangle_and_disjoint(spark):
     rows = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)]
     got = {
@@ -44,6 +45,7 @@ def test_chain_and_triangle_and_disjoint(spark):
     assert got == set(_uf_components(rows).items())
 
 
+@pytest.mark.slow  # >=7 s equivalence test (r11 tier split)
 def test_long_chain_needs_multiple_rounds(spark):
     # a 12-node path has diameter 11 — exercises the iteration loop well past
     # round one and the convergence detection
@@ -56,6 +58,7 @@ def test_long_chain_needs_multiple_rounds(spark):
     assert set(got.values()) == {100}
 
 
+@pytest.mark.slow  # >=7 s equivalence test (r11 tier split)
 def test_convergence_checks_throttled(spark):
     # check_every=k must run ~rounds/k convergence actions (VERDICT r4 item
     # 7: per-round collect() was the driver-side bottleneck on deep chains),
@@ -95,6 +98,7 @@ def test_empty_pairs(spark):
     assert connected_components(df).count() == 0
 
 
+@pytest.mark.slow  # >=7 s equivalence test (r11 tier split)
 def test_string_ids(spark):
     rows = [("doc_b", "doc_a"), ("doc_b", "doc_c"), ("doc_x", "doc_y")]
     got = dict(
@@ -105,6 +109,7 @@ def test_string_ids(spark):
 
 
 @pytest.mark.parametrize("seed", [7, 19])
+@pytest.mark.slow  # >=7 s equivalence test (r11 tier split)
 def test_random_graph_matches_union_find(spark, seed):
     import random
 
@@ -136,6 +141,7 @@ def test_keep_representatives(spark):
     assert kept == {0, 1, 2, 4}
 
 
+@pytest.mark.slow  # >=7 s equivalence test (r11 tier split)
 def test_plan_no_cartesian(spark):
     rows = [(1, 2), (2, 3)]
     out = connected_components(_pairs(spark, rows))
@@ -166,6 +172,7 @@ def _pagerank_model(edges, n_iter=5, scale=10**12, num=17, den=20):
     return r
 
 
+@pytest.mark.slow  # >=7 s equivalence test (r11 tier split)
 def test_pagerank_matches_python_model(spark):
     from lvm_datapipe_spark.operators.graph import pagerank
 
@@ -179,6 +186,7 @@ def test_pagerank_matches_python_model(spark):
     assert got == _pagerank_model(edges)
 
 
+@pytest.mark.slow  # >=7 s equivalence test (r11 tier split)
 def test_pagerank_mass_nearly_conserved(spark):
     from lvm_datapipe_spark.operators.graph import pagerank
 
@@ -190,6 +198,7 @@ def test_pagerank_mass_nearly_conserved(spark):
     assert 0.999 < total <= 1.0
 
 
+@pytest.mark.slow  # >=7 s equivalence test (r11 tier split)
 def test_pagerank_favors_high_indegree(spark):
     from lvm_datapipe_spark.operators.graph import pagerank
 
@@ -232,6 +241,7 @@ def test_pagerank_empty_edges_returns_empty(spark):
     assert out.count() == 0
 
 
+@pytest.mark.slow  # >=7 s equivalence test (r11 tier split)
 def test_add_self_loops_only_on_sinks(spark):
     from lvm_datapipe_spark.operators.graph import add_self_loops, pagerank
 
@@ -270,6 +280,7 @@ def test_add_self_loops_preserves_columns_and_ignores_null_dst(spark):
     assert len(out) == 4
 
 
+@pytest.mark.slow  # >=7 s equivalence test (r11 tier split)
 def test_incremental_components_equals_full_recompute(spark):
     from lvm_datapipe_spark.operators.graph import (
         connected_components,
@@ -393,6 +404,18 @@ def test_dense_driver_triangles_match_brute_force(spark, edges):
     rows = triangle_counts_driver_dense(_pairs(spark, edges), "id_a", "id_b")
     assert rows is not None
     assert dict(rows) == _brute_triangles(edges)
+
+
+def test_dense_driver_triangles_dedupe_duplicate_rows(spark):
+    # callers may pass the RAW per-order pair stream (duplicates); the
+    # matrix assignment must be idempotent
+    from lvm_datapipe_spark.operators.graph import triangle_counts_driver_dense
+
+    edges = [(1, 2), (2, 3), (1, 3)]
+    dup = _pairs(spark, edges + edges + edges[:1])
+    assert dict(triangle_counts_driver_dense(dup, "id_a", "id_b")) == {
+        1: 1, 2: 1, 3: 1
+    }
 
 
 def test_dense_driver_triangles_gate_returns_none(spark):
@@ -575,6 +598,7 @@ def test_kcore_query_surfaces_nonconvergence_as_false_column(spark, tmp_path):
 # -- pointer-jumping shortcut (r8) -------------------------------------------
 
 
+@pytest.mark.slow  # >=7 s equivalence test (r11 tier split)
 def test_shortcut_matches_plain_on_long_chain(spark):
     """A 60-node path: plain propagation needs ~diameter rounds, the
     jumped walk converges in O(log) — same labels."""
@@ -876,6 +900,7 @@ def test_kcore_converged_flag_true_on_fixpoint(spark):
     assert got == {(1, 2), (2, 2), (3, 2)}
 
 
+@pytest.mark.slow  # >=7 s equivalence test (r11 tier split)
 def test_kcore_broadcast_gate_modes_agree(spark):
     """Forced-broadcast, forced-shuffle, and the auto gate (driven to the
     shuffle path via broadcast_max_nodes=0) must return identical cores."""
@@ -911,6 +936,7 @@ def test_kcore_empty_edge_list(spark):
     assert stats["converged"] is True and stats["rounds"] == 0
 
 
+@pytest.mark.slow  # >=7 s equivalence test (r11 tier split)
 def test_truncate_every_is_exact_and_batches_jobs(spark):
     """truncate_every batches the per-round localCheckpoint jobs without
     changing any label (r10 candidate, measured in BENCH_NOTES r9): the
@@ -938,6 +964,7 @@ def test_truncate_every_is_exact_and_batches_jobs(spark):
         assert st["truncations"] <= st0["truncations"] // 2 + 1
 
 
+@pytest.mark.slow  # >=7 s equivalence test (r11 tier split)
 def test_kcore_engines_agree_on_random_graphs(spark):
     """The decremental (default) and recompute peel engines must return
     identical (node, core_degree) sets and converged flags — the two are
@@ -1214,6 +1241,7 @@ def test_twophase_precontract_string_ids_and_symmetric(spark):
     assert got_sym == expect
 
 
+@pytest.mark.slow  # >=7 s equivalence test (r11 tier split)
 def test_twophase_round0_and_midloop_gate_paths_agree(spark):
     """The driver-finish gate has two firing points: ROUND 0 (raw edge
     list already within the bound — skips the loop entirely) and

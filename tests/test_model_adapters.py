@@ -628,6 +628,7 @@ def test_musiq_preprocess_shorter_is_noop_at_or_below_512():
     np.testing.assert_allclose(out, np.full((3, 512, 700), 77 / 255.0), atol=1e-6)
 
 
+@pytest.mark.slow  # >=7 s equivalence test (r11 tier split)
 def test_musiq_preprocess_size_math_matches_reference_int_truncation():
     # 600x800: scale = 512/600; new size = (int(scale*600), int(scale*800))
     # = (512, 682) — truncating int() like imaging_quality.py:52, not round

@@ -8,6 +8,10 @@ from pathlib import Path
 
 import pytest
 
+# whole-module slow tier (see pytest.ini): oracle replays / Hypothesis
+# properties are re-proven every round by the driver gate + local sweeps
+pytestmark = pytest.mark.slow
+
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
 
 from check_correctness import compare  # noqa: E402

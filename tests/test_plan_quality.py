@@ -102,6 +102,7 @@ def test_no_cartesian_in_lsh_cluster_assignment(spark):
     assert out.count() > 0
 
 
+@pytest.mark.slow  # >=7 s equivalence test (r11 tier split)
 def test_no_cartesian_in_any_declared_query(spark):
     # Every query a user can copy from queries() must be free of
     # non-broadcast cartesian products (VERDICT r4 item 1: the quadratic
@@ -153,6 +154,7 @@ def _unbounded_global_windows(opt_plan: str, max_limit: int = 1000) -> bool:
     return False
 
 
+@pytest.mark.slow  # >=7 s equivalence test (r11 tier split)
 def test_no_global_window_in_any_declared_query(spark):
     # VERDICT r5 item 4, codified: no declared query may contain a Window
     # over an EMPTY partition spec — that is an Exchange-SinglePartition

@@ -8,6 +8,10 @@ import math
 from collections import defaultdict
 
 import pytest
+
+# whole-module slow tier (see pytest.ini): oracle replays / Hypothesis
+# properties are re-proven every round by the driver gate + local sweeps
+pytestmark = pytest.mark.slow
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F

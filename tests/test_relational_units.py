@@ -3,6 +3,7 @@ the reference behaviors they re-implement (SURVEY.md §5 plan, item 2)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from lvm_datapipe_spark.functions import strings as S
@@ -211,6 +212,7 @@ def _brj_fixtures(spark):
     return pts, ivs
 
 
+@pytest.mark.slow  # >=7 s equivalence test (r11 tier split)
 def test_binned_range_join_matches_naive(spark):
     from lvm_datapipe_spark.operators.asof import binned_range_join
 

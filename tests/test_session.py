@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import subprocess
 import sys
+
+import pytest
 from pathlib import Path
 
 from lvm_datapipe_spark.session import gpu_conf
@@ -24,6 +26,7 @@ def test_gpu_conf_shapes_resource_requests():
     assert frac["spark.executor.resource.gpu.discoveryScript"] == "/opt/getGpus.sh"
 
 
+@pytest.mark.slow  # >=7 s equivalence test (r11 tier split)
 def test_gpu_conf_lands_in_a_fresh_session():
     """extra_conf=gpu_conf() must reach the live SparkConf.  Needs a session
     that this test owns from birth (getOrCreate reuses, ignoring configs),

@@ -281,6 +281,7 @@ def test_stream_stream_interval_join_matches_batch(spark, landing_dir):
     assert got == want
 
 
+@pytest.mark.slow  # >=7 s equivalence test (r11 tier split)
 def test_foreach_batch_partitioned_upsert_converges_to_batch(spark, landing_dir, tmp_path):
     """Windowed counts materialized through foreachBatch + dynamic
     partition overwrite: late-arriving files re-emit updated windows, each
@@ -310,6 +311,7 @@ def test_foreach_batch_partitioned_upsert_converges_to_batch(spark, landing_dir,
     assert got == want
 
 
+@pytest.mark.slow  # >=7 s equivalence test (r11 tier split)
 def test_stream_stream_outer_join_emits_nulls_after_watermark(
     spark, landing_dir, tmp_path
 ):

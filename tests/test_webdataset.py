@@ -6,6 +6,8 @@ import json
 import os
 import tarfile
 
+import pytest
+
 from lvm_datapipe_spark.sources.webdataset import read_webdataset, write_webdataset
 
 
@@ -61,6 +63,7 @@ def test_json_members_and_null_skip(spark, tmp_path):
     assert json.loads(members[("a", "json")]) == {"lang": "en"}
 
 
+@pytest.mark.slow  # >=7 s equivalence test (r11 tier split)
 def test_archives_reproducible(spark, tmp_path):
     a, b = str(tmp_path / "a"), str(tmp_path / "b")
     df = spark.createDataFrame(
@@ -126,6 +129,7 @@ def _ds_write(df, out, shard_size="5", mode="append"):
     )
 
 
+@pytest.mark.slow  # >=7 s equivalence test (r11 tier split)
 def test_datasource_overwrite_clears_stale_shards(spark, tmp_path):
     import json as _json
 
@@ -181,6 +185,7 @@ def test_reader_honors_manifest_over_listing(spark, tmp_path):
     assert "rogue" in keys2
 
 
+@pytest.mark.slow  # >=7 s equivalence test (r11 tier split)
 def test_datasource_append_refuses_existing_export(spark, tmp_path):
     import pytest
 

@@ -1954,6 +1954,296 @@ def render_kcore_broadcast_md(res: dict) -> list[str]:
     return lines
 
 
+def bench_r11_kernels(spark, quick: bool) -> dict:
+    """§21 (r11): n-scaled A/Bs for the four r11 kernel changes, since the
+    sf0.1 bench is fixed-cost-bound (VERDICT r10 item 5 / next-round item
+    6).  Each subsection asserts result equality between the engines it
+    compares.
+
+    21a dense driver triangles: driver float32-matmul kernel vs the
+        distributed degree-oriented wedge engine on random graphs across
+        sizes, plus the above-gate fallback demonstration.
+    21b driver percentile: Arrow-collect + numpy order statistics vs the
+        exact percentile() aggregate across column sizes (bit equality).
+    21c ccnet scoring passes: the r11 two-pass bigram LM (counts-derived
+        cp/vocab, one scoring join) vs the r9 four-pass shape, inline.
+    21d dsir scan-once: the r11 persisted per-doc bucket profile vs the
+        r9 two-scan shape, inline."""
+    import pandas as pd
+
+    from lvm_datapipe_spark.operators.graph import (
+        triangle_counts,
+        triangle_counts_driver_dense,
+    )
+
+    out: dict = {}
+
+    # ---- 21a: dense driver triangles ------------------------------------
+    tri: dict = {"sizes": {}}
+    sizes = [(1000, 450_000), (2000, 900_000)] if quick else [
+        (1000, 450_000), (2000, 900_000), (4000, 2_000_000)
+    ]
+    for n, m in sizes:
+        rng = np.random.default_rng(SEED + n)
+        u = rng.integers(0, n, size=m, dtype=np.int64)
+        v = rng.integers(0, n, size=m, dtype=np.int64)
+        keep = u < v
+        e = (
+            spark.createDataFrame(pd.DataFrame({"id_a": u[keep], "id_b": v[keep]}))
+            .dropDuplicates()
+            .repartition(32)
+            .persist()
+        )
+        n_edges = e.count()
+        t0 = time.perf_counter()
+        dense = triangle_counts_driver_dense(e, "id_a", "id_b")
+        t_dense = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        dist = {
+            r["node"]: r["triangles"] for r in triangle_counts(e, "id_a", "id_b").collect()
+        }
+        t_dist = round(time.perf_counter() - t0, 2)
+        assert dense is not None and dict(dense) == dist, f"mismatch at n={n}"
+        tri["sizes"][n] = {"edges": int(n_edges), "dense_sec": t_dense,
+                           "distributed_sec": t_dist}
+        e.unpersist()
+        print(f"  tri n={n}: {tri['sizes'][n]}", flush=True)
+    # above-gate: the kernel must decline and the caller's distributed
+    # engine carries the query (gate constants, not data heuristics)
+    rng = np.random.default_rng(SEED)
+    u = rng.integers(0, 10_000, size=30_000, dtype=np.int64)
+    v = rng.integers(0, 10_000, size=30_000, dtype=np.int64)
+    big = spark.createDataFrame(
+        pd.DataFrame({"id_a": u[u < v], "id_b": v[u < v]})
+    ).dropDuplicates().persist()
+    tri["above_gate_returns_none"] = (
+        triangle_counts_driver_dense(big, "id_a", "id_b", max_nodes=4096) is None
+    )
+    big.unpersist()
+    out["dense_triangles"] = tri
+
+    # ---- 21b: driver percentile kernel ----------------------------------
+    from pyspark.sql import functions as F
+
+    from lvm_datapipe_spark.operators.aggregates import exact_percentiles_driver
+
+    pct: dict = {"sizes": {}}
+    psizes = [600_000, 2_400_000] if quick else [600_000, 2_400_000, 8_000_000]
+    fracs = [x / 32.0 for x in range(1, 32)]
+    fl = ", ".join(repr(f) for f in fracs)
+    for n in psizes:
+        rng = np.random.default_rng(SEED + n)
+        col = spark.createDataFrame(
+            pd.DataFrame({"v": np.round(rng.uniform(900.0, 105000.0, n), 2)})
+        ).repartition(32).persist()
+        col.count()
+        t0 = time.perf_counter()
+        drv = exact_percentiles_driver(col, "v", fracs)
+        t_drv = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        agg = col.agg(F.expr(f"percentile(v, array({fl}))")).collect()[0][0]
+        t_agg = round(time.perf_counter() - t0, 2)
+        assert drv == list(agg), f"percentile mismatch at n={n}"
+        pct["sizes"][n] = {"driver_sec": t_drv, "aggregate_sec": t_agg}
+        col.unpersist()
+        print(f"  pct n={n}: {pct['sizes'][n]}", flush=True)
+    out["driver_percentile"] = pct
+
+    # ---- 21c/21d: LM scoring pass counts (ccnet bigram, dsir) -----------
+    # synthetic documents: zipf token stream, ~120 tokens/doc
+    def _gen_docs(n_docs: int):
+        rng = np.random.default_rng(SEED + 7)
+        toks = rng.zipf(1.3, size=(n_docs, 120)) % 30_000
+        texts = [" ".join(f"w{t}" for t in row) for row in toks]
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": np.arange(n_docs, dtype=np.int64),
+                    "lang": ["en"] * n_docs,
+                    "source": [f"src{i % 4}" for i in range(n_docs)],
+                    "text": texts,
+                }
+            )
+        ).repartition(32).persist()
+
+    from lvm_datapipe_spark.operators.text import bigram_lm_surprisal, tokens
+
+    def _ccnet_legacy(df):
+        # the r9 four-pass shape, verbatim (cb/cp/vocab each re-scan the
+        # corpus; two keyed scoring joins on the stream)
+        toks = tokens(F.lower(F.col("text")))
+        d = df.select("doc_id", "lang", toks.alias("toks")).filter(
+            F.size("toks") >= 2
+        )
+        pairs = F.zip_with(
+            F.slice(F.col("toks"), F.lit(1), F.size("toks") - 1),
+            F.slice(F.col("toks"), F.lit(2), F.size("toks") - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        )
+        bg = d.select("doc_id", "lang", F.explode(pairs).alias("p")).select(
+            "doc_id", "lang", "p.w1", "p.w2"
+        )
+        cb = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+        cp = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("cp"))
+        vocab = d.select(F.explode("toks").alias("tok")).agg(
+            F.count_distinct("tok").alias("vsz")
+        )
+        surprisal = F.length(F.bin(F.col("cp") + F.col("vsz"))) - F.length(
+            F.bin(F.col("cb") + F.lit(1))
+        )
+        s = (
+            bg.join(cb, ["w1", "w2"])
+            .join(cp, "w1")
+            .crossJoin(F.broadcast(vocab))
+            .withColumn("surprisal", surprisal)
+        )
+        return s.groupBy("doc_id", "lang").agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("surprisal").cast("bigint").alias("surprisal_sum"),
+        )
+
+    lm: dict = {"sizes": {}}
+    dsizes = [20_000, 60_000] if quick else [20_000, 60_000, 150_000]
+    for n in dsizes:
+        docs = _gen_docs(n)
+        docs.count()
+        t0 = time.perf_counter()
+        new = bigram_lm_surprisal(docs)
+        new_rows = {r["doc_id"]: (r["n_bigrams"], r["surprisal_sum"]) for r in new.collect()}
+        t_new = round(time.perf_counter() - t0, 2)
+        for dep in getattr(new, "_lvm_cached_deps", []):
+            dep.unpersist()
+        t0 = time.perf_counter()
+        old_rows = {
+            r["doc_id"]: (r["n_bigrams"], r["surprisal_sum"])
+            for r in _ccnet_legacy(docs).collect()
+        }
+        t_old = round(time.perf_counter() - t0, 2)
+        assert new_rows == old_rows, f"ccnet mismatch at n={n}"
+        lm["sizes"][n] = {"two_pass_sec": t_new, "four_pass_sec": t_old}
+        print(f"  ccnet n={n}: {lm['sizes'][n]}", flush=True)
+
+        from lvm_datapipe_spark.operators.sampling import dsir_doc_weights, hash_bucket
+
+        def _dsir_legacy(df, target_pred):
+            toksc = tokens(F.lower(F.col("text")))
+            dd = df.select(
+                "doc_id", "lang", "source", target_pred.alias("is_target"),
+                toksc.alias("toks"),
+            ).filter(F.size("toks") >= 1)
+            bigrams = F.zip_with(
+                F.slice(F.col("toks"), F.lit(1), F.greatest(F.size("toks") - 1, F.lit(0))),
+                F.slice(F.col("toks"), F.lit(2), F.greatest(F.size("toks") - 1, F.lit(0))),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+            feats = dd.select(
+                "doc_id", "lang", "source", "is_target",
+                F.explode(F.concat(F.col("toks"), bigrams)).alias("feat"),
+            ).withColumn("fb", hash_bucket(F.col("feat"), 512, "dsir"))
+            counts = feats.groupBy("fb").agg(
+                F.count(F.lit(1)).alias("cr"),
+                F.sum(F.col("is_target").cast("long")).alias("ct"),
+            )
+            totals = counts.agg(F.sum("cr").alias("nr"), F.sum("ct").alias("nt"))
+            blen = lambda c: F.length(F.bin(c))  # noqa: E731
+            wt = counts.crossJoin(F.broadcast(totals)).select(
+                "fb",
+                (
+                    (blen(F.col("ct") + 1) - blen(F.col("nt") + F.lit(512)))
+                    - (blen(F.col("cr") + 1) - blen(F.col("nr") + F.lit(512)))
+                ).alias("s"),
+            )
+            return (
+                feats.join(F.broadcast(wt), "fb")
+                .groupBy("doc_id", "lang", "source", "is_target")
+                .agg(
+                    F.count(F.lit(1)).alias("n_features"),
+                    F.sum("s").cast("bigint").alias("weight"),
+                )
+            )
+
+        t0 = time.perf_counter()
+        neww = dsir_doc_weights(docs, F.col("source") == "src0")
+        new_w = {r["doc_id"]: (r["n_features"], r["weight"]) for r in neww.collect()}
+        t_new = round(time.perf_counter() - t0, 2)
+        for dep in getattr(neww, "_lvm_cached_deps", []):
+            dep.unpersist()
+        t0 = time.perf_counter()
+        old_w = {
+            r["doc_id"]: (r["n_features"], r["weight"])
+            for r in _dsir_legacy(docs, F.col("source") == "src0").collect()
+        }
+        t_old = round(time.perf_counter() - t0, 2)
+        assert new_w == old_w, f"dsir mismatch at n={n}"
+        lm["sizes"][n]["dsir_one_scan_sec"] = t_new
+        lm["sizes"][n]["dsir_two_scan_sec"] = t_old
+        print(f"  dsir n={n}: one_scan {t_new} two_scan {t_old}", flush=True)
+        docs.unpersist()
+    out["lm_passes"] = lm
+    return out
+
+
+def render_r11_kernels_md(res: dict) -> list[str]:
+    r = res["r11_kernels"]
+    tri, pct, lm = r["dense_triangles"], r["driver_percentile"], r["lm_passes"]
+    lines = [
+        "## 21. r11 kernel A/Bs (generated)",
+        "",
+        "n-scaled evidence for the four r11 kernel changes (sf0.1 is",
+        "fixed-cost-bound — VERDICT r10 item 5); every row asserts result",
+        "equality between the compared engines before timing is reported.",
+        "",
+        "### 21a. dense driver triangle kernel vs distributed wedge engine",
+        "",
+        "| nodes (edges) | driver dense | distributed | ratio |",
+        "|---|---|---|---|",
+    ]
+    for n, row in sorted(tri["sizes"].items(), key=lambda kv: int(kv[0])):
+        ratio = row["distributed_sec"] / row["dense_sec"] if row["dense_sec"] else float("inf")
+        lines.append(
+            f"| {n} ({row['edges']}) | {row['dense_sec']} s |"
+            f" {row['distributed_sec']} s | {ratio:.1f}x |"
+        )
+    lines += [
+        "",
+        f"- above the 4096-node gate the kernel declines (returns None:"
+        f" {tri['above_gate_returns_none']}) and the distributed engine",
+        "  carries the query — the dense path is O(n²) memory / O(n³) FLOPs",
+        "  by design and exists only below the fixed driver-sized bound.",
+        "",
+        "### 21b. driver order-statistic percentiles vs exact percentile()",
+        "",
+        "| rows | driver collect+sort | percentile() aggregate | ratio |",
+        "|---|---|---|---|",
+    ]
+    for n, row in sorted(pct["sizes"].items(), key=lambda kv: int(kv[0])):
+        ratio = row["aggregate_sec"] / row["driver_sec"] if row["driver_sec"] else float("inf")
+        lines.append(
+            f"| {n} | {row['driver_sec']} s | {row['aggregate_sec']} s |"
+            f" {ratio:.1f}x |"
+        )
+    lines += [
+        "",
+        "### 21c/d. LM scoring pass counts (ccnet bigram two- vs four-pass;",
+        "dsir one- vs two-scan)",
+        "",
+        "| docs | ccnet 2-pass | ccnet 4-pass | dsir 1-scan | dsir 2-scan |",
+        "|---|---|---|---|---|",
+    ]
+    for n, row in sorted(lm["sizes"].items(), key=lambda kv: int(kv[0])):
+        lines.append(
+            f"| {n} | {row['two_pass_sec']} s | {row['four_pass_sec']} s |"
+            f" {row['dsir_one_scan_sec']} s | {row['dsir_two_scan_sec']} s |"
+        )
+    lines += [
+        "",
+        "- the pass-count reductions grow with corpus size (every removed",
+        "  pass is a full tokenize/md5 scan); equality asserted on every",
+        "  (doc, value) pair at every size.",
+    ]
+    return lines
+
+
 def bench_kcore_engines(spark, quick: bool) -> dict:
     """§20b (r10): the decremental vs recompute kcore engines across graph
     sizes.  Same fixture family as §18 (uniform random, mean degree 10,
@@ -2219,6 +2509,7 @@ def main() -> None:
     only_incremental = "--only-incremental" in sys.argv
     only_kcorebcast = "--only-kcorebcast" in sys.argv
     only_kcoreeng = "--only-kcoreeng" in sys.argv
+    only_r11 = "--only-r11" in sys.argv
     os.makedirs(SCRATCH, exist_ok=True)
     from lvm_datapipe_spark.session import get_spark
 
@@ -2236,7 +2527,7 @@ def main() -> None:
     if (only_txlog or only_skyline or only_concurrency or only_linededup
             or only_winnowing or only_lshauto or only_composed or only_geo
             or only_basketcap or only_ccvariants or only_incremental
-            or only_kcorebcast or only_kcoreeng):
+            or only_kcorebcast or only_kcoreeng or only_r11):
         # incremental mode: merge the new section into the committed
         # results instead of re-running the (long) full matrix
         with open(os.path.join(REPO, "SCALE_BENCH.json")) as f:
@@ -2251,6 +2542,18 @@ def main() -> None:
         res["skew"] = bench_skew(spark, quick)
         print("== LM scoring: DSIR vs CCNet ==", flush=True)
         res["lm_scoring"] = bench_lm_scoring(spark, quick)
+    if only_r11:
+        print("== r11 kernels ==", flush=True)
+        res["r11_kernels"] = bench_r11_kernels(spark, quick)
+        with open(os.path.join(REPO, "SCALE_BENCH.json"), "w") as f:
+            json.dump(res, f, indent=2, sort_keys=True)
+        _update_md_section(
+            "## 21. r11 kernel A/Bs",
+            render_r11_kernels_md(res),
+        )
+        print("wrote SCALE_BENCH.json + SCALE_BENCH.md (r11 kernels)", flush=True)
+        shutil.rmtree("/dev/shm/spark-scale-local", ignore_errors=True)
+        return
     if only_kcoreeng:
         print("== kcore engines ==", flush=True)
         res["kcore_engines"] = bench_kcore_engines(spark, quick)
