@@ -1121,7 +1121,10 @@ def incremental_components(
 
 
 def triangle_counts(
-    edges: DataFrame, a_col: str = "id_a", b_col: str = "id_b"
+    edges: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    use_driver_kernel: bool = True,
 ) -> DataFrame:
     """Per-node triangle counts with DEGREE ORIENTATION (Chiba-Nishizeki;
     Suri & Vassilvitskii's MapReduce adaptation): each undirected edge is
@@ -1134,10 +1137,30 @@ def triangle_counts(
 
     ``edges`` must be an undirected simple edge list (each edge once, in
     either orientation, no self-loops).  Returns ``(node, triangles)``
-    for every node in at least one triangle."""
+    for every node in at least one triangle.
+
+    r11: below the :func:`triangle_counts_driver_dense` gates the counts
+    come from the driver bitset kernel (identical integers, one bounded
+    collect instead of the wedge join — see its docstring); the wedge
+    engine below is the scale shape above the gates.
+    ``use_driver_kernel=False`` forces the distributed engine (used by the
+    engine-equivalence tests and SCALE_BENCH's A/B)."""
     e = edges.select(
         F.col(a_col).alias("a"), F.col(b_col).alias("bb")
     ).persist()
+    if use_driver_kernel:
+        dense = triangle_counts_driver_dense(e, "a", "bb")
+        if dense is not None:
+            e.unpersist()
+            spark = edges.sparkSession
+            node_t = edges.schema[a_col].dataType
+            schema = T.StructType(
+                [
+                    T.StructField("node", node_t),
+                    T.StructField("triangles", T.LongType()),
+                ]
+            )
+            return spark.createDataFrame(dense, schema)
     deg = (
         e.select(F.col("a").alias("node"))
         .unionAll(e.select(F.col("bb").alias("node")))
@@ -1192,15 +1215,16 @@ def triangle_counts(
     )
 
 
-#: Gates for :func:`triangle_counts_driver_dense`.  4096 nodes keeps the
-#: float32 adjacency at 64 MB and the single BLAS matmul under ~1 s on a
-#: 32-core driver; the edge cap bounds the Arrow collect (2 int64 cols,
-#: ≤64 MB).  Both are driver-memory constants, not data-size tunables —
-#: above either gate the distributed engines (array_intersect adjacency /
-#: degree-oriented wedge join) carry the query, so the fallback is the
-#: scale plan, not an error path.
-DENSE_TRIANGLE_MAX_NODES = 4096
-DENSE_TRIANGLE_MAX_EDGES = 4_000_000
+#: Gates for :func:`triangle_counts_driver_dense`.  24576 nodes keeps the
+#: packed bit adjacency at 75 MB (the transient byte matrix it is packed
+#: from at ~600 MB, well inside the driver sandbox) and the per-edge
+#: AND+popcount sweep under ~1 s; the edge cap bounds the Arrow collect
+#: (2 int64 cols, ≤128 MB).  Both are driver-memory constants, not
+#: data-size tunables — above either gate the distributed engines
+#: (array_intersect adjacency / degree-oriented wedge join) carry the
+#: query, so the fallback is the scale plan, not an error path.
+DENSE_TRIANGLE_MAX_NODES = 24_576
+DENSE_TRIANGLE_MAX_EDGES = 8_000_000
 
 
 def triangle_counts_driver_dense(
@@ -1211,32 +1235,39 @@ def triangle_counts_driver_dense(
     max_edges: int | None = None,
 ) -> list[tuple[int, int]] | None:
     """Per-node triangle counts for a METADATA-SIZED graph, computed on the
-    driver with one dense float32 matmul — the same size-gated driver-finish
-    pattern as the CC union-find finish and the Markov absorption iteration
-    (both ≤ a fixed collect bound, both falling back to the distributed
-    engine above it).
+    driver with a packed-bitset adjacency and one vectorized AND+popcount
+    sweep over the edges — the same size-gated driver-finish pattern as the
+    CC union-find finish and the Markov absorption iteration (both <= a
+    fixed collect bound, both falling back to the distributed engine above
+    it).
 
-    ``edges`` is an undirected integer edge list with no self-loops;
-    DUPLICATE rows are fine (the matrix assignment is idempotent), which
-    lets callers skip their edge-distinct exchange on the fast path — the
-    edge gate then bounds the raw COLLECT size, its actual job.  Returns
-    ``[(node, n_triangles), ...]`` for every node in ≥1 triangle, or
+    ``edges`` is an undirected edge list with no self-loops; DUPLICATE rows
+    are fine (deduplicated after the remap), which lets callers skip their
+    edge-distinct exchange on the fast path — the edge gate then bounds the
+    raw COLLECT size, its actual job.  Node ids may be any orderable type
+    (ints here; strings work via the same remap).  Returns
+    ``[(node, n_triangles), ...]`` for every node in >=1 triangle, or
     ``None`` when the graph exceeds either gate (the caller then runs its
     distributed engine; the wasted work is one bounded collect).
 
-    Math: with symmetric 0/1 adjacency ``A``, ``((A @ A) * A).sum(axis=1)``
-    counts ordered wedge closures per node = 2 × triangles.  Exactness in
-    float32: each ``A @ A`` cell is a wedge count ≤ n−2 < 2²⁴, products with
-    the 0/1 mask stay integral, and the row sum accumulates in float64 —
-    integer-exact end to end, no tolerance involved.
+    Math: a triangle {a,b,c} is seen from node ``a`` at BOTH its incident
+    edges ((a,b) closing through c and (a,c) closing through b), so with a
+    symmetric bit adjacency ``tri(x) = (sum over edges (x,y) of
+    |N(x) & N(y)|) / 2`` — per distinct edge, one bitwise AND of two packed
+    rows and a popcount, credited to both endpoints.  All-integer, exact by
+    construction (an r11 rework of the r11 float32-matmul first cut: the
+    bitset form is O(m*n/64) instead of O(n^3), which lifts the node gate
+    from 4096 to 24576 and brings the 20k-node part co-purchase graph of
+    graph_triangle_counts / graph_clustering_coefficient under it).
 
-    Why a driver matmul beats every distributed engine at this size: the
+    Why a driver bitset beats every distributed engine at this size: the
     r10 round measured the per-edge ``array_intersect`` plan at ~4 s beyond
-    the shared edge build and a packed-bitset Catalyst engine ≤1.08× with an
-    8–90 s janino cold-start; a 1k-node BLAS sgemm is ~2 GFLOP ≈ milliseconds
-    and ships ~7 MB once.  The crossover the gates encode: the dense matrix
-    is O(n²) memory and O(n³) FLOPs, so this path exists ONLY below the
-    fixed node bound where both are trivially driver-sized.
+    the shared edge build and a Catalyst packed-bitset engine <=1.08x with
+    an 8-90 s janino cold-start; numpy does the same ANDs over a <=75 MB
+    packed matrix in milliseconds and the edge list ships once (~7 MB at
+    sf0.1).  The crossover the gates encode: the bit matrix is O(n^2/8)
+    memory and the sweep O(m*n/64) work — driver-trivial ONLY below the
+    fixed bounds.
 
     Gates default to the module constants and are env-overridable
     (``SPARK_GRAFT_DENSE_TRI_MAX_NODES`` / ``_MAX_EDGES``) so a deploy with
@@ -1258,22 +1289,43 @@ def triangle_counts_driver_dense(
                 "SPARK_GRAFT_DENSE_TRI_MAX_EDGES", DENSE_TRIANGLE_MAX_EDGES
             )
         )
+    if max_nodes <= 0 or max_edges <= 0:
+        return None
     if edges.count() > max_edges:
         return None
     pdf = edges.select(
-        F.col(a_col).cast("long").alias("a"), F.col(b_col).cast("long").alias("b")
+        F.col(a_col).alias("a"), F.col(b_col).alias("b")
     ).toPandas()
     a = pdf["a"].to_numpy()
     b = pdf["b"].to_numpy()
-    nodes = np.unique(np.concatenate([a, b]))
-    if len(nodes) > max_nodes:
+    if len(a) == 0:
+        return []
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    n = len(nodes)
+    if n > max_nodes:
         return None
-    ia = np.searchsorted(nodes, a)
-    ib = np.searchsorted(nodes, b)
-    adj = np.zeros((len(nodes), len(nodes)), dtype=np.float32)
-    adj[ia, ib] = 1.0
-    adj[ib, ia] = 1.0
-    twice = ((adj @ adj) * adj).sum(axis=1, dtype=np.float64)
-    cnt = np.rint(twice / 2.0).astype(np.int64)
+    ia = inv[: len(a)].astype(np.int64)
+    ib = inv[len(a):].astype(np.int64)
+    # dedupe (and drop residual self-loops) on the remapped pair key
+    key = np.unique(np.minimum(ia, ib) * n + np.maximum(ia, ib))
+    ia, ib = key // n, key % n
+    keep = ia != ib
+    ia, ib = ia[keep], ib[keep]
+    # symmetric adjacency as packed bits: byte matrix (duplicate-safe
+    # constant assignment) -> packbits rows
+    byte = np.zeros((n, n), dtype=np.uint8)
+    byte[ia, ib] = 1
+    byte[ib, ia] = 1
+    packed = np.packbits(byte, axis=1)
+    del byte
+    lut = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+    cnt = np.zeros(n, dtype=np.int64)
+    step = max(1, 8_000_000 // max(1, packed.shape[1]))
+    for s in range(0, len(ia), step):
+        ca, cb = ia[s : s + step], ib[s : s + step]
+        common = lut[packed[ca] & packed[cb]].sum(axis=1, dtype=np.int64)
+        np.add.at(cnt, ca, common)
+        np.add.at(cnt, cb, common)
+    cnt //= 2
     keep = cnt > 0
     return list(zip(nodes[keep].tolist(), cnt[keep].tolist()))

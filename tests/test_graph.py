@@ -366,11 +366,15 @@ def _brute_triangles(edges):
         [(1, 2), (1, 3), (1, 4), (5, 6), (6, 7)],
     ],
 )
-def test_triangle_counts_match_brute_force(spark, edges):
+@pytest.mark.parametrize("driver_kernel", [True, False])
+def test_triangle_counts_match_brute_force(spark, edges, driver_kernel):
     from lvm_datapipe_spark.operators.graph import triangle_counts
 
     df = _pairs(spark, edges)
-    got = {r["node"]: r["triangles"] for r in triangle_counts(df).collect()}
+    got = {
+        r["node"]: r["triangles"]
+        for r in triangle_counts(df, use_driver_kernel=driver_kernel).collect()
+    }
     assert got == _brute_triangles(edges)
 
 
@@ -442,7 +446,8 @@ def test_dense_driver_triangles_match_distributed_engine(spark):
     df = _pairs(spark, edges)
     dense = dict(triangle_counts_driver_dense(df, "id_a", "id_b"))
     dist = {
-        r["node"]: r["triangles"] for r in triangle_counts(df).collect()
+        r["node"]: r["triangles"]
+        for r in triangle_counts(df, use_driver_kernel=False).collect()
     }
     assert dense == dist == _brute_triangles(edges)
 

@@ -2000,7 +2000,10 @@ def bench_r11_kernels(spark, quick: bool) -> dict:
         t_dense = round(time.perf_counter() - t0, 2)
         t0 = time.perf_counter()
         dist = {
-            r["node"]: r["triangles"] for r in triangle_counts(e, "id_a", "id_b").collect()
+            r["node"]: r["triangles"]
+            for r in triangle_counts(
+                e, "id_a", "id_b", use_driver_kernel=False
+            ).collect()
         }
         t_dist = round(time.perf_counter() - t0, 2)
         assert dense is not None and dict(dense) == dist, f"mismatch at n={n}"
