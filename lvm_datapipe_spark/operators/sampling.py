@@ -190,16 +190,14 @@ def dsir_doc_weights(
     weight is the sum of s_b over its feature OCCURRENCES — all exact
     integers end to end.
 
-    Plan shape (scales to 100 TB; r11 rework): ONE tokenize+hash scan → the
-    persisted per-doc bucket profile (≤B rows per doc; the aggregate's
-    map-side partials compress the doc-contiguous explode output before the
-    exchange) → the B-row count table, the two scalar totals, and the
-    per-doc weights are all exact integer folds over that profile — the
-    scoring join is BROADCAST (B rows), and the expensive md5 feature hash
-    runs exactly once per occurrence instead of twice.  Compare CCNet
-    scoring, whose bigram count tables are vocab-sized and must meet the
-    stream on a keyed shuffle: hashing into fixed B is exactly what makes
-    DSIR cheap at scale.
+    Plan shape (scales to 100 TB): one tokenize+hash scan (features never
+    materialize per-corpus state beyond B-bucket count tables) → two
+    map-side-partial aggregates over AT MOST B rows each → the weight
+    table (B rows, two scalar totals folded in) broadcasts back onto the
+    feature stream — the scoring join is BROADCAST, zero shuffle — then one
+    per-doc aggregate.  Compare CCNet scoring, whose bigram count tables
+    are vocab-sized and must meet the stream on a keyed shuffle: hashing
+    into fixed B is exactly what makes DSIR cheap at scale.
 
     ``bucket_fn`` swaps the feature hash: the default md5 bucket is the
     ORACLE-portable choice (DuckDB computes the identical bucket), but md5
@@ -234,26 +232,21 @@ def dsir_doc_weights(
         if bucket_fn is not None
         else hash_bucket(F.col("feat"), n_feature_buckets, salt),
     )
-    # r11 rework (guide §1.2/§4-adjacent): the tokenize+md5 feature scan —
-    # the operator's dominant cost (md5 measured ~2.5× the rest of the
-    # scoring pipeline, SCALE_BENCH §4) — now runs ONCE.  The per-doc
-    # bucket profile (id, fb) with multiplicity is aggregated first (one
-    # keyed shuffle whose map-side partials compress doc-contiguous explode
-    # output to ≤B rows per doc) and persisted; the bucket count table,
-    # the totals, and the scoring sum are all exact integer folds over it:
-    #   cr(fb) = Σ_docs c,  ct(fb) = Σ_target-docs c,
-    #   n_features(doc) = Σ_fb c,  weight(doc) = Σ_fb c·s(fb).
-    # The r10 shape re-ran the full scan for the scoring pass.
-    docfb = (
-        feats.groupBy(id_col, *carry_cols, "is_target", "fb")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .persist()
-    )
-    counts = docfb.groupBy("fb").agg(
-        F.sum("c").alias("cr"),
-        F.sum(F.when(F.col("is_target"), F.col("c")).otherwise(F.lit(0))).alias(
-            "ct"
-        ),
+    # ONE aggregate pass produces raw and target bucket counts together
+    # (conditional sum), and the totals fall out of the B-row table itself —
+    # the expensive tokenize+hash feature scan runs exactly twice (counting,
+    # scoring).  r11 tried to cut the second scan two ways and BOTH lost the
+    # quiet A/B (negative recorded in OPTIMIZATION_r11.md): a per-doc bucket
+    # profile aggregate added a keyed shuffle that cost more than the saved
+    # scan (2.17 -> 2.86 s bench row), and a plain persist of the hashed
+    # feature stream still lost (1.70 vs 1.37 s focused) because the
+    # 2.5M-row cache write+read exceeds the recompute of a columnar scan +
+    # codegen'd tokenize at this scale.  The recompute IS the optimum here;
+    # at shard scale the same trade holds as long as scan+tokenize stays
+    # cheaper than materializing the exploded feature stream.
+    counts = feats.groupBy("fb").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum(F.col("is_target").cast("long")).alias("ct"),
     )
     totals = counts.agg(F.sum("cr").alias("nr"), F.sum("ct").alias("nt"))
     blen = lambda c: F.length(F.bin(c))  # noqa: E731
@@ -264,14 +257,11 @@ def dsir_doc_weights(
             - (blen(F.col("cr") + 1) - blen(F.col("nr") + F.lit(n_feature_buckets)))
         ).alias("s"),
     )
-    out = (
-        docfb.join(F.broadcast(wt), "fb")
+    return (
+        feats.join(F.broadcast(wt), "fb")
         .groupBy(id_col, *carry_cols, "is_target")
         .agg(
-            F.sum("c").cast("bigint").alias("n_features"),
-            F.sum(F.col("c") * F.col("s")).cast("bigint").alias("weight"),
+            F.count(F.lit(1)).alias("n_features"),
+            F.sum("s").cast("bigint").alias("weight"),
         )
     )
-    from lvm_datapipe_spark.operators.dedup import _with_cached_deps
-
-    return _with_cached_deps(out, [docfb])
