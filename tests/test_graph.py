@@ -452,6 +452,53 @@ def test_dense_driver_triangles_match_distributed_engine(spark):
     assert dense == dist == _brute_triangles(edges)
 
 
+def test_dense_driver_triangles_from_baskets_match_edge_kernel(spark):
+    # the basket entry point (collect baskets, generate pairs in numpy)
+    # must agree with the edge kernel and brute force on random baskets,
+    # including singleton baskets (0 pairs) and repeated co-occurrences
+    import itertools
+    import random
+
+    from lvm_datapipe_spark.operators.graph import (
+        triangle_counts_driver_dense,
+        triangle_counts_driver_dense_from_baskets,
+    )
+
+    rng = random.Random(23)
+    rows, edge_set = [], set()
+    for order in range(60):
+        k = rng.choice([1, 2, 3, 4, 5])
+        items = rng.sample(range(30), k)
+        rows.extend((order, i) for i in items)
+        edge_set |= {tuple(sorted(p)) for p in itertools.combinations(items, 2)}
+    baskets = spark.createDataFrame(rows, "o long, i long")
+    via_baskets = triangle_counts_driver_dense_from_baskets(baskets, "o", "i")
+    edges = sorted(edge_set)
+    via_edges = triangle_counts_driver_dense(_pairs(spark, edges), "id_a", "id_b")
+    assert dict(via_baskets) == dict(via_edges) == _brute_triangles(edges)
+
+
+def test_dense_driver_triangles_from_baskets_gates(spark):
+    from lvm_datapipe_spark.operators.graph import (
+        triangle_counts_driver_dense_from_baskets,
+    )
+
+    baskets = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 10), (2, 11)], "o long, i long"
+    )
+    # pairs = 3 + 1 = 4; rows = 5
+    assert (
+        triangle_counts_driver_dense_from_baskets(baskets, "o", "i", max_edges=3)
+        is None
+    )
+    assert (
+        triangle_counts_driver_dense_from_baskets(baskets, "o", "i", max_nodes=2)
+        is None
+    )
+    out = triangle_counts_driver_dense_from_baskets(baskets, "o", "i")
+    assert dict(out) == {10: 1, 11: 1, 12: 1}
+
+
 def test_supplier_triangles_env_gate_forces_distributed_plan(spark, monkeypatch):
     # with a 0 gate the declared query must run the array_intersect scale
     # engine and still match the oracle-shaped fast-path output
