@@ -373,7 +373,11 @@ def band_buckets(
 
 
 def lsh_candidate_pairs(
-    sig_df: DataFrame, id_col: str = "doc_id", bands: int = 4, rows: int = 4
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows: int = 4,
+    dedup_pairs: bool = True,
 ) -> DataFrame:
     """Band the signature (bands × rows), bucket by md5 of each band slice,
     and emit distinct candidate pairs sharing any (band, bucket).
@@ -382,7 +386,12 @@ def lsh_candidate_pairs(
     if a whole band agrees, so the pair blow-up is bounded by bucket sizes,
     not n².  Probability a pair with Jaccard j becomes a candidate:
     1 - (1 - j^rows)^bands.
-    """
+
+    ``dedup_pairs=False`` skips the final ``distinct`` exchange and emits
+    one row per matching (band, bucket) — for consumers whose downstream
+    aggregation is idempotent under duplicate pairs (bit_or/max/min per
+    pair, e.g. dedup_method_agreement's membership mask) the distinct is
+    pure cost (r11, guide §2.3)."""
     # persist: both sides of the self-join read this — without it the whole
     # signature lineage (shingle + k×md5 + groupBy) executes twice
     exploded = band_buckets(sig_df, id_col, bands, rows).persist()
@@ -392,8 +401,9 @@ def lsh_candidate_pairs(
         a.join(b_, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .distinct()
     )
+    if dedup_pairs:
+        out = out.distinct()
     return _with_cached_deps(out, [exploded])
 
 
@@ -406,13 +416,15 @@ def minhash_lsh_pairs(
     bands: int = 4,
     rows: int = 4,
     shingle_rows_df: DataFrame | None = None,
+    dedup_pairs: bool = True,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup candidate generation (shingle → signature →
     band → bucket-join).  ``shingle_rows_df`` forwards a prebuilt distinct
-    (id, shingle) table to :func:`minhash_signatures`."""
+    (id, shingle) table to :func:`minhash_signatures`; ``dedup_pairs``
+    forwards to :func:`lsh_candidate_pairs`."""
     return lsh_candidate_pairs(
         minhash_signatures(df, text_col, id_col, n, k, shingle_rows_df),
-        id_col, bands, rows,
+        id_col, bands, rows, dedup_pairs,
     )
 
 
@@ -473,6 +485,7 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     bands: int = 4,
+    dedup_pairs: bool = True,
 ) -> DataFrame:
     """Near-dup pairs with SimHash Hamming distance ≤ max_hamming.
 
@@ -481,6 +494,12 @@ def simhash_pairs(
     at least one identical band — so candidates come from equi-joins on
     (band_idx, band_slice), never a cross join.  The result is EXACT for
     ``max_hamming <= bands - 1``.
+
+    ``dedup_pairs=False`` skips the final ``distinct`` exchange (duplicate
+    rows appear when a pair agrees on >1 band) — see
+    :func:`lsh_candidate_pairs`; this is the biggest pair stream of
+    dedup_method_agreement (~83k simhash pairs at sf0.1 vs ~256 each for
+    the other two methods), so its dedup shuffle is the one worth skipping.
     """
     assert max_hamming <= bands - 1, "banding is only exact for max_hamming <= bands-1"
     # persist: the fingerprint table is tiny (id + 32-char string) and feeds
@@ -517,8 +536,9 @@ def simhash_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
-        .distinct()
     )
+    if dedup_pairs:
+        out = out.distinct()
     return _with_cached_deps(out, [sh])
 
 

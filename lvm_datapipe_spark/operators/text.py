@@ -336,15 +336,24 @@ def bigram_lm_surprisal(
     ``-log2((cb+1)/(cp+V))`` (or broadcast KenLM scores) into the same plan;
     only this one projection expression changes.
 
-    Plan shape (scales to 100 TB; r11 rework, guide §1.2/§2.4): TWO corpus
-    passes — the tokenize+explode scan feeding the (w1, w2) count aggregate
-    (map-side partial over the zipf-bounded bigram vocab), and the scoring
-    scan joining the bigram stream against a per-bigram surprisal table
-    derived entirely from the persisted count table (prefix counts and the
-    vocabulary size are exact identities over it — see the inline comment).
-    The r9 shape paid FOUR corpus passes (cb, cp, vocab, probe); the two
-    removed aggregates were map-side cheap but their scans were not.
-    No Python, no window, no cartesian.
+    Plan shape (scales to 100 TB): one tokenize scan → bigram explode (linear
+    fan-out, ~n_tokens rows per doc, the unavoidable cost of any distributed
+    LM scoring) → two map-side-partial count aggregates over zipf-bounded
+    vocab tables → two keyed joins bringing counts back to the bigram stream
+    (shuffle keys: (w1,w2) and w1 — bucket the corpus by bigram hash to
+    co-locate them) → one per-doc aggregate.  The vocab-size scalar V is a
+    single-row broadcast.  No Python, no window, no cartesian.
+
+    r11 NEGATIVE (SCALE_BENCH §21c): a two-pass rework persisted the
+    (w1, w2) count table and derived cp/vocab from it by exact identities
+    (cp(w1) = Σ_w2 cb; vocab = distinct(w1 ∪ w2)).  It measured slightly
+    ahead at sf0.1 but LOST the n-scaled A/B in BOTH corpus regimes
+    (heavy-tail 29.8 vs 13.3 s at 150k docs; Heaps-bounded 15.9 vs 10.4 s
+    at 80k docs): the count table is NOT small relative to the stream
+    (types grow with the corpus), so its cache materialization + the
+    low-parallelism cached read feeding the scoring join cost more than
+    the two map-side-cheap corpus scans they replaced.  REVERTED; the
+    four-pass shape below is the measured scale optimum.
 
     Returns one row per document with >= 2 tokens:
     ``(id_col, *carry_cols, n_bigrams, surprisal_sum)`` — all integers, so
@@ -360,49 +369,28 @@ def bigram_lm_surprisal(
     bg = d.select(id_col, *carry_cols, F.explode(pairs).alias("p")).select(
         id_col, *carry_cols, "p.w1", "p.w2"
     )
-    # r11 rework (guide §1.2/§2.4): TWO corpus passes total instead of four.
-    # The bigram STREAM stays unpersisted (corpus-sized, storage churn at
-    # scale); the zipf-bounded (w1, w2) COUNT table is the small reused
-    # state and is what gets cached.  Everything else derives from it by
-    # exact count identities instead of re-scanning the corpus:
-    #   cp(w1)  = Σ_w2 cb          (each prefix occurrence is one bigram)
-    #   vocab   = distinct(w1 ∪ w2) (every token of a ≥2-token doc occurs
-    #                                in ≥1 bigram — as w1 unless doc-final,
-    #                                as w2 unless doc-initial)
-    # The per-bigram surprisal is attached to the count table (small ⋈
-    # small), then ONE scoring join brings it back to the stream —
-    # auto-strategy, so it broadcasts here and degrades to a keyed join at
-    # vocab scale exactly like the old shape.
-    cb = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb")).persist()
-    cp = cb.groupBy("w1").agg(F.sum("cb").alias("cp"))
-    vocab = (
-        cb.select(F.col("w1").alias("tok"))
-        .union(cb.select(F.col("w2").alias("tok")))
-        .agg(F.count_distinct("tok").alias("vsz"))
+    # (deliberately NOT persisted: measured neutral at sf0.1 — the count
+    # aggregates are map-side cheap and the cost lives in the two keyed
+    # scoring joins, so materializing the corpus-sized bigram stream buys
+    # nothing and costs storage churn at scale)
+    cb = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    cp = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("cp"))
+    vocab = d.select(F.explode("toks").alias("tok")).agg(
+        F.count_distinct("tok").alias("vsz")
     )
-    scored = (
-        cb.join(cp, "w1")
+    surprisal = F.length(F.bin(F.col("cp") + F.col("vsz"))) - F.length(
+        F.bin(F.col("cb") + F.lit(1))
+    )
+    s = (
+        bg.join(cb, ["w1", "w2"])
+        .join(cp, "w1")
         .crossJoin(F.broadcast(vocab))
-        .select(
-            "w1",
-            "w2",
-            (
-                F.length(F.bin(F.col("cp") + F.col("vsz")))
-                - F.length(F.bin(F.col("cb") + F.lit(1)))
-            ).alias("surprisal"),
-        )
+        .withColumn("surprisal", surprisal)
     )
-    out = (
-        bg.join(scored, ["w1", "w2"])
-        .groupBy(id_col, *carry_cols)
-        .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum("surprisal").cast("bigint").alias("surprisal_sum"),
-        )
+    return s.groupBy(id_col, *carry_cols).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("surprisal").cast("bigint").alias("surprisal_sum"),
     )
-    from lvm_datapipe_spark.operators.dedup import _with_cached_deps
-
-    return _with_cached_deps(out, [cb])
 
 
 #: Gopher's mandatory-stopword set (Rae et al. 2021, arXiv:2112.11446 A1.1):
