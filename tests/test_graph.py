@@ -499,6 +499,65 @@ def test_dense_driver_triangles_from_baskets_gates(spark):
     assert dict(out) == {10: 1, 11: 1, 12: 1}
 
 
+def test_khop_driver_dense_matches_brute_force(spark):
+    # a path-ish graph where min_hops actually varies: baskets are edges
+    # {i, i+1} plus one hub basket, seeds = top-degree nodes
+    from lvm_datapipe_spark.operators.graph import (
+        khop_reachability_driver_dense_from_baskets,
+    )
+
+    rows = []
+    for i in range(12):  # path 0-1-2-...-12 (each basket one edge)
+        rows += [(i, i), (i, i + 1)]
+    rows += [(100, 0), (100, 5), (100, 9)]  # hub basket {0, 5, 9}
+    baskets = spark.createDataFrame(rows, "o long, i long")
+    out = khop_reachability_driver_dense_from_baskets(
+        baskets, "o", "i", n_seeds=3, max_hops=3
+    )
+    # brute force in python
+    import itertools
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    baskets_by_o = defaultdict(set)
+    for o, i in rows:
+        baskets_by_o[o].add(i)
+    for items in baskets_by_o.values():
+        for a, b in itertools.combinations(items, 2):
+            adj[a].add(b)
+            adj[b].add(a)
+    deg = {n: len(s) for n, s in adj.items()}
+    seeds = sorted(deg, key=lambda n: (-deg[n], n))[:3]
+    expect = []
+    for s in seeds:
+        h1 = set(adj[s])
+        h2 = set().union(*(adj[x] for x in h1)) if h1 else set()
+        h3 = set().union(*(adj[x] for x in h2)) if h2 else set()
+        minh = {}
+        for h, nodes in ((1, h1), (2, h2), (3, h3)):
+            for n in nodes:
+                if n != s and n not in minh:
+                    minh[n] = h
+        from collections import Counter
+
+        for h, c in sorted(Counter(minh.values()).items()):
+            expect.append((s, h, c))
+    assert sorted(out) == sorted(expect)
+
+
+def test_reachability_env_gate_forces_distributed_plan(spark, monkeypatch):
+    from lvm_datapipe_spark.queries import QUERIES
+
+    fast = QUERIES["graph_reachability_3hop"](spark, SF0001)
+    fast_rows = {tuple(r) for r in fast.collect()}
+    monkeypatch.setenv("SPARK_GRAFT_DENSE_TRI_MAX_EDGES", "0")
+    slow = QUERIES["graph_reachability_3hop"](spark, SF0001)
+    assert fast_rows == {tuple(r) for r in slow.collect()}
+    assert [f.name for f in fast.schema.fields] == [
+        f.name for f in slow.schema.fields
+    ]
+
+
 def test_supplier_triangles_env_gate_forces_distributed_plan(spark, monkeypatch):
     # with a 0 gate the declared query must run the array_intersect scale
     # engine and still match the oracle-shaped fast-path output

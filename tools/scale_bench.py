@@ -2236,6 +2236,59 @@ def bench_r11_kernels(spark, quick: bool) -> dict:
         print(f"  ccnet-heaps n={n}: {lm['heaps_sizes'][n]}", flush=True)
         docs.unpersist()
     out["lm_passes"] = lm
+
+    # ---- 21e: banded-pair distinct skip (dedup_method_agreement) --------
+    # near-dup-heavy corpus (docs drawn from a small pool of templates with
+    # light perturbation → large simhash candidate volume); A: the kernel's
+    # default distinct output, B: dedup_pairs=False + the bit_or mask fold
+    # the query uses.  Equality asserted on the pair SET.
+    from lvm_datapipe_spark.operators.dedup import simhash_pairs
+
+    def _gen_neardup(n_docs: int):
+        rng = np.random.default_rng(SEED + 13)
+        base = rng.integers(0, 5000, size=(64, 40))
+        rows = []
+        for i in range(n_docs):
+            t = base[i % 64].copy()
+            t[rng.integers(0, 40)] = rng.integers(0, 5000)
+            rows.append(" ".join(f"w{x}" for x in t))
+        return spark.createDataFrame(
+            pd.DataFrame({"doc_id": np.arange(n_docs, dtype=np.int64),
+                          "text": rows})
+        ).repartition(32).persist()
+
+    pd_skip: dict = {"sizes": {}}
+    for n in ([3_000, 6_000] if quick else [3_000, 6_000, 12_000]):
+        docs = _gen_neardup(n)
+        docs.count()
+        t0 = time.perf_counter()
+        with_d = {
+            (r["id_a"], r["id_b"])
+            for r in simhash_pairs(docs, max_hamming=3, bands=4).select(
+                "id_a", "id_b"
+            ).collect()
+        }
+        t_with = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        raw = simhash_pairs(
+            docs, max_hamming=3, bands=4, dedup_pairs=False
+        ).select("id_a", "id_b")
+        masked = (
+            raw.withColumn("m", F.lit(2))
+            .groupBy("id_a", "id_b")
+            .agg(F.bit_or("m").alias("mask"))
+        )
+        no_d = {(r["id_a"], r["id_b"]) for r in masked.collect()}
+        t_skip = round(time.perf_counter() - t0, 2)
+        assert with_d == no_d, f"pair-set mismatch at n={n}"
+        pd_skip["sizes"][n] = {
+            "pairs": len(with_d),
+            "distinct_then_consume_sec": t_with,
+            "skip_distinct_bitor_sec": t_skip,
+        }
+        print(f"  pairskip n={n}: {pd_skip['sizes'][n]}", flush=True)
+        docs.unpersist()
+    out["pair_distinct_skip"] = pd_skip
     return out
 
 
@@ -2245,7 +2298,7 @@ def render_r11_kernels_md(res: dict) -> list[str]:
     lines = [
         "## 21. r11 kernel A/Bs (generated)",
         "",
-        "n-scaled evidence for the four r11 kernel changes (sf0.1 is",
+        "n-scaled evidence for the r11 kernel changes (sf0.1 is",
         "fixed-cost-bound — VERDICT r10 item 5); every row asserts result",
         "equality between the compared engines before timing is reported.",
         "",
@@ -2322,11 +2375,40 @@ def render_r11_kernels_md(res: dict) -> list[str]:
         "  more than the two map-side-cheap corpus scans they replaced.",
         "  REVERTED (OPTIMIZATION_r11.md entry 2); equality asserted on",
         "  every (doc, value) pair at every size.",
-        "- the dsir columns are the same story: the r11 profile rework",
-        "  (persist a per-doc bucket profile so md5 runs once) was",
-        "  REVERTED — its extra keyed exchange + cache costs more than",
-        "  the saved scan (OPTIMIZATION_r11.md entry 3).",
+        "- the dsir profile rework (persist a per-doc bucket profile so",
+        "  md5 runs once) was REVERTED on the bench-relevant evidence: at",
+        "  sf0.1 it lost decisively (2.17 → 2.86 s bench row; 1.37 vs",
+        "  1.70 s focused min-of-2 — OPTIMIZATION_r11.md entry 3).  At",
+        "  synthetic 60k–150k docs the two shapes trade places within",
+        "  this host's noise band (repeated runs flipped the 150k row",
+        "  both ways), i.e. the profile shows no decisive scale advantage",
+        "  that would justify carrying its extra exchange + cache.",
     ]
+    pds = r.get("pair_distinct_skip", {}).get("sizes", {})
+    if pds:
+        lines += [
+            "",
+            "### 21e. banded-pair distinct skip (dedup_method_agreement's",
+            "bit_or mask fold vs consuming the kernel's distinct output)",
+            "",
+            "Near-dup-heavy corpus (64 templates lightly perturbed — large",
+            "simhash candidate volume); pair SET equality asserted.",
+            "",
+            "| docs | pairs | distinct → consume | skip distinct + bit_or |",
+            "|---|---|---|---|",
+        ]
+        for n, row in sorted(pds.items(), key=lambda kv: int(kv[0])):
+            lines.append(
+                f"| {n} | {row['pairs']} | {row['distinct_then_consume_sec']} s"
+                f" | {row['skip_distinct_bitor_sec']} s |"
+            )
+        lines += [
+            "",
+            "- the skip removes the kernel's pair-distinct exchange; the",
+            "  consumer's idempotent bit_or fold dedups in the SAME",
+            "  aggregate exchange it needed anyway (guide §2.3 — shuffle",
+            "  once, not twice).",
+        ]
     return lines
 
 
