@@ -1352,6 +1352,40 @@ def test_twophase_precontract_string_ids_and_symmetric(spark):
     assert got_sym == expect
 
 
+def test_geo_dbscan_subcell_contraction_invariants(spark):
+    """The r11 geometric pre-contraction in geo_dbscan_clusters rests on
+    two facts, pinned here: (1) the subcell side s = 35355 satisfies the
+    diameter identity 2*s^2 <= eps^2 (any two points in one subcell are
+    within eps, so same-subcell CORE points are directly connected and
+    provably one cluster); (2) on real data, all core points sharing a
+    subcell get the SAME cluster label from the declared query."""
+    from lvm_datapipe_spark.queries import QUERIES, _geo_col
+    from pyspark.sql import functions as F
+
+    s, eps = 35_355, 50_000
+    assert 2 * s * s <= eps * eps  # exact integer identity
+    out = QUERIES["geo_dbscan_clusters"](spark, SF0001)
+    core = out.filter(F.col("role") == "core").select(
+        F.col("c_custkey").alias("id"), "cluster_id"
+    )
+    from lvm_datapipe_spark.catalog import load_table
+
+    cust = load_table(spark, SF0001, "customer")
+    cells = cust.select(
+        F.col("c_custkey").alias("id"),
+        (_geo_col("c_custkey", "geox") / s).cast("long").alias("sx"),
+        (_geo_col("c_custkey", "geoy") / s).cast("long").alias("sy"),
+    )
+    per_cell = (
+        core.join(cells, "id")
+        .groupBy("sx", "sy")
+        .agg(F.count_distinct("cluster_id").alias("k"))
+        .agg(F.max("k").alias("mx"))
+        .collect()[0]["mx"]
+    )
+    assert per_cell in (None, 1)
+
+
 @pytest.mark.slow  # >=7 s equivalence test (r11 tier split)
 def test_twophase_round0_and_midloop_gate_paths_agree(spark):
     """The driver-finish gate has two firing points: ROUND 0 (raw edge
